@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Parquet table loaders + oracle-parity numeric helpers.
+  *
+  * The driver's correctness gate hash-compares Spark results against a
+  * DuckDB run of the oracle SQL over the SAME parquet files
+  * (`/root/repo/BASELINE.md`). Floating-point aggregation order differs
+  * between engines, so every money/measure aggregate goes through exact
+  * decimal arithmetic and is only cast back to double at the end —
+  * identical decimal value => identical double in both engines.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** `events.ts` is nanosecond-precision in parquet, which Spark's
+    * vectorized reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader
+    * converts the nanos-long back to a microsecond TimestampType
+    * column (truncation; queries never compare sub-microsecond). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Exact 2-decimal view of a money-ish double column. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent exact sum of a 2-decimal double column, surfaced
+    * as double. Oracle equivalent:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Exact average (decimal sum / count) surfaced as double. Oracle:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)`. */
+  def davg(c: Column): Column =
+    sum(dec2(c)).cast(DoubleType) / count(lit(1))
+}
