@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** User-facing Delta Sharing API — the Spark equivalent of the
+  * reference's two SQL table functions plus its client-only methods
+  * (SURVEY.md §2 O1-O7).
+  *
+  * Catalog listings are driver-side HTTP (result sets are small);
+  * table reads go through the `deltashare` DSv2 connector so scans are
+  * executor-parallel with full pushdown.
+  */
+object DeltaShare {
+
+  private val shareSchema = StructType(Seq(
+    StructField("name", StringType), StructField("id", StringType)))
+  private val schemaSchema = StructType(Seq(
+    StructField("name", StringType), StructField("share", StringType),
+    StructField("id", StringType)))
+  private val tableSchema = StructType(Seq(
+    StructField("name", StringType), StructField("schema", StringType),
+    StructField("share", StringType), StructField("id", StringType),
+    StructField("shareId", StringType)))
+
+  private def client(spark: SparkSession): DeltaSharingClient =
+    new DeltaSharingClient(DeltaSharingProfile.fromSession(spark))
+
+  /** `delta_share_list()` — all shares
+    * (`duck_delta_share_extension.cpp:42-49`). */
+  def listShares(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(client(spark).listShares().map(s =>
+        Row(s.name, s.id.orNull)): _*), shareSchema)
+
+  /** `delta_share_list(share)` — schemas of a share
+    * (`duck_delta_share_extension.cpp:50-60`). */
+  def listSchemas(spark: SparkSession, share: String): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(client(spark).listSchemas(share).map(s =>
+        Row(s.name, s.share, s.id.orNull)): _*), schemaSchema)
+
+  /** `delta_share_list(share, schema)` — tables of a schema
+    * (`duck_delta_share_extension.cpp:61-74`). */
+  def listTables(spark: SparkSession, share: String, schema: String): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(client(spark).listTables(share, schema).map(t =>
+        Row(t.name, t.schema, t.share, t.id.orNull, t.shareId.orNull)): _*),
+      tableSchema)
+
+  /** Client-only in the reference (`delta_sharing_client.cpp:279-303`). */
+  def listAllTables(spark: SparkSession, share: String): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(client(spark).listAllTables(share).map(t =>
+        Row(t.name, t.schema, t.share, t.id.orNull, t.shareId.orNull)): _*),
+      tableSchema)
+
+  def getShare(spark: SparkSession, name: String): Share =
+    client(spark).getShare(name)
+
+  def tableVersion(spark: SparkSession, share: String, schema: String,
+      table: String): Long =
+    client(spark).queryTableVersion(share, schema, table)
+
+  /** `delta_share_read(share, schema, table)` — the flagship scan
+    * (`duck_delta_share_extension.cpp:495-629`), via the DSv2
+    * connector: filters/columns/limit push down, partition columns are
+    * real output columns, files scan in parallel. */
+  def readTable(spark: SparkSession, share: String, schema: String,
+      table: String): DataFrame =
+    spark.read.format("deltashare")
+      .option("share", share)
+      .option("schema", schema)
+      .option("table", table)
+      .load()
+}

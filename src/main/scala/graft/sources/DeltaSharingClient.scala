@@ -1,0 +1,267 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import scala.jdk.CollectionConverters._
+import scala.jdk.OptionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Error surfaced from a non-2xx Delta Sharing response; carries the
+  * server's `message` field when present (mirrors
+  * `delta_sharing_client.cpp:149-158`). */
+final class DeltaSharingException(val status: Int, message: String)
+  extends RuntimeException(message)
+
+/** Delta Sharing REST client over JDK `java.net.http` (zero extra
+  * dependencies).
+  *
+  * Endpoint surface mirrors the reference client
+  * (`/root/reference/src/delta_sharing_client.cpp:183-465`) with the
+  * quirks fixed:
+  *  - pagination is actually looped (the reference plumbs
+  *    `maxResults`/`pageToken` but never uses them, O20);
+  *  - `QueryTableVersion` reads the `Delta-Table-Version` response
+  *    header instead of re-fetching full metadata (O18);
+  *  - `limitHint` is honored (dead parameter in the reference, O19);
+  *  - transient HTTP failures are retried with backoff (absent in the
+  *    reference).
+  */
+class DeltaSharingClient(
+    profile: DeltaSharingProfile,
+    requestTimeout: Duration = Duration.ofSeconds(60),
+    maxRetries: Int = 3) {
+
+  private val mapper = new ObjectMapper()
+  private lazy val http: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(20))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  // ---- transport ---------------------------------------------------
+
+  /** GET/POST/HEAD with the protocol headers the reference sends
+    * (`delta_sharing_client.cpp:119-125`): bearer auth + parquet
+    * response capability. */
+  private[sources] def perform(
+      method: String,
+      path: String,
+      query: Map[String, String] = Map.empty,
+      postBody: Option[String] = None): HttpResponse[String] = {
+    val qs =
+      if (query.isEmpty) ""
+      else query.map { case (k, v) =>
+        s"${urlEnc(k)}=${urlEnc(v)}"
+      }.mkString("?", "&", "")
+    val uri = URI.create(s"${profile.endpoint}$path$qs")
+    val b = HttpRequest.newBuilder(uri)
+      .timeout(requestTimeout)
+      .header("Authorization", s"Bearer ${profile.bearerToken}")
+      .header("delta-sharing-capabilities", "responseformat=parquet")
+    val req = method match {
+      case "GET" => b.GET().build()
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
+      case "POST" => b.header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(postBody.getOrElse("{}")))
+        .build()
+      case other => throw new IllegalArgumentException(s"method $other")
+    }
+    var attempt = 0
+    var last: Either[Throwable, HttpResponse[String]] = null
+    while (attempt <= maxRetries) {
+      try {
+        val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+        val code = resp.statusCode()
+        if (code >= 200 && code < 300) return resp
+        // retry only on transient server-side codes
+        if (code == 429 || code >= 500) last = Right(resp)
+        else throw httpError(resp)
+      } catch {
+        case e: DeltaSharingException => throw e
+        case e: java.io.IOException => last = Left(e)
+      }
+      attempt += 1
+      if (attempt <= maxRetries) Thread.sleep(100L << attempt)
+    }
+    last match {
+      case Right(resp) => throw httpError(resp)
+      case Left(e) => throw new DeltaSharingException(0,
+        s"delta sharing request failed after ${maxRetries + 1} attempts: ${e.getMessage}")
+    }
+  }
+
+  private def httpError(resp: HttpResponse[String]): DeltaSharingException = {
+    val msg =
+      try {
+        val node = mapper.readTree(resp.body())
+        if (node.hasNonNull("message")) node.get("message").asText()
+        else resp.body()
+      } catch { case _: Exception => resp.body() }
+    new DeltaSharingException(resp.statusCode(),
+      s"delta sharing server returned HTTP ${resp.statusCode()}: $msg")
+  }
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** NDJSON: one JSON document per non-empty line
+    * (`delta_sharing_client.cpp:163-181`). */
+  private[sources] def parseNdjson(body: String): Seq[JsonNode] =
+    body.linesIterator.filter(_.trim.nonEmpty).map(mapper.readTree).toSeq
+
+  // ---- list endpoints (O1-O5, O20) ---------------------------------
+
+  private def optText(n: JsonNode, field: String): Option[String] =
+    if (n.hasNonNull(field) && n.get(field).asText().nonEmpty)
+      Some(n.get(field).asText()) else None
+
+  /** Generic paginated `{"items":[...], "nextPageToken": "..."}` loop. */
+  private def listPaged[T](path: String, maxResults: Int)(
+      parse: JsonNode => T): Seq[T] = {
+    val out = Seq.newBuilder[T]
+    var token: Option[String] = None
+    var first = true
+    while (first || token.isDefined) {
+      first = false
+      val query = Map.newBuilder[String, String]
+      if (maxResults > 0) query += ("maxResults" -> maxResults.toString)
+      token.foreach(t => query += ("pageToken" -> t))
+      val node = mapper.readTree(perform("GET", path, query.result()).body())
+      if (node.hasNonNull("items"))
+        node.get("items").elements().asScala.foreach(n => out += parse(n))
+      token = optText(node, "nextPageToken")
+    }
+    out.result()
+  }
+
+  def listShares(maxResults: Int = -1): Seq[Share] =
+    listPaged("/shares", maxResults) { n =>
+      Share(n.get("name").asText(), optText(n, "id"))
+    }
+
+  def getShare(name: String): Share = {
+    val node = mapper.readTree(
+      perform("GET", s"/shares/${urlEnc(name)}").body())
+    val s = if (node.hasNonNull("share")) node.get("share") else node
+    Share(s.get("name").asText(), optText(s, "id"))
+  }
+
+  def listSchemas(share: String, maxResults: Int = -1): Seq[SchemaRef] =
+    listPaged(s"/shares/${urlEnc(share)}/schemas", maxResults) { n =>
+      SchemaRef(n.get("name").asText(), n.get("share").asText(),
+        optText(n, "id"))
+    }
+
+  def listTables(share: String, schema: String,
+      maxResults: Int = -1): Seq[TableRef] =
+    listPaged(s"/shares/${urlEnc(share)}/schemas/${urlEnc(schema)}/tables",
+      maxResults)(parseTable)
+
+  def listAllTables(share: String, maxResults: Int = -1): Seq[TableRef] =
+    listPaged(s"/shares/${urlEnc(share)}/all-tables", maxResults)(parseTable)
+
+  private def parseTable(n: JsonNode): TableRef =
+    TableRef(n.get("name").asText(), n.get("schema").asText(),
+      n.get("share").asText(), optText(n, "id"), optText(n, "shareId"))
+
+  // ---- table endpoints (O17-O19) -----------------------------------
+
+  private def tablePath(share: String, schema: String, table: String) =
+    s"/shares/${urlEnc(share)}/schemas/${urlEnc(schema)}/tables/${urlEnc(table)}"
+
+  /** GET `…/metadata` → NDJSON [protocol, metaData]
+    * (`delta_sharing_client.cpp:305-355`). */
+  def queryTableMetadata(share: String, schema: String,
+      table: String): TableMetadata = {
+    val lines = parseNdjson(
+      perform("GET", s"${tablePath(share, schema, table)}/metadata").body())
+    parseMetadataLines(lines).getOrElse(
+      throw new DeltaSharingException(0,
+        s"metadata response for $share.$schema.$table had no metaData line"))
+  }
+
+  /** HEAD `…/tables/{t}` reading the `Delta-Table-Version` header; the
+    * reference issues the HEAD but then ignores the header and
+    * re-fetches metadata (`delta_sharing_client.cpp:357-369`) — kept
+    * only as the fallback here. */
+  def queryTableVersion(share: String, schema: String, table: String): Long = {
+    val resp = perform("HEAD", tablePath(share, schema, table))
+    resp.headers().firstValue("Delta-Table-Version").toScala
+      .map(_.toLong)
+      .getOrElse(queryTableMetadata(share, schema, table).version)
+  }
+
+  /** POST `…/query` → NDJSON [protocol, metaData, file…]
+    * (`delta_sharing_client.cpp:371-465`). `jsonPredicateHints` is the
+    * serialized predicate tree (see [[PredicateHints]]); `limitHint`
+    * flows from Spark limit pushdown. */
+  def queryTable(
+      share: String, schema: String, table: String,
+      jsonPredicateHints: Option[String] = None,
+      limitHint: Option[Long] = None,
+      version: Option[Long] = None): TableFiles = {
+    val body = mapper.createObjectNode()
+    jsonPredicateHints.foreach { h =>
+      body.set[JsonNode]("jsonPredicateHints", mapper.readTree(h))
+    }
+    limitHint.foreach(l => body.put("limitHint", l))
+    version.foreach(v => body.put("version", v))
+    val lines = parseNdjson(
+      perform("POST", s"${tablePath(share, schema, table)}/query",
+        postBody = Some(mapper.writeValueAsString(body))).body())
+    val meta = parseMetadataLines(lines).getOrElse(
+      throw new DeltaSharingException(0,
+        s"query response for $share.$schema.$table had no metaData line"))
+    val files = lines.filter(_.hasNonNull("file")).map { l =>
+      val f = l.get("file")
+      FileAction(
+        url = f.get("url").asText(),
+        id = optText(f, "id").getOrElse(""),
+        partitionValues =
+          if (f.hasNonNull("partitionValues"))
+            f.get("partitionValues").properties().asScala
+              .map(e => e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+          else Map.empty,
+        size = if (f.hasNonNull("size")) f.get("size").asLong() else 0L,
+        stats = optText(f, "stats"),
+        version = if (f.hasNonNull("version")) Some(f.get("version").asLong()) else None,
+        timestamp = if (f.hasNonNull("timestamp")) Some(f.get("timestamp").asLong()) else None,
+        expirationTimestamp = optText(f, "expirationTimestamp"))
+    }
+    TableFiles(meta, files)
+  }
+
+  /** Shared protocol+metaData NDJSON parsing
+    * (`delta_sharing_client.cpp:317-348` and `:409-434`). */
+  private def parseMetadataLines(lines: Seq[JsonNode]): Option[TableMetadata] = {
+    val protocol = lines.find(_.hasNonNull("protocol")).map { l =>
+      val p = l.get("protocol")
+      DeltaProtocol(
+        if (p.hasNonNull("minReaderVersion")) p.get("minReaderVersion").asInt() else 1)
+    }.getOrElse(DeltaProtocol(1))
+    lines.find(_.hasNonNull("metaData")).map { l =>
+      val m = l.get("metaData")
+      TableMetadata(
+        id = optText(m, "id").getOrElse(""),
+        name = optText(m, "name").getOrElse(""),
+        description = optText(m, "description").getOrElse(""),
+        formatProvider =
+          if (m.hasNonNull("format") && m.get("format").hasNonNull("provider"))
+            m.get("format").get("provider").asText() else "parquet",
+        schemaString = optText(m, "schemaString").getOrElse(""),
+        partitionColumns =
+          if (m.hasNonNull("partitionColumns"))
+            m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          else Seq.empty,
+        configuration =
+          if (m.hasNonNull("configuration"))
+            m.get("configuration").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          else Map.empty,
+        version = if (m.hasNonNull("version")) m.get("version").asLong() else 0L,
+        protocol = protocol)
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+/** Delta Sharing protocol data model.
+  *
+  * Mirrors the entities the reference client defines at
+  * `/root/reference/src/include/delta_sharing_client.hpp:22-70`,
+  * re-expressed as Scala case classes. Field optionality follows the
+  * protocol (ids may be absent from server responses).
+  */
+final case class Share(name: String, id: Option[String])
+
+final case class SchemaRef(name: String, share: String, id: Option[String])
+
+final case class TableRef(
+    name: String,
+    schema: String,
+    share: String,
+    id: Option[String],
+    shareId: Option[String])
+
+/** Protocol line of an NDJSON response
+  * (`delta_sharing_client.hpp:41-43`). */
+final case class DeltaProtocol(minReaderVersion: Int)
+
+/** `metaData` line (`delta_sharing_client.hpp:50-59`). `schemaString`
+  * is Spark StructType JSON — parse with `DataType.fromJson`, which
+  * (unlike the reference's `ParseDeltaSchema`,
+  * `duck_delta_share_extension.cpp:433-474`) keeps nested types. */
+final case class TableMetadata(
+    id: String,
+    name: String,
+    description: String,
+    formatProvider: String,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    configuration: Map[String, String],
+    version: Long,
+    protocol: DeltaProtocol)
+
+/** One presigned parquet file of a table query
+  * (`delta_sharing_client.hpp:61-70`). */
+final case class FileAction(
+    url: String,
+    id: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    stats: Option[String],
+    version: Option[Long],
+    timestamp: Option[Long],
+    expirationTimestamp: Option[String])
+
+/** Result of POST `…/tables/{t}/query`
+  * (`delta_sharing_client.cpp:371-465`). */
+final case class TableFiles(metadata: TableMetadata, files: Seq[FileAction])
+
+/** Connection profile. The reference reads endpoint/token from session
+  * settings with env fallback and strips a trailing `/`
+  * (`delta_sharing_client.cpp:21-61`); the Spark port uses
+  * `spark.deltaShare.*` conf keys with the same env fallback.
+  */
+final case class DeltaSharingProfile(
+    endpoint: String,
+    bearerToken: String,
+    credentialsVersion: Int = 1,
+    expirationTime: Option[String] = None) {
+  require(endpoint.nonEmpty, "delta sharing endpoint must be set")
+}
+
+object DeltaSharingProfile {
+  val EndpointConf = "spark.deltaShare.endpoint"
+  val TokenConf = "spark.deltaShare.bearerToken"
+  val EndpointEnv = "DELTA_SHARING_ENDPOINT"
+  val TokenEnv = "DELTA_SHARING_BEARER_TOKEN"
+
+  private def stripSlash(e: String): String =
+    if (e.endsWith("/")) e.dropRight(1) else e
+
+  def apply(endpoint: String, token: String): DeltaSharingProfile =
+    new DeltaSharingProfile(stripSlash(endpoint), token)
+
+  /** Resolve from SparkSession conf, falling back to env vars (the
+    * same precedence the reference implements). */
+  def fromSession(spark: org.apache.spark.sql.SparkSession): DeltaSharingProfile = {
+    def conf(key: String, env: String): String =
+      spark.conf.getOption(key)
+        .orElse(sys.env.get(env))
+        .getOrElse("")
+    DeltaSharingProfile(
+      stripSlash(conf(EndpointConf, EndpointEnv)),
+      conf(TokenConf, TokenEnv))
+  }
+}

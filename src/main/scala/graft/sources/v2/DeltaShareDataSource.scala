@@ -1,0 +1,131 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources._
+
+/** `spark.read.format("deltashare")` — DataSource-V2 connector for
+  * Delta Sharing tables.
+  *
+  * Equivalent of the reference's `delta_share_read` table function
+  * (`/root/reference/src/duck_delta_share_extension.cpp:495-629`), but
+  * with the capabilities the reference lacks: column pruning, limit
+  * pushdown, exact client-side partition pruning, partition columns
+  * materialized in the output, and file-parallel scans (the
+  * reference's file loop is serial, `:569-575`).
+  *
+  * Table addressing: `.option("share", s).option("schema", sc)
+  * .option("table", t)` or `.load("share.schema.table")`. Endpoint and
+  * token resolve from options (`endpoint`, `bearerToken`), then
+  * session conf (`spark.deltaShare.*`), then env — same precedence
+  * idea as the reference's settings/env fallback
+  * (`delta_sharing_client.cpp:21-61`).
+  */
+class DeltaShareDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "deltashare"
+
+  private var cachedMeta: Option[(TableAddress, TableMetadata)] = None
+
+  private def metadataFor(options: CaseInsensitiveStringMap)
+      : (TableAddress, TableMetadata) = {
+    val addr = TableAddress.fromOptions(options)
+    cachedMeta match {
+      case Some((a, m)) if a == addr => (a, m)
+      case _ =>
+        val client = new DeltaSharingClient(addr.profile)
+        val meta = client.queryTableMetadata(addr.share, addr.schema, addr.table)
+        cachedMeta = Some((addr, meta))
+        (addr, meta)
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (_, meta) = metadataFor(options)
+    DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+  }
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
+    val (_, meta) = metadataFor(options)
+    meta.partitionColumns.map(Expressions.identity).toArray
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (addr, meta) = metadataFor(opts)
+    new DeltaShareTable(addr, meta, schema)
+  }
+}
+
+/** Fully-resolved table coordinates + connection profile. */
+final case class TableAddress(
+    share: String, schema: String, table: String,
+    profile: DeltaSharingProfile)
+
+object TableAddress {
+  def fromOptions(options: CaseInsensitiveStringMap): TableAddress = {
+    val sessionConf: String => Option[String] = key =>
+      SparkSession.getActiveSession.flatMap(_.conf.getOption(key))
+    def resolve(opt: String, confKey: String, env: String): String =
+      Option(options.get(opt))
+        .orElse(sessionConf(confKey))
+        .orElse(sys.env.get(env))
+        .getOrElse("")
+
+    val (share, schema, table) =
+      (Option(options.get("share")), Option(options.get("schema")),
+        Option(options.get("table"))) match {
+        case (Some(s), Some(sc), Some(t)) => (s, sc, t)
+        case _ =>
+          val path = Option(options.get("path")).getOrElse(
+            throw new IllegalArgumentException(
+              "specify share/schema/table options or load(\"share.schema.table\")"))
+          path.split('.') match {
+            case Array(s, sc, t) => (s, sc, t)
+            case _ => throw new IllegalArgumentException(
+              s"expected share.schema.table, got '$path'")
+          }
+      }
+    TableAddress(share, schema, table,
+      DeltaSharingProfile(
+        resolve("endpoint", DeltaSharingProfile.EndpointConf,
+          DeltaSharingProfile.EndpointEnv),
+        resolve("bearerToken", DeltaSharingProfile.TokenConf,
+          DeltaSharingProfile.TokenEnv)))
+  }
+}
+
+/** DSv2 Table: schema from the server's `schemaString` (Spark
+  * StructType JSON — `DataType.fromJson` supersedes the reference's
+  * `ParseDeltaSchema`, keeping nested types; SURVEY.md §1.1),
+  * partitioning from `partitionColumns`. */
+class DeltaShareTable(addr: TableAddress, meta: TableMetadata,
+    tableSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String = s"${addr.share}.${addr.schema}.${addr.table}"
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    meta.partitionColumns.map(Expressions.identity).toArray
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def properties(): util.Map[String, String] =
+    (meta.configuration + ("version" -> meta.version.toString)).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val hadoopConf = new Configuration(spark.sessionState.newHadoopConf())
+    PresignedUrlFileSystem.register(hadoopConf)
+    new DeltaShareScanBuilder(spark, addr, meta, tableSchema, hadoopConf)
+  }
+}

@@ -1,0 +1,198 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources._
+
+/** ScanBuilder with the full pushdown surface the reference lacks or
+  * implements unsoundly (SURVEY.md §2 O9-O13, §4):
+  *
+  *  - **Filters** (`SupportsPushDownFilters`): split typed — filters
+  *    referencing only partition columns are evaluated exactly
+  *    client-side against each `FileAction.partitionValues` (the
+  *    reference trusts advisory server hints); data filters are
+  *    translated to `jsonPredicateHints` for server file pruning AND
+  *    handed to the parquet reader for row-group pruning, and are
+  *    ALSO returned to Spark as residuals so correctness never
+  *    depends on pushdown (the reference consumes all filters and
+  *    silently drops untranslatable shapes,
+  *    `duck_delta_share_extension.cpp:492`).
+  *  - **Columns** (`SupportsPushDownRequiredColumns`): the reference
+  *    always reads `SELECT *` (`:578`); here pruning reaches the
+  *    parquet scan.
+  *  - **Limit** (`SupportsPushDownLimit`): wired to the protocol's
+  *    `limitHint` (a dead parameter in the reference,
+  *    `delta_sharing_client.cpp:387-389`).
+  */
+class DeltaShareScanBuilder(
+    spark: SparkSession,
+    addr: TableAddress,
+    meta: TableMetadata,
+    tableSchema: StructType,
+    hadoopConf: Configuration)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private val partitionCols = meta.partitionColumns.toSet
+  private val partitionSchema = StructType(
+    meta.partitionColumns.flatMap(c => tableSchema.fields.find(_.name == c)))
+  private val dataSchema = StructType(
+    tableSchema.fields.filterNot(f => partitionCols.contains(f.name)))
+
+  private var requiredSchema: StructType = tableSchema
+  private var partitionFilters: Array[Filter] = Array.empty
+  private var dataFilters: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pf, df) = filters.partition(
+      PartitionValues.isPartitionOnly(_, partitionCols))
+    partitionFilters = pf
+    dataFilters = df
+    // partition filters are applied exactly (file pruning); data
+    // filters reach parquet row-group stats but are inexact there, so
+    // Spark must re-evaluate them above the scan.
+    df
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    partitionFilters ++ dataFilters
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = new DeltaShareScan(
+    spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
+    partitionFilters, dataFilters, limit, hadoopConf)
+}
+
+/** Batch scan: one `InputPartition` per shared file — Spark
+  * parallelizes what the reference streams serially
+  * (`duck_delta_share_extension.cpp:569-575`). The `/query` POST
+  * happens once on the driver at planning time; executors then pull
+  * presigned URLs directly. */
+class DeltaShareScan(
+    spark: SparkSession,
+    addr: TableAddress,
+    meta: TableMetadata,
+    dataSchema: StructType,
+    partitionSchema: StructType,
+    requiredSchema: StructType,
+    partitionFilters: Array[Filter],
+    dataFilters: Array[Filter],
+    limit: Option[Int],
+    hadoopConf: Configuration) extends Scan with Batch {
+
+  private val partitionColNames = partitionSchema.fieldNames.toSet
+  private val requiredDataSchema = StructType(
+    requiredSchema.fields.filterNot(f => partitionColNames.contains(f.name)))
+  private val requiredPartitionSchema = StructType(
+    requiredSchema.fields.filter(f => partitionColNames.contains(f.name)))
+
+  /** Reader output order: required data columns then required
+    * partition columns (what the parquet reader closure emits). */
+  override def readSchema(): StructType =
+    StructType(requiredDataSchema.fields ++ requiredPartitionSchema.fields)
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"DeltaShareScan ${addr.share}.${addr.schema}.${addr.table} " +
+      s"[files pruned by ${partitionFilters.length} partition filter(s), " +
+      s"hints from ${dataFilters.length} data filter(s), limit=$limit]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (hints, _) = PredicateHints.buildHints(
+      (partitionFilters ++ dataFilters).toSeq,
+      StructType(dataSchema.fields ++ partitionSchema.fields))
+    val client = new DeltaSharingClient(addr.profile)
+    val result = client.queryTable(addr.share, addr.schema, addr.table,
+      jsonPredicateHints = hints, limitHint = limit.map(_.toLong))
+    // exact client-side partition pruning — hints are advisory per the
+    // Delta Sharing spec, so never trust the server's file list alone
+    val kept = result.files.filter { f =>
+      partitionFilters.forall(
+        PartitionValues.evalFilter(_, f.partitionValues, partitionSchema))
+    }
+    kept.map { f =>
+      val path =
+        if (f.url.startsWith("http://") || f.url.startsWith("https://"))
+          PresignedUrlFileSystem.encode(f.url, f.size)
+        else f.url
+      DeltaShareInputPartition(path, f.size, f.partitionValues)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Build Spark's own parquet reader closure (vectorized decode,
+    // row-group pruning from pushed data filters, partition-column
+    // append) — it is designed to be serialized to executors.
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = partitionSchema,
+      requiredSchema = requiredDataSchema,
+      filters = dataFilters.toSeq,
+      options = Map(
+        "returning_batch" -> "false",
+        "mergeSchema" -> "false"),
+      hadoopConf = hadoopConf)
+    DeltaSharePartitionReaderFactory(readFunc, partitionSchema,
+      new SerializableConfiguration(hadoopConf))
+  }
+}
+
+final case class DeltaShareInputPartition(
+    path: String,
+    size: Long,
+    partitionValues: Map[String, String]) extends InputPartition
+
+final case class DeltaSharePartitionReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    partitionSchema: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DeltaShareInputPartition]
+    val pf = PartitionedFile(
+      partitionValues =
+        PartitionValues.toInternalRow(p.partitionValues, partitionSchema),
+      filePath = SparkPath.fromUrlString(p.path),
+      start = 0L,
+      length = p.size,
+      locations = Array.empty,
+      modificationTime = 0L,
+      fileSize = p.size,
+      otherConstantMetadataColumnValues = Map.empty)
+    // the parquet closure may emit ColumnarBatch disguised as
+    // InternalRow (vectorized path); flatten to rows for DSv2
+    import scala.jdk.CollectionConverters._
+    val rows: Iterator[InternalRow] =
+      readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case row: InternalRow => Iterator.single(row)
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

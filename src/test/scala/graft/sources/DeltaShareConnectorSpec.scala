@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** End-to-end DSv2 connector tests against the stub sharing server:
+  * metadata-driven schema, partition-column materialization, pruning,
+  * pushdown plumbing, and the ranged-HTTP presigned-URL read path. */
+class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+  private var server: StubSharingServer = _
+  private var tmpDir: java.nio.file.Path = _
+  private var expectedCount: Long = 0
+  private var flagACount: Long = 0
+
+  override def beforeAll(): Unit = {
+    server = new StubSharingServer(expectedToken = "tok").start()
+    tmpDir = Files.createTempDirectory("graft-share")
+    // write lineitem partitioned by l_returnflag: part files do NOT
+    // contain the partition column — the connector must re-attach it
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    expectedCount = li.count()
+    flagACount = li.filter(col("l_returnflag") === "A").count()
+    li.write.partitionBy("l_returnflag").mode("overwrite")
+      .parquet(tmpDir.toString)
+
+    val fullSchema = li.schema.json
+    val partFiles = Files.list(tmpDir).iterator()
+    val files = Seq.newBuilder[(String, Long, Map[String, String])]
+    Files.list(tmpDir).forEach { d =>
+      val name = d.getFileName.toString
+      if (name.startsWith("l_returnflag=")) {
+        val flag = name.stripPrefix("l_returnflag=")
+        Files.list(d).forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            files += ((f.toUri.toString, Files.size(f),
+              Map("l_returnflag" -> flag)))
+        }
+      }
+    }
+    server.tables = Map("lineitem" -> (fullSchema, Seq("l_returnflag"),
+      files.result()))
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private def read() =
+    spark.read.format("deltashare")
+      .option("endpoint", server.endpoint)
+      .option("bearerToken", "tok")
+      .option("share", "share1")
+      .option("schema", "schema1")
+      .option("table", "lineitem")
+      .load()
+
+  test("full scan matches direct parquet read, partition col attached") {
+    val df = read()
+    assert(df.count() == expectedCount)
+    assert(df.schema.fieldNames.contains("l_returnflag"))
+    val flags = df.select("l_returnflag").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(flags.sameElements(Array("A", "N", "R")))
+  }
+
+  test("load(\"share.schema.table\") addressing works") {
+    val df = spark.read.format("deltashare")
+      .option("endpoint", server.endpoint)
+      .option("bearerToken", "tok")
+      .load("share1.schema1.lineitem")
+    assert(df.count() == expectedCount)
+  }
+
+  test("values survive the round trip exactly") {
+    val direct = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val shared = read()
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(direct == shared)
+  }
+
+  test("partition filter prunes files and sends hints") {
+    val df = read().filter(col("l_returnflag") === "A")
+    assert(df.count() == flagACount)
+    assert(server.lastQueryBody.contains("jsonPredicateHints"))
+    assert(server.lastQueryBody.contains("l_returnflag"))
+    // physical plan should carry only the pruned partition count
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("BatchScan") || scanDesc.contains("DeltaShare"))
+  }
+
+  test("projection + data filter pushdown stay correct") {
+    val df = read()
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    assert(df.count() == expected.count())
+    assert(df.schema.fieldNames.toSeq == Seq("l_orderkey", "l_quantity"))
+  }
+
+  test("limit pushes a limitHint to the server") {
+    read().limit(5).collect()
+    assert(server.lastQueryBody.contains(""""limitHint":5"""))
+  }
+
+  test("presigned HTTP urls with Range requests read end-to-end") {
+    val src = Paths.get("/root/testdata/sf0.001/orders.parquet")
+    server.httpFiles = Map("orders.parquet" -> src)
+    val ordersSchema = spark.read.parquet(src.toString).schema.json
+    server.tables = server.tables + ("orders" -> ((ordersSchema, Seq.empty,
+      Seq((s"http://127.0.0.1:${server.port}/files/orders.parquet",
+        Files.size(src), Map.empty[String, String])))))
+    val df = spark.read.format("deltashare")
+      .option("endpoint", server.endpoint)
+      .option("bearerToken", "tok")
+      .load("share1.schema1.orders")
+    val n = df.count()
+    val direct = spark.read.parquet(src.toString).count()
+    assert(n == direct)
+    // and values, not just counts
+    val total = df.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val totalDirect = spark.read.parquet(src.toString)
+      .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(total - totalDirect) < 1e-6)
+  }
+}

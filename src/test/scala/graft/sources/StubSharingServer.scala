@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import scala.jdk.CollectionConverters._
+
+/** In-process Delta Sharing stub server for protocol tests — fixture
+  * shapes per FIXTURES.md §2 (derived from the response bodies the
+  * reference client parses, `delta_sharing_client.cpp:305-465`).
+  *
+  * Also serves parquet bytes under `/files/<name>` with HTTP Range
+  * support, so the presigned-URL read path is exercised end-to-end.
+  */
+class StubSharingServer(
+    expectedToken: String = "tok",
+    pageSize: Int = 0 /* 0 = no pagination */) {
+
+  @volatile var lastQueryBody: String = ""
+  @volatile var lastHeaders: Map[String, String] = Map.empty
+  @volatile var shares: Seq[String] = Seq("share1", "share2", "share3")
+  /** tableName -> (schemaString, partitionColumns, files) */
+  @volatile var tables: Map[String, (String, Seq[String], Seq[(String, Long, Map[String, String])])] = Map.empty
+  /** files served over HTTP with Range support: name -> local path */
+  @volatile var httpFiles: Map[String, Path] = Map.empty
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+  server.setExecutor(pool)
+
+  def port: Int = server.getAddress.getPort
+  def endpoint: String = s"http://127.0.0.1:$port/delta-sharing"
+
+  private def send(ex: HttpExchange, code: Int, body: String,
+      headers: Map[String, String] = Map.empty): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    ex.sendResponseHeaders(code, bytes.length)
+    val os: OutputStream = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def items(names: Seq[String], render: String => String,
+      query: String): String = {
+    val params = Option(query).getOrElse("").split("&").filter(_.nonEmpty)
+      .map(_.split("=", 2)).map(a => a(0) -> (if (a.length > 1) a(1) else ""))
+      .toMap
+    val start = params.get("pageToken").map(_.toInt).getOrElse(0)
+    val slice = if (pageSize > 0) names.slice(start, start + pageSize) else names
+    val next =
+      if (pageSize > 0 && start + pageSize < names.size)
+        s""","nextPageToken":"${start + pageSize}"""" else ""
+    s"""{"items":[${slice.map(render).mkString(",")}]$next}"""
+  }
+
+  private def metaNdjson(name: String): String = {
+    val (schemaString, partCols, _) = tables(name)
+    val esc = schemaString.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"protocol":{"minReaderVersion":1}}
+{"metaData":{"id":"m-$name","name":"$name","description":"","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],"configuration":{"k":"v"},"version":3}}"""
+  }
+
+  server.createContext("/delta-sharing/shares", (ex: HttpExchange) => {
+    try {
+      lastHeaders = ex.getRequestHeaders.entrySet().asScala
+        .map(e => e.getKey.toLowerCase -> e.getValue.asScala.mkString(",")).toMap
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (auth != s"Bearer $expectedToken") {
+        send(ex, 401, """{"message":"unauthorized"}""")
+      } else {
+        val path = ex.getRequestURI.getPath.stripPrefix("/delta-sharing")
+        val query = ex.getRequestURI.getQuery
+        val seg = path.split("/").filter(_.nonEmpty)
+        // /shares | /shares/{s} | /shares/{s}/schemas |
+        // /shares/{s}/schemas/{sc}/tables | /shares/{s}/all-tables |
+        // …/tables/{t}/metadata | …/tables/{t}/query | HEAD …/tables/{t}
+        (ex.getRequestMethod, seg.toList) match {
+          case ("GET", List("shares")) =>
+            send(ex, 200, items(shares,
+              n => s"""{"name":"$n","id":"id-$n"}""", query))
+          case ("GET", List("shares", s)) =>
+            if (shares.contains(s))
+              send(ex, 200, s"""{"share":{"name":"$s","id":"id-$s"}}""")
+            else send(ex, 404, """{"message":"share not found"}""")
+          case ("GET", List("shares", s, "schemas")) =>
+            send(ex, 200, items(Seq("schema1"),
+              n => s"""{"name":"$n","share":"$s"}""", query))
+          case ("GET", List("shares", s, "all-tables")) =>
+            send(ex, 200, items(tables.keys.toSeq.sorted,
+              n => s"""{"name":"$n","schema":"schema1","share":"$s","id":"t-$n"}""",
+              query))
+          case ("GET", List("shares", s, "schemas", sc, "tables")) =>
+            send(ex, 200, items(tables.keys.toSeq.sorted,
+              n => s"""{"name":"$n","schema":"$sc","share":"$s","id":"t-$n"}""",
+              query))
+          case ("HEAD", List("shares", _, "schemas", _, "tables", t)) =>
+            ex.getResponseHeaders.set("Delta-Table-Version", "7")
+            ex.sendResponseHeaders(200, -1); ex.close()
+          case ("GET", List("shares", _, "schemas", _, "tables", t, "metadata")) =>
+            if (tables.contains(t)) send(ex, 200, metaNdjson(t))
+            else send(ex, 404, """{"message":"table not found"}""")
+          case ("POST", List("shares", _, "schemas", _, "tables", t, "query")) =>
+            if (!tables.contains(t)) {
+              send(ex, 404, """{"message":"table not found"}""")
+            } else {
+              lastQueryBody = new String(
+                ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+              val (_, _, files) = tables(t)
+              val fileLines = files.map { case (url, size, pv) =>
+                val pvJson = pv.map { case (k, v) =>
+                  s""""$k":${if (v == null) "null" else s""""$v""""}"""
+                }.mkString(",")
+                s"""{"file":{"url":"$url","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size,"stats":"{\\"numRecords\\":1}","version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
+              }
+              send(ex, 200, (metaNdjson(t) +: fileLines).mkString("\n"))
+            }
+          case other =>
+            send(ex, 404, s"""{"message":"no route $other"}""")
+        }
+      }
+    } catch {
+      case e: Exception => send(ex, 500, s"""{"message":"${e.getMessage}"}""")
+    }
+  })
+
+  // parquet bytes with Range support (presigned-URL stand-in)
+  server.createContext("/files", (ex: HttpExchange) => {
+    val name = ex.getRequestURI.getPath.stripPrefix("/files/")
+    httpFiles.get(name) match {
+      case None => send(ex, 404, "not found")
+      case Some(p) =>
+        val bytes = Files.readAllBytes(p)
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        range match {
+          case Some(r) =>
+            val spec = r.stripPrefix("bytes=")
+            val Array(fromS, toS) = if (spec.contains("-")) spec.split("-", 2)
+              else Array(spec, "")
+            val from = fromS.toInt
+            val to = if (toS.nonEmpty) toS.toInt else bytes.length - 1
+            val slice = java.util.Arrays.copyOfRange(bytes, from, to + 1)
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, slice.length)
+            val os = ex.getResponseBody; os.write(slice); os.close()
+          case None =>
+            ex.sendResponseHeaders(200, bytes.length)
+            val os = ex.getResponseBody; os.write(bytes); os.close()
+        }
+    }
+  })
+
+  def start(): StubSharingServer = { server.start(); this }
+  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+}
