@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for training-data pipelines (north-star
+  * scope): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on the normalized key; at scale
+  *    substitute the key with [[TextAnalysis.fingerprint]] so the
+  *    shuffle moves 8-byte longs, not document bodies;
+  *  - the Jaccard path is the verify stage: it joins on shingles, so
+  *    its cost is bounded by candidate generation — never run it
+  *    all-pairs at scale, always behind MinHash banding;
+  *  - MinHash+LSH is the scale path: signatures are computed per-row
+  *    (no shuffle), then one shuffle per band on the band key; only
+  *    bucket-colliding pairs reach the exact verifier;
+  *  - SimHash reduces each document to one 64-bit word per row; the
+  *    pair join is on the first 16-bit block (block-permuted
+  *    Hamming-search pattern);
+  *  - embedding near-dup brute-force is quadratic — kept for oracle
+  *    verification; the scale path is [[Similarity]] LSH bucketing.
+  *
+  * All hashes are polynomial mod 1e9+7 — integer-exact, so every
+  * stage (including MinHash band keys) is reproducible in ANSI SQL
+  * for the DuckDB oracle.
+  */
+object Dedup {
+  import TextAnalysis.{Mod, fingerprint, tokens}
+
+  /** Normalized text key: lower-cased, whitespace-collapsed. */
+  def normKey(text: Column): Column =
+    array_join(tokens(text), " ")
+
+  /** Exact dedup: one representative (min doc_id) per normalized
+    * text, with the duplicate count. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(normKey(col("text")).as("text_norm"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Distinct word-k-shingle fingerprints per document (per-row,
+    * shuffle-free). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    array_distinct(
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => fingerprint(array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  private def docShingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      shingles(col("text"), k).as("sh"),
+      size(shingles(col("text"), k)).as("n_sh"))
+
+  /** N-gram Jaccard near-dup pairs: explode distinct shingles, join on
+    * shingle, count common, threshold with INTEGER math
+    * (`common*100 >= pct*union`) so the cut is exact. */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, pct: Int = 85): DataFrame = {
+    val ds = docShingles(docs, k)
+    val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = ex.toDF("a_id", "a_n", "s")
+    val b = ex.toDF("b_id", "b_n", "s")
+    a.join(b, "s")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("u", col("a_n") + col("b_n") - col("common"))
+      .filter(col("common") * 100 >= col("u") * pct)
+      .select(col("a_id"), col("b_id"), col("common"),
+        col("u").as("union_size"))
+  }
+
+  /** MinHash signature: for hash i in 0..n, min over shingle
+    * fingerprints of `(fp*(2i+1) + i*12345 + 1) mod M` — affine
+    * permutations with deterministic, SQL-reproducible parameters. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(sh,
+        fp => (fp * (i * 2 + 1) + i * lit(12345L) + 1L) % Mod)))
+
+  /** MinHash+LSH near-dup pairs: band the signature (`bands` bands of
+    * `numHashes/bands` rows), shuffle once per band on the band key,
+    * then exact-Jaccard-verify only bucket collisions. Output matches
+    * [[jaccardPairs]] minus LSH false negatives. */
+  def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, pct: Int = 80): DataFrame = {
+    val rows = numHashes / bands
+    val ds = docShingles(docs, k)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // band key = fingerprint-combine of the band's signature slice
+    val banded = ds.select(col("doc_id"), col("sh"), col("n_sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
+            (acc, x) => (acc * 31L + x) % Mod).as("key")))).as("bk"))
+      .select(col("doc_id"), col("sh"), col("n_sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("a_id", "a_sh", "a_n", "band", "key")
+    val b = banded.toDF("b_id", "b_sh", "b_n", "band", "key")
+    val candidates = a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "a_n", "b_sh", "b_n")
+      .distinct()
+    candidates
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("u", col("a_n") + col("b_n") - col("common"))
+      .filter(col("common") * 100 >= col("u") * pct)
+      .select("a_id", "b_id", "common", "u")
+      .withColumnRenamed("u", "union_size")
+  }
+
+  /** 30-bit SimHash computed per-row with higher-order functions (no
+    * explode, no shuffle): bit j is set when the sum over token
+    * fingerprints of `±1` (by bit j of the fp) is positive. 30 bits
+    * because fingerprints are mod 1e9+7 (< 2^30); bit extraction uses
+    * exact power-of-two double division so the oracle SQL reproduces
+    * it bit-for-bit. */
+  def simhash(text: Column): Column = {
+    val fps = transform(tokens(text), t => fingerprint(t))
+    val counts = aggregate(fps,
+      array_repeat(lit(0L), 30),
+      (acc, fp) => zip_with(acc,
+        transform(sequence(lit(0), lit(29)),
+          j => pmod(floor(fp / pow(lit(2.0), j)), lit(2L)) * 2L - 1L),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(29)),
+        (c, j) => when(c > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`,
+    * blocked on the low 10 bits to avoid the full cross join (a
+    * near-dup pair collides on the block unless the diff hits it —
+    * standard block-permutation trade-off, documented recall). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val withHash = docs.select(col("doc_id"),
+      simhash(col("text")).as("sh"))
+      .withColumn("blk", col("sh").bitwiseAND(1023L))
+    val a = withHash.toDF("a_id", "a_sh", "blk")
+    val b = withHash.toDF("b_id", "b_sh", "blk")
+    a.join(b, "blk")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "a_sh", "b_sh", "dist")
+  }
+}

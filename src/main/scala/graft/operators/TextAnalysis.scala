@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * scope, SURVEY.md §2.3): tokenization stats, quality scoring,
+  * language ID, and document fingerprinting.
+  *
+  * Everything here is built from codegen'd `functions._` higher-order
+  * functions — per-row, no shuffle, no UDF — so at 100 TB each
+  * operator is a single embarrassingly-parallel scan that whole-stage
+  * codegen fuses with the parquet read. All arithmetic is
+  * integer-exact (polynomial hashes mod 1e9+7) or IEEE-deterministic
+  * (fixed fold order), which is what makes the DuckDB oracle
+  * comparisons bit-exact.
+  */
+object TextAnalysis {
+  val Mod = 1000000007L
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, and single
+    * punctuation marks each count as one token. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters
+    * of `s` — the classic Rabin-Karp document fingerprint. Exact
+    * integer math → identical in any engine. */
+  def fingerprint(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % Mod)
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un", "une"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "ni", "ta"))
+
+  /** Count of distinct English stopwords present (quality signal). */
+  def stopwordHits(text: Column): Column =
+    size(array_intersect(tokens(text),
+      array(stopwords("en").map(lit): _*)))
+
+  /** Composite quality score: all terms are exact integer ratios
+    * evaluated in a fixed order, so the double result is
+    * engine-independent. Higher is better. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stops = stopwordHits(text).cast("double")
+    (stops / nTok) - (punct / nChar) + least(nTok / lit(100.0), lit(1.0))
+  }
+
+  /** N-gram-heuristic language ID over the per-language stopword
+    * lists; deterministic tie-break on language code. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(tokens(text), array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // max by (hits, then lang desc→ we want lang ASC tie-break, so
+    // compare negated lang is awkward; use array_max over (hits,
+    // reverse-rank) instead): encode rank so ties pick the
+    // alphabetically-first language.
+    val ranked = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("hits").as("hits"),
+        lit(stopwords.size - i).as("rank"),
+        s.getField("lang").as("lang"))
+    }
+    array_max(array(ranked: _*)).getField("lang")
+  }
+
+  /** Full per-document stats frame. */
+  def analyze(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      punctCount(col("text")).as("n_punct"),
+      stopwordHits(col("text")).as("n_stopwords"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fingerprint"))
+}

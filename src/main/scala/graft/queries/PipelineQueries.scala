@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** North-star pipeline queries (SURVEY.md §2.3): text analysis, the
+  * dedup family, similarity search, multimodal features, and the
+  * batch twins of the streaming operators.
+  *
+  * Every oracle below REPLICATES the operator's arithmetic in ANSI
+  * SQL (same polynomial hashes, same fold orders, same integer
+  * thresholds), so even MinHash banding and SimHash are hash-checked
+  * against DuckDB rather than rows-only.
+  */
+object PipelineQueries {
+
+  // ---- SQL oracle building blocks (DuckDB dialect) -----------------
+
+  /** Lower-cased whitespace tokens of `e`. */
+  private def sqlToks(e: String): String =
+    s"list_filter(string_split_regex(trim(lower($e)), '\\s+'), t0 -> t0 <> '')"
+
+  /** Rolling polynomial hash of string expr `e` (base 31, mod 1e9+7) —
+    * twin of [[TextAnalysis.fingerprint]]. */
+  private def sqlFp(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"list_filter(string_split_regex($e, ''), c0 -> c0 <> ''), " +
+      s"c1 -> ord(c1)::BIGINT)), (a0,x0) -> (a0*31+x0)%1000000007)"
+
+  /** Distinct word-3-shingle fingerprints — twin of
+    * [[Dedup.shingles]] (k=3). */
+  private def sqlShingles(toks: String): String =
+    s"list_distinct(list_transform(range(0, greatest(len($toks)-3,0)+1), " +
+      s"i0 -> ${sqlFp(s"array_to_string(($toks)[i0+1:i0+3], ' ')")}))"
+
+  /** Fixed-order double fold sum of a double list. */
+  private def sqlFold(l: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, $l), (s0,v0) -> s0+v0)"
+
+  /** Fixed-order dot product of two float lists in double — twin of
+    * [[Similarity.dot]]. */
+  private def sqlDot(a: String, b: String): String =
+    sqlFold(s"list_transform(list_zip($a, $b), z0 -> z0[1]::DOUBLE * z0[2]::DOUBLE)")
+
+  /** LSH bucket twin of [[Similarity.lshBucket]] (nBits=4). */
+  private def sqlLshBucket(emb: String): String =
+    (0 until 4).map { p =>
+      val proj = sqlFold(
+        s"list_transform(list_zip($emb, range(0, len($emb))), " +
+          s"w$p -> w$p[1]::DOUBLE * (((w$p[2]*7 + ${p * 13}) % 5) - 2)::DOUBLE)")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---- queries -----------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_count" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    "t02_quality_score" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordHits(col("text")).as("n_stopwords"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    "t03_lang_id" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .withColumn("correct", col("lang") === col("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "t04_fingerprint" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprint(substring(col("text"), 1, 16)).as("fp_prefix"))
+        .orderBy("doc_id")
+    },
+    "dd1_dedup_exact" -> { (s, d) =>
+      Dedup.exact(documents(s, d)).orderBy("keep_id")
+    },
+    "dd2_dedup_jaccard" -> { (s, d) =>
+      Dedup.jaccardPairs(documents(s, d), k = 3, pct = 85)
+        .orderBy("a_id", "b_id")
+    },
+    "dd3_dedup_minhash" -> { (s, d) =>
+      Dedup.minhashPairs(documents(s, d), k = 3, numHashes = 16,
+        bands = 4, pct = 80).orderBy("a_id", "b_id")
+    },
+    "dd4_dedup_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(documents(s, d), maxDist = 3)
+        .orderBy("a_id", "b_id")
+    },
+    "dd5_dedup_embedding" -> { (s, d) =>
+      Similarity.cosinePairs(embeddings(s, d), threshold = 0.4)
+        .orderBy("a_id", "b_id")
+    },
+    "ss1_cosine_topk" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 10)
+        .orderBy("query_id", "rank")
+    },
+    "ss2_ann_lsh" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 3), k = 5, nBits = 4)
+        .orderBy("query_id", "rank")
+    },
+    "m1_multimodal_features" -> { (s, d) =>
+      Multimodal.features(s, documents(s, d)).orderBy("media_id")
+    },
+    "st1_tumbling_hourly" -> { (s, d) =>
+      EventStreams.tumblingCountsBatch(events(s, d))
+        .orderBy("hour_start", "event_type")
+    },
+    "st2_sessionize" -> { (s, d) =>
+      EventStreams.sessionAggBatch(events(s, d))
+        .orderBy("user_id", "session_start")
+    },
+    "st3_sliding_windows" -> { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    },
+    "st4_dedup_distinct" -> { (s, d) =>
+      events(s, d).dropDuplicates("user_id", "event_type")
+        .groupBy("user_id").agg(count(lit(1)).as("n_types"))
+        .orderBy("user_id")
+    }
+  )
+
+  private val toks = sqlToks("text")
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_count" -> s"""
+      SELECT doc_id, len($toks) AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id""",
+    "t02_quality_score" -> s"""
+      WITH q AS (SELECT doc_id,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        len(list_intersect($toks, ['the','a','of','and','to','in','is'])) AS n_stopwords,
+        len($toks) AS n_tokens, length(text) AS n_ch
+      FROM documents)
+      SELECT doc_id, n_punct, n_stopwords,
+        (n_stopwords::DOUBLE / n_tokens::DOUBLE)
+          - (n_punct::DOUBLE / n_ch::DOUBLE)
+          + least(n_tokens::DOUBLE / 100.0, 1.0) AS quality
+      FROM q ORDER BY doc_id""",
+    "t03_lang_id" -> s"""
+      WITH langs(lang_c, stops) AS (VALUES
+        ('de', ['der','die','und','das','ist','ein','zu']),
+        ('en', ['the','a','of','and','to','in','is']),
+        ('es', ['el','la','de','y','que','en','un']),
+        ('fr', ['le','la','de','et','les','un','une']),
+        ('zh', ['de','le','shi','bu','wo','ni','ta'])),
+      scored AS (
+        SELECT doc_id, lang, lang_c,
+          len(list_intersect($toks, stops)) AS hits
+        FROM documents, langs),
+      best AS (
+        SELECT doc_id, lang, lang_c AS lang_pred,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY hits DESC, lang_c ASC) AS rn
+        FROM scored)
+      SELECT doc_id, lang, lang_pred, (lang = lang_pred) AS correct
+      FROM best WHERE rn = 1 ORDER BY doc_id""",
+    "t04_fingerprint" -> s"""
+      SELECT doc_id, ${sqlFp("text")} AS fp,
+        ${sqlFp("substring(text, 1, 16)")} AS fp_prefix
+      FROM documents ORDER BY doc_id""",
+    "dd1_dedup_exact" -> s"""
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY array_to_string($toks, ' ')
+      ORDER BY keep_id""",
+    "dd2_dedup_jaccard" -> s"""
+      WITH ds AS (SELECT doc_id, ${sqlShingles(toks)} AS sh FROM documents),
+      dn AS (SELECT doc_id, sh, len(sh) AS n FROM ds),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          len(list_intersect(a.sh, b.sh)) AS common,
+          a.n + b.n - len(list_intersect(a.sh, b.sh)) AS union_size
+        FROM dn a JOIN dn b ON a.doc_id < b.doc_id)
+      SELECT a_id, b_id, common, union_size FROM pairs
+      WHERE common * 100 >= union_size * 85
+      ORDER BY a_id, b_id""",
+    "dd3_dedup_minhash" -> s"""
+      WITH ds AS (SELECT doc_id, ${sqlShingles(toks)} AS sh FROM documents),
+      dn AS (SELECT doc_id, sh, len(sh) AS n FROM ds),
+      sig AS (SELECT doc_id, sh, n,
+        list_transform(range(0,16), i1 -> list_min(list_transform(sh,
+          fp0 -> (fp0*(2*i1+1) + i1*12345 + 1) % 1000000007))) AS sg
+        FROM dn),
+      banded AS (SELECT doc_id, sh, n, bd,
+        list_reduce(list_prepend(0::BIGINT, sg[bd*4+1:bd*4+4]),
+          (a1,x1) -> (a1*31+x1)%1000000007) AS bkey
+        FROM sig, (SELECT unnest(range(0,4)) AS bd)),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.bd = b.bd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT c.a_id, c.b_id,
+          len(list_intersect(da.sh, db.sh)) AS common,
+          da.n + db.n - len(list_intersect(da.sh, db.sh)) AS union_size
+        FROM cand c
+        JOIN dn da ON da.doc_id = c.a_id
+        JOIN dn db ON db.doc_id = c.b_id)
+      SELECT a_id, b_id, common, union_size FROM verified
+      WHERE common * 100 >= union_size * 80
+      ORDER BY a_id, b_id""",
+    "dd4_dedup_simhash" -> {
+      val fps = s"list_transform($toks, t1 -> ${sqlFp("t1")})"
+      val simhash =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0,30), " +
+          s"j0 -> CASE WHEN list_reduce(list_prepend(0::BIGINT, " +
+          s"list_transform($fps, fp1 -> ((floor(fp1 / 2^j0)::BIGINT) % 2)*2 - 1)), " +
+          s"(a2,x2) -> a2+x2) > 0 THEN (2^j0)::BIGINT ELSE 0 END)), " +
+          s"(a3,x3) -> a3+x3)"
+      s"""
+      WITH h AS (SELECT doc_id, $simhash AS sh FROM documents)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS a_sh, b.sh AS b_sh,
+        bit_count(xor(a.sh, b.sh)) AS dist
+      FROM h a JOIN h b
+        ON (a.sh & 1023) = (b.sh & 1023) AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY a_id, b_id"""
+    },
+    "dd5_dedup_embedding" -> s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+      ORDER BY a_id, b_id""",
+    "ss1_cosine_topk" -> s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        FROM e WHERE vec_id < 3),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e, q WHERE q.query_id <> e.vec_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank""",
+    "ss2_ann_lsh" -> s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+        ${sqlLshBucket("embedding")} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+        FROM e WHERE vec_id < 3),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e JOIN q ON e.bucket = q.bucket
+        WHERE q.query_id <> e.vec_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m1_multimodal_features" -> s"""
+      SELECT doc_id AS media_id,
+        (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,
+        octet_length(encode(text)) AS n_bytes,
+        ord(substring(text, 1, 1)) AS first_byte,
+        ${sqlFp("text")} AS byte_hash,
+        (${sqlFp("text")} % 997)::DOUBLE AS hash_bucket
+      FROM documents ORDER BY media_id""",
+    "st1_tumbling_hourly" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "st2_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id,
+          date_trunc('microseconds', ts) AS tsu, value FROM events),
+      f AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+            OR epoch_us(tsu) - epoch_us(lag(tsu) OVER w) > 1800000000
+          THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      g AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+          ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      SELECT strftime(MIN(tsu), '%Y-%m-%d %H:%M:%S') AS session_start,
+        user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+    "st3_sliding_windows" -> """
+      WITH x AS (SELECT event_type,
+        (floor(epoch_us(date_trunc('microseconds', ts)) / 1800000000)
+          * 1800000000)::BIGINT AS slot_us
+      FROM events),
+      w AS (SELECT event_type,
+        unnest([slot_us, slot_us - 1800000000]) AS win_us FROM x)
+      SELECT strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+        event_type, COUNT(*) AS n
+      FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "st4_dedup_distinct" -> """
+      SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Streaming operators driven to completion via the file source +
+  * memory sink, asserted equal to their batch twins (the twins are
+  * what the DuckDB oracle checks). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("tumbling window stream equals batch twin") {
+    val stream = EventStreams.tumblingCounts(
+      EventStreams.eventsStream(spark, sf))
+    runToMemory(stream, "tumbling_out", "complete")
+    val streamed = spark.table("tumbling_out")
+    val batch = EventStreams.tumblingCountsBatch(Tables.events(spark, sf))
+    assert(asSet(streamed) == asSet(batch))
+  }
+
+  test("session windows stream equals gaps-and-islands batch twin") {
+    val stream = EventStreams.sessionAgg(
+      EventStreams.eventsStream(spark, sf))
+    runToMemory(stream, "session_out", "complete")
+    val streamed = spark.table("session_out")
+    val batch = EventStreams.sessionAggBatch(Tables.events(spark, sf))
+    assert(asSet(streamed) == asSet(batch))
+  }
+
+  test("watermark dedup stream preserves distinct event ids") {
+    val stream = EventStreams.dedupStream(
+      EventStreams.eventsStream(spark, sf))
+      .select("event_id")
+    runToMemory(stream, "dedup_out", "append")
+    val streamed = spark.table("dedup_out")
+    assert(streamed.count() ==
+      Tables.events(spark, sf).select("event_id").distinct().count())
+  }
+
+  test("stateful sessionizer emits closed sessions consistent with batch") {
+    val out = EventStreams.statefulSessionize(spark,
+      Tables.events(spark, sf)).collect()
+    // batch twin: number of CLOSED sessions = total sessions - open one
+    // per user (the last session never closes in one batch)
+    val batchSessions = EventStreams.sessionAggBatch(Tables.events(spark, sf))
+    val totalSessions = batchSessions.count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.length == totalSessions - users)
+    // per-user event conservation: closed + open = all events
+    val closedEvents = out.map(_.n_events).sum
+    val total = Tables.events(spark, sf).count()
+    assert(closedEvents < total)
+  }
+
+  test("sliding window stream runs with watermark") {
+    val stream = EventStreams.slidingCounts(
+      EventStreams.eventsStream(spark, sf))
+    runToMemory(stream, "sliding_out", "complete")
+    val streamed = spark.table("sliding_out")
+    assert(streamed.count() > 0)
+    // each event lands in exactly 2 windows
+    val totalCounted = streamed.agg(sum("n")).collect()(0).getLong(0)
+    assert(totalCounted == 2 * Tables.events(spark, sf).count())
+  }
+}
