@@ -1,0 +1,226 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash-heavy pipeline operators.
+  *
+  * The same math exists as `functions._` higher-order compositions
+  * (see [[graft.operators.TextAnalysis]]), but HOFs evaluate
+  * interpreted per element; these expressions do the whole document in
+  * one tight JVM loop (and [[PolyHash]] participates in whole-stage
+  * codegen), a >10× win on the dedup path. Semantics are identical —
+  * the DuckDB oracle replicas of the HOF versions still match.
+  */
+object HashOps {
+  final val Mod = 1000000007L
+
+  /** Rolling polynomial hash over code points — must stay in lockstep
+    * with the `ord`-based SQL oracle (`PipelineQueries.sqlFp`). */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Lower-cased whitespace tokens (twin of `TextAnalysis.tokens`). */
+  def tokenize(s: UTF8String): Array[String] =
+    s.toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Distinct word-k-shingle polynomial fingerprints (twin of
+    * `Dedup.shingles`). */
+  def shingleFps(s: UTF8String, k: Int): Array[Long] = {
+    val toks = tokenize(s)
+    val n = toks.length
+    val last = math.max(n - k, 0)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      var h = 0L
+      var j = i
+      while (j < end) {
+        if (j > i) h = (h * 31 + ' '.toInt) % Mod
+        val w = toks(j)
+        var c = 0
+        while (c < w.length) {
+          val cp = w.codePointAt(c)
+          h = (h * 31 + cp) % Mod
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    out
+  }
+
+  /** 30-bit SimHash over token fingerprints (twin of
+    * `Dedup.simhash`). */
+  def simHash(s: UTF8String): Long = {
+    val toks = tokenize(s)
+    val counts = new Array[Long](30)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      var h = 0L
+      var c = 0
+      while (c < w.length) {
+        val cp = w.codePointAt(c)
+        h = (h * 31 + cp) % Mod
+        c += Character.charCount(cp)
+      }
+      var j = 0
+      while (j < 30) {
+        counts(j) += (((h >>> j) & 1L) * 2L - 1L)
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 30) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** MinHash signature over shingle fps with the affine permutations
+    * `(fp*(2i+1) + i*12345 + 1) mod M` (twin of
+    * `Dedup.minhashSignature`). */
+  /** Left-fold dot product in double — MUST stay a sequential
+    * `acc + x_i*y_i` loop (no pairwise/vectorized reassociation) to
+    * remain bit-identical with the HOF and SQL fold twins. */
+  def dotFold(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def minhash(fps: Array[Long], numHashes: Int): Array[Long] = {
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < fps.length) {
+        val h = (fps(j) * (2L * i + 1) + i * 12345L + 1) % Mod
+        if (h < m) m = h
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    out
+  }
+}
+
+/** `poly_hash(str)` — codegen-friendly rolling hash. */
+case class PolyHash(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashOps.polyHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
+}
+
+/** `shingle_fps(str, k)` — distinct word-k-shingle fingerprints. */
+case class ShingleFps(child: Expression, k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashOps.shingleFps(v.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.shingleFps($c, $k))")
+  override protected def withNewChildInternal(c: Expression): ShingleFps = copy(child = c)
+}
+
+/** `simhash30(str)` — 30-bit SimHash of the document's tokens. */
+case class SimHash30(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashOps.simHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simHash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash30 = copy(c)
+}
+
+/** `minhash_sig(fps, n)` — MinHash signature of a fingerprint array. */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toLongArray()
+    new GenericArrayData(HashOps.minhash(arr, numHashes))
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.minhash($c.toLongArray(), $numHashes))")
+}
+
+/** `vec_dot(a, b)` — fixed-order dot product of two float arrays,
+  * accumulated in double (left fold, same order as the HOF/SQL
+  * twins — bit-exact against the DuckDB oracle). */
+case class VecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    HashOps.dotFold(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashOps.dotFold($a.toFloatArray(), $b.toFloatArray())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** Column-level API + SQL registration. */
+object hashFunctions {
+  import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+  def poly_hash(c: Column): Column = toCol(PolyHash(toExpr(c)))
+  def shingle_fps(c: Column, k: Int): Column = toCol(ShingleFps(toExpr(c), k))
+  def simhash30(c: Column): Column = toCol(SimHash30(toExpr(c)))
+  def minhash_sig(c: Column, n: Int): Column = toCol(MinHashSig(toExpr(c), n))
+  def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
+
+  /** Register `poly_hash`/`simhash30`/`vec_dot` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.GraftBridge.registerFunction(spark,
+      "poly_hash", exprs => PolyHash(exprs.head))
+    org.apache.spark.sql.GraftBridge.registerFunction(spark,
+      "simhash30", exprs => SimHash30(exprs.head))
+    org.apache.spark.sql.GraftBridge.registerFunction(spark,
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+  }
+}

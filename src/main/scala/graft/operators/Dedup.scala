@@ -44,14 +44,10 @@ object Dedup {
       .select("keep_id", "n_copies")
 
   /** Distinct word-k-shingle fingerprints per document (per-row,
-    * shuffle-free). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    array_distinct(
-      transform(sequence(lit(0), greatest(n - k, lit(0))),
-        i => fingerprint(array_join(slice(toks, i + 1, lit(k)), " "))))
-  }
+    * shuffle-free). Native expression — one JVM loop per document
+    * instead of interpreted HOFs; math matches the SQL oracle. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.hashFunctions.shingle_fps(text, k)
 
   private def docShingles(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
@@ -80,9 +76,7 @@ object Dedup {
     * fingerprints of `(fp*(2i+1) + i*12345 + 1) mod M` — affine
     * permutations with deterministic, SQL-reproducible parameters. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(sh,
-        fp => (fp * (i * 2 + 1) + i * lit(12345L) + 1L) % Mod)))
+    graft.functions.hashFunctions.minhash_sig(sh, numHashes)
 
   /** MinHash+LSH near-dup pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), shuffle once per band on the band key,
@@ -121,19 +115,8 @@ object Dedup {
     * because fingerprints are mod 1e9+7 (< 2^30); bit extraction uses
     * exact power-of-two double division so the oracle SQL reproduces
     * it bit-for-bit. */
-  def simhash(text: Column): Column = {
-    val fps = transform(tokens(text), t => fingerprint(t))
-    val counts = aggregate(fps,
-      array_repeat(lit(0L), 30),
-      (acc, fp) => zip_with(acc,
-        transform(sequence(lit(0), lit(29)),
-          j => pmod(floor(fp / pow(lit(2.0), j)), lit(2L)) * 2L - 1L),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(29)),
-        (c, j) => when(c > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.hashFunctions.simhash30(text)
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`,
     * blocked on the low 10 bits to avoid the full cross join (a

@@ -24,11 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Fixed-order dot product in double. */
+  /** Fixed-order dot product in double (native codegen'd expression;
+    * fold order identical to the SQL oracle's `list_reduce`). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.hashFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -31,14 +31,12 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters
-    * of `s` — the classic Rabin-Karp document fingerprint. Exact
-    * integer math → identical in any engine. */
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the code
+    * points of `s` — the classic Rabin-Karp document fingerprint.
+    * Exact integer math → identical in any engine. Backed by the
+    * codegen'd [[graft.functions.PolyHash]] expression. */
   def fingerprint(s: Column): Column =
-    aggregate(
-      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast(LongType)),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % Mod)
+    graft.functions.hashFunctions.poly_hash(s)
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
