@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Tables._
+import graft.operators.{AsOfJoin, SkewJoin}
+
+/** Extended host-engine surface (SURVEY.md §2.2 long tail): as-of
+  * join, salted skew join, generators/explode, JSON structs + map
+  * lookup, multiset set-ops, pivot, scalar subqueries, and array
+  * aggregation.
+  */
+object ExtendedQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_asof_join" -> { (s, d) =>
+      // each event joined to the user's latest order at event time;
+      // right side made unique per (key,time) for determinism
+      val r = orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("ok"))
+      val l = events(s, d).select("event_id", "user_id", "ts")
+      AsOfJoin.backward(l, r,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightVals = Seq("ok"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_ok").as("matched_order"))
+        .orderBy("event_id")
+    },
+    "q27_salted_join" -> { (s, d) =>
+      SkewJoin.salted(lineitem(s, d), supplier(s, d),
+        "l_suppkey", "s_suppkey", n = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("qty"))
+        .orderBy("s_name")
+    },
+    "q28_explode_pos" -> { (s, d) =>
+      embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+          col("col").as("val"))
+        .orderBy("vec_id", "pos")
+    },
+    "q29_json_struct_map" -> { (s, d) =>
+      val weights = map_from_arrays(
+        array(lit("click"), lit("view"), lit("purchase"), lit("signup"),
+          lit("error")),
+        array(lit(1L), lit(2L), lit(5L), lit(3L), lit(0L)))
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), lit("k LONG")).getField("k").as("k"),
+          element_at(weights, col("event_type")).as("weight"))
+        .filter(col("k") % 7 === 0)
+        .orderBy("event_id")
+    },
+    "q30_multiset_ops" -> { (s, d) =>
+      val a = lineitem(s, d).filter(col("l_returnflag") === "A")
+        .select(col("l_suppkey").as("k"))
+      val n = lineitem(s, d).filter(col("l_returnflag") === "N")
+        .select(col("l_suppkey").as("k"))
+      val ex = a.exceptAll(n).groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      val in = a.intersectAll(n).groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select("op", "k", "n").orderBy("op", "k")
+    },
+    "q31_pivot" -> { (s, d) =>
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec2(col("o_totalprice"))).cast(DoubleType))
+        .orderBy("yr")
+    },
+    "q32_scalar_subquery" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("q32_customer")
+      orders(s, d).createOrReplaceTempView("q32_orders")
+      s.sql("""
+        SELECT c_custkey, c_acctbal,
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           FROM q32_orders WHERE o_custkey = c_custkey) AS total_spent
+        FROM q32_customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                  AS DOUBLE) / COUNT(*) FROM q32_customer) * 1.8
+        ORDER BY c_custkey""")
+    },
+    "q33_array_agg" -> { (s, d) =>
+      nation(s, d)
+        .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sort_array(collect_list(col("s_suppkey"))).as("supps"),
+          count(lit(1)).as("n_supp"))
+        .select(col("n_name"), col("supps"), col("n_supp"),
+          element_at(col("supps"), 1).as("first_supp"),
+          slice(col("supps"), 1, 3).as("top3"))
+        .orderBy("n_name")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q26_asof_join" -> """
+      WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+                 FROM orders GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, r.ok AS matched_order
+      FROM events e
+      ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      ORDER BY event_id""",
+    "q27_salted_join" -> """
+      SELECT s_name, COUNT(*) AS n_lines,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name""",
+    "q28_explode_pos" -> """
+      SELECT vec_id, x.p AS pos, x.v AS val
+      FROM (SELECT vec_id,
+              unnest(list_transform(list_zip(embedding,
+                range(0, len(embedding))), z -> {'p': z[2], 'v': z[1]})) AS x
+            FROM embeddings WHERE vec_id < 3)
+      ORDER BY vec_id, pos""",
+    "q29_json_struct_map" -> """
+      SELECT event_id, CAST(props->>'k' AS BIGINT) AS k,
+        CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+          WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
+          WHEN 'error' THEN 0 END AS weight
+      FROM events
+      WHERE CAST(props->>'k' AS BIGINT) % 7 = 0
+      ORDER BY event_id""",
+    "q30_multiset_ops" -> """
+      SELECT 'except_all' AS op, k, COUNT(*) AS n FROM (
+        SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+        EXCEPT ALL
+        SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'N')
+      GROUP BY k
+      UNION ALL
+      SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (
+        SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT ALL
+        SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'N')
+      GROUP BY k
+      ORDER BY op, k""",
+    "q31_pivot" -> """
+      SELECT YEAR(o_orderdate) AS yr,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
+      FROM orders GROUP BY 1 ORDER BY yr""",
+    "q32_scalar_subquery" -> """
+      SELECT c_custkey, c_acctbal,
+        (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM orders WHERE o_custkey = c_custkey) AS total_spent
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*) FROM customer) * 1.8
+      ORDER BY c_custkey""",
+    "q33_array_agg" -> """
+      SELECT n_name, list_sort(list(s_suppkey)) AS supps,
+        COUNT(*) AS n_supp,
+        list_sort(list(s_suppkey))[1] AS first_supp,
+        list_sort(list(s_suppkey))[1:3] AS top3
+      FROM nation JOIN supplier ON n_nationkey = s_nationkey
+      GROUP BY n_name ORDER BY n_name"""
+  )
+}
