@@ -86,6 +86,26 @@ object ExtendedQueries {
                                   AS DOUBLE) / COUNT(*) FROM q32_customer) * 1.8
         ORDER BY c_custkey""")
     },
+    "q34_typed_agg" -> { (s, d) =>
+      // typed Aggregator (UDAF surface): exact-decimal stats per status
+      import org.apache.spark.sql.functions.udaf
+      val stats = udaf(graft.functions.TypedAggregators.moneyStats)
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(stats(col("o_totalprice")).as("st"))
+        .select(col("o_orderstatus"),
+          col("st.total").as("total"), col("st.n").as("n"),
+          col("st.min").as("min_price"), col("st.max").as("max_price"))
+        .orderBy("o_orderstatus")
+    },
+    "st5_approx_distinct" -> { (s, d) =>
+      // HLL sketch — approximate by design, rows-only gate (sketch
+      // implementations differ across engines)
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
     "q33_array_agg" -> { (s, d) =>
       nation(s, d)
         .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
@@ -157,6 +177,12 @@ object ExtendedQueries {
       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
                                 AS DOUBLE) / COUNT(*) FROM customer) * 1.8
       ORDER BY c_custkey""",
+    "q34_typed_agg" -> """
+      SELECT o_orderstatus,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        COUNT(*) AS n, MIN(o_totalprice) AS min_price,
+        MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q33_array_agg" -> """
       SELECT n_name, list_sort(list(s_suppkey)) AS supps,
         COUNT(*) AS n_supp,

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-shape audit (run: `sbt "Test/runMain graft.PlanCheck"`):
+  * prints the physical plans of representative queries and greps for
+  * the properties that matter at 100 TB — filter/column pushdown
+  * reaching the parquet scan, broadcast joins on dims, partial
+  * aggregation before exchanges, and no stray shuffles. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    def plan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.executedPlan.toString
+    }
+    def audit(name: String, wants: Seq[(String, String => Boolean)]): Unit = {
+      val p = plan(name)
+      println(s"== $name ==")
+      wants.foreach { case (label, pred) =>
+        println(f"  ${if (pred(p)) "PASS" else "FAIL"}%s $label")
+      }
+    }
+
+    audit("q02_filter_shapes", Seq(
+      "filters pushed to parquet" -> (_.contains("PushedFilters: [")),
+      "no pushed-filter list empty" -> (p =>
+        !p.contains("PushedFilters: []")),
+      "column-pruned read schema" -> (_.contains("ReadSchema"))))
+    audit("q06_forecast_revenue", Seq(
+      "partial aggregation (no shuffle of raw rows)" ->
+        (_.contains("partial_")),
+      "filters pushed" -> (p => p.contains("PushedFilters: ["))))
+    audit("q05_region_revenue", Seq(
+      "broadcast join on dims" -> (_.contains("BroadcastHashJoin")),
+      "partial agg before exchange" -> (_.contains("partial_"))))
+    audit("q03_top_unshipped", Seq(
+      "broadcast for filtered customers" -> (_.contains("BroadcastHashJoin")),
+      "top-k as TakeOrdered" -> (p =>
+        p.contains("TakeOrderedAndProject") || p.contains("TakeOrdered"))))
+    audit("q16_topk", Seq(
+      "TakeOrderedAndProject instead of global sort" ->
+        (_.contains("TakeOrderedAndProject"))))
+    audit("dd2_dedup_jaccard", Seq(
+      // equi-join on shingle: SMJ/SHJ at scale; AQE may broadcast the
+      // small side at toy SFs — all three are fine, cartesian is not
+      "shingle join is a real equi-join" -> (p =>
+        p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "no cartesian product" -> (p => !p.contains("Cartesian"))))
+    audit("ss1_cosine_topk", Seq(
+      "query side broadcast (corpus not shuffled)" ->
+        (_.contains("BroadcastNestedLoopJoin"))))
+    audit("q13_window_rank", Seq(
+      "single window exchange" ->
+        (p => "Exchange".r.findAllIn(p).size <= 2)))
+
+    // full formatted plans for the flagship + one pipeline query
+    println("\n==== q01 formatted ====")
+    SparkEntry.queries("q01_pricing_summary")(spark, sf).explain("formatted")
+    println("\n==== dd3 formatted ====")
+    SparkEntry.queries("dd3_dedup_minhash")(spark, sf).explain("formatted")
+    spark.stop()
+  }
+}
