@@ -144,10 +144,28 @@ private[sources] class HttpRangeInputStream(url: String, size: Long)
       } else conn.getInputStream
     }
 
+  /** Transient-failure retry: long scans of presigned URLs hit
+    * connection resets; 3 attempts with backoff before surfacing.
+    * (URL *expiry* — 403 after `expirationTimestamp` — needs a fresh
+    * `/query` from the driver; the task failure propagates and
+    * Spark's task retry re-plans, which re-POSTs.) */
+  private def openWithRetry(offset: Long): InputStream = {
+    var attempt = 0
+    while (true) {
+      try return openAt(offset)
+      catch {
+        case e: java.io.IOException if attempt < 3 =>
+          attempt += 1
+          Thread.sleep(200L << attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def ensureOpen(): Unit =
     if (in == null || inPos != pos) {
       if (in != null) in.close()
-      in = openAt(pos)
+      in = openWithRetry(pos)
       inPos = pos
     }
 
@@ -179,7 +197,7 @@ private[sources] class HttpRangeInputStream(url: String, size: Long)
   override def read(position: Long, buffer: Array[Byte], offset: Int,
       length: Int): Int = {
     if (position >= size) return -1
-    val s = openAt(position)
+    val s = openWithRetry(position)
     try s.read(buffer, offset, math.min(length, (size - position).toInt))
     finally s.close()
   }
@@ -187,7 +205,7 @@ private[sources] class HttpRangeInputStream(url: String, size: Long)
   override def readFully(position: Long, buffer: Array[Byte], offset: Int,
       length: Int): Unit = {
     var done = 0
-    val s = openAt(position)
+    val s = openWithRetry(position)
     try {
       while (done < length) {
         val n = s.read(buffer, offset + done, length - done)

@@ -1,8 +1,11 @@
 package graft.sources.v2
 
+import java.util.OptionalLong
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -96,9 +99,15 @@ class DeltaShareScan(
     partitionFilters: Array[Filter],
     dataFilters: Array[Filter],
     limit: Option[Int],
-    hadoopConf: Configuration) extends Scan with Batch {
+    hadoopConf: Configuration) extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val partitionColNames = partitionSchema.fieldNames.toSet
+
+  /** Runtime (DPP) filters pushed after planning starts — Spark sends
+    * these for joins on partition columns; they prune the file list
+    * exactly like static partition filters. */
+  private var runtimeFilters: Array[Filter] = Array.empty
   private val requiredDataSchema = StructType(
     requiredSchema.fields.filterNot(f => partitionColNames.contains(f.name)))
   private val requiredPartitionSchema = StructType(
@@ -116,20 +125,62 @@ class DeltaShareScan(
       s"[files pruned by ${partitionFilters.length} partition filter(s), " +
       s"hints from ${dataFilters.length} data filter(s), limit=$limit]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** One `/query` POST per scan, memoized — statistics estimation and
+    * partition planning share it. */
+  private lazy val queriedFiles: Seq[graft.sources.FileAction] = {
     val (hints, _) = PredicateHints.buildHints(
       (partitionFilters ++ dataFilters).toSeq,
       StructType(dataSchema.fields ++ partitionSchema.fields))
     val client = new DeltaSharingClient(addr.profile)
-    val result = client.queryTable(addr.share, addr.schema, addr.table,
-      jsonPredicateHints = hints, limitHint = limit.map(_.toLong))
-    // exact client-side partition pruning — hints are advisory per the
-    // Delta Sharing spec, so never trust the server's file list alone
-    val kept = result.files.filter { f =>
-      partitionFilters.forall(
+    client.queryTable(addr.share, addr.schema, addr.table,
+      jsonPredicateHints = hints, limitHint = limit.map(_.toLong)).files
+  }
+
+  /** Exact client-side partition pruning (static + runtime filters) —
+    * hints are advisory per the Delta Sharing spec, so never trust the
+    * server's file list alone. */
+  private def prunedFiles: Seq[graft.sources.FileAction] =
+    queriedFiles.filter { f =>
+      (partitionFilters ++ runtimeFilters).forall(
         PartitionValues.evalFilter(_, f.partitionValues, partitionSchema))
     }
-    kept.map { f =>
+
+  // ---- SupportsRuntimeFiltering (dynamic partition pruning) --------
+
+  override def filterAttributes(): Array[NamedReference] =
+    partitionSchema.fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(
+      PartitionValues.isPartitionOnly(_, partitionColNames))
+
+  // ---- SupportsReportStatistics ------------------------------------
+
+  /** Post-pruning size/row estimates so Catalyst can pick broadcast
+    * joins over shared tables. Row counts come from the per-file
+    * `stats.numRecords` the server sends (when present on all kept
+    * files). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val files = prunedFiles
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(files.map(_.size).sum)
+    override def numRows(): OptionalLong = {
+      val counts = files.map(_.stats.flatMap(parseNumRecords))
+      if (counts.nonEmpty && counts.forall(_.isDefined))
+        OptionalLong.of(counts.flatten.sum)
+      else OptionalLong.empty()
+    }
+  }
+
+  private def parseNumRecords(stats: String): Option[Long] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stats)
+      if (node.hasNonNull("numRecords")) Some(node.get("numRecords").asLong())
+      else None
+    } catch { case _: Exception => None }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    prunedFiles.map { f =>
       val path =
         if (f.url.startsWith("http://") || f.url.startsWith("https://"))
           PresignedUrlFileSystem.encode(f.url, f.size)

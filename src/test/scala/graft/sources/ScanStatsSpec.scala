@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestSession
+
+/** Connector statistics: Catalyst should see post-pruning
+  * size-in-bytes and numRows (from per-file stats) so broadcast
+  * decisions work over shared tables. */
+class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+  private var server: StubSharingServer = _
+  private var fileSize: Long = 0
+
+  override def beforeAll(): Unit = {
+    server = new StubSharingServer(expectedToken = "tok").start()
+    val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val tmp = Files.createTempDirectory("graft-stats")
+    region.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator()
+    var p: java.nio.file.Path = null
+    Files.list(tmp).forEach(f =>
+      if (f.getFileName.toString.endsWith(".parquet")) p = f)
+    fileSize = Files.size(p)
+    server.tables = Map("region" -> (region.schema.json, Seq.empty,
+      Seq((p.toUri.toString, fileSize, Map.empty[String, String]))))
+  }
+  override def afterAll(): Unit = server.stop()
+
+  test("optimized plan carries the connector's size estimate") {
+    val df = spark.read.format("deltashare")
+      .option("endpoint", server.endpoint).option("bearerToken", "tok")
+      .load("share1.schema1.region")
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == BigInt(fileSize))
+    // numRecords comes from the stub's per-file stats ("numRecords":1)
+    assert(stats.rowCount.contains(BigInt(1)))
+  }
+
+  test("small shared tables broadcast in joins") {
+    val shared = spark.read.format("deltashare")
+      .option("endpoint", server.endpoint).option("bearerToken", "tok")
+      .load("share1.schema1.region")
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val joined = nation.join(shared, col("n_regionkey") === col("r_regionkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+    assert(joined.count() == 25)
+  }
+}
+
+/** Property tests over generated predicate trees (SURVEY.md §5 test
+  * plan): translation must be total-or-residual, never lossy. */
+class PredicateHintsPropertySpec extends AnyFunSuite {
+
+  /** Deterministic property driver over seeded ScalaCheck samples. */
+  private def forAll[T](gen: Gen[T], n: Int = 300)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
+  private val schema = StructType(Seq(
+    StructField("s", StringType), StructField("i", IntegerType),
+    StructField("d", DoubleType), StructField("b", BooleanType)))
+
+  private val genLeaf: Gen[Filter] = for {
+    colName <- Gen.oneOf("s", "i", "d", "b", "unknown_col")
+    value <- Gen.oneOf[Any]("x", 42, 1.5, true)
+    f <- Gen.oneOf[Filter](
+      EqualTo(colName, value), LessThan(colName, value),
+      GreaterThan(colName, value), LessThanOrEqual(colName, value),
+      GreaterThanOrEqual(colName, value), IsNull(colName),
+      IsNotNull(colName), In(colName, Array(value, value)),
+      StringContains(colName, "z"))
+  } yield f
+
+  private def genTree(depth: Int): Gen[Filter] =
+    if (depth == 0) genLeaf
+    else Gen.frequency(
+      3 -> genLeaf,
+      1 -> (for {
+        l <- genTree(depth - 1); r <- genTree(depth - 1)
+      } yield And(l, r)),
+      1 -> (for {
+        l <- genTree(depth - 1); r <- genTree(depth - 1)
+      } yield Or(l, r)),
+      1 -> genTree(depth - 1).map(Not))
+
+  test("every filter either translates to valid JSON or is residual") {
+    forAll(Gen.listOfN(5, genTree(3))) { filters =>
+      val (hint, residual) = PredicateHints.buildHints(filters, schema)
+      // residuals are a subset of the input
+      assert(residual.forall(filters.contains))
+      // hint, when present, is parseable JSON with only grammar ops
+      hint.foreach { h =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(h)
+        def check(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+          val op = n.get("op").asText()
+          assert(Set("and", "or", "not", "equal", "lessThan", "greaterThan",
+            "lessThanOrEqual", "greaterThanOrEqual", "isNull", "column",
+            "literal").contains(op), s"bad op $op")
+          if (n.has("children")) {
+            val it = n.get("children").elements()
+            while (it.hasNext) check(it.next())
+          }
+        }
+        check(node)
+      }
+    }
+  }
+
+  test("translation never emits a column that is not in the schema") {
+    forAll(genTree(3)) { f =>
+      PredicateHints.translate(f, schema).foreach { json =>
+        val txt = json.toString
+        assert(!txt.contains("unknown_col"))
+      }
+    }
+  }
+}
