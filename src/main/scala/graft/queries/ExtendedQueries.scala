@@ -106,6 +106,48 @@ object ExtendedQueries {
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
         .orderBy("l_returnflag")
     },
+    "q35_percentiles" -> { (s, d) =>
+      // exact percentiles (sort + linear interpolation — same
+      // definition as SQL quantile_cont, deterministic)
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))")
+          .as("qty_pcts"))
+        .select(col("l_returnflag"),
+          element_at(col("qty_pcts"), 1).as("p25"),
+          element_at(col("qty_pcts"), 2).as("p50"),
+          element_at(col("qty_pcts"), 3).as("p90"))
+        .orderBy("l_returnflag")
+    },
+    "q36_moments" -> { (s, d) =>
+      // variance/stddev from exact decimal sums (sum, sum of squares)
+      // so the double result is engine-independent — the built-in
+      // var_pop would accumulate doubles in partition order
+      val x = dec2(col("o_totalprice"))
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(sum(x).cast(DoubleType).as("s1"),
+          sum(x * x).cast(DoubleType).as("s2"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("var_pop"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("stddev_pop"))
+        .orderBy("o_orderstatus")
+    },
+    "q37_window_pct" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(10).over(w).as("decile"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
     "q33_array_agg" -> { (s, d) =>
       nation(s, d)
         .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
@@ -183,6 +225,34 @@ object ExtendedQueries {
         COUNT(*) AS n, MIN(o_totalprice) AS min_price,
         MAX(o_totalprice) AS max_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q35_percentiles" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.9) AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q36_moments" -> """
+      WITH m AS (
+        SELECT o_orderstatus,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+            * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+          COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, n,
+        (s2 - s1 * s1 / n) / n AS var_pop,
+        sqrt((s2 - s1 * s1 / n) / n) AS stddev_pop
+      FROM m ORDER BY o_orderstatus""",
+    "q37_window_pct" -> """
+      SELECT o_orderstatus, o_orderkey,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume,
+        NTILE(10) OVER w AS decile
+      FROM orders
+      WHERE o_orderkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderstatus, o_orderkey""",
     "q33_array_agg" -> """
       SELECT n_name, list_sort(list(s_suppkey)) AS supps,
         COUNT(*) AS n_supp,
