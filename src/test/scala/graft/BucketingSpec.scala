@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftExtensions
+
+/** Scale techniques that need their own session state: bucketed
+  * co-located joins (no Exchange at all) and SQL functions injected
+  * via SparkSessionExtensions.
+  *
+  * Needs an isolated SparkSession (different conf + extensions), so
+  * it materializes the shared test session first, builds its own on
+  * the same SparkContext, and restores the shared one as
+  * default/active afterwards.
+  */
+class BucketingSpec extends AnyFunSuite
+  with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val base = SparkTestSession.spark
+
+  override def beforeAll(): Unit = { base; () }
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+  }
+
+  private lazy val spark: SparkSession = {
+    base // ensure the shared session exists before we take over
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-bucketing")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("bucketed tables join without any exchange") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // a fresh in-memory catalog doesn't know about leftover warehouse
+    // dirs from previous runs — remove them before CTAS
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located buckets: the join itself needs no shuffle — the only
+    // allowed Exchange is the final tiny aggregation
+    val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles:\n$plan")
+
+    // and it is correct
+    val direct = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bucketed = joined.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == bucketed)
+  }
+
+  test("extension-injected SQL functions resolve") {
+    val r = spark.sql(
+      "SELECT poly_hash('abc') AS h, simhash30('the fast key') AS s," +
+        " vec_dot(array(cast(1.0 as float), cast(2.0 as float))," +
+        "         array(cast(3.0 as float), cast(4.0 as float))) AS d")
+      .collect()(0)
+    assert(r.getLong(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+    assert(r.getLong(1) != 0L)
+    assert(r.getDouble(2) == 11.0)
+  }
+}
