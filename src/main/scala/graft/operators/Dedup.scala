@@ -119,17 +119,27 @@ object Dedup {
     graft.functions.hashFunctions.simhash30(text)
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`,
-    * blocked on the low 10 bits to avoid the full cross join (a
-    * near-dup pair collides on the block unless the diff hits it —
-    * standard block-permutation trade-off, documented recall). */
+    * candidate-blocked on THREE 10-bit blocks (pairs join if ANY
+    * block matches). By pigeonhole this is complete for distance ≤ 2
+    * (at most 2 diff bits can't hit all 3 blocks); at distance 3 it
+    * misses only pairs whose diffs land in three distinct blocks —
+    * the standard block-permutation trade-off, here with quantified
+    * recall. One shuffle on (block, key); never a cross join. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val withHash = docs.select(col("doc_id"),
-      simhash(col("text")).as("sh"))
-      .withColumn("blk", col("sh").bitwiseAND(1023L))
-    val a = withHash.toDF("a_id", "a_sh", "blk")
-    val b = withHash.toDF("b_id", "b_sh", "blk")
-    a.join(b, "blk")
+    val withHash = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val blocked = withHash.select(col("doc_id"), col("sh"),
+      explode(array((0 until 3).map { b =>
+        struct(lit(b).as("bid"),
+          shiftright(col("sh"), b * 10).bitwiseAND(1023L).as("bkey"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("sh"),
+        col("blk.bid").as("bid"), col("blk.bkey").as("bkey"))
+    val a = blocked.toDF("a_id", "a_sh", "bid", "bkey")
+    val b = blocked.toDF("b_id", "b_sh", "bid", "bkey")
+    a.join(b, Seq("bid", "bkey"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh")
+      .distinct()
       .withColumn("dist", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("dist") <= maxDist)
       .select("a_id", "b_id", "a_sh", "b_sh", "dist")

@@ -60,6 +60,48 @@ object Similarity {
   private def planeComponent(p: Int, j: Column): Column =
     (j * 7 + lit(p * 13)) % 5 - 2
 
+  /** Multi-table LSH near-dup pairs — the scale path for
+    * [[cosinePairs]]: `tables` independent hyperplane tables of
+    * `nBits` planes each; pairs become candidates when they share a
+    * bucket in ANY table (union of equi-joins, one shuffle per
+    * table), then the exact cosine threshold verifies. Recall grows
+    * with `tables`, candidate count shrinks ~2^nBits per table —
+    * at a billion vectors this is the only join shape that works. */
+  def lshCosinePairs(embeddings: DataFrame, threshold: Double,
+      nBits: Int = 6, tables: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tid"),
+          lshBucketOffset(col("embedding"), nBits, t * 16).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+    val a = e.toDF("a_id", "a_emb", "a_nrm", "tid", "bkey")
+    val b = e.toDF("b_id", "b_emb", "b_nrm", "tid", "bkey")
+    a.join(b, Seq("tid", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_emb", "a_nrm", "b_emb", "b_nrm")
+      .distinct()
+      .withColumn("score",
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+  }
+
+  /** [[lshBucket]] with a plane-index offset so independent tables
+    * use disjoint hyperplane sets. */
+  def lshBucketOffset(emb: Column, nBits: Int, offset: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, j) => x.cast("double") * planeComponent(offset + p, j).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
   /** `nBits`-bit random-hyperplane signature of an embedding. */
   def lshBucket(emb: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { p =>

@@ -148,6 +148,28 @@ object ExtendedQueries {
           ntile(10).over(w).as("decile"))
         .orderBy("o_orderstatus", "o_orderkey")
     },
+    "q38_grouping_id" -> { (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"),
+          grouping_id().as("gid"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    },
+    "q40_null_semantics" -> { (s, d) =>
+      // manufacture nulls with nullif, then exercise coalesce,
+      // null-safe equality, and null-aware aggregation
+      val o = orders(s, d)
+        .withColumn("maybe_status", nullif(col("o_orderstatus"), lit("P")))
+      o.groupBy(coalesce(col("maybe_status"), lit("(none)")).as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("maybe_status")).as("n_nonnull"),
+          sum(when(col("maybe_status") <=> lit("F"), 1L).otherwise(0L))
+            .as("nullsafe_f"))
+        .orderBy("status")
+    },
     "q33_array_agg" -> { (s, d) =>
       nation(s, d)
         .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
@@ -253,6 +275,21 @@ object ExtendedQueries {
       WINDOW w AS (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_orderstatus, o_orderkey""",
+    "q38_grouping_id" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+        GROUPING(l_returnflag, l_linestatus) AS gid
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q40_null_semantics" -> """
+      SELECT COALESCE(NULLIF(o_orderstatus, 'P'), '(none)') AS status,
+        COUNT(*) AS n_rows,
+        COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonnull,
+        SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F'
+            THEN 1 ELSE 0 END) AS nullsafe_f
+      FROM orders
+      GROUP BY 1 ORDER BY status""",
     "q33_array_agg" -> """
       SELECT n_name, list_sort(list(s_suppkey)) AS supps,
         COUNT(*) AS n_supp,

@@ -45,14 +45,17 @@ object PipelineQueries {
   private def sqlDot(a: String, b: String): String =
     sqlFold(s"list_transform(list_zip($a, $b), z0 -> z0[1]::DOUBLE * z0[2]::DOUBLE)")
 
-  /** LSH bucket twin of [[Similarity.lshBucket]] (nBits=4). */
-  private def sqlLshBucket(emb: String): String =
-    (0 until 4).map { p =>
+  /** LSH bucket twin of [[Similarity.lshBucketOffset]]. */
+  private def sqlLshBucketOffset(emb: String, nBits: Int, offset: Int): String =
+    (0 until nBits).map { p =>
+      val pp = offset + p
       val proj = sqlFold(
         s"list_transform(list_zip($emb, range(0, len($emb))), " +
-          s"w$p -> w$p[1]::DOUBLE * (((w$p[2]*7 + ${p * 13}) % 5) - 2)::DOUBLE)")
+          s"w$pp -> w$pp[1]::DOUBLE * (((w$pp[2]*7 + ${pp * 13}) % 5) - 2)::DOUBLE)")
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private def sqlLshBucket(emb: String): String = sqlLshBucketOffset(emb, 4, 0)
 
   // ---- queries -----------------------------------------------------
 
@@ -96,6 +99,10 @@ object PipelineQueries {
     "dd4_dedup_simhash" -> { (s, d) =>
       Dedup.simhashPairs(documents(s, d), maxDist = 3)
         .orderBy("a_id", "b_id")
+    },
+    "dd6_dedup_embedding_lsh" -> { (s, d) =>
+      Similarity.lshCosinePairs(embeddings(s, d), threshold = 0.4,
+        nBits = 6, tables = 3).orderBy("a_id", "b_id")
     },
     "dd5_dedup_embedding" -> { (s, d) =>
       Similarity.cosinePairs(embeddings(s, d), threshold = 0.4)
@@ -225,12 +232,38 @@ object PipelineQueries {
           s"(a2,x2) -> a2+x2) > 0 THEN (2^j0)::BIGINT ELSE 0 END)), " +
           s"(a3,x3) -> a3+x3)"
       s"""
-      WITH h AS (SELECT doc_id, $simhash AS sh FROM documents)
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS a_sh, b.sh AS b_sh,
-        bit_count(xor(a.sh, b.sh)) AS dist
-      FROM h a JOIN h b
-        ON (a.sh & 1023) = (b.sh & 1023) AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      WITH h AS (SELECT doc_id, $simhash AS sh FROM documents),
+      blocked AS (SELECT doc_id, sh, x.bid AS bid, x.bkey AS bkey
+        FROM (SELECT doc_id, sh, unnest([
+            {'bid': 0, 'bkey': sh & 1023},
+            {'bid': 1, 'bkey': (sh >> 10) & 1023},
+            {'bid': 2, 'bkey': (sh >> 20) & 1023}]) AS x FROM h)),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          a.sh AS a_sh, b.sh AS b_sh
+        FROM blocked a JOIN blocked b
+          ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, a_sh, b_sh, bit_count(xor(a_sh, b_sh)) AS dist
+      FROM cand
+      WHERE bit_count(xor(a_sh, b_sh)) <= 3
+      ORDER BY a_id, b_id"""
+    },
+    "dd6_dedup_embedding_lsh" -> {
+      val buckets = (0 until 3).map { t =>
+        s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("embedding", 6, t * 16)}}"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      bucketed AS (SELECT vec_id, embedding, nrm,
+          x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, nrm, unnest($buckets) AS x FROM e)),
+      cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+          a.embedding AS ae, a.nrm AS an, b.embedding AS be, b.nrm AS bn
+        FROM bucketed a JOIN bucketed b
+          ON a.tid = b.tid AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+      SELECT a_id, b_id, ${sqlDot("ae", "be")} / (an * bn) AS score
+      FROM cand
+      WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4
       ORDER BY a_id, b_id"""
     },
     "dd5_dedup_embedding" -> s"""
