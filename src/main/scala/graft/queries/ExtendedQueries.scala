@@ -170,6 +170,20 @@ object ExtendedQueries {
             .as("nullsafe_f"))
         .orderBy("status")
     },
+    "q41_interval_range" -> { (s, d) =>
+      // sliding one-hour lookback per user via a numeric RANGE frame
+      // over epoch seconds (the time-interval window pattern)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_sec")).rangeBetween(-3600, 0)
+      events(s, d)
+        .withColumn("ts_sec", expr("unix_micros(ts) div 1000000"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(dec2(col("value"))).over(w).cast(DoubleType)
+            .as("val_last_hour"))
+        .orderBy("user_id", "event_id")
+    },
     "q33_array_agg" -> { (s, d) =>
       nation(s, d)
         .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
@@ -290,6 +304,18 @@ object ExtendedQueries {
             THEN 1 ELSE 0 END) AS nullsafe_f
       FROM orders
       GROUP BY 1 ORDER BY status""",
+    "q41_interval_range" -> """
+      WITH e AS (SELECT user_id, event_id, value,
+        epoch_us(date_trunc('microseconds', ts)) // 1000000 AS ts_sec
+      FROM events)
+      SELECT user_id, event_id,
+        COUNT(*) OVER w AS n_last_hour,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          AS val_last_hour
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
     "q33_array_agg" -> """
       SELECT n_name, list_sort(list(s_suppkey)) AS supps,
         COUNT(*) AS n_supp,
