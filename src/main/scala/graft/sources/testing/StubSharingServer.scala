@@ -1,4 +1,6 @@
-package graft.sources
+package graft.sources.testing
+
+import graft.sources._
 
 import java.io.OutputStream
 import java.net.InetSocketAddress
@@ -154,6 +156,15 @@ class StubSharingServer(
     }
   })
 
-  def start(): StubSharingServer = { server.start(); this }
+  def start(): StubSharingServer = {
+    // start from a daemon thread so the HttpServer dispatcher thread
+    // inherits daemon status — otherwise any JVM embedding the stub
+    // (e.g. graft.Verify via ShareQueries) never exits
+    val t = new Thread(() => server.start())
+    t.setDaemon(true)
+    t.start()
+    t.join()
+    this
+  }
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 }

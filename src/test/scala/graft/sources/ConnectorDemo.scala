@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestSession
+import graft.sources.testing.StubSharingServer
 
 /** Manual end-to-end drive of the deltashare connector (run with
   * `sbt "Test/runMain graft.sources.ConnectorDemo"`): boots the stub

@@ -6,6 +6,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
+import graft.sources.testing.StubSharingServer
 
 /** SQL-surface tests: the catalog makes shared tables addressable as
   * `dshare.share.schema.table` in plain SQL. */

@@ -8,6 +8,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
+import graft.sources.testing.StubSharingServer
 
 /** End-to-end DSv2 connector tests against the stub sharing server:
   * metadata-driven schema, partition-column materialization, pruning,

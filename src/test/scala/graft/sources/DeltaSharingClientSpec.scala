@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.types._
+import graft.sources.testing.StubSharingServer
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 

@@ -10,6 +10,7 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
 import graft.SparkTestSession
+import graft.sources.testing.StubSharingServer
 
 /** Connector statistics: Catalyst should see post-pruning
   * size-in-bytes and numRows (from per-file stats) so broadcast
