@@ -184,6 +184,45 @@ object ExtendedQueries {
             .as("val_last_hour"))
         .orderBy("user_id", "event_id")
     },
+    "q42_right_join" -> { (s, d) =>
+      // right outer: every part keeps a row even with no lineitems
+      lineitem(s, d).filter(col("l_quantity") >= 49)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"), "right_outer")
+        .groupBy("p_brand")
+        .agg(count(col("l_orderkey")).as("n_lines"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("p_brand")
+    },
+    "q43_band_join" -> { (s, d) =>
+      // theta (non-equi) join against a literal band table — planned
+      // as a broadcast nested-loop join, the right shape for small
+      // band/dimension tables
+      import s.implicits._
+      val bands = Seq(
+        ("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0),
+        ("large", 150000.0, 400000.0), ("jumbo", 400000.0, 1e12))
+        .toDF("band", "lo", "hi")
+      orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("band")
+    },
+    "q44_udf" -> { (s, d) =>
+      // plain Scala UDF surface (kept off hot paths by preference —
+      // native expressions codegen, UDFs don't; the oracle replicates
+      // the logic in SQL)
+      val tier = udf((bal: Double, seg: String) =>
+        if (bal < 0) "debtor"
+        else if (seg == "BUILDING" && bal > 5000) "prime"
+        else "standard")
+      customer(s, d)
+        .select(col("c_custkey"),
+          tier(col("c_acctbal"), col("c_mktsegment")).as("tier"))
+        .groupBy("tier").agg(count(lit(1)).as("n"))
+        .orderBy("tier")
+    },
     "q33_array_agg" -> { (s, d) =>
       nation(s, d)
         .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
@@ -316,6 +355,27 @@ object ExtendedQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "q42_right_join" -> """
+      SELECT p_brand, COUNT(l_orderkey) AS n_lines, COUNT(*) AS n_rows
+      FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+      RIGHT JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+    "q43_band_join" -> """
+      SELECT band, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      JOIN (VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+                   ('large', 150000.0, 400000.0), ('jumbo', 400000.0, 1e12))
+        AS b(band, lo, hi)
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band ORDER BY band""",
+    "q44_udf" -> """
+      SELECT CASE WHEN c_acctbal < 0 THEN 'debtor'
+                  WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+                    THEN 'prime'
+                  ELSE 'standard' END AS tier,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1 ORDER BY tier""",
     "q33_array_agg" -> """
       SELECT n_name, list_sort(list(s_suppkey)) AS supps,
         COUNT(*) AS n_supp,

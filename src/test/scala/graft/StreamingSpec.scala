@@ -65,6 +65,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(closedEvents < total)
   }
 
+  test("checkpointed stream resumes incrementally across restarts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val inDir = Files.createTempDirectory("graft-ckpt-in")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val schema = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet").schema
+
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+        .groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      stream.writeStream.format("memory").queryName("ckpt_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    }
+
+    // batch 1: one file
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("e1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    val after1 = spark.table("ckpt_out")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    q1.stop()
+
+    // restart with a second file appended: only the delta is new work
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("e2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    val after2 = spark.table("ckpt_out")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    q2.stop()
+
+    assert(after1 == 1000L, s"first batch counted $after1")
+    assert(after2 == 2000L, s"resume counted $after2")
+  }
+
   test("sliding window stream runs with watermark") {
     val stream = EventStreams.slidingCounts(
       EventStreams.eventsStream(spark, sf))
