@@ -36,6 +36,18 @@ class IoFormatsSpec extends AnyFunSuite {
 
   test("orc round trip") { roundTrip("orc") }
 
+  test("binaryFile source reads opaque payloads with metadata") {
+    // the multimodal ingestion pattern: files as (path, length, content)
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load("/root/testdata/sf0.001")
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.select("path", "length").collect()
+    assert(rows.length == 10) // one per table
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("csv schema inference reads typed columns") {
     val dir = Files.createTempDirectory("graft-io-infer").toString
     base.write.mode("overwrite").option("header", "true").csv(dir)
