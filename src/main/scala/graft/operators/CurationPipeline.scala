@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation — the composition the individual
+  * operators exist for:
+  *
+  *  1. annotate each document (tokens, quality, language);
+  *  2. drop low-quality docs (cheap per-row filter FIRST, so
+  *     everything downstream sees less data);
+  *  3. exact-dedup on the normalized text (one hash shuffle, keep the
+  *     lowest doc_id);
+  *  4. near-dup removal: Jaccard pairs over word-shingles among the
+  *     survivors; a document is dropped when it is the higher id of
+  *     any qualifying pair (deterministic, order-free rule — no
+  *     iterative transitive closure, which would not scale).
+  *
+  * The whole pipeline is one lazy Catalyst plan: filters fuse with
+  * the scan, the dedup shuffle sees only quality survivors, and the
+  * pair join only distinct shingles of exact-dedup survivors. At
+  * 100 TB, swap step 4's candidate generation for
+  * [[Dedup.minhashPairs]] (same verify stage) — the API is the same.
+  */
+object CurationPipeline {
+
+  def curate(docs: DataFrame, minQuality: Double = 0.0, minTokens: Int = 5,
+      jaccardPct: Int = 90): DataFrame = {
+    val annotated = docs.select(col("doc_id"), col("text"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val quality = annotated
+      .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+    // exact dedup: keep the smallest doc_id per normalized text
+    val keepIds = quality
+      .groupBy(Dedup.normKey(col("text")).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactKept = quality.join(keepIds, "doc_id")
+    // near-dup removal among survivors
+    val pairs = Dedup.jaccardPairs(
+      exactKept.select("doc_id", "text"), k = 3, pct = jaccardPct)
+    val dropped = pairs.select(col("b_id").as("doc_id")).distinct()
+    exactKept.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "lang_pred", "n_tokens", "quality")
+  }
+}

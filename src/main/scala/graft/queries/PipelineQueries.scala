@@ -108,6 +108,12 @@ object PipelineQueries {
       Similarity.cosinePairs(embeddings(s, d), threshold = 0.4)
         .orderBy("a_id", "b_id")
     },
+    "dd7_curation_pipeline" -> { (s, d) =>
+      graft.operators.CurationPipeline
+        .curate(documents(s, d), minQuality = 0.2, minTokens = 5,
+          jaccardPct = 92)
+        .orderBy("doc_id")
+    },
     "ss1_cosine_topk" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 10)
@@ -274,6 +280,44 @@ object PipelineQueries {
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
       ORDER BY a_id, b_id""",
+    "dd7_curation_pipeline" -> s"""
+      WITH langs(lang_c, stops) AS (VALUES
+        ('de', ['der','die','und','das','ist','ein','zu']),
+        ('en', ['the','a','of','and','to','in','is']),
+        ('es', ['el','la','de','y','que','en','un']),
+        ('fr', ['le','la','de','et','les','un','une']),
+        ('zh', ['de','le','shi','bu','wo','ni','ta'])),
+      base AS (SELECT doc_id, text, lang,
+        len($toks) AS n_tokens,
+        (len(list_intersect($toks, ['the','a','of','and','to','in','is']))::DOUBLE
+           / len($toks)::DOUBLE)
+          - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             / length(text)::DOUBLE)
+          + least(len($toks)::DOUBLE / 100.0, 1.0) AS quality
+        FROM documents),
+      pred AS (SELECT d.doc_id, l.lang_c AS lang_pred,
+          ROW_NUMBER() OVER (PARTITION BY d.doc_id
+            ORDER BY len(list_intersect($toks, l.stops)) DESC, l.lang_c ASC) AS rn
+        FROM documents d, langs l),
+      annotated AS (SELECT b.doc_id, b.text, b.lang, b.n_tokens, b.quality,
+          p.lang_pred
+        FROM base b JOIN (SELECT doc_id, lang_pred FROM pred WHERE rn = 1) p
+          ON b.doc_id = p.doc_id),
+      q AS (SELECT * FROM annotated WHERE quality >= 0.2 AND n_tokens >= 5),
+      keepids AS (SELECT min(doc_id) AS doc_id FROM q
+        GROUP BY array_to_string($toks, ' ')),
+      ex AS (SELECT q.* FROM q JOIN keepids k ON q.doc_id = k.doc_id),
+      dn AS (SELECT doc_id, sh, len(sh) AS n FROM
+        (SELECT doc_id, ${sqlShingles(toks)} AS sh FROM ex)),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          len(list_intersect(a.sh, b.sh)) AS common,
+          a.n + b.n - len(list_intersect(a.sh, b.sh)) AS u
+        FROM dn a JOIN dn b ON a.doc_id < b.doc_id),
+      dropped AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+        WHERE common * 100 >= u * 92)
+      SELECT doc_id, lang, lang_pred, n_tokens, quality
+      FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY doc_id""",
     "ss1_cosine_topk" -> s"""
       WITH e AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
