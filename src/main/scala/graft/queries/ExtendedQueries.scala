@@ -223,6 +223,28 @@ object ExtendedQueries {
         .groupBy("tier").agg(count(lit(1)).as("n"))
         .orderBy("tier")
     },
+    "q45_map_functions" -> { (s, d) =>
+      // map construction + HOF transform + entry explosion
+      events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total"))
+        .select(col("event_type"),
+          map_from_arrays(array(lit("n"), lit("total_x2")),
+            array(col("n").cast("double"), col("total") * 2)).as("m"))
+        .select(col("event_type"), explode(transform_values(
+          col("m"), (_, v) => v + 1.0)))
+        .withColumnRenamed("key", "metric")
+        .withColumnRenamed("value", "val")
+        .orderBy("event_type", "metric")
+    },
+    "st6_sample" -> { (s, d) =>
+      // seeded Bernoulli sample — deterministic within Spark but not
+      // reproducible by another engine, so rows-only gate
+      lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
     "q33_array_agg" -> { (s, d) =>
       nation(s, d)
         .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
@@ -376,6 +398,15 @@ object ExtendedQueries {
                   ELSE 'standard' END AS tier,
              COUNT(*) AS n
       FROM customer GROUP BY 1 ORDER BY tier""",
+    "q45_map_functions" -> """
+      WITH agg AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type)
+      SELECT event_type, 'n' AS metric, n::DOUBLE + 1.0 AS val FROM agg
+      UNION ALL
+      SELECT event_type, 'total_x2' AS metric, total * 2 + 1.0 AS val FROM agg
+      ORDER BY event_type, metric""",
     "q33_array_agg" -> """
       SELECT n_name, list_sort(list(s_suppkey)) AS supps,
         COUNT(*) AS n_supp,
