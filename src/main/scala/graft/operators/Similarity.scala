@@ -137,6 +137,57 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into
+    * `numCentroids` inverted lists (here: the first K vectors serve as
+    * deterministic centroids — production would plug in sampled
+    * k-means; the assignment/probe logic is identical), each vector
+    * joins its nearest centroid's list, and a query scans only the
+    * `nprobe` nearest lists.
+    *
+    * Scale shape: assignment is a broadcast of K centroids over one
+    * corpus scan (no shuffle of the corpus), the probe join is
+    * equi on `cid`, and candidates shrink ~numCentroids/nprobe-fold.
+    * Persist the assigned corpus bucketed by `cid` for repeated query
+    * workloads. All math is exact-deterministic (fixed-order dots),
+    * so the full pipeline is SQL-oracle-checkable. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+    def assign(side: DataFrame, idCol: String, embCol: String,
+        nrmCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("c_score").desc, col("cid"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("c_score",
+          dot(col(embCol), col("c_emb")) / (col(nrmCol) * col("c_nrm")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= keep)
+        .drop("c_emb", "c_nrm", "c_score", "c_rank")
+    }
+    val c = assign(
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm")),
+      "neighbor_id", "n_emb", "n_nrm", keep = 1)
+    val q = assign(
+      queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm")),
+      "query_id", "q_emb", "q_nrm", keep = nprobe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .select("query_id", "neighbor_id", "score")
+      .distinct() // a pair can match via several probed lists
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** All embedding pairs with cosine ≥ threshold (brute force — the
     * oracle-checkable baseline for embedding near-dup dedup). */
   def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {

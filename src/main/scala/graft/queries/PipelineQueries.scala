@@ -124,6 +124,12 @@ object PipelineQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 3), k = 5, nBits = 4)
         .orderBy("query_id", "rank")
     },
+    "ss3_ivf_topk" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        numCentroids = 16, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
     "m1_multimodal_features" -> { (s, d) =>
       Multimodal.features(s, documents(s, d)).orderBy("media_id")
     },
@@ -344,6 +350,35 @@ object PipelineQueries {
         WHERE q.query_id <> e.vec_id),
       ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ss3_ivf_topk" -> s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM e WHERE vec_id < 16),
+      cassign AS (SELECT neighbor_id, nemb, nnrm, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS nemb, e.nrm AS nnrm,
+          c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm)
+              DESC, c.cid ASC) AS rn
+        FROM e, cents c) WHERE rn = 1),
+      qassign AS (SELECT query_id, qemb, qnrm, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qemb, q.nrm AS qnrm,
+          c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${sqlDot("q.embedding", "c.cemb")} / (q.nrm * c.cnrm)
+              DESC, c.cid ASC) AS rn
+        FROM e q, cents c WHERE q.vec_id < 3) WHERE rn <= 2),
+      cand AS (SELECT DISTINCT a.query_id, b.neighbor_id,
+          a.qemb, a.qnrm, b.nemb, b.nnrm
+        FROM qassign a JOIN cassign b
+          ON a.cid = b.cid AND a.query_id <> b.neighbor_id),
+      scored AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qemb", "nemb")} / (qnrm * nnrm) AS score FROM cand),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, rank, neighbor_id, score FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
     "m1_multimodal_features" -> s"""
