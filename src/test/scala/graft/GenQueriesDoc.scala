@@ -1,0 +1,45 @@
+package graft
+
+/** Regenerates docs/QUERIES.md from the declared query maps
+  * (`sbt "Test/runMain graft.GenQueriesDoc"`) so the inventory can't
+  * drift from the code. */
+object GenQueriesDoc {
+  def main(args: Array[String]): Unit = {
+    val groups = Seq(
+      ("Aggregation & grouping", "q01|q06|q09|q10|q11|q12|q22|q34|q35|q36|q38|st5"),
+      ("Filters & scans", "q02|share_scan"),
+      ("Joins", "q03|q04|q05|q07|q08|q26|q27|q42|q43"),
+      ("Subqueries", "q23|q24|q32"),
+      ("Window functions", "q13|q14|q15|q25|q37|q41"),
+      ("Sort / top-k / set ops", "q16|q17|q30"),
+      ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45"),
+      ("Sampling", "st6"),
+      ("Text analysis", "t01|t02|t03|t04"),
+      ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7"),
+      ("Similarity search", "ss1|ss2|ss3"),
+      ("Multimodal", "m1"),
+      ("Streaming batch twins", "st1|st2|st3|st4"))
+    val all = SparkEntry.queries.keySet
+    val oracle = SparkEntry.oracleSql.keySet
+    val sb = new StringBuilder
+    sb.append("# Declared query inventory (generated — `sbt \"Test/runMain graft.GenQueriesDoc\"`)\n\n")
+    sb.append(s"${all.size} queries; ${oracle.size} oracle-checked against DuckDB, ")
+    sb.append(s"${(all -- oracle).size} rows-only (approximate/sampling by design: ${(all -- oracle).toSeq.sorted.mkString(", ")}).\n")
+    var covered = Set.empty[String]
+    groups.foreach { case (title, pat) =>
+      val rx = s"^($pat)".r
+      val qs = all.filter(q => rx.findFirstIn(q).isDefined).toSeq.sorted
+      covered ++= qs
+      sb.append(s"\n## $title\n\n")
+      qs.foreach { q =>
+        val gate = if (oracle.contains(q)) "oracle" else "rows-only"
+        sb.append(s"- `$q` ($gate)\n")
+      }
+    }
+    val missing = all -- covered
+    require(missing.isEmpty, s"uncategorized queries: $missing")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("docs/QUERIES.md"), sb.toString)
+    println(s"wrote docs/QUERIES.md with ${all.size} queries")
+  }
+}

@@ -104,6 +104,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(after2 == 2000L, s"resume counted $after2")
   }
 
+  test("foreachBatch writes idempotent per-batch output") {
+    import java.nio.file.Files
+    val outDir = Files.createTempDirectory("graft-feb-out").toString
+    val stream = EventStreams.eventsStream(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // exactly-once pattern: output path keyed by batchId, full
+        // overwrite — replays of the same batch are idempotent
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(s"$outDir/batch=0")
+    val expected = EventStreams.tumblingCountsBatch(Tables.events(spark, sf))
+      .select("event_type").distinct().count()
+    assert(written.count() == Tables.events(spark, sf)
+      .select("event_type").distinct().count())
+  }
+
   test("sliding window stream runs with watermark") {
     val stream = EventStreams.slidingCounts(
       EventStreams.eventsStream(spark, sf))
