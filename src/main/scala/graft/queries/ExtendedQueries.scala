@@ -245,6 +245,28 @@ object ExtendedQueries {
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
+    "q47_typed_dataset" -> { (s, d) =>
+      // typed Dataset path: case-class Encoder + groupByKey/mapGroups;
+      // the per-group fold uses BigDecimal so the result is
+      // order-independent and oracle-exact
+      import s.implicits._
+      val ds = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .as[(Long, String, Double)]
+      ds.groupByKey(_._2)
+        .mapGroups { (status, rows) =>
+          var n = 0L
+          var total = BigDecimal(0)
+          rows.foreach { r =>
+            n += 1
+            total += BigDecimal(r._3)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          }
+          (status, n, total.toDouble)
+        }
+        .toDF("o_orderstatus", "n", "total")
+        .orderBy("o_orderstatus")
+    },
     "q33_array_agg" -> { (s, d) =>
       nation(s, d)
         .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
@@ -407,6 +429,10 @@ object ExtendedQueries {
       UNION ALL
       SELECT event_type, 'total_x2' AS metric, total * 2 + 1.0 AS val FROM agg
       ORDER BY event_type, metric""",
+    "q47_typed_dataset" -> """
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q33_array_agg" -> """
       SELECT n_name, list_sort(list(s_suppkey)) AS supps,
         COUNT(*) AS n_supp,

@@ -71,7 +71,8 @@ class DeltaShareDataSource extends TableProvider with DataSourceRegister {
 /** Fully-resolved table coordinates + connection profile. */
 final case class TableAddress(
     share: String, schema: String, table: String,
-    profile: DeltaSharingProfile)
+    profile: DeltaSharingProfile,
+    versionAsOf: Option[Long] = None)
 
 object TableAddress {
   def fromOptions(options: CaseInsensitiveStringMap): TableAddress = {
@@ -102,7 +103,10 @@ object TableAddress {
         resolve("endpoint", DeltaSharingProfile.EndpointConf,
           DeltaSharingProfile.EndpointEnv),
         resolve("bearerToken", DeltaSharingProfile.TokenConf,
-          DeltaSharingProfile.TokenEnv)))
+          DeltaSharingProfile.TokenEnv)),
+      // time travel: the protocol's `version` field on /query
+      // (dead plumbing in the reference, delta_sharing_client.cpp:390-392)
+      versionAsOf = Option(options.get("versionAsOf")).map(_.toLong))
   }
 }
 

@@ -133,7 +133,8 @@ class DeltaShareScan(
       StructType(dataSchema.fields ++ partitionSchema.fields))
     val client = new DeltaSharingClient(addr.profile)
     client.queryTable(addr.share, addr.schema, addr.table,
-      jsonPredicateHints = hints, limitHint = limit.map(_.toLong)).files
+      jsonPredicateHints = hints, limitHint = limit.map(_.toLong),
+      version = addr.versionAsOf).files
   }
 
   /** Exact client-side partition pruning (static + runtime filters) —

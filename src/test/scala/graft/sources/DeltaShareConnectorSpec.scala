@@ -117,6 +117,16 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(server.lastQueryBody.contains(""""limitHint":5"""))
   }
 
+  test("versionAsOf option reaches the /query POST body") {
+    spark.read.format("deltashare")
+      .option("endpoint", server.endpoint)
+      .option("bearerToken", "tok")
+      .option("versionAsOf", "3")
+      .load("share1.schema1.lineitem")
+      .count()
+    assert(server.lastQueryBody.contains(""""version":3"""))
+  }
+
   test("presigned HTTP urls with Range requests read end-to-end") {
     val src = Paths.get("/root/testdata/sf0.001/orders.parquet")
     server.httpFiles = Map("orders.parquet" -> src)
