@@ -98,6 +98,48 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation decodes, scales to fit the
+    * bounding box, and re-encodes; the stub computes the exact output
+    * dimensions (aspect-preserving fit — the real geometry) and a
+    * deterministic content token standing in for the resized bytes. */
+  def resizeDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    if (w <= 0 || h <= 0) (0, 0)
+    else {
+      // integer aspect-fit: scale = min(maxW/w, maxH/h) in 1/1000ths
+      val scaleMil = math.min(1000L * maxW / w, 1000L * maxH / h) min 1000L
+      ((w * scaleMil / 1000L).toInt, (h * scaleMil / 1000L).toInt)
+    }
+  }
+
+  /** STUB frame sampling: a real implementation decodes the container
+    * and grabs every nth frame; the stub derives frame count and byte
+    * offsets from the payload length (one "frame" per `frameBytes`
+    * bytes), which exercises the same array-typed output schema. */
+  def frameOffsets(nBytes: Long, frameBytes: Long, everyN: Int): Seq[Long] =
+    (0L until nBytes / frameBytes).filter(_ % everyN == 0)
+      .map(_ * frameBytes)
+
+  /** Resize + frame-sample plumbing over the media table (per-row,
+    * shuffle-free; the stub math is integer-exact so the DuckDB
+    * oracle checks the geometry). */
+  def transform(spark: SparkSession, docs: DataFrame,
+      maxW: Int = 320, maxH: Int = 240): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(docs)
+      .select("media_id", "kind", "payload", "width", "height")
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload, w, h) =>
+          val (rw, rh) = resizeDims(w, h, maxW, maxH)
+          val frames = frameOffsets(payload.length.toLong, 16L, 2)
+          (id, kind, rw, rh, frames.length.toLong,
+            if (frames.nonEmpty) frames.last else -1L)
+        }
+      }
+      .toDF("media_id", "kind", "out_w", "out_h", "n_frames",
+        "last_frame_offset")
+  }
+
   /** Feature frame flattened for SQL-oracle comparison. */
   def features(spark: SparkSession, docs: DataFrame): DataFrame = {
     val f = extractFeatures(spark, mediaFromDocuments(docs))

@@ -133,6 +133,9 @@ object PipelineQueries {
     "m1_multimodal_features" -> { (s, d) =>
       Multimodal.features(s, documents(s, d)).orderBy("media_id")
     },
+    "m2_multimodal_transform" -> { (s, d) =>
+      Multimodal.transform(s, documents(s, d)).orderBy("media_id")
+    },
     "st1_tumbling_hourly" -> { (s, d) =>
       EventStreams.tumblingCountsBatch(events(s, d))
         .orderBy("hour_start", "event_type")
@@ -389,6 +392,30 @@ object PipelineQueries {
         ${sqlFp("text")} AS byte_hash,
         (${sqlFp("text")} % 997)::DOUBLE AS hash_bucket
       FROM documents ORDER BY media_id""",
+    "m2_multimodal_transform" -> """
+      WITH m AS (SELECT doc_id AS media_id,
+          (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,
+          octet_length(encode(text)) AS n_bytes,
+          (n_chars % 640)::INT AS w, (n_chars % 480)::INT AS h
+        FROM documents),
+      r AS (SELECT media_id, kind, n_bytes, w, h,
+          CASE WHEN w <= 0 OR h <= 0 THEN 0
+            ELSE least(least(1000 * 320 // w, 1000 * 240 // h), 1000) END
+            AS scale_mil
+        FROM m),
+      f AS (SELECT media_id, kind,
+          CASE WHEN w <= 0 OR h <= 0 THEN 0
+            ELSE (w * scale_mil // 1000)::INT END AS out_w,
+          CASE WHEN w <= 0 OR h <= 0 THEN 0
+            ELSE (h * scale_mil // 1000)::INT END AS out_h,
+          len(list_filter(range(0, n_bytes // 16), i2 -> i2 % 2 = 0))
+            AS n_frames,
+          coalesce(list_max(list_transform(
+            list_filter(range(0, n_bytes // 16), i3 -> i3 % 2 = 0),
+            i4 -> i4 * 16)), -1) AS last_frame_offset
+        FROM r)
+      SELECT media_id, kind, out_w, out_h, n_frames, last_frame_offset
+      FROM f ORDER BY media_id""",
     "st1_tumbling_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         event_type, COUNT(*) AS n,

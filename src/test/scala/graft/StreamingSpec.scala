@@ -104,6 +104,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(after2 == 2000L, s"resume counted $after2")
   }
 
+  test("watermark drops late data in append mode") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("graft-late-in")
+    val events = Tables.events(spark, sf)
+    // recent half first (advances the watermark), old half second
+    // (arrives hours late → beyond the 10-minute watermark)
+    val cutoff = events.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    val recent = events.filter(unix_micros(col("ts")) >= cutoff)
+    val old = events.filter(unix_micros(col("ts")) < cutoff)
+    recent.coalesce(1).write.parquet(inDir.resolve("f1").toString)
+
+    val stream = spark.readStream.schema(recent.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString + "/*/")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      old.coalesce(1).write.parquet(inDir.resolve("f2").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    // append mode only emits finalized windows; the late file's events
+    // fall in windows already finalized by the watermark, so the total
+    // emitted count stays below the full event count
+    val emitted = spark.table("late_out")
+      .agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+    assert(emitted < events.count(),
+      s"late data was not dropped: emitted=$emitted")
+  }
+
   test("foreachBatch writes idempotent per-batch output") {
     import java.nio.file.Files
     val outDir = Files.createTempDirectory("graft-feb-out").toString
