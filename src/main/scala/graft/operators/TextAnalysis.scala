@@ -85,6 +85,35 @@ object TextAnalysis {
     array_max(array(ranked: _*)).getField("lang")
   }
 
+  /** TF-IDF with an integer-exact IDF surrogate
+    * (`(N+1)*1000 div (df+1)` instead of a log — monotone in df, so
+    * rankings match, and reproducible in any engine; swap in
+    * `ln((N+1)/(df+1))+1` when cross-engine bit-parity isn't needed).
+    * Returns one row per document: its highest-scoring term
+    * (ties → lexicographically first term).
+    *
+    * Scale shape: one explode + two aggregations, all map-side
+    * combinable; document frequency is a broadcast-sized side (vocab,
+    * not corpus). */
+  def topTfidfTerm(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("idf_x1000", expr(s"${(n + 1) * 1000L} div (df + 1)"))
+      .withColumn("score", col("tf") * col("idf_x1000"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        col("tf"), col("df"), col("score"))
+  }
+
   /** Full per-document stats frame. */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

@@ -85,6 +85,16 @@ object PipelineQueries {
         TextAnalysis.fingerprint(substring(col("text"), 1, 16)).as("fp_prefix"))
         .orderBy("doc_id")
     },
+    "t05_tfidf" -> { (s, d) =>
+      TextAnalysis.topTfidfTerm(documents(s, d)).orderBy("doc_id")
+    },
+    "t06_term_freq" -> { (s, d) =>
+      documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)
+    },
     "dd1_dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d)).orderBy("keep_id")
     },
@@ -199,6 +209,22 @@ object PipelineQueries {
       SELECT doc_id, ${sqlFp("text")} AS fp,
         ${sqlFp("substring(text, 1, 16)")} AS fp_prefix
       FROM documents ORDER BY doc_id""",
+    "t05_tfidf" -> s"""
+      WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+      n AS (SELECT COUNT(*) AS total FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          tf.tf * (((SELECT total FROM n) + 1) * 1000 // (df.df + 1)) AS score
+        FROM tf JOIN df ON tf.term = df.term),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term ASC) AS rn FROM scored)
+      SELECT doc_id, term AS top_term, tf, df, score
+      FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    "t06_term_freq" -> s"""
+      SELECT term, COUNT(*) AS n
+      FROM (SELECT unnest($toks) AS term FROM documents)
+      GROUP BY term ORDER BY n DESC, term LIMIT 20""",
     "dd1_dedup_exact" -> s"""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY array_to_string($toks, ' ')
