@@ -33,6 +33,57 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Bounded top-k buffer for [[org.apache.spark.sql.expressions.Aggregator]]-based
+    * per-key top-k: a window (`row_number <= k`) must SORT every
+    * partition's full candidate set; this aggregator keeps only k
+    * entries per group on each side of the shuffle (partial
+    * aggregation), so candidate volume never hits a sort. Ordering is
+    * total (score desc, id asc) → deterministic. */
+  final class TopKAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)],
+        a: (Long, Double)): Seq[(Double, Long)] = trim(b :+ ((a._2, a._1)))
+    override def merge(x: Seq[(Double, Long)],
+        y: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(x ++ y)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      bufferEncoder
+  }
+
+  /** [[bruteForceTopK]] with the bounded-heap aggregator instead of a
+    * window — identical output, no full sort of the candidate set;
+    * the preferred shape when k << candidates-per-query. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        col("neighbor_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("score"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues(v => (v._2, v._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((s, nid), i) => (qid, i + 1, nid, s) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Exact cosine top-k of each query vector against the corpus.
     * Queries are broadcast; norms are computed once per row (not per
     * pair) so the pair stage is a single dot product; ties break on

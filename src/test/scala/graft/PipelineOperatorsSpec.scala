@@ -53,6 +53,17 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("aggregator top-k equals window top-k exactly") {
+    val q = embs.filter(col("vec_id") < 3)
+    val viaWindow = Similarity.bruteForceTopK(embs, q, k = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaAgg = Similarity.bruteForceTopKAgg(embs, q, k = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaWindow == viaAgg)
+  }
+
   test("lsh topk returns same-bucket exact-cosine results") {
     val brute = Similarity.bruteForceTopK(embs,
       embs.filter(col("vec_id") === 0), k = 50).collect()
