@@ -11,9 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rows-only check).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The curation pipeline exercises the library end to end
+    * (annotation → quality filter → exact dedup → near-dup removal)
+    * and touches no nanosecond-timestamp columns, so it runs on any
+    * session. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("dd7_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
