@@ -55,6 +55,17 @@ object PlanCheck {
     audit("q13_window_rank", Seq(
       "single window exchange" ->
         (p => "Exchange".r.findAllIn(p).size <= 2)))
+    audit("dd6_dedup_embedding_lsh", Seq(
+      "bucket join is equi, not cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("q43_band_join", Seq(
+      "band table broadcast (BNLJ)" ->
+        (_.contains("BroadcastNestedLoopJoin"))))
+    audit("dd2_dedup_jaccard", Seq(
+      "identical self-join sides reuse the exchange" -> (p =>
+        p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"))))
+    audit("dd7_curation_pipeline", Seq(
+      "no cartesian anywhere in the pipeline" ->
+        (p => !p.contains("Cartesian"))))
 
     // full formatted plans for the flagship + one pipeline query
     println("\n==== q01 formatted ====")
