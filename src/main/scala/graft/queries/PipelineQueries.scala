@@ -146,6 +146,10 @@ object PipelineQueries {
     "m2_multimodal_transform" -> { (s, d) =>
       Multimodal.transform(s, documents(s, d)).orderBy("media_id")
     },
+    "st7_click_attribution" -> { (s, d) =>
+      EventStreams.clickToPurchaseBatch(events(s, d))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
     "st1_tumbling_hourly" -> { (s, d) =>
       EventStreams.tumblingCountsBatch(events(s, d))
         .orderBy("hour_start", "event_type")
@@ -442,6 +446,19 @@ object PipelineQueries {
         FROM r)
       SELECT media_id, kind, out_w, out_h, n_frames, last_frame_offset
       FROM f ORDER BY media_id""",
+    "st7_click_attribution" -> """
+      WITH c AS (SELECT user_id AS c_user,
+          epoch_us(date_trunc('microseconds', ts)) AS c_us,
+          event_id AS click_id
+        FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS p_user,
+          epoch_us(date_trunc('microseconds', ts)) AS p_us,
+          event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT c_user AS user_id, click_id, purchase_id, value
+      FROM c JOIN p ON c_user = p_user
+        AND p_us >= c_us AND p_us <= c_us + 1800000000
+      ORDER BY user_id, click_id, purchase_id""",
     "st1_tumbling_hourly" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         event_type, COUNT(*) AS n,

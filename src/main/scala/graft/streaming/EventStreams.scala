@@ -105,6 +105,41 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: purchases attributed to a click by the
+    * same user within the following 30 minutes. Watermarks on both
+    * sides + the time-range condition bound the join state (clicks
+    * older than watermark+30min are evicted). */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
+  /** Batch twin of [[clickToPurchase]]. */
+  def clickToPurchaseBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
   final case class SessionOut(user_id: Long, n_events: Long,
       total_value: Double, closed_by_timeout: Boolean)
   final case class Ev(user_id: Long, tsMicros: Long, value: Double)

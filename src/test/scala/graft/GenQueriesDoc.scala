@@ -18,7 +18,7 @@ object GenQueriesDoc {
       ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7"),
       ("Similarity search", "ss1|ss2|ss3"),
       ("Multimodal", "m1|m2"),
-      ("Streaming batch twins", "st1|st2|st3|st4"))
+      ("Streaming batch twins", "st1|st2|st3|st4|st7"))
     val all = SparkEntry.queries.keySet
     val oracle = SparkEntry.oracleSql.keySet
     val sb = new StringBuilder

@@ -104,6 +104,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(after2 == 2000L, s"resume counted $after2")
   }
 
+  test("stream-stream interval join equals batch twin") {
+    val stream = EventStreams.clickToPurchase(
+      EventStreams.eventsStream(spark, sf))
+    runToMemory(stream, "ssj_out", "append")
+    val streamed = spark.table("ssj_out")
+    val batch = EventStreams.clickToPurchaseBatch(Tables.events(spark, sf))
+    assert(asSet(streamed) == asSet(batch))
+    assert(batch.count() > 0, "fixture produced no click→purchase pairs")
+  }
+
   test("watermark drops late data in append mode") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
