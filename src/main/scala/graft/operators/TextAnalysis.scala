@@ -85,6 +85,32 @@ object TextAnalysis {
     array_max(array(ranked: _*)).getField("lang")
   }
 
+  private val trigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and", "ion", "ent", "er ", " th"),
+    "es" -> Seq("que", "ión", "ent", "ar ", " de", "la ", "os "),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", "en ", " ge"),
+    "fr" -> Seq("les", "ent", "ion", "de ", " le", "es ", "une"),
+    "zh" -> Seq("shi", "zho", "ong", "ang", "ian", "eng", "uan"))
+
+  /** Character-trigram language ID — the n-gram-profile heuristic
+    * (Cavnar-Trenkle style, tiny fixed profiles): score = number of
+    * profile trigrams present in the document's trigram set;
+    * deterministic tie-break on language code. */
+  def langIdTrigram(text: Column): Column = {
+    val chars = filter(split(lower(text), ""), c => c =!= "")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(chars) - 2, lit(1))),
+      i => array_join(slice(chars, i, lit(3)), "")))
+    val ranked = trigramProfiles.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, profile), idx) =>
+        struct(
+          size(array_intersect(grams, array(profile.map(lit): _*))).as("hits"),
+          lit(trigramProfiles.size - idx).as("rank"),
+          lit(lang).as("lang"))
+    }
+    array_max(array(ranked: _*)).getField("lang")
+  }
+
   /** TF-IDF with an integer-exact IDF surrogate
     * (`(N+1)*1000 div (df+1)` instead of a log — monotone in df, so
     * rankings match, and reproducible in any engine; swap in

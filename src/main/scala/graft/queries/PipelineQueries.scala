@@ -95,6 +95,11 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("term"))
         .limit(20)
     },
+    "t07_lang_trigram" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdTrigram(col("text")).as("lang_pred3"))
+        .orderBy("doc_id")
+    },
     "dd1_dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d)).orderBy("keep_id")
     },
@@ -213,6 +218,30 @@ object PipelineQueries {
       SELECT doc_id, ${sqlFp("text")} AS fp,
         ${sqlFp("substring(text, 1, 16)")} AS fp_prefix
       FROM documents ORDER BY doc_id""",
+    "t07_lang_trigram" -> s"""
+      WITH g AS (SELECT doc_id, lang,
+        list_distinct(list_transform(
+          range(1, greatest(len(list_filter(string_split_regex(lower(text), ''),
+            c5 -> c5 <> '')) - 2, 1) + 1),
+          i5 -> array_to_string(
+            (list_filter(string_split_regex(lower(text), ''), c6 -> c6 <> ''))[i5:i5+2],
+            ''))) AS grams
+        FROM documents),
+      profiles(lang_c, grams_p) AS (VALUES
+        ('de', ['der','ein','ich','sch','und','en ',' ge']),
+        ('en', ['the','ing','and','ion','ent','er ',' th']),
+        ('es', ['que','ión','ent','ar ',' de','la ','os ']),
+        ('fr', ['les','ent','ion','de ',' le','es ','une']),
+        ('zh', ['shi','zho','ong','ang','ian','eng','uan'])),
+      scored AS (SELECT g.doc_id, g.lang, p.lang_c,
+          len(list_intersect(g.grams, p.grams_p)) AS hits
+        FROM g, profiles p),
+      best AS (SELECT doc_id, lang, lang_c AS lang_pred3,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY hits DESC, lang_c ASC) AS rn
+        FROM scored)
+      SELECT doc_id, lang, lang_pred3 FROM best WHERE rn = 1
+      ORDER BY doc_id""",
     "t05_tfidf" -> s"""
       WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
       n AS (SELECT COUNT(*) AS total FROM documents),

@@ -14,7 +14,7 @@ object GenQueriesDoc {
       ("Sort / top-k / set ops", "q16|q17|q30"),
       ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45"),
       ("Sampling", "st6"),
-      ("Text analysis", "t01|t02|t03|t04|t05|t06"),
+      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07"),
       ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7"),
       ("Similarity search", "ss1|ss2|ss3"),
       ("Multimodal", "m1|m2"),

@@ -127,6 +127,27 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(server.lastQueryBody.contains(""""version":3"""))
   }
 
+  test("expired presigned url surfaces a clear HTTP failure") {
+    // stub has no file registered under this name → 404, standing in
+    // for an expired/revoked presigned URL
+    val ordersSchema = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet").schema.json
+    server.tables = server.tables + ("gone" -> ((ordersSchema, Seq.empty,
+      Seq((s"http://127.0.0.1:${server.port}/files/nope.parquet",
+        1234L, Map.empty[String, String])))))
+    val e = intercept[Exception] {
+      spark.read.format("deltashare")
+        .option("endpoint", server.endpoint).option("bearerToken", "tok")
+        .load("share1.schema1.gone")
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("HTTP 404") ||
+      m.contains("nope.parquet")), s"unhelpful error: ${messages(e)}")
+  }
+
   test("presigned HTTP urls with Range requests read end-to-end") {
     val src = Paths.get("/root/testdata/sf0.001/orders.parquet")
     server.httpFiles = Map("orders.parquet" -> src)
