@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HashOps
+import graft.operators.{AsOfJoin, SkewJoin}
+import org.apache.spark.unsafe.types.UTF8String
+
+class OperatorEdgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("as-of join picks the latest right row at or before left time") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 250L), (2L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 90L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 60L, "x")).toDF("k", "t", "v")
+    val out = AsOfJoin.backward(left, right, "k", "k", "t", "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 100L, Some("a")), // 90 <= 100 < 200
+      (1L, 250L, Some("b")), // 200 <= 250 < 300
+      (2L, 50L, None)))      // no right row at or before 50
+  }
+
+  test("as-of join includes right rows at exactly the left time") {
+    import spark.implicits._
+    val left = Seq((1L, 200L)).toDF("k", "t")
+    val right = Seq((1L, 200L, "exact")).toDF("k", "t", "v")
+    val out = AsOfJoin.backward(left, right, "k", "k", "t", "t", Seq("v"))
+      .collect()
+    assert(out.head.getString(2) == "exact")
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val su = Tables.supplier(spark, "/root/testdata/sf0.001")
+    val plain = li.join(su, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.salted(li, su, "l_suppkey", "s_suppkey", n = 8)
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("hash ops handle empty and unicode input") {
+    assert(HashOps.polyHash(UTF8String.fromString("")) == 0L)
+    // é is one code point (0xE9): h = 0*31 + 233
+    assert(HashOps.polyHash(UTF8String.fromString("é")) == 233L)
+    assert(HashOps.tokenize(UTF8String.fromString("   ")).isEmpty)
+    assert(HashOps.shingleFps(UTF8String.fromString(""), 3).toSeq == Seq(0L))
+    assert(HashOps.simHash(UTF8String.fromString("")) == 0L)
+    assert(HashOps.dotFold(Array.empty[Float], Array.empty[Float]) == 0.0)
+  }
+
+  test("minhash of a single fingerprint is the affine map of it") {
+    val sig = HashOps.minhash(Array(7L), 4)
+    (0 until 4).foreach { i =>
+      assert(sig(i) == (7L * (2 * i + 1) + i * 12345L + 1) % HashOps.Mod)
+    }
+  }
+}
