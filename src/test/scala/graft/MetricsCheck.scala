@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Shuffle-volume audit (`sbt "Test/runMain graft.MetricsCheck"`):
+  * executes representative queries at sf0.1 and reports, from the
+  * executed plan's metrics, how many exchanges ran and how much data
+  * they moved — the measured backing for the shuffle-minimization
+  * claims in docs/SCALING.md. */
+object MetricsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.1"
+
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+
+    /** collect() treats AQE query stages as leaves; descend into them
+      * so exchange metrics are visible. */
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      finalPlan(p).collect { case n => n }.flatMap {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          s +: allNodes(s.plan)
+        case n => Seq(n)
+      }
+
+    val interesting = Seq(
+      "q01_pricing_summary", "q05_region_revenue", "q16_topk",
+      "dd1_dedup_exact", "dd2_dedup_jaccard", "dd3_dedup_minhash",
+      "dd4_dedup_simhash", "ss1_cosine_topk", "dd7_curation_pipeline")
+
+    println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
+    interesting.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      // execute THIS plan (count() would build a separate execution
+      // whose metrics we can't see)
+      val qe = df.queryExecution
+      val n = qe.toRdd.count()
+      val nodes = allNodes(qe.executedPlan)
+      val exchanges = nodes.count(_.nodeName.contains("Exchange"))
+      val shuffleBytes = nodes
+        .filter(_.nodeName.contains("Exchange"))
+        .flatMap(_.metrics.get("dataSize")).map(_.value).sum
+      println(f"$name%-24s $exchanges%9d ${shuffleBytes / 1e6}%10.1f $n%10d")
+    }
+    spark.stop()
+  }
+}
