@@ -26,10 +26,16 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
         catch { case _: Throwable => () }
       }
+    // evaluation-forcing action: the noop sink consumes every output
+    // row WITH all its columns, so projection-only queries can't be
+    // pruned to a row count the way `df.count()` allows (a count lets
+    // Catalyst drop the very expressions being benchmarked)
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // two cheap real queries warm the parquet-scan and custom-
     // expression codegen paths the synthetic warmups miss
     Seq("q06_forecast_revenue", "t04_fingerprint").foreach { q =>
-      try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
+      try SparkEntry.queries.get(q).foreach(f => run(f(spark, sfDir)))
       catch { case _: Throwable => () }
     }
     // two timed passes, min per query: first-touch JIT/codegen noise
@@ -38,7 +44,7 @@ object Bench {
     def pass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = pass()

@@ -268,14 +268,21 @@ object ExtendedQueries {
         .orderBy("o_orderstatus")
     },
     "q33_array_agg" -> { (s, d) =>
+      // collect_list/sort_array/slice surface; array columns serialized
+      // to strings (array_join) so the driver's pandas-based hash gate
+      // can sort/hash them — list cells are unhashable there
       nation(s, d)
         .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
         .agg(sort_array(collect_list(col("s_suppkey"))).as("supps"),
           count(lit(1)).as("n_supp"))
-        .select(col("n_name"), col("supps"), col("n_supp"),
+        .select(col("n_name"),
+          array_join(transform(col("supps"), _.cast("string")), ",")
+            .as("supps_str"),
+          col("n_supp"),
           element_at(col("supps"), 1).as("first_supp"),
-          slice(col("supps"), 1, 3).as("top3"))
+          array_join(transform(slice(col("supps"), 1, 3), _.cast("string")),
+            ",").as("top3_str"))
         .orderBy("n_name")
     }
   )
@@ -383,8 +390,8 @@ object ExtendedQueries {
       SELECT COALESCE(NULLIF(o_orderstatus, 'P'), '(none)') AS status,
         COUNT(*) AS n_rows,
         COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonnull,
-        SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F'
-            THEN 1 ELSE 0 END) AS nullsafe_f
+        CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F'
+            THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_f
       FROM orders
       GROUP BY 1 ORDER BY status""",
     "q41_interval_range" -> """
@@ -434,10 +441,11 @@ object ExtendedQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q33_array_agg" -> """
-      SELECT n_name, list_sort(list(s_suppkey)) AS supps,
+      SELECT n_name,
+        array_to_string(list_sort(list(s_suppkey)), ',') AS supps_str,
         COUNT(*) AS n_supp,
         list_sort(list(s_suppkey))[1] AS first_supp,
-        list_sort(list(s_suppkey))[1:3] AS top3
+        array_to_string(list_sort(list(s_suppkey))[1:3], ',') AS top3_str
       FROM nation JOIN supplier ON n_nationkey = s_nationkey
       GROUP BY n_name ORDER BY n_name"""
   )

@@ -171,11 +171,17 @@ class DeltaSharingClient(
     s"/shares/${urlEnc(share)}/schemas/${urlEnc(schema)}/tables/${urlEnc(table)}"
 
   /** GET `…/metadata` → NDJSON [protocol, metaData]
-    * (`delta_sharing_client.cpp:305-355`). */
+    * (`delta_sharing_client.cpp:305-355`). `version` asks for the
+    * schema at that table version (protocol `?version=` query param);
+    * servers predating it ignore the param, which the scan detects by
+    * cross-checking the `/query` response's own metaData line. */
   def queryTableMetadata(share: String, schema: String,
-      table: String): TableMetadata = {
+      table: String, version: Option[Long] = None): TableMetadata = {
+    val query = version.map(v => Map("version" -> v.toString))
+      .getOrElse(Map.empty[String, String])
     val lines = parseNdjson(
-      perform("GET", s"${tablePath(share, schema, table)}/metadata").body())
+      perform("GET", s"${tablePath(share, schema, table)}/metadata",
+        query).body())
     parseMetadataLines(lines).getOrElse(
       throw new DeltaSharingException(0,
         s"metadata response for $share.$schema.$table had no metaData line"))
@@ -199,11 +205,18 @@ class DeltaSharingClient(
   def queryTable(
       share: String, schema: String, table: String,
       jsonPredicateHints: Option[String] = None,
+      predicateHints: Seq[String] = Nil,
       limitHint: Option[Long] = None,
       version: Option[Long] = None): TableFiles = {
     val body = mapper.createObjectNode()
     jsonPredicateHints.foreach { h =>
       body.set[JsonNode]("jsonPredicateHints", mapper.readTree(h))
+    }
+    // legacy SQL-string hints, for servers predating jsonPredicateHints
+    // (the reference always sends the field, delta_sharing_client.cpp:381-384)
+    if (predicateHints.nonEmpty) {
+      val arr = body.putArray("predicateHints")
+      predicateHints.foreach(arr.add)
     }
     limitHint.foreach(l => body.put("limitHint", l))
     version.foreach(v => body.put("version", v))

@@ -31,7 +31,7 @@ object PredicateHints {
   /** Delta predicate valueType for a column's Spark type; None when
     * the type can't be hinted (the filter is then untranslatable). */
   private def valueType(dt: DataType): Option[String] = dt match {
-    case BooleanType => Some("boolean")
+    case BooleanType => Some("bool")
     case ByteType | ShortType | IntegerType => Some("int")
     case LongType => Some("long")
     case FloatType => Some("float")
@@ -118,6 +118,47 @@ object PredicateHints {
       for {a <- translate(l, schema); b <- translate(r, schema)}
         yield op("or", Seq(a, b))
     case _ => None
+  }
+
+  /** Legacy SQL-string `predicateHints` entries for partition filters.
+    * Older servers prune on this field only; the reference always
+    * sends it (as a literal placeholder,
+    * `delta_sharing_client.cpp:381-384`). Advisory, so only simple
+    * shapes are rendered; everything else is simply not hinted —
+    * client-side pruning stays the exact gate either way. */
+  def legacyHints(filters: Seq[Filter], schema: StructType): Seq[String] =
+    filters.flatMap(legacySql(_, schema))
+
+  private def legacySql(f: Filter, schema: StructType): Option[String] = {
+    def lit(v: Any): String = v match {
+      case null => "NULL"
+      case _: java.lang.Number | _: java.lang.Boolean => String.valueOf(v)
+      case other =>
+        "'" + literalText(other).replace("'", "''") + "'"
+    }
+    def known(c: String): Boolean = fieldType(schema, c).isDefined
+    f match {
+      case EqualTo(c, v) if known(c) => Some(s"$c = ${lit(v)}")
+      case LessThan(c, v) if known(c) => Some(s"$c < ${lit(v)}")
+      case GreaterThan(c, v) if known(c) => Some(s"$c > ${lit(v)}")
+      case LessThanOrEqual(c, v) if known(c) => Some(s"$c <= ${lit(v)}")
+      case GreaterThanOrEqual(c, v) if known(c) => Some(s"$c >= ${lit(v)}")
+      case IsNull(c) if known(c) => Some(s"$c IS NULL")
+      case IsNotNull(c) if known(c) => Some(s"$c IS NOT NULL")
+      case In(c, vs) if known(c) && vs.nonEmpty && vs.forall(_ != null) =>
+        Some(s"$c IN (${vs.map(lit).mkString(", ")})")
+      case And(l, r) =>
+        (legacySql(l, schema), legacySql(r, schema)) match {
+          case (Some(a), Some(b)) => Some(s"($a) AND ($b)")
+          case (Some(a), None) => Some(a) // one conjunct still prunes
+          case (None, Some(b)) => Some(b)
+          case _ => None
+        }
+      case Or(l, r) =>
+        for { a <- legacySql(l, schema); b <- legacySql(r, schema) }
+          yield s"($a) OR ($b)"
+      case _ => None
+    }
   }
 
   /** Combine all translatable filters under a single `and` (the

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{EOFException, InputStream}
+import java.io.{EOFException, IOException, InputStream}
 import java.net.{HttpURLConnection, URI, URL}
 import java.nio.charset.StandardCharsets
 import java.util.Base64
@@ -10,7 +10,7 @@ import org.apache.hadoop.fs._
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
-/** Read-only Hadoop FileSystem that resolves `graftds:/<size>/<b64>`
+/** Read-only Hadoop FileSystem that resolves `graftds:/<size>/<b64-id>`
   * paths to presigned HTTP(S) URLs and serves ranged reads, so Spark's
   * vectorized parquet reader streams shared files directly from object
   * storage on each executor.
@@ -23,6 +23,14 @@ import org.apache.hadoop.util.Progressable
   * from `FileAction.size`), so `getFileStatus` never touches the
   * network — at 100 TB scale, per-file HEAD requests from every task
   * would otherwise dominate.
+  *
+  * The path carries only an opaque **file id**, never the signed URL:
+  * paths surface in the Spark UI, event logs, and task failure
+  * messages, and a presigned URL there is a leaked credential. The id
+  * resolves to the current URL through [[PresignedUrlCache]], which
+  * also re-issues the original `/query` POST when a URL expires
+  * mid-scan (multi-hour 100 TB scans outlive typical ~1 h URL TTLs;
+  * task retries alone would re-read the same dead URL).
   *
   * Seek is implemented as close-and-reopen with an HTTP `Range`
   * header; positioned reads issue an independent one-shot ranged GET,
@@ -44,8 +52,11 @@ class PresignedUrlFileSystem extends FileSystem {
   override def setWorkingDirectory(dir: Path): Unit = ()
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    val (url, size) = PresignedUrlFileSystem.decode(f)
-    new FSDataInputStream(new HttpRangeInputStream(url, size))
+    val (id, size) = PresignedUrlFileSystem.decode(f)
+    new FSDataInputStream(new HttpRangeInputStream(
+      () => PresignedUrlCache.urlFor(id),
+      stale => PresignedUrlCache.refresh(id, stale),
+      size))
   }
 
   override def getFileStatus(f: Path): FileStatus = {
@@ -78,48 +89,145 @@ object PresignedUrlFileSystem {
   val ImplConfKey = s"fs.$Scheme.impl"
   val ImplClass: String = classOf[PresignedUrlFileSystem].getName
 
-  /** Encode a presigned URL + its known size as a graftds path. */
-  def encode(url: String, size: Long): String = {
+  /** Encode an opaque file id + known size as a graftds path (the id
+    * is base64url'd so arbitrary server-issued ids stay path-safe). */
+  def encode(fileId: String, size: Long): String = {
     val b64 = Base64.getUrlEncoder.withoutPadding()
-      .encodeToString(url.getBytes(StandardCharsets.UTF_8))
+      .encodeToString(fileId.getBytes(StandardCharsets.UTF_8))
     s"$Scheme:/$size/$b64"
   }
 
-  /** Inverse of [[encode]]. */
+  /** Inverse of [[encode]]: (fileId, size). */
   def decode(p: Path): (String, Long) = {
     val parts = p.toUri.getPath.stripPrefix("/").split("/", 2)
-    val url = new String(Base64.getUrlDecoder.decode(parts(1)),
+    val id = new String(Base64.getUrlDecoder.decode(parts(1)),
       StandardCharsets.UTF_8)
-    (url, parts(0).toLong)
+    (id, parts(0).toLong)
   }
 
   /** Register the scheme on a Hadoop conf (idempotent). */
   def register(conf: Configuration): Unit =
     conf.set(ImplConfKey, ImplClass)
+
+  /** Credential-safe rendering of a presigned URL (query string holds
+    * the signature). */
+  private[sources] def redact(url: String): String = url.split('?').head
 }
 
+/** Executor-local file-id → presigned-URL registry with expiry
+  * refresh. InputPartitions carry (id, url) pairs and the reader
+  * factory registers them on the executor before opening the file, so
+  * the mapping exists in every JVM that reads — no driver round-trip.
+  * On HTTP 403 (expired signature) the reading task re-issues the
+  * scan's original `/query` POST via the stored [[RefreshSpec]] and
+  * swaps in the fresh URLs for every file of the response.
+  */
+object PresignedUrlCache {
+
+  /** Everything needed to re-issue the original `/query` from an
+    * executor when a presigned URL expires mid-scan. */
+  final case class RefreshSpec(
+      profile: DeltaSharingProfile,
+      share: String, schema: String, table: String,
+      jsonPredicateHints: Option[String],
+      predicateHints: Seq[String],
+      limitHint: Option[Long],
+      version: Option[Long])
+
+  /** Stable identity for a shared file: the server's `id` when
+    * present, else a digest of the URL with its (re-signed, volatile)
+    * query string stripped. */
+  def fileId(f: FileAction): String =
+    if (f.id.nonEmpty) f.id
+    else {
+      val stable = PresignedUrlFileSystem.redact(f.url)
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(stable.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+
+  private val urls = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val specs = new java.util.concurrent.ConcurrentHashMap[String, RefreshSpec]()
+
+  /** putIfAbsent semantics: a task retry replaying the original
+    * partition must not clobber a URL an expiry refresh renewed. */
+  def register(id: String, url: String, spec: RefreshSpec): Unit = {
+    urls.putIfAbsent(id, url)
+    specs.putIfAbsent(id, spec)
+  }
+
+  def urlFor(id: String): String = {
+    val u = urls.get(id)
+    if (u == null)
+      throw new IOException(s"no presigned URL registered for file id $id")
+    u
+  }
+
+  /** Re-POST the scan's `/query` and refresh every returned file's
+    * URL. Serialized so a wave of simultaneously-expired tasks issues
+    * one POST: callers that raced see `urls` already changed from
+    * their stale value and return without a network call. */
+  def refresh(id: String, staleUrl: String): String = synchronized {
+    val current = urls.get(id)
+    if (current != null && current != staleUrl) current
+    else {
+      val spec = specs.get(id)
+      if (spec == null)
+        throw new IOException(s"cannot refresh presigned URL for unknown file id $id")
+      val files = new DeltaSharingClient(spec.profile).queryTable(
+        spec.share, spec.schema, spec.table,
+        jsonPredicateHints = spec.jsonPredicateHints,
+        predicateHints = spec.predicateHints,
+        limitHint = spec.limitHint,
+        version = spec.version).files
+      files.foreach(f => urls.put(fileId(f), f.url))
+      urlFor(id)
+    }
+  }
+
+  /** Test hook. */
+  private[graft] def clear(): Unit = { urls.clear(); specs.clear() }
+}
+
+/** Non-2xx from the object store; carries the status so the retry loop
+  * can distinguish expiry (403 → refresh) from transient failures. The
+  * message holds only the redacted URL. */
+private[sources] final class HttpStatusException(
+    val code: Int, message: String) extends IOException(message)
+
 /** Seekable ranged-HTTP input stream (also handles `file:` URLs so
-  * stub-server tests and local smoke runs skip the HTTP hop). */
-private[sources] class HttpRangeInputStream(url: String, size: Long)
+  * stub-server tests and local smoke runs skip the HTTP hop). The URL
+  * is re-resolved through `resolve` on every (re)open and `refresh` is
+  * invoked once per open on HTTP 401/403, so an expired presigned URL
+  * heals inside the running task instead of failing the job. */
+private[sources] class HttpRangeInputStream(
+    resolve: () => String,
+    refresh: String => String,
+    size: Long)
   extends InputStream with Seekable with PositionedReadable {
 
   private var pos = 0L
   private var in: InputStream = _
   private var inPos = -1L // stream's current offset, -1 = closed
 
-  private def isLocal: Boolean = url.startsWith("file:") || url.startsWith("/")
+  private def isLocal(url: String): Boolean =
+    url.startsWith("file:") || url.startsWith("/")
 
-  private def localPath: java.nio.file.Path =
+  private def localPath(url: String): java.nio.file.Path =
     if (url.startsWith("file:")) java.nio.file.Paths.get(URI.create(url))
     else java.nio.file.Paths.get(url)
 
-  private def openAt(offset: Long): InputStream =
-    if (isLocal) {
-      val ch = java.nio.file.Files.newInputStream(localPath)
+  private def redact(url: String): String =
+    PresignedUrlFileSystem.redact(url)
+
+  private def openAt(url: String, offset: Long): InputStream =
+    if (isLocal(url)) {
+      val ch = java.nio.file.Files.newInputStream(localPath(url))
       var skipped = 0L
       while (skipped < offset) {
         val s = ch.skip(offset - skipped)
-        if (s <= 0) throw new EOFException(s"cannot skip to $offset in $url")
+        if (s <= 0) throw new EOFException(
+          s"cannot skip to $offset in ${redact(url)}")
         skipped += s
       }
       ch
@@ -130,31 +238,37 @@ private[sources] class HttpRangeInputStream(url: String, size: Long)
       if (offset > 0) conn.setRequestProperty("Range", s"bytes=$offset-")
       val code = conn.getResponseCode
       if (code != 200 && code != 206)
-        throw new java.io.IOException(s"HTTP $code reading $url at offset $offset")
+        throw new HttpStatusException(code,
+          s"HTTP $code reading ${redact(url)} at offset $offset")
       if (offset > 0 && code == 200) {
         // server ignored Range: emulate by skipping
         val s = conn.getInputStream
         var skipped = 0L
         while (skipped < offset) {
           val k = s.skip(offset - skipped)
-          if (k <= 0) throw new EOFException(s"cannot skip to $offset in $url")
+          if (k <= 0) throw new EOFException(
+            s"cannot skip to $offset in ${redact(url)}")
           skipped += k
         }
         s
       } else conn.getInputStream
     }
 
-  /** Transient-failure retry: long scans of presigned URLs hit
-    * connection resets; 3 attempts with backoff before surfacing.
-    * (URL *expiry* — 403 after `expirationTimestamp` — needs a fresh
-    * `/query` from the driver; the task failure propagates and
-    * Spark's task retry re-plans, which re-POSTs.) */
+  /** Transient-failure retry (3 attempts with backoff) plus one
+    * expiry refresh: a 401/403 means the presigned signature lapsed,
+    * so re-resolve through the refresh callback and continue. */
   private def openWithRetry(offset: Long): InputStream = {
     var attempt = 0
+    var refreshed = false
     while (true) {
-      try return openAt(offset)
+      val url = resolve()
+      try return openAt(url, offset)
       catch {
-        case e: java.io.IOException if attempt < 3 =>
+        case e: HttpStatusException
+            if (e.code == 401 || e.code == 403) && !refreshed =>
+          refreshed = true
+          refresh(url) // next resolve() sees the renewed URL
+        case _: java.io.IOException if attempt < 3 =>
           attempt += 1
           Thread.sleep(200L << attempt)
       }
@@ -198,7 +312,9 @@ private[sources] class HttpRangeInputStream(url: String, size: Long)
       length: Int): Int = {
     if (position >= size) return -1
     val s = openWithRetry(position)
-    try s.read(buffer, offset, math.min(length, (size - position).toInt))
+    // min as Long BEFORE narrowing: >2 GiB remaining would overflow a
+    // (size - position).toInt to negative
+    try s.read(buffer, offset, math.min(length.toLong, size - position).toInt)
     finally s.close()
   }
 
@@ -209,7 +325,8 @@ private[sources] class HttpRangeInputStream(url: String, size: Long)
     try {
       while (done < length) {
         val n = s.read(buffer, offset + done, length - done)
-        if (n < 0) throw new EOFException(s"EOF at ${position + done} in $url")
+        if (n < 0) throw new EOFException(
+          s"EOF at ${position + done} reading shared file")
         done += n
       }
     } finally s.close()

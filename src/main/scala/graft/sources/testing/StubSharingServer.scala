@@ -29,6 +29,14 @@ class StubSharingServer(
   /** files served over HTTP with Range support: name -> local path */
   @volatile var httpFiles: Map[String, Path] = Map.empty
 
+  /** Presigned-URL expiry simulation: when set, the FIRST `/query`
+    * response signs file URLs with `?sig=stale` (which `/files`
+    * rejects with 403) and every later `/query` signs with
+    * `?sig=fresh` — exactly the "URL expired between planning and the
+    * task read; a re-POST returns a renewed URL" scenario. */
+  @volatile var expireFirstQueryUrls: Boolean = false
+  private val queryCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
@@ -112,11 +120,21 @@ class StubSharingServer(
               lastQueryBody = new String(
                 ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
               val (_, _, files) = tables(t)
+              val n = queryCount.incrementAndGet()
+              val sig =
+                if (!expireFirstQueryUrls) None
+                else Some(if (n == 1) "stale" else "fresh")
               val fileLines = files.map { case (url, size, pv) =>
                 val pvJson = pv.map { case (k, v) =>
                   s""""$k":${if (v == null) "null" else s""""$v""""}"""
                 }.mkString(",")
-                s"""{"file":{"url":"$url","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size,"stats":"{\\"numRecords\\":1}","version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
+                // id derives from the UNsigned url — stable across
+                // re-signing, as real servers' file ids are
+                val signed = sig match {
+                  case Some(s) if url.startsWith("http") => s"$url?sig=$s"
+                  case _ => url
+                }
+                s"""{"file":{"url":"$signed","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size,"stats":"{\\"numRecords\\":1}","version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
               }
               send(ex, 200, (metaNdjson(t) +: fileLines).mkString("\n"))
             }
@@ -132,7 +150,10 @@ class StubSharingServer(
   // parquet bytes with Range support (presigned-URL stand-in)
   server.createContext("/files", (ex: HttpExchange) => {
     val name = ex.getRequestURI.getPath.stripPrefix("/files/")
-    httpFiles.get(name) match {
+    val sigOk = !expireFirstQueryUrls ||
+      Option(ex.getRequestURI.getQuery).exists(_.contains("sig=fresh"))
+    if (!sigOk) send(ex, 403, """{"message":"signature expired"}""")
+    else httpFiles.get(name) match {
       case None => send(ex, 404, "not found")
       case Some(p) =>
         val bytes = Files.readAllBytes(p)

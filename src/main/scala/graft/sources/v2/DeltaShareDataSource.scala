@@ -38,13 +38,17 @@ class DeltaShareDataSource extends TableProvider with DataSourceRegister {
   private var cachedMeta: Option[(TableAddress, TableMetadata)] = None
 
   private def metadataFor(options: CaseInsensitiveStringMap)
-      : (TableAddress, TableMetadata) = {
+      : (TableAddress, TableMetadata) = synchronized {
     val addr = TableAddress.fromOptions(options)
     cachedMeta match {
       case Some((a, m)) if a == addr => (a, m)
       case _ =>
         val client = new DeltaSharingClient(addr.profile)
-        val meta = client.queryTableMetadata(addr.share, addr.schema, addr.table)
+        // versionAsOf: ask for version-consistent metadata (servers
+        // that ignore the param are caught by DeltaShareScan's /query
+        // schema cross-check)
+        val meta = client.queryTableMetadata(addr.share, addr.schema,
+          addr.table, version = addr.versionAsOf)
         cachedMeta = Some((addr, meta))
         (addr, meta)
     }

@@ -64,10 +64,16 @@ class DeltaShareScanBuilder(
       PartitionValues.isPartitionOnly(_, partitionCols))
     partitionFilters = pf
     dataFilters = df
-    // partition filters are applied exactly (file pruning); data
-    // filters reach parquet row-group stats but are inexact there, so
-    // Spark must re-evaluate them above the scan.
-    df
+    // Partition filters whose shape the client-side evaluator decides
+    // for every possible value (PartitionValues.isExact) are fully
+    // applied by file pruning; every other partition filter is
+    // returned as a residual so Spark re-evaluates it above the scan —
+    // claiming an undecidable shape as applied would return wrong
+    // rows. Data filters reach parquet row-group stats but are inexact
+    // there, so they are always residuals.
+    val inexactPartitionFilters =
+      pf.filterNot(PartitionValues.isExact(_, partitionSchema))
+    df ++ inexactPartitionFilters
   }
 
   override def pushedFilters(): Array[Filter] =
@@ -125,16 +131,42 @@ class DeltaShareScan(
       s"[files pruned by ${partitionFilters.length} partition filter(s), " +
       s"hints from ${dataFilters.length} data filter(s), limit=$limit]"
 
+  private lazy val jsonHints: Option[String] = PredicateHints.buildHints(
+    (partitionFilters ++ dataFilters).toSeq,
+    StructType(dataSchema.fields ++ partitionSchema.fields))._1
+
+  /** Legacy SQL-string `predicateHints` — older servers prune on these
+    * only (the reference always sends the field,
+    * `delta_sharing_client.cpp:381-384`). */
+  private lazy val legacyHints: Seq[String] = PredicateHints.legacyHints(
+    partitionFilters.toSeq, partitionSchema)
+
+  /** Everything an executor needs to re-issue this scan's `/query`
+    * when a presigned URL expires mid-task. */
+  private def refreshSpec = PresignedUrlCache.RefreshSpec(
+    addr.profile, addr.share, addr.schema, addr.table,
+    jsonHints, legacyHints, limit.map(_.toLong), addr.versionAsOf)
+
   /** One `/query` POST per scan, memoized — statistics estimation and
     * partition planning share it. */
   private lazy val queriedFiles: Seq[graft.sources.FileAction] = {
-    val (hints, _) = PredicateHints.buildHints(
-      (partitionFilters ++ dataFilters).toSeq,
-      StructType(dataSchema.fields ++ partitionSchema.fields))
     val client = new DeltaSharingClient(addr.profile)
-    client.queryTable(addr.share, addr.schema, addr.table,
-      jsonPredicateHints = hints, limitHint = limit.map(_.toLong),
-      version = addr.versionAsOf).files
+    val resp = client.queryTable(addr.share, addr.schema, addr.table,
+      jsonPredicateHints = jsonHints, predicateHints = legacyHints,
+      limitHint = limit.map(_.toLong), version = addr.versionAsOf)
+    // Time travel: the plan's schema came from head-version metadata;
+    // if the requested version's metaData line disagrees, reading its
+    // files with the newer schema would silently mis-decode — fail
+    // loudly instead (schema evolution across shared versions is out
+    // of scope, as in the reference).
+    if (addr.versionAsOf.isDefined && resp.metadata.schemaString.nonEmpty &&
+        meta.schemaString.nonEmpty &&
+        resp.metadata.schemaString != meta.schemaString)
+      throw new DeltaSharingException(0,
+        s"table ${addr.share}.${addr.schema}.${addr.table} at version " +
+          s"${addr.versionAsOf.get} has a different schema than the " +
+          "current version; reading across schema changes is not supported")
+    resp.files
   }
 
   /** Exact client-side partition pruning (static + runtime filters) —
@@ -182,45 +214,63 @@ class DeltaShareScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     prunedFiles.map { f =>
+      val presigned =
+        f.url.startsWith("http://") || f.url.startsWith("https://")
       val path =
-        if (f.url.startsWith("http://") || f.url.startsWith("https://"))
-          PresignedUrlFileSystem.encode(f.url, f.size)
+        if (presigned)
+          PresignedUrlFileSystem.encode(PresignedUrlCache.fileId(f), f.size)
         else f.url
-      DeltaShareInputPartition(path, f.size, f.partitionValues)
+      DeltaShareInputPartition(path, f.size, f.partitionValues,
+        fileId = if (presigned) PresignedUrlCache.fileId(f) else "",
+        url = if (presigned) f.url else "")
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // Build Spark's own parquet reader closure (vectorized decode,
     // row-group pruning from pushed data filters, partition-column
-    // append) — it is designed to be serialized to executors.
+    // append) — it is designed to be serialized to executors. Only the
+    // REQUIRED partition columns are appended: the reader's output
+    // must line up ordinally with readSchema() (requiredDataSchema ++
+    // requiredPartitionSchema), so passing the full partitionSchema
+    // here would misalign any query projecting a subset of ≥2
+    // partition columns.
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = dataSchema,
-      partitionSchema = partitionSchema,
+      partitionSchema = requiredPartitionSchema,
       requiredSchema = requiredDataSchema,
       filters = dataFilters.toSeq,
       options = Map(
         "returning_batch" -> "false",
         "mergeSchema" -> "false"),
       hadoopConf = hadoopConf)
-    DeltaSharePartitionReaderFactory(readFunc, partitionSchema,
-      new SerializableConfiguration(hadoopConf))
+    DeltaSharePartitionReaderFactory(readFunc, requiredPartitionSchema,
+      new SerializableConfiguration(hadoopConf), refreshSpec)
   }
 }
 
 final case class DeltaShareInputPartition(
     path: String,
     size: Long,
-    partitionValues: Map[String, String]) extends InputPartition
+    partitionValues: Map[String, String],
+    fileId: String,
+    url: String) extends InputPartition
 
 final case class DeltaSharePartitionReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     partitionSchema: StructType,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    refreshSpec: PresignedUrlCache.RefreshSpec) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DeltaShareInputPartition]
+    // Executor-side id→URL registration: the graftds path carries only
+    // an opaque file id (presigned URLs must not leak into paths/UI);
+    // registerIfAbsent so a task retry never clobbers a URL an expiry
+    // refresh already renewed.
+    if (p.fileId.nonEmpty)
+      PresignedUrlCache.register(p.fileId, p.url, refreshSpec)
     val pf = PartitionedFile(
       partitionValues =
         PartitionValues.toInternalRow(p.partitionValues, partitionSchema),

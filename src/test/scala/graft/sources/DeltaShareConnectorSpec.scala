@@ -148,6 +148,89 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       m.contains("nope.parquet")), s"unhelpful error: ${messages(e)}")
   }
 
+  test("two partition columns: projecting only the later one stays aligned") {
+    // regression: building the reader with the FULL partition schema
+    // while readSchema() declares only the required subset misaligns
+    // ordinals when a query projects a strict subset of ≥2 partition
+    // columns
+    val dir = Files.createTempDirectory("graft-share-2pc")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+    li.write.partitionBy("l_returnflag", "l_linestatus").mode("overwrite")
+      .parquet(dir.toString)
+    val files = Seq.newBuilder[(String, Long, Map[String, String])]
+    Files.list(dir).forEach { d1 =>
+      val n1 = d1.getFileName.toString
+      if (n1.startsWith("l_returnflag=")) Files.list(d1).forEach { d2 =>
+        val n2 = d2.getFileName.toString
+        if (n2.startsWith("l_linestatus=")) Files.list(d2).forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            files += ((f.toUri.toString, Files.size(f), Map(
+              "l_returnflag" -> n1.stripPrefix("l_returnflag="),
+              "l_linestatus" -> n2.stripPrefix("l_linestatus="))))
+        }
+      }
+    }
+    server.tables = server.tables + ("li2pc" -> ((li.schema.json,
+      Seq("l_returnflag", "l_linestatus"), files.result())))
+    val shared = spark.read.format("deltashare")
+      .option("endpoint", server.endpoint).option("bearerToken", "tok")
+      .load("share1.schema1.li2pc")
+      // project ONLY the second partition column (plus one data col)
+      .groupBy("l_linestatus").agg(sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val direct = li.groupBy("l_linestatus").agg(sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(shared == direct)
+    // and first-only projection too
+    val sharedFlags = spark.read.format("deltashare")
+      .option("endpoint", server.endpoint).option("bearerToken", "tok")
+      .load("share1.schema1.li2pc")
+      .select("l_returnflag").distinct().collect().map(_.getString(0)).sorted
+    assert(sharedFlags.sameElements(Array("A", "N", "R")))
+  }
+
+  test("undecidable partition filter shapes return correct rows (residual)") {
+    // <=> on a partition column: the client evaluator handles it
+    // exactly now, but the residual contract is what guarantees
+    // correctness for any shape — compare against the direct read
+    val df = read().filter(col("l_returnflag") <=> "A")
+    assert(df.count() == flagACount)
+    val df2 = read().filter(not(col("l_returnflag").endsWith("A")))
+    val direct2 = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(not(col("l_returnflag").endsWith("A"))).count()
+    assert(df2.count() == direct2)
+  }
+
+  test("presigned url that expired between planning and read heals mid-scan") {
+    val src = Paths.get("/root/testdata/sf0.001/customer.parquet")
+    val expServer = new StubSharingServer(expectedToken = "tok").start()
+    try {
+      expServer.httpFiles = Map("customer.parquet" -> src)
+      expServer.expireFirstQueryUrls = true // first /query signs stale URLs
+      val schema = spark.read.parquet(src.toString).schema.json
+      expServer.tables = Map("customer" -> ((schema, Seq.empty,
+        Seq((s"http://127.0.0.1:${expServer.port}/files/customer.parquet",
+          Files.size(src), Map.empty[String, String])))))
+      val n = spark.read.format("deltashare")
+        .option("endpoint", expServer.endpoint).option("bearerToken", "tok")
+        .load("share1.schema1.customer")
+        .count()
+      assert(n == spark.read.parquet(src.toString).count())
+    } finally expServer.stop()
+  }
+
+  test("graftds paths and read errors never leak the signed query string") {
+    val p = PresignedUrlFileSystem.encode("file-id-1", 123L)
+    assert(!p.contains("sig=") && !p.contains("http"))
+    assert(PresignedUrlFileSystem.decode(new org.apache.hadoop.fs.Path(p)) ==
+      ("file-id-1", 123L))
+    assert(PresignedUrlFileSystem.redact(
+      "https://bucket/obj.parquet?X-Amz-Signature=secret") ==
+      "https://bucket/obj.parquet")
+  }
+
   test("presigned HTTP urls with Range requests read end-to-end") {
     val src = Paths.get("/root/testdata/sf0.001/orders.parquet")
     server.httpFiles = Map("orders.parquet" -> src)

@@ -88,8 +88,11 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.queryTable("share1", "schema1", "lineitem",
       jsonPredicateHints = Some(
         """{"op":"equal","children":[{"op":"column","name":"l_returnflag","valueType":"string"},{"op":"literal","value":"A","valueType":"string"}]}"""),
+      predicateHints = Seq("l_returnflag = 'A'"),
       limitHint = Some(42L))
     assert(server.lastQueryBody.contains(""""jsonPredicateHints""""))
+    assert(server.lastQueryBody.contains(
+      """"predicateHints":["l_returnflag = 'A'"]"""))
     assert(server.lastQueryBody.contains(""""limitHint":42"""))
   }
 

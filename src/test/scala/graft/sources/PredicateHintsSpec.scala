@@ -25,8 +25,9 @@ class PredicateHintsSpec extends AnyFunSuite {
 
   test("valueTypes are faithful, not collapsed to {int,string}") {
     // the reference maps BOOLEAN/…/DOUBLE → "int" (lossy,
-    // duck_delta_share_extension.cpp:271-283); we keep real types
-    assert(json(EqualTo("b", true)).contains(""""valueType":"boolean""""))
+    // duck_delta_share_extension.cpp:271-283); we keep real types.
+    // NB the jsonPredicateHints grammar spells boolean "bool".
+    assert(json(EqualTo("b", true)).contains(""""valueType":"bool""""))
     assert(json(EqualTo("l", 5L)).contains(""""valueType":"long""""))
     assert(json(EqualTo("d", 1.5)).contains(""""valueType":"double""""))
     assert(json(EqualTo("dt", java.sql.Date.valueOf("2024-01-02")))
@@ -73,12 +74,24 @@ class PredicateHintsSpec extends AnyFunSuite {
       Seq(EqualTo("i", 1), LessThan("l", 9L)), schema)
     assert(hint.get.startsWith("""{"op":"and""""))
   }
+
+  test("legacy SQL-string hints render simple shapes") {
+    val hints = PredicateHints.legacyHints(Seq(
+      EqualTo("s", "a'b"), GreaterThanOrEqual("i", 5),
+      In("l", Array(1L, 2L)), IsNotNull("d"),
+      And(EqualTo("i", 1), LessThan("l", 9L)),
+      StringContains("s", "x") // not renderable → skipped
+    ), schema)
+    assert(hints == Seq("s = 'a''b'", "i >= 5", "l IN (1, 2)",
+      "d IS NOT NULL", "(i = 1) AND (l < 9)"))
+  }
 }
 
 class PartitionValuesSpec extends AnyFunSuite {
   private val pschema = StructType(Seq(
     StructField("flag", StringType), StructField("n", IntegerType),
-    StructField("day", DateType)))
+    StructField("day", DateType),
+    StructField("price", DecimalType(10, 2))))
 
   private def keep(f: Filter, vs: Map[String, String]): Boolean =
     PartitionValues.evalFilter(f, vs, pschema)
@@ -107,8 +120,50 @@ class PartitionValuesSpec extends AnyFunSuite {
     assert(!keep(Not(EqualTo("flag", "A")), vs))
   }
 
-  test("unknown shapes keep the file (pruning stays sound)") {
-    assert(keep(StringEndsWith("flag", "zzz"), Map("flag" -> "A")))
+  test("string match filters evaluate exactly") {
+    assert(!keep(StringEndsWith("flag", "zzz"), Map("flag" -> "A")))
+    assert(keep(StringEndsWith("flag", "A"), Map("flag" -> "BA")))
+    assert(keep(StringContains("flag", "B"), Map("flag" -> "ABC")))
+    assert(!keep(StringContains("flag", "z"), Map("flag" -> "ABC")))
+  }
+
+  test("null-safe equality is exact (was silently unfiltered)") {
+    assert(keep(EqualNullSafe("flag", "A"), Map("flag" -> "A")))
+    assert(!keep(EqualNullSafe("flag", "A"), Map("flag" -> null)))
+    assert(keep(EqualNullSafe("flag", null), Map("flag" -> null)))
+    assert(!keep(EqualNullSafe("flag", null), Map("flag" -> "A")))
+    assert(PartitionValues.isExact(EqualNullSafe("flag", "A"), pschema))
+  }
+
+  test("decimal partition values compare numerically, not as strings") {
+    // "10.00" vs literal 10 — a string compare would wrongly prune
+    assert(keep(EqualTo("price", new java.math.BigDecimal("10")),
+      Map("price" -> "10.00")))
+    assert(keep(GreaterThan("price", new java.math.BigDecimal("9.99")),
+      Map("price" -> "10.00")))
+    assert(!keep(EqualTo("price", new java.math.BigDecimal("10.01")),
+      Map("price" -> "10.00")))
+    assert(PartitionValues.isExact(
+      EqualTo("price", new java.math.BigDecimal("10")), pschema))
+  }
+
+  test("undecidable shapes keep the file and are not exact") {
+    // unsupported filter shape: unknown column reference
+    assert(keep(EqualTo("nope", "A"), Map("flag" -> "A")))
+    assert(!PartitionValues.isExact(EqualTo("nope", "A"), pschema))
+    // NOT over a null comparison follows SQL three-valued logic:
+    // NULL != 'A' is unknown → rows not selected → file prunable
+    assert(!keep(Not(EqualTo("flag", "A")), Map("flag" -> null)))
+    // but NOT over a definite false keeps
+    assert(keep(Not(EqualTo("flag", "B")), Map("flag" -> "A")))
+  }
+
+  test("SQL NULL at top level prunes; IN handles null members") {
+    // pushed conjunct evaluating to NULL selects no rows
+    assert(!keep(GreaterThan("n", 5), Map("n" -> null)))
+    assert(keep(In("flag", Array("A", null)), Map("flag" -> "A")))
+    assert(!keep(In("flag", Array("B", null)), Map("flag" -> "A")))
+    assert(!PartitionValues.isExact(In("flag", Array("B", null)), pschema))
   }
 
   test("partition-only classification is case-insensitive") {
