@@ -119,6 +119,46 @@ object HashOps {
     acc
   }
 
+  /** Trigram-profile language ID tables — languages in ascending
+    * order; ties in hit count resolve to the first (alphabetically
+    * smallest) language, matching the HOF/SQL twins' rank encoding. */
+  private val TrigramLangs: Array[UTF8String] =
+    Array("de", "en", "es", "fr", "zh").map(UTF8String.fromString)
+  private val TrigramProfiles: Array[Array[String]] = Array(
+    Array("der", "ein", "ich", "sch", "und", "en ", " ge"),
+    Array("the", "ing", "and", "ion", "ent", "er ", " th"),
+    Array("que", "ión", "ent", "ar ", " de", "la ", "os "),
+    Array("les", "ent", "ion", "de ", " le", "es ", "une"),
+    Array("shi", "zho", "ong", "ang", "ian", "eng", "uan"))
+
+  /** Character-trigram language ID in one pass over the lowercased
+    * string (twin of `TextAnalysis.langIdTrigramHof` and the DuckDB
+    * oracle). A profile trigram "hits" iff it occurs as 3 consecutive
+    * characters of `lower(text)` — exactly membership in the
+    * document's distinct-trigram set, because profiles are all length
+    * 3 (documents shorter than 3 chars produce only sub-3-length
+    * grams, which `contains` likewise never matches). Uses
+    * `UTF8String.toLowerCase` so case mapping is identical to the
+    * `lower()` the HOF twin applies. */
+  def trigramLangId(s: UTF8String): UTF8String = {
+    val t = s.toLowerCase.toString
+    var best = 0
+    var bestHits = -1
+    var li = 0
+    while (li < TrigramProfiles.length) {
+      val prof = TrigramProfiles(li)
+      var hits = 0
+      var pi = 0
+      while (pi < prof.length) {
+        if (t.contains(prof(pi))) hits += 1
+        pi += 1
+      }
+      if (hits > bestHits) { bestHits = hits; best = li }
+      li += 1
+    }
+    TrigramLangs(best)
+  }
+
   def minhash(fps: Array[Long], numHashes: Int): Array[Long] = {
     val out = new Array[Long](numHashes)
     var i = 0
@@ -172,6 +212,20 @@ case class SimHash30(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash30 = copy(c)
 }
 
+/** `trigram_lang_id(str)` — codegen'd character-trigram language ID.
+  * Replaces an interpreted HOF chain (per-char split + per-trigram
+  * array materialization) that cost ~15 ms/document with one JVM
+  * substring scan per profile — the t07 hot path. */
+case class TrigramLangId(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    HashOps.trigramLangId(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.trigramLangId($c)")
+  override protected def withNewChildInternal(c: Expression): TrigramLangId = copy(c)
+}
+
 /** `minhash_sig(fps, n)` — MinHash signature of a fingerprint array. */
 case class MinHashSig(child: Expression, numHashes: Int)
   extends UnaryExpression {
@@ -211,6 +265,7 @@ object hashFunctions {
   def poly_hash(c: Column): Column = toCol(PolyHash(toExpr(c)))
   def shingle_fps(c: Column, k: Int): Column = toCol(ShingleFps(toExpr(c), k))
   def simhash30(c: Column): Column = toCol(SimHash30(toExpr(c)))
+  def trigram_lang_id(c: Column): Column = toCol(TrigramLangId(toExpr(c)))
   def minhash_sig(c: Column, n: Int): Column = toCol(MinHashSig(toExpr(c), n))
   def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
 
@@ -220,6 +275,8 @@ object hashFunctions {
       "poly_hash", exprs => PolyHash(exprs.head))
     org.apache.spark.sql.GraftBridge.registerFunction(spark,
       "simhash30", exprs => SimHash30(exprs.head))
+    org.apache.spark.sql.GraftBridge.registerFunction(spark,
+      "trigram_lang_id", exprs => TrigramLangId(exprs.head))
     org.apache.spark.sql.GraftBridge.registerFunction(spark,
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)))
   }
