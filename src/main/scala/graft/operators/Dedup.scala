@@ -54,18 +54,47 @@ object Dedup {
       shingles(col("text"), k).as("sh"),
       size(shingles(col("text"), k)).as("n_sh"))
 
-  /** N-gram Jaccard near-dup pairs: explode distinct shingles, join on
-    * shingle, count common, threshold with INTEGER math
-    * (`common*100 >= pct*union`) so the cut is exact. */
-  def jaccardPairs(docs: DataFrame, k: Int = 3, pct: Int = 85): DataFrame = {
+  /** N-gram Jaccard near-dup pairs, in two stages:
+    *
+    *  1. **candidate generation** — explode distinct shingles, drop
+    *     shingles whose document frequency exceeds `maxShingleDf`
+    *     (a shingle shared by d documents otherwise lands d rows on
+    *     ONE shuffle key and emits d² candidate pairs — boilerplate
+    *     text makes that a single-task quadratic blowup at 100 TB),
+    *     then self-join on the surviving shingles;
+    *  2. **exact verify** — join candidates back to the FULL
+    *     (uncapped) shingle arrays and threshold on exact
+    *     intersection/union with INTEGER math
+    *     (`common*100 >= pct*union`), so every emitted pair's Jaccard
+    *     is computed over all shingles, capped or not.
+    *
+    * The cap can only lose pairs whose every common shingle is in
+    * > `maxShingleDf` documents — for near-dup thresholds those are
+    * boilerplate-only matches, the standard df-cut trade-off. */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, pct: Int = 85,
+      maxShingleDf: Int = 100): DataFrame = {
     val ds = docShingles(docs, k)
-    val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = ex.toDF("a_id", "a_n", "s")
-    val b = ex.toDF("b_id", "b_n", "s")
-    a.join(b, "s")
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    // anti-join against the HOT set (df > cap), not inner-join against
+    // the rare set: hot shingles are by construction the small side
+    // (≤ total-occurrences/cap distinct values), so AQE turns this
+    // into a broadcast anti-join, and the df aggregation shuffles `ex`
+    // by `s` exactly like the candidate join does → exchange reuse
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("s")
+    val capped = ex.join(hot, Seq("s"), "left_anti")
+    val cands = capped.select(col("s"), col("doc_id").as("a_id"))
+      .join(capped.select(col("s"), col("doc_id").as("b_id")), "s")
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_n", "b_n")
-      .agg(count(lit(1)).as("common"))
+      .select("a_id", "b_id")
+      .distinct()
+    cands
+      .join(ds.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("n_sh").as("a_n")), "a_id")
+      .join(ds.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("n_sh").as("b_n")), "b_id")
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("u", col("a_n") + col("b_n") - col("common"))
       .filter(col("common") * 100 >= col("u") * pct)
       .select(col("a_id"), col("b_id"), col("common"),

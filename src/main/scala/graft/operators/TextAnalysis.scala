@@ -95,8 +95,22 @@ object TextAnalysis {
   /** Character-trigram language ID — the n-gram-profile heuristic
     * (Cavnar-Trenkle style, tiny fixed profiles): score = number of
     * profile trigrams present in the document's trigram set;
-    * deterministic tie-break on language code. */
-  def langIdTrigram(text: Column): Column = {
+    * deterministic tie-break on language code.
+    *
+    * Backed by the codegen'd [[graft.functions.TrigramLangId]]
+    * expression — one JVM substring scan per profile instead of the
+    * interpreted per-character HOF chain ([[langIdTrigramHof]], kept
+    * as the semantics twin the equivalence spec checks against). */
+  def langIdTrigram(text: Column): Column =
+    graft.functions.hashFunctions.trigram_lang_id(text)
+
+  /** Reference HOF formulation of [[langIdTrigram]] — builds the
+    * document's distinct-trigram set with higher-order functions and
+    * intersects it with each profile. Interpreted per element, so it
+    * is ~1000× slower than the native expression; retained only as
+    * the executable spec the oracle SQL and the native expression are
+    * both checked against. */
+  def langIdTrigramHof(text: Column): Column = {
     val chars = filter(split(lower(text), ""), c => c =!= "")
     val grams = array_distinct(transform(
       sequence(lit(1), greatest(size(chars) - 2, lit(1))),
@@ -120,17 +134,22 @@ object TextAnalysis {
     *
     * Scale shape: one explode + two aggregations, all map-side
     * combinable; document frequency is a broadcast-sized side (vocab,
-    * not corpus). */
+    * not corpus). The corpus count enters as a broadcast 1-row frame,
+    * so the whole operator stays one lazy plan — no eager
+    * `docs.count()` action scanning the corpus a second time at
+    * call time. */
   def topTfidfTerm(docs: DataFrame): DataFrame = {
-    val n = docs.count()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val terms = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
-      .withColumn("idf_x1000", expr(s"${(n + 1) * 1000L} div (df + 1)"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_x1000", expr("((n_docs + 1) * 1000) div (df + 1)"))
       .withColumn("score", col("tf") * col("idf_x1000"))
+      .drop("n_docs")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))

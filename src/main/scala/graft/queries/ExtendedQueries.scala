@@ -267,6 +267,23 @@ object ExtendedQueries {
         .toDF("o_orderstatus", "n", "total")
         .orderBy("o_orderstatus")
     },
+    "q48_window_highcard" -> { (s, d) =>
+      // high-cardinality window probe: partitions by l_orderkey
+      // (~N/4 distinct keys), so the window exchange spreads across
+      // every shuffle partition — the deliberate contrast to q25's
+      // 3-value-key RANGE-frame probe, which is a frame-semantics
+      // test, not a partitioning shape to imitate (see PlanCheck)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_orderkey"), col("l_linenumber").as("top_line"),
+          col("l_extendedprice").as("top_price"))
+        .orderBy("l_orderkey")
+    },
     "q33_array_agg" -> { (s, d) =>
       // collect_list/sort_array/slice surface; array columns serialized
       // to strings (array_join) so the driver's pandas-based hash gate
@@ -440,6 +457,14 @@ object ExtendedQueries {
       SELECT o_orderstatus, COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q48_window_highcard" -> """
+      SELECT l_orderkey, l_linenumber AS top_line,
+        l_extendedprice AS top_price
+      FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+          ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rk
+        FROM lineitem)
+      WHERE rk = 1 ORDER BY l_orderkey""",
     "q33_array_agg" -> """
       SELECT n_name,
         array_to_string(list_sort(list(s_suppkey)), ',') AS supps_str,

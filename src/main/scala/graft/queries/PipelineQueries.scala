@@ -119,9 +119,13 @@ object PipelineQueries {
       Similarity.lshCosinePairs(embeddings(s, d), threshold = 0.4,
         nBits = 6, tables = 3).orderBy("a_id", "b_id")
     },
+    // LSH-routed (wide buckets: 4 bits × 4 tables for recall), exact
+    // cosine verify — the brute all-pairs cross join
+    // (Similarity.cosinePairs) is test-only: a corpus×corpus cartesian
+    // must never be a declared, benched operator (see PlanShapeSpec).
     "dd5_dedup_embedding" -> { (s, d) =>
-      Similarity.cosinePairs(embeddings(s, d), threshold = 0.4)
-        .orderBy("a_id", "b_id")
+      Similarity.lshCosinePairs(embeddings(s, d), threshold = 0.4,
+        nBits = 4, tables = 4).orderBy("a_id", "b_id")
     },
     "dd7_curation_pipeline" -> { (s, d) =>
       graft.operators.CurationPipeline
@@ -340,14 +344,28 @@ object PipelineQueries {
       WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4
       ORDER BY a_id, b_id"""
     },
-    "dd5_dedup_embedding" -> s"""
+    "dd5_dedup_embedding" -> {
+      // SQL twin of the LSH-routed plan: 4 tables of 4 hyperplanes
+      // (disjoint plane sets via the same t*16 offsets), candidates =
+      // same-bucket-in-any-table, then exact cosine verify.
+      val buckets = (0 until 4).map { t =>
+        s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("embedding", 4, t * 16)}}"
+      }.mkString("[", ", ", "]")
+      s"""
       WITH e AS (SELECT vec_id, embedding,
-        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
-      ORDER BY a_id, b_id""",
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      bucketed AS (SELECT vec_id, embedding, nrm,
+          x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, nrm, unnest($buckets) AS x FROM e)),
+      cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+          a.embedding AS ae, a.nrm AS an, b.embedding AS be, b.nrm AS bn
+        FROM bucketed a JOIN bucketed b
+          ON a.tid = b.tid AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+      SELECT a_id, b_id, ${sqlDot("ae", "be")} / (an * bn) AS score
+      FROM cand
+      WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4
+      ORDER BY a_id, b_id"""
+    },
     "dd7_curation_pipeline" -> s"""
       WITH langs(lang_c, stops) AS (VALUES
         ('de', ['der','die','und','das','ist','ein','zu']),

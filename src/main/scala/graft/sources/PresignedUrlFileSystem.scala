@@ -146,21 +146,44 @@ object PresignedUrlCache {
         .map("%02x".format(_)).mkString
     }
 
-  private val urls = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val specs = new java.util.concurrent.ConcurrentHashMap[String, RefreshSpec]()
+  /** Entry cap for each of the two id-keyed maps. URLs + specs for a
+    * multi-million-file scan would otherwise accumulate without bound
+    * in every executor JVM for the life of the process (the registry
+    * is a JVM-global object). Eviction is safe: every reader task
+    * re-registers its own partition's (id, url, spec) immediately
+    * before opening the file, and a URL evicted while still needed
+    * heals through the spec-driven re-query, exactly like an expired
+    * one. Override with `-Dgraft.presignedUrlCache.maxEntries=N`. */
+  private[graft] def maxEntries: Int =
+    sys.props.getOrElse("graft.presignedUrlCache.maxEntries", "65536").toInt
+
+  /** Access-ordered LRU; all access is serialized on the enclosing
+    * object's monitor (reads included — LinkedHashMap mutates its
+    * order links on `get`). */
+  private final class Lru[V] extends java.util.LinkedHashMap[String, V](
+    64, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+      size() > maxEntries
+  }
+
+  private val urls = new Lru[String]
+  private val specs = new Lru[RefreshSpec]
 
   /** putIfAbsent semantics: a task retry replaying the original
     * partition must not clobber a URL an expiry refresh renewed. */
-  def register(id: String, url: String, spec: RefreshSpec): Unit = {
+  def register(id: String, url: String, spec: RefreshSpec): Unit = synchronized {
     urls.putIfAbsent(id, url)
     specs.putIfAbsent(id, spec)
   }
 
-  def urlFor(id: String): String = {
+  /** Current URL for `id`; if the entry was LRU-evicted but its
+    * refresh spec survives, re-issues the `/query` instead of
+    * failing the task. */
+  def urlFor(id: String): String = synchronized {
     val u = urls.get(id)
-    if (u == null)
-      throw new IOException(s"no presigned URL registered for file id $id")
-    u
+    if (u != null) u
+    else if (specs.get(id) != null) requery(id)
+    else throw new IOException(s"no presigned URL registered for file id $id")
   }
 
   /** Re-POST the scan's `/query` and refresh every returned file's
@@ -170,23 +193,31 @@ object PresignedUrlCache {
   def refresh(id: String, staleUrl: String): String = synchronized {
     val current = urls.get(id)
     if (current != null && current != staleUrl) current
-    else {
-      val spec = specs.get(id)
-      if (spec == null)
-        throw new IOException(s"cannot refresh presigned URL for unknown file id $id")
-      val files = new DeltaSharingClient(spec.profile).queryTable(
-        spec.share, spec.schema, spec.table,
-        jsonPredicateHints = spec.jsonPredicateHints,
-        predicateHints = spec.predicateHints,
-        limitHint = spec.limitHint,
-        version = spec.version).files
-      files.foreach(f => urls.put(fileId(f), f.url))
-      urlFor(id)
-    }
+    else requery(id)
   }
 
-  /** Test hook. */
-  private[graft] def clear(): Unit = { urls.clear(); specs.clear() }
+  /** Re-issue the original `/query` for `id`'s scan and re-register
+    * every returned file's URL. Callers hold the object monitor. */
+  private def requery(id: String): String = {
+    val spec = specs.get(id)
+    if (spec == null)
+      throw new IOException(s"cannot refresh presigned URL for unknown file id $id")
+    val files = new DeltaSharingClient(spec.profile).queryTable(
+      spec.share, spec.schema, spec.table,
+      jsonPredicateHints = spec.jsonPredicateHints,
+      predicateHints = spec.predicateHints,
+      limitHint = spec.limitHint,
+      version = spec.version).files
+    files.foreach(f => urls.put(fileId(f), f.url))
+    val u = urls.get(id)
+    if (u == null)
+      throw new IOException(s"re-issued /query no longer returns file id $id")
+    u
+  }
+
+  /** Test hooks. */
+  private[graft] def clear(): Unit = synchronized { urls.clear(); specs.clear() }
+  private[graft] def cachedUrlCount: Int = synchronized { urls.size }
 }
 
 /** Non-2xx from the object store; carries the status so the retry loop

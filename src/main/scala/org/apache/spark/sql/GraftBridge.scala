@@ -10,6 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * codebase lives in this package.
   */
 object GraftBridge {
+  /** The Spark minor line this bridge's `private[sql]` surface
+    * (`classic.ExpressionUtils`, `classic.SparkSession.sessionState`)
+    * is written against. Internal APIs may move between minor
+    * versions; a guard test asserts the runtime matches so an
+    * accidental Spark bump fails loudly at build time instead of
+    * linking against a moved internal. */
+  val TargetSparkVersionPrefix = "4.1"
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 

@@ -1,0 +1,159 @@
+package graft
+
+import java.io.IOException
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.{DeltaSharingClient, DeltaSharingProfile, PresignedUrlCache}
+import graft.sources.testing.StubSharingServer
+
+/** Scale guardrails: properties that keep the declared query set safe
+  * at 100 TB — no cartesian products in any declared plan, native ≡
+  * HOF semantics for the hot-path expressions, df-capped candidate
+  * generation with uncapped exact verify, laziness of multi-pass
+  * operators, bounded executor-side caches, and the pinned
+  * `private[sql]` bridge contract. */
+class GuardrailsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val embs = Tables.embeddings(spark, sf)
+
+  test("native trigram_lang_id equals the HOF twin on the fixture corpus") {
+    val both = docs.select(
+      TextAnalysis.langIdTrigram(col("text")).as("native"),
+      TextAnalysis.langIdTrigramHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native trigram_lang_id handles edge strings like the HOF twin") {
+    import spark.implicits._
+    val edge = Seq("", "a", "ab", "the quick brown fox",
+      "información y documentación", "ZHONG wen PIN yin",
+      "   ", "der die und das ist").toDF("text")
+    val both = edge.select(
+      TextAnalysis.langIdTrigram(col("text")).as("native"),
+      TextAnalysis.langIdTrigramHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("dd5's LSH routing never invents pairs and scores match brute exactly") {
+    val brute = Similarity.cosinePairs(embs, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshCosinePairs(embs, threshold = 0.4,
+      nBits = 4, tables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(brute.keySet))
+    lsh.foreach { case (pair, score) => assert(brute(pair) == score) }
+    if (brute.nonEmpty)
+      assert(lsh.size.toDouble / brute.size > 0.3,
+        s"LSH recall ${lsh.size}/${brute.size} too low for the declared params")
+  }
+
+  test("jaccard df-cap bounds hot-shingle candidates, verify stays exact") {
+    import spark.implicits._
+    val boiler = "terms and conditions apply to all offers made today"
+    val rare = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = (Seq((1L, s"$rare $boiler"), (2L, s"$rare $boiler")) ++
+      (3L to 12L).map(i => (i, boiler))).toDF("doc_id", "text")
+    // boilerplate shingles have df=12 > 5 → excluded from candidate
+    // generation; the (1,2) pair is still found via its rare shingles
+    // and its common/union counts cover ALL shingles (uncapped verify)
+    val capped = Dedup.jaccardPairs(corpus, k = 3, pct = 85,
+      maxShingleDf = 5).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val row = capped.head
+    val fullShingles = corpus.filter(col("doc_id") === 1L)
+      .select(size(Dedup.shingles(col("text"), 3))).collect()(0).getInt(0)
+    assert(row.getInt(2) == fullShingles, "verify must count capped shingles too")
+    assert(row.getInt(2) == row.getInt(3), "identical docs → jaccard 1")
+    // with the cap lifted, the boilerplate-only pairs reappear: the cap
+    // is what keeps a hot shingle from emitting d^2 candidate rows
+    val uncapped = Dedup.jaccardPairs(corpus, k = 3, pct = 85,
+      maxShingleDf = Int.MaxValue).collect()
+    assert(uncapped.length == 1 + 45) // (1,2) + C(10,2) boilerplate pairs
+  }
+
+  test("no declared query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — unbounded at scale")
+    }
+  }
+
+  test("q48 windows over a high-cardinality key (partitioned exchange)") {
+    val plan = SparkEntry.queries("q48_window_highcard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(l_orderkey"),
+      s"expected a window exchange hash-partitioned on l_orderkey:\n$plan")
+  }
+
+  test("topTfidfTerm is lazy: building the frame runs no Spark job") {
+    val sc = spark.sparkContext
+    docs.count() // materialize the lazy vals / listing before measuring
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val frame = TextAnalysis.topTfidfTerm(docs)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      "topTfidfTerm launched a job at call time — corpus count must be lazy")
+    assert(frame.limit(1).collect().nonEmpty) // and it still executes
+  }
+
+  test("presigned url cache is LRU-bounded; re-register + refresh heal") {
+    PresignedUrlCache.clear()
+    val prev = sys.props.get("graft.presignedUrlCache.maxEntries")
+    sys.props("graft.presignedUrlCache.maxEntries") = "4"
+    val server = new StubSharingServer(expectedToken = "tok").start()
+    try {
+      val src = Paths.get("/root/testdata/sf0.001/region.parquet")
+      server.httpFiles = Map("region.parquet" -> src)
+      server.expireFirstQueryUrls = true // first /query signs ?sig=stale
+      val schema = spark.read.parquet(src.toString).schema.json
+      server.tables = Map("region" -> ((schema, Seq.empty,
+        Seq((s"http://127.0.0.1:${server.port}/files/region.parquet",
+          Files.size(src), Map.empty[String, String])))))
+      val profile = DeltaSharingProfile(server.endpoint, "tok")
+      val stale = new DeltaSharingClient(profile)
+        .queryTable("share1", "schema1", "region").files.head
+      val id = PresignedUrlCache.fileId(stale)
+      val spec = PresignedUrlCache.RefreshSpec(profile,
+        "share1", "schema1", "region", None, Nil, None, None)
+      PresignedUrlCache.register(id, stale.url, spec)
+      assert(PresignedUrlCache.urlFor(id) == stale.url)
+      // flood with other files' registrations: the map stays bounded
+      // and the oldest entry (ours) is evicted
+      (1 to 10).foreach(i =>
+        PresignedUrlCache.register(s"dummy-$i", s"http://x/$i", spec))
+      assert(PresignedUrlCache.cachedUrlCount <= 4)
+      intercept[IOException](PresignedUrlCache.urlFor(id))
+      // a task (re)registers its own partition's pair right before
+      // opening the file — eviction therefore never kills a live read
+      PresignedUrlCache.register(id, stale.url, spec)
+      assert(PresignedUrlCache.urlFor(id) == stale.url)
+      // the stale URL 403s at read time → refresh re-POSTs /query and
+      // the renewed URL heals the scan
+      val healed = PresignedUrlCache.refresh(id, stale.url)
+      assert(healed != stale.url && healed.contains("sig=fresh"))
+      assert(PresignedUrlCache.urlFor(id) == healed)
+    } finally {
+      server.stop()
+      prev match {
+        case Some(v) => sys.props("graft.presignedUrlCache.maxEntries") = v
+        case None => sys.props -= "graft.presignedUrlCache.maxEntries"
+      }
+      PresignedUrlCache.clear()
+    }
+  }
+
+  test("GraftBridge targets the running Spark minor line") {
+    assert(org.apache.spark.SPARK_VERSION.startsWith(
+      org.apache.spark.sql.GraftBridge.TargetSparkVersionPrefix + "."),
+      s"Spark ${org.apache.spark.SPARK_VERSION} no longer matches the " +
+        s"bridge's pinned ${org.apache.spark.sql.GraftBridge.TargetSparkVersionPrefix}.x " +
+        "— re-audit GraftBridge's private[sql] usage before bumping the pin")
+  }
+}

@@ -66,6 +66,13 @@ object PlanCheck {
     audit("dd7_curation_pipeline", Seq(
       "no cartesian anywhere in the pipeline" ->
         (p => !p.contains("Cartesian"))))
+    audit("q48_window_highcard", Seq(
+      "window exchange partitions on the high-cardinality key" ->
+        (_.contains("hashpartitioning(l_orderkey")),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("dd5_dedup_embedding", Seq(
+      "LSH bucket join is equi, not cartesian (brute pairs are test-only)" ->
+        (p => !p.contains("Cartesian"))))
 
     // full formatted plans for the flagship + one pipeline query
     println("\n==== q01 formatted ====")
