@@ -70,7 +70,16 @@ object Dedup {
     *
     * The cap can only lose pairs whose every common shingle is in
     * > `maxShingleDf` documents — for near-dup thresholds those are
-    * boilerplate-only matches, the standard df-cut trade-off. */
+    * boilerplate-only matches, the standard df-cut trade-off.
+    *
+    * Verify never shuffles the corpus's full shingle arrays: the
+    * candidate join's `groupBy(pair).count` IS the exact common count
+    * over rare shingles (shingles are distinct per document), and the
+    * hot remainder comes from per-doc HOT-only arrays (tiny — a doc
+    * has few boilerplate shingles), so the per-doc payload joined to
+    * candidates is (n_sh, hot array) ≈ tens of bytes instead of the
+    * whole shingle set — at 25B documents that is the difference
+    * between ~1 TB and tens of TB of verify shuffle. */
   def jaccardPairs(docs: DataFrame, k: Int = 3, pct: Int = 85,
       maxShingleDf: Int = 100): DataFrame = {
     val ds = docShingles(docs, k)
@@ -85,17 +94,26 @@ object Dedup {
       .filter(col("df") > maxShingleDf)
       .select("s")
     val capped = ex.join(hot, Seq("s"), "left_anti")
+    // candidate pairs + exact |A∩B∩rare| in ONE shuffle (the distinct
+    // and the count are the same aggregation)
     val cands = capped.select(col("s"), col("doc_id").as("a_id"))
       .join(capped.select(col("s"), col("doc_id").as("b_id")), "s")
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common_rare"))
+    // per-doc hot-shingle arrays (empty for most docs) + shingle count
+    val hotOfDoc = ex.join(hot, Seq("s"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("hot_sh"))
+    val slim = ds.select(col("doc_id"), col("n_sh"))
+      .join(hotOfDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("hot_sh"), array().cast("array<bigint>")).as("hot_sh"))
     cands
-      .join(ds.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        col("n_sh").as("a_n")), "a_id")
-      .join(ds.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        col("n_sh").as("b_n")), "b_id")
-      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .join(slim.toDF("a_id", "a_n", "a_hot"), "a_id")
+      .join(slim.toDF("b_id", "b_n", "b_hot"), "b_id")
+      .withColumn("common", col("common_rare") +
+        size(array_intersect(col("a_hot"), col("b_hot"))))
       .withColumn("u", col("a_n") + col("b_n") - col("common"))
       .filter(col("common") * 100 >= col("u") * pct)
       .select(col("a_id"), col("b_id"), col("common"),

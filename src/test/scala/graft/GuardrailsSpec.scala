@@ -68,8 +68,8 @@ class GuardrailsSpec extends AnyFunSuite {
     val row = capped.head
     val fullShingles = corpus.filter(col("doc_id") === 1L)
       .select(size(Dedup.shingles(col("text"), 3))).collect()(0).getInt(0)
-    assert(row.getInt(2) == fullShingles, "verify must count capped shingles too")
-    assert(row.getInt(2) == row.getInt(3), "identical docs → jaccard 1")
+    assert(row.getLong(2) == fullShingles, "verify must count capped shingles too")
+    assert(row.getLong(2) == row.getLong(3), "identical docs → jaccard 1")
     // with the cap lifted, the boilerplate-only pairs reappear: the cap
     // is what keeps a hot shingle from emitting d^2 candidate rows
     val uncapped = Dedup.jaccardPairs(corpus, k = 3, pct = 85,

@@ -22,7 +22,7 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     val rows = Dedup.jaccardPairs(docs, k = 3, pct = 85).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall { r =>
-      r.getInt(2) * 100 >= r.getInt(3) * 85
+      r.getLong(2) * 100 >= r.getLong(3) * 85
     })
   }
 
