@@ -129,27 +129,35 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), shuffle once per band on the band key,
     * then exact-Jaccard-verify only bucket collisions. Output matches
-    * [[jaccardPairs]] minus LSH false negatives. */
+    * [[jaccardPairs]] minus LSH false negatives.
+    *
+    * The band shuffles carry only (id, band, key) — never the shingle
+    * arrays (a document's full shingle set riding `bands` exchanges
+    * would dominate shuffle volume at corpus scale); the arrays are
+    * joined in only for the deduplicated candidate pairs. */
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
       bands: Int = 4, pct: Int = 80): DataFrame = {
     val rows = numHashes / bands
     val ds = docShingles(docs, k)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
     // band key = fingerprint-combine of the band's signature slice
-    val banded = ds.select(col("doc_id"), col("sh"), col("n_sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
-            (acc, x) => (acc * 31L + x) % Mod).as("key")))).as("bk"))
-      .select(col("doc_id"), col("sh"), col("n_sh"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.toDF("a_id", "a_sh", "a_n", "band", "key")
-    val b = banded.toDF("b_id", "b_sh", "b_n", "band", "key")
-    val candidates = a.join(b, Seq("band", "key"))
+    val banded = ds
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
+              (acc, x) => (acc * 31L + x) % Mod).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded.toDF("a_id", "band", "key")
+      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "a_n", "b_sh", "b_n")
+      .select("a_id", "b_id")
       .distinct()
     candidates
+      .join(ds.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("n_sh").as("a_n")), "a_id")
+      .join(ds.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("n_sh").as("b_n")), "b_id")
       .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("u", col("a_n") + col("b_n") - col("common"))
       .filter(col("common") * 100 >= col("u") * pct)

@@ -120,20 +120,25 @@ object Similarity {
     * at a billion vectors this is the only join shape that works. */
   def lshCosinePairs(embeddings: DataFrame, threshold: Double,
       nBits: Int = 6, tables: Int = 3): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
+    // bucket shuffles carry only (id, table, bucket) — the embedding
+    // vectors (the wide part of the row) never ride the `tables`
+    // exchanges; they join in only for deduplicated candidate pairs
+    val bucketed = embeddings.select(col("vec_id"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tid"),
           lshBucketOffset(col("embedding"), nBits, t * 16).as("bkey"))
       }: _*)).as("b"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("b.tid").as("tid"), col("b.bkey").as("bkey"))
-    val a = e.toDF("a_id", "a_emb", "a_nrm", "tid", "bkey")
-    val b = e.toDF("b_id", "b_emb", "b_nrm", "tid", "bkey")
-    a.join(b, Seq("tid", "bkey"))
+      .select(col("vec_id"), col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+    val candidates = bucketed.toDF("a_id", "tid", "bkey")
+      .join(bucketed.toDF("b_id", "tid", "bkey"), Seq("tid", "bkey"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_emb", "a_nrm", "b_emb", "b_nrm")
+      .select("a_id", "b_id")
       .distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    candidates
+      .join(e.toDF("a_id", "a_emb", "a_nrm"), "a_id")
+      .join(e.toDF("b_id", "b_emb", "b_nrm"), "b_id")
       .withColumn("score",
         dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("score") >= threshold)
