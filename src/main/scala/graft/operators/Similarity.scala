@@ -201,36 +201,47 @@ object Similarity {
     * `nprobe` nearest lists.
     *
     * Scale shape: assignment is a broadcast of K centroids over one
-    * corpus scan (no shuffle of the corpus), the probe join is
-    * equi on `cid`, and candidates shrink ~numCentroids/nprobe-fold.
-    * Persist the assigned corpus bucketed by `cid` for repeated query
-    * workloads. All math is exact-deterministic (fixed-order dots),
-    * so the full pipeline is SQL-oracle-checkable. */
+    * corpus scan; the corpus side reduces its K scored rows per vector
+    * to the argmax with a partial-aggregating `max_by` (1 row per
+    * vector crosses the shuffle, no sort — a window here would shuffle
+    * all K wide rows per vector), the probe join is equi on `cid`, and
+    * candidates shrink ~numCentroids/nprobe-fold. Persist the assigned
+    * corpus bucketed by `cid` for repeated query workloads. All math
+    * is exact-deterministic (fixed-order dots), so the full pipeline
+    * is SQL-oracle-checkable. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = corpus.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
-    def assign(side: DataFrame, idCol: String, embCol: String,
-        nrmCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("c_score").desc, col("cid"))
-      side.crossJoin(broadcast(cents))
-        .withColumn("c_score",
-          dot(col(embCol), col("c_emb")) / (col(nrmCol) * col("c_nrm")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= keep)
-        .drop("c_emb", "c_nrm", "c_score", "c_rank")
-    }
-    val c = assign(
-      corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm")),
-      "neighbor_id", "n_emb", "n_nrm", keep = 1)
-    val q = assign(
-      queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm")),
-      "query_id", "q_emb", "q_nrm", keep = nprobe)
+    // corpus side: argmax centroid via max_by on (score, -cid) — same
+    // total order as the window's (score desc, cid asc), but map-side
+    // combinable
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_score",
+        dot(col("n_emb"), col("c_emb")) / (col("n_nrm") * col("c_nrm")))
+      .groupBy("neighbor_id")
+      .agg(
+        max_by(struct(col("cid"), col("n_emb"), col("n_nrm")),
+          struct(col("c_score"), -col("cid"))).as("best"))
+      .select(col("neighbor_id"), col("best.cid").as("cid"),
+        col("best.n_emb").as("n_emb"), col("best.n_nrm").as("n_nrm"))
+    // query side is tiny and needs the top-nprobe lists → window
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("c_score").desc, col("cid"))
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_score",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(qw))
+      .filter(col("c_rank") <= nprobe)
+      .drop("c_emb", "c_nrm", "c_score", "c_rank")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     c.join(broadcast(q), "cid")
