@@ -200,4 +200,71 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("a_id", "b_id", "a_sh", "b_sh", "dist")
   }
+
+  /** Connected-component resolution of near-dup pairs: every document
+    * that appears in at least one pair gets the MINIMUM doc_id of its
+    * transitive duplicate cluster as `cluster_id`, and
+    * `keep = (doc_id = cluster_id)` marks the one representative per
+    * cluster. Pair-at-a-time dropping (drop the higher id of each
+    * pair, as [[CurationPipeline.curate]] does) can drop BOTH
+    * endpoints of a chain a–b–c when only (a,b) and (b,c) qualify;
+    * cluster resolution keeps exactly one document per transitive
+    * group.
+    *
+    * Distributed min-label propagation, shaped for the 100 TB case:
+    *  - labels exist only for documents that appear in a pair — at
+    *    corpus scale the paired set is orders of magnitude smaller
+    *    than the corpus, so the iteration never touches the full
+    *    table;
+    *  - each round is one equi-join (neighbour labels onto edges) and
+    *    one partially-aggregated min per vertex:
+    *    label(v) ← min(label(v), min over neighbours u of label(u)),
+    *    converging in O(cluster diameter) rounds. Near-dup clusters
+    *    are shallow (copies of a common source document), so 2–4
+    *    rounds typically reach the fixpoint; `maxIters` bounds
+    *    adversarial chains — beyond it the standard escalation is the
+    *    large-star/small-star contraction, which needs O(log n)
+    *    rounds regardless of diameter;
+    *  - the symmetric edge list and each round's labels are
+    *    checkpointed (`localCheckpoint` — plan-truncating AND
+    *    caching), so a round's plan is one join over two leaf
+    *    relations instead of the whole history: plain `persist`
+    *    caches data but keeps lineage, and an iterated self-join's
+    *    logical plan grows ~3× per round — 12 rounds of that is a
+    *    177k-node tree that OOMs the driver before any data moves.
+    *    On a real cluster substitute a reliable `checkpoint()` (HDFS
+    *    checkpoint dir) for executor-loss tolerance — same shape. */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no label got smaller" is the
+      // fixpoint test — a short-circuit scan over two cached leaves
+      converged = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
 }

@@ -133,6 +133,38 @@ object PipelineQueries {
           jaccardPct = 92)
         .orderBy("doc_id")
     },
+    // transitive duplicate groups over the MinHash pair stream:
+    // min-label propagation (see Dedup.resolveClusters) — the step a
+    // pair-at-a-time drop rule gets wrong on chains a–b–c
+    "dd8_dedup_clusters" -> { (s, d) =>
+      Dedup.resolveClusters(
+        Dedup.minhashPairs(documents(s, d), k = 3, numHashes = 16,
+          bands = 4, pct = 80))
+        .orderBy("doc_id")
+    },
+    // per-language quota for training-mix balancing: deterministic
+    // pseudo-random order (polynomial hash of doc_id), salted
+    // two-phase top-k so one dominant language can't pin the whole
+    // sort on a single reducer
+    "q49_quota_sample" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val quota = 100
+      val hashed = documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("doc_id").cast("string")).as("h"))
+      // phase 1: top-`quota` per (lang, input split) — the split id in
+      // the window key spreads a skewed language over every partition;
+      // the local top-k is a superset of the global top-k
+      val wLocal = Window.partitionBy("lang", "pid")
+        .orderBy(col("h"), col("doc_id"))
+      val pruned = hashed.withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= quota).drop("pid", "lrn")
+      // phase 2: exact rank over ≤ quota×splits rows per language
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      pruned.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= quota)
+        .orderBy("lang", "rn")
+    },
     "ss1_cosine_topk" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 10)
@@ -183,6 +215,32 @@ object PipelineQueries {
   )
 
   private val toks = sqlToks("text")
+
+  /** Shared MinHash-LSH pair pipeline (twin of [[Dedup.minhashPairs]]
+    * with k=3, 16 hashes, 4 bands) as a CTE chain ending in
+    * `verified(a_id, b_id, common, union_size)` — used by the dd3
+    * pair oracle and the dd8 cluster oracle. */
+  private def sqlMinhashCtes: String = s"""
+      ds AS (SELECT doc_id, ${sqlShingles(toks)} AS sh FROM documents),
+      dn AS (SELECT doc_id, sh, len(sh) AS n FROM ds),
+      sig AS (SELECT doc_id, sh, n,
+        list_transform(range(0,16), i1 -> list_min(list_transform(sh,
+          fp0 -> (fp0*(2*i1+1) + i1*12345 + 1) % 1000000007))) AS sg
+        FROM dn),
+      banded AS (SELECT doc_id, sh, n, bd,
+        list_reduce(list_prepend(0::BIGINT, sg[bd*4+1:bd*4+4]),
+          (a1,x1) -> (a1*31+x1)%1000000007) AS bkey
+        FROM sig, (SELECT unnest(range(0,4)) AS bd)),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.bd = b.bd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT c.a_id, c.b_id,
+          len(list_intersect(da.sh, db.sh)) AS common,
+          da.n + db.n - len(list_intersect(da.sh, db.sh)) AS union_size
+        FROM cand c
+        JOIN dn da ON da.doc_id = c.a_id
+        JOIN dn db ON db.doc_id = c.b_id)"""
 
   val oracle: Map[String, String] = Map(
     "t01_token_count" -> s"""
@@ -278,29 +336,32 @@ object PipelineQueries {
       WHERE common * 100 >= union_size * 85
       ORDER BY a_id, b_id""",
     "dd3_dedup_minhash" -> s"""
-      WITH ds AS (SELECT doc_id, ${sqlShingles(toks)} AS sh FROM documents),
-      dn AS (SELECT doc_id, sh, len(sh) AS n FROM ds),
-      sig AS (SELECT doc_id, sh, n,
-        list_transform(range(0,16), i1 -> list_min(list_transform(sh,
-          fp0 -> (fp0*(2*i1+1) + i1*12345 + 1) % 1000000007))) AS sg
-        FROM dn),
-      banded AS (SELECT doc_id, sh, n, bd,
-        list_reduce(list_prepend(0::BIGINT, sg[bd*4+1:bd*4+4]),
-          (a1,x1) -> (a1*31+x1)%1000000007) AS bkey
-        FROM sig, (SELECT unnest(range(0,4)) AS bd)),
-      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM banded a JOIN banded b
-          ON a.bd = b.bd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      verified AS (
-        SELECT c.a_id, c.b_id,
-          len(list_intersect(da.sh, db.sh)) AS common,
-          da.n + db.n - len(list_intersect(da.sh, db.sh)) AS union_size
-        FROM cand c
-        JOIN dn da ON da.doc_id = c.a_id
-        JOIN dn db ON db.doc_id = c.b_id)
+      WITH $sqlMinhashCtes
       SELECT a_id, b_id, common, union_size FROM verified
       WHERE common * 100 >= union_size * 80
       ORDER BY a_id, b_id""",
+    "dd8_dedup_clusters" -> s"""
+      WITH RECURSIVE $sqlMinhashCtes,
+      pairs AS (SELECT a_id, b_id FROM verified
+        WHERE common * 100 >= union_size * 80),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT id AS doc_id, cluster_id, (id = cluster_id) AS keep
+      FROM labels ORDER BY doc_id""",
+    "q49_quota_sample" -> s"""
+      WITH h AS (SELECT doc_id, lang,
+        ${sqlFp("doc_id::VARCHAR")} AS h FROM documents),
+      r AS (SELECT doc_id, lang, h,
+        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        FROM h)
+      SELECT doc_id, lang, h, rn FROM r WHERE rn <= 100
+      ORDER BY lang, rn""",
     "dd4_dedup_simhash" -> {
       val fps = s"list_transform($toks, t1 -> ${sqlFp("t1")})"
       val simhash =

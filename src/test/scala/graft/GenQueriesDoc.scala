@@ -13,9 +13,9 @@ object GenQueriesDoc {
       ("Window functions", "q13|q14|q15|q25|q37|q41|q48"),
       ("Sort / top-k / set ops", "q16|q17|q30"),
       ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45"),
-      ("Sampling", "st6"),
+      ("Sampling", "st6|q49"),
       ("Text analysis", "t01|t02|t03|t04|t05|t06|t07"),
-      ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7"),
+      ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8"),
       ("Similarity search", "ss1|ss2|ss3"),
       ("Multimodal", "m1|m2"),
       ("Streaming batch twins", "st1|st2|st3|st4|st7"))

@@ -95,4 +95,52 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     val distinct = docs.select(Dedup.normKey(col("text"))).distinct().count()
     assert(n == distinct)
   }
+
+  test("cluster resolution labels transitive groups with the min id") {
+    import spark.implicits._
+    // chain 1-2-3 (pairwise drop would kill 2 AND 3), isolated pair
+    // (10,11), triangle (20,21,22)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
+  }
+
+  test("cluster resolution converges on a long chain within maxIters") {
+    import spark.implicits._
+    // a 12-vertex path: diameter 11, min label must still reach the end
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(labels == Set(0L))
+  }
+
+  test("quota sample two-phase top-k equals the single-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val ref = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val got = SparkEntry.queries("q49_quota_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == ref)
+  }
+
+  test("cluster resolution keeps exactly one representative per group") {
+    val clusters = Dedup.resolveClusters(Dedup.minhashPairs(docs, pct = 80))
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"))
+      .collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_.getLong(1) == 1))
+  }
 }
