@@ -73,6 +73,17 @@ object PlanCheck {
     audit("dd5_dedup_embedding", Seq(
       "LSH bucket join is equi, not cartesian (brute pairs are test-only)" ->
         (p => !p.contains("Cartesian"))))
+    audit("q49_quota_sample", Seq(
+      // phase 1 must window on (lang, split id): that's what spreads a
+      // dominant language across partitions instead of one reducer
+      "phase-1 window exchange keyed by (lang, split id)" -> (p =>
+        "hashpartitioning\\(lang[^)]*pid".r.findFirstIn(p).isDefined),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
+    // dd8 resolveClusters: its iteration runs eagerly behind
+    // localCheckpoint leaves, so the returned plan is a leaf select;
+    // the shape guarantees (paired-subset-only labels, lineage
+    // truncation, O(diameter) rounds) are asserted in
+    // PipelineOperatorsSpec instead of by plan grep.
 
     // full formatted plans for the flagship + one pipeline query
     println("\n==== q01 formatted ====")
