@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *     lowest doc_id);
   *  4. near-dup removal: Jaccard pairs over word-shingles among the
   *     survivors; a document is dropped when it is the higher id of
-  *     any qualifying pair (deterministic, order-free rule — no
-  *     iterative transitive closure, which would not scale).
+  *     any qualifying pair — deterministic, order-free, single-pass.
+  *     On chains a–b–c this drops both b and c; when exactly one
+  *     representative per transitive group is required, resolve the
+  *     same pair stream with [[Dedup.resolveClusters]] (checkpointed
+  *     min-label propagation, dd8) and keep `cluster_id` instead.
   *
   * The whole pipeline is one lazy Catalyst plan: filters fuse with
   * the scan, the dedup shuffle sees only quality survivors, and the
