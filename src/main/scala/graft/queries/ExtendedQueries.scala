@@ -284,6 +284,33 @@ object ExtendedQueries {
           col("l_extendedprice").as("top_price"))
         .orderBy("l_orderkey")
     },
+    // LATERAL correlated subquery with LIMIT: Catalyst decorrelates
+    // the per-customer top-2 into WindowGroupLimit — map-side partial
+    // top-k pruning BEFORE the exchange — plus a broadcast join; no
+    // nested loop, no cartesian (see PlanCheck)
+    "q50_lateral_topn" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("q50_customer")
+      orders(s, d).createOrReplaceTempView("q50_orders")
+      s.sql("""
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM q50_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM q50_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        ORDER BY c.c_custkey, l.o_orderkey""")
+    },
+    // UNPIVOT (wide→long melt) — per-row reshape, no shuffle until the
+    // final presentation sort; values are raw column reads, so doubles
+    // compare exactly without decimal laundering
+    "q51_unpivot" -> { (s, d) =>
+      part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")),
+          "metric", "val")
+        .orderBy("p_partkey", "metric")
+    },
     "q33_array_agg" -> { (s, d) =>
       // collect_list/sort_array/slice surface; array columns serialized
       // to strings (array_join) so the driver's pandas-based hash gate
@@ -465,6 +492,19 @@ object ExtendedQueries {
             ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rk
         FROM lineitem)
       WHERE rk = 1 ORDER BY l_orderkey""",
+    "q50_lateral_topn" -> """
+      SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+      ORDER BY c.c_custkey, l.o_orderkey""",
+    "q51_unpivot" -> """
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
+      ORDER BY p_partkey, metric""",
     "q33_array_agg" -> """
       SELECT n_name,
         array_to_string(list_sort(list(s_suppkey)), ',') AS supps_str,

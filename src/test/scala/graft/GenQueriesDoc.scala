@@ -8,11 +8,11 @@ object GenQueriesDoc {
     val groups = Seq(
       ("Aggregation & grouping", "q01|q06|q09|q10|q11|q12|q22|q34|q35|q36|q38|q47|st5"),
       ("Filters & scans", "q02|share_scan"),
-      ("Joins", "q03|q04|q05|q07|q08|q26|q27|q42|q43"),
+      ("Joins", "q03|q04|q05|q07|q08|q26|q27|q42|q43|q50"),
       ("Subqueries", "q23|q24|q32"),
       ("Window functions", "q13|q14|q15|q25|q37|q41|q48"),
       ("Sort / top-k / set ops", "q16|q17|q30"),
-      ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45"),
+      ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45|q51"),
       ("Sampling", "st6|q49"),
       ("Text analysis", "t01|t02|t03|t04|t05|t06|t07"),
       ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8"),

@@ -73,6 +73,15 @@ object PlanCheck {
     audit("dd5_dedup_embedding", Seq(
       "LSH bucket join is equi, not cartesian (brute pairs are test-only)" ->
         (p => !p.contains("Cartesian"))))
+    audit("q50_lateral_topn", Seq(
+      // the correlated LIMIT must decorrelate: map-side top-k pruning
+      // (WindowGroupLimit Partial) before the exchange, then a real
+      // equi-join — a nested-loop per-customer re-scan would be
+      // quadratic at scale
+      "correlated LIMIT decorrelated to WindowGroupLimit" ->
+        (_.contains("WindowGroupLimit")),
+      "lateral join is an equi-join, not a nested loop" -> (p =>
+        !p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"))))
     audit("q49_quota_sample", Seq(
       // phase 1 must window on (lang, split id): that's what spreads a
       // dominant language across partitions instead of one reducer
