@@ -35,9 +35,10 @@ object CurationPipeline {
       TextAnalysis.langId(col("text")).as("lang_pred"))
     val quality = annotated
       .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
-    // exact dedup: keep the smallest doc_id per normalized text
+    // exact dedup: keep the smallest doc_id per normalized text; the
+    // shuffle key is the 32-byte md5 digest, not the document body
     val keepIds = quality
-      .groupBy(Dedup.normKey(col("text")).as("k"))
+      .groupBy(Dedup.contentKey(col("text")).as("k"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val exactKept = quality.join(keepIds, "doc_id")

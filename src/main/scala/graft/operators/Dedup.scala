@@ -35,11 +35,23 @@ object Dedup {
   def normKey(text: Column): Column =
     array_join(tokens(text), " ")
 
+  /** 128-bit content key: md5 of the normalized text. The exact-dedup
+    * shuffle moves this 32-byte digest instead of the document body —
+    * at 25B documents that is ~1 TB of key shuffle versus shipping
+    * the whole corpus. 128 bits keeps the collision expectation at
+    * ~2^-61 per pair (the standard content-hash dedup trade); md5 is
+    * bit-identical across engines, so the grouping is reproducible
+    * anywhere (the oracle can even keep grouping by the raw text —
+    * absent collisions the partitions of rows are the same). */
+  def contentKey(text: Column): Column =
+    md5(normKey(text).cast("binary"))
+
   /** Exact dedup: one representative (min doc_id) per normalized
-    * text, with the duplicate count. */
+    * text, with the duplicate count. Groups on [[contentKey]], so the
+    * shuffle carries (digest, id) — never document bodies. */
   def exact(docs: DataFrame): DataFrame =
     docs
-      .groupBy(normKey(col("text")).as("text_norm"))
+      .groupBy(contentKey(col("text")).as("text_key"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 

@@ -110,6 +110,12 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
   }
 
+  test("cluster resolution of an empty pair set is empty, not an error") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.resolveClusters(pairs).count() == 0)
+  }
+
   test("cluster resolution converges on a long chain within maxIters") {
     import spark.implicits._
     // a 12-vertex path: diameter 11, min label must still reach the end
