@@ -9,9 +9,9 @@ import org.apache.spark.sql.types.LongType
   * embedding-cosine near-dup.
   *
   * Scale design (100 TB):
-  *  - exact dedup is one hash-shuffle on the normalized key; at scale
-  *    substitute the key with [[TextAnalysis.fingerprint]] so the
-  *    shuffle moves 8-byte longs, not document bodies;
+  *  - exact dedup is one hash-shuffle on the 128-bit md5 content key
+  *    ([[contentKey]]) — 32 bytes + id per document on the wire,
+  *    never document bodies;
   *  - the Jaccard path is the verify stage: it joins on shingles, so
   *    its cost is bounded by candidate generation — never run it
   *    all-pairs at scale, always behind MinHash banding;
