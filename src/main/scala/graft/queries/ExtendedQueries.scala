@@ -107,16 +107,50 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
     "q35_percentiles" -> { (s, d) =>
-      // exact percentiles (sort + linear interpolation — same
-      // definition as SQL quantile_cont, deterministic)
-      lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))")
-          .as("qty_pcts"))
+      // exact percentiles via a distributed value histogram: count per
+      // (group, value) — a shuffle bounded by the distinct-value
+      // domain, not the row count — then interpolate at rank
+      // p*(n-1) from the cumulative counts. Bit-identical to SQL
+      // quantile_cont / Spark's percentile() (same rank and
+      // interpolation arithmetic), but nothing ever buffers a group's
+      // raw values the way percentile()'s OpenHashMap-per-group does —
+      // the shape that survives 33 TB per group
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
+      val wAll = Window.partitionBy("l_returnflag")
+      val cum = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum_hi", sum("c").over(wOrd))
+        .withColumn("n", sum("c").over(wAll))
+      // value at 0-based index i = min v whose cumulative count
+      // exceeds i; percentile needs the values at floor and ceil of
+      // the fractional rank
+      def lo(p: Double) =
+        min(when(col("cum_hi") > floor(lit(p) * (col("n") - 1)), col("v")))
+      def hi(p: Double) =
+        min(when(col("cum_hi") > ceil(lit(p) * (col("n") - 1)), col("v")))
+      def interp(p: Double, l: org.apache.spark.sql.Column,
+          h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val rank = lit(p) * (col("n") - 1).cast("double")
+        val rLo = floor(rank)
+        val rHi = ceil(rank)
+        // Spark Percentile / DuckDB quantile_cont interpolation:
+        // (higher-rank)*loVal + (rank-lower)*hiVal, lower value when
+        // the rank is integral
+        when(rLo === rHi, l.cast("double"))
+          .otherwise((rHi - rank) * l.cast("double") +
+            (rank - rLo) * h.cast("double"))
+      }
+      cum.groupBy("l_returnflag")
+        .agg(max("n").as("n"),
+          lo(0.25).as("lo25"), hi(0.25).as("hi25"),
+          lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+          lo(0.9).as("lo90"), hi(0.9).as("hi90"))
         .select(col("l_returnflag"),
-          element_at(col("qty_pcts"), 1).as("p25"),
-          element_at(col("qty_pcts"), 2).as("p50"),
-          element_at(col("qty_pcts"), 3).as("p90"))
+          interp(0.25, col("lo25"), col("hi25")).as("p25"),
+          interp(0.5, col("lo50"), col("hi50")).as("p50"),
+          interp(0.9, col("lo90"), col("hi90")).as("p90"))
         .orderBy("l_returnflag")
     },
     "q36_moments" -> { (s, d) =>
