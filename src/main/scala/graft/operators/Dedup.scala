@@ -81,8 +81,16 @@ object Dedup {
     *     is computed over all shingles, capped or not.
     *
     * The cap can only lose pairs whose every common shingle is in
-    * > `maxShingleDf` documents — for near-dup thresholds those are
-    * boilerplate-only matches, the standard df-cut trade-off.
+    * > `maxShingleDf` documents. For documents with below-cap
+    * multiplicity that means boilerplate-only matches (the standard
+    * df-cut trade-off) — but it also means a duplicate CLUSTER larger
+    * than the cap is invisible here, since all of its shared shingles
+    * exceed the cap by construction. Run exact dedup first (identical
+    * copies collapse before df is counted), and enumerate mega-cluster
+    * near-dups with [[minhashPairs]] — band keys are df-insensitive,
+    * so its candidate cost is proportional to the true (inherently
+    * quadratic) pair output — then resolve transitively with
+    * [[resolveClusters]].
     *
     * Verify never shuffles the corpus's full shingle arrays: the
     * candidate join's `groupBy(pair).count` IS the exact common count
@@ -276,6 +284,14 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a partially-propagated result is indistinguishable from a
+    // correct one (it just has extra keep=true rows) — refuse to
+    // return it silently
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters did not reach its fixpoint in $maxIters rounds: " +
+          "a duplicate cluster has diameter > maxIters. Raise maxIters, " +
+          "or contract the graph with large-star/small-star rounds first.")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
   }

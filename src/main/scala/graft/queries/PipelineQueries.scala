@@ -327,11 +327,22 @@ object PipelineQueries {
     "dd2_dedup_jaccard" -> s"""
       WITH ds AS (SELECT doc_id, ${sqlShingles(toks)} AS sh FROM documents),
       dn AS (SELECT doc_id, sh, len(sh) AS n FROM ds),
+      -- twin of the engine's df-capped candidate generation: pairs
+      -- must share at least one shingle in <= 100 documents; the
+      -- Jaccard itself is then exact over ALL shingles
+      occ AS (SELECT doc_id, unnest(sh) AS s FROM ds),
+      hot AS (SELECT s FROM occ GROUP BY s HAVING count(*) > 100),
+      rare AS (SELECT doc_id, s FROM occ
+        WHERE s NOT IN (SELECT s FROM hot)),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
       pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          len(list_intersect(a.sh, b.sh)) AS common,
-          a.n + b.n - len(list_intersect(a.sh, b.sh)) AS union_size
-        FROM dn a JOIN dn b ON a.doc_id < b.doc_id)
+        SELECT c.a_id, c.b_id,
+          len(list_intersect(da.sh, db.sh)) AS common,
+          da.n + db.n - len(list_intersect(da.sh, db.sh)) AS union_size
+        FROM cand c
+        JOIN dn da ON da.doc_id = c.a_id
+        JOIN dn db ON db.doc_id = c.b_id)
       SELECT a_id, b_id, common, union_size FROM pairs
       WHERE common * 100 >= union_size * 85
       ORDER BY a_id, b_id""",
@@ -456,10 +467,20 @@ object PipelineQueries {
       ex AS (SELECT q.* FROM q JOIN keepids k ON q.doc_id = k.doc_id),
       dn AS (SELECT doc_id, sh, len(sh) AS n FROM
         (SELECT doc_id, ${sqlShingles(toks)} AS sh FROM ex)),
-      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          len(list_intersect(a.sh, b.sh)) AS common,
-          a.n + b.n - len(list_intersect(a.sh, b.sh)) AS u
-        FROM dn a JOIN dn b ON a.doc_id < b.doc_id),
+      -- df-capped candidates exactly as the engine generates them:
+      -- df is counted over the exact-dedup survivors only
+      occ7 AS (SELECT doc_id, unnest(sh) AS s FROM dn),
+      hot7 AS (SELECT s FROM occ7 GROUP BY s HAVING count(*) > 100),
+      rare7 AS (SELECT doc_id, s FROM occ7
+        WHERE s NOT IN (SELECT s FROM hot7)),
+      cand7 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM rare7 a JOIN rare7 b ON a.s = b.s AND a.doc_id < b.doc_id),
+      pairs AS (SELECT c.a_id, c.b_id,
+          len(list_intersect(da.sh, db.sh)) AS common,
+          da.n + db.n - len(list_intersect(da.sh, db.sh)) AS u
+        FROM cand7 c
+        JOIN dn da ON da.doc_id = c.a_id
+        JOIN dn db ON db.doc_id = c.b_id),
       dropped AS (SELECT DISTINCT b_id AS doc_id FROM pairs
         WHERE common * 100 >= u * 92)
       SELECT doc_id, lang, lang_pred, n_tokens, quality

@@ -169,6 +169,15 @@ object PresignedUrlCache {
   private val urls = new Lru[String]
   private val specs = new Lru[RefreshSpec]
 
+  /** Serializes the network re-query so a wave of simultaneously-
+    * expired tasks issues ONE POST. Distinct from the map monitor,
+    * which is never held across the network call — cached reads and
+    * registrations for OTHER files proceed while a refresh is in
+    * flight (16 reader threads must not stall behind one hung
+    * sharing-server round trip). Lock order: refreshLock, then the
+    * object monitor; nothing acquires them in the other order. */
+  private val refreshLock = new Object
+
   /** putIfAbsent semantics: a task retry replaying the original
     * partition must not clobber a URL an expiry refresh renewed. */
   def register(id: String, url: String, spec: RefreshSpec): Unit = synchronized {
@@ -179,41 +188,56 @@ object PresignedUrlCache {
   /** Current URL for `id`; if the entry was LRU-evicted but its
     * refresh spec survives, re-issues the `/query` instead of
     * failing the task. */
-  def urlFor(id: String): String = synchronized {
-    val u = urls.get(id)
-    if (u != null) u
-    else if (specs.get(id) != null) requery(id)
-    else throw new IOException(s"no presigned URL registered for file id $id")
+  def urlFor(id: String): String = {
+    val cached = synchronized { urls.get(id) }
+    if (cached != null) cached else requery(id, stale = None)
   }
 
-  /** Re-POST the scan's `/query` and refresh every returned file's
-    * URL. Serialized so a wave of simultaneously-expired tasks issues
-    * one POST: callers that raced see `urls` already changed from
-    * their stale value and return without a network call. */
-  def refresh(id: String, staleUrl: String): String = synchronized {
-    val current = urls.get(id)
+  /** Renewed URL after a 401/403 on `staleUrl`; callers that raced a
+    * completed refresh see the renewed value without a network call. */
+  def refresh(id: String, staleUrl: String): String = {
+    val current = synchronized { urls.get(id) }
     if (current != null && current != staleUrl) current
-    else requery(id)
+    else requery(id, stale = Option(staleUrl))
   }
 
   /** Re-issue the original `/query` for `id`'s scan and re-register
-    * every returned file's URL. Callers hold the object monitor. */
-  private def requery(id: String): String = {
-    val spec = specs.get(id)
-    if (spec == null)
-      throw new IOException(s"cannot refresh presigned URL for unknown file id $id")
-    val files = new DeltaSharingClient(spec.profile).queryTable(
-      spec.share, spec.schema, spec.table,
-      jsonPredicateHints = spec.jsonPredicateHints,
-      predicateHints = spec.predicateHints,
-      limitHint = spec.limitHint,
-      version = spec.version).files
-    files.foreach(f => urls.put(fileId(f), f.url))
-    val u = urls.get(id)
-    if (u == null)
-      throw new IOException(s"re-issued /query no longer returns file id $id")
-    u
-  }
+    * every returned file's URL. Holds `refreshLock` (not the map
+    * monitor) across the POST; the double-check under the lock lets
+    * racing expiries coalesce onto the winner's renewal. */
+  private def requery(id: String, stale: Option[String]): String =
+    refreshLock.synchronized {
+      val winner = synchronized { urls.get(id) }
+      if (winner != null && !stale.contains(winner)) winner
+      else {
+        val spec = synchronized { specs.get(id) }
+        if (spec == null)
+          throw new IOException(
+            s"cannot refresh presigned URL for unknown file id $id")
+        val files = new DeltaSharingClient(spec.profile).queryTable(
+          spec.share, spec.schema, spec.table,
+          jsonPredicateHints = spec.jsonPredicateHints,
+          predicateHints = spec.predicateHints,
+          limitHint = spec.limitHint,
+          version = spec.version).files
+        synchronized {
+          // capture the target's URL from the RESPONSE while
+          // re-registering: a listing larger than maxEntries would
+          // LRU-evict the very entry being refreshed before a
+          // read-back could see it
+          var target: String = null
+          files.foreach { f =>
+            val fid = fileId(f)
+            if (fid == id) target = f.url
+            urls.put(fid, f.url)
+          }
+          if (target == null)
+            throw new IOException(
+              s"re-issued /query no longer returns file id $id")
+          target
+        }
+      }
+    }
 
   /** Test hooks. */
   private[graft] def clear(): Unit = synchronized { urls.clear(); specs.clear() }

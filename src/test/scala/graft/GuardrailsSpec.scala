@@ -77,6 +77,25 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(uncapped.length == 1 + 45) // (1,2) + C(10,2) boilerplate pairs
   }
 
+  test("df-cut blind spot: clusters above the cap fall to minhash") {
+    import spark.implicits._
+    // 8 lightly-varied copies of one document: every SHARED shingle
+    // appears in all 8 docs > cap 5, so the df-capped jaccard sees no
+    // candidates — the documented mega-cluster blind spot...
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (1L to 8L).map(i => (i, s"$base variant$i")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(corpus, k = 3, pct = 80, maxShingleDf = 5)
+    assert(capped.count() == 0)
+    // ...while minhash banding is df-insensitive and enumerates the
+    // cluster's pairs, which resolveClusters then collapses to one
+    // representative
+    val pairs = Dedup.minhashPairs(corpus, k = 3, pct = 80)
+    assert(pairs.count() > 0)
+    val clusters = Dedup.resolveClusters(pairs).collect()
+    assert(clusters.forall(_.getLong(1) == 1L),
+      "all near-identical copies should share cluster_id = min doc_id")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -125,6 +125,16 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(labels == Set(0L))
   }
 
+  test("cluster resolution refuses to return a non-converged labeling") {
+    import spark.implicits._
+    // diameter 5 > maxIters 3: a silent return here would emit two
+    // keep=true rows for one transitive cluster
+    val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.resolveClusters(pairs, maxIters = 3)
+    }
+  }
+
   test("quota sample two-phase top-k equals the single-window rank") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
