@@ -35,6 +35,10 @@ class StubSharingServer(
     * `?sig=fresh` — exactly the "URL expired between planning and the
     * task read; a re-POST returns a renewed URL" scenario. */
   @volatile var expireFirstQueryUrls: Boolean = false
+
+  /** Artificial latency on `/query` — lets tests hold a refresh
+    * in flight while asserting cached reads stay unblocked. */
+  @volatile var queryDelayMs: Long = 0
   private val queryCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -114,6 +118,7 @@ class StubSharingServer(
             if (tables.contains(t)) send(ex, 200, metaNdjson(t))
             else send(ex, 404, """{"message":"table not found"}""")
           case ("POST", List("shares", _, "schemas", _, "tables", t, "query")) =>
+            if (queryDelayMs > 0) Thread.sleep(queryDelayMs)
             if (!tables.contains(t)) {
               send(ex, 404, """{"message":"table not found"}""")
             } else {

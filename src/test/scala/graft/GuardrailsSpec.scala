@@ -168,6 +168,48 @@ class GuardrailsSpec extends AnyFunSuite {
     }
   }
 
+  test("cached URL lookups do not block behind an in-flight refresh") {
+    PresignedUrlCache.clear()
+    val server = new StubSharingServer(expectedToken = "tok").start()
+    try {
+      val src = Paths.get("/root/testdata/sf0.001/region.parquet")
+      server.httpFiles = Map("region.parquet" -> src)
+      server.expireFirstQueryUrls = true
+      val schema = spark.read.parquet(src.toString).schema.json
+      server.tables = Map("region" -> ((schema, Seq.empty,
+        Seq((s"http://127.0.0.1:${server.port}/files/region.parquet",
+          Files.size(src), Map.empty[String, String])))))
+      val profile = DeltaSharingProfile(server.endpoint, "tok")
+      val stale = new DeltaSharingClient(profile)
+        .queryTable("share1", "schema1", "region").files.head
+      val id = PresignedUrlCache.fileId(stale)
+      val spec = PresignedUrlCache.RefreshSpec(profile,
+        "share1", "schema1", "region", None, Nil, None, None)
+      PresignedUrlCache.register(id, stale.url, spec)
+      PresignedUrlCache.register("other-file", "http://x/other", spec)
+      // hold the refresh POST open for 2s; reads of OTHER cached
+      // entries must not queue behind it (the old code held the map
+      // monitor across the network call — executor-wide stall)
+      server.queryDelayMs = 2000
+      val refreshed = new java.util.concurrent.atomic.AtomicReference[String]
+      val t = new Thread(() =>
+        refreshed.set(PresignedUrlCache.refresh(id, stale.url)))
+      t.start()
+      Thread.sleep(300) // let the refresh enter the POST
+      val t0 = System.nanoTime()
+      assert(PresignedUrlCache.urlFor("other-file") == "http://x/other")
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      t.join(10000)
+      assert(waitedMs < 500,
+        f"cached lookup blocked $waitedMs%.0f ms behind an in-flight refresh")
+      assert(refreshed.get != null && refreshed.get.contains("sig=fresh"))
+    } finally {
+      server.queryDelayMs = 0
+      server.stop()
+      PresignedUrlCache.clear()
+    }
+  }
+
   test("GraftBridge targets the running Spark minor line") {
     assert(org.apache.spark.SPARK_VERSION.startsWith(
       org.apache.spark.sql.GraftBridge.TargetSparkVersionPrefix + "."),
