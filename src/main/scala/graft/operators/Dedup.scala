@@ -259,8 +259,13 @@ object Dedup {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // the vertex-dedup shuffle doubles as the first propagation round:
+    // label₀(v) = min(v, min direct neighbour) — one round cheaper
+    // than starting from label(v) = v
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min("dst").as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
       .localCheckpoint()
     var converged = false
     var iter = 0
