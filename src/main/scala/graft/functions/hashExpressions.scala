@@ -71,6 +71,37 @@ object HashOps {
     out
   }
 
+  /** ALL word-k-gram fingerprints in document order — the
+    * NON-distinct twin of [[shingleFps]]. Repetition statistics
+    * (top-gram fraction, duplicate-gram fraction) need gram
+    * multiplicities, which the dedup path's distinct set erases. */
+  def gramFps(s: UTF8String, k: Int): Array[Long] = {
+    val toks = tokenize(s)
+    val n = toks.length
+    val last = math.max(n - k, 0)
+    val out = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      var h = 0L
+      var j = i
+      while (j < end) {
+        if (j > i) h = (h * 31 + ' '.toInt) % Mod
+        val w = toks(j)
+        var c = 0
+        while (c < w.length) {
+          val cp = w.codePointAt(c)
+          h = (h * 31 + cp) % Mod
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** 30-bit SimHash over token fingerprints (twin of
     * `Dedup.simhash`). */
   def simHash(s: UTF8String): Long = {
@@ -201,6 +232,20 @@ case class ShingleFps(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): ShingleFps = copy(child = c)
 }
 
+/** `gram_fps(str, k)` — all word-k-gram fingerprints, in order
+  * (multiplicities preserved; the repetition-score hot path). */
+case class GramFps(child: Expression, k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashOps.gramFps(v.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.gramFps($c, $k))")
+  override protected def withNewChildInternal(c: Expression): GramFps = copy(child = c)
+}
+
 /** `simhash30(str)` — 30-bit SimHash of the document's tokens. */
 case class SimHash30(child: Expression)
   extends UnaryExpression {
@@ -264,6 +309,7 @@ object hashFunctions {
   import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
   def poly_hash(c: Column): Column = toCol(PolyHash(toExpr(c)))
   def shingle_fps(c: Column, k: Int): Column = toCol(ShingleFps(toExpr(c), k))
+  def gram_fps(c: Column, k: Int): Column = toCol(GramFps(toExpr(c), k))
   def simhash30(c: Column): Column = toCol(SimHash30(toExpr(c)))
   def trigram_lang_id(c: Column): Column = toCol(TrigramLangId(toExpr(c)))
   def minhash_sig(c: Column, n: Int): Column = toCol(MinHashSig(toExpr(c), n))

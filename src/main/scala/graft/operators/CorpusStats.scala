@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level co-occurrence statistics: document-frequency PMI over
+  * word pairs (phrase mining / collocation discovery — the corpus-wide
+  * counterpart of the per-document [[TextAnalysis]] signals).
+  *
+  * PMI surrogate: `pmi_x1000 = n_ab * N * 1000 div (n_a * n_b)` —
+  * the log of this is PMI + log 1000, so rankings are identical to
+  * true PMI while the score stays integer-exact for cross-engine
+  * verification (same trade as the TF-IDF surrogate in
+  * [[TextAnalysis.topTfidfTerm]]).
+  *
+  * Scale shape: pair generation joins the (doc, word) exploded frame
+  * with itself ON doc_id — co-partitioned, so each document's pairs
+  * are produced locally; cost is Σ(distinct words per doc)², bounded
+  * by document length, never corpus². Word document-frequencies are a
+  * vocabulary-sized frame, broadcast; the corpus count is a broadcast
+  * 1-row frame (no eager count()); the final top-N is a
+  * TakeOrdered, not a global sort.
+  */
+object CorpusStats {
+
+  /** Top-`topN` word pairs by the integer PMI surrogate, among pairs
+    * co-occurring in at least `minPairDocs` documents. All counts are
+    * document frequencies (distinct words per document). */
+  def pmiTopPairs(docs: DataFrame, minPairDocs: Long = 5L,
+      topN: Int = 20): DataFrame = {
+    val dw = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wc = dw.groupBy("w").agg(count(lit(1)).as("nw"))
+    val pairs = dw.toDF("doc_id", "wa")
+      .join(dw.toDF("doc_id", "wb"), Seq("doc_id"))
+      .filter(col("wa") < col("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+    pairs
+      .join(broadcast(wc.toDF("wa", "n_a")), Seq("wa"))
+      .join(broadcast(wc.toDF("wb", "n_b")), Seq("wb"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("wa"), col("wb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * n_docs * 1000) div (n_a * n_b)").as("pmi_x1000"))
+      .orderBy(col("pmi_x1000").desc, col("wa"), col("wb"))
+      .limit(topN)
+  }
+}

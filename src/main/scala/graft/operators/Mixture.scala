@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-mix rebalancing: deterministic down-sampling toward a
+  * target group distribution (the "data mixing" step of an LLM
+  * pipeline — e.g. cap English at its target share instead of letting
+  * it dominate the token budget).
+  *
+  * Everything is integer arithmetic plus one stable per-row hash, so
+  * the sample is reproducible run-to-run, engine-to-engine (the DuckDB
+  * oracle replays it exactly), and independent of partitioning — the
+  * properties `DataFrame.sample` does not give you.
+  *
+  * Scale shape: the per-group histogram is a vocabulary-sized
+  * aggregate, broadcast back; the corpus pass is then a map-side
+  * filter `hash(id) mod M < rate` — one scan, no corpus shuffle, no
+  * driver collect, and adding 100× more data changes only the
+  * histogram values.
+  */
+object Mixture {
+
+  /** Down-sample `docs` so every `groupCol` value lands an
+    * approximately equal share (uniform target mixture).
+    *
+    * Per-group keep rate in per-mil:
+    * `min(M, total*M div (n_groups * n_group))` — groups below their
+    * fair share keep everything, oversized groups keep the fair-share
+    * fraction. A row survives iff
+    * `poly_hash(doc_id) mod M < rate_mil`, the same deterministic
+    * coin as the seeded-sample operator (st6).
+    */
+  def rebalanceUniform(docs: DataFrame, groupCol: String = "lang",
+      mil: Long = 1000L): DataFrame = {
+    val stats = docs.groupBy(groupCol).agg(count(lit(1)).as("n_grp"))
+    val totals = stats.agg(sum("n_grp").as("total"),
+      count(lit(1)).as("n_grps"))
+    val rate = least(lit(mil), expr(s"(total * $mil) div (n_grps * n_grp)"))
+    docs.join(broadcast(stats), Seq(groupCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("rate_mil", rate)
+      .filter(TextAnalysis.fingerprint(col("doc_id").cast("string"))
+        % lit(mil) < col("rate_mil"))
+      .select(col("doc_id"), col(groupCol), col("rate_mil"))
+  }
+}

@@ -159,6 +159,41 @@ object TextAnalysis {
         col("tf"), col("df"), col("score"))
   }
 
+  /** Per-document repetition signals (Gopher-style quality filters:
+    * Rae et al. 2021 §A1.1 use top-n-gram fraction and
+    * duplicate-n-gram fraction to drop boilerplate/spam documents):
+    *
+    *  - `top_bigram_frac` — fraction of all word bigrams taken by the
+    *    single most frequent bigram;
+    *  - `dup_trigram_frac` — fraction of trigram OCCURRENCES whose
+    *    trigram appears more than once in the document.
+    *
+    * Scale shape: per-row native gram fingerprints
+    * ([[graft.functions.GramFps]] — multiplicity-preserving, unlike
+    * the dedup path's distinct shingles), then
+    * `groupBy(doc_id, gram).count` with map-side partial aggregation
+    * and a per-doc rollup — the shuffle carries (id, fp, count), never
+    * text. Counts are integers and each fraction is one double
+    * division, so the DuckDB oracle matches bit-for-bit. */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    def gramStats(k: Int, p: String): DataFrame =
+      docs.select(col("doc_id"),
+          explode(graft.functions.hashFunctions.gram_fps(col("text"), k)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(
+          sum("n").as(s"${p}_total"),
+          max("n").as(s"${p}_top"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L)).as(s"${p}_dup"))
+    gramStats(2, "bg").join(gramStats(3, "tg"), "doc_id")
+      .select(col("doc_id"),
+        col("bg_total").as("n_bigrams"),
+        col("bg_top").as("top_bigram_n"),
+        (col("bg_top").cast("double") / col("bg_total").cast("double"))
+          .as("top_bigram_frac"),
+        (col("tg_dup").cast("double") / col("tg_total").cast("double"))
+          .as("dup_trigram_frac"))
+  }
+
   /** Full per-document stats frame. */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** North-star pipeline queries (SURVEY.md §2.3): text analysis, the
@@ -30,11 +30,18 @@ object PipelineQueries {
       s"list_filter(string_split_regex($e, ''), c0 -> c0 <> ''), " +
       s"c1 -> ord(c1)::BIGINT)), (a0,x0) -> (a0*31+x0)%1000000007)"
 
-  /** Distinct word-3-shingle fingerprints — twin of
-    * [[Dedup.shingles]] (k=3). */
-  private def sqlShingles(toks: String): String =
-    s"list_distinct(list_transform(range(0, greatest(len($toks)-3,0)+1), " +
-      s"i0 -> ${sqlFp(s"array_to_string(($toks)[i0+1:i0+3], ' ')")}))"
+  /** ALL word-k-gram fingerprints in order (multiplicities kept) —
+    * twin of [[graft.functions.HashOps.gramFps]]. */
+  private def sqlGrams(toks: String, k: Int): String =
+    s"list_transform(range(0, greatest(len($toks)-$k,0)+1), " +
+      s"i0 -> ${sqlFp(s"array_to_string(($toks)[i0+1:i0+$k], ' ')")})"
+
+  /** Distinct word-k-shingle fingerprints — twin of
+    * [[Dedup.shingles]]. */
+  private def sqlShinglesK(toks: String, k: Int): String =
+    s"list_distinct(${sqlGrams(toks, k)})"
+
+  private def sqlShingles(toks: String): String = sqlShinglesK(toks, 3)
 
   /** Fixed-order double fold sum of a double list. */
   private def sqlFold(l: String): String =
@@ -99,6 +106,22 @@ object PipelineQueries {
       documents(s, d).select(col("doc_id"), col("lang"),
         TextAnalysis.langIdTrigram(col("text")).as("lang_pred3"))
         .orderBy("doc_id")
+    },
+    "t08_repetition" -> { (s, d) =>
+      TextAnalysis.repetitionScores(documents(s, d)).orderBy("doc_id")
+    },
+    "t09_pmi_pairs" -> { (s, d) =>
+      CorpusStats.pmiTopPairs(documents(s, d), minPairDocs = 5, topN = 20)
+    },
+    // eval set = every 50th doc_id; corpus docs flagged when any of
+    // their word-5-grams appears in the (broadcast) eval gram set
+    "dc1_decontaminate" -> { (s, d) =>
+      Decontaminate.ngramOverlap(documents(s, d),
+        isEval = col("doc_id") % 50 === 0, k = 5)
+        .orderBy("doc_id")
+    },
+    "mx1_mixture_rebalance" -> { (s, d) =>
+      Mixture.rebalanceUniform(documents(s, d)).orderBy("doc_id")
     },
     "dd1_dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d)).orderBy("keep_id")
@@ -320,6 +343,57 @@ object PipelineQueries {
       SELECT term, COUNT(*) AS n
       FROM (SELECT unnest($toks) AS term FROM documents)
       GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+    "t08_repetition" -> s"""
+      WITH g2 AS (SELECT doc_id, unnest(${sqlGrams(toks, 2)}) AS g FROM documents),
+      c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+      s2 AS (SELECT doc_id, sum(n)::BIGINT AS bg_total, max(n) AS bg_top,
+          sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS bg_dup
+        FROM c2 GROUP BY doc_id),
+      g3 AS (SELECT doc_id, unnest(${sqlGrams(toks, 3)}) AS g FROM documents),
+      c3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+      s3 AS (SELECT doc_id, sum(n)::BIGINT AS tg_total,
+          sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS tg_dup
+        FROM c3 GROUP BY doc_id)
+      SELECT s2.doc_id, bg_total AS n_bigrams, bg_top AS top_bigram_n,
+        bg_top::DOUBLE / bg_total::DOUBLE AS top_bigram_frac,
+        tg_dup::DOUBLE / tg_total::DOUBLE AS dup_trigram_frac
+      FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+      ORDER BY s2.doc_id""",
+    "t09_pmi_pairs" -> s"""
+      WITH dw AS (SELECT DISTINCT doc_id, w FROM
+          (SELECT doc_id, unnest($toks) AS w FROM documents)),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      wc AS (SELECT w, count(*) AS nw FROM dw GROUP BY w),
+      p AS (SELECT a.w AS wa, b.w AS wb, count(*) AS n_ab
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT wa, wb, n_ab, ca.nw AS n_a, cb.nw AS n_b,
+        (n_ab * (SELECT n_docs FROM n) * 1000) // (ca.nw * cb.nw) AS pmi_x1000
+      FROM p JOIN wc ca ON ca.w = wa JOIN wc cb ON cb.w = wb
+      ORDER BY pmi_x1000 DESC, wa, wb LIMIT 20""",
+    "dc1_decontaminate" -> s"""
+      WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
+        FROM documents),
+      ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+      hits AS (SELECT doc_id, count(*) AS n_hits FROM sh
+        WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM ev)
+        GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id""",
+    "mx1_mixture_rebalance" -> s"""
+      WITH s AS (SELECT lang, count(*) AS n_grp FROM documents GROUP BY lang),
+      t AS (SELECT sum(n_grp)::BIGINT AS total, count(*)::BIGINT AS n_grps
+        FROM s)
+      SELECT d.doc_id, d.lang,
+        least(1000, (t.total * 1000) // (t.n_grps * s.n_grp))::BIGINT
+          AS rate_mil
+      FROM documents d JOIN s USING (lang) CROSS JOIN t
+      WHERE ${sqlFp("d.doc_id::VARCHAR")} % 1000 <
+        least(1000, (t.total * 1000) // (t.n_grps * s.n_grp))
+      ORDER BY d.doc_id""",
     "dd1_dedup_exact" -> s"""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY array_to_string($toks, ' ')

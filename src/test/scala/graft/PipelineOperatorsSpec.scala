@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
 
 class PipelineOperatorsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -150,6 +150,65 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
       .toSet
     assert(got == ref)
+  }
+
+  test("repetition scores count gram multiplicities exactly") {
+    import spark.implicits._
+    // "a b a b a b": bigrams = [ab, ba, ab, ba, ab] -> top 3/5;
+    // trigrams = [aba, bab, aba, bab] -> every occurrence duplicated
+    val in = Seq((0L, "a b a b a b"), (1L, "x y z w")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScores(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (0L, 5L, 3L, 0.6, 1.0),
+      (1L, 3L, 1L, 1.0 / 3.0, 0.0)))
+  }
+
+  test("decontamination flags docs sharing a k-gram with the eval set") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, "one two three four"),          // eval
+      (1L, "zzz one two three qqq"),       // shares "one two three"
+      (2L, "totally different words here") // clean
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.ngramOverlap(in, col("doc_id") === 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got == Set((1L, 1L, true), (2L, 0L, false)))
+  }
+
+  test("mixture rebalance keeps fair-share rates, deterministic coin") {
+    import spark.implicits._
+    // 10 en + 2 fr: total=12, fair share 6 -> en rate 600‰, fr capped 1000‰
+    val in = ((0L until 10L).map(i => (i, "en")) ++
+      Seq((100L, "fr"), (101L, "fr"))).toDF("doc_id", "lang")
+    val got = Mixture.rebalanceUniform(in)
+    val rates = got.select("lang", "rate_mil").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rates.get("fr").contains(1000L))
+    assert(rates.get("en").forall(_ == 600L))
+    // the coin replays: kept ids are exactly hash(id) mod 1000 < rate
+    val expected = in.select(col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("doc_id").cast("string")).as("h"))
+      .collect()
+      .filter(r => r.getLong(2) % 1000 <
+        (if (r.getString(1) == "en") 600 else 1000))
+      .map(_.getLong(0)).toSet
+    assert(got.collect().map(_.getLong(0)).toSet == expected)
+  }
+
+  test("pmi pairs score document co-occurrence with integer math") {
+    import spark.implicits._
+    val in = ((0L until 6L).map(i => (i, "p q")) ++
+      (6L until 12L).map(i => (i, "p r"))).toDF("doc_id", "text")
+    val got = CorpusStats.pmiTopPairs(in, minPairDocs = 5, topN = 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // pmi_x1000 = n_ab * N * 1000 / (n_a*n_b) = 6*12*1000/(12*6) = 1000
+    assert(got == Set(
+      ("p", "q", 6L, 12L, 6L, 1000L),
+      ("p", "r", 6L, 12L, 6L, 1000L)))
   }
 
   test("cluster resolution keeps exactly one representative per group") {
