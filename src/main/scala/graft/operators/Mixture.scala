@@ -31,6 +31,22 @@ object Mixture {
     * `poly_hash(doc_id) mod M < rate_mil`, the same deterministic
     * coin as the seeded-sample operator (st6).
     */
+  /** Deterministic train/val/test assignment by hash range:
+    * `h = poly_hash(doc_id) mod 1000`, train < `trainMil` ≤ val <
+    * `valMil` ≤ test. Purely per-row (no shuffle, no state), stable
+    * under repartitioning and incremental appends — a new document's
+    * split never depends on what else is in the batch, which is the
+    * property a random split lacks. */
+  def splitAssign(docs: DataFrame, trainMil: Int = 900,
+      valMil: Int = 950): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        (TextAnalysis.fingerprint(col("doc_id").cast("string")) % 1000)
+          .as("h"))
+      .withColumn("split",
+        when(col("h") < trainMil, "train")
+          .when(col("h") < valMil, "val")
+          .otherwise("test"))
+
   def rebalanceUniform(docs: DataFrame, groupCol: String = "lang",
       mil: Long = 1000L): DataFrame = {
     val stats = docs.groupBy(groupCol).agg(count(lit(1)).as("n_grp"))

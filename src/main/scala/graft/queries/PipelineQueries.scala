@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis, VectorStats}
 import graft.streaming.EventStreams
 
 /** North-star pipeline queries (SURVEY.md §2.3): text analysis, the
@@ -122,6 +122,15 @@ object PipelineQueries {
     },
     "mx1_mixture_rebalance" -> { (s, d) =>
       Mixture.rebalanceUniform(documents(s, d)).orderBy("doc_id")
+    },
+    "mx2_split_assign" -> { (s, d) =>
+      Mixture.splitAssign(documents(s, d)).orderBy("doc_id")
+    },
+    "ve1_label_centroids" -> { (s, d) =>
+      VectorStats.labelCentroids(embeddings(s, d)).orderBy("label", "dim")
+    },
+    "ve2_quantize_int8" -> { (s, d) =>
+      VectorStats.quantizeInt8(embeddings(s, d)).orderBy("vec_id")
     },
     "dd1_dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d)).orderBy("keep_id")
@@ -394,6 +403,30 @@ object PipelineQueries {
       WHERE ${sqlFp("d.doc_id::VARCHAR")} % 1000 <
         least(1000, (t.total * 1000) // (t.n_grps * s.n_grp))
       ORDER BY d.doc_id""",
+    "mx2_split_assign" -> s"""
+      WITH h AS (SELECT doc_id, lang,
+        ${sqlFp("doc_id::VARCHAR")} % 1000 AS h FROM documents)
+      SELECT doc_id, lang, h,
+        CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
+          ELSE 'test' END AS split
+      FROM h ORDER BY doc_id""",
+    "ve1_label_centroids" -> s"""
+      WITH x AS (SELECT label, i0 AS dim,
+          floor(embedding[i0+1]::DOUBLE * 1099511627776.0)::BIGINT
+            ::DECIMAL(38,0) AS v
+        FROM embeddings, unnest(range(0, len(embedding))) AS t(i0))
+      SELECT label, dim, count(*) AS n,
+        sum(v)::DOUBLE / 1099511627776.0 / count(*)::DOUBLE AS centroid
+      FROM x GROUP BY label, dim ORDER BY label, dim""",
+    "ve2_quantize_int8" -> s"""
+      WITH s AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, v0 -> abs(v0::DOUBLE))) AS scale
+        FROM embeddings)
+      SELECT vec_id, scale,
+        CASE WHEN scale > 0 THEN list_transform(embedding,
+            v1 -> floor(v1::DOUBLE * 127.0 / scale + 0.5)::INT)
+          ELSE list_transform(embedding, v2 -> 0) END AS q
+      FROM s ORDER BY vec_id""",
     "dd1_dedup_exact" -> s"""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY array_to_string($toks, ' ')

@@ -211,6 +211,47 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       ("p", "r", 6L, 12L, 6L, 1000L)))
   }
 
+  test("label centroids are the exact dimension-wise mean") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, Seq(1.0f, -2.0f), 7),
+      (1L, Seq(3.0f, 4.0f), 7),
+      (2L, Seq(0.5f, 0.25f), 8)).toDF("vec_id", "embedding", "label")
+    val got = operators.VectorStats.labelCentroids(in).collect()
+      .map(r => (r.getInt(2 - 2), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (7, 0, 2L, 2.0), (7, 1, 2L, 1.0),
+      (8, 0, 1L, 0.5), (8, 1, 1L, 0.25)))
+  }
+
+  test("int8 quantization rounds half-up and survives zero vectors") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, Seq(1.0f, -0.5f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = operators.VectorStats.quantizeInt8(in).orderBy("vec_id")
+      .collect()
+    assert(rows(0).getDouble(1) == 1.0)
+    assert(rows(0).getSeq[Int](2) == Seq(127, -63, 0))
+    assert(rows(1).getDouble(1) == 0.0)
+    assert(rows(1).getSeq[Int](2) == Seq(0, 0, 0))
+  }
+
+  test("split assignment is a pure per-row hash rule") {
+    val got = operators.Mixture.splitAssign(docs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val h = r.getLong(2)
+      val want = if (h < 900) "train" else if (h < 950) "val" else "test"
+      assert(r.getString(3) == want)
+    }
+    // repartitioning must not change any assignment
+    val re = operators.Mixture.splitAssign(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    got.foreach(r => assert(re(r.getLong(0)) == r.getString(3)))
+  }
+
   test("cluster resolution keeps exactly one representative per group") {
     val clusters = Dedup.resolveClusters(Dedup.minhashPairs(docs, pct = 80))
     val perCluster = clusters.groupBy("cluster_id")
