@@ -14,9 +14,11 @@ object GenQueriesDoc {
       ("Sort / top-k / set ops", "q16|q17|q30"),
       ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45|q51"),
       ("Sampling", "st6|q49"),
-      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07"),
-      ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8"),
+      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09"),
+      ("Training-mix & splits", "mx1|mx2"),
+      ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dc1"),
       ("Similarity search", "ss1|ss2|ss3"),
+      ("Embedding analytics", "ve1|ve2"),
       ("Multimodal", "m1|m2"),
       ("Streaming batch twins", "st1|st2|st3|st4|st7"))
     val all = SparkEntry.queries.keySet

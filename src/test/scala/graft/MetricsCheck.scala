@@ -31,7 +31,9 @@ object MetricsCheck {
       "q01_pricing_summary", "q05_region_revenue", "q16_topk",
       "dd1_dedup_exact", "dd2_dedup_jaccard", "dd3_dedup_minhash",
       "dd4_dedup_simhash", "ss1_cosine_topk", "dd7_curation_pipeline",
-      "dd8_dedup_clusters", "q49_quota_sample")
+      "dd8_dedup_clusters", "q49_quota_sample", "t08_repetition",
+      "t09_pmi_pairs", "dc1_decontaminate", "mx1_mixture_rebalance",
+      "ve1_label_centroids")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>

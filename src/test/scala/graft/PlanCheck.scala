@@ -88,6 +88,31 @@ object PlanCheck {
       "phase-1 window exchange keyed by (lang, split id)" -> (p =>
         "hashpartitioning\\(lang[^)]*pid".r.findFirstIn(p).isDefined),
       "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("dc1_decontaminate", Seq(
+      // the corpus side must PROBE a broadcast eval gram set — a
+      // shuffled semi join would move the 100 TB side
+      "eval gram set broadcast (semi probe)" -> (p =>
+        p.contains("BroadcastHashJoin") && p.contains("LeftSemi")),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("t08_repetition", Seq(
+      "gram counts partially aggregated before exchange" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("t09_pmi_pairs", Seq(
+      // pair generation must join on doc_id (co-partitioned per-doc
+      // expansion), with vocabulary sides broadcast
+      "vocab df joins broadcast" -> (_.contains("BroadcastHashJoin")),
+      "top-n as TakeOrdered, not global sort" ->
+        (_.contains("TakeOrderedAndProject")),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("ve1_label_centroids", Seq(
+      "centroid sums partially aggregated before exchange" ->
+        (_.contains("partial_")),
+      "single exchange on (label, dim)" ->
+        (p => "Exchange".r.findAllIn(p).size <= 2)))
+    audit("mx1_mixture_rebalance", Seq(
+      "group histogram broadcast back to the corpus" ->
+        (_.contains("BroadcastHashJoin"))))
     // dd8 resolveClusters: its iteration runs eagerly behind
     // localCheckpoint leaves, so the returned plan is a leaf select;
     // the shape guarantees (paired-subset-only labels, lineage
