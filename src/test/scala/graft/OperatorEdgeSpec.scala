@@ -61,4 +61,41 @@ class OperatorEdgeSpec extends AnyFunSuite {
       assert(sig(i) == (7L * (2 * i + 1) + i * 12345L + 1) % HashOps.Mod)
     }
   }
+
+  test("gram fps keep multiplicity; their distinct set is the shingle set") {
+    val s = UTF8String.fromString("a b a b a")
+    val grams = HashOps.gramFps(s, 2).toSeq
+    assert(grams.length == 4)              // n-1 bigrams, duplicates kept
+    assert(grams(0) == grams(2) && grams(1) == grams(3))
+    assert(grams.distinct.sorted == HashOps.shingleFps(s, 2).toSeq.sorted)
+    // shorter than k: one gram covering the whole token list
+    assert(HashOps.gramFps(UTF8String.fromString("xy"), 3).length == 1)
+  }
+
+  test("repetition of a single-token doc is one self-gram, no dups") {
+    import spark.implicits._
+    val r = operators.TextAnalysis.repetitionScores(
+      Seq((0L, "solo")).toDF("doc_id", "text")).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)) ==
+      ((1L, 1L, 1.0, 0.0)))
+  }
+
+  test("decontamination with an empty eval set flags nothing") {
+    import spark.implicits._
+    val in = Seq((1L, "some words here"), (2L, "more words there"))
+      .toDF("doc_id", "text")
+    val got = operators.Decontaminate.ngramOverlap(in, lit(false), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got == Set((1L, 0L, false), (2L, 0L, false)))
+  }
+
+  test("mixture rebalance of a single group keeps every row") {
+    import spark.implicits._
+    val in = (0L until 20L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val got = operators.Mixture.rebalanceUniform(in)
+    assert(got.count() == 20)
+    assert(got.select("rate_mil").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1000L))
+  }
 }
