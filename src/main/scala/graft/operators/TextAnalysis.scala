@@ -168,23 +168,27 @@ object TextAnalysis {
     *  - `dup_trigram_frac` — fraction of trigram OCCURRENCES whose
     *    trigram appears more than once in the document.
     *
-    * Scale shape: per-row native gram fingerprints
+    * Scale shape: ONE corpus scan — per-row native gram fingerprints
     * ([[graft.functions.GramFps]] — multiplicity-preserving, unlike
-    * the dedup path's distinct shingles), then
-    * `groupBy(doc_id, gram).count` with map-side partial aggregation
-    * and a per-doc rollup — the shuffle carries (id, fp, count), never
-    * text. Counts are integers and each fraction is one double
-    * division, so the DuckDB oracle matches bit-for-bit. */
+    * the dedup path's distinct shingles) for both gram sizes, tagged
+    * with k and exploded together; then `groupBy(doc_id, k, gram)
+    * .count` with map-side partial aggregation and a conditional
+    * per-doc rollup (no bigram⋈trigram join, no second scan). The
+    * shuffle carries (id, k, fp, count), never text. Counts are
+    * integers and each fraction is one double division, so the DuckDB
+    * oracle matches bit-for-bit. */
   def repetitionScores(docs: DataFrame): DataFrame = {
-    def gramStats(k: Int, p: String): DataFrame =
-      docs.select(col("doc_id"),
-          explode(graft.functions.hashFunctions.gram_fps(col("text"), k)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg(
-          sum("n").as(s"${p}_total"),
-          max("n").as(s"${p}_top"),
-          sum(when(col("n") > 1, col("n")).otherwise(0L)).as(s"${p}_dup"))
-    gramStats(2, "bg").join(gramStats(3, "tg"), "doc_id")
+    def tag(k: Int): Column = transform(
+      graft.functions.hashFunctions.gram_fps(col("text"), k),
+      g => struct(lit(k).as("k"), g.as("g")))
+    val k = col("kg.k"); val n = col("n")
+    docs.select(col("doc_id"), explode(concat(tag(2), tag(3))).as("kg"))
+      .groupBy(col("doc_id"), col("kg")).agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum(when(k === 2, n).otherwise(0L)).as("bg_total"),
+        max(when(k === 2, n).otherwise(0L)).as("bg_top"),
+        sum(when(k === 3, n).otherwise(0L)).as("tg_total"),
+        sum(when(k === 3 && n > 1, n).otherwise(0L)).as("tg_dup"))
       .select(col("doc_id"),
         col("bg_total").as("n_bigrams"),
         col("bg_top").as("top_bigram_n"),
