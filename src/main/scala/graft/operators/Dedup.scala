@@ -155,19 +155,24 @@ object Dedup {
     * arrays (a document's full shingle set riding `bands` exchanges
     * would dominate shuffle volume at corpus scale); the arrays are
     * joined in only for the deduplicated candidate pairs. */
-  def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, pct: Int = 80): DataFrame = {
+  /** (doc_id, band, key) band-key rows for LSH banding: band key =
+    * fingerprint-combine of the band's signature slice. Carries only
+    * ids and keys — never the shingle arrays. */
+  private def bandKeys(ds: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val ds = docShingles(docs, k)
-    // band key = fingerprint-combine of the band's signature slice
-    val banded = ds
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    ds.withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
             aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
               (acc, x) => (acc * 31L + x) % Mod).as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, pct: Int = 80): DataFrame = {
+    val ds = docShingles(docs, k)
+    val banded = bandKeys(ds, numHashes, bands)
     val candidates = banded.toDF("a_id", "band", "key")
       .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
@@ -183,6 +188,41 @@ object Dedup {
       .filter(col("common") * 100 >= col("u") * pct)
       .select("a_id", "b_id", "common", "u")
       .withColumnRenamed("u", "union_size")
+  }
+
+  /** Incremental MinHash dedup: near-dup pairs BETWEEN an incoming
+    * batch and an existing index — the daily-crawl shape, where
+    * re-deduplicating the whole corpus per batch
+    * ([[minhashPairs]] over new ∪ index) would re-pay the full-corpus
+    * candidate join every day.
+    *
+    * Same banding/verify math as [[minhashPairs]] (so a pair found
+    * here equals the pair the full run would find), but candidates
+    * come only from new×index band-key collisions. The batch side is
+    * normally ≪ the index, so its band keys are a broadcast-sized
+    * frame and the index is probed map-side; the index's shingle
+    * arrays are joined in only for deduplicated candidate pairs. */
+  def minhashPairsAgainst(newDocs: DataFrame, indexDocs: DataFrame,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      pct: Int = 80): DataFrame = {
+    val dsN = docShingles(newDocs, k)
+    val dsI = docShingles(indexDocs, k)
+    val candidates = bandKeys(dsN, numHashes, bands)
+      .toDF("new_id", "band", "key")
+      .join(bandKeys(dsI, numHashes, bands).toDF("index_id", "band", "key"),
+        Seq("band", "key"))
+      .select("new_id", "index_id")
+      .distinct()
+    candidates
+      .join(dsN.select(col("doc_id").as("new_id"), col("sh").as("a_sh"),
+        col("n_sh").as("a_n")), "new_id")
+      .join(dsI.select(col("doc_id").as("index_id"), col("sh").as("b_sh"),
+        col("n_sh").as("b_n")), "index_id")
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("u", col("a_n") + col("b_n") - col("common"))
+      .filter(col("common") * 100 >= col("u") * pct)
+      .select(col("new_id"), col("index_id"), col("common"),
+        col("u").as("union_size"))
   }
 
   /** 30-bit SimHash computed per-row with higher-order functions (no

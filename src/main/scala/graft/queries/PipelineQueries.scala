@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Mixture, Multimodal, Similarity, TextAnalysis, VectorStats}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Layout, Mixture, Multimodal, Similarity, TextAnalysis, VectorStats}
 import graft.streaming.EventStreams
 
 /** North-star pipeline queries (SURVEY.md §2.3): text analysis, the
@@ -125,6 +125,19 @@ object PipelineQueries {
     },
     "mx2_split_assign" -> { (s, d) =>
       Mixture.splitAssign(documents(s, d)).orderBy("doc_id")
+    },
+    // incremental dedup: every 10th doc is the incoming batch, the
+    // rest the standing index; pairs only cross the boundary
+    "dd9_dedup_incremental" -> { (s, d) =>
+      val all = documents(s, d)
+      Dedup.minhashPairsAgainst(
+        all.filter(col("doc_id") % 10 === 0),
+        all.filter(col("doc_id") % 10 =!= 0))
+        .orderBy("new_id", "index_id")
+    },
+    "q52_zorder_stats" -> { (s, d) =>
+      Layout.zorderStats(lineitem(s, d), "l_partkey", "l_suppkey")
+        .orderBy("z_bucket")
     },
     "ve1_label_centroids" -> { (s, d) =>
       VectorStats.labelCentroids(embeddings(s, d)).orderBy("label", "dim")
@@ -251,8 +264,13 @@ object PipelineQueries {
   /** Shared MinHash-LSH pair pipeline (twin of [[Dedup.minhashPairs]]
     * with k=3, 16 hashes, 4 bands) as a CTE chain ending in
     * `verified(a_id, b_id, common, union_size)` — used by the dd3
-    * pair oracle and the dd8 cluster oracle. */
-  private def sqlMinhashCtes: String = s"""
+    * pair oracle and the dd8 cluster oracle; `cond` selects which
+    * band-collision pairs become candidates (dd9 swaps the
+    * within-corpus `a < b` for the new×index cross condition). */
+  private def sqlMinhashCtes: String =
+    sqlMinhashCtesCond("a.doc_id < b.doc_id")
+
+  private def sqlMinhashCtesCond(cond: String): String = s"""
       ds AS (SELECT doc_id, ${sqlShingles(toks)} AS sh FROM documents),
       dn AS (SELECT doc_id, sh, len(sh) AS n FROM ds),
       sig AS (SELECT doc_id, sh, n,
@@ -265,7 +283,7 @@ object PipelineQueries {
         FROM sig, (SELECT unnest(range(0,4)) AS bd)),
       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM banded a JOIN banded b
-          ON a.bd = b.bd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          ON a.bd = b.bd AND a.bkey = b.bkey AND ($cond)),
       verified AS (
         SELECT c.a_id, c.b_id,
           len(list_intersect(da.sh, db.sh)) AS common,
@@ -403,6 +421,26 @@ object PipelineQueries {
       WHERE ${sqlFp("d.doc_id::VARCHAR")} % 1000 <
         least(1000, (t.total * 1000) // (t.n_grps * s.n_grp))
       ORDER BY d.doc_id""",
+    "dd9_dedup_incremental" -> s"""
+      WITH ${sqlMinhashCtesCond(
+        "a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")}
+      SELECT a_id AS new_id, b_id AS index_id, common, union_size
+      FROM verified
+      WHERE common * 100 >= union_size * 80
+      ORDER BY new_id, index_id""",
+    "q52_zorder_stats" -> {
+      val z = (0 until 16).map { i =>
+        s"(((l_partkey >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)})"
+      }.mkString("(", " + ", ")")
+      s"""
+      WITH z AS (SELECT l_partkey AS a, l_suppkey AS b, $z AS z
+        FROM lineitem)
+      SELECT z // 16384 AS z_bucket, count(*) AS n,
+        min(a) AS a_min, max(a) AS a_max,
+        min(b) AS b_min, max(b) AS b_max
+      FROM z GROUP BY 1 ORDER BY z_bucket"""
+    },
     "mx2_split_assign" -> s"""
       WITH h AS (SELECT doc_id, lang,
         ${sqlFp("doc_id::VARCHAR")} % 1000 AS h FROM documents)

@@ -252,6 +252,40 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     got.foreach(r => assert(re(r.getLong(0)) == r.getString(3)))
   }
 
+  test("incremental minhash equals the full run restricted to the boundary") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val indexDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = Dedup.minhashPairsAgainst(newDocs, indexDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the full corpus run emits a<b pairs; normalize and keep only
+    // pairs crossing the new/index boundary
+    val full = Dedup.minhashPairs(docs, pct = 80).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }
+      .toSet
+    assert(inc == full)
+  }
+
+  test("zorder key interleaves bits; buckets bound both dimensions") {
+    import spark.implicits._
+    // a=3 (bits 0,1 -> positions 0,2), b=1 (bit 0 -> position 1)
+    val z = Seq((3L, 1L)).toDF("a", "b")
+      .select(operators.Layout.zorderKey(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(z == 7L)
+    // adjacent-in-z rows are close in BOTH dims: each 2^14 bucket of a
+    // 16-bit interleave spans at most 2^7 distinct values per dim
+    val li = Tables.lineitem(spark, sf)
+    val stats = operators.Layout.zorderStats(li, "l_partkey", "l_suppkey")
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 128, "a-range too wide")
+      assert(r.getLong(5) - r.getLong(4) < 128, "b-range too wide")
+    }
+  }
+
   test("cluster resolution keeps exactly one representative per group") {
     val clusters = Dedup.resolveClusters(Dedup.minhashPairs(docs, pct = 80))
     val perCluster = clusters.groupBy("cluster_id")

@@ -113,6 +113,23 @@ object PlanCheck {
     audit("mx1_mixture_rebalance", Seq(
       "group histogram broadcast back to the corpus" ->
         (_.contains("BroadcastHashJoin"))))
+    audit("dd9_dedup_incremental", Seq(
+      // band-collision candidates must come from an equi join on
+      // (band, key) — with a small batch the index side is probed
+      "band join is equi, not cartesian" -> (p =>
+        !p.contains("Cartesian")),
+      // distinct-only aggregates carry no "partial_" marker; the
+      // two-phase shape shows as a HashAggregate on each side of the
+      // (new_id, index_id) exchange
+      "candidates deduplicated map-side before the exchange" -> (p =>
+        "HashAggregate\\(keys=\\[new_id".r.findAllIn(p).size >= 2),
+      "small batch side broadcast in the band join" ->
+        (_.contains("BroadcastHashJoin"))))
+    audit("q52_zorder_stats", Seq(
+      "bucket stats partially aggregated before exchange" ->
+        (_.contains("partial_")),
+      "z-key stays in whole-stage codegen (no UDF)" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
     // dd8 resolveClusters: its iteration runs eagerly behind
     // localCheckpoint leaves, so the returned plan is a leaf select;
     // the shape guarantees (paired-subset-only labels, lineage
