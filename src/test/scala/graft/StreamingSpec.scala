@@ -40,6 +40,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(streamed) == asSet(batch))
   }
 
+  test("stateless pipeline ops run unchanged on a document stream") {
+    // split assignment + quality scoring are pure per-row rules, so
+    // the SAME operator code applies to readStream without a
+    // streaming variant — the property that lets one curation
+    // codebase serve both the backfill and the live crawl
+    val schema = spark.read
+      .parquet(s"$sf/documents.parquet").schema
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val docsBatch = Tables.documents(spark, sf)
+    runToMemory(operators.Mixture.splitAssign(docStream),
+      "split_out", "append")
+    assert(asSet(spark.table("split_out")) ==
+      asSet(operators.Mixture.splitAssign(docsBatch)))
+    def quality(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+    runToMemory(quality(docStream), "quality_out", "append")
+    assert(asSet(spark.table("quality_out")) == asSet(quality(docsBatch)))
+  }
+
   test("watermark dedup stream preserves distinct event ids") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf))
