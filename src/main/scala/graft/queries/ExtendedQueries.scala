@@ -345,6 +345,25 @@ object ExtendedQueries {
           "metric", "val")
         .orderBy("p_partkey", "metric")
     },
+    // IGNORE NULLS window semantics: forward-fill (gap-fill) the last
+    // purchase value onto every subsequent event of the same user —
+    // per-partition single pass, no self-join; the null-skipping
+    // `last` is what a LAG/LAST_VALUE without IGNORE NULLS can't do
+    "q53_gap_fill" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "purchase", col("value"))
+            .as("purchase_value"))
+        .withColumn("last_purchase_value",
+          last("purchase_value", ignoreNulls = true).over(w))
+        .select("user_id", "event_id", "purchase_value",
+          "last_purchase_value")
+        .orderBy("user_id", "event_id")
+    },
     "q33_array_agg" -> { (s, d) =>
       // collect_list/sort_array/slice surface; array columns serialized
       // to strings (array_join) so the driver's pandas-based hash gate
@@ -539,6 +558,15 @@ object ExtendedQueries {
       UNION ALL
       SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
       ORDER BY p_partkey, metric""",
+    "q53_gap_fill" -> """
+      SELECT user_id, event_id,
+        CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+        last_value(CASE WHEN event_type = 'purchase' THEN value END
+            IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY date_trunc('microseconds', ts), event_id
+                ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+      FROM events ORDER BY user_id, event_id""",
     "q33_array_agg" -> """
       SELECT n_name,
         array_to_string(list_sort(list(s_suppkey)), ',') AS supps_str,
