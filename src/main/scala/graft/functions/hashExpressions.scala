@@ -39,31 +39,14 @@ object HashOps {
     s.toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
   /** Distinct word-k-shingle polynomial fingerprints (twin of
-    * `Dedup.shingles`). */
+    * `Dedup.shingles`): [[gramFps]] deduplicated in first-occurrence
+    * order — ONE rolling-hash loop to keep in lockstep with the SQL
+    * oracle (`PipelineQueries.sqlFp`), not two copies. */
   def shingleFps(s: UTF8String, k: Int): Array[Long] = {
-    val toks = tokenize(s)
-    val n = toks.length
-    val last = math.max(n - k, 0)
+    val grams = gramFps(s, k)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
-    while (i <= last) {
-      val end = math.min(i + k, n)
-      var h = 0L
-      var j = i
-      while (j < end) {
-        if (j > i) h = (h * 31 + ' '.toInt) % Mod
-        val w = toks(j)
-        var c = 0
-        while (c < w.length) {
-          val cp = w.codePointAt(c)
-          h = (h * 31 + cp) % Mod
-          c += Character.charCount(cp)
-        }
-        j += 1
-      }
-      seen.add(h)
-      i += 1
-    }
+    while (i < grams.length) { seen.add(grams(i)); i += 1 }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var x = 0
@@ -74,7 +57,14 @@ object HashOps {
   /** ALL word-k-gram fingerprints in document order — the
     * NON-distinct twin of [[shingleFps]]. Repetition statistics
     * (top-gram fraction, duplicate-gram fraction) need gram
-    * multiplicities, which the dedup path's distinct set erases. */
+    * multiplicities, which the dedup path's distinct set erases.
+    *
+    * Convention (shared with [[shingleFps]] and every SQL twin via
+    * `greatest(len-k,0)+1`): a document with fewer than k tokens —
+    * including zero — yields exactly ONE gram covering whatever is
+    * there (fingerprint 0 when empty). Empty docs therefore read as
+    * 100% repetitive in t08; run them through the quality/min-token
+    * filter first, as the curation pipeline does. */
   def gramFps(s: UTF8String, k: Int): Array[Long] = {
     val toks = tokenize(s)
     val n = toks.length

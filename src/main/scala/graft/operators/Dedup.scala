@@ -146,15 +146,6 @@ object Dedup {
   def minhashSignature(sh: Column, numHashes: Int): Column =
     graft.functions.hashFunctions.minhash_sig(sh, numHashes)
 
-  /** MinHash+LSH near-dup pairs: band the signature (`bands` bands of
-    * `numHashes/bands` rows), shuffle once per band on the band key,
-    * then exact-Jaccard-verify only bucket collisions. Output matches
-    * [[jaccardPairs]] minus LSH false negatives.
-    *
-    * The band shuffles carry only (id, band, key) — never the shingle
-    * arrays (a document's full shingle set riding `bands` exchanges
-    * would dominate shuffle volume at corpus scale); the arrays are
-    * joined in only for the deduplicated candidate pairs. */
   /** (doc_id, band, key) band-key rows for LSH banding: band key =
     * fingerprint-combine of the band's signature slice. Carries only
     * ids and keys — never the shingle arrays. */
@@ -169,6 +160,34 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Exact-Jaccard verification of candidate (aCol, bCol) pairs:
+    * joins each side's FULL shingle array back in and keeps pairs
+    * with `common*100 >= pct*union` (integer math). Shared by
+    * [[minhashPairs]] and [[minhashPairsAgainst]] so the threshold
+    * arithmetic exists exactly once. */
+  private def verifyPairs(candidates: DataFrame, aCol: String,
+      dsA: DataFrame, bCol: String, dsB: DataFrame,
+      pct: Int): DataFrame =
+    candidates
+      .join(dsA.select(col("doc_id").as(aCol), col("sh").as("a_sh"),
+        col("n_sh").as("a_n")), aCol)
+      .join(dsB.select(col("doc_id").as(bCol), col("sh").as("b_sh"),
+        col("n_sh").as("b_n")), bCol)
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("u", col("a_n") + col("b_n") - col("common"))
+      .filter(col("common") * 100 >= col("u") * pct)
+      .select(col(aCol), col(bCol), col("common"),
+        col("u").as("union_size"))
+
+  /** MinHash+LSH near-dup pairs: band the signature (`bands` bands of
+    * `numHashes/bands` rows), shuffle once per band on the band key,
+    * then exact-Jaccard-verify only bucket collisions. Output matches
+    * [[jaccardPairs]] minus LSH false negatives.
+    *
+    * The band shuffles carry only (id, band, key) — never the shingle
+    * arrays (a document's full shingle set riding `bands` exchanges
+    * would dominate shuffle volume at corpus scale); the arrays are
+    * joined in only for the deduplicated candidate pairs. */
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
       bands: Int = 4, pct: Int = 80): DataFrame = {
     val ds = docShingles(docs, k)
@@ -178,16 +197,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    candidates
-      .join(ds.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-        col("n_sh").as("a_n")), "a_id")
-      .join(ds.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        col("n_sh").as("b_n")), "b_id")
-      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .withColumn("u", col("a_n") + col("b_n") - col("common"))
-      .filter(col("common") * 100 >= col("u") * pct)
-      .select("a_id", "b_id", "common", "u")
-      .withColumnRenamed("u", "union_size")
+    verifyPairs(candidates, "a_id", ds, "b_id", ds, pct)
   }
 
   /** Incremental MinHash dedup: near-dup pairs BETWEEN an incoming
@@ -213,16 +223,7 @@ object Dedup {
         Seq("band", "key"))
       .select("new_id", "index_id")
       .distinct()
-    candidates
-      .join(dsN.select(col("doc_id").as("new_id"), col("sh").as("a_sh"),
-        col("n_sh").as("a_n")), "new_id")
-      .join(dsI.select(col("doc_id").as("index_id"), col("sh").as("b_sh"),
-        col("n_sh").as("b_n")), "index_id")
-      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .withColumn("u", col("a_n") + col("b_n") - col("common"))
-      .filter(col("common") * 100 >= col("u") * pct)
-      .select(col("new_id"), col("index_id"), col("common"),
-        col("u").as("union_size"))
+    verifyPairs(candidates, "new_id", dsN, "index_id", dsI, pct)
   }
 
   /** 30-bit SimHash computed per-row with higher-order functions (no

@@ -21,16 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** Down-sample `docs` so every `groupCol` value lands an
-    * approximately equal share (uniform target mixture).
-    *
-    * Per-group keep rate in per-mil:
-    * `min(M, total*M div (n_groups * n_group))` — groups below their
-    * fair share keep everything, oversized groups keep the fair-share
-    * fraction. A row survives iff
-    * `poly_hash(doc_id) mod M < rate_mil`, the same deterministic
-    * coin as the seeded-sample operator (st6).
-    */
   /** Deterministic train/val/test assignment by hash range:
     * `h = poly_hash(doc_id) mod 1000`, train < `trainMil` ≤ val <
     * `valMil` ≤ test. Purely per-row (no shuffle, no state), stable
@@ -47,6 +37,16 @@ object Mixture {
           .when(col("h") < valMil, "val")
           .otherwise("test"))
 
+  /** Down-sample `docs` so every `groupCol` value lands an
+    * approximately equal share (uniform target mixture).
+    *
+    * Per-group keep rate in per-mil:
+    * `min(M, total*M div (n_groups * n_group))` — groups below their
+    * fair share keep everything, oversized groups keep the fair-share
+    * fraction. A row survives iff
+    * `poly_hash(doc_id) mod M < rate_mil`, the same deterministic
+    * coin as the seeded-sample operator (st6).
+    */
   def rebalanceUniform(docs: DataFrame, groupCol: String = "lang",
       mil: Long = 1000L): DataFrame = {
     val stats = docs.groupBy(groupCol).agg(count(lit(1)).as("n_grp"))
