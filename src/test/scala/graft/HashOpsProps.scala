@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.HashOps
+
+/** ScalaCheck properties for the pure-JVM hash kernels — the
+  * invariants every engine twin (HOF, SQL oracle) relies on, checked
+  * over generated inputs rather than the fixture corpus. */
+object HashOpsProps extends Properties("HashOps") {
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+  private def u(s: String) = UTF8String.fromString(s)
+
+  property("polyHash equals the BigInt fold reference") =
+    forAll(text) { s =>
+      val ref = s.codePoints().toArray.foldLeft(BigInt(0)) { (a, cp) =>
+        (a * 31 + cp) % HashOps.Mod
+      }
+      HashOps.polyHash(u(s)) == ref.toLong
+    }
+
+  property("polyHash stays in [0, Mod)") = forAll(text) { s =>
+    val h = HashOps.polyHash(u(s))
+    h >= 0L && h < HashOps.Mod
+  }
+
+  property("gramFps emits max(n-k,0)+1 grams") =
+    forAll(text, Gen.choose(1, 5)) { (s, k) =>
+      val n = HashOps.tokenize(u(s)).length
+      HashOps.gramFps(u(s), k).length == math.max(n - k, 0) + 1
+    }
+
+  property("shingleFps is gramFps deduplicated, order preserved") =
+    forAll(text, Gen.choose(1, 5)) { (s, k) =>
+      HashOps.shingleFps(u(s), k).toSeq ==
+        HashOps.gramFps(u(s), k).toSeq.distinct
+    }
+
+  property("simHash uses only 30 bits") = forAll(text) { s =>
+    val h = HashOps.simHash(u(s))
+    h >= 0L && h < (1L << 30)
+  }
+
+  property("minhash is element-wise monotone under shingle union") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, HashOps.Mod - 1)),
+      Gen.listOf(Gen.choose(0L, HashOps.Mod - 1))) { (base, extra) =>
+      val a = HashOps.minhash(base.toArray, 8)
+      val b = HashOps.minhash((base ++ extra).toArray, 8)
+      a.zip(b).forall { case (x, y) => y <= x }
+    }
+
+  property("trigramLangId returns a known language") = forAll(text) { s =>
+    Set("de", "en", "es", "fr", "zh")
+      .contains(HashOps.trigramLangId(u(s)).toString)
+  }
+
+  property("dotFold is the exact sequential double fold") =
+    forAll(Gen.listOf(Gen.chooseNum(-1.0f, 1.0f))) { xs =>
+      val a = xs.toArray
+      val ref = a.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble)
+      HashOps.dotFold(a, a) == ref
+    }
+
+  property("zorder reference: interleave is injective on 16-bit pairs") =
+    forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (a, b) =>
+      def interleave(x: Long, y: Long): Long =
+        (0 until 16).map { i =>
+          ((x >> i) & 1L) * (1L << (2 * i)) +
+            ((y >> i) & 1L) * (1L << (2 * i + 1))
+        }.sum
+      val z = interleave(a, b)
+      def deinterleave(z: Long, off: Int): Long =
+        (0 until 16).map(i => ((z >> (2 * i + off)) & 1L) << i).sum
+      deinterleave(z, 0) == a && deinterleave(z, 1) == b
+    }
+}
