@@ -61,6 +61,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(spark.table("quality_out")) == asSet(quality(docsBatch)))
   }
 
+  test("stream-static join decontaminates a document stream") {
+    // the eval gram set is a STATIC frame joined into a streaming
+    // scan — Structured Streaming's stream-static join, the shape
+    // dc1 takes when the corpus arrives as a live crawl
+    val docsB = Tables.documents(spark, sf)
+    val evalGrams = docsB.filter(col("doc_id") % 50 === 0)
+      .select(explode(operators.Dedup.shingles(col("text"), 5)).as("s"))
+      .distinct()
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val hits = docStream.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        explode(operators.Dedup.shingles(col("text"), 5)).as("s"))
+      .join(evalGrams, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    runToMemory(hits, "decon_out", "complete")
+    val batch = operators.Decontaminate
+      .ngramOverlap(docsB, col("doc_id") % 50 === 0, k = 5)
+      .filter(col("n_hits") > 0).select("doc_id", "n_hits")
+    assert(asSet(spark.table("decon_out")) == asSet(batch))
+  }
+
   test("watermark dedup stream preserves distinct event ids") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf))
