@@ -56,8 +56,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // short standalone summary LAST: the full per-query line above can
     // exceed the driver's tail-capture window, leaving it unparseable —
-    // this one always survives truncation
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // this one always survives truncation. Distinct metric name so a
+    // consumer aggregating by metric never double-counts the total.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,17 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Morton interleave of the low `bits` bits of `a` (even positions)
-    * and `b` (odd positions). */
+    * and `b` (odd positions).
+    *
+    * DOMAIN BOUND: only the low `bits` bits of each column
+    * participate — a key outside `[0, 2^bits)` aliases onto the key
+    * of its low bits and lands in an unrelated bucket, silently
+    * destroying the narrow-range property the layout exists for.
+    * Callers must size `bits` to the column's domain (e.g. 21+21 bits
+    * still fit a long key for 2-million-value dimensions);
+    * [[zorderStats]] surfaces out-of-domain rows as `n_clipped` so a
+    * scale-up that outgrows `bits` is visible in the stats rather
+    * than silent. */
   def zorderKey(a: Column, b: Column, bits: Int = 16): Column =
     (0 until bits).map { i =>
       shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
@@ -31,13 +41,25 @@ object Layout {
     * bucket rows by `z div 2^bucketShift` (≈ one bucket per output
     * file) and report each bucket's row count and min/max of both
     * dimensions — narrow per-bucket ranges in BOTH columns are what
-    * make the layout prunable. One scan, one hash aggregation. */
+    * make the layout prunable. One scan, one hash aggregation.
+    *
+    * `n_clipped` counts rows whose key falls outside `[0, 2^bits)` in
+    * either dimension (see the [[zorderKey]] domain bound): a non-zero
+    * value means the interleave is aliasing and `bits` must grow —
+    * the per-bucket ranges stop being trustworthy exactly then, so
+    * the failure mode is reported in-band instead of silently
+    * widening a_min/a_max. */
   def zorderStats(df: DataFrame, aCol: String, bCol: String,
-      bits: Int = 16, bucketShift: Int = 14): DataFrame =
+      bits: Int = 16, bucketShift: Int = 14): DataFrame = {
+    val bound = 1L << bits
     df.select(col(aCol).as("a"), col(bCol).as("b"),
         zorderKey(col(aCol), col(bCol), bits).as("z"))
       .withColumn("z_bucket", expr(s"z div ${1L << bucketShift}"))
       .groupBy("z_bucket").agg(count(lit(1)).as("n"),
         min("a").as("a_min"), max("a").as("a_max"),
-        min("b").as("b_min"), max("b").as("b_max"))
+        min("b").as("b_min"), max("b").as("b_max"),
+        sum(when(col("a") < 0 || col("a") >= bound
+          || col("b") < 0 || col("b") >= bound, 1L).otherwise(0L))
+          .as("n_clipped"))
+  }
 }

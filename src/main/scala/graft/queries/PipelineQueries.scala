@@ -142,8 +142,14 @@ object PipelineQueries {
     "ve1_label_centroids" -> { (s, d) =>
       VectorStats.labelCentroids(embeddings(s, d)).orderBy("label", "dim")
     },
+    // the raw int8 array is serialized to CSV for the gate: the
+    // pandas-based comparator cannot hash numpy arrays (q33 does the
+    // same for its collected lists)
     "ve2_quantize_int8" -> { (s, d) =>
-      VectorStats.quantizeInt8(embeddings(s, d)).orderBy("vec_id")
+      VectorStats.quantizeInt8(embeddings(s, d))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))
+        .orderBy("vec_id")
     },
     "dd1_dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d)).orderBy("keep_id")
@@ -438,7 +444,9 @@ object PipelineQueries {
         FROM lineitem)
       SELECT z // 16384 AS z_bucket, count(*) AS n,
         min(a) AS a_min, max(a) AS a_max,
-        min(b) AS b_min, max(b) AS b_max
+        min(b) AS b_min, max(b) AS b_max,
+        sum(CASE WHEN a < 0 OR a >= 65536 OR b < 0 OR b >= 65536
+          THEN 1 ELSE 0 END)::BIGINT AS n_clipped
       FROM z GROUP BY 1 ORDER BY z_bucket"""
     },
     "mx2_split_assign" -> s"""
@@ -461,9 +469,9 @@ object PipelineQueries {
         list_max(list_transform(embedding, v0 -> abs(v0::DOUBLE))) AS scale
         FROM embeddings)
       SELECT vec_id, scale,
-        CASE WHEN scale > 0 THEN list_transform(embedding,
+        array_to_string(CASE WHEN scale > 0 THEN list_transform(embedding,
             v1 -> floor(v1::DOUBLE * 127.0 / scale + 0.5)::INT)
-          ELSE list_transform(embedding, v2 -> 0) END AS q
+          ELSE list_transform(embedding, v2 -> 0) END, ',') AS q_csv
       FROM s ORDER BY vec_id""",
     "dd1_dedup_exact" -> s"""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies

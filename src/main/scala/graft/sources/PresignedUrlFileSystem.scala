@@ -153,9 +153,22 @@ object PresignedUrlCache {
     * re-registers its own partition's (id, url, spec) immediately
     * before opening the file, and a URL evicted while still needed
     * heals through the spec-driven re-query, exactly like an expired
-    * one. Override with `-Dgraft.presignedUrlCache.maxEntries=N`. */
-  private[graft] def maxEntries: Int =
-    sys.props.getOrElse("graft.presignedUrlCache.maxEntries", "65536").toInt
+    * one. Override with `-Dgraft.presignedUrlCache.maxEntries=N`.
+    * The parse is memoized on the raw property string (it sits on the
+    * `removeEldestEntry` hot path, i.e. every map insertion), and a
+    * malformed value falls back to the default instead of surfacing
+    * as a NumberFormatException thrown from `register()` mid-scan. */
+  @volatile private var maxEntriesMemo: (String, Int) = null
+  private[graft] def maxEntries: Int = {
+    val raw = sys.props.getOrElse("graft.presignedUrlCache.maxEntries", "65536")
+    val memo = maxEntriesMemo
+    if (memo != null && memo._1 == raw) memo._2
+    else {
+      val parsed = try raw.toInt catch { case _: NumberFormatException => 65536 }
+      maxEntriesMemo = (raw, parsed)
+      parsed
+    }
+  }
 
   /** Access-ordered LRU; all access is serialized on the enclosing
     * object's monitor (reads included — LinkedHashMap mutates its

@@ -283,7 +283,14 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     stats.foreach { r =>
       assert(r.getLong(3) - r.getLong(2) < 128, "a-range too wide")
       assert(r.getLong(5) - r.getLong(4) < 128, "b-range too wide")
+      assert(r.getLong(6) == 0L, "no key outside [0, 2^16) at this sf")
     }
+    // out-of-domain keys alias (documented bound) but are NOT silent:
+    // zorderStats reports them per-bucket as n_clipped
+    val clipped = Seq((65536L + 3L, 1L), (3L, 1L)).toDF("x", "y")
+    val cs = operators.Layout.zorderStats(clipped, "x", "y").collect()
+    assert(cs.map(_.getLong(1)).sum == 2L)
+    assert(cs.map(_.getLong(6)).sum == 1L, "aliased key must be counted")
   }
 
   test("cluster resolution keeps exactly one representative per group") {
