@@ -41,10 +41,77 @@ object Decontaminate {
     val hits = sh.filter(!col("is_eval"))
       .join(broadcast(evalGrams), Seq("s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    manifest(docs, isEval, hits)
+  }
+
+  /** [[ngramOverlap]] with a Bloom-filter prefilter instead of a
+    * broadcast hash join against the full eval-gram set — for when
+    * the eval corpus itself is big (a merged suite of benchmarks,
+    * dozens of GB of grams): a hash set that size can't ride every
+    * executor, but `mBits` of bitmap can.
+    *
+    * Exactness is preserved, so the output is bit-identical to
+    * [[ngramOverlap]] (one oracle covers both):
+    *
+    *  1. the bitmap is built AS DATA — each eval gram sets `nHashes`
+    *     bits (affine probes mod `mBits`, same integer-hash family as
+    *     MinHash), `bit_or`-aggregated into 64-bit words, collected
+    *     into ONE map row and broadcast. No driver-side sketch
+    *     object, no UDF: every step is a Catalyst expression;
+    *  2. corpus grams probe the bitmap map-side. A Bloom filter has
+    *     NO false negatives, so dropping bloom-negative grams loses
+    *     nothing;
+    *  3. bloom-POSITIVE grams (true hits + ~fpp false positives) go
+    *     through the exact semi join against the real eval-gram set.
+    *     That join now sees a tiny fraction of the corpus, so it can
+    *     be an ordinary shuffled semi join — the eval set never needs
+    *     to fit in a broadcast hash table.
+    */
+  def bloomNgramOverlap(docs: DataFrame, isEval: Column, k: Int = 5,
+      mBits: Int = 1 << 20, nHashes: Int = 4): DataFrame = {
+    require((mBits & (mBits - 1)) == 0, "mBits must be a power of two")
+    val sh = docs.select(col("doc_id"), isEval.as("is_eval"),
+      explode(Dedup.shingles(col("text"), k)).as("s"))
+    val evalGrams = sh.filter(col("is_eval")).select("s").distinct()
+    // probe positions for gram fingerprint s: affine family
+    // (s*(2j+1) + j*12345) mod p, folded into [0, mBits)
+    def pos(s: Column, j: Int): Column =
+      pmod((s * lit(2L * j + 1) + lit(j * 12345L)) % lit(TextAnalysis.Mod),
+        lit(mBits.toLong))
+    // bitmap as one map<word_idx, word> row: eval grams explode to
+    // bit positions, OR-fold into 64-bit words, collect to a map
+    val words = evalGrams
+      .select(explode(array((0 until nHashes).map(j => pos(col("s"), j)): _*))
+        .as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("bits"))
+    val bitmap = words
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("bm"))
+    val corpus = sh.filter(!col("is_eval"))
+      .crossJoin(broadcast(bitmap))
+    val bloomHit = (0 until nHashes).map { j =>
+      expr(s"(coalesce(element_at(bm, shiftright(p$j, 6)), cast(0 as bigint))" +
+        s" >> cast(p$j % 64 as int)) & 1 = 1")
+    }
+    val probed = (0 until nHashes)
+      .foldLeft(corpus) { (df, j) => df.withColumn(s"p$j", pos(col("s"), j)) }
+      .filter(bloomHit.reduce(_ && _))
+    // exact confirm: only bloom survivors reach the real eval set
+    val hits = probed
+      .join(evalGrams, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    manifest(docs, isEval, hits)
+  }
+
+  /** Left-join per-doc hit counts back onto the non-eval corpus so
+    * zero-hit documents appear with `n_hits = 0`. */
+  private def manifest(docs: DataFrame, isEval: Column,
+      hits: DataFrame): DataFrame =
     docs.filter(!isEval).select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
-  }
 }

@@ -341,4 +341,75 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
   }
+
+  /** [[resolveClusters]] by alternating large-star / small-star
+    * contraction — the escalation that resolver's scaladoc points to
+    * for DEEP components: min-label propagation needs O(diameter)
+    * rounds (a 10k-link plagiarism chain = 10k joins), while the
+    * star operators provably converge in O(log² n) rounds regardless
+    * of diameter (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", MR-CC): each round re-points whole subtrees at
+    * their local minimum instead of moving labels one hop.
+    *
+    * Same output contract as [[resolveClusters]] (doc_id, cluster_id
+    * = component min, keep = is-min) — interchangeable, one oracle.
+    *
+    * Per round, on canonical `(hi > lo)` edges:
+    *  - **large-star**: for each node u, every neighbour v > u
+    *    re-attaches to `m = min(Γ(u) ∪ u)` — one symmetric groupBy
+    *    for the minima, one equi-join to emit `(v, m)`;
+    *  - **small-star**: each node u and its smaller neighbours all
+    *    attach to u's smallest neighbour — one groupBy on `hi`, one
+    *    equi-join.
+    *
+    * Both are plain hash-shuffle aggregations/joins on node ids (no
+    * corpus payloads), each round is `localCheckpoint`ed to truncate
+    * lineage exactly like [[resolveClusters]], and at the fixpoint
+    * the edge set IS the star: every non-min node holds exactly one
+    * edge, to its component minimum. */
+  def resolveClustersStars(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("hi"),
+        least(col("a_id"), col("b_id")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // v > u >= m, so (v, m) is already canonical and never a loop
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("hi").agg(min("lo").as("m"))
+      val reattached = e.join(m, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      val own = m.select(col("hi"), col("m").as("lo"))
+      reattached.union(own).distinct()
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // set fixpoint: both sides distinct, so two anti-joins decide
+      converged = next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty &&
+        edges.join(next, Seq("hi", "lo"), "left_anti").isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClustersStars did not reach its fixpoint in $maxIters " +
+          "rounds — raise maxIters (expected O(log^2 n) rounds).")
+    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+      .distinct()
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
 }

@@ -120,6 +120,16 @@ object PipelineQueries {
         isEval = col("doc_id") % 50 === 0, k = 5)
         .orderBy("doc_id")
     },
+    // same output as dc1 by construction (Bloom prefilter has no
+    // false negatives; exact confirm removes false positives), but
+    // the eval set is probed via a broadcast BITMAP instead of a
+    // broadcast hash set — the shape that survives an eval corpus
+    // too big to hash-join map-side
+    "dc2_decontaminate_bloom" -> { (s, d) =>
+      Decontaminate.bloomNgramOverlap(documents(s, d),
+        isEval = col("doc_id") % 50 === 0, k = 5)
+        .orderBy("doc_id")
+    },
     "mx1_mixture_rebalance" -> { (s, d) =>
       Mixture.rebalanceUniform(documents(s, d)).orderBy("doc_id")
     },
@@ -191,6 +201,15 @@ object PipelineQueries {
       Dedup.resolveClusters(
         Dedup.minhashPairs(documents(s, d), k = 3, numHashes = 16,
           bands = 4, pct = 80))
+        .orderBy("doc_id")
+    },
+    // same cluster contract as dd8, resolved by large-star/small-star
+    // contraction (O(log^2 n) rounds independent of chain depth) over
+    // the denser SimHash pair stream
+    "dd10_dedup_clusters_stars" -> { (s, d) =>
+      Dedup.resolveClustersStars(
+        Dedup.simhashPairs(documents(s, d), maxDist = 3)
+          .select("a_id", "b_id"))
         .orderBy("doc_id")
     },
     // per-language quota for training-mix balancing: deterministic
@@ -298,6 +317,46 @@ object PipelineQueries {
         JOIN dn da ON da.doc_id = c.a_id
         JOIN dn db ON db.doc_id = c.b_id)"""
 
+  /** Shared SimHash pair pipeline (twin of [[Dedup.simhashPairs]]
+    * with three 10-bit blocks) as a CTE chain ending in
+    * `cand(a_id, b_id, a_sh, b_sh)` — used by the dd4 pair oracle
+    * and the dd10 star-cluster oracle. */
+  private def sqlSimhashPairCtes: String = {
+    val fps = s"list_transform($toks, t1 -> ${sqlFp("t1")})"
+    val simhash =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0,30), " +
+        s"j0 -> CASE WHEN list_reduce(list_prepend(0::BIGINT, " +
+        s"list_transform($fps, fp1 -> ((floor(fp1 / 2^j0)::BIGINT) % 2)*2 - 1)), " +
+        s"(a2,x2) -> a2+x2) > 0 THEN (2^j0)::BIGINT ELSE 0 END)), " +
+        s"(a3,x3) -> a3+x3)"
+    s"""h AS (SELECT doc_id, $simhash AS sh FROM documents),
+      blocked AS (SELECT doc_id, sh, x.bid AS bid, x.bkey AS bkey
+        FROM (SELECT doc_id, sh, unnest([
+            {'bid': 0, 'bkey': sh & 1023},
+            {'bid': 1, 'bkey': (sh >> 10) & 1023},
+            {'bid': 2, 'bkey': (sh >> 20) & 1023}]) AS x FROM h)),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          a.sh AS a_sh, b.sh AS b_sh
+        FROM blocked a JOIN blocked b
+          ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+  }
+
+  /** Exact n-gram decontamination manifest — the oracle for BOTH dc1
+    * (broadcast hash set) and dc2 (Bloom bitmap + exact confirm):
+    * the two engines' plans differ, their output must not. */
+  private def sqlDecontaminate: String = s"""
+      WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
+        FROM documents),
+      ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+      hits AS (SELECT doc_id, count(*) AS n_hits FROM sh
+        WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM ev)
+        GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id"""
+
   val oracle: Map[String, String] = Map(
     "t01_token_count" -> s"""
       SELECT doc_id, len($toks) AS n_tokens,
@@ -404,18 +463,11 @@ object PipelineQueries {
         (n_ab * (SELECT n_docs FROM n) * 1000) // (ca.nw * cb.nw) AS pmi_x1000
       FROM p JOIN wc ca ON ca.w = wa JOIN wc cb ON cb.w = wb
       ORDER BY pmi_x1000 DESC, wa, wb LIMIT 20""",
-    "dc1_decontaminate" -> s"""
-      WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
-        FROM documents),
-      ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
-      hits AS (SELECT doc_id, count(*) AS n_hits FROM sh
-        WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM ev)
-        GROUP BY doc_id)
-      SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-        coalesce(h.n_hits, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-      WHERE d.doc_id % 50 <> 0
-      ORDER BY d.doc_id""",
+    "dc1_decontaminate" -> sqlDecontaminate,
+    // the Bloom prefilter is exact end-to-end (no false negatives,
+    // false positives removed by the confirm join), so dc2 shares
+    // dc1's oracle verbatim
+    "dc2_decontaminate_bloom" -> sqlDecontaminate,
     "mx1_mixture_rebalance" -> s"""
       WITH s AS (SELECT lang, count(*) AS n_grp FROM documents GROUP BY lang),
       t AS (SELECT sum(n_grp)::BIGINT AS total, count(*)::BIGINT AS n_grps
@@ -526,30 +578,29 @@ object PipelineQueries {
         FROM h)
       SELECT doc_id, lang, h, rn FROM r WHERE rn <= 100
       ORDER BY lang, rn""",
-    "dd4_dedup_simhash" -> {
-      val fps = s"list_transform($toks, t1 -> ${sqlFp("t1")})"
-      val simhash =
-        s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0,30), " +
-          s"j0 -> CASE WHEN list_reduce(list_prepend(0::BIGINT, " +
-          s"list_transform($fps, fp1 -> ((floor(fp1 / 2^j0)::BIGINT) % 2)*2 - 1)), " +
-          s"(a2,x2) -> a2+x2) > 0 THEN (2^j0)::BIGINT ELSE 0 END)), " +
-          s"(a3,x3) -> a3+x3)"
-      s"""
-      WITH h AS (SELECT doc_id, $simhash AS sh FROM documents),
-      blocked AS (SELECT doc_id, sh, x.bid AS bid, x.bkey AS bkey
-        FROM (SELECT doc_id, sh, unnest([
-            {'bid': 0, 'bkey': sh & 1023},
-            {'bid': 1, 'bkey': (sh >> 10) & 1023},
-            {'bid': 2, 'bkey': (sh >> 20) & 1023}]) AS x FROM h)),
-      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-          a.sh AS a_sh, b.sh AS b_sh
-        FROM blocked a JOIN blocked b
-          ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    "dd4_dedup_simhash" -> s"""
+      WITH $sqlSimhashPairCtes
       SELECT a_id, b_id, a_sh, b_sh, bit_count(xor(a_sh, b_sh)) AS dist
       FROM cand
       WHERE bit_count(xor(a_sh, b_sh)) <= 3
-      ORDER BY a_id, b_id"""
-    },
+      ORDER BY a_id, b_id""",
+    // same cluster contract as dd8 (min-id labels over the transitive
+    // closure), so the oracle is the identical recursive-reach shape —
+    // only the pair stream (SimHash, not MinHash) differs
+    "dd10_dedup_clusters_stars" -> s"""
+      WITH RECURSIVE $sqlSimhashPairCtes,
+      pairs AS (SELECT a_id, b_id FROM cand
+        WHERE bit_count(xor(a_sh, b_sh)) <= 3),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT id AS doc_id, cluster_id, (id = cluster_id) AS keep
+      FROM labels ORDER BY doc_id""",
     "dd6_dedup_embedding_lsh" -> {
       val buckets = (0 until 3).map { t =>
         s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("embedding", 6, t * 16)}}"

@@ -16,7 +16,7 @@ object GenQueriesDoc {
       ("Sampling", "st6|q49"),
       ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09"),
       ("Training-mix & splits", "mx1|mx2"),
-      ("Deduplication", "dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dc1"),
+      ("Deduplication", "dd10|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dc1|dc2"),
       ("Data layout", "q52"),
       ("Similarity search", "ss1|ss2|ss3"),
       ("Embedding analytics", "ve1|ve2"),

@@ -135,6 +135,59 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("star contraction labels the chain/pair/triangle fixture like min-label") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val got = Dedup.resolveClustersStars(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
+    assert(Dedup.resolveClustersStars(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
+  }
+
+  test("star contraction resolves a deep chain in far fewer rounds than its diameter") {
+    import spark.implicits._
+    // a 41-vertex path: min-label needs ~40 rounds (resolveClusters
+    // would throw at maxIters=12); stars contract it within 12
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveClustersStars(pairs, maxIters = 12).collect()
+    assert(labels.length == 41)
+    assert(labels.map(_.getLong(1)).toSet == Set(0L))
+    assert(labels.count(_.getBoolean(2)) == 1)
+  }
+
+  test("star contraction agrees with min-label propagation on real pairs") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3).select("a_id", "b_id")
+    val viaStars = Dedup.resolveClustersStars(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaLabels = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaStars == viaLabels)
+    assert(viaStars.nonEmpty)
+  }
+
+  test("bloom-prefiltered decontamination is exactly the broadcast-set manifest") {
+    val isEval = col("doc_id") % 50 === 0
+    val exact = Decontaminate.ngramOverlap(docs, isEval, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // a false NEGATIVE would lose a hit; an unconfirmed false
+    // POSITIVE would invent one — equality rules out both
+    val bloom = Decontaminate.bloomNgramOverlap(docs, isEval, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(bloom == exact)
+    assert(exact.exists(_._3), "fixture should contain contamination")
+    // a deliberately tiny bitmap saturates (every probe hits), and the
+    // exact confirm must still repair it to the same manifest
+    val tiny = Decontaminate.bloomNgramOverlap(docs, isEval, k = 5,
+      mBits = 64, nHashes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(tiny == exact)
+  }
+
   test("quota sample two-phase top-k equals the single-window rank") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))

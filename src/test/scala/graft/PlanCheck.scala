@@ -130,11 +130,21 @@ object PlanCheck {
         (_.contains("partial_")),
       "z-key stays in whole-stage codegen (no UDF)" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
-    // dd8 resolveClusters: its iteration runs eagerly behind
-    // localCheckpoint leaves, so the returned plan is a leaf select;
-    // the shape guarantees (paired-subset-only labels, lineage
-    // truncation, O(diameter) rounds) are asserted in
-    // PipelineOperatorsSpec instead of by plan grep.
+    audit("dc2_decontaminate_bloom", Seq(
+      // the Bloom bitmap is ONE broadcast row, so the corpus probe is
+      // a BNLJ against a 1-row build side — constant work per gram,
+      // never a shuffle of the corpus
+      "bitmap rides a 1-row broadcast (BNLJ probe)" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "bloom probe stays in whole-stage codegen (no UDF)" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    // dd8 resolveClusters / dd10 resolveClustersStars: their
+    // iterations run eagerly behind localCheckpoint leaves, so the
+    // returned plan is a leaf select; the shape guarantees
+    // (paired-subset-only labels, lineage truncation, O(diameter)
+    // vs O(log^2 n) rounds) are asserted in PipelineOperatorsSpec
+    // instead of by plan grep.
 
     // full formatted plans for the flagship + one pipeline query
     println("\n==== q01 formatted ====")
