@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Layout, Mixture, Multimodal, Similarity, TextAnalysis, VectorStats}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Layout, Mixture, Multimodal, Profile, Similarity, TextAnalysis, VectorStats}
 import graft.streaming.EventStreams
 
 /** North-star pipeline queries (SURVEY.md §2.3): text analysis, the
@@ -148,6 +148,11 @@ object PipelineQueries {
     "q52_zorder_stats" -> { (s, d) =>
       Layout.zorderStats(lineitem(s, d), "l_partkey", "l_suppkey")
         .orderBy("z_bucket")
+    },
+    // heavy-hitter profile of the event stream's user key — the
+    // measurement that sizes salting factors before a skewed join
+    "q54_key_skew" -> { (s, d) =>
+      Profile.keySkew(events(s, d), "user_id", topN = 20)
     },
     "ve1_label_centroids" -> { (s, d) =>
       VectorStats.labelCentroids(embeddings(s, d)).orderBy("label", "dim")
@@ -501,6 +506,14 @@ object PipelineQueries {
           THEN 1 ELSE 0 END)::BIGINT AS n_clipped
       FROM z GROUP BY 1 ORDER BY z_bucket"""
     },
+    "q54_key_skew" -> s"""
+      WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
+        GROUP BY 1),
+      t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_keys
+        FROM c)
+      SELECT key, n, (n * 1000000) // total AS share_ppm, total, n_keys
+      FROM c CROSS JOIN t
+      ORDER BY n DESC, key LIMIT 20""",
     "mx2_split_assign" -> s"""
       WITH h AS (SELECT doc_id, lang,
         ${sqlFp("doc_id::VARCHAR")} % 1000 AS h FROM documents)

@@ -17,7 +17,7 @@ object GenQueriesDoc {
       ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09"),
       ("Training-mix & splits", "mx1|mx2"),
       ("Deduplication", "dd10|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dc1|dc2"),
-      ("Data layout", "q52"),
+      ("Data layout & skew diagnostics", "q52|q54"),
       ("Similarity search", "ss1|ss2|ss3"),
       ("Embedding analytics", "ve1|ve2"),
       ("Multimodal", "m1|m2"),

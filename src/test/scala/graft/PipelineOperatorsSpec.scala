@@ -188,6 +188,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("key-skew profile ranks heavy hitters with exact ppm shares") {
+    import spark.implicits._
+    // key 7 dominates: 6 of 10 rows = 600000 ppm, 4 distinct keys
+    val in = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 3L)).map(Tuple1(_))
+      .toDF("k")
+    val got = operators.Profile.keySkew(in, "k", topN = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (7L, 6L, 600000L, 10L, 4L),
+      (3L, 2L, 200000L, 10L, 4L),
+      (1L, 1L, 100000L, 10L, 4L)))
+  }
+
   test("quota sample two-phase top-k equals the single-window rank") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))

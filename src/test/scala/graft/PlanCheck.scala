@@ -130,6 +130,13 @@ object PlanCheck {
         (_.contains("partial_")),
       "z-key stays in whole-stage codegen (no UDF)" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("q54_key_skew", Seq(
+      "key counts partially aggregated before the exchange" ->
+        (_.contains("partial_")),
+      "top-N as TakeOrdered, not a global sort" ->
+        (_.contains("TakeOrderedAndProject")),
+      "totals ride a broadcast 1-row frame (no corpus re-scan)" ->
+        (_.contains("BroadcastNestedLoopJoin"))))
     audit("dc2_decontaminate_bloom", Seq(
       // the Bloom bitmap is ONE broadcast row, so the corpus probe is
       // a BNLJ against a 1-row build side — constant work per gram,
