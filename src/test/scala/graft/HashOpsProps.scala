@@ -76,4 +76,41 @@ object HashOpsProps extends Properties("HashOps") {
         (0 until 16).map(i => ((z >> (2 * i + off)) & 1L) << i).sum
       deinterleave(z, 0) == a && deinterleave(z, 1) == b
     }
+
+}
+
+/** Star contraction vs min-label propagation on random graphs —
+  * both must label every vertex with its connected component's
+  * minimum id. The union-find reference makes the expected answer
+  * independent of either Spark implementation. Separate suite with
+  * fewer cases: each case runs two iterative Spark jobs (the pure
+  * kernel properties above keep the default 100). */
+object ClusterResolveProps extends Properties("ClusterResolve") {
+  property("both resolvers agree with union-find on random graphs") = {
+    val edgeGen = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    Prop.forAllNoShrink(edgeGen) { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      val spark = SparkTestSession.spark
+      import spark.implicits._
+      val pairs = edges.toDF("a_id", "b_id")
+      def labelsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labelsOf(graft.operators.Dedup.resolveClustersStars(pairs)) == want &&
+        labelsOf(graft.operators.Dedup.resolveClusters(pairs)) == want
+    }
+  }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters = p.withMinSuccessfulTests(20)
 }

@@ -33,7 +33,9 @@ object MetricsCheck {
       "dd4_dedup_simhash", "ss1_cosine_topk", "dd7_curation_pipeline",
       "dd8_dedup_clusters", "q49_quota_sample", "t08_repetition",
       "t09_pmi_pairs", "dc1_decontaminate", "mx1_mixture_rebalance",
-      "ve1_label_centroids", "dd9_dedup_incremental", "q52_zorder_stats")
+      "ve1_label_centroids", "dd9_dedup_incremental", "q52_zorder_stats",
+      "dc2_decontaminate_bloom", "dd10_dedup_clusters_stars",
+      "q54_key_skew")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>
