@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Layout, Mixture, Multimodal, Profile, Similarity, TextAnalysis, VectorStats}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Layout, Mixture, Multimodal, Packing, Profile, Similarity, TextAnalysis, VectorStats}
 import graft.streaming.EventStreams
 
 /** North-star pipeline queries (SURVEY.md §2.3): text analysis, the
@@ -153,6 +153,13 @@ object PipelineQueries {
     // measurement that sizes salting factors before a skewed join
     "q54_key_skew" -> { (s, d) =>
       Profile.keySkew(events(s, d), "user_id", topN = 20)
+    },
+    // training-sequence packing manifest: which sequence and offset
+    // each document's tokens land at, after bucket-parallel
+    // concat-and-chop packing
+    "tp1_sequence_pack" -> { (s, d) =>
+      Packing.packManifest(documents(s, d), seqLen = 512, buckets = 32)
+        .orderBy("doc_id")
     },
     "ve1_label_centroids" -> { (s, d) =>
       VectorStats.labelCentroids(embeddings(s, d)).orderBy("label", "dim")
@@ -506,6 +513,18 @@ object PipelineQueries {
           THEN 1 ELSE 0 END)::BIGINT AS n_clipped
       FROM z GROUP BY 1 ORDER BY z_bucket"""
     },
+    "tp1_sequence_pack" -> s"""
+      WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+        ${sqlFp("doc_id::VARCHAR")} % 32 AS bucket FROM documents),
+      c AS (SELECT doc_id, n_tokens, bucket,
+        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM d)
+      SELECT doc_id, n_tokens, bucket,
+        (cum - n_tokens) // 512 AS pack_id,
+        (cum - n_tokens) % 512 AS tok_off,
+        CASE WHEN n_tokens = 0 THEN 0
+          ELSE (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 END AS n_packs
+      FROM c ORDER BY doc_id""",
     "q54_key_skew" -> s"""
       WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
         GROUP BY 1),

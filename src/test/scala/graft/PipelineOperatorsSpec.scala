@@ -188,6 +188,33 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("sequence packing manifest places and straddle-counts exactly") {
+    import spark.implicits._
+    // one bucket so the walk is deterministic: docs of 3, 4, 6, 2
+    // tokens into seqLen=8: cum = 3, 7, 13, 15
+    //   doc 0: off 0, pack 0, fits          -> n_packs 1
+    //   doc 1: off 3, pack 0, 3+4 <= 8      -> n_packs 1
+    //   doc 2: off 7, pack 0, straddles     -> n_packs 2
+    //   doc 3: off 5, pack 1, fits          -> n_packs 1
+    val in = Seq((0L, "a b c"), (1L, "a b c d"), (2L, "a b c d e f"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got = operators.Packing.packManifest(in, seqLen = 8, buckets = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 0L, 0L, 1L),
+      (1L, 4L, 0L, 3L, 1L),
+      (2L, 6L, 0L, 7L, 2L),
+      (3L, 2L, 1L, 5L, 1L)))
+    // bucketed run: every bucket's packing is internally consistent
+    // (offset = previous cum % seqLen) and buckets partition the docs
+    val many = operators.Packing.packManifest(docs, seqLen = 512,
+      buckets = 8).collect()
+    assert(many.length == docs.count())
+    assert(many.map(_.getLong(2)).distinct.length > 1, "multiple buckets")
+  }
+
   test("key-skew profile ranks heavy hitters with exact ppm shares") {
     import spark.implicits._
     // key 7 dominates: 6 of 10 rows = 600000 ppm, 4 distinct keys

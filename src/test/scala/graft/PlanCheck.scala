@@ -130,6 +130,14 @@ object PlanCheck {
         (_.contains("partial_")),
       "z-key stays in whole-stage codegen (no UDF)" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("tp1_sequence_pack", Seq(
+      // packing must parallelize across buckets: the window exchange
+      // hashes on the bucket key, never a single global sort
+      "cumulative sum partitioned by bucket" ->
+        (_.contains("hashpartitioning(bucket")),
+      "no global single-partition sort" ->
+        (p => !p.contains("rangepartitioning") ||
+          p.contains("hashpartitioning(bucket"))))
     audit("q54_key_skew", Seq(
       "key counts partially aggregated before the exchange" ->
         (_.contains("partial_")),
