@@ -120,29 +120,67 @@ object Similarity {
     * at a billion vectors this is the only join shape that works. */
   def lshCosinePairs(embeddings: DataFrame, threshold: Double,
       nBits: Int = 6, tables: Int = 3): DataFrame = {
-    // bucket shuffles carry only (id, table, bucket) — the embedding
-    // vectors (the wide part of the row) never ride the `tables`
-    // exchanges; they join in only for deduplicated candidate pairs
-    val bucketed = embeddings.select(col("vec_id"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tid"),
-          lshBucketOffset(col("embedding"), nBits, t * 16).as("bkey"))
-      }: _*)).as("b"))
-      .select(col("vec_id"), col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+    val bucketed = multiTableBuckets(embeddings, nBits, tables)
     val candidates = bucketed.toDF("a_id", "tid", "bkey")
       .join(bucketed.toDF("b_id", "tid", "bkey"), Seq("tid", "bkey"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    val e = embeddings.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
+    verifyCosine(candidates, "a_id", embeddings, "b_id", embeddings,
+      threshold)
+  }
+
+  /** Incremental embedding near-dup: pairs BETWEEN an incoming batch
+    * and a standing index — the vector-side twin of
+    * [[Dedup.minhashPairsAgainst]]. Same hyperplane tables and exact
+    * cosine verify as [[lshCosinePairs]] (a pair found here equals
+    * the pair a full run over new ∪ index would find across the
+    * boundary), but candidates come only from new×index bucket
+    * collisions: the batch's (id, table, bucket) rows are a
+    * broadcast-sized frame against a billion-vector index, so the
+    * index is probed map-side and never re-bucket-joined against
+    * itself. */
+  def lshCosinePairsAgainst(newVecs: DataFrame, indexVecs: DataFrame,
+      threshold: Double, nBits: Int = 6, tables: Int = 3): DataFrame = {
+    val candidates = multiTableBuckets(newVecs, nBits, tables)
+      .toDF("new_id", "tid", "bkey")
+      .join(multiTableBuckets(indexVecs, nBits, tables)
+        .toDF("index_id", "tid", "bkey"), Seq("tid", "bkey"))
+      .select("new_id", "index_id")
+      .distinct()
+    verifyCosine(candidates, "new_id", newVecs, "index_id", indexVecs,
+      threshold)
+  }
+
+  /** (id, table, bucket) rows for `tables` independent hyperplane
+    * tables. The bucket shuffles carry only these three narrow
+    * columns — the embedding vectors (the wide part of the row)
+    * never ride the `tables` exchanges; they join in only for
+    * deduplicated candidate pairs. */
+  private def multiTableBuckets(embeddings: DataFrame, nBits: Int,
+      tables: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tid"),
+          lshBucketOffset(col("embedding"), nBits, t * 16).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+
+  /** Exact-cosine verification of candidate (aCol, bCol) pairs:
+    * joins each side's embedding + norm back in and keeps pairs at or
+    * above `threshold`. */
+  private def verifyCosine(candidates: DataFrame, aCol: String,
+      vecsA: DataFrame, bCol: String, vecsB: DataFrame,
+      threshold: Double): DataFrame = {
+    def withNorm(df: DataFrame) = df.select(col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
     candidates
-      .join(e.toDF("a_id", "a_emb", "a_nrm"), "a_id")
-      .join(e.toDF("b_id", "b_emb", "b_nrm"), "b_id")
+      .join(withNorm(vecsA).toDF(aCol, "a_emb", "a_nrm"), aCol)
+      .join(withNorm(vecsB).toDF(bCol, "b_emb", "b_nrm"), bCol)
       .withColumn("score",
         dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("score") >= threshold)
-      .select("a_id", "b_id", "score")
+      .select(col(aCol), col(bCol), col("score"))
   }
 
   /** [[lshBucket]] with a plane-index offset so independent tables

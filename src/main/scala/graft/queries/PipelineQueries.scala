@@ -206,6 +206,17 @@ object PipelineQueries {
           jaccardPct = 92)
         .orderBy("doc_id")
     },
+    // incremental embedding dedup: every 10th vector is the incoming
+    // batch, the rest the standing index; candidates only from
+    // new×index bucket collisions (vector twin of dd9)
+    "dd11_embedding_incremental" -> { (s, d) =>
+      val all = embeddings(s, d)
+      Similarity.lshCosinePairsAgainst(
+        all.filter(col("vec_id") % 10 === 0),
+        all.filter(col("vec_id") % 10 =!= 0),
+        threshold = 0.4, nBits = 6, tables = 3)
+        .orderBy("new_id", "index_id")
+    },
     // transitive duplicate groups over the MinHash pair stream:
     // min-label propagation (see Dedup.resolveClusters) — the step a
     // pair-at-a-time drop rule gets wrong on chains a–b–c
@@ -651,6 +662,28 @@ object PipelineQueries {
       FROM cand
       WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4
       ORDER BY a_id, b_id"""
+    },
+    "dd11_embedding_incremental" -> {
+      // dd6's bucket pipeline with the within-corpus a<b condition
+      // swapped for the new×index cross condition (twin of dd9's)
+      val buckets = (0 until 3).map { t =>
+        s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("embedding", 6, t * 16)}}"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      bucketed AS (SELECT vec_id, embedding, nrm,
+          x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, nrm, unnest($buckets) AS x FROM e)),
+      cand AS (SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS index_id,
+          a.embedding AS ae, a.nrm AS an, b.embedding AS be, b.nrm AS bn
+        FROM bucketed a JOIN bucketed b
+          ON a.tid = b.tid AND a.bkey = b.bkey
+          AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
+      SELECT new_id, index_id, ${sqlDot("ae", "be")} / (an * bn) AS score
+      FROM cand
+      WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4
+      ORDER BY new_id, index_id"""
     },
     "dd5_dedup_embedding" -> {
       // SQL twin of the LSH-routed plan: 4 tables of 4 hyperplanes

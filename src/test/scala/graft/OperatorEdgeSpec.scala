@@ -98,4 +98,34 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(got.select("rate_mil").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(1000L))
   }
+
+  test("bloom decontamination with an empty eval set flags nothing") {
+    import spark.implicits._
+    // empty eval -> empty bitmap map row; every probe must miss via
+    // the coalesce(..., 0) path, not NPE on a missing word
+    val in = Seq((1L, "some words here"), (2L, "more words there"))
+      .toDF("doc_id", "text")
+    val got = operators.Decontaminate.bloomNgramOverlap(in, lit(false), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got == Set((1L, 0L, false), (2L, 0L, false)))
+  }
+
+  test("key-skew profile of an empty frame is empty, with no divide-by-zero") {
+    import spark.implicits._
+    val in = Seq.empty[Tuple1[Long]].toDF("k")
+    assert(operators.Profile.keySkew(in, "k").count() == 0)
+  }
+
+  test("packing an empty corpus or a single doc is well-defined") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(operators.Packing.packManifest(empty).count() == 0)
+    // one doc longer than seqLen straddles ceil(n/len) sequences
+    val one = Seq((7L, ("w " * 20).trim)).toDF("doc_id", "text")
+    val r = operators.Packing.packManifest(one, seqLen = 8, buckets = 4)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((20L, 0L, 0L, 3L)))
+  }
 }

@@ -361,6 +361,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("incremental embedding lsh equals the full run restricted to the boundary") {
+    val newVecs = embs.filter(col("vec_id") % 10 === 0)
+    val indexVecs = embs.filter(col("vec_id") % 10 =!= 0)
+    val inc = Similarity.lshCosinePairsAgainst(newVecs, indexVecs,
+      threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.lshCosinePairs(embs, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }
+      .toSet
+    assert(inc == full)
+  }
+
   test("zorder key interleaves bits; buckets bound both dimensions") {
     import spark.implicits._
     // a=3 (bits 0,1 -> positions 0,2), b=1 (bit 0 -> position 1)

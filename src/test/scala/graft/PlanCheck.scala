@@ -130,6 +130,11 @@ object PlanCheck {
         (_.contains("partial_")),
       "z-key stays in whole-stage codegen (no UDF)" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("dd11_embedding_incremental", Seq(
+      "bucket join is equi, not cartesian" ->
+        (p => !p.contains("Cartesian")),
+      "small batch side broadcast in the bucket join" ->
+        (_.contains("BroadcastHashJoin"))))
     audit("tp1_sequence_pack", Seq(
       // packing must parallelize across buckets: the window exchange
       // hashes on the bucket key, never a single global sort
