@@ -394,11 +394,18 @@ object Dedup {
     }
     var converged = false
     var iter = 0
+    var edgeCount = edges.count()
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // set fixpoint: both sides distinct, so two anti-joins decide
-      converged = next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty &&
+      // set fixpoint, cheapest test first: counts differ on most
+      // rounds (a count over a checkpointed leaf is ~free), and only
+      // equal-count rounds pay the two anti-joins that decide true
+      // set equality
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty &&
         edges.join(next, Seq("hi", "lo"), "left_anti").isEmpty
+      edgeCount = nextCount
       edges = next
       iter += 1
     }
