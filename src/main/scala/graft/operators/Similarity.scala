@@ -147,7 +147,12 @@ object Similarity {
       .join(multiTableBuckets(indexVecs, nBits, tables)
         .toDF("index_id", "tid", "bkey"), Seq("tid", "bkey"))
       .select("new_id", "index_id")
-      .distinct()
+      // dropDuplicates, not distinct(): same batch semantics, but it
+      // stays a streaming-legal Deduplicate when `newVecs` is a live
+      // stream (distinct() is an Aggregate, which would forbid the
+      // downstream verify joins in append mode) — so the daily-batch
+      // operator runs unchanged on a readStream of arriving vectors
+      .dropDuplicates("new_id", "index_id")
     verifyCosine(candidates, "new_id", newVecs, "index_id", indexVecs,
       threshold)
   }

@@ -84,6 +84,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(spark.table("decon_out")) == asSet(batch))
   }
 
+  test("incremental embedding dedup runs unchanged on a vector stream") {
+    // dd11's daily batch as a LIVE stream: arriving vectors bucket
+    // against the standing (static) index — the SAME operator code,
+    // no streaming variant; dropDuplicates keeps the candidate dedup
+    // streaming-legal ahead of the stream-static verify joins
+    val embsB = Tables.embeddings(spark, sf)
+    val index = embsB.filter(col("vec_id") % 10 =!= 0)
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+      .filter(col("vec_id") % 10 === 0)
+    val live = operators.Similarity.lshCosinePairsAgainst(
+      newStream, index, threshold = 0.4)
+    runToMemory(live, "inc_vec_out", "append")
+    val batch = operators.Similarity.lshCosinePairsAgainst(
+      embsB.filter(col("vec_id") % 10 === 0), index, threshold = 0.4)
+    assert(asSet(spark.table("inc_vec_out")) == asSet(batch))
+    assert(spark.table("inc_vec_out").count() > 0)
+  }
+
   test("watermark dedup stream preserves distinct event ids") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf))
