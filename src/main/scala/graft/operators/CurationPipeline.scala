@@ -41,7 +41,12 @@ object CurationPipeline {
       .groupBy(Dedup.contentKey(col("text")).as("k"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
+    // the survivor set feeds BOTH the near-dup pair stage (which scans
+    // it repeatedly — see Dedup.docShingles) and the final anti-join;
+    // a lazy localCheckpoint materializes the annotate→filter→dedup
+    // chain once instead of once per consumer
     val exactKept = quality.join(keepIds, "doc_id")
+      .localCheckpoint(eager = false)
     // near-dup removal among survivors
     val pairs = Dedup.jaccardPairs(
       exactKept.select("doc_id", "text"), k = 3, pct = jaccardPct)

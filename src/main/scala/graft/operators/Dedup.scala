@@ -61,10 +61,23 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     graft.functions.hashFunctions.shingle_fps(text, k)
 
+  /** The per-doc shingle frame is consumed 3–5 times downstream
+    * (df count, candidate join's two sides, hot-array build, verify) —
+    * as a pure lazy plan every consumer would re-run the ENTIRE
+    * upstream (in [[CurationPipeline.curate]] that is the
+    * annotate→filter→md5-dedup chain) plus the shingling itself.
+    * A lazy `localCheckpoint` materializes (doc_id, shingles, n_sh)
+    * exactly once at first use; every later scan reads the cached
+    * (memory-then-disk) leaf. Cache size ≈ 8 bytes × corpus token
+    * count — strictly smaller than one extra upstream recompute, and
+    * it is paid once versus four recomputes. On a real cluster swap
+    * for a reliable `checkpoint()` if executor loss matters (same
+    * trade as [[resolveClusters]]). */
   private def docShingles(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
       shingles(col("text"), k).as("sh"),
       size(shingles(col("text"), k)).as("n_sh"))
+      .localCheckpoint(eager = false)
 
   /** N-gram Jaccard near-dup pairs, in two stages:
     *
@@ -243,7 +256,10 @@ object Dedup {
     * the standard block-permutation trade-off, here with quantified
     * recall. One shuffle on (block, key); never a cross join. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    // both sides of the block self-join scan this frame — checkpoint
+    // the (id, 64-bit hash) rows (tiny) so simhash runs once per doc
     val withHash = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+      .localCheckpoint(eager = false)
     val blocked = withHash.select(col("doc_id"), col("sh"),
       explode(array((0 until 3).map { b =>
         struct(lit(b).as("bid"),
