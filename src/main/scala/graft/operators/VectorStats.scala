@@ -44,6 +44,81 @@ object VectorStats {
         (col("s").cast("double") / lit(FixedScale) / col("n").cast("double"))
           .as("centroid"))
 
+  /** Fixed-order dot product of two DOUBLE arrays via HOFs — the
+    * centroid side of k-means is double-valued, so the float-only
+    * native `vec_dot` doesn't apply; fold order (element order, left
+    * fold) matches the SQL oracle's `list_reduce`. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Distributed Lloyd k-means over the embedding column: `iters`
+    * update rounds from a deterministic seed (the `k` lowest vec_ids,
+    * matching [[Similarity.ivfTopK]]'s coarse quantizer), then the
+    * final assignment `(vec_id, cluster_id, dist2)` under the last
+    * centroids. Plugs directly into IVF as a trained quantizer.
+    *
+    * Scale shape (billions of vectors × small k):
+    *  - centroids are always a k-row frame — every assignment is a
+    *    `broadcast` nested-loop over ONE corpus scan, followed by a
+    *    map-side-combinable `min_by` argmin ((dist², cid) total order:
+    *    1 row per vector crosses the shuffle, never the k scored
+    *    copies — the same shape as ivfTopK's assignment);
+    *  - each update is ONE hash aggregation on (cid, dim): the
+    *    shuffle carries O(k × dims) partial sums, independent of
+    *    corpus size;
+    *  - the corpus (cast to double once) is lazily checkpointed — it
+    *    is scanned `iters + 1` times, which is Lloyd's inherent cost,
+    *    but never recomputed; each round's k-row centroid frame is
+    *    checkpointed to stop the per-round plan nesting that would
+    *    otherwise grow the lineage geometrically.
+    *
+    * Cross-engine exactness: distances are fixed-order double folds
+    * (`dist² = (x·x - 2·x·c) + c·c`, computed in exactly that
+    * association), centroid means use the same fixed-point DECIMAL
+    * sums as [[labelCentroids]], and ties in the argmin break on cid
+    * — so the full two-round trajectory is bit-reproducible in the
+    * DuckDB oracle. Clusters that lose all members simply drop out
+    * (standard Lloyd behavior with a deterministic seed). */
+  def kmeansAssign(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .localCheckpoint(eager = false)
+    val ex = e.withColumn("xx", dotD(col("emb"), col("emb")))
+    def assign(cs: DataFrame): DataFrame = {
+      val withCC = cs.withColumn("cc", dotD(col("cemb"), col("cemb")))
+      ex.crossJoin(broadcast(withCC))
+        .withColumn("dist2",
+          col("xx") - lit(2.0) * dotD(col("emb"), col("cemb")) + col("cc"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("dist2")),
+          struct(col("dist2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"),
+          col("best.dist2").as("dist2"))
+    }
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"), col("emb").as("cemb"))
+    var round = 0
+    while (round < iters) {
+      cents = assign(cents)
+        .join(e, "vec_id")
+        .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * lit(FixedScale))
+            .cast(DecimalType(38, 0))).as("s"))
+        .select(col("cid"), col("dim"),
+          (col("s").cast("double") / lit(FixedScale) / col("n").cast("double"))
+            .as("cv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          p => p.getField("cv")).as("cemb"))
+        .localCheckpoint(eager = false)
+      round += 1
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("dist2"))
+  }
+
   /** Symmetric per-vector int8 quantization: `scale = max |v_i|`,
     * `q_i = floor(v_i * 127 / scale + 0.5)` (round-half-up — spelled
     * as an explicit floor so every engine rounds identically; builtin

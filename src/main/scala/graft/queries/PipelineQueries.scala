@@ -173,6 +173,12 @@ object PipelineQueries {
           array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))
         .orderBy("vec_id")
     },
+    // two deterministic Lloyd rounds from the k-lowest-id seed, then
+    // the final assignment under the trained centroids
+    "ve3_kmeans" -> { (s, d) =>
+      VectorStats.kmeansAssign(embeddings(s, d), k = 8, iters = 2)
+        .orderBy("vec_id")
+    },
     "dd1_dedup_exact" -> { (s, d) =>
       Dedup.exact(documents(s, d)).orderBy("keep_id")
     },
@@ -568,6 +574,40 @@ object PipelineQueries {
             v1 -> floor(v1::DOUBLE * 127.0 / scale + 0.5)::INT)
           ELSE list_transform(embedding, v2 -> 0) END, ',') AS q_csv
       FROM s ORDER BY vec_id""",
+    "ve3_kmeans" -> {
+      // SQL twin of the two-round Lloyd trajectory: assignment = QUALIFY
+      // row_number over (dist2, cid); update = the same fixed-point
+      // DECIMAL mean as ve1, rebuilt into per-cid centroid lists
+      val S = "1099511627776.0"
+      def asg(cs: String, an: String) = s"""
+        $an AS (SELECT * FROM (
+            SELECT x.vec_id, c.cid,
+              (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
+                + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+            FROM ex x, $cs c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist2, cid) = 1)"""
+      def upd(a: String, cn: String) = s"""
+        $cn AS (SELECT cid, list(cv ORDER BY dim) AS cemb FROM (
+            SELECT a.cid, t.i0 AS dim,
+              sum(floor(e.emb[t.i0+1] * $S)::BIGINT::DECIMAL(38,0))::DOUBLE
+                / $S / count(*)::DOUBLE AS cv
+            FROM $a a JOIN e USING (vec_id),
+              unnest(range(0, len(e.emb))) AS t(i0)
+            GROUP BY a.cid, t.i0)
+          GROUP BY cid)"""
+      s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, x0 -> x0::DOUBLE) AS emb FROM embeddings),
+      ex AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx FROM e),
+      c0 AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+      ${asg("c0", "a0")},
+      ${upd("a0", "c1")},
+      ${asg("c1", "a1")},
+      ${upd("a1", "c2")},
+      ${asg("c2", "a2")}
+      SELECT vec_id, cid AS cluster_id, dist2 FROM a2 ORDER BY vec_id"""
+    },
     "dd1_dedup_exact" -> s"""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY array_to_string($toks, ' ')

@@ -408,4 +408,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       .collect()
     assert(perCluster.nonEmpty && perCluster.forall(_.getLong(1) == 1))
   }
+
+  test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
+    import operators.VectorStats
+    def sse(iters: Int): Double =
+      VectorStats.kmeansAssign(embs, k = 4, iters = iters)
+        .agg(sum("dist2")).collect()(0).getDouble(0)
+    val a2 = VectorStats.kmeansAssign(embs, k = 4, iters = 2).collect()
+    assert(a2.length == embs.count())
+    assert(a2.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 4))
+    assert(a2.forall(_.getDouble(2) >= 0.0))
+    // Lloyd's monotonicity: each (assign, update) round can only lower
+    // the total within-cluster squared distance
+    val s0 = sse(0); val s1 = sse(1); val s2 = sse(2)
+    assert(s1 <= s0 + 1e-9, s"update 1 raised SSE: $s0 -> $s1")
+    assert(s2 <= s1 + 1e-9, s"update 2 raised SSE: $s1 -> $s2")
+  }
 }

@@ -1,0 +1,19 @@
+// dump ONE query's result + oracle sql for fast local iteration
+import org.apache.spark.sql.SparkSession
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args.take(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", false).appName("verify1").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    val sql = graft.SparkEntry.oracleSql(name)
+      .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      s"""{"$name.parquet": "$sql"}""".getBytes)
+    spark.stop()
+  }
+}
