@@ -177,6 +177,46 @@ object TextAnalysis {
     * shuffle carries (id, k, fp, count), never text. Counts are
     * integers and each fraction is one double division, so the DuckDB
     * oracle matches bit-for-bit. */
+  /** Winnowing fingerprint selection (the MOSS scheme): over the
+    * document's word-k-gram rolling hashes, slide a window of `w`
+    * consecutive grams and keep each window's MINIMUM hash; the
+    * per-doc fingerprint is the distinct set of selected minima.
+    * Guarantee: every run of `w` consecutive grams contributes at
+    * least one selected hash, so any shared substring of ≥ w+k-1
+    * words between two documents shares a fingerprint — the
+    * position-robust containment/overlap detector (plagiarism-style
+    * partial overlap) that whole-set Jaccard and MinHash miss.
+    * Density is ~2/(w+1) of the gram stream (the standard winnowing
+    * expectation), i.e. a 5× cheaper index than the full gram set at
+    * w=4. Documents with fewer than `w` grams keep the minimum of
+    * what is there (one window over the whole document).
+    *
+    * Scale shape: per-row gram expansion (codegen'd `GramFps`), ONE
+    * shuffle on doc_id for the ordered window pass (a document's
+    * grams land in one task — documents are KBs), then the per-doc
+    * distinct-and-sort; the shuffle carries (doc_id, pos, hash)
+    * longs, never text. Output serializes the fingerprint list to
+    * CSV so the result is hash-comparable across engines. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col("doc_id"),
+      posexplode(graft.functions.hashFunctions.gram_fps(col("text"), k))
+        .as(Seq("pos", "h")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val whole = Window.partitionBy("doc_id")
+    g.withColumn("mn", min("h").over(win))
+      .withColumn("n_g", count(lit(1)).over(whole))
+      // keep only COMPLETE windows (each window's min sits at its last
+      // position); a doc shorter than w keeps its single last-position
+      // window = the min over the whole doc
+      .filter(col("pos") >= least(lit(w - 1), col("n_g") - 1))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("mn"))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_join(transform(col("fps"), _.cast("string")), ",").as("fp_csv"))
+  }
+
   def repetitionScores(docs: DataFrame): DataFrame = {
     def tag(k: Int): Column = transform(
       graft.functions.hashFunctions.gram_fps(col("text"), k),

@@ -113,6 +113,12 @@ object PipelineQueries {
     "t09_pmi_pairs" -> { (s, d) =>
       CorpusStats.pmiTopPairs(documents(s, d), minPairDocs = 5, topN = 20)
     },
+    // MOSS winnowing: distinct window-minima of the word-3-gram hash
+    // stream, window w=4 — the partial-overlap fingerprint index
+    "t10_winnow" -> { (s, d) =>
+      TextAnalysis.winnowFingerprints(documents(s, d), k = 3, w = 4)
+        .orderBy("doc_id")
+    },
     // eval set = every 50th doc_id; corpus docs flagged when any of
     // their word-5-grams appears in the (broadcast) eval gram set
     "dc1_decontaminate" -> { (s, d) =>
@@ -492,6 +498,19 @@ object PipelineQueries {
         (n_ab * (SELECT n_docs FROM n) * 1000) // (ca.nw * cb.nw) AS pmi_x1000
       FROM p JOIN wc ca ON ca.w = wa JOIN wc cb ON cb.w = wb
       ORDER BY pmi_x1000 DESC, wa, wb LIMIT 20""",
+    "t10_winnow" -> s"""
+      WITH g0 AS (SELECT doc_id,
+          ${sqlGrams(sqlToks("text"), 3)} AS gs FROM documents),
+      g AS (SELECT doc_id, t.i0 AS pos, gs[t.i0+1] AS h, len(gs) AS n_g
+        FROM g0, unnest(range(0, len(gs))) AS t(i0)),
+      m AS (SELECT doc_id, pos, n_g,
+          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn FROM g),
+      d AS (SELECT DISTINCT doc_id, mn FROM m
+        WHERE pos >= least(3, n_g - 1)),
+      f AS (SELECT doc_id, list(mn ORDER BY mn) AS fps FROM d GROUP BY doc_id)
+      SELECT doc_id, len(fps) AS n_fp, array_to_string(fps, ',') AS fp_csv
+      FROM f ORDER BY doc_id""",
     "dc1_decontaminate" -> sqlDecontaminate,
     // the Bloom prefilter is exact end-to-end (no false negatives,
     // false positives removed by the confirm join), so dc2 shares

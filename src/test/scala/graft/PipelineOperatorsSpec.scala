@@ -409,6 +409,28 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(perCluster.nonEmpty && perCluster.forall(_.getLong(1) == 1))
   }
 
+  test("winnowing selects every window's minimum, from the doc's own grams") {
+    val k = 3; val w = 4
+    val sel = TextAnalysis.winnowFingerprints(docs, k, w).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(2).split(",").map(_.toLong).toSet).toMap
+    val grams = docs.select(col("doc_id"),
+      graft.functions.hashFunctions.gram_fps(col("text"), k).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sel.keySet == grams.keySet)
+    grams.foreach { case (id, gs) =>
+      val fps = sel(id)
+      // selected hashes come from the document itself
+      assert(fps.subsetOf(gs.toSet))
+      // the winnowing guarantee: every complete window of w grams has
+      // its minimum selected
+      val wins = if (gs.length <= w) Seq(gs) else gs.sliding(w).toSeq
+      wins.foreach(win => assert(fps.contains(win.min)))
+      // density: never more fingerprints than windows
+      assert(fps.size <= wins.size)
+    }
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =
