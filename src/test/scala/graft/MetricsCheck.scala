@@ -35,7 +35,7 @@ object MetricsCheck {
       "t09_pmi_pairs", "dc1_decontaminate", "mx1_mixture_rebalance",
       "ve1_label_centroids", "dd9_dedup_incremental", "q52_zorder_stats",
       "dc2_decontaminate_bloom", "dd10_dedup_clusters_stars",
-      "q54_key_skew")
+      "q54_key_skew", "ve3_kmeans", "t10_winnow")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>
