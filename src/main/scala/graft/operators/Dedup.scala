@@ -114,17 +114,30 @@ object Dedup {
     * whole shingle set — at 25B documents that is the difference
     * between ~1 TB and tens of TB of verify shuffle. */
   def jaccardPairs(docs: DataFrame, k: Int = 3, pct: Int = 85,
-      maxShingleDf: Int = 100): DataFrame = {
-    val ds = docShingles(docs, k)
+      maxShingleDf: Int = 100): DataFrame =
+    cappedCommonCounts(docShingles(docs, k), maxShingleDf)
+      .withColumn("u", col("a_n") + col("b_n") - col("common"))
+      .filter(col("common") * 100 >= col("u") * pct)
+      .select(col("a_id"), col("b_id"), col("common"),
+        col("u").as("union_size"))
+
+  /** Shared engine of [[jaccardPairs]] and [[winnowContainmentPairs]]:
+    * from a per-doc distinct-key frame `(doc_id, sh, n_sh)`, emit
+    * every pair sharing at least one sub-cap-df key, with the EXACT
+    * common-key count over ALL keys (capped or not) and both set
+    * sizes: `(a_id, b_id, common, a_n, b_n)`. The caller applies its
+    * own threshold arithmetic (Jaccard over the union, containment
+    * over the smaller set, ...). */
+  private def cappedCommonCounts(ds: DataFrame, maxDf: Int): DataFrame = {
     val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
     // anti-join against the HOT set (df > cap), not inner-join against
-    // the rare set: hot shingles are by construction the small side
+    // the rare set: hot keys are by construction the small side
     // (≤ total-occurrences/cap distinct values), so AQE turns this
     // into a broadcast anti-join. (Measured alternative: computing df
     // with a window over `s` saves the second scan but its
     // whole-partition sort is ~2× slower than the hash agg here.)
     val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
+      .filter(col("df") > maxDf)
       .select("s")
     val capped = ex.join(hot, Seq("s"), "left_anti")
     // candidate pairs + exact |A∩B∩rare| in ONE shuffle (the distinct
@@ -134,7 +147,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("common_rare"))
-    // per-doc hot-shingle arrays (empty for most docs) + shingle count
+    // per-doc hot-key arrays (empty for most docs) + key count
     val hotOfDoc = ex.join(hot, Seq("s"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("hot_sh"))
@@ -147,10 +160,30 @@ object Dedup {
       .join(slim.toDF("b_id", "b_n", "b_hot"), "b_id")
       .withColumn("common", col("common_rare") +
         size(array_intersect(col("a_hot"), col("b_hot"))))
-      .withColumn("u", col("a_n") + col("b_n") - col("common"))
-      .filter(col("common") * 100 >= col("u") * pct)
-      .select(col("a_id"), col("b_id"), col("common"),
-        col("u").as("union_size"))
+      .select("a_id", "b_id", "common", "a_n", "b_n")
+  }
+
+  /** Containment near-dup pairs over WINNOWED fingerprints: two
+    * documents pair when they share a sub-cap fingerprint and
+    * `|A∩B| ≥ pct% of min(|A|, |B|)` — the asymmetric
+    * containment score that catches a document EMBEDDED in a larger
+    * one (quote-and-extend plagiarism, boilerplate-wrapped reposts),
+    * which symmetric Jaccard dilutes toward zero as the size ratio
+    * grows. Input keys are each doc's winnowing minima
+    * ([[TextAnalysis.winnowFingerprintSets]]), so the index is
+    * ~2/(w+1) the size of the full shingle index and any shared run
+    * of ≥ w+k-1 words is guaranteed represented. Same candidate /
+    * df-cap / exact-verify machinery as [[jaccardPairs]]
+    * ([[cappedCommonCounts]]) — one hash-join pipeline, no cartesian. */
+  def winnowContainmentPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      pct: Int = 60, maxFpDf: Int = 100): DataFrame = {
+    val sets = TextAnalysis.winnowFingerprintSets(docs, k, w)
+      .select(col("doc_id"), col("fps").as("sh"), col("n_fp").as("n_sh"))
+    cappedCommonCounts(sets, maxFpDf)
+      .withColumn("min_fp", least(col("a_n"), col("b_n")))
+      .filter(col("common") * 100 >= col("min_fp") * pct)
+      .select(col("a_id"), col("b_id"), col("common").as("shared"),
+        col("min_fp"))
   }
 
   /** MinHash signature: for hash i in 0..n, min over shingle

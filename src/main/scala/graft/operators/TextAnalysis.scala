@@ -197,7 +197,18 @@ object TextAnalysis {
     * distinct-and-sort; the shuffle carries (doc_id, pos, hash)
     * longs, never text. Output serializes the fingerprint list to
     * CSV so the result is hash-comparable across engines. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprintSets(docs, k, w)
+      .select(col("doc_id"), col("n_fp"),
+        array_join(transform(col("fps"), _.cast("string")), ",").as("fp_csv"))
+
+  /** [[winnowFingerprints]] with the selected set kept as a sorted
+    * array `(doc_id, fps, n_fp)` — the join-ready form
+    * [[Dedup.winnowContainmentPairs]] consumes. Lazily checkpointed:
+    * the pair stage scans it 3–4 times (df count, both candidate
+    * sides, hot arrays), and the window pass above it is the
+    * expensive part. */
+  def winnowFingerprintSets(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = docs.select(col("doc_id"),
       posexplode(graft.functions.hashFunctions.gram_fps(col("text"), k))
@@ -213,8 +224,8 @@ object TextAnalysis {
       .filter(col("pos") >= least(lit(w - 1), col("n_g") - 1))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("mn"))).as("fps"))
-      .select(col("doc_id"), size(col("fps")).as("n_fp"),
-        array_join(transform(col("fps"), _.cast("string")), ",").as("fp_csv"))
+      .select(col("doc_id"), col("fps"), size(col("fps")).as("n_fp"))
+      .localCheckpoint(eager = false)
   }
 
   def repetitionScores(docs: DataFrame): DataFrame = {

@@ -119,6 +119,13 @@ object PipelineQueries {
       TextAnalysis.winnowFingerprints(documents(s, d), k = 3, w = 4)
         .orderBy("doc_id")
     },
+    // containment over winnowed fingerprints: |A∩B| >= 60% of the
+    // SMALLER set — catches a doc embedded in a larger one, which
+    // symmetric Jaccard dilutes away
+    "dd12_containment" -> { (s, d) =>
+      Dedup.winnowContainmentPairs(documents(s, d), k = 3, w = 4,
+        pct = 60).orderBy("a_id", "b_id")
+    },
     // eval set = every 50th doc_id; corpus docs flagged when any of
     // their word-5-grams appears in the (broadcast) eval gram set
     "dc1_decontaminate" -> { (s, d) =>
@@ -511,6 +518,36 @@ object PipelineQueries {
       f AS (SELECT doc_id, list(mn ORDER BY mn) AS fps FROM d GROUP BY doc_id)
       SELECT doc_id, len(fps) AS n_fp, array_to_string(fps, ',') AS fp_csv
       FROM f ORDER BY doc_id""",
+    "dd12_containment" -> s"""
+      WITH g0 AS (SELECT doc_id,
+          ${sqlGrams(sqlToks("text"), 3)} AS gs FROM documents),
+      g AS (SELECT doc_id, t.i0 AS pos, gs[t.i0+1] AS h, len(gs) AS n_g
+        FROM g0, unnest(range(0, len(gs))) AS t(i0)),
+      m AS (SELECT doc_id, pos, n_g,
+          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn FROM g),
+      d AS (SELECT DISTINCT doc_id, mn FROM m
+        WHERE pos >= least(3, n_g - 1)),
+      nf AS (SELECT doc_id, count(*) AS n_fp FROM d GROUP BY doc_id),
+      dfc AS (SELECT mn, count(*) AS df FROM d GROUP BY mn),
+      -- candidates share at least one sub-cap fingerprint; the shared
+      -- count is then exact over ALL fingerprints (cap only limits
+      -- candidate generation, mirroring the Spark plan)
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM d a JOIN d b USING (mn) JOIN dfc USING (mn)
+        WHERE dfc.df <= 100 AND a.doc_id < b.doc_id),
+      p AS (SELECT c.a_id, c.b_id, count(*) AS shared
+        FROM cand c
+          JOIN d a ON a.doc_id = c.a_id
+          JOIN d b ON b.doc_id = c.b_id AND b.mn = a.mn
+        GROUP BY 1, 2)
+      SELECT p.a_id, p.b_id, p.shared,
+        least(na.n_fp, nb.n_fp) AS min_fp
+      FROM p
+        JOIN nf na ON na.doc_id = p.a_id
+        JOIN nf nb ON nb.doc_id = p.b_id
+      WHERE p.shared * 100 >= least(na.n_fp, nb.n_fp) * 60
+      ORDER BY p.a_id, p.b_id""",
     "dc1_decontaminate" -> sqlDecontaminate,
     // the Bloom prefilter is exact end-to-end (no false negatives,
     // false positives removed by the confirm join), so dc2 shares

@@ -431,6 +431,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs catch an embedded document that Jaccard misses") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val padding = (1 to 160).map(i => s"pad$i").mkString(" ")
+    val fixture = Seq((1L, base), (2L, base + " " + padding))
+      .toDF("doc_id", "text")
+    // doc 1 is wholly embedded in doc 2: every complete window of
+    // doc 1's gram stream also occurs in doc 2, so the winnowed
+    // fingerprints of 1 are a subset of 2's → containment = 100%
+    val cont = Dedup.winnowContainmentPairs(fixture, k = 3, w = 4,
+      pct = 60).collect()
+    assert(cont.length == 1)
+    assert(cont(0).getLong(0) == 1L && cont(0).getLong(1) == 2L)
+    val shared = cont(0).getAs[Number]("shared").longValue
+    val minFp = cont(0).getAs[Number]("min_fp").longValue
+    assert(shared * 100 >= minFp * 60)
+    // the same pair under symmetric Jaccard: |A∩B|/|A∪B| ≈ 19%,
+    // invisible at any useful threshold
+    assert(Dedup.jaccardPairs(fixture, k = 3, pct = 60).collect().isEmpty)
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =
