@@ -46,4 +46,33 @@ object CorpusStats {
       .orderBy(col("pmi_x1000").desc, col("wa"), col("wb"))
       .limit(topN)
   }
+
+  /** Per-source boilerplate k-grams: for every `source`, the top-N
+    * gram fingerprints by within-source document frequency, among
+    * grams appearing in ≥ `minPct`% of that source's documents —
+    * template/boilerplate mining (site headers, navigation text,
+    * license blurbs), the measurement that justifies df-capped
+    * candidate generation in [[Dedup.jaccardPairs]] and feeds
+    * boilerplate-strip rules in a curation pipeline.
+    *
+    * Scale shape: ONE map-side-combinable hash aggregation on
+    * (source, gram) — grams are distinct per doc ([[Dedup.shingles]]),
+    * so the partial aggregates collapse before the exchange; per-source
+    * doc counts are a sources-sized broadcast; the rank window runs
+    * only over the df-filtered survivors (boilerplate grams are by
+    * definition few per source). Corpus text never shuffles. */
+  def boilerplateGrams(docs: DataFrame, k: Int = 3, minPct: Int = 10,
+      topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs.select(col("source"),
+      explode(Dedup.shingles(col("text"), k)).as("s"))
+    val df = ex.groupBy("source", "s").agg(count(lit(1)).as("df"))
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("source").orderBy(col("df").desc, col("s"))
+    df.join(broadcast(nd), "source")
+      .filter(col("df") * 100 >= col("n_docs") * minPct)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select("source", "rank", "s", "df", "n_docs")
+  }
 }

@@ -113,6 +113,12 @@ object PipelineQueries {
     "t09_pmi_pairs" -> { (s, d) =>
       CorpusStats.pmiTopPairs(documents(s, d), minPairDocs = 5, topN = 20)
     },
+    // per-source boilerplate mining: grams in >= 10% of a source's
+    // docs, top-5 per source by within-source df
+    "t11_boilerplate" -> { (s, d) =>
+      CorpusStats.boilerplateGrams(documents(s, d), k = 3, minPct = 10,
+        topN = 5).orderBy("source", "rank")
+    },
     // MOSS winnowing: distinct window-minima of the word-3-gram hash
     // stream, window w=4 — the partial-overlap fingerprint index
     "t10_winnow" -> { (s, d) =>
@@ -505,6 +511,18 @@ object PipelineQueries {
         (n_ab * (SELECT n_docs FROM n) * 1000) // (ca.nw * cb.nw) AS pmi_x1000
       FROM p JOIN wc ca ON ca.w = wa JOIN wc cb ON cb.w = wb
       ORDER BY pmi_x1000 DESC, wa, wb LIMIT 20""",
+    "t11_boilerplate" -> s"""
+      WITH ex AS (SELECT source,
+          unnest(${sqlShingles(sqlToks("text"))}) AS s FROM documents),
+      d AS (SELECT source, s, count(*) AS df FROM ex GROUP BY 1, 2),
+      n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      SELECT source, rank, s, df, n_docs FROM (
+        SELECT d.source, d.s, d.df, n.n_docs,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY d.df DESC, d.s) AS rank
+        FROM d JOIN n USING (source)
+        WHERE d.df * 100 >= n.n_docs * 10)
+      WHERE rank <= 5 ORDER BY source, rank""",
     "t10_winnow" -> s"""
       WITH g0 AS (SELECT doc_id,
           ${sqlGrams(sqlToks("text"), 3)} AS gs FROM documents),

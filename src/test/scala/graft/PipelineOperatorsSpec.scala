@@ -431,6 +431,22 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate grams rank within-source df above the pct floor") {
+    import spark.implicits._
+    val tpl = "copyright acme corp all rights reserved"
+    val fixture = (1 to 10).map(i => (i.toLong, s"unique$i words here $tpl", "sA")) ++
+      Seq((11L, "copyright acme corp", "sB"), (12L, "other text entirely", "sB"))
+    val out = CorpusStats.boilerplateGrams(
+      fixture.toDF("doc_id", "text", "source"), k = 3, minPct = 60, topN = 3)
+      .collect()
+    // source sA: the template's grams are in 10/10 docs — all above 60%
+    val sA = out.filter(_.getString(0) == "sA")
+    assert(sA.nonEmpty && sA.forall(_.getLong(3) == 10L))
+    assert(sA.map(_.getInt(1)).sorted.sameElements(1 to sA.length))
+    // source sB: each gram sits in 1 of 2 docs (50%) — below the floor
+    assert(!out.exists(_.getString(0) == "sB"))
+  }
+
   test("containment pairs catch an embedded document that Jaccard misses") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"alpha$i").mkString(" ")
