@@ -177,8 +177,12 @@ object Dedup {
     * ([[cappedCommonCounts]]) — one hash-join pipeline, no cartesian. */
   def winnowContainmentPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
       pct: Int = 60, maxFpDf: Int = 100): DataFrame = {
+    // the pair stage scans the fingerprint frame 3-4 times (df count,
+    // both candidate sides, hot arrays) and the window pass above it
+    // is the expensive part — checkpoint it once, like docShingles
     val sets = TextAnalysis.winnowFingerprintSets(docs, k, w)
       .select(col("doc_id"), col("fps").as("sh"), col("n_fp").as("n_sh"))
+      .localCheckpoint(eager = false)
     cappedCommonCounts(sets, maxFpDf)
       .withColumn("min_fp", least(col("a_n"), col("b_n")))
       .filter(col("common") * 100 >= col("min_fp") * pct)

@@ -204,10 +204,9 @@ object TextAnalysis {
 
   /** [[winnowFingerprints]] with the selected set kept as a sorted
     * array `(doc_id, fps, n_fp)` — the join-ready form
-    * [[Dedup.winnowContainmentPairs]] consumes. Lazily checkpointed:
-    * the pair stage scans it 3–4 times (df count, both candidate
-    * sides, hot arrays), and the window pass above it is the
-    * expensive part. */
+    * [[Dedup.winnowContainmentPairs]] consumes (which checkpoints it
+    * before its multi-scan pair stage; single-consumer uses like t10
+    * keep the plain lazy plan). */
   def winnowFingerprintSets(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = docs.select(col("doc_id"),
@@ -225,7 +224,6 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("mn"))).as("fps"))
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n_fp"))
-      .localCheckpoint(eager = false)
   }
 
   def repetitionScores(docs: DataFrame): DataFrame = {

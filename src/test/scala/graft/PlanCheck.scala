@@ -159,6 +159,32 @@ object PlanCheck {
       "bloom probe stays in whole-stage codegen (no UDF)" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("ve3_kmeans", Seq(
+      // every Lloyd round: k-row centroids broadcast over one corpus
+      // scan; the argmin must partially aggregate (1 row per vector
+      // crosses the exchange, never the k scored copies)
+      "centroids broadcast to the corpus scan" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "argmin partially aggregated before the exchange" ->
+        (_.contains("partial_min_by")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("t10_winnow", Seq(
+      // the ordered window pass shuffles (doc_id, pos, hash) longs,
+      // partitioned by doc_id — text never rides an exchange
+      "window pass partitioned on doc_id" ->
+        (_.contains("hashpartitioning(doc_id")),
+      "gram expansion stays in codegen (no UDF)" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("t11_boilerplate", Seq(
+      "per-source gram df partially aggregated before the exchange" ->
+        (_.contains("partial_")),
+      "source sizes broadcast back" -> (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("dd12_containment", Seq(
+      "fingerprint join is a real equi-join" -> (p =>
+        p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     // dd8 resolveClusters / dd10 resolveClustersStars: their
     // iterations run eagerly behind localCheckpoint leaves, so the
     // returned plan is a leaf select; the shape guarantees
