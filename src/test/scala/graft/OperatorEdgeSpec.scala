@@ -128,4 +128,51 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)) ==
       ((20L, 0L, 0L, 3L)))
   }
+
+  test("kmeans with fewer vectors than k degrades to per-vector clusters") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.0f, 1.0f), "b"),
+      (2L, Array(0.9f, 0.1f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val out = operators.VectorStats.kmeansAssign(tiny, k = 8, iters = 2)
+      .collect()
+    assert(out.length == 3)
+    // seeds 0..2 exist; every vector sits at distance 0 from its own
+    // seed, so assignment is the identity and SSE is exactly 0
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(out.forall(_.getDouble(2) == 0.0))
+  }
+
+  test("winnowing degenerate docs: empty text and docs shorter than w") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "one two")).toDF("doc_id", "text")
+    val byId = operators.TextAnalysis.winnowFingerprints(docs, k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    // empty doc: one empty gram, fingerprint 0, one window
+    assert(byId(1L) == ((1, "0")))
+    // 2 tokens < k: one covering gram; fewer grams than w → one window
+    val fp = HashOps.gramFps(UTF8String.fromString("one two"), 3)
+    assert(byId(2L) == ((1, fp(0).toString)))
+  }
+
+  test("containment of a single doc or disjoint docs is empty") {
+    import spark.implicits._
+    val one = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    assert(operators.Dedup.winnowContainmentPairs(one).count() == 0)
+    val disjoint = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    assert(operators.Dedup.winnowContainmentPairs(disjoint).count() == 0)
+  }
+
+  test("boilerplate floor at 100 pct keeps only universal grams") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z tail one", "s"), (2L, "x y z tail two", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = operators.CorpusStats.boilerplateGrams(docs, k = 3,
+      minPct = 100, topN = 10).collect()
+    // grams present in BOTH docs: "x y z", "y z tail" (df = 2 = 100%)
+    assert(out.length == 2 && out.forall(_.getLong(3) == 2L))
+  }
 }
