@@ -298,6 +298,39 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Recall@k report of the ANN paths against exact brute force —
+    * the "measure, don't guess" operator for index tuning: before
+    * trusting `nBits`/`numCentroids`/`nprobe` on a billion vectors,
+    * run this on a query sample and read the recall the settings buy.
+    * One row per method: `(method, n_truth, n_hits, recall_x1000)`
+    * with integer per-mille recall (cross-engine exact).
+    *
+    * Scale shape: the ground truth is brute-force ONLY over the query
+    * SAMPLE (broadcast queries × one corpus scan — the same cost as
+    * ss1, paid once per tuning run, never per production query); each
+    * ANN result intersects the truth with a semi join on
+    * (query, neighbor) — key-only, no vectors move. The truth frame
+    * is checkpointed: both method intersections and the totals scan
+    * reuse it. */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nBits: Int = 4, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(eager = false)
+    val methods = Seq(
+      "ivf" -> ivfTopK(corpus, queries, k, numCentroids, nprobe),
+      "lsh" -> lshTopK(corpus, queries, k, nBits))
+    methods.map { case (name, res) =>
+      truth
+        .join(res.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(name).as("method"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000 div n_truth").as("recall_x1000"))
+    }.reduce(_ unionAll _).orderBy("method")
+  }
+
   /** All embedding pairs with cosine ≥ threshold (brute force — the
     * oracle-checkable baseline for embedding near-dup dedup). */
   def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {

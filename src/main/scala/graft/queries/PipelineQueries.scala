@@ -192,6 +192,13 @@ object PipelineQueries {
           array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))
         .orderBy("vec_id")
     },
+    // recall@5 of the LSH and IVF ANN paths vs exact brute force on
+    // the same 3-query sample ss1-ss3 use — integer per-mille recall
+    "ss4_ann_recall" -> { (s, d) =>
+      val all = embeddings(s, d)
+      Similarity.annRecallReport(all, all.filter(col("vec_id") < 3),
+        k = 5, nBits = 4, numCentroids = 16, nprobe = 2)
+    },
     // two deterministic Lloyd rounds from the k-lowest-id seed, then
     // the final assignment under the trained centroids
     "ve3_kmeans" -> { (s, d) =>
@@ -648,6 +655,65 @@ object PipelineQueries {
             v1 -> floor(v1::DOUBLE * 127.0 / scale + 0.5)::INT)
           ELSE list_transform(embedding, v2 -> 0) END, ',') AS q_csv
       FROM s ORDER BY vec_id""",
+    "ss4_ann_recall" -> s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+        ${sqlLshBucket("embedding")} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+        FROM e WHERE vec_id < 3),
+      bs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e, q WHERE q.query_id <> e.vec_id),
+      bt AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM bs)
+        WHERE rank <= 5),
+      ls AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e JOIN q ON e.bucket = q.bucket
+        WHERE q.query_id <> e.vec_id),
+      lt AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM ls)
+        WHERE rank <= 5),
+      cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM e WHERE vec_id < 16),
+      cassign AS (SELECT neighbor_id, nemb, nnrm, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS nemb, e.nrm AS nnrm,
+          c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm)
+              DESC, c.cid ASC) AS rn
+        FROM e, cents c) WHERE rn = 1),
+      qassign AS (SELECT query_id, qemb, qnrm, cid FROM (
+        SELECT q2.vec_id AS query_id, q2.embedding AS qemb, q2.nrm AS qnrm,
+          c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+            ORDER BY ${sqlDot("q2.embedding", "c.cemb")} / (q2.nrm * c.cnrm)
+              DESC, c.cid ASC) AS rn
+        FROM e q2, cents c WHERE q2.vec_id < 3) WHERE rn <= 2),
+      vcand AS (SELECT DISTINCT a.query_id, b.neighbor_id,
+          a.qemb, a.qnrm, b.nemb, b.nnrm
+        FROM qassign a JOIN cassign b
+          ON a.cid = b.cid AND a.query_id <> b.neighbor_id),
+      vs AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qemb", "nemb")} / (qnrm * nnrm) AS score FROM vcand),
+      vt AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM vs)
+        WHERE rank <= 5)
+      SELECT method, n_truth, n_hits, n_hits * 1000 // n_truth AS recall_x1000
+      FROM (
+        SELECT 'ivf' AS method,
+          (SELECT count(*) FROM bt) AS n_truth,
+          (SELECT count(*) FROM bt JOIN vt
+            USING (query_id, neighbor_id)) AS n_hits
+        UNION ALL
+        SELECT 'lsh' AS method,
+          (SELECT count(*) FROM bt) AS n_truth,
+          (SELECT count(*) FROM bt JOIN lt
+            USING (query_id, neighbor_id)) AS n_hits)
+      ORDER BY method""",
     "ve3_kmeans" -> {
       // SQL twin of the two-round Lloyd trajectory: assignment = QUALIFY
       // row_number over (dist2, cid); update = the same fixed-point

@@ -468,6 +468,23 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(fixture, k = 3, pct = 60).collect().isEmpty)
   }
 
+  test("ann recall report measures hits against brute-force truth") {
+    val rep = Similarity.annRecallReport(embs,
+      embs.filter(col("vec_id") < 3), k = 5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rep.keySet == Set("ivf", "lsh"))
+    rep.foreach { case (m, (truth, hits, mille)) =>
+      assert(truth == 15, s"$m truth should be k*queries")
+      assert(hits >= 0 && hits <= truth, s"$m hits out of range")
+      assert(mille == hits * 1000 / truth, s"$m recall formula")
+    }
+    // on this fixture the 16-list/2-probe IVF index recalls far more
+    // than a single 4-bit LSH table — the measurement that motivates
+    // dd5/dd6's multi-table LSH
+    assert(rep("ivf")._2 > rep("lsh")._2)
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =
