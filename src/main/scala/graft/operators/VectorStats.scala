@@ -79,27 +79,21 @@ object VectorStats {
     * — so the full two-round trajectory is bit-reproducible in the
     * DuckDB oracle. Clusters that lose all members simply drop out
     * (standard Lloyd behavior with a deterministic seed). */
-  def kmeansAssign(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansAssign(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    assignToCentroids(embs, kmeansCentroids(embs, k, iters))
+
+  /** The trained centroids after `iters` Lloyd rounds: `(cid, cemb)`
+    * with `cemb` a double array. See [[kmeansAssign]] for the scale
+    * and exactness story. */
+  def kmeansCentroids(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val e = embs.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("emb"))
       .localCheckpoint(eager = false)
-    val ex = e.withColumn("xx", dotD(col("emb"), col("emb")))
-    def assign(cs: DataFrame): DataFrame = {
-      val withCC = cs.withColumn("cc", dotD(col("cemb"), col("cemb")))
-      ex.crossJoin(broadcast(withCC))
-        .withColumn("dist2",
-          col("xx") - lit(2.0) * dotD(col("emb"), col("cemb")) + col("cc"))
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("cid"), col("dist2")),
-          struct(col("dist2"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cid"),
-          col("best.dist2").as("dist2"))
-    }
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("cid"), col("emb").as("cemb"))
     var round = 0
     while (round < iters) {
-      cents = assign(cents)
+      cents = assignDoubles(e, cents)
         .join(e, "vec_id")
         .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
@@ -115,8 +109,63 @@ object VectorStats {
         .localCheckpoint(eager = false)
       round += 1
     }
-    assign(cents)
-      .select(col("vec_id"), col("cid").as("cluster_id"), col("dist2"))
+    cents
+  }
+
+  /** Assign every vector to its nearest centroid — ENTIRELY map-side:
+    * the k centroids are packed into ONE broadcast row and the argmin
+    * is a fold over that array per vector, so assignment adds ZERO
+    * exchanges to the corpus scan (the aggregated
+    * `groupBy(vec_id).min_by` alternative shuffles one row per vector
+    * — already narrow, but this shuffles nothing at all). Because
+    * there is no stateful aggregation, the same operator runs
+    * UNCHANGED on a stream of vectors against broadcast static
+    * centroids — the realtime inference path of a trained quantizer.
+    *
+    * `vecs` needs (vec_id, embedding); `cents` is (cid, cemb) as
+    * produced by [[kmeansCentroids]]. Distance math and (dist², cid)
+    * tie-breaking are identical to the aggregated form — the fold
+    * keeps the first strict improvement, so ties resolve to the
+    * smallest cid regardless of the packed array's order. */
+  def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("cs"))
+    vecs
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        aggregate(col("cs"),
+          struct(lit(Long.MaxValue).as("cid"),
+            lit(Double.MaxValue).as("dist2")),
+          (acc, c) => {
+            val d = dotD(col("emb"), col("emb")) -
+              lit(2.0) * dotD(col("emb"), c.getField("cemb")) +
+              dotD(c.getField("cemb"), c.getField("cemb"))
+            val better = d < acc.getField("dist2") ||
+              (d === acc.getField("dist2") &&
+                c.getField("cid") < acc.getField("cid"))
+            when(better, struct(c.getField("cid").as("cid"),
+              d.as("dist2"))).otherwise(acc)
+          }).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster_id"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** Aggregated argmin assignment over an already-double corpus —
+    * used inside the Lloyd update rounds (whose next stage is an
+    * aggregation anyway). Same values as [[assignToCentroids]]. */
+  private def assignDoubles(e: DataFrame, cs: DataFrame): DataFrame = {
+    val ex = e.withColumn("xx", dotD(col("emb"), col("emb")))
+    val withCC = cs.withColumn("cc", dotD(col("cemb"), col("cemb")))
+    ex.crossJoin(broadcast(withCC))
+      .withColumn("dist2",
+        col("xx") - lit(2.0) * dotD(col("emb"), col("cemb")) + col("cc"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("dist2")),
+        struct(col("dist2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.dist2").as("dist2"))
   }
 
   /** Symmetric per-vector int8 quantization: `scale = max |v_i|`,

@@ -104,6 +104,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("inc_vec_out").count() > 0)
   }
 
+  test("centroid assignment runs unchanged on a vector stream") {
+    // the map-side argmin has no stateful aggregation, so the SAME
+    // operator does realtime inference: arriving vectors against
+    // broadcast static centroids trained offline
+    val embsB = Tables.embeddings(spark, sf)
+    val cents = operators.VectorStats.kmeansCentroids(embsB, k = 4, iters = 1)
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val vecStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+    val live = operators.VectorStats.assignToCentroids(vecStream, cents)
+    runToMemory(live, "kmeans_assign_out", "append")
+    val batch = operators.VectorStats.assignToCentroids(embsB, cents)
+    assert(asSet(spark.table("kmeans_assign_out")) == asSet(batch))
+    assert(spark.table("kmeans_assign_out").count() == embsB.count())
+  }
+
   test("watermark dedup stream preserves distinct event ids") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf))
