@@ -180,6 +180,29 @@ object HashOps {
     TrigramLangs(best)
   }
 
+  /** Feature-hashed bag of words: token fingerprints bucketed mod
+    * `dim`, counts per bucket (the fastText-style featurizer for
+    * cheap quality classifiers). One tokenize + hash loop per
+    * document; twin of the `sqlFp(token) % dim` SQL oracle. */
+  def hashedBow(s: UTF8String, dim: Int): Array[Long] = {
+    val toks = tokenize(s)
+    val out = new Array[Long](dim)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      var h = 0L
+      var c = 0
+      while (c < w.length) {
+        val cp = w.codePointAt(c)
+        h = (h * 31 + cp) % Mod
+        c += Character.charCount(cp)
+      }
+      out((h % dim).toInt) += 1
+      t += 1
+    }
+    out
+  }
+
   def minhash(fps: Array[Long], numHashes: Int): Array[Long] = {
     val out = new Array[Long](numHashes)
     var i = 0
@@ -261,6 +284,19 @@ case class TrigramLangId(child: Expression)
   override protected def withNewChildInternal(c: Expression): TrigramLangId = copy(c)
 }
 
+/** `hashed_bow(str, dim)` — codegen'd feature-hashed token counts. */
+case class HashedBow(child: Expression, dim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashOps.hashedBow(v.asInstanceOf[UTF8String], dim))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.hashedBow($c, $dim))")
+  override protected def withNewChildInternal(c: Expression): HashedBow = copy(child = c)
+}
+
 /** `minhash_sig(fps, n)` — MinHash signature of a fingerprint array. */
 case class MinHashSig(child: Expression, numHashes: Int)
   extends UnaryExpression {
@@ -303,6 +339,7 @@ object hashFunctions {
   def simhash30(c: Column): Column = toCol(SimHash30(toExpr(c)))
   def trigram_lang_id(c: Column): Column = toCol(TrigramLangId(toExpr(c)))
   def minhash_sig(c: Column, n: Int): Column = toCol(MinHashSig(toExpr(c), n))
+  def hashed_bow(c: Column, dim: Int): Column = toCol(HashedBow(toExpr(c), dim))
   def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
 
   /** Register `poly_hash`/`simhash30`/`vec_dot` for SQL use. */

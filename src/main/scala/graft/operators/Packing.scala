@@ -47,4 +47,39 @@ object Packing {
           s"(cum - 1) div $seqLen - (cum - n_tokens) div $seqLen + 1 END")
           .as("n_packs"))
   }
+
+  /** Overlapping-chunk manifest — the pre-embedding / RAG-indexing
+    * split: each document becomes `ceil(max(n-overlap,1) / stride)`
+    * chunks of up to `chunkTokens` tokens with `overlap` tokens shared
+    * between neighbours (stride = chunkTokens − overlap). Emits
+    * `(doc_id, chunk_id, start_tok, n_tok, chunk_fp)` where `chunk_fp`
+    * is the polynomial fingerprint of the chunk's joined tokens —
+    * join-ready for chunk-level dedup or embedding-table keys.
+    *
+    * Entirely per-row (tokenize once, explode a chunk-index sequence,
+    * slice per chunk): zero shuffles, stays in one corpus scan. An
+    * empty document yields one empty chunk (fp 0), matching the
+    * one-gram convention of [[graft.functions.HashOps.gramFps]]. */
+  def chunkManifest(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        greatest(lit(1),
+          expr(s"(n - $overlap + $stride - 1) div $stride")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_tok",
+        least(lit(chunkTokens), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok"),
+        TextAnalysis.fingerprint(
+          array_join(slice(col("toks"), col("start_tok") + 1,
+            col("n_tok")), " ")).as("chunk_fp"))
+  }
 }

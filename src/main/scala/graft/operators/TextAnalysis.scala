@@ -226,6 +226,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n_fp"))
   }
 
+  /** Feature-hashed bag-of-words vector per document (`dim` buckets,
+    * token counts) — the fastText-style featurizer behind cheap
+    * quality/domain classifiers. Native codegen'd expression (one
+    * tokenize+hash loop per doc — a per-bucket HOF filter chain would
+    * re-scan the token list `dim` times, the t07 mistake); per-row,
+    * shuffle-free. Serialized to CSV for the cross-engine gate. */
+  def hashedBow(docs: DataFrame, dim: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      array_join(transform(
+        graft.functions.hashFunctions.hashed_bow(col("text"), dim),
+        _.cast("string")), ",").as("bow_csv"))
+
   def repetitionScores(docs: DataFrame): DataFrame = {
     def tag(k: Int): Column = transform(
       graft.functions.hashFunctions.gram_fps(col("text"), k),

@@ -113,6 +113,16 @@ object PipelineQueries {
     "t09_pmi_pairs" -> { (s, d) =>
       CorpusStats.pmiTopPairs(documents(s, d), minPairDocs = 5, topN = 20)
     },
+    // feature-hashed bag of words, 32 buckets — classifier features
+    "t12_hashed_bow" -> { (s, d) =>
+      TextAnalysis.hashedBow(documents(s, d), dim = 32).orderBy("doc_id")
+    },
+    // overlapping chunk manifest (64-token chunks, 16 overlap) — the
+    // pre-embedding/RAG split, with per-chunk fingerprints
+    "tp2_chunk_manifest" -> { (s, d) =>
+      Packing.chunkManifest(documents(s, d), chunkTokens = 64,
+        overlap = 16).orderBy("doc_id", "chunk_id")
+    },
     // per-source boilerplate mining: grams in >= 10% of a source's
     // docs, top-5 per source by within-source df
     "t11_boilerplate" -> { (s, d) =>
@@ -518,6 +528,26 @@ object PipelineQueries {
         (n_ab * (SELECT n_docs FROM n) * 1000) // (ca.nw * cb.nw) AS pmi_x1000
       FROM p JOIN wc ca ON ca.w = wa JOIN wc cb ON cb.w = wb
       ORDER BY pmi_x1000 DESC, wa, wb LIMIT 20""",
+    "t12_hashed_bow" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      f AS (SELECT doc_id, len(toks) AS n_tokens,
+        list_transform(toks, t0 -> ${sqlFp("t0")} % 32) AS fps FROM t)
+      SELECT doc_id, n_tokens,
+        array_to_string(list_transform(range(0, 32),
+          b0 -> len(list_filter(fps, f0 -> f0 = b0))), ',') AS bow_csv
+      FROM f ORDER BY doc_id""",
+    "tp2_chunk_manifest" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      d AS (SELECT doc_id, toks, len(toks) AS n,
+        greatest(1, (len(toks) - 16 + 47) // 48) AS n_chunks FROM t),
+      c AS (SELECT doc_id, toks, n, t2.i0 AS chunk_id,
+          t2.i0 * 48 AS start_tok,
+          least(64, n - t2.i0 * 48) AS n_tok
+        FROM d, unnest(range(0, n_chunks)) AS t2(i0))
+      SELECT doc_id, chunk_id, start_tok, n_tok,
+        ${sqlFp("array_to_string(toks[start_tok+1:start_tok+n_tok], ' ')")}
+          AS chunk_fp
+      FROM c ORDER BY doc_id, chunk_id""",
     "t11_boilerplate" -> s"""
       WITH ex AS (SELECT source,
           unnest(${sqlShingles(sqlToks("text"))}) AS s FROM documents),

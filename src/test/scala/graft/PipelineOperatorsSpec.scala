@@ -468,6 +468,41 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(fixture, k = 3, pct = 60).collect().isEmpty)
   }
 
+  test("hashed bow buckets every token exactly once") {
+    val rows = TextAnalysis.hashedBow(docs, dim = 32).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val counts = r.getString(2).split(",", -1).map(_.toLong)
+      assert(counts.length == 32)
+      assert(counts.sum == r.getAs[Number]("n_tokens").longValue,
+        "bucket counts must partition the token stream")
+    }
+  }
+
+  test("chunk manifest tiles documents with the declared overlap") {
+    import spark.implicits._
+    val one = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = operators.Packing
+      .chunkManifest(one, chunkTokens = 10, overlap = 2).collect()
+      .sortBy(_.getAs[Number]("chunk_id").longValue)
+    // stride 8 over 100 tokens: ceil(98/8) = 13 chunks
+    assert(ch.length == 13)
+    ch.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Number]("start_tok").longValue == 8L * i)
+    }
+    // full chunks are exactly chunkTokens; the final one is the tail
+    assert(ch.init.forall(_.getAs[Number]("n_tok").longValue == 10L))
+    val last = ch.last
+    assert(last.getAs[Number]("start_tok").longValue +
+      last.getAs[Number]("n_tok").longValue == 100L)
+    // fingerprints are over the chunk's actual tokens
+    val fp0 = graft.functions.HashOps.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        (1 to 10).map(i => s"w$i").mkString(" ")))
+    assert(ch.head.getAs[Number]("chunk_fp").longValue == fp0)
+  }
+
   test("ann recall report measures hits against brute-force truth") {
     val rep = Similarity.annRecallReport(embs,
       embs.filter(col("vec_id") < 3), k = 5).collect()
