@@ -128,20 +128,26 @@ object VectorStats {
     * keeps the first strict improvement, so ties resolve to the
     * smallest cid regardless of the packed array's order. */
   def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    // ||c||² rides the broadcast row and ||x||² is computed once per
+    // vector, so the fold does exactly ONE dot product per (vector,
+    // centroid) — same association (x·x − 2·x·c) + c·c as the
+    // aggregated form, hence bit-identical distances
     val packed = cents
-      .agg(collect_list(struct(col("cid"), col("cemb"))).as("cs"))
+      .withColumn("cc", dotD(col("cemb"), col("cemb")))
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc"))).as("cs"))
     vecs
       .select(col("vec_id"),
         transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .withColumn("xx", dotD(col("emb"), col("emb")))
       .crossJoin(broadcast(packed))
       .select(col("vec_id"),
         aggregate(col("cs"),
           struct(lit(Long.MaxValue).as("cid"),
             lit(Double.MaxValue).as("dist2")),
           (acc, c) => {
-            val d = dotD(col("emb"), col("emb")) -
+            val d = col("xx") -
               lit(2.0) * dotD(col("emb"), c.getField("cemb")) +
-              dotD(c.getField("cemb"), c.getField("cemb"))
+              c.getField("cc")
             val better = d < acc.getField("dist2") ||
               (d === acc.getField("dist2") &&
                 c.getField("cid") < acc.getField("cid"))

@@ -57,6 +57,15 @@ object HashOpsProps extends Properties("HashOps") {
       .contains(HashOps.trigramLangId(u(s)).toString)
   }
 
+  property("hashedBow conserves tokens and buckets by polyHash mod dim") =
+    forAll(text, Gen.choose(1, 64)) { (s, dim) =>
+      val bow = HashOps.hashedBow(u(s), dim)
+      val toks = HashOps.tokenize(u(s))
+      val ref = new Array[Long](dim)
+      toks.foreach(w => ref((HashOps.polyHash(u(w)) % dim).toInt) += 1)
+      bow.length == dim && bow.sum == toks.length && bow.sameElements(ref)
+    }
+
   property("dotFold is the exact sequential double fold") =
     forAll(Gen.listOf(Gen.chooseNum(-1.0f, 1.0f))) { xs =>
       val a = xs.toArray
