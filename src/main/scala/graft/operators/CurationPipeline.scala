@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation — the composition the individual
@@ -26,6 +26,39 @@ import org.apache.spark.sql.functions._
   * [[Dedup.minhashPairs]] (same verify stage) — the API is the same.
   */
 object CurationPipeline {
+
+  /** Preparation end-to-end: quality floor → exact dedup →
+    * eval-set decontamination → overlapping-chunk manifest. The
+    * composition that takes a raw crawl to training-ready chunks:
+    * every stage is the already-audited operator (filter-first, md5
+    * content-key dedup, broadcast eval-gram semi probe, per-row
+    * chunking), fused into one lazy plan — Catalyst pushes the
+    * quality filter to the scan and the corpus never shuffles outside
+    * the one dedup key exchange. Emits [[Packing.chunkManifest]] rows
+    * for the clean survivors. */
+  def curateToChunks(docs: DataFrame, isEval: Column,
+      minQuality: Double = 0.2, minTokens: Int = 5, evalK: Int = 5,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    val quality = docs.filter(!isEval)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+    val keepIds = quality
+      .groupBy(Dedup.contentKey(col("text")).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept = quality.join(keepIds, "doc_id")
+    // contamination flags are per-document (only the eval set matters),
+    // so flagging before/after the quality filter is equivalent; the
+    // manifest covers every non-eval doc and we keep the zero-hit ones
+    val clean = kept.join(
+      Decontaminate.ngramOverlap(docs, isEval, evalK)
+        .filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    Packing.chunkManifest(clean.select("doc_id", "text"),
+      chunkTokens, overlap)
+  }
 
   def curate(docs: DataFrame, minQuality: Double = 0.0, minTokens: Int = 5,
       jaccardPct: Int = 90): DataFrame = {

@@ -123,6 +123,14 @@ object PipelineQueries {
       Packing.chunkManifest(documents(s, d), chunkTokens = 64,
         overlap = 16).orderBy("doc_id", "chunk_id")
     },
+    // end-to-end: quality floor -> exact dedup -> decontaminate
+    // against the doc_id%50 eval split -> 64/16 chunk manifest
+    "tp3_clean_chunks" -> { (s, d) =>
+      graft.operators.CurationPipeline.curateToChunks(documents(s, d),
+        isEval = col("doc_id") % 50 === 0, minQuality = 0.2,
+        minTokens = 5, evalK = 5, chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
+    },
     // per-source boilerplate mining: grams in >= 10% of a source's
     // docs, top-5 per source by within-source df
     "t11_boilerplate" -> { (s, d) =>
@@ -536,6 +544,37 @@ object PipelineQueries {
         array_to_string(list_transform(range(0, 32),
           b0 -> len(list_filter(fps, f0 -> f0 = b0))), ',') AS bow_csv
       FROM f ORDER BY doc_id""",
+    "tp3_clean_chunks" -> s"""
+      WITH base AS (SELECT doc_id, text, len($toks) AS n_tokens,
+        (len(list_intersect($toks, ['the','a','of','and','to','in','is']))::DOUBLE
+           / len($toks)::DOUBLE)
+          - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             / length(text)::DOUBLE)
+          + least(len($toks)::DOUBLE / 100.0, 1.0) AS quality
+        FROM documents WHERE doc_id % 50 <> 0),
+      q AS (SELECT * FROM base WHERE quality >= 0.2 AND n_tokens >= 5),
+      keepids AS (SELECT min(doc_id) AS doc_id FROM q
+        GROUP BY array_to_string($toks, ' ')),
+      ex AS (SELECT q.* FROM q JOIN keepids k ON q.doc_id = k.doc_id),
+      ev AS (SELECT DISTINCT s FROM (SELECT
+          unnest(${sqlShinglesK(toks, 5)}) AS s
+        FROM documents WHERE doc_id % 50 = 0)),
+      dirty AS (SELECT DISTINCT doc_id FROM (SELECT doc_id,
+          unnest(${sqlShinglesK(toks, 5)}) AS s FROM ex) x
+        WHERE x.s IN (SELECT s FROM ev)),
+      clean AS (SELECT * FROM ex
+        WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+      t3 AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM clean),
+      d3 AS (SELECT doc_id, toks, len(toks) AS n,
+        greatest(1, (len(toks) - 16 + 47) // 48) AS n_chunks FROM t3),
+      c3 AS (SELECT doc_id, toks, n, t4.i0 AS chunk_id,
+          t4.i0 * 48 AS start_tok,
+          least(64, n - t4.i0 * 48) AS n_tok
+        FROM d3, unnest(range(0, n_chunks)) AS t4(i0))
+      SELECT doc_id, chunk_id, start_tok, n_tok,
+        ${sqlFp("array_to_string(toks[start_tok+1:start_tok+n_tok], ' ')")}
+          AS chunk_fp
+      FROM c3 ORDER BY doc_id, chunk_id""",
     "tp2_chunk_manifest" -> s"""
       WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
       d AS (SELECT doc_id, toks, len(toks) AS n,

@@ -468,6 +468,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(fixture, k = 3, pct = 60).collect().isEmpty)
   }
 
+  test("clean-chunk pipeline only chunks decontaminated dedup survivors") {
+    import graft.operators.CurationPipeline
+    val isEval = col("doc_id") % 50 === 0
+    val outDocs = CurationPipeline.curateToChunks(docs, isEval)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(outDocs.nonEmpty)
+    // eval docs are never chunked
+    assert(outDocs.forall(_ % 50 != 0))
+    // contaminated docs are never chunked
+    val dirty = Decontaminate.ngramOverlap(docs, isEval, 5)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(outDocs.intersect(dirty).isEmpty)
+  }
+
   test("hashed bow buckets every token exactly once") {
     val rows = TextAnalysis.hashedBow(docs, dim = 32).collect()
     assert(rows.nonEmpty)
