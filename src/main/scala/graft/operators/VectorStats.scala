@@ -174,20 +174,46 @@ object VectorStats {
         col("best.dist2").as("dist2"))
   }
 
+  /** Reconstruction-error report for [[quantizeInt8]]: per vector,
+    * the max and mean absolute error of `q_i·scale/127` against the
+    * original — the QA readout that decides whether int8 storage is
+    * acceptable for a corpus before re-encoding a billion vectors
+    * (pairs with [[Similarity.annRecallReport]], which answers the
+    * same question for the index). Per-row, shuffle-free; fixed-order
+    * error fold so both engines produce identical doubles. */
+  def quantError(embs: DataFrame): DataFrame =
+    embs
+      .select(col("vec_id"), quantScale.as("scale"),
+        transform(col("embedding"), v => v.cast("double")).as("emb"),
+        quantized(quantScale).as("q"))
+      .select(col("vec_id"), col("scale"), zip_with(col("emb"), col("q"),
+        (v, qi) => abs(v - qi.cast("double") * col("scale") / lit(127.0)))
+        .as("errs"), size(col("emb")).as("n"))
+      .select(col("vec_id"), col("scale"),
+        array_max(col("errs")).as("max_err"),
+        (aggregate(col("errs"), lit(0.0), (acc, e) => acc + e)
+          / col("n").cast("double")).as("mean_err"))
+
   /** Symmetric per-vector int8 quantization: `scale = max |v_i|`,
     * `q_i = floor(v_i * 127 / scale + 0.5)` (round-half-up — spelled
     * as an explicit floor so every engine rounds identically; builtin
     * `round` is half-even in some engines and half-away in others).
     * All-zero vectors quantize to zeros. Per-row, shuffle-free, stays
     * inside whole-stage codegen. */
-  def quantizeInt8(embs: DataFrame): DataFrame = {
-    def vd(c: Column): Column = transform(c, v => v.cast("double"))
-    val scl = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
-    embs.select(col("vec_id"), scl.as("scale"),
-      when(scl > 0,
-        transform(vd(col("embedding")),
-          v => floor(v * lit(127.0) / scl + lit(0.5)).cast("int")))
-        .otherwise(transform(vd(col("embedding")), _ => lit(0)))
-        .as("q"))
+  def quantizeInt8(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), quantScale.as("scale"),
+      quantized(quantScale).as("q"))
+
+  /** `scale = max |v_i|` over the `embedding` column. */
+  private def quantScale: Column =
+    array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+
+  /** The int8 codes under `scl` — shared by [[quantizeInt8]] and
+    * [[quantError]] so the rounding rule exists exactly once. */
+  private def quantized(scl: Column): Column = {
+    val vd = transform(col("embedding"), v => v.cast("double"))
+    when(scl > 0,
+      transform(vd, v => floor(v * lit(127.0) / scl + lit(0.5)).cast("int")))
+      .otherwise(transform(vd, _ => lit(0)))
   }
 }

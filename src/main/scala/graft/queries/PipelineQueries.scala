@@ -217,6 +217,10 @@ object PipelineQueries {
       Similarity.annRecallReport(all, all.filter(col("vec_id") < 3),
         k = 5, nBits = 4, numCentroids = 16, nprobe = 2)
     },
+    // int8 reconstruction-error QA: max/mean abs error per vector
+    "ve4_quant_error" -> { (s, d) =>
+      VectorStats.quantError(embeddings(s, d)).orderBy("vec_id")
+    },
     // two deterministic Lloyd rounds from the k-lowest-id seed, then
     // the final assignment under the trained centroids
     "ve3_kmeans" -> { (s, d) =>
@@ -724,6 +728,22 @@ object PipelineQueries {
             v1 -> floor(v1::DOUBLE * 127.0 / scale + 0.5)::INT)
           ELSE list_transform(embedding, v2 -> 0) END, ',') AS q_csv
       FROM s ORDER BY vec_id""",
+    "ve4_quant_error" -> s"""
+      WITH s AS (SELECT vec_id,
+        list_transform(embedding, v0 -> v0::DOUBLE) AS emb,
+        list_max(list_transform(embedding, v1 -> abs(v1::DOUBLE))) AS scale
+        FROM embeddings),
+      qz AS (SELECT vec_id, emb, scale,
+        CASE WHEN scale > 0 THEN list_transform(emb,
+            v2 -> floor(v2 * 127.0 / scale + 0.5)::INT)
+          ELSE list_transform(emb, v3 -> 0) END AS q FROM s),
+      er AS (SELECT vec_id, scale, len(emb) AS n,
+        list_transform(list_zip(emb, q),
+          z1 -> abs(z1[1] - z1[2]::DOUBLE * scale / 127.0)) AS errs
+        FROM qz)
+      SELECT vec_id, scale, list_max(errs) AS max_err,
+        ${sqlFold("errs")} / n::DOUBLE AS mean_err
+      FROM er ORDER BY vec_id""",
     "ss4_ann_recall" -> s"""
       WITH e AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm,

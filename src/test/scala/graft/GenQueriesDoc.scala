@@ -19,7 +19,7 @@ object GenQueriesDoc {
       ("Deduplication", "dd10|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dc1|dc2"),
       ("Data layout & skew diagnostics", "q52|q54"),
       ("Similarity search", "ss1|ss2|ss3|ss4"),
-      ("Embedding analytics", "ve1|ve2|ve3"),
+      ("Embedding analytics", "ve1|ve2|ve3|ve4"),
       ("Multimodal", "m1|m2"),
       ("Streaming batch twins", "st1|st2|st3|st4|st7"))
     val all = SparkEntry.queries.keySet

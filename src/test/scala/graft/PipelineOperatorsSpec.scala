@@ -534,6 +534,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(rep("ivf")._2 > rep("lsh")._2)
   }
 
+  test("int8 reconstruction error stays within half a quantization step") {
+    import operators.VectorStats
+    val rows = VectorStats.quantError(embs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, maxErr, meanErr) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // round-half-up: every element lands within scale/254 of itself
+      assert(maxErr <= scale / 254.0 + 1e-12,
+        s"max error $maxErr exceeds half step ${scale / 254.0}")
+      assert(meanErr >= 0.0 && meanErr <= maxErr + 1e-12)
+    }
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =
