@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-mix rebalancing: deterministic down-sampling toward a
@@ -32,10 +32,36 @@ object Mixture {
     docs.select(col("doc_id"), col("lang"),
         (TextAnalysis.fingerprint(col("doc_id").cast("string")) % 1000)
           .as("h"))
-      .withColumn("split",
-        when(col("h") < trainMil, "train")
-          .when(col("h") < valMil, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOfHash(col("h"), trainMil, valMil))
+
+  /** The hash-range → split-name rule, shared by [[splitAssign]] and
+    * [[splitLeakage]] so it exists exactly once. */
+  private def splitOfHash(h: Column, trainMil: Int, valMil: Int): Column =
+    when(h < trainMil, "train").when(h < valMil, "val").otherwise("test")
+
+  /** Split-leakage audit: every near-dup pair whose endpoints landed
+    * in DIFFERENT train/val/test splits — the contamination a random
+    * per-document split silently creates (a test document with a
+    * near-copy in train inflates eval). Pairs come from the same
+    * MinHash banding as dd3, so the audit cost is the pair-detection
+    * cost; the split frame joins in as (id, split) keys only. An
+    * empty result certifies the split; a non-empty one is the
+    * work-list for cluster-aware reassignment (move whole
+    * [[Dedup.resolveClusters]] clusters into one split). */
+  def splitLeakage(docs: DataFrame, trainMil: Int = 900,
+      valMil: Int = 950, k: Int = 3, pct: Int = 80): DataFrame = {
+    // only (doc_id, split) is needed — unlike splitAssign's manifest,
+    // the audit doesn't require a lang column on the input
+    val splits = docs.select(col("doc_id"),
+      splitOfHash(
+        TextAnalysis.fingerprint(col("doc_id").cast("string")) % 1000,
+        trainMil, valMil).as("split"))
+    Dedup.minhashPairs(docs, k = k, pct = pct)
+      .join(splits.toDF("a_id", "a_split"), "a_id")
+      .join(splits.toDF("b_id", "b_split"), "b_id")
+      .filter(col("a_split") =!= col("b_split"))
+      .select("a_id", "b_id", "a_split", "b_split", "common", "union_size")
+  }
 
   /** Down-sample `docs` so every `groupCol` value lands an
     * approximately equal share (uniform target mixture).

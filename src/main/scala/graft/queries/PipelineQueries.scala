@@ -173,6 +173,11 @@ object PipelineQueries {
     "mx2_split_assign" -> { (s, d) =>
       Mixture.splitAssign(documents(s, d)).orderBy("doc_id")
     },
+    // split-leakage audit: minhash near-dup pairs whose endpoints fell
+    // in different train/val/test splits
+    "mx3_split_leakage" -> { (s, d) =>
+      Mixture.splitLeakage(documents(s, d)).orderBy("a_id", "b_id")
+    },
     // incremental dedup: every 10th doc is the incoming batch, the
     // rest the standing index; pairs only cross the boundary
     "dd9_dedup_incremental" -> { (s, d) =>
@@ -711,6 +716,22 @@ object PipelineQueries {
         CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
           ELSE 'test' END AS split
       FROM h ORDER BY doc_id""",
+    "mx3_split_leakage" -> s"""
+      WITH $sqlMinhashCtes,
+      pairs AS (SELECT a_id, b_id, common, union_size FROM verified
+        WHERE common * 100 >= union_size * 80),
+      sp AS (SELECT doc_id,
+        CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
+          ELSE 'test' END AS split
+        FROM (SELECT doc_id, ${sqlFp("doc_id::VARCHAR")} % 1000 AS h
+          FROM documents))
+      SELECT p.a_id, p.b_id, sa.split AS a_split, sb.split AS b_split,
+        p.common, p.union_size
+      FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.a_id
+        JOIN sp sb ON sb.doc_id = p.b_id
+      WHERE sa.split <> sb.split
+      ORDER BY p.a_id, p.b_id""",
     "ve1_label_centroids" -> s"""
       WITH x AS (SELECT label, i0 AS dim,
           floor(embedding[i0+1]::DOUBLE * 1099511627776.0)::BIGINT

@@ -468,6 +468,29 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(fixture, k = 3, pct = 60).collect().isEmpty)
   }
 
+  test("split leakage flags exactly the cross-split near-dup pairs") {
+    import spark.implicits._
+    // short numeric ids hash disproportionately into train — search a
+    // wide id range for one of each split
+    val ids = (1L to 2000L)
+    val splitOf = Mixture.splitAssign(
+      ids.map(i => (i, "en")).toDF("doc_id", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val trainId = ids.find(splitOf(_) == "train").get
+    val otherId = ids.find(i => splitOf(i) != "train").get
+    val train2 = ids.find(i => splitOf(i) == "train" && i != trainId).get
+    val near = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (trainId, near + " tailone"),
+      (otherId, near + " tailtwo"), // near-dup of trainId, other split
+      (train2, "completely different words making no shingle overlap"))
+      .toDF("doc_id", "text")
+    val out = Mixture.splitLeakage(docs).collect()
+    assert(out.length == 1)
+    assert(Set(out(0).getLong(0), out(0).getLong(1)) == Set(trainId, otherId))
+    assert(out(0).getString(2) != out(0).getString(3))
+  }
+
   test("clean-chunk pipeline only chunks decontaminated dedup survivors") {
     import graft.operators.CurationPipeline
     val isEval = col("doc_id") % 50 === 0
