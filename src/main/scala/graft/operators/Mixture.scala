@@ -63,6 +63,34 @@ object Mixture {
       .select("a_id", "b_id", "a_split", "b_split", "common", "union_size")
   }
 
+  /** Leakage-free split assignment: the repair [[splitLeakage]]'s
+    * findings call for. Near-dup documents are resolved into
+    * transitive clusters ([[Dedup.resolveClusters]]) and the split is
+    * hashed from the CLUSTER id, so every member of a duplicate
+    * cluster lands in the same split by construction — zero
+    * cross-split near-dup pairs, while unpaired documents (the vast
+    * majority) keep exactly the [[splitAssign]] rule (their cluster
+    * id is their own id, same hash, same split: assignments only move
+    * for documents that were leaking).
+    *
+    * Scale shape: the cluster map exists only for PAIRED documents —
+    * a corpus-scale left join against a near-dup-sized frame
+    * (broadcast at sane dup rates) — and the label propagation runs
+    * on the paired subset, never the corpus. */
+  def clusterAwareSplit(docs: DataFrame, trainMil: Int = 900,
+      valMil: Int = 950, k: Int = 3, pct: Int = 80): DataFrame = {
+    val clusters = Dedup
+      .resolveClusters(Dedup.minhashPairs(docs, k = k, pct = pct))
+      .select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", splitOfHash(
+        TextAnalysis.fingerprint(col("cluster_id").cast("string")) % 1000,
+        trainMil, valMil))
+  }
+
   /** Down-sample `docs` so every `groupCol` value lands an
     * approximately equal share (uniform target mixture).
     *

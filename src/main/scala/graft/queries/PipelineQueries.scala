@@ -178,6 +178,11 @@ object PipelineQueries {
     "mx3_split_leakage" -> { (s, d) =>
       Mixture.splitLeakage(documents(s, d)).orderBy("a_id", "b_id")
     },
+    // the repair: split hashed from the near-dup CLUSTER id — whole
+    // clusters land in one split, unpaired docs keep the mx2 rule
+    "mx4_cluster_split" -> { (s, d) =>
+      Mixture.clusterAwareSplit(documents(s, d)).orderBy("doc_id")
+    },
     // incremental dedup: every 10th doc is the incoming batch, the
     // rest the standing index; pairs only cross the boundary
     "dd9_dedup_incremental" -> { (s, d) =>
@@ -716,6 +721,27 @@ object PipelineQueries {
         CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
           ELSE 'test' END AS split
       FROM h ORDER BY doc_id""",
+    "mx4_cluster_split" -> s"""
+      WITH RECURSIVE $sqlMinhashCtes,
+      pairs AS (SELECT a_id, b_id FROM verified
+        WHERE common * 100 >= union_size * 80),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      cl AS (SELECT d.doc_id,
+          coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+      SELECT doc_id, cluster_id,
+        CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val'
+          ELSE 'test' END AS split
+      FROM (SELECT doc_id, cluster_id,
+        ${sqlFp("cluster_id::VARCHAR")} % 1000 AS h FROM cl)
+      ORDER BY doc_id""",
     "mx3_split_leakage" -> s"""
       WITH $sqlMinhashCtes,
       pairs AS (SELECT a_id, b_id, common, union_size FROM verified

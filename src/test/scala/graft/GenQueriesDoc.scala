@@ -15,7 +15,7 @@ object GenQueriesDoc {
       ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45|q51"),
       ("Sampling", "st6|q49"),
       ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09|t10|t11|t12"),
-      ("Training-mix, splits & packing", "mx1|mx2|mx3|tp1|tp2|tp3"),
+      ("Training-mix, splits & packing", "mx1|mx2|mx3|mx4|tp1|tp2|tp3"),
       ("Deduplication", "dd10|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dc1|dc2"),
       ("Data layout & skew diagnostics", "q52|q54"),
       ("Similarity search", "ss1|ss2|ss3|ss4"),

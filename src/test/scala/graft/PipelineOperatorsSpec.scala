@@ -491,6 +491,25 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(out(0).getString(2) != out(0).getString(3))
   }
 
+  test("cluster-aware split eliminates near-dup leakage, moves only paired docs") {
+    val pairs = Dedup.minhashPairs(docs, pct = 80).select("a_id", "b_id")
+    val sp = Mixture.clusterAwareSplit(docs).select(col("doc_id"), col("split"))
+    // zero cross-split near-dup pairs by construction
+    val crossed = pairs
+      .join(sp.toDF("a_id", "a_split"), "a_id")
+      .join(sp.toDF("b_id", "b_split"), "b_id")
+      .filter(col("a_split") =!= col("b_split"))
+    assert(crossed.isEmpty)
+    // documents in no pair keep exactly the plain splitAssign rule
+    val paired = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val plain = Mixture.splitAssign(docs).select(col("doc_id"), col("split"))
+    val moved = sp.join(plain.toDF("doc_id", "plain_split"), "doc_id")
+      .filter(col("split") =!= col("plain_split"))
+      .join(paired, Seq("doc_id"), "left_anti")
+    assert(moved.isEmpty, "an unpaired document changed split")
+  }
+
   test("clean-chunk pipeline only chunks decontaminated dedup survivors") {
     import graft.operators.CurationPipeline
     val isEval = col("doc_id") % 50 === 0
