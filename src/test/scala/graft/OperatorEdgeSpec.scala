@@ -166,6 +166,29 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(operators.Dedup.winnowContainmentPairs(disjoint).count() == 0)
   }
 
+  test("cluster-aware split without near-dups equals the plain rule") {
+    import spark.implicits._
+    val docs = Seq((100L, "entirely distinct alpha beta gamma delta"),
+      (2000L, "no overlap here epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = operators.Mixture.clusterAwareSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // no pairs → every doc is its own cluster, split = plain hash rule
+    assert(out.map(r => (r._1, r._2)).sameElements(
+      Seq((100L, 100L), (2000L, 2000L))))
+    val plain = operators.Mixture.splitAssign(
+      docs.withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.forall(r => plain(r._1) == r._3))
+  }
+
+  test("clean-chunk pipeline over an all-eval corpus is empty") {
+    import spark.implicits._
+    val docs = Seq((50L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(operators.CurationPipeline.curateToChunks(docs,
+      isEval = col("doc_id") % 50 === 0).count() == 0)
+  }
+
   test("boilerplate floor at 100 pct keeps only universal grams") {
     import spark.implicits._
     val docs = Seq((1L, "x y z tail one", "s"), (2L, "x y z tail two", "s"))
