@@ -140,6 +140,35 @@ object Multimodal {
         "last_frame_offset")
   }
 
+  /** Per-frame sampling — one OUTPUT ROW per sampled frame (every
+    * `everyN`-th full `frameBytes` window of the payload), with a
+    * deterministic content hash of the frame's bytes standing in for
+    * the decoded frame. This is the row shape a video pipeline feeds
+    * to a frame-embedding stage; a real implementation swaps the byte
+    * slice for a decoded frame, and the explode/flatMap plumbing,
+    * offsets, and per-frame batching stay identical. Per-row fan-out,
+    * shuffle-free. */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+      frameBytes: Int = 16, everyN: Int = 2): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(docs).select("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, kind, payload) =>
+        frameOffsets(payload.length.toLong, frameBytes.toLong, everyN)
+          .zipWithIndex.map { case (off, idx) =>
+            var h = 0L
+            var j = off.toInt
+            val end = off.toInt + frameBytes
+            while (j < end) {
+              h = (h * 31 + (payload(j) & 0xff)) % FakeCodec.Mod
+              j += 1
+            }
+            (id, kind, idx.toLong, off, h)
+          }
+      }
+      .toDF("media_id", "kind", "frame_idx", "frame_offset", "frame_hash")
+  }
+
   /** Feature frame flattened for SQL-oracle comparison. */
   def features(spark: SparkSession, docs: DataFrame): DataFrame = {
     val f = extractFeatures(spark, mediaFromDocuments(docs))

@@ -167,6 +167,12 @@ object PipelineQueries {
         isEval = col("doc_id") % 50 === 0, k = 5)
         .orderBy("doc_id")
     },
+    // one row per sampled frame (every 2nd 16-byte window), with a
+    // per-frame content hash — the frame-embedding input shape
+    "m3_frame_sample" -> { (s, d) =>
+      Multimodal.sampleFrames(s, documents(s, d), frameBytes = 16,
+        everyN = 2).orderBy("media_id", "frame_idx")
+    },
     "mx1_mixture_rebalance" -> { (s, d) =>
       Mixture.rebalanceUniform(documents(s, d)).orderBy("doc_id")
     },
@@ -1128,6 +1134,17 @@ object PipelineQueries {
           ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, rank, neighbor_id, score FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m3_frame_sample" -> s"""
+      WITH m AS (SELECT doc_id AS media_id,
+          (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,
+          text, octet_length(encode(text)) AS n
+        FROM documents),
+      f AS (SELECT media_id, kind, t.i0 AS frame_idx,
+          t.i0 * 32 AS frame_offset, text
+        FROM m, unnest(range(0, (n // 16 + 1) // 2)) AS t(i0))
+      SELECT media_id, kind, frame_idx, frame_offset,
+        ${sqlFp("substring(text, frame_offset + 1, 16)")} AS frame_hash
+      FROM f ORDER BY media_id, frame_idx""",
     "m1_multimodal_features" -> s"""
       SELECT doc_id AS media_id,
         (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,

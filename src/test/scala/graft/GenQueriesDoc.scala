@@ -20,7 +20,7 @@ object GenQueriesDoc {
       ("Data layout & skew diagnostics", "q52|q54"),
       ("Similarity search", "ss1|ss2|ss3|ss4"),
       ("Embedding analytics", "ve1|ve2|ve3|ve4"),
-      ("Multimodal", "m1|m2"),
+      ("Multimodal", "m1|m2|m3"),
       ("Streaming batch twins", "st1|st2|st3|st4|st7"))
     val all = SparkEntry.queries.keySet
     val oracle = SparkEntry.oracleSql.keySet

@@ -468,6 +468,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(fixture, k = 3, pct = 60).collect().isEmpty)
   }
 
+  test("frame sampling emits every 2nd full frame with its byte hash") {
+    import spark.implicits._
+    val text = "x" * 70 // 4 full 16-byte frames, sampled: idx 0 and 2
+    val one = Seq((9L, text, "en", "s", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Multimodal.sampleFrames(spark, one).collect()
+      .sortBy(_.getLong(2))
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(3)).toSeq == Seq(0L, 32L))
+    val fp16 = graft.functions.HashOps.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x" * 16))
+    assert(rows.forall(_.getLong(4) == fp16))
+  }
+
   test("split leakage flags exactly the cross-split near-dup pairs") {
     import spark.implicits._
     // short numeric ids hash disproportionately into train — search a
