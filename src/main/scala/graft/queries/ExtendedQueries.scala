@@ -13,7 +13,41 @@ import graft.operators.{AsOfJoin, SkewJoin}
   */
 object ExtendedQueries {
 
+  /** Recursive month spine + revenue fill — IDENTICAL SQL text runs
+    * on both engines (Spark 4 and DuckDB both speak WITH RECURSIVE;
+    * the only dialect-sensitive pieces — integer month indexes,
+    * floor-division via floor(), DECIMAL money sums — are chosen to
+    * be bit-equal). The recursion generates every month between the
+    * first and last order, including months with no orders, which a
+    * plain GROUP BY cannot produce. */
+  private val recursiveSpineSql: String = """
+      WITH RECURSIVE b AS (
+        SELECT year(min(o_orderdate))*12 + month(min(o_orderdate)) AS lo,
+               year(max(o_orderdate))*12 + month(max(o_orderdate)) AS hi
+        FROM orders),
+      m AS (
+        SELECT lo AS idx FROM b
+        UNION ALL
+        SELECT idx + 1 FROM m, b WHERE idx < hi),
+      rev AS (SELECT year(o_orderdate)*12 + month(o_orderdate) AS idx,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          count(*) AS n_orders
+        FROM orders GROUP BY year(o_orderdate)*12 + month(o_orderdate))
+      SELECT CAST(floor((m.idx - 1) / 12.0) AS BIGINT) AS yr,
+        (m.idx - 1) % 12 + 1 AS mon,
+        coalesce(rev.n_orders, 0) AS n_orders,
+        coalesce(rev.revenue, 0.0) AS revenue
+      FROM m LEFT JOIN rev ON rev.idx = m.idx
+      ORDER BY yr, mon"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Spark executes the recursive CTE natively (UnionLoop); the
+    // oracle runs the very same SQL text
+    "q55_recursive_spine" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(recursiveSpineSql)
+    },
     "q26_asof_join" -> { (s, d) =>
       // each event joined to the user's latest order at event time;
       // right side made unique per (key,time) for determinism
@@ -385,6 +419,7 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_recursive_spine" -> recursiveSpineSql,
     "q26_asof_join" -> """
       WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
                  FROM orders GROUP BY 1, 2)

@@ -159,6 +159,14 @@ object PlanCheck {
       "bloom probe stays in whole-stage codegen (no UDF)" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("q55_recursive_spine", Seq(
+      // Spark 4 executes WITH RECURSIVE natively as an iterative
+      // union loop — the spine is generated by the engine, not by a
+      // driver-side loop
+      "recursive CTE planned as a native union loop" -> (p =>
+        p.contains("UnionLoop") || p.contains("CTERelation") ||
+          p.contains("Recursion")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ve3_kmeans", Seq(
       // the final assignment is MAP-SIDE: k centroids packed into one
       // broadcast row, argmin as a per-row fold — no exchange keyed on
