@@ -22,28 +22,40 @@ object ShareQueries {
 
   private def ensure(s: SparkSession, dir: String): String = synchronized {
     if (!registeredDir.contains(dir)) {
-      val path = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
-      val schema = s.read.parquet(path.toString).schema.json
-      // one file:// FileAction — the executor-side read path is the
-      // same as for presigned URLs minus the HTTP hop
-      server.tables = Map("lineitem" -> ((schema, Seq.empty,
-        Seq((path.toUri.toString, java.nio.file.Files.size(path),
-          Map.empty[String, String])))))
+      // one file:// FileAction each — the executor-side read path is
+      // the same as for presigned URLs minus the HTTP hop
+      def table(name: String) = {
+        val path = java.nio.file.Paths.get(s"$dir/$name.parquet")
+        val schema = s.read.parquet(path.toString).schema.json
+        name -> ((schema, Seq.empty[String],
+          Seq((path.toUri.toString, java.nio.file.Files.size(path),
+            Map.empty[String, String]))))
+      }
+      server.tables = Map(table("lineitem"), table("documents"))
       registeredDir = Some(dir)
     }
     server.endpoint
   }
 
+  private def sharedTable(s: SparkSession, d: String, name: String): DataFrame =
+    s.read.format("deltashare")
+      .option("endpoint", ensure(s, d))
+      .option("bearerToken", "graft-verify")
+      .load(s"share1.schema1.$name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "share_scan_pushdown" -> { (s, d) =>
-      val endpoint = ensure(s, d)
-      s.read.format("deltashare")
-        .option("endpoint", endpoint)
-        .option("bearerToken", "graft-verify")
-        .load("share1.schema1.lineitem")
+      sharedTable(s, d, "lineitem")
         .filter(col("l_quantity") >= 48 && col("l_returnflag") =!= "N")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+    // a PIPELINE operator over a SHARED table: the dedup family runs
+    // unchanged on the connector's DataFrame — operators and source
+    // compose, end-to-end through the oracle gate
+    "share_pipeline_dedup" -> { (s, d) =>
+      graft.operators.Dedup.exact(sharedTable(s, d, "documents"))
+        .orderBy("keep_id")
     }
   )
 
@@ -52,6 +64,14 @@ object ShareQueries {
       SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
       FROM lineitem
       WHERE l_quantity >= 48 AND l_returnflag <> 'N'
-      ORDER BY l_orderkey, l_linenumber"""
+      ORDER BY l_orderkey, l_linenumber""",
+    // twin of dd1 but over the SHARED read — the oracle sees the same
+    // underlying parquet, so connector fidelity is what's checked
+    "share_pipeline_dedup" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY array_to_string(list_filter(
+        string_split_regex(trim(lower(text)), '\s+'), t0 -> t0 <> ''), ' ')
+      ORDER BY keep_id"""
   )
 }
