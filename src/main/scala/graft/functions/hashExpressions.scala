@@ -287,6 +287,7 @@ case class TrigramLangId(child: Expression)
 /** `hashed_bow(str, dim)` — codegen'd feature-hashed token counts. */
 case class HashedBow(child: Expression, dim: Int)
   extends UnaryExpression {
+  require(dim > 0, s"hashed_bow needs dim > 0, got $dim")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(HashOps.hashedBow(v.asInstanceOf[UTF8String], dim))

@@ -39,21 +39,31 @@ object CurationPipeline {
   def curateToChunks(docs: DataFrame, isEval: Column,
       minQuality: Double = 0.2, minTokens: Int = 5, evalK: Int = 5,
       chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    // annotate+filter feeds two consumers (the dedup keys and the
+    // survivor join) — checkpoint once, like curate()
     val quality = docs.filter(!isEval)
       .select(col("doc_id"), col("text"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .filter(col("quality") >= minQuality && col("n_tokens") >= minTokens)
+      .localCheckpoint(eager = false)
     val keepIds = quality
       .groupBy(Dedup.contentKey(col("text")).as("k"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val kept = quality.join(keepIds, "doc_id")
-    // contamination flags are per-document (only the eval set matters),
-    // so flagging before/after the quality filter is equivalent; the
-    // manifest covers every non-eval doc and we keep the zero-hit ones
+      .localCheckpoint(eager = false)
+    // contamination flags are per-document (only the eval set
+    // matters), so decontaminate just the SURVIVORS ∪ eval set — not
+    // the full corpus, whose dropped docs' flags would be discarded
+    // by the semi join anyway (a full extra corpus shingle+probe at
+    // 100 TB)
+    val deconInput = kept
+      .select(col("doc_id"), col("text"), lit(false).as("is_eval"))
+      .unionByName(docs.filter(isEval)
+        .select(col("doc_id"), col("text"), lit(true).as("is_eval")))
     val clean = kept.join(
-      Decontaminate.ngramOverlap(docs, isEval, evalK)
+      Decontaminate.ngramOverlap(deconInput, col("is_eval"), evalK)
         .filter(!col("contaminated")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     Packing.chunkManifest(clean.select("doc_id", "text"),

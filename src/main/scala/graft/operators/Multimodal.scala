@@ -147,7 +147,13 @@ object Multimodal {
     * to a frame-embedding stage; a real implementation swaps the byte
     * slice for a decoded frame, and the explode/flatMap plumbing,
     * offsets, and per-frame batching stay identical. Per-row fan-out,
-    * shuffle-free. */
+    * shuffle-free.
+    *
+    * Oracle note (same ASCII assumption as m1's byte_hash): the stub
+    * payload is UTF-8 text, and the SQL twin slices by CHARACTER
+    * (`substring`) while this side slices by BYTE — identical only
+    * while the fixture is single-byte text. A real binary payload has
+    * no SQL twin anyway (the decode is the stubbed part). */
   def sampleFrames(spark: SparkSession, docs: DataFrame,
       frameBytes: Int = 16, everyN: Int = 2): DataFrame = {
     import spark.implicits._

@@ -327,7 +327,9 @@ object Similarity {
         .agg(count(lit(1)).as("n_hits"))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
         .select(lit(name).as("method"), col("n_truth"), col("n_hits"),
-          expr("n_hits * 1000 div n_truth").as("recall_x1000"))
+          // empty query sample → 0 recall, not an ANSI divide-by-zero
+          expr("CASE WHEN n_truth = 0 THEN 0L " +
+            "ELSE n_hits * 1000 div n_truth END").as("recall_x1000"))
     }.reduce(_ unionAll _).orderBy("method")
   }
 

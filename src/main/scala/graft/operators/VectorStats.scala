@@ -89,7 +89,11 @@ object VectorStats {
     val e = embs.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("emb"))
       .localCheckpoint(eager = false)
-    var cents = e.filter(col("vec_id") < k)
+    // the k LOWEST ids, not `vec_id < k`: id spaces that don't start
+    // at zero (hash ids, offset ranges) would otherwise yield partial
+    // or zero seeds and silently garbage assignments downstream.
+    // TakeOrdered of k rows — no global sort.
+    var cents = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").cast("long").as("cid"), col("emb").as("cemb"))
     var round = 0
     while (round < iters) {

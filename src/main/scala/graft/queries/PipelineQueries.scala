@@ -882,7 +882,8 @@ object PipelineQueries {
       WITH e AS (SELECT vec_id,
           list_transform(embedding, x0 -> x0::DOUBLE) AS emb FROM embeddings),
       ex AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx FROM e),
-      c0 AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+      c0 AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e
+        ORDER BY vec_id LIMIT 8),
       ${asg("c0", "a0")},
       ${upd("a0", "c1")},
       ${asg("c1", "a1")},

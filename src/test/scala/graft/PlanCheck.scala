@@ -140,9 +140,11 @@ object PlanCheck {
       // hashes on the bucket key, never a single global sort
       "cumulative sum partitioned by bucket" ->
         (_.contains("hashpartitioning(bucket")),
-      "no global single-partition sort" ->
-        (p => !p.contains("rangepartitioning") ||
-          p.contains("hashpartitioning(bucket"))))
+      // at most ONE range exchange (the final presentation orderBy);
+      // a second one would mean the packing window itself went
+      // through a global sort
+      "no global sort beyond the output orderBy" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
     audit("q54_key_skew", Seq(
       "key counts partially aggregated before the exchange" ->
         (_.contains("partial_")),

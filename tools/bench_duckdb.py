@@ -26,25 +26,47 @@ def main():
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    total, timed_out = 0.0, []
+    total, timed_out, errors = 0.0, [], {}
     results = {}
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
-        timer = threading.Timer(timeout, con.interrupt)
+        fired = threading.Event()
+
+        def interrupt():
+            fired.set()
+            con.interrupt()
+
+        timer = threading.Timer(timeout, interrupt)
         timer.start()
         try:
             con.execute(sql).fetchall()
             dt = time.time() - t0
             results[name] = dt
             total += dt
-        except Exception:
-            timed_out.append(name)
+        except Exception as e:
+            # only a fired timer is a timeout; anything else (SQL
+            # drift, missing view) must not masquerade as one
+            if fired.is_set():
+                timed_out.append(name)
+            else:
+                errors[name] = str(e).splitlines()[0][:160]
         finally:
             timer.cancel()
+        if fired.is_set():
+            # the interrupt flag may land after a near-miss success and
+            # would otherwise kill the NEXT query — clear it
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
     for name, dt in sorted(results.items(), key=lambda kv: -kv[1]):
         print(f"{name:32s} {dt:8.2f} s")
+    for name, msg in sorted(errors.items()):
+        print(f"ERROR {name}: {msg}")
     print(f"\ntotal {total:.0f} s over {len(results)} queries; "
-          f"interrupted at {timeout:.0f} s: {timed_out or 'none'}")
+          f"interrupted at {timeout:.0f} s: {timed_out or 'none'}; "
+          f"errors: {len(errors)}")
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":
