@@ -195,20 +195,26 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
     "q36_moments" -> { (s, d) =>
-      // variance/stddev from exact decimal sums (sum, sum of squares)
-      // so the double result is engine-independent — the built-in
-      // var_pop would accumulate doubles in partition order
-      val x = dec2(col("o_totalprice"))
+      // ALL-INTEGER moments in cents. The previous double formulation
+      // broke at sf0.1: DuckDB's DECIMAL→DOUBLE cast double-rounds
+      // (int128→double, then ÷10^scale) once Σx² passes ~2^53×10^scale,
+      // while the JVM rounds the decimal directly — a measured 1-ulp
+      // divergence no float formulation can avoid. Here every step
+      // stays exact (decimal / int128): numer = n·Σx² − (Σx)², the
+      // variance surrogate is the integer quotient numer div n²
+      // (cents²), and stddev is floor(sqrt(·)) of a ≤2^53 integer —
+      // bit-equal on both engines at ANY scale factor.
+      val xc = (dec2(col("o_totalprice")) * 100).cast(DecimalType(38, 0))
       orders(s, d)
         .groupBy("o_orderstatus")
-        .agg(sum(x).cast(DoubleType).as("s1"),
-          sum(x * x).cast(DoubleType).as("s2"),
+        .agg(sum(xc).as("s1c"), sum(xc * xc).as("s2c"),
           count(lit(1)).as("n"))
+        .withColumn("numer",
+          col("s2c") * col("n") - col("s1c") * col("s1c"))
         .select(col("o_orderstatus"), col("n"),
-          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
-            .as("var_pop"),
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
-            .as("stddev_pop"))
+          expr("numer div (n * n)").as("var_pop_c2"),
+          floor(sqrt(expr("numer div (n * n)").cast("double")))
+            .cast("long").as("stddev_pop_c"))
         .orderBy("o_orderstatus")
     },
     "q37_window_pct" -> { (s, d) =>
@@ -499,14 +505,17 @@ object ExtendedQueries {
     "q36_moments" -> """
       WITH m AS (
         SELECT o_orderstatus,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
-            * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+          SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+            AS s1c,
+          SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+            * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+            AS s2c,
           COUNT(*) AS n
         FROM orders GROUP BY o_orderstatus)
       SELECT o_orderstatus, n,
-        (s2 - s1 * s1 / n) / n AS var_pop,
-        sqrt((s2 - s1 * s1 / n) / n) AS stddev_pop
+        (s2c * n - s1c * s1c) // (n * n) AS var_pop_c2,
+        CAST(floor(sqrt(CAST((s2c * n - s1c * s1c) // (n * n) AS DOUBLE)))
+          AS BIGINT) AS stddev_pop_c
       FROM m ORDER BY o_orderstatus""",
     "q37_window_pct" -> """
       SELECT o_orderstatus, o_orderkey,
