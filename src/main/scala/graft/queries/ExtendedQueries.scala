@@ -513,7 +513,7 @@ object ExtendedQueries {
           COUNT(*) AS n
         FROM orders GROUP BY o_orderstatus)
       SELECT o_orderstatus, n,
-        (s2c * n - s1c * s1c) // (n * n) AS var_pop_c2,
+        CAST((s2c * n - s1c * s1c) // (n * n) AS BIGINT) AS var_pop_c2,
         CAST(floor(sqrt(CAST((s2c * n - s1c * s1c) // (n * n) AS DOUBLE)))
           AS BIGINT) AS stddev_pop_c
       FROM m ORDER BY o_orderstatus""",
