@@ -140,11 +140,25 @@ object ExtendedQueries {
         .orderBy("o_orderstatus")
     },
     "st5_approx_distinct" -> { (s, d) =>
-      // HLL sketch — approximate by design, rows-only gate (sketch
-      // implementations differ across engines)
+      // HLL sketch — the sketch itself isn't cross-engine
+      // reproducible, so the gate checks the HLL *guarantee* instead:
+      // emit the exact distinct counts (oracle-comparable) plus a
+      // boolean asserting the approximation landed within 3× its
+      // configured rsd (0.05 default / 0.01 requested). The oracle
+      // emits TRUE literals; if Spark's sketch ever drifts outside
+      // the bound the boolean flips and the hash compare goes red.
+      // All-integer bound arithmetic (per-mille) — no float compare.
       lineitem(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          count_distinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) * 1000 <=
+            col("exact_parts") * 150).as("parts_within_rsd"),
+          (abs(col("ao") - col("exact_orders")) * 1000 <=
+            col("exact_orders") * 30).as("orders_within_rsd"))
         .orderBy("l_returnflag")
     },
     "q35_percentiles" -> { (s, d) =>
@@ -320,10 +334,23 @@ object ExtendedQueries {
         .orderBy("event_type", "metric")
     },
     "st6_sample" -> { (s, d) =>
-      // seeded Bernoulli sample — deterministic within Spark but not
-      // reproducible by another engine, so rows-only gate
-      lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42)
+      // seeded Bernoulli sample — Spark's RNG stream isn't
+      // reproducible by another engine, so the gate checks the
+      // *statistical* contract: per-group sample size within a
+      // 6-sigma binomial envelope of p·N (p = 0.1). The oracle emits
+      // the exact group totals plus TRUE literals; a broken sampler
+      // (wrong p, non-uniform partitioning) flips the boolean red.
+      val p = 0.1
+      val samp = lineitem(s, d)
+        .sample(withReplacement = false, p, seed = 42)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      lineitem(s, d)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("total"))
+        .join(broadcast(samp), "l_returnflag")
+        .select(col("l_returnflag"), col("total"),
+          (abs(col("n") - lit(p) * col("total")) <=
+            lit(6.0) * sqrt(col("total") * p * (1 - p)))
+            .as("within_envelope"))
         .orderBy("l_returnflag")
     },
     "q47_typed_dataset" -> { (s, d) =>
@@ -433,6 +460,19 @@ object ExtendedQueries {
 
   val oracle: Map[String, String] = Map(
     "q55_recursive_spine" -> recursiveSpineSql,
+    // st5/st6: the approx/sampled values themselves aren't
+    // cross-engine reproducible; the oracle checks the exact columns
+    // and expects the Spark-side guarantee booleans to be TRUE.
+    "st5_approx_distinct" -> """
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        TRUE AS parts_within_rsd,
+        TRUE AS orders_within_rsd
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "st6_sample" -> """
+      SELECT l_returnflag, COUNT(*) AS total, TRUE AS within_envelope
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q26_asof_join" -> """
       WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
                  FROM orders GROUP BY 1, 2)
