@@ -186,10 +186,7 @@ object VectorStats {
     * same question for the index). Per-row, shuffle-free; fixed-order
     * error fold so both engines produce identical doubles. */
   def quantError(embs: DataFrame): DataFrame =
-    embs
-      .select(col("vec_id"), quantScale.as("scale"),
-        transform(col("embedding"), v => v.cast("double")).as("emb"),
-        quantized(quantScale).as("q"))
+    quantizedFrame(embs)
       .select(col("vec_id"), col("scale"), zip_with(col("emb"), col("q"),
         (v, qi) => abs(v - qi.cast("double") * col("scale") / lit(127.0)))
         .as("errs"), size(col("emb")).as("n"))
@@ -199,25 +196,30 @@ object VectorStats {
           / col("n").cast("double")).as("mean_err"))
 
   /** Symmetric per-vector int8 quantization: `scale = max |v_i|`,
-    * `q_i = floor(v_i * 127 / scale + 0.5)` (round-half-up — spelled
-    * as an explicit floor so every engine rounds identically; builtin
-    * `round` is half-even in some engines and half-away in others).
-    * All-zero vectors quantize to zeros. Per-row, shuffle-free, stays
-    * inside whole-stage codegen. */
+    * codes per the rounding rule in [[quantizedFrame]]. */
   def quantizeInt8(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id"), quantScale.as("scale"),
-      quantized(quantScale).as("q"))
+    quantizedFrame(embs).select(col("vec_id"), col("scale"), col("q"))
 
-  /** `scale = max |v_i|` over the `embedding` column. */
-  private def quantScale: Column =
-    array_max(transform(col("embedding"), v => abs(v.cast("double"))))
-
-  /** The int8 codes under `scl` — shared by [[quantizeInt8]] and
-    * [[quantError]] so the rounding rule exists exactly once. */
-  private def quantized(scl: Column): Column = {
-    val vd = transform(col("embedding"), v => v.cast("double"))
-    when(scl > 0,
-      transform(vd, v => floor(v * lit(127.0) / scl + lit(0.5)).cast("int")))
-      .otherwise(transform(vd, _ => lit(0)))
-  }
+  /** The quantize subplan shared by [[quantizeInt8]] and
+    * [[quantError]] — the rounding rule exists exactly once, and the
+    * staged projections (doubles → scale → codes) make each array
+    * expression a plain column reference downstream instead of a
+    * re-evaluated `array_max(transform(...))` tree (Catalyst does not
+    * CSE across higher-order functions). `q_i = floor(v_i·127/scale
+    * + 0.5)` — round-half-up spelled as an explicit floor so every
+    * engine rounds identically; builtin `round` is half-even in some
+    * engines and half-away in others. All-zero vectors quantize to
+    * zeros. Per-row, shuffle-free, stays inside whole-stage codegen. */
+  private def quantizedFrame(embs: DataFrame): DataFrame =
+    embs
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .select(col("vec_id"), col("emb"),
+        array_max(transform(col("emb"), v => abs(v))).as("scale"))
+      .select(col("vec_id"), col("emb"), col("scale"),
+        when(col("scale") > 0,
+          transform(col("emb"),
+            v => floor(v * lit(127.0) / col("scale") + lit(0.5))
+              .cast("int")))
+          .otherwise(transform(col("emb"), _ => lit(0))).as("q"))
 }
