@@ -56,6 +56,26 @@ object ShareQueries {
     "share_pipeline_dedup" -> { (s, d) =>
       graft.operators.Dedup.exact(sharedTable(s, d, "documents"))
         .orderBy("keep_id")
+    },
+    // the catalog walk (O1→O2→O3): listShares → listSchemas →
+    // listTables over live HTTP against the embedded server. Catalog
+    // listings are driver-side by design (the frames are built FROM
+    // driver HTTP responses), so the intermediate collects here are
+    // the listing results themselves, not distributed data.
+    "share_list_tables" -> { (s, d) =>
+      import graft.sources.{DeltaShare, DeltaSharingProfile}
+      s.conf.set(DeltaSharingProfile.EndpointConf, ensure(s, d))
+      s.conf.set(DeltaSharingProfile.TokenConf, "graft-verify")
+      val frames = for {
+        sh <- DeltaShare.listShares(s).select("name")
+          .collect().map(_.getString(0)).toSeq
+        sc <- DeltaShare.listSchemas(s, sh).select("name")
+          .collect().map(_.getString(0)).toSeq
+      } yield DeltaShare.listTables(s, sh, sc)
+        .select(col("share").as("share_name"),
+          col("schema").as("schema_name"), col("name").as("table_name"))
+      frames.reduce(_ unionAll _)
+        .orderBy("share_name", "schema_name", "table_name")
     }
   )
 
@@ -72,6 +92,15 @@ object ShareQueries {
       FROM documents
       GROUP BY array_to_string(list_filter(
         string_split_regex(trim(lower(text)), '\s+'), t0 -> t0 <> ''), ' ')
-      ORDER BY keep_id"""
+      ORDER BY keep_id""",
+    // the stub's catalog fixture is the truth: 3 shares × schema1 ×
+    // the 2 registered tables — the Spark side must reproduce it via
+    // the live listShares/listSchemas/listTables HTTP walk
+    "share_list_tables" -> """
+      SELECT s.share_name, c.schema_name, n.table_name
+      FROM (VALUES ('share1'), ('share2'), ('share3')) AS s(share_name)
+      CROSS JOIN (VALUES ('schema1')) AS c(schema_name)
+      CROSS JOIN (VALUES ('documents'), ('lineitem')) AS n(table_name)
+      ORDER BY share_name, schema_name, table_name"""
   )
 }

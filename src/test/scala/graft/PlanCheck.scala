@@ -191,6 +191,12 @@ object PlanCheck {
         (_.contains("partial_")),
       "source sizes broadcast back" -> (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("share_list_tables", Seq(
+      // pure catalog walk: rows come from driver HTTP responses,
+      // never from data files — no file scan may appear in the plan
+      "listing rows are local (no file scan)" -> (p =>
+        p.contains("LocalTableScan") && !p.contains("FileScan")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("dd12_containment", Seq(
       "fingerprint join is a real equi-join" -> (p =>
         p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
