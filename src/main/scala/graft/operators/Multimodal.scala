@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * payloads as opaque `BinaryType` columns with typed metadata, and a
   * batched feature-extraction operator over them.
   *
-  * The decode step is a clearly-marked deterministic STUB (this
-  * container has no image/audio codecs); everything around it — the
-  * schema contract, partition-wise batching, feature-vector shape —
-  * is real and tested. Swap [[FakeCodec.decode]] for a JNI/codec call
-  * and nothing else changes.
+  * The decode step dispatches on the payload's magic bytes:
+  * PNG/BMP payloads decode for real through the JDK's `javax.imageio`
+  * ([[ImageCodec]]); anything else (audio/video — this container has
+  * no codecs for those) falls back to the clearly-marked
+  * deterministic byte-feature stub [[FakeCodec]]. Everything around
+  * the dispatch — the schema contract, partition-wise batching, the
+  * feature-vector shape — is identical on both paths, so swapping the
+  * stub for a JNI/codec call changes nothing else.
   *
   * Scale notes: payload bytes dominate row size, so the operator
   * (a) prunes to (id, payload) before the heavy stage, (b) uses
@@ -63,6 +66,49 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via the JDK's built-in `javax.imageio` readers
+    * (PNG and BMP ship with every JRE — zero new dependencies).
+    * Features: width, height, and the per-channel pixel sums — exact
+    * integers (≤ 255·w·h), so a lossless PNG/BMP round-trip is
+    * oracle-checkable bit-for-bit. `getRGB` on profile-free 8-bit
+    * RGB is a lossless repack, so the sums equal the encoded pixels
+    * exactly. */
+  object ImageCodec {
+    /** PNG: `89 50 4E 47`; BMP: `42 4D` ("BM"). */
+    def matches(payload: Array[Byte]): Boolean =
+      (payload.length >= 4 &&
+        (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G') ||
+        (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+
+    /** `Some(Array(w, h, sumR, sumG, sumB))` when the payload carries
+      * an image magic AND decodes; `None` otherwise. */
+    def decode(payload: Array[Byte]): Option[Array[Double]] = {
+      if (!matches(payload)) None
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Array(img.getWidth.toDouble, img.getHeight.toDouble,
+          sr.toDouble, sg.toDouble, sb.toDouble)
+      }
+    }
+  }
+
+  /** Decode dispatch: real image decode when the payload carries a
+    * known magic, byte-feature stub otherwise. */
+  def decodeAny(payload: Array[Byte]): Array[Double] =
+    ImageCodec.decode(payload).getOrElse(FakeCodec.decode(payload))
+
   /** Build a media table from the documents fixture: UTF-8 bytes of
     * `text` stand in for the payload; metadata is derived
     * deterministically. */
@@ -90,7 +136,7 @@ object Multimodal {
             h = (h * 31 + (payload(i) & 0xff)) % FakeCodec.Mod
             i += 1
           }
-          val feat = FakeCodec.decode(payload)
+          val feat = decodeAny(payload)
           MediaFeatures(id, kind, payload.length.toLong,
             if (payload.nonEmpty) payload(0) & 0xff else 0,
             h, feat)
@@ -173,6 +219,41 @@ object Multimodal {
           }
       }
       .toDF("media_id", "kind", "frame_idx", "frame_offset", "frame_hash")
+  }
+
+  /** End-to-end REAL image path: render a deterministic 4×4 RGB
+    * image per document (pixel channels are closed-form in doc_id and
+    * pixel index), encode it to PNG, then decode it back through
+    * [[ImageCodec]] — the actual `javax.imageio` reader, not the stub
+    * — and emit width/height and exact per-channel sums. PNG is
+    * lossless, so the sums must equal the closed form, which the SQL
+    * oracle recomputes independently: the gate proves the encode →
+    * magic-dispatch → decode round-trip bit-exactly. Per-row,
+    * shuffle-free, one ImageIO context per partition. */
+  def imageDecode(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < 16) {
+            val r = ((id * 7 + i * 13) % 256).toInt
+            val g = ((id * 11 + i * 17) % 256).toInt
+            val b = ((id * 13 + i * 19) % 256).toInt
+            img.setRGB(i % 4, i / 4, (r << 16) | (g << 8) | b)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val feat = ImageCodec.decode(bos.toByteArray)
+            .getOrElse(sys.error(s"PNG round-trip failed for doc $id"))
+          (id, feat(0).toLong, feat(1).toLong,
+            feat(2).toLong, feat(3).toLong, feat(4).toLong)
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** Feature frame flattened for SQL-oracle comparison. */

@@ -350,6 +350,12 @@ object PipelineQueries {
     "m2_multimodal_transform" -> { (s, d) =>
       Multimodal.transform(s, documents(s, d)).orderBy("media_id")
     },
+    // REAL javax.imageio decode: per-doc deterministic 4x4 PNG,
+    // encoded and decoded back in the executor; the oracle recomputes
+    // the channel sums from the same closed form
+    "m4_image_decode" -> { (s, d) =>
+      Multimodal.imageDecode(s, documents(s, d)).orderBy("media_id")
+    },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
@@ -1146,6 +1152,15 @@ object PipelineQueries {
       SELECT media_id, kind, frame_idx, frame_offset,
         ${sqlFp("substring(text, frame_offset + 1, 16)")} AS frame_hash
       FROM f ORDER BY media_id, frame_idx""",
+    "m4_image_decode" -> """
+      SELECT d.doc_id AS media_id,
+        CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        CAST(SUM((d.doc_id * 7 + i.i * 13) % 256) AS BIGINT) AS sum_r,
+        CAST(SUM((d.doc_id * 11 + i.i * 17) % 256) AS BIGINT) AS sum_g,
+        CAST(SUM((d.doc_id * 13 + i.i * 19) % 256) AS BIGINT) AS sum_b
+      FROM documents d
+      CROSS JOIN (SELECT range AS i FROM range(16)) i
+      GROUP BY d.doc_id ORDER BY media_id""",
     "m1_multimodal_features" -> s"""
       SELECT doc_id AS media_id,
         (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,

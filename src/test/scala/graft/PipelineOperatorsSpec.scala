@@ -90,6 +90,49 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(one.getLong(2) == text.getBytes("UTF-8").length.toLong)
   }
 
+  test("ImageCodec decodes real PNG and BMP payloads exactly") {
+    // render a 2x2 image with known channel values, encode with each
+    // JDK writer, and require decode to return the exact pixel sums
+    val px = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220))
+    def img(): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      px.zipWithIndex.foreach { case ((r, g, b), i) =>
+        im.setRGB(i % 2, i / 2, (r << 16) | (g << 8) | b)
+      }
+      im
+    }
+    for (fmt <- Seq("png", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img(), fmt, bos))
+      val bytes = bos.toByteArray
+      assert(Multimodal.ImageCodec.matches(bytes), s"$fmt magic")
+      val f = Multimodal.ImageCodec.decode(bytes).get
+      assert(f(0) == 2.0 && f(1) == 2.0, s"$fmt dims")
+      assert(f(2) == px.map(_._1).sum.toDouble, s"$fmt sum_r")
+      assert(f(3) == px.map(_._2).sum.toDouble, s"$fmt sum_g")
+      assert(f(4) == px.map(_._3).sum.toDouble, s"$fmt sum_b")
+    }
+    // non-image payloads fall back to the byte-feature stub
+    val txt = "plain text payload".getBytes("UTF-8")
+    assert(!Multimodal.ImageCodec.matches(txt))
+    assert(Multimodal.decodeAny(txt)
+      .sameElements(Multimodal.FakeCodec.decode(txt)))
+  }
+
+  test("imageDecode round-trips the closed-form pixels through PNG") {
+    val out = Multimodal.imageDecode(spark, docs.limit(5))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      def s(mul: Long, step: Long) =
+        (0 until 16).map(i => (id * mul + i * step) % 256).sum
+      assert(r.getLong(1) == 4 && r.getLong(2) == 4)
+      assert(r.getLong(3) == s(7, 13) && r.getLong(4) == s(11, 17) &&
+        r.getLong(5) == s(13, 19))
+    }
+  }
+
   test("exact dedup keeps one representative per normalized text") {
     val n = Dedup.exact(docs).count()
     val distinct = docs.select(Dedup.normKey(col("text"))).distinct().count()

@@ -191,6 +191,13 @@ object PlanCheck {
         (_.contains("partial_")),
       "source sizes broadcast back" -> (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("m4_image_decode", Seq(
+      // per-row encode/decode in mapPartitions: the only exchange is
+      // the final tiny-row sort; doc text never rides a shuffle
+      "shuffle-free but for the output sort" -> (p =>
+        "Exchange".r.findAllIn(p).size <= 1),
+      "column-pruned read (doc_id only)" -> (p =>
+        p.contains("ReadSchema: struct<doc_id:bigint>"))))
     audit("share_list_tables", Seq(
       // pure catalog walk: rows come from driver HTTP responses,
       // never from data files — no file scan may appear in the plan
