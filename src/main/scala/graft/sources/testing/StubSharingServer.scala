@@ -36,10 +36,20 @@ class StubSharingServer(
     * task read; a re-POST returns a renewed URL" scenario. */
   @volatile var expireFirstQueryUrls: Boolean = false
 
+  /** With [[expireFirstQueryUrls]]: how many `/files` requests the
+    * stale signature still serves before 403ing. 0 (default) = the
+    * URL is dead before the first read (expired between planning and
+    * read); N > 0 = the URL lapses MID-SCAN — the footer reads
+    * succeed, then a later column-chunk read hits the expiry. */
+  val staleRequestBudget = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Artificial latency on `/query` — lets tests hold a refresh
     * in flight while asserting cached reads stay unblocked. */
   @volatile var queryDelayMs: Long = 0
   private val queryCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Number of `/query` POSTs served (a refresh re-issues one). */
+  def queryPosts: Int = queryCount.get
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
@@ -155,8 +165,9 @@ class StubSharingServer(
   // parquet bytes with Range support (presigned-URL stand-in)
   server.createContext("/files", (ex: HttpExchange) => {
     val name = ex.getRequestURI.getPath.stripPrefix("/files/")
-    val sigOk = !expireFirstQueryUrls ||
-      Option(ex.getRequestURI.getQuery).exists(_.contains("sig=fresh"))
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val sigOk = !expireFirstQueryUrls || q.contains("sig=fresh") ||
+      (q.contains("sig=stale") && staleRequestBudget.getAndDecrement() > 0)
     if (!sigOk) send(ex, 403, """{"message":"signature expired"}""")
     else httpFiles.get(name) match {
       case None => send(ex, 404, "not found")

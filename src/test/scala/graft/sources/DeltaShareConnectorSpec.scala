@@ -221,6 +221,36 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally expServer.stop()
   }
 
+  test("presigned url that lapses mid-scan (after the footer reads) heals") {
+    // SURVEY risk #4: a multi-hour scan outlives the URL TTL. The
+    // stale signature serves the first 2 requests (the parquet footer
+    // reads), then 403s — so the expiry fires in the MIDDLE of an
+    // in-progress task, and the reader must re-POST /query and resume
+    // without failing the task.
+    val src = Paths.get("/root/testdata/sf0.001/orders.parquet")
+    val expServer = new StubSharingServer(expectedToken = "tok").start()
+    try {
+      expServer.httpFiles = Map("orders.parquet" -> src)
+      expServer.expireFirstQueryUrls = true
+      expServer.staleRequestBudget.set(2)
+      val schema = spark.read.parquet(src.toString).schema.json
+      expServer.tables = Map("orders" -> ((schema, Seq.empty,
+        Seq((s"http://127.0.0.1:${expServer.port}/files/orders.parquet",
+          Files.size(src), Map.empty[String, String])))))
+      val df = spark.read.format("deltashare")
+        .option("endpoint", expServer.endpoint).option("bearerToken", "tok")
+        .load("share1.schema1.orders")
+      val total = df.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+      val direct = spark.read.parquet(src.toString)
+        .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+      assert(math.abs(total - direct) < 1e-6)
+      assert(expServer.staleRequestBudget.get() <= 0,
+        "stale URL never served the early reads — expiry was not mid-scan")
+      assert(expServer.queryPosts >= 2,
+        "no /query re-POST — the reader did not refresh")
+    } finally expServer.stop()
+  }
+
   test("graftds paths and read errors never leak the signed query string") {
     val p = PresignedUrlFileSystem.encode("file-id-1", 123L)
     assert(!p.contains("sig=") && !p.contains("http"))
