@@ -44,19 +44,36 @@ object Mixture {
     * per-document split silently creates (a test document with a
     * near-copy in train inflates eval). Pairs come from the same
     * MinHash banding as dd3, so the audit cost is the pair-detection
-    * cost; the split frame joins in as (id, split) keys only. An
-    * empty result certifies the split; a non-empty one is the
-    * work-list for cluster-aware reassignment (move whole
-    * [[Dedup.resolveClusters]] clusters into one split). */
+    * cost; the split frame joins in as (id, split) keys only.
+    *
+    * An empty result certifies only that NO LSH-DETECTED pair crosses
+    * splits: banding has false negatives (a near-dup pair whose
+    * signatures collide in no band is never audited), so absence of
+    * rows is not absence of leakage. For certification runs, feed
+    * [[splitLeakageOver]] an exhaustive pair source (e.g.
+    * [[Dedup.jaccardPairs]] with the df cap raised to the corpus
+    * size). A non-empty result is the work-list for cluster-aware
+    * reassignment (move whole [[Dedup.resolveClusters]] clusters into
+    * one split). */
   def splitLeakage(docs: DataFrame, trainMil: Int = 900,
-      valMil: Int = 950, k: Int = 3, pct: Int = 80): DataFrame = {
+      valMil: Int = 950, k: Int = 3, pct: Int = 80): DataFrame =
+    splitLeakageOver(Dedup.minhashPairs(docs, k = k, pct = pct),
+      docs, trainMil, valMil)
+
+  /** [[splitLeakage]] over a caller-supplied candidate-pair frame
+    * `(a_id, b_id, common, union_size)` — the audit's recall equals
+    * the pair source's recall, so a certification run can plug in an
+    * exhaustive generator where the default LSH banding trades recall
+    * for cost. */
+  def splitLeakageOver(pairs: DataFrame, docs: DataFrame,
+      trainMil: Int = 900, valMil: Int = 950): DataFrame = {
     // only (doc_id, split) is needed — unlike splitAssign's manifest,
     // the audit doesn't require a lang column on the input
     val splits = docs.select(col("doc_id"),
       splitOfHash(
         TextAnalysis.fingerprint(col("doc_id").cast("string")) % 1000,
         trainMil, valMil).as("split"))
-    Dedup.minhashPairs(docs, k = k, pct = pct)
+    pairs
       .join(splits.toDF("a_id", "a_split"), "a_id")
       .join(splits.toDF("b_id", "b_split"), "b_id")
       .filter(col("a_split") =!= col("b_split"))

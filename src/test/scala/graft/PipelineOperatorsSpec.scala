@@ -90,6 +90,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(one.getLong(2) == text.getBytes("UTF-8").length.toLong)
   }
 
+  test("m1/m3 byte-vs-char oracle assumption holds: documents are ASCII") {
+    // Multimodal.sampleFrames hashes raw BYTES while the SQL twin
+    // slices by CHARACTER — they agree only while every document is
+    // single-byte text. This guard makes a future non-ASCII fixture
+    // fail loudly here instead of as a confusing hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val bad = d.filter(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(bad == 0, s"$sf documents contain multi-byte characters; " +
+        "m1/m3's byte-sliced hashes no longer match their char-sliced oracles")
+    }
+  }
+
   test("ImageCodec decodes real PNG and BMP payloads exactly") {
     // render a 2x2 image with known channel values, encode with each
     // JDK writer, and require decode to return the exact pixel sums

@@ -10,8 +10,16 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    val sql = graft.SparkEntry.oracleSql(name)
-      .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    // escape per RFC 8259: backslash, quote, and ALL control chars
+    val sql = graft.SparkEntry.oracleSql(name).flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
       s"""{"$name.parquet": "$sql"}""".getBytes)
     spark.stop()

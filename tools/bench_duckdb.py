@@ -66,7 +66,15 @@ def main():
     print(f"\ntotal {total:.0f} s over {len(results)} queries; "
           f"interrupted at {timeout:.0f} s: {timed_out or 'none'}; "
           f"errors: {len(errors)}")
-    sys.exit(1 if errors else 0)
+    # dd8/dd10's recursive-closure oracles are known to exceed any
+    # sane timeout in DuckDB; any OTHER timeout is a perf regression
+    # and must fail scripted invocations, not just print.
+    expected_timeouts = {"dd8_dedup_clusters", "dd10_dedup_clusters_stars"}
+    unexpected = [t for t in timed_out
+                  if t.removesuffix(".parquet") not in expected_timeouts]
+    if unexpected:
+        print(f"UNEXPECTED TIMEOUTS: {unexpected}")
+    sys.exit(1 if (errors or unexpected) else 0)
 
 
 if __name__ == "__main__":
