@@ -276,6 +276,51 @@ object Dedup {
     verifyPairs(candidates, "new_id", dsN, "index_id", dsI, pct)
   }
 
+  /** Edit-distance-verified near-dup pairs: MinHash band-key
+    * collisions propose candidates (same banding as [[minhashPairs]]
+    * — one narrow shuffle per band, never all-pairs), then the exact
+    * verifier is character-level Levenshtein over a bounded prefix of
+    * each document instead of shingle Jaccard. This is the detector
+    * for SMALL edits — a typo fix, a swapped word, an inserted
+    * sentence — where Jaccard over k-shingles is blunt (one edited
+    * word flips k shingles at once) but edit distance counts the
+    * character operations themselves.
+    *
+    * Scale design: Levenshtein is O(|a|·|b|) per pair, so it must
+    * never see full documents or uncandidated pairs — the prefix cap
+    * bounds each verification at `prefixLen²` character cells, and
+    * banding bounds the pair count. Spark's `levenshtein(l, r, k)`
+    * threshold form prunes further: the DP abandons a pair the moment
+    * its distance provably exceeds `maxDist` (banded O(maxDist ·
+    * prefixLen) cells), returning -1 that the filter drops — the
+    * verify cost per candidate is proportional to the answer, not the
+    * text. Prefix comparison is exact for the near-identical pairs
+    * this targets (edits distribute through the text); a suffix or
+    * mid-document-window variant composes the same way.
+    *
+    * Output: `(a_id, b_id, dist)` for candidate pairs whose prefix
+    * edit distance is ≤ `maxDist`. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 8,
+      prefixLen: Int = 160, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val banded = bandKeys(docShingles(docs, k), numHashes, bands)
+    val candidates = banded.toDF("a_id", "band", "key")
+      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    // prefixes ride the candidate joins only — the corpus text never
+    // crosses the band shuffles
+    val pre = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pre"))
+    candidates
+      .join(pre.toDF("a_id", "a_pre"), "a_id")
+      .join(pre.toDF("b_id", "b_pre"), "b_id")
+      .withColumn("dist", levenshtein(col("a_pre"), col("b_pre"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("a_id", "b_id", "dist")
+  }
+
   /** 30-bit SimHash computed per-row with higher-order functions (no
     * explode, no shuffle): bit j is set when the sum over token
     * fingerprints of `±1` (by bit j of the fp) is positive. 30 bits

@@ -48,6 +48,65 @@ object Packing {
           .as("n_packs"))
   }
 
+  /** Token-budget selection: rank the corpus by quality (best first,
+    * doc_id tie-break) and keep the longest prefix whose cumulative
+    * token count fits `budget` — the "fill the training run with the
+    * best N billion tokens" curation step. Output is the selection
+    * manifest `(doc_id, quality, n_tokens, pick_rank, cum_tokens)`.
+    *
+    * Scale shape — the naive formulation is ONE global window
+    * (`sum over (ORDER BY quality DESC)`), a single-reducer sort of
+    * the corpus. Instead the cumulative sum is computed in two
+    * histogram-refined phases, both bounded:
+    *
+    *  1. quality quantizes to an integer micro-key (`floor(q·2^20)` —
+    *     exact power-of-two scaling, order-preserving); ONE hash
+    *     aggregation builds the per-key token/doc histogram, whose
+    *     size is bounded by the key space (~few thousand distinct
+    *     values in practice), independent of corpus size;
+    *  2. the histogram's own running totals (a window over the TINY
+    *     histogram frame) broadcast back as each key's `base_*`
+    *     offsets, and the per-document window runs PARTITIONED BY the
+    *     micro-key — parallel across keys, each partition only the
+    *     docs sharing one quality value.
+    *
+    * The quantized key only GROUPS the order (intra-key order is
+    * refined by the exact quality then doc_id inside the partitioned
+    * window), so the selection equals the global-window answer
+    * exactly; token counts are non-negative, making the cumsum
+    * monotone and `cum ≤ budget` a true prefix. */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    // 2^20: exact in double, and fine enough that a micro-key bucket
+    // holds only docs whose qualities differ below any meaningful
+    // curation signal (they still order exactly within the bucket)
+    val QScale = 1048576.0d
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("qk", floor(col("quality") * lit(QScale)).cast("long"))
+      .localCheckpoint(eager = false) // scanned by histogram + final window
+    val histW = Window.orderBy(col("qk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = scored.groupBy("qk")
+      .agg(sum("n_tokens").as("key_toks"), count(lit(1)).as("key_docs"))
+      .withColumn("base_toks", sum("key_toks").over(histW) - col("key_toks"))
+      .withColumn("base_rank", sum("key_docs").over(histW) - col("key_docs"))
+      // keys whose budget window is already spent contribute nothing —
+      // prune them before the join so the final window never sees docs
+      // that cannot be selected
+      .filter(col("base_toks") < budget)
+      .select("qk", "base_toks", "base_rank")
+    val w = Window.partitionBy("qk")
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.join(broadcast(hist), "qk")
+      .withColumn("cum_tokens",
+        col("base_toks") + sum("n_tokens")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pick_rank", col("base_rank") + row_number().over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "quality", "n_tokens", "pick_rank", "cum_tokens")
+  }
+
   /** Overlapping-chunk manifest — the pre-embedding / RAG-indexing
     * split: each document becomes `ceil(max(n-overlap,1) / stride)`
     * chunks of up to `chunkTokens` tokens with `overlap` tokens shared

@@ -333,6 +333,49 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("method")
   }
 
+  /** Exact integer dot product of two int-code arrays (products fit
+    * long: |q|≤127, so Σ q_a·q_b ≤ 127²·dims). Fixed-order fold. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Top-k cosine search over INT8-QUANTIZED vectors — the
+    * memory-bandwidth scale path: at billions of vectors the index
+    * that serves queries holds 1 byte per dimension instead of 4
+    * (the [[VectorStats.quantizeInt8]] codes), and scoring is integer
+    * multiply-adds. The per-vector scale factors CANCEL in cosine
+    * (`cos_q = Σq_aq_b / (√Σq_a² · √Σq_b²)`), so the quantized score
+    * needs only the codes and one integer self-dot per side — no
+    * float reconstruction, no scale column in the index.
+    *
+    * Same plan shape as [[bruteForceTopK]]: queries broadcast, ONE
+    * corpus scan, no corpus shuffle. Integer dots are exact, the
+    * final division is one fixed-association double expression —
+    * cross-engine reproducible, and recall vs the float truth is
+    * measurable with the [[annRecallReport]] pattern (pair this with
+    * [[VectorStats.quantError]], which QAs the same codes
+    * per-vector). Zero vectors quantize to all-zero codes and score
+    * 0 against everything. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def codes(df: DataFrame) = VectorStats.quantizeInt8(df)
+      .select(col("vec_id"), col("q"), intDot(col("q"), col("q")).as("qq"))
+    val q = codes(queries).toDF("query_id", "q_codes", "q_qq")
+    val c = codes(corpus).toDF("neighbor_id", "c_codes", "c_qq")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        when(col("q_qq") > 0 && col("c_qq") > 0,
+          intDot(col("q_codes"), col("c_codes")).cast("double") /
+            (sqrt(col("q_qq").cast("double")) * sqrt(col("c_qq").cast("double"))))
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** All embedding pairs with cosine ≥ threshold (brute force — the
     * oracle-checkable baseline for embedding near-dup dedup). */
   def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -239,6 +239,38 @@ object TextAnalysis {
         graft.functions.hashFunctions.hashed_bow(col("text"), dim),
         _.cast("string")), ",").as("bow_csv"))
 
+  /** PII regexes — the common Java-regex/RE2 subset (both engines
+    * compile these identically): RFC-loose emails, dotted-quad IPv4,
+    * and NANP-style 3-4 digit phone fragments. Kept deliberately
+    * simple-and-portable; a production scrubber would widen the
+    * pattern set, not the machinery. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact PII in `text`: emails, then IPv4 addresses, then phone
+    * fragments (fixed order — redaction output feeds the next
+    * pattern, so order is part of the contract). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII report over a text column: match counts per
+    * pattern (on the unredacted text, each pattern independent) plus
+    * the fingerprint and length of the redacted text — the audit
+    * record a scrub job emits alongside the cleaned corpus. Per-row,
+    * shuffle-free, codegen'd regex ops: ONE corpus scan at 100 TB. */
+  def piiReport(docs: DataFrame, text: Column): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(text, lit(EmailRe)).as("n_emails"),
+      regexp_count(text, lit(Ipv4Re)).as("n_ipv4"),
+      regexp_count(text, lit(PhoneRe)).as("n_phones"),
+      fingerprint(redactPii(text)).as("redacted_fp"),
+      length(redactPii(text)).as("redacted_len"))
+
   def repetitionScores(docs: DataFrame): DataFrame = {
     def tag(k: Int): Column = transform(
       graft.functions.hashFunctions.gram_fps(col("text"), k),

@@ -214,6 +214,39 @@ object PipelineQueries {
       Packing.packManifest(documents(s, d), seqLen = 512, buckets = 32)
         .orderBy("doc_id")
     },
+    // fill a 12k-token training budget with the best-quality docs:
+    // histogram-refined cumulative sum (no global single-reducer
+    // window), selection identical to the naive global-order answer
+    "tp4_token_budget" -> { (s, d) =>
+      Packing.tokenBudgetSelect(documents(s, d), budget = 12000L)
+        .orderBy("pick_rank")
+    },
+    // PII audit + scrub over deterministically PII-seeded text (the
+    // fixture corpus carries no PII, so both engines append the same
+    // synthetic email/IP/phone per doc before scrubbing)
+    "t13_pii_scrub" -> { (s, d) =>
+      val id = col("doc_id")
+      val seeded = concat(col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@mail.example.com from 10."), (id % 256).cast("string"),
+        lit(".0."), (id % 254 + 1).cast("string"),
+        lit(" call 555-"), lpad((id * 7 % 10000).cast("string"), 4, "0"))
+      TextAnalysis.piiReport(documents(s, d), seeded).orderBy("doc_id")
+    },
+    // small-edit near-dup: MinHash-banded candidates verified by
+    // bounded-prefix Levenshtein (threshold form — the DP abandons a
+    // pair once its distance provably exceeds the cap)
+    "dd13_dedup_editdist" -> { (s, d) =>
+      Dedup.editDistancePairs(documents(s, d), maxDist = 60,
+        prefixLen = 160).orderBy("a_id", "b_id")
+    },
+    // top-k over int8-quantized codes (scales cancel in cosine):
+    // the 4x-smaller serving index, same broadcast-queries plan as ss1
+    "ss5_topk_quantized" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.int8TopK(e, e.filter(col("vec_id") < 3), k = 5)
+        .orderBy("query_id", "rank")
+    },
     "ve1_label_centroids" -> { (s, d) =>
       VectorStats.labelCentroids(embeddings(s, d)).orderBy("label", "dim")
     },
@@ -718,6 +751,80 @@ object PipelineQueries {
         CASE WHEN n_tokens = 0 THEN 0
           ELSE (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 END AS n_packs
       FROM c ORDER BY doc_id""",
+    // naive global-window twin of the histogram-refined Spark plan —
+    // same selection by construction (monotone cumsum, total order)
+    "tp4_token_budget" -> s"""
+      WITH q AS (SELECT doc_id,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        len(list_intersect($toks, ['the','a','of','and','to','in','is'])) AS n_stopwords,
+        len($toks)::BIGINT AS n_tokens, length(text) AS n_ch
+      FROM documents),
+      s AS (SELECT doc_id, n_tokens,
+        (n_stopwords::DOUBLE / n_tokens::DOUBLE)
+          - (n_punct::DOUBLE / n_ch::DOUBLE)
+          + least(n_tokens::DOUBLE / 100.0, 1.0) AS quality FROM q),
+      r AS (SELECT doc_id, quality, n_tokens,
+        row_number() OVER (ORDER BY quality DESC, doc_id) AS pick_rank,
+        sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM s)
+      SELECT doc_id, quality, n_tokens, pick_rank, cum_tokens FROM r
+      WHERE cum_tokens <= 12000 ORDER BY pick_rank""",
+    "t13_pii_scrub" -> s"""
+      WITH p AS (SELECT doc_id,
+        text || ' contact user' || doc_id::VARCHAR
+          || '@mail.example.com from 10.' || (doc_id % 256)::VARCHAR
+          || '.0.' || (doc_id % 254 + 1)::VARCHAR
+          || ' call 555-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS t
+        FROM documents),
+      r AS (SELECT doc_id, t,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '${graft.operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+          '${graft.operators.TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+          '${graft.operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS red
+        FROM p)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '${graft.operators.TextAnalysis.EmailRe}')) AS n_emails,
+        len(regexp_extract_all(t, '${graft.operators.TextAnalysis.Ipv4Re}')) AS n_ipv4,
+        len(regexp_extract_all(t, '${graft.operators.TextAnalysis.PhoneRe}')) AS n_phones,
+        ${sqlFp("red")} AS redacted_fp,
+        length(red) AS redacted_len
+      FROM r ORDER BY doc_id""",
+    "dd13_dedup_editdist" -> s"""
+      WITH $sqlMinhashCtes,
+      pre AS (SELECT doc_id, substring(text, 1, 160) AS pre FROM documents),
+      dists AS (SELECT c.a_id, c.b_id, levenshtein(pa.pre, pb.pre) AS dist
+        FROM cand c
+        JOIN pre pa ON pa.doc_id = c.a_id
+        JOIN pre pb ON pb.doc_id = c.b_id)
+      SELECT a_id, b_id, dist FROM dists
+      WHERE dist <= 60 ORDER BY a_id, b_id""",
+    "ss5_topk_quantized" -> s"""
+      WITH s AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, v0 -> abs(v0::DOUBLE))) AS scale
+        FROM embeddings),
+      qc AS (SELECT vec_id,
+        CASE WHEN scale > 0 THEN list_transform(embedding,
+            v1 -> floor(v1::DOUBLE * 127.0 / scale + 0.5)::BIGINT)
+          ELSE list_transform(embedding, v2 -> 0::BIGINT) END AS q
+        FROM s),
+      n AS (SELECT vec_id, q,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(q, x0 -> x0*x0)), (a0,b0) -> a0+b0) AS qq
+        FROM qc),
+      qry AS (SELECT vec_id AS query_id, q AS qe, qq AS qqq FROM n
+        WHERE vec_id < 3),
+      scored AS (SELECT qry.query_id, c.vec_id AS neighbor_id,
+        CASE WHEN qry.qqq > 0 AND c.qq > 0 THEN
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(list_zip(qry.qe, c.q), z0 -> z0[1]*z0[2])),
+            (a1,b1) -> a1+b1)::DOUBLE
+            / (sqrt(qry.qqq::DOUBLE) * sqrt(c.qq::DOUBLE))
+        ELSE 0.0 END AS score
+        FROM n c, qry WHERE qry.query_id <> c.vec_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     "q54_key_skew" -> s"""
       WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
         GROUP BY 1),

@@ -661,6 +661,102 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance pairs equal unbounded levenshtein on banded candidates") {
+    val got = Dedup.editDistancePairs(docs, maxDist = 60, prefixLen = 160)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty, "fixture should contain small-edit near-dups")
+    assert(got.forall(_._3 <= 60))
+    // the threshold DP must return the TRUE distance for kept pairs —
+    // recompute each with the unbounded form on the same prefixes
+    import spark.implicits._
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(160)).toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    got.foreach { case (a, b, d) =>
+      assert(lev(texts(a), texts(b)) == d, s"pair ($a,$b)")
+    }
+  }
+
+  test("token-budget selection equals the naive global-window prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.Packing.tokenBudgetSelect(docs, budget = 12000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .sortBy(_._2)
+    assert(got.nonEmpty && got.forall(_._3 <= 12000L))
+    // ranks are the contiguous prefix 1..n
+    assert(got.map(_._2).toSeq == (1L to got.length).toSeq)
+    // the histogram-refined plan must reproduce the single-window truth
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+    val naive = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("pick_rank", row_number().over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= 12000L)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(4)))
+      .sortBy(_._2)
+    assert(got.toSeq == naive.map(t => (t._1, t._2, t._3)).toSeq)
+  }
+
+  test("int8 topk scores cancel scales: hand-computed 2-d fixture") {
+    import spark.implicits._
+    // v0=[1,0] -> codes [127,0]; v1=[0.5,0.5] -> [127,127];
+    // v2=[-0.25,0.75] -> scale .75, codes [floor(-42.33+.5)=-42, 127]
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.5f)),
+      (2L, Seq(-0.25f, 0.75f))).toDF("vec_id", "embedding")
+    val got = Similarity.int8TopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def sc(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val c0 = Array(127L, 0L); val c1 = Array(127L, 127L)
+    val c2 = Array(-42L, 127L)
+    assert(got.length == 2)
+    assert(got(0) == ((1, 1L, sc(c0, c1))))
+    assert(got(1) == ((2, 2L, sc(c0, c2))))
+    // and zero vectors score 0 instead of dividing by zero
+    val z = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val zs = Similarity.int8TopK(z, z.filter(col("vec_id") === 0), k = 1)
+      .collect()
+    assert(zs.length == 1 && zs(0).getDouble(3) == 0.0)
+  }
+
+  test("pii report counts and redacts emails, ipv4, and phone fragments") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, "mail me at jo.doe@corp.example.org or box 10.0.0.1 call 555-0199"),
+      (1L, "no pii here just words")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiReport(in, col("text")).orderBy("doc_id")
+      .collect()
+    assert((got(0).getInt(1), got(0).getInt(2), got(0).getInt(3)) == ((1, 1, 1)))
+    assert((got(1).getInt(1), got(1).getInt(2), got(1).getInt(3)) == ((0, 0, 0)))
+    // doc 1 untouched: fingerprint equals the original text's
+    val fp1 = in.filter(col("doc_id") === 1)
+      .select(TextAnalysis.fingerprint(col("text"))).collect()(0).getLong(0)
+    assert(got(1).getLong(4) == fp1)
+    // doc 0 fully redacted: the redacted text matches the placeholders
+    val red = in.filter(col("doc_id") === 0)
+      .select(TextAnalysis.redactPii(col("text"))).collect()(0).getString(0)
+    assert(red == "mail me at <EMAIL> or box <IP> call <PHONE>")
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =

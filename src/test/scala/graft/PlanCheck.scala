@@ -209,6 +209,35 @@ object PlanCheck {
         p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
           p.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("dd13_dedup_editdist", Seq(
+      // banding proposes, bounded-prefix Levenshtein verifies — the
+      // band join must be equi and the DP must stay in codegen
+      "band join is equi, not cartesian" -> (p =>
+        !p.contains("CartesianProduct")),
+      "levenshtein stays in whole-stage codegen (no UDF)" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("tp4_token_budget", Seq(
+      // the per-doc cumulative window is partitioned by the quality
+      // micro-key — parallel across keys (the only SinglePartition
+      // window runs over the tiny histogram frame)
+      "per-doc window partitioned on the quality micro-key" ->
+        (_.contains("hashpartitioning(qk")),
+      "histogram offsets broadcast back to the corpus" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("ss5_topk_quantized", Seq(
+      // same shape as ss1: queries broadcast, ONE corpus scan —
+      // the quantized index is never shuffled
+      "query codes broadcast (corpus not shuffled)" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "integer dots stay in codegen (no UDF)" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("t13_pii_scrub", Seq(
+      // per-row regex scan: the only exchange is the output sort
+      "shuffle-free but for the output sort" -> (p =>
+        "Exchange".r.findAllIn(p).size <= 1),
+      "regex ops stay in codegen (no UDF)" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
     // dd8 resolveClusters / dd10 resolveClustersStars: their
     // iterations run eagerly behind localCheckpoint leaves, so the
     // returned plan is a leaf select; the shape guarantees
