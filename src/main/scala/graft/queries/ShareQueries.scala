@@ -31,7 +31,37 @@ object ShareQueries {
           Seq((path.toUri.toString, java.nio.file.Files.size(path),
             Map.empty[String, String]))))
       }
-      server.tables = Map(table("lineitem"), table("documents"))
+      // `lineitem4`: the SAME rows as lineitem, split into 4
+      // l_orderkey-range files each carrying TRUE Delta stats
+      // (numRecords/minValues/maxValues) — the fixture that exercises
+      // client-side data skipping and the stats-only aggregate path
+      // over more than one file
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+      val bound = maxKey / 4 + 1
+      val partsDir = java.nio.file.Files.createTempDirectory("graft-share-parts")
+      val statsB = Map.newBuilder[String, String]
+      val partFiles = (0 until 4).map { i =>
+        val part = li.filter(col("l_orderkey") >= i * bound &&
+          col("l_orderkey") < (i + 1) * bound)
+        val pdir = partsDir.resolve(s"part$i")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir.toString)
+        var p: java.nio.file.Path = null
+        java.nio.file.Files.list(pdir).forEach(f =>
+          if (f.getFileName.toString.endsWith(".parquet")) p = f)
+        val st = part.agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
+          max("l_orderkey").as("mx")).collect()(0)
+        val url = p.toUri.toString
+        statsB += url -> (if (st.getLong(0) == 0L)
+          """{"numRecords":0,"nullCount":{"l_orderkey":0}}"""
+        else
+          s"""{"numRecords":${st.getLong(0)},"minValues":{"l_orderkey":${st.getLong(1)}},""" +
+            s""""maxValues":{"l_orderkey":${st.getLong(2)}},"nullCount":{"l_orderkey":0}}""")
+        (url, java.nio.file.Files.size(p), Map.empty[String, String])
+      }
+      server.tables = Map(table("lineitem"), table("documents"),
+        "lineitem4" -> ((li.schema.json, Seq.empty[String], partFiles)))
+      server.fileStats = statsB.result()
       registeredDir = Some(dir)
     }
     server.endpoint
@@ -62,6 +92,25 @@ object ShareQueries {
     // listings are driver-side by design (the frames are built FROM
     // driver HTTP responses), so the intermediate collects here are
     // the listing results themselves, not distributed data.
+    // stats-based file skipping end to end: the l_orderkey range
+    // predicate prunes 3 of lineitem4's 4 files from per-file
+    // min/max stats BEFORE any parquet open (the pruning count is
+    // asserted in DeltaShareConnectorSpec; the gate checks the rows
+    // that survive are exactly right)
+    "share_stats_prune" -> { (s, d) =>
+      sharedTable(s, d, "lineitem4")
+        .filter(col("l_orderkey") <= 64 && col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // stats-only aggregate: COUNT(*)/MIN/MAX answered on the driver
+    // from the per-file stats — the plan is a LocalTableScan, zero
+    // parquet bytes read (PlanCheck asserts the shape)
+    "share_agg_count" -> { (s, d) =>
+      sharedTable(s, d, "lineitem4")
+        .agg(count(lit(1)).as("n_rows"), min("l_orderkey").as("min_key"),
+          max("l_orderkey").as("max_key"))
+    },
     "share_list_tables" -> { (s, d) =>
       import graft.sources.{DeltaShare, DeltaSharingProfile}
       s.conf.set(DeltaSharingProfile.EndpointConf, ensure(s, d))
@@ -93,14 +142,25 @@ object ShareQueries {
       GROUP BY array_to_string(list_filter(
         string_split_regex(trim(lower(text)), '\s+'), t0 -> t0 <> ''), ' ')
       ORDER BY keep_id""",
+    // lineitem4 is a 4-file re-layout of the SAME lineitem rows, so
+    // the oracle reads the original table
+    "share_stats_prune" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE l_orderkey <= 64 AND l_quantity >= 30
+      ORDER BY l_orderkey, l_linenumber""",
+    "share_agg_count" -> """
+      SELECT count(*)::BIGINT AS n_rows, min(l_orderkey) AS min_key,
+        max(l_orderkey) AS max_key
+      FROM lineitem""",
     // the stub's catalog fixture is the truth: 3 shares × schema1 ×
-    // the 2 registered tables — the Spark side must reproduce it via
+    // the 3 registered tables — the Spark side must reproduce it via
     // the live listShares/listSchemas/listTables HTTP walk
     "share_list_tables" -> """
       SELECT s.share_name, c.schema_name, n.table_name
       FROM (VALUES ('share1'), ('share2'), ('share3')) AS s(share_name)
       CROSS JOIN (VALUES ('schema1')) AS c(schema_name)
-      CROSS JOIN (VALUES ('documents'), ('lineitem')) AS n(table_name)
+      CROSS JOIN (VALUES ('documents'), ('lineitem'), ('lineitem4')) AS n(table_name)
       ORDER BY share_name, schema_name, table_name"""
   )
 }

@@ -29,6 +29,12 @@ class StubSharingServer(
   /** files served over HTTP with Range support: name -> local path */
   @volatile var httpFiles: Map[String, Path] = Map.empty
 
+  /** Per-file Delta stats JSON keyed by (unsigned) file url. Files
+    * without an entry are served with NO `stats` field — the stub must
+    * never invent row counts, since the connector answers COUNT(*)
+    * from them when present. */
+  @volatile var fileStats: Map[String, String] = Map.empty
+
   /** Presigned-URL expiry simulation: when set, the FIRST `/query`
     * response signs file URLs with `?sig=stale` (which `/files`
     * rejects with 403) and every later `/query` signs with
@@ -149,7 +155,11 @@ class StubSharingServer(
                   case Some(s) if url.startsWith("http") => s"$url?sig=$s"
                   case _ => url
                 }
-                s"""{"file":{"url":"$signed","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size,"stats":"{\\"numRecords\\":1}","version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
+                val statsField = fileStats.get(url).map { s =>
+                  val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+                  s""","stats":"$esc""""
+                }.getOrElse("")
+                s"""{"file":{"url":"$signed","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size$statsField,"version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
               }
               send(ex, 200, (metaNdjson(t) +: fileLines).mkString("\n"))
             }

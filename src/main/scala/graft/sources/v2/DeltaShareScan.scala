@@ -46,7 +46,8 @@ class DeltaShareScanBuilder(
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private val partitionCols = meta.partitionColumns.toSet
   private val partitionSchema = StructType(
@@ -58,6 +59,7 @@ class DeltaShareScanBuilder(
   private var partitionFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (pf, df) = filters.partition(
@@ -85,9 +87,177 @@ class DeltaShareScanBuilder(
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new DeltaShareScan(
-    spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
-    partitionFilters, dataFilters, limit, hadoopConf)
+  // ---- SupportsPushDownAggregates ----------------------------------
+  //
+  // COUNT(*)/MIN/MAX answered ENTIRELY from the per-file stats the
+  // server already ships with each FileAction — zero parquet bytes
+  // read, the metadata-only fast path every lakehouse engine grows
+  // eventually (the reference reads full files even for COUNT(*)).
+  // Only COMPLETE pushdown is offered, and only when provably exact:
+  //  - no data filters / limit, all partition filters client-exact
+  //    (file pruning then equals row-level semantics);
+  //  - every surviving file carries the needed stat — one missing
+  //    numRecords or min/max refuses the pushdown and Spark falls
+  //    back to reading rows;
+  //  - MIN/MAX only on numeric/date DATA columns (string stats may be
+  //    truncated per the Delta protocol — fine for range pruning,
+  //    unsound as an exact extremum).
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (aggResult.isEmpty) aggResult = planAggregation(agg)
+    aggResult.isDefined
+  }
+
+  /** Partial aggregate pushdown is refused — this source answers
+    * aggregates from stats exactly or not at all. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(agg)
+
+  private def planAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty || dataFilters.nonEmpty ||
+        limit.isDefined ||
+        !partitionFilters.forall(PartitionValues.isExact(_, partitionSchema)))
+      return None
+    def dataField(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.types.StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        dataSchema.fields.find(_.name == r.fieldNames.head).filter(f =>
+          f.dataType.isInstanceOf[NumericType] || f.dataType == DateType)
+      case _ => None
+    }
+    sealed trait Spec
+    case object CountSpec extends Spec
+    case class MinSpec(f: org.apache.spark.sql.types.StructField) extends Spec
+    case class MaxSpec(f: org.apache.spark.sql.types.StructField) extends Spec
+    val specs: Seq[Spec] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => CountSpec
+      case m: Min => dataField(m.column).map(MinSpec).getOrElse(return None)
+      case m: Max => dataField(m.column).map(MaxSpec).getOrElse(return None)
+      case _ => return None
+    }
+    // one /query POST, exact client-side partition pruning — the same
+    // file set a row-reading scan of this query would read
+    val hints = PredicateHints.buildHints(partitionFilters.toSeq,
+      StructType(dataSchema.fields ++ partitionSchema.fields))._1
+    val legacy = PredicateHints.legacyHints(partitionFilters.toSeq,
+      partitionSchema)
+    val files =
+      try {
+        new DeltaSharingClient(addr.profile)
+          .queryTable(addr.share, addr.schema, addr.table,
+            jsonPredicateHints = hints, predicateHints = legacy,
+            version = addr.versionAsOf).files
+          .filter(f => partitionFilters.forall(
+            PartitionValues.evalFilter(_, f.partitionValues, partitionSchema)))
+      } catch { case _: Exception => return None }
+    val stats = files.map(_.stats.flatMap(FileStats.parse))
+    if (!stats.forall(_.exists(_.numRecords.isDefined))) return None
+    val parsed = stats.flatten
+    val values: Seq[Any] = specs.map {
+      case CountSpec => parsed.map(_.numRecords.get).sum
+      case MinSpec(f) =>
+        extremum(parsed, f, minSide = true).getOrElse(return None)
+      case MaxSpec(f) =>
+        extremum(parsed, f, minSide = false).getOrElse(return None)
+    }
+    val schema = StructType(specs.zipWithIndex.map {
+      case (CountSpec, i) => StructField(s"count_$i", LongType, nullable = false)
+      case (MinSpec(f), i) => StructField(s"min_$i", f.dataType, nullable = true)
+      case (MaxSpec(f), i) => StructField(s"max_$i", f.dataType, nullable = true)
+    })
+    Some((schema, values))
+  }
+
+  /** Exact MIN/MAX of a column across files, from stats. Outer None =
+    * refuse the pushdown (a file has rows but no stat for the column);
+    * inner `Some(null)` = a valid SQL NULL (no non-null rows at all).
+    * A file contributes nothing when all its rows are null in `f`
+    * (nullCount == numRecords). */
+  private def extremum(stats: Seq[FileStats.Stats],
+      f: org.apache.spark.sql.types.StructField,
+      minSide: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types._
+    val perFile: Seq[Option[Any]] = stats.map { st =>
+      val node =
+        if (minSide) st.minValues.get(f.name) else st.maxValues.get(f.name)
+      node match {
+        case Some(n) =>
+          try {
+            f.dataType match {
+              case ByteType => Some(Some(n.asInt().toByte))
+              case ShortType => Some(Some(n.asInt().toShort))
+              case IntegerType => Some(Some(n.asInt()))
+              case LongType => Some(Some(n.asLong()))
+              case FloatType => Some(Some(n.asText().toFloat))
+              case DoubleType => Some(Some(n.asText().toDouble))
+              case DateType =>
+                Some(Some(java.time.LocalDate.parse(n.asText()).toEpochDay.toInt))
+              case _ => None
+            }
+          } catch { case _: Exception => None }
+        case None =>
+          // no stat: sound only if the file provably has no non-null
+          // values in this column
+          if (st.numRecords.exists(nr => st.nullCount.get(f.name).contains(nr)))
+            Some(None)
+          else None
+      }
+    }.map {
+      case None => return None // refuse
+      case Some(v) => v
+    }
+    val present = perFile.flatten
+    if (present.isEmpty) Some(null)
+    else {
+      def key(v: Any): Double = v match {
+        case b: Byte => b.toDouble
+        case s: Short => s.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case fl: Float => fl.toDouble
+        case d: Double => d
+      }
+      // Long beyond 2^53 would lose precision in a double key — order
+      // longs by themselves
+      val best = f.dataType match {
+        case LongType =>
+          val ls = present.map(_.asInstanceOf[Long])
+          if (minSide) ls.min else ls.max
+        case _ =>
+          if (minSide) present.minBy(key) else present.maxBy(key)
+      }
+      Some(best)
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) =>
+      new DeltaShareAggScan(addr, schema, values)
+    case None => new DeltaShareScan(
+      spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
+      partitionFilters, dataFilters, limit, hadoopConf)
+  }
+}
+
+/** Completely-pushed aggregate: the answer was computed on the driver
+  * from per-file stats — `LocalScan`, so Spark plans a local table
+  * scan and NO file is opened. */
+final class DeltaShareAggScan(
+    addr: TableAddress,
+    schema: StructType,
+    values: Seq[Any]) extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[InternalRow] =
+    Array(InternalRow.fromSeq(values))
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"DeltaShareAggScan ${addr.share}.${addr.schema}.${addr.table} " +
+      s"[stats-only aggregate: ${schema.fieldNames.mkString(", ")}]"
 }
 
 /** Batch scan: one `InputPartition` per shared file — Spark
@@ -178,6 +348,23 @@ class DeltaShareScan(
         PartitionValues.evalFilter(_, f.partitionValues, partitionSchema))
     }
 
+  /** Data-skipping on per-file min/max/nullCount stats: drop files a
+    * pushed data filter provably cannot match ([[FileStats.canSkip]]
+    * — conservative, so missing/unparsable stats keep the file). Data
+    * filters stay residuals above the scan, so this is purely a
+    * file-open saver — at 100 TB, a selective predicate on a
+    * clustered column skips almost every file without any server
+    * cooperation. */
+  private def statsPrunedFiles: Seq[graft.sources.FileAction] =
+    if (dataFilters.isEmpty) prunedFiles
+    else prunedFiles.filter { f =>
+      f.stats.flatMap(FileStats.parse) match {
+        case Some(st) =>
+          !dataFilters.exists(FileStats.canSkip(_, st, dataSchema))
+        case None => true
+      }
+    }
+
   // ---- SupportsRuntimeFiltering (dynamic partition pruning) --------
 
   override def filterAttributes(): Array[NamedReference] =
@@ -194,7 +381,7 @@ class DeltaShareScan(
     * `stats.numRecords` the server sends (when present on all kept
     * files). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val files = prunedFiles
+    private val files = statsPrunedFiles
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(files.map(_.size).sum)
     override def numRows(): OptionalLong = {
@@ -213,7 +400,7 @@ class DeltaShareScan(
     } catch { case _: Exception => None }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    prunedFiles.map { f =>
+    statsPrunedFiles.map { f =>
       val presigned =
         f.url.startsWith("http://") || f.url.startsWith("https://")
       val path =

@@ -209,6 +209,19 @@ object PlanCheck {
         p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
           p.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("share_agg_count", Seq(
+      // the stats-only aggregate path: COUNT/MIN/MAX computed on the
+      // driver from per-file stats — the plan must be a local scan
+      // with NO file read at all
+      "aggregate answered from stats (LocalTableScan)" ->
+        (_.contains("LocalTableScan")),
+      "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("share_stats_prune", Seq(
+      // data skipping keeps the filters residual (correctness never
+      // depends on pruning) while the scan plans fewer files — the
+      // file-count assertion lives in DeltaShareConnectorSpec
+      "residual filter above the scan" -> (_.contains("Filter")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("dd13_dedup_editdist", Seq(
       // banding proposes, bounded-prefix Levenshtein verifies — the
       // band join must be equi and the DP must stay in codegen

@@ -213,10 +213,13 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       expServer.tables = Map("customer" -> ((schema, Seq.empty,
         Seq((s"http://127.0.0.1:${expServer.port}/files/customer.parquet",
           Files.size(src), Map.empty[String, String])))))
+      // collect, not count(): a COUNT would first probe the aggregate
+      // fast path (its own /query POST), consuming the stale-signed
+      // response this test needs the ROW scan to receive
       val n = spark.read.format("deltashare")
         .option("endpoint", expServer.endpoint).option("bearerToken", "tok")
         .load("share1.schema1.customer")
-        .count()
+        .select("c_custkey").collect().length
       assert(n == spark.read.parquet(src.toString).count())
     } finally expServer.stop()
   }
@@ -259,6 +262,103 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PresignedUrlFileSystem.redact(
       "https://bucket/obj.parquet?X-Amz-Signature=secret") ==
       "https://bucket/obj.parquet")
+  }
+
+  /** A 2-file shared table (o_orderkey split at the median) with true
+    * per-file stats, plus a third all-null-free file-less edge via the
+    * same server — fixture for data skipping + stats-only aggregates. */
+  private def statsFixture(): (StubSharingServer, Long, Long, Long) = {
+    val src = Paths.get("/root/testdata/sf0.001/orders.parquet")
+    val orders = spark.read.parquet(src.toString)
+    val total = orders.count()
+    val mid = 750L
+    val st = new StubSharingServer(expectedToken = "tok").start()
+    val tmp = Files.createTempDirectory("graft-stats-skip")
+    val statsB = Map.newBuilder[String, String]
+    val files = Seq(("lo", col("o_orderkey") < mid),
+      ("hi", col("o_orderkey") >= mid)).map { case (name, pred) =>
+      val part = orders.filter(pred)
+      val pdir = tmp.resolve(name)
+      part.coalesce(1).write.mode("overwrite").parquet(pdir.toString)
+      var p: java.nio.file.Path = null
+      Files.list(pdir).forEach(f =>
+        if (f.getFileName.toString.endsWith(".parquet")) p = f)
+      val r = part.agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
+        .collect()(0)
+      statsB += p.toUri.toString ->
+        (s"""{"numRecords":${r.getLong(0)},"minValues":{"o_orderkey":${r.getLong(1)}},""" +
+          s""""maxValues":{"o_orderkey":${r.getLong(2)}},"nullCount":{"o_orderkey":0}}""")
+      (p.toUri.toString, Files.size(p), Map.empty[String, String])
+    }
+    st.tables = Map("orders2" -> ((orders.schema.json, Seq.empty, files)))
+    st.fileStats = statsB.result()
+    val loCount = orders.filter(col("o_orderkey") < mid).count()
+    (st, total, mid, loCount)
+  }
+
+  private def readFrom(st: StubSharingServer, table: String) =
+    spark.read.format("deltashare")
+      .option("endpoint", st.endpoint).option("bearerToken", "tok")
+      .load(s"share1.schema1.$table")
+
+  test("min/max stats skip files a data filter cannot match") {
+    val (st, total, mid, loCount) = statsFixture()
+    try {
+      val df = readFrom(st, "orders2")
+      // both files planned without a filter
+      assert(df.rdd.getNumPartitions == 2)
+      // range predicate below the split point → only the lo file opens
+      val lo = df.filter(col("o_orderkey") < mid)
+      assert(lo.rdd.getNumPartitions == 1,
+        s"expected 1 surviving file, got ${lo.rdd.getNumPartitions}")
+      assert(lo.count() == loCount)
+      // provably-empty range → zero files, zero rows, no error
+      val none = df.filter(col("o_orderkey") < 0)
+      assert(none.rdd.getNumPartitions == 0)
+      assert(none.collect().isEmpty)
+      // IN entirely above every max → zero files
+      val in = df.filter(col("o_orderkey").isin(99999999L))
+      assert(in.rdd.getNumPartitions == 0)
+      // skipping is conservative: an unstated column prunes nothing
+      val other = df.filter(col("o_custkey") === -1)
+      assert(other.rdd.getNumPartitions == 2 && other.count() == 0)
+    } finally st.stop()
+  }
+
+  test("COUNT/MIN/MAX answer from stats as a LocalTableScan, zero reads") {
+    val (st, total, mid, _) = statsFixture()
+    try {
+      val agg = readFrom(st, "orders2")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"),
+          max("o_orderkey").as("mx"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan"),
+        s"aggregate was not answered from stats:\n$plan")
+      assert(!plan.contains("BatchScan"), "files were planned for a " +
+        "stats-answerable aggregate")
+      val r = agg.collect()(0)
+      val direct = spark.read
+        .parquet("/root/testdata/sf0.001/orders.parquet")
+        .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey")).collect()(0)
+      assert(r.getLong(0) == direct.getLong(0))
+      assert(r.getLong(1) == direct.getLong(1))
+      assert(r.getLong(2) == direct.getLong(2))
+    } finally st.stop()
+  }
+
+  test("aggregate pushdown refuses and falls back without full stats") {
+    // the main fixture's lineitem files carry NO stats → COUNT must
+    // read rows (BatchScan) and still be exact
+    val df = read()
+    val agg = df.agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      "pushdown must refuse when any file lacks numRecords")
+    assert(agg.collect()(0).getLong(0) == expectedCount)
+    // unsupported shapes (SUM, grouped) also fall back and stay exact
+    val grouped = readFrom(server, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(grouped.collect().map(_.getLong(1)).sum == expectedCount)
   }
 
   test("presigned HTTP urls with Range requests read end-to-end") {

@@ -23,6 +23,7 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     server.tables = Map("lineitem" -> (lineitemSchemaJson, Seq("l_returnflag"),
       Seq(("file:///tmp/x.parquet", 123L, Map("l_returnflag" -> "A")),
         ("file:///tmp/y.parquet", 456L, Map("l_returnflag" -> null)))))
+    server.fileStats = Map("file:///tmp/x.parquet" -> """{"numRecords":1}""")
     client = new DeltaSharingClient(
       DeltaSharingProfile(server.endpoint + "/", "tok"))
   }

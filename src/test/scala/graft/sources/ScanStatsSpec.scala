@@ -32,6 +32,9 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     fileSize = Files.size(p)
     server.tables = Map("region" -> (region.schema.json, Seq.empty,
       Seq((p.toUri.toString, fileSize, Map.empty[String, String]))))
+    // truthful stats: region has 5 rows — the connector now answers
+    // COUNT(*) from numRecords, so the stub must never under-report
+    server.fileStats = Map(p.toUri.toString -> """{"numRecords":5}""")
   }
   override def afterAll(): Unit = server.stop()
 
@@ -41,8 +44,8 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load("share1.schema1.region")
     val stats = df.queryExecution.optimizedPlan.stats
     assert(stats.sizeInBytes == BigInt(fileSize))
-    // numRecords comes from the stub's per-file stats ("numRecords":1)
-    assert(stats.rowCount.contains(BigInt(1)))
+    // numRecords comes from the stub's per-file stats ("numRecords":5)
+    assert(stats.rowCount.contains(BigInt(5)))
   }
 
   test("small shared tables broadcast in joins") {
@@ -54,6 +57,49 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
     assert(joined.count() == 25)
+  }
+
+  test("FileStats.canSkip decides exactly the provably-matchless cases") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("d", DateType), StructField("x", DoubleType)))
+    val st = FileStats.parse(
+      """{"numRecords":10,
+         "minValues":{"k":100,"s":"bbb","d":"2024-02-01","x":1.5},
+         "maxValues":{"k":200,"s":"ddd","d":"2024-03-01","x":9.5},
+         "nullCount":{"k":0,"s":3,"d":10,"x":0}}""").get
+    def skip(f: Filter) = FileStats.canSkip(f, st, schema)
+    // range decisions on the long column
+    assert(skip(EqualTo("k", 99L)) && skip(EqualTo("k", 201L)))
+    assert(!skip(EqualTo("k", 100L)) && !skip(EqualTo("k", 150L)))
+    assert(skip(GreaterThan("k", 200L)) && !skip(GreaterThan("k", 199L)))
+    assert(skip(GreaterThanOrEqual("k", 201L)) && !skip(GreaterThanOrEqual("k", 200L)))
+    assert(skip(LessThan("k", 100L)) && !skip(LessThan("k", 101L)))
+    assert(skip(LessThanOrEqual("k", 99L)) && !skip(LessThanOrEqual("k", 100L)))
+    // int filter value against a long column still compares
+    assert(skip(EqualTo("k", 99)) && !skip(EqualTo("k", 150)))
+    // IN: only non-null members decide; all-outside skips
+    assert(skip(In("k", Array(1L, 99L, 300L))))
+    assert(!skip(In("k", Array(1L, 150L))))
+    assert(skip(In("k", Array(null))))
+    // null accounting
+    assert(skip(IsNull("k")) && !skip(IsNull("s")))
+    assert(skip(IsNotNull("d")) && !skip(IsNotNull("s")))
+    // strings, dates, doubles
+    assert(skip(EqualTo("s", "aaa")) && !skip(EqualTo("s", "ccc")))
+    assert(skip(StringStartsWith("s", "a")) && skip(StringStartsWith("s", "e")))
+    assert(!skip(StringStartsWith("s", "c")))
+    assert(skip(EqualTo("d", java.sql.Date.valueOf("2024-01-15"))))
+    assert(!skip(EqualTo("d", java.sql.Date.valueOf("2024-02-15"))))
+    assert(skip(GreaterThan("x", 9.5)) && !skip(GreaterThan("x", 9.4)))
+    // connectives: And skips if either side does; Or needs both
+    assert(skip(And(EqualTo("k", 99L), EqualTo("s", "ccc"))))
+    assert(skip(Or(EqualTo("k", 99L), EqualTo("s", "aaa"))))
+    assert(!skip(Or(EqualTo("k", 99L), EqualTo("s", "ccc"))))
+    // conservative: unknown column / shape / missing stat keeps the file
+    assert(!skip(EqualTo("zz", 1L)))
+    assert(!skip(Not(EqualTo("k", 150L))))
+    assert(FileStats.parse("not json").isEmpty)
   }
 }
 
