@@ -36,7 +36,9 @@ object MetricsCheck {
       "ve1_label_centroids", "dd9_dedup_incremental", "q52_zorder_stats",
       "dc2_decontaminate_bloom", "dd10_dedup_clusters_stars",
       "q54_key_skew", "ve3_kmeans", "t10_winnow", "dd12_containment",
-      "t12_hashed_bow", "tp2_chunk_manifest", "ss4_ann_recall")
+      "t12_hashed_bow", "tp2_chunk_manifest", "ss4_ann_recall",
+      "dd13_dedup_editdist", "tp4_token_budget", "ss5_topk_quantized",
+      "t13_pii_scrub")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>
