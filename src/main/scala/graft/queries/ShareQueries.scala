@@ -59,8 +59,36 @@ object ShareQueries {
             s""""maxValues":{"l_orderkey":${st.getLong(2)}},"nullCount":{"l_orderkey":0}}""")
         (url, java.nio.file.Files.size(p), Map.empty[String, String])
       }
+      // `lineitem_flag`: partitioned by l_returnflag with true
+      // per-file stats — the grouped stats-only aggregate fixture
+      val flagDir = java.nio.file.Files.createTempDirectory("graft-share-flag")
+      // coalesce(1): ONE file per partition dir, so the per-file stats
+      // below (computed per flag) are exactly that file's stats
+      li.coalesce(1).write.partitionBy("l_returnflag").mode("overwrite")
+        .parquet(flagDir.toString)
+      val flagFiles = Seq.newBuilder[(String, Long, Map[String, String])]
+      java.nio.file.Files.list(flagDir).forEach { pd =>
+        val dn = pd.getFileName.toString
+        if (dn.startsWith("l_returnflag=")) {
+          val flag = dn.stripPrefix("l_returnflag=")
+          val st = li.filter(col("l_returnflag") === flag)
+            .agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
+              max("l_orderkey").as("mx")).collect()(0)
+          java.nio.file.Files.list(pd).forEach { f =>
+            if (f.getFileName.toString.endsWith(".parquet")) {
+              flagFiles += ((f.toUri.toString, java.nio.file.Files.size(f),
+                Map("l_returnflag" -> flag)))
+              statsB += f.toUri.toString ->
+                (s"""{"numRecords":${st.getLong(0)},"minValues":{"l_orderkey":${st.getLong(1)}},""" +
+                  s""""maxValues":{"l_orderkey":${st.getLong(2)}},"nullCount":{"l_orderkey":0}}""")
+            }
+          }
+        }
+      }
       server.tables = Map(table("lineitem"), table("documents"),
-        "lineitem4" -> ((li.schema.json, Seq.empty[String], partFiles)))
+        "lineitem4" -> ((li.schema.json, Seq.empty[String], partFiles)),
+        "lineitem_flag" -> ((li.schema.json, Seq("l_returnflag"),
+          flagFiles.result())))
       server.fileStats = statsB.result()
       registeredDir = Some(dir)
     }
@@ -111,6 +139,16 @@ object ShareQueries {
         .agg(count(lit(1)).as("n_rows"), min("l_orderkey").as("min_key"),
           max("l_orderkey").as("max_key"))
     },
+    // grouped stats-only aggregate: GROUP BY a partition column —
+    // each file belongs to one group, so per-group COUNT/MIN/MAX are
+    // per-group folds of per-file stats; still a LocalTableScan
+    "share_agg_by_flag" -> { (s, d) =>
+      sharedTable(s, d, "lineitem_flag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), min("l_orderkey").as("min_key"),
+          max("l_orderkey").as("max_key"))
+        .orderBy("l_returnflag")
+    },
     "share_list_tables" -> { (s, d) =>
       import graft.sources.{DeltaShare, DeltaSharingProfile}
       s.conf.set(DeltaSharingProfile.EndpointConf, ensure(s, d))
@@ -153,14 +191,19 @@ object ShareQueries {
       SELECT count(*)::BIGINT AS n_rows, min(l_orderkey) AS min_key,
         max(l_orderkey) AS max_key
       FROM lineitem""",
+    "share_agg_by_flag" -> """
+      SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // the stub's catalog fixture is the truth: 3 shares × schema1 ×
-    // the 3 registered tables — the Spark side must reproduce it via
+    // the 4 registered tables — the Spark side must reproduce it via
     // the live listShares/listSchemas/listTables HTTP walk
     "share_list_tables" -> """
       SELECT s.share_name, c.schema_name, n.table_name
       FROM (VALUES ('share1'), ('share2'), ('share3')) AS s(share_name)
       CROSS JOIN (VALUES ('schema1')) AS c(schema_name)
-      CROSS JOIN (VALUES ('documents'), ('lineitem'), ('lineitem4')) AS n(table_name)
+      CROSS JOIN (VALUES ('documents'), ('lineitem'), ('lineitem4'),
+        ('lineitem_flag')) AS n(table_name)
       ORDER BY share_name, schema_name, table_name"""
   )
 }

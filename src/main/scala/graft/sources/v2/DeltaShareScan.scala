@@ -59,7 +59,7 @@ class DeltaShareScanBuilder(
   private var partitionFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggResult: Option[(StructType, Seq[InternalRow])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (pf, df) = filters.partition(
@@ -117,13 +117,21 @@ class DeltaShareScanBuilder(
 
   private def planAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-    : Option[(StructType, Seq[Any])] = {
+    : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (agg.groupByExpressions.nonEmpty || dataFilters.nonEmpty ||
-        limit.isDefined ||
+    if (dataFilters.nonEmpty || limit.isDefined ||
         !partitionFilters.forall(PartitionValues.isExact(_, partitionSchema)))
       return None
+    // GROUP BY only on partition columns: each file belongs to exactly
+    // one group (its partitionValues), so per-group aggregates are
+    // per-group sums/extrema of per-file stats
+    val groupFields: Seq[StructField] = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          partitionSchema.fieldNames.contains(r.fieldNames.head) =>
+        partitionSchema(r.fieldNames.head)
+      case _ => return None
+    }
     def dataField(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[org.apache.spark.sql.types.StructField] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -156,22 +164,42 @@ class DeltaShareScanBuilder(
           .filter(f => partitionFilters.forall(
             PartitionValues.evalFilter(_, f.partitionValues, partitionSchema)))
       } catch { case _: Exception => return None }
-    val stats = files.map(_.stats.flatMap(FileStats.parse))
-    if (!stats.forall(_.exists(_.numRecords.isDefined))) return None
-    val parsed = stats.flatten
-    val values: Seq[Any] = specs.map {
-      case CountSpec => parsed.map(_.numRecords.get).sum
-      case MinSpec(f) =>
-        extremum(parsed, f, minSide = true).getOrElse(return None)
-      case MaxSpec(f) =>
-        extremum(parsed, f, minSide = false).getOrElse(return None)
+    val withStats = files.map(f => f -> f.stats.flatMap(FileStats.parse))
+    if (!withStats.forall(_._2.exists(_.numRecords.isDefined))) return None
+    // a zero-record file contributes no rows, hence no group
+    val live = withStats.collect {
+      case (f, Some(st)) if st.numRecords.get > 0 => (f, st)
     }
-    val schema = StructType(specs.zipWithIndex.map {
+    val groupSchema = StructType(groupFields)
+    def aggValues(stats: Seq[FileStats.Stats]): Option[Seq[Any]] =
+      Some(specs.map {
+        case CountSpec => stats.map(_.numRecords.get).sum
+        case MinSpec(f) =>
+          extremum(stats, f, minSide = true).getOrElse(return None)
+        case MaxSpec(f) =>
+          extremum(stats, f, minSide = false).getOrElse(return None)
+      })
+    val rows: Seq[InternalRow] =
+      if (groupFields.isEmpty) {
+        Seq(InternalRow.fromSeq(aggValues(live.map(_._2)).getOrElse(return None)))
+      } else {
+        live.groupBy { case (f, _) =>
+          groupFields.map(g => f.partitionValues.get(g.name).orNull)
+        }.toSeq.map { case (_, group) =>
+          val pv = group.head._1.partitionValues
+          val groupRow = PartitionValues.toInternalRow(pv, groupSchema)
+          val aggs = aggValues(group.map(_._2)).getOrElse(return None)
+          InternalRow.fromSeq(
+            groupSchema.fields.indices.map(i =>
+              groupRow.get(i, groupSchema.fields(i).dataType)) ++ aggs)
+        }
+      }
+    val schema = StructType(groupFields ++ specs.zipWithIndex.map {
       case (CountSpec, i) => StructField(s"count_$i", LongType, nullable = false)
       case (MinSpec(f), i) => StructField(s"min_$i", f.dataType, nullable = true)
       case (MaxSpec(f), i) => StructField(s"max_$i", f.dataType, nullable = true)
     })
-    Some((schema, values))
+    Some((schema, rows))
   }
 
   /** Exact MIN/MAX of a column across files, from stats. Outer None =
@@ -237,8 +265,8 @@ class DeltaShareScanBuilder(
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, values)) =>
-      new DeltaShareAggScan(addr, schema, values)
+    case Some((schema, rows)) =>
+      new DeltaShareAggScan(addr, schema, rows)
     case None => new DeltaShareScan(
       spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
       partitionFilters, dataFilters, limit, hadoopConf)
@@ -247,13 +275,14 @@ class DeltaShareScanBuilder(
 
 /** Completely-pushed aggregate: the answer was computed on the driver
   * from per-file stats — `LocalScan`, so Spark plans a local table
-  * scan and NO file is opened. */
+  * scan and NO file is opened. One row per group (one total row for
+  * the ungrouped form). */
 final class DeltaShareAggScan(
     addr: TableAddress,
     schema: StructType,
-    values: Seq[Any]) extends org.apache.spark.sql.connector.read.LocalScan {
-  override def rows(): Array[InternalRow] =
-    Array(InternalRow.fromSeq(values))
+    resultRows: Seq[InternalRow])
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[InternalRow] = resultRows.toArray
   override def readSchema(): StructType = schema
   override def description(): String =
     s"DeltaShareAggScan ${addr.share}.${addr.schema}.${addr.table} " +

@@ -198,4 +198,52 @@ class OperatorEdgeSpec extends AnyFunSuite {
     // grams present in BOTH docs: "x y z", "y z tail" (df = 2 = 100%)
     assert(out.length == 2 && out.forall(_.getLong(3) == 2L))
   }
+
+  test("token budget edges: zero budget selects nothing, huge selects all") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    assert(operators.Packing.tokenBudgetSelect(docs, 0L).collect().isEmpty)
+    val all = operators.Packing.tokenBudgetSelect(docs, 1000000L)
+      .orderBy("pick_rank").collect()
+    assert(all.length == 3)
+    assert(all.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    assert(all.last.getLong(4) == 9L) // total tokens
+    // a budget that lands exactly ON a prefix boundary keeps that doc
+    val total01 = all.take(2).map(_.getLong(2)).sum
+    val exact = operators.Packing.tokenBudgetSelect(docs, total01)
+      .collect()
+    assert(exact.length == 2)
+  }
+
+  test("edit-distance pairs on identical and disjoint docs") {
+    import spark.implicits._
+    val twins = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words appear in this document text"))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.editDistancePairs(twins, maxDist = 5,
+      prefixLen = 100).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getInt(2)) ==
+      ((1L, 2L, 0)))
+  }
+
+  test("int8 topk of k larger than the corpus returns what exists") {
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = operators.Similarity.int8TopK(vecs,
+      vecs.filter(col("vec_id") === 0), k = 10).collect()
+    assert(got.length == 1) // only one neighbor exists
+  }
+
+  test("pii redaction order: emails first, so IP-lookalikes inside stay") {
+    import spark.implicits._
+    // the address's digits must not be re-matched by later patterns
+    val in = Seq((1L, "x 1.2.3.4@a.example.com y")).toDF("doc_id", "text")
+    val red = in.select(operators.TextAnalysis.redactPii(col("text")))
+      .collect()(0).getString(0)
+    assert(red == "x <EMAIL> y")
+  }
 }

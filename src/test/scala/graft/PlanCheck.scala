@@ -216,6 +216,12 @@ object PlanCheck {
       "aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("share_agg_by_flag", Seq(
+      // grouped stats-only aggregate: one row per partition value,
+      // still no file opened
+      "grouped aggregate answered from stats (LocalTableScan)" ->
+        (_.contains("LocalTableScan")),
+      "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
     audit("share_stats_prune", Seq(
       // data skipping keeps the filters residual (correctness never
       // depends on pruning) while the scan plans fewer files — the

@@ -346,6 +346,64 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally st.stop()
   }
 
+  test("GROUP BY partition column aggregates from stats, one row per group") {
+    // orders partitioned by o_orderstatus, true per-file stats
+    val src = Paths.get("/root/testdata/sf0.001/orders.parquet")
+    val orders = spark.read.parquet(src.toString)
+    val st = new StubSharingServer(expectedToken = "tok").start()
+    val tmp = Files.createTempDirectory("graft-agg-group")
+    try {
+      // coalesce(1): one file per status dir, so the per-status stats
+      // registered below are exactly that file's stats
+      orders.coalesce(1).write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(tmp.toString)
+      val statsB = Map.newBuilder[String, String]
+      val files = Seq.newBuilder[(String, Long, Map[String, String])]
+      Files.list(tmp).forEach { d =>
+        val name = d.getFileName.toString
+        if (name.startsWith("o_orderstatus=")) {
+          val status = name.stripPrefix("o_orderstatus=")
+          val part = orders.filter(col("o_orderstatus") === status)
+          val r = part.agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
+            .collect()(0)
+          Files.list(d).forEach { f =>
+            if (f.getFileName.toString.endsWith(".parquet")) {
+              files += ((f.toUri.toString, Files.size(f),
+                Map("o_orderstatus" -> status)))
+              statsB += f.toUri.toString ->
+                (s"""{"numRecords":${r.getLong(0)},"minValues":{"o_orderkey":${r.getLong(1)}},""" +
+                  s""""maxValues":{"o_orderkey":${r.getLong(2)}},"nullCount":{"o_orderkey":0}}""")
+            }
+          }
+        }
+      }
+      st.tables = Map("orders_p" -> ((orders.schema.json,
+        Seq("o_orderstatus"), files.result())))
+      st.fileStats = statsB.result()
+      val agg = readFrom(st, "orders_p")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"),
+          max("o_orderkey").as("mx"))
+        .orderBy("o_orderstatus")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan"),
+        s"grouped aggregate was not answered from stats:\n$plan")
+      assert(!plan.contains("BatchScan"))
+      val got = agg.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val want = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
+        .orderBy("o_orderstatus").collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == want.toSeq)
+      // and a partition filter composes: only the matching group remains
+      val one = readFrom(st, "orders_p")
+        .filter(col("o_orderstatus") === want.head._1)
+        .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      assert(one == want.head._2)
+    } finally { st.stop() }
+  }
+
   test("aggregate pushdown refuses and falls back without full stats") {
     // the main fixture's lineitem files carry NO stats → COUNT must
     // read rows (BatchScan) and still be exact
