@@ -217,6 +217,52 @@ object ExtendedQueries {
           interp(0.9, col("lo90"), col("hi90")).as("p90"))
         .orderBy("l_returnflag")
     },
+    // robust outlier detection: per-group median + MAD (median
+    // absolute deviation) and the count of rows beyond 1.5·MAD —
+    // the outlier filter that survives skewed value distributions
+    // where mean/stddev z-scores drown. Both medians reuse q35's
+    // distributed value-histogram interpolation (shuffle bounded by
+    // the distinct-value domain, never a per-group value buffer), so
+    // every double matches DuckDB's median() bit-for-bit.
+    "q56_mad_outliers" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def groupMedian(df: DataFrame, valCol: org.apache.spark.sql.Column,
+          as: String): DataFrame = {
+        val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
+        val wAll = Window.partitionBy("l_returnflag")
+        val cum = df.groupBy(col("l_returnflag"), valCol.as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum_hi", sum("c").over(wOrd))
+          .withColumn("n", sum("c").over(wAll))
+        val rank = lit(0.5) * (col("n") - 1).cast("double")
+        cum.groupBy("l_returnflag")
+          .agg(
+            min(when(col("cum_hi") > floor(lit(0.5) * (col("n") - 1)),
+              col("v"))).as("lo"),
+            min(when(col("cum_hi") > ceil(lit(0.5) * (col("n") - 1)),
+              col("v"))).as("hi"),
+            max("n").as("nn"))
+          .select(col("l_returnflag"), {
+            val r = lit(0.5) * (col("nn") - 1).cast("double")
+            val rLo = floor(r); val rHi = ceil(r)
+            when(rLo === rHi, col("lo").cast("double"))
+              .otherwise((rHi - r) * col("lo").cast("double") +
+                (r - rLo) * col("hi").cast("double"))
+          }.as(as))
+      }
+      val li = lineitem(s, d)
+      val med = groupMedian(li, col("l_quantity"), "med")
+      val withDev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("dev", abs(col("l_quantity") - col("med")))
+      val mad = groupMedian(withDev, col("dev"), "mad")
+      withDev.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max("med").as("med"), max("mad").as("mad"),
+          sum(when(col("dev") > lit(1.5) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
     "q36_moments" -> { (s, d) =>
       // ALL-INTEGER moments in cents. The previous double formulation
       // broke at sf0.1: DuckDB's DECIMAL→DOUBLE cast double-rounds
@@ -551,6 +597,20 @@ object ExtendedQueries {
         quantile_cont(l_quantity, 0.5) AS p50,
         quantile_cont(l_quantity, 0.9) AS p90
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q56_mad_outliers" -> """
+      WITH med AS (SELECT l_returnflag, median(l_quantity) AS med
+        FROM lineitem GROUP BY 1),
+      dev AS (SELECT l.l_returnflag, m.med,
+          abs(l.l_quantity - m.med) AS dev
+        FROM lineitem l JOIN med m USING (l_returnflag)),
+      mad AS (SELECT l_returnflag, median(dev) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.l_returnflag, max(d.med) AS med, max(m.mad) AS mad,
+        coalesce(sum(CASE WHEN d.dev > 1.5 * m.mad THEN 1 ELSE 0 END), 0)::BIGINT
+          AS n_outliers,
+        count(*)::BIGINT AS n_rows
+      FROM dev d JOIN mad m USING (l_returnflag)
+      GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
     "q36_moments" -> """
       WITH m AS (
         SELECT o_orderstatus,

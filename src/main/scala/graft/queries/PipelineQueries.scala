@@ -393,6 +393,13 @@ object PipelineQueries {
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
     },
+    // LEFT OUTER stream-stream join's batch twin: every click, with
+    // its purchases or NULLs — the streaming side (watermark-driven
+    // null emission on state eviction) is proven in StreamingSpec
+    "st8_click_outer" -> { (s, d) =>
+      EventStreams.clickToPurchaseOuterBatch(events(s, d))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
     "st1_tumbling_hourly" -> { (s, d) =>
       EventStreams.tumblingCountsBatch(events(s, d))
         .orderBy("hour_start", "event_type")
@@ -1311,6 +1318,19 @@ object PipelineQueries {
         FROM events WHERE event_type = 'purchase')
       SELECT c_user AS user_id, click_id, purchase_id, value
       FROM c JOIN p ON c_user = p_user
+        AND p_us >= c_us AND p_us <= c_us + 1800000000
+      ORDER BY user_id, click_id, purchase_id""",
+    "st8_click_outer" -> """
+      WITH c AS (SELECT user_id AS c_user,
+          epoch_us(date_trunc('microseconds', ts)) AS c_us,
+          event_id AS click_id
+        FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS p_user,
+          epoch_us(date_trunc('microseconds', ts)) AS p_us,
+          event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT c_user AS user_id, click_id, purchase_id, value
+      FROM c LEFT JOIN p ON c_user = p_user
         AND p_us >= c_us AND p_us <= c_us + 1800000000
       ORDER BY user_id, click_id, purchase_id""",
     "st1_tumbling_hourly" -> """

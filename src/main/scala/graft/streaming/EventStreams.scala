@@ -109,21 +109,8 @@ object EventStreams {
     * same user within the following 30 minutes. Watermarks on both
     * sides + the time-range condition bound the join state (clicks
     * older than watermark+30min are evicted). */
-  def clickToPurchase(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-      .withWatermark("p_ts", "1 hour")
-    clicks.join(purchases,
-      expr("""c_user = p_user AND
-              p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""))
-      .select(col("c_user").as("user_id"), col("click_id"),
-        col("purchase_id"), col("value"))
-  }
+  def clickToPurchase(events: DataFrame): DataFrame =
+    joinClicksPurchases(events, "inner")
 
   /** Batch twin of [[clickToPurchase]]. */
   def clickToPurchaseBatch(events: DataFrame): DataFrame = {
@@ -136,6 +123,50 @@ object EventStreams {
     clicks.join(purchases,
       expr("""c_user = p_user AND
               p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join — the conversion-funnel
+    * readout: every click emits, joined to its purchases as they
+    * arrive, and NULL-extended once the watermark passes the click's
+    * 30-minute window with no match (the state-eviction emission only
+    * OUTER stream joins exercise — an unmatched click is provably
+    * unmatched only when the watermark says no qualifying purchase
+    * can still arrive). Same state bounds as [[clickToPurchase]]. */
+  def clickToPurchaseOuter(events: DataFrame): DataFrame =
+    joinClicksPurchases(events, "left_outer")
+
+  /** Batch twin of [[clickToPurchaseOuter]]. */
+  def clickToPurchaseOuterBatch(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
+  private def joinClicksPurchases(events: DataFrame,
+      joinType: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"""),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("value"))
   }

@@ -216,6 +216,20 @@ object PlanCheck {
       "aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("q56_mad_outliers", Seq(
+      // both medians are value-histogram aggregations; the 3-row
+      // median/MAD frames broadcast back to the corpus scans
+      "median frames broadcast to the corpus" ->
+        (_.contains("BroadcastHashJoin")),
+      "histogram partially aggregated before the exchange" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("st8_click_outer", Seq(
+      // the batch twin of the outer stream join: a real equi-join on
+      // user with the interval as a post-condition, never a cartesian
+      "join is equi on user, not cartesian" ->
+        (p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"))))
     audit("share_agg_by_flag", Seq(
       // grouped stats-only aggregate: one row per partition value,
       // still no file opened

@@ -194,6 +194,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0, "fixture produced no click→purchase pairs")
   }
 
+  test("outer stream-stream join emits unmatched clicks after watermark") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.clickToPurchaseOuter(
+      EventStreams.eventsStream(spark, sf))
+    runToMemory(stream, "ssoj_out", "append")
+    val streamed = spark.table("ssoj_out")
+    val batch = EventStreams.clickToPurchaseOuterBatch(Tables.events(spark, sf))
+    // matched rows are exactly the inner join — identical to batch
+    assert(asSet(streamed.filter(col("purchase_id").isNotNull)) ==
+      asSet(batch.filter(col("purchase_id").isNotNull)))
+    // null rows: the stream may only emit a subset (clicks near the
+    // end of input are never provably unmatched — the watermark stops
+    // advancing), but every click older than max_ts - watermark -
+    // window IS provably unmatched and must have been evicted+emitted
+    val streamedNull = asSet(streamed.filter(col("purchase_id").isNull))
+    val batchNull = asSet(batch.filter(col("purchase_id").isNull))
+    assert(streamedNull.subsetOf(batchNull))
+    val ev = Tables.events(spark, sf)
+    // the GLOBAL watermark is the MIN across both inputs' event-time
+    // watermarks — the last CLICK (not the last event) bounds what the
+    // engine can prove unmatched, so derive the cutoff from the
+    // smaller side's max; 10-minute margin for trigger granularity
+    val maxClick = ev.filter(col("event_type") === "click")
+      .agg(max("ts")).collect()(0).getTimestamp(0)
+    val maxPurchase = ev.filter(col("event_type") === "purchase")
+      .agg(max("ts")).collect()(0).getTimestamp(0)
+    val watermarkBase = math.min(maxClick.getTime, maxPurchase.getTime)
+    val cutoff = new java.sql.Timestamp(
+      watermarkBase - (60 + 30 + 10) * 60 * 1000L)
+    val guaranteed = asSet(
+      batch.filter(col("purchase_id").isNull)
+        .join(ev.filter(col("event_type") === "click")
+          .filter(col("ts") < lit(cutoff))
+          .select(col("event_id").as("click_id")), "click_id")
+        .select("user_id", "click_id", "purchase_id", "value"))
+    assert(guaranteed.nonEmpty, "fixture has no early unmatched clicks")
+    assert(guaranteed.subsetOf(streamedNull),
+      s"${guaranteed.size} provably-unmatched clicks, " +
+        s"${(guaranteed -- streamedNull).size} never emitted")
+  }
+
   test("watermark drops late data in append mode") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
