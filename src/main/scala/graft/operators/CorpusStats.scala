@@ -23,6 +23,47 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
+  /** Corpus-bigram-LM predictability score per document — the CCNet
+    * pattern (Wenzek et al. 2020 filter corpora by LM perplexity
+    * buckets), with the LM being the corpus's own bigram statistics
+    * and the score an INTEGER perplexity surrogate: per bigram
+    * occurrence, the conditional-probability estimate
+    * `count(w1 w2) * 1000 div count(w1)`; per document, the mean of
+    * those per-milles. High = predictable/boilerplate-like text, low =
+    * rare constructions — the tails are what quality filters cut. A
+    * true perplexity needs `log`, whose last-ulp varies across libm
+    * implementations; the integer mean keeps the ranking signal and
+    * the cross-engine hash (same trade as the TF-IDF and PMI
+    * surrogates).
+    *
+    * Scale shape: bigram/unigram count tables are vocabulary-sized
+    * hash aggregations (map-side combinable); occurrences join them on
+    * the gram fingerprint — narrow (id, fp) rows, no text and no
+    * vectors on any exchange; the per-doc rollup is one more
+    * map-side-combinable aggregation. Three shuffles total, all
+    * bounded by occurrence/vocabulary counts. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    // (doc_id, bigram fp, first-token fp) per bigram occurrence — the
+    // first token of the bigram at position i is unigram i
+    val occ = docs.select(col("doc_id"),
+      explode(zip_with(
+        gram_fps(col("text"), 2),
+        slice(gram_fps(col("text"), 1), lit(1),
+          size(gram_fps(col("text"), 2))),
+        (b, u) => struct(b.as("g2"), u.as("g1")))).as("z"))
+      .select(col("doc_id"), col("z.g2").as("g2"), col("z.g1").as("g1"))
+      .localCheckpoint(eager = false) // consumed by both count joins
+    val c2 = occ.groupBy("g2").agg(count(lit(1)).as("c2"))
+    val c1 = occ.select(col("doc_id"), col("g1"))
+      .groupBy("g1").agg(count(lit(1)).as("c1"))
+    occ.join(c2, "g2").join(c1, "g1")
+      .withColumn("s", expr("(c2 * 1000) div c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(s) div count(1)").as("lm_score_pm"))
+  }
+
   /** Top-`topN` word pairs by the integer PMI surrogate, among pairs
     * co-occurring in at least `minPairDocs` documents. All counts are
     * document frequencies (distinct words per document). */

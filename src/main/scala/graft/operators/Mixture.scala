@@ -131,4 +131,33 @@ object Mixture {
         % lit(mil) < col("rate_mil"))
       .select(col("doc_id"), col(groupCol), col("rate_mil"))
   }
+
+  /** Temperature-flattened mixture (the multilingual-LM sampling rule:
+    * sample groups ∝ share^α, α < 1, so dominant groups shrink and the
+    * tail keeps more of its share than [[rebalanceUniform]]'s hard
+    * cap). α is FIXED at 1/2 — the keep rate becomes
+    * `(n_min / n_g)^(1/2)`, i.e. one `sqrt`, which IEEE requires to be
+    * correctly rounded in every engine (a general `pow(x, α)` is
+    * last-ulp engine-dependent and would break the oracle hash).
+    * Expected group size is then `sqrt(n_min · n_g)` — the geometric
+    * mean of the group and the smallest group. No group upsamples
+    * (rate ≤ 1; the smallest group keeps everything).
+    *
+    * Same scale shape as [[rebalanceUniform]]: vocabulary-sized
+    * histogram broadcast back, map-side hash-coin filter, one corpus
+    * scan, no corpus shuffle. */
+  def rebalanceSqrt(docs: DataFrame, groupCol: String = "lang",
+      mil: Long = 1000L): DataFrame = {
+    val stats = docs.groupBy(groupCol).agg(count(lit(1)).as("n_grp"))
+    val totals = stats.agg(min("n_grp").as("n_min"))
+    docs.join(broadcast(stats), Seq(groupCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("rate_mil",
+        floor(lit(mil.toDouble) *
+          sqrt(col("n_min").cast("double") / col("n_grp").cast("double")))
+          .cast("long"))
+      .filter(TextAnalysis.fingerprint(col("doc_id").cast("string"))
+        % lit(mil) < col("rate_mil"))
+      .select(col("doc_id"), col(groupCol), col("rate_mil"))
+  }
 }

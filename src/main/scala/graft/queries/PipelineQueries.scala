@@ -176,6 +176,18 @@ object PipelineQueries {
     "mx1_mixture_rebalance" -> { (s, d) =>
       Mixture.rebalanceUniform(documents(s, d)).orderBy("doc_id")
     },
+    // temperature-flattened mixture (α=1/2 — sqrt keeps the rate
+    // IEEE-exact cross-engine): dominant langs shrink toward the
+    // geometric mean of their size and the smallest lang's
+    "mx5_mixture_sqrt" -> { (s, d) =>
+      Mixture.rebalanceSqrt(documents(s, d)).orderBy("doc_id")
+    },
+    // corpus-bigram-LM predictability score (integer perplexity
+    // surrogate): mean per-mille conditional estimate over each doc's
+    // bigram occurrences — CCNet-style quality signal
+    "t14_lm_score" -> { (s, d) =>
+      CorpusStats.lmScore(documents(s, d)).orderBy("doc_id")
+    },
     "mx2_split_assign" -> { (s, d) =>
       Mixture.splitAssign(documents(s, d)).orderBy("doc_id")
     },
@@ -724,6 +736,31 @@ object PipelineQueries {
       WHERE ${sqlFp("d.doc_id::VARCHAR")} % 1000 <
         least(1000, (t.total * 1000) // (t.n_grps * s.n_grp))
       ORDER BY d.doc_id""",
+    "mx5_mixture_sqrt" -> s"""
+      WITH s AS (SELECT lang, count(*) AS n_grp FROM documents GROUP BY lang),
+      t AS (SELECT min(n_grp)::BIGINT AS n_min FROM s),
+      r AS (SELECT s.lang, floor(1000.0 *
+          sqrt(t.n_min::DOUBLE / s.n_grp::DOUBLE))::BIGINT AS rate_mil
+        FROM s CROSS JOIN t)
+      SELECT d.doc_id, d.lang, r.rate_mil
+      FROM documents d JOIN r USING (lang)
+      WHERE ${sqlFp("d.doc_id::VARCHAR")} % 1000 < r.rate_mil
+      ORDER BY d.doc_id""",
+    "t14_lm_score" -> s"""
+      WITH g AS (SELECT doc_id, ${sqlGrams(toks, 2)} AS g2s,
+          ${sqlGrams(toks, 1)} AS g1s FROM documents),
+      -- first token of bigram i = unigram i, so zip the bigram list
+      -- with the unigram list truncated to the same length
+      o AS (SELECT doc_id, z0[1] AS g2, z0[2] AS g1
+        FROM (SELECT doc_id,
+          unnest(list_zip(g2s, g1s[1:len(g2s)])) AS z0 FROM g)),
+      c2 AS (SELECT g2, count(*) AS c2 FROM o GROUP BY g2),
+      c1 AS (SELECT g1, count(*) AS c1 FROM o GROUP BY g1),
+      sc AS (SELECT o.doc_id, (c2.c2 * 1000) // c1.c1 AS s
+        FROM o JOIN c2 USING (g2) JOIN c1 USING (g1))
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        (sum(s) // count(*))::BIGINT AS lm_score_pm
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "dd9_dedup_incremental" -> s"""
       WITH ${sqlMinhashCtesCond(
         "a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")}

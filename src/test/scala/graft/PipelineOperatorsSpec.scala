@@ -757,6 +757,44 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(red == "mail me at <EMAIL> or box <IP> call <PHONE>")
   }
 
+  test("sqrt mixture flattens toward the geometric mean, never upsamples") {
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = byLang.values.min
+    val out = Mixture.rebalanceSqrt(docs).collect()
+    val rates = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    rates.foreach { case (lang, rate) =>
+      assert(rate == math.floor(
+        1000.0 * math.sqrt(nMin.toDouble / byLang(lang).toDouble)).toLong)
+      assert(rate <= 1000L)
+    }
+    // the smallest group keeps (almost) everything: rate for n_min is
+    // exactly 1000 only when sqrt rounds to 1 — with n_g = n_min it is
+    assert(rates(byLang.minBy(_._2)._1) == 1000L)
+    // flattening, not capping: for groups ABOVE fair share (the ones
+    // uniform rebalance cuts hardest) the sqrt rule keeps MORE —
+    // below-fair-share groups it keeps less than "everything", which
+    // is the temperature trade
+    val total = byLang.values.sum
+    byLang.foreach { case (lang, n) =>
+      val uniform = total * 1000L / (byLang.size * n)
+      if (uniform < 1000L)
+        assert(rates(lang) >= uniform - 1,
+          s"$lang sqrt=${rates(lang)} uniform=$uniform")
+    }
+  }
+
+  test("lm score is the exact mean conditional per-mille on a hand fixture") {
+    import spark.implicits._
+    // doc1 bigrams: (a b)(b a)(a b); doc2: (a b)(b c)
+    // c2: ab=3, ba=1, bc=1; c1 (bigram-first): a=3, b=2
+    // doc1: (1000 + 500 + 1000) div 3 = 833; doc2: (1000+500) div 2 = 750
+    val in = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = CorpusStats.lmScore(in).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 833L), (2L, 2L, 750L)))
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =

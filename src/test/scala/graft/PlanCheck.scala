@@ -216,6 +216,19 @@ object PlanCheck {
       "aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("mx5_mixture_sqrt", Seq(
+      "group histogram broadcast back to the corpus" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian beyond the 1-row totals broadcast" ->
+        (p => !p.contains("CartesianProduct"))))
+    audit("t14_lm_score", Seq(
+      // count tables join on the gram fp — narrow keys, map-side
+      // combinable aggregations, text never on an exchange
+      "count aggregations partially aggregated" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "gram expansion stays in codegen (no UDF)" -> (p =>
+        !p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))))
     audit("q56_mad_outliers", Seq(
       // both medians are value-histogram aggregations; the 3-row
       // median/MAD frames broadcast back to the corpus scans
