@@ -49,6 +49,34 @@ object Layout {
     * the per-bucket ranges stop being trustworthy exactly then, so
     * the failure mode is reported in-band instead of silently
     * widening a_min/a_max. */
+  /** Compaction plan for the small-files problem: within each
+    * `partCol` value, walk rows in `ordCol` order, accumulate
+    * `sizeCol` bytes, and open a new output file every `targetBytes`
+    * — the bin-packing that turns millions of tiny crawl shards into
+    * target-sized files (the #1 operational fix on big tables: scan
+    * cost is per-file overhead × file count until files reach
+    * hundreds of MB). Emits the per-bin summary
+    * `(part, bin, n_docs, bytes)` a rewrite job consumes as its
+    * work-list (one task per bin → `write.option("maxRecordsPerFile")`
+    * or per-bin repartition).
+    *
+    * Scale shape: ONE hash shuffle on the partition column, then a
+    * per-partition ordered cumulative sum (windows parallel across
+    * partitions) and a map-side-combinable (part, bin) rollup —
+    * integer math, no global sort, no driver state. */
+  def compactionBins(df: DataFrame, partCol: String, ordCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("part").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(partCol).as("part"), col(ordCol).as("ord"),
+        col(sizeCol).cast("long").as("bytes"))
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin", expr(s"(cum - bytes) div $targetBytes"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("bytes").as("bytes"))
+  }
+
   def zorderStats(df: DataFrame, aCol: String, bCol: String,
       bits: Int = 16, bucketShift: Int = 14): DataFrame = {
     val bound = 1L << bits

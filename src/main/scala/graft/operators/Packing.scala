@@ -48,6 +48,38 @@ object Packing {
           .as("n_packs"))
   }
 
+  /** Shard audit of [[packManifest]] — the inverse view: per OUTPUT
+    * sequence, how many documents contribute and how many tokens land
+    * in it. Proves the manifest is a true partition of the token
+    * stream: every sequence must hold exactly `seqLen` tokens except
+    * the last of each bucket (the ragged tail). The trainer-side
+    * loader runs exactly this arithmetic to slice documents into
+    * sequences, so a green audit means manifest and loader agree.
+    *
+    * A document spanning packs `p..p+k` contributes
+    * `min(cum, (p+1)·L) − max(cum − n, p·L)` tokens to pack `p` —
+    * pure integer interval intersection. Scale shape: the manifest's
+    * per-bucket window (from packManifest) plus one explode of each
+    * doc's touched-pack range (≤ n_tokens/L + 1 rows per doc) and one
+    * (bucket, pack) hash aggregation — map-side combinable, no new
+    * global sort. */
+  def packShardAudit(docs: DataFrame, seqLen: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    val m = packManifest(docs, seqLen, buckets)
+      .withColumn("cum",
+        expr(s"pack_id * $seqLen + tok_off + n_tokens"))
+      .filter(col("n_tokens") > 0)
+    m.select(col("bucket"), col("n_tokens"), col("cum"),
+        explode(sequence(col("pack_id"),
+          col("pack_id") + col("n_packs") - 1)).as("pack"))
+      .withColumn("contrib",
+        least(col("cum"), (col("pack") + 1) * seqLen) -
+          greatest(col("cum") - col("n_tokens"), col("pack") * lit(seqLen.toLong)))
+      .groupBy("bucket", "pack")
+      .agg(count(lit(1)).as("n_docs"), sum("contrib").as("n_toks"))
+      .withColumn("is_full", col("n_toks") === seqLen)
+  }
+
   /** Token-budget selection: rank the corpus by quality (best first,
     * doc_id tie-break) and keep the longest prefix whose cumulative
     * token count fits `budget` — the "fill the training run with the

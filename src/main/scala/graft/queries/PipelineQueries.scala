@@ -226,6 +226,20 @@ object PipelineQueries {
       Packing.packManifest(documents(s, d), seqLen = 512, buckets = 32)
         .orderBy("doc_id")
     },
+    // shard audit: per output sequence, contributing docs + token
+    // total — every pack must be exactly full except each bucket's
+    // ragged tail (manifest ↔ loader agreement proof)
+    "tp5_shard_audit" -> { (s, d) =>
+      Packing.packShardAudit(documents(s, d), seqLen = 512, buckets = 32)
+        .orderBy("bucket", "pack")
+    },
+    // small-files compaction plan: per-source doc_id-ordered byte
+    // bins at 4 KB target (sized so the toy SFs produce several bins) — the rewrite work-list
+    "q57_compaction_bins" -> { (s, d) =>
+      Layout.compactionBins(documents(s, d), "source", "doc_id",
+        "n_chars", targetBytes = 4096L)
+        .orderBy("part", "bin")
+    },
     // fill a 12k-token training budget with the best-quality docs:
     // histogram-refined cumulative sum (no global single-reducer
     // window), selection identical to the naive global-order answer
@@ -795,6 +809,36 @@ object PipelineQueries {
         CASE WHEN n_tokens = 0 THEN 0
           ELSE (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 END AS n_packs
       FROM c ORDER BY doc_id""",
+    "tp5_shard_audit" -> s"""
+      WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+        ${sqlFp("doc_id::VARCHAR")} % 32 AS bucket FROM documents),
+      c AS (SELECT doc_id, n_tokens, bucket,
+        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM d
+        ),
+      m AS (SELECT bucket, n_tokens, cum,
+        (cum - n_tokens) // 512 AS pack_id,
+        (cum - 1) // 512 AS pack_last FROM c WHERE n_tokens > 0),
+      x AS (SELECT bucket, n_tokens, cum,
+        unnest(range(pack_id, pack_last + 1)) AS pack FROM m),
+      contrib AS (SELECT bucket, pack,
+        least(cum, (pack + 1) * 512) -
+          greatest(cum - n_tokens, pack * 512) AS contrib FROM x)
+      SELECT bucket, pack, count(*)::BIGINT AS n_docs,
+        sum(contrib)::BIGINT AS n_toks,
+        sum(contrib) = 512 AS is_full
+      FROM contrib GROUP BY bucket, pack
+      ORDER BY bucket, pack""",
+    "q57_compaction_bins" -> """
+      WITH c AS (SELECT source AS part, doc_id AS ord,
+        n_chars::BIGINT AS bytes,
+        sum(n_chars::BIGINT) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        FROM documents)
+      SELECT part, (cum - bytes) // 4096 AS bin,
+        count(*)::BIGINT AS n_docs, sum(bytes)::BIGINT AS bytes
+      FROM c GROUP BY part, (cum - bytes) // 4096
+      ORDER BY part, bin""",
     // naive global-window twin of the histogram-refined Spark plan —
     // same selection by construction (monotone cumsum, total order)
     "tp4_token_budget" -> s"""

@@ -795,6 +795,49 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 833L), (2L, 2L, 750L)))
   }
 
+  test("shard audit: every pack full except each bucket's ragged tail") {
+    val audit = operators.Packing.packShardAudit(docs, seqLen = 512,
+      buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastPack = audit.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    audit.foreach { case (bucket, pack, _, nToks) =>
+      if (pack < lastPack(bucket))
+        assert(nToks == 512L, s"bucket $bucket pack $pack has $nToks")
+      else assert(nToks <= 512L)
+    }
+    // the audit partitions the token stream exactly
+    val total = docs.select(
+      sum(TextAnalysis.tokenCount(col("text")))).collect()(0).getLong(0)
+    assert(audit.map(_._4).sum == total)
+    // packs are contiguous from 0 within each bucket
+    audit.groupBy(_._1).foreach { case (_, rows) =>
+      val packs = rows.map(_._2).sorted
+      assert(packs.toSeq == (0L to packs.max).toSeq)
+    }
+  }
+
+  test("compaction bins are contiguous, exact, and boundary-crossing") {
+    val target = 1000L
+    val bins = operators.Layout.compactionBins(docs, "source", "doc_id",
+      "n_chars", target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = docs.agg(sum(col("n_chars").cast("long")))
+      .collect()(0).getLong(0)
+    assert(bins.map(_._4).sum == total)
+    bins.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // contiguous bin ids from 0
+      assert(sorted.map(_._2).toSeq == (0L until rows.length).toSeq)
+      // every non-last bin's cumulative end crossed its boundary (the
+      // bin closed because the target was reached, not arbitrarily)
+      var cum = 0L
+      sorted.dropRight(1).foreach { case (_, bin, _, bytes) =>
+        cum += bytes
+        assert(cum >= (bin + 1) * target)
+      }
+    }
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =

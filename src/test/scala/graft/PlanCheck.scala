@@ -216,6 +216,21 @@ object PlanCheck {
       "aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("tp5_shard_audit", Seq(
+      // same bucket-parallel shape as tp1: the window exchange hashes
+      // on the bucket key; the rollup partially aggregates
+      "window partitioned by bucket" ->
+        (_.contains("hashpartitioning(bucket")),
+      "rollup partially aggregated" -> (_.contains("partial_")),
+      "no global sort beyond the output orderBy" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("q57_compaction_bins", Seq(
+      // per-source windows parallel across sources — never a single
+      // global sort of the corpus
+      "window partitioned by the table partition key" ->
+        (_.contains("hashpartitioning(part")),
+      "rollup partially aggregated" -> (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("mx5_mixture_sqrt", Seq(
       "group histogram broadcast back to the corpus" ->
         (_.contains("BroadcastHashJoin")),
