@@ -276,6 +276,43 @@ object Dedup {
     verifyPairs(candidates, "new_id", dsN, "index_id", dsI, pct)
   }
 
+  /** Quality-aware survivor selection over duplicate clusters — the
+    * policy layer above [[resolveClusters]]: instead of the arbitrary
+    * "keep the min id", keep each cluster's BEST copy by
+    * [[TextAnalysis.qualityScore]] (near-dup copies differ — the one
+    * with boilerplate stripped, better punctuation balance, fuller
+    * text is worth keeping). Ties break on doc_id, so the choice is
+    * total-ordered and reproducible. Unpaired documents keep
+    * themselves.
+    *
+    * Output: one row per document — its cluster, whether IT is the
+    * survivor, and the cluster's surviving doc — the manifest a
+    * delete/rewrite job consumes.
+    *
+    * Scale shape: clusters exist only for PAIRED docs (near-dup-sized
+    * frame, broadcast at sane dup rates); the survivor argmax is one
+    * map-side-combinable `max_by` per cluster over (quality, -id);
+    * the corpus pass is a left join + per-row compare — quality is
+    * computed per-row in the same scan, never shuffled. */
+  def keepBestPerCluster(docs: DataFrame, k: Int = 3,
+      pct: Int = 80): DataFrame = {
+    val clusters = resolveClusters(minhashPairs(docs, k = k, pct = pct))
+      .select(col("doc_id"), col("cluster_id"))
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(eager = false) // survivor agg + final join
+    // argmax by (quality, then LOWER id): max_by over (quality, -id)
+    val best = scored.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), -col("doc_id"))).as("keep_id"))
+    scored.join(broadcast(best), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("keep"), col("quality"))
+  }
+
   /** Edit-distance-verified near-dup pairs: MinHash band-key
     * collisions propose candidates (same banding as [[minhashPairs]]
     * — one narrow shuffle per band, never all-pairs), then the exact

@@ -346,6 +346,11 @@ object PipelineQueries {
         threshold = 0.4, nBits = 6, tables = 3)
         .orderBy("new_id", "index_id")
     },
+    // survivor POLICY over dd8's clusters: keep each cluster's
+    // best-quality copy (tie → lower id), not the arbitrary min id
+    "dd14_dedup_keep_best" -> { (s, d) =>
+      Dedup.keepBestPerCluster(documents(s, d)).orderBy("doc_id")
+    },
     // transitive duplicate groups over the MinHash pair stream:
     // min-label propagation (see Dedup.resolveClusters) — the step a
     // pair-at-a-time drop rule gets wrong on chains a–b–c
@@ -1137,6 +1142,36 @@ object PipelineQueries {
         FROM reach GROUP BY src)
       SELECT id AS doc_id, cluster_id, (id = cluster_id) AS keep
       FROM labels ORDER BY doc_id""",
+    "dd14_dedup_keep_best" -> s"""
+      WITH RECURSIVE $sqlMinhashCtes,
+      pairs AS (SELECT a_id, b_id FROM verified
+        WHERE common * 100 >= union_size * 80),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      q AS (SELECT doc_id,
+        (len(list_intersect($toks, ['the','a','of','and','to','in','is']))::DOUBLE
+            / len($toks)::DOUBLE)
+          - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+            / length(text)::DOUBLE)
+          + least(len($toks)::DOUBLE / 100.0, 1.0) AS quality
+        FROM documents),
+      cl AS (SELECT q.doc_id, q.quality,
+          coalesce(l.cluster_id, q.doc_id) AS cluster_id
+        FROM q LEFT JOIN labels l ON l.id = q.doc_id),
+      best AS (SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cluster_id, doc_id, row_number() OVER (
+          PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+        FROM cl) WHERE rn = 1)
+      SELECT c.doc_id, c.cluster_id, b.keep_id,
+        c.doc_id = b.keep_id AS keep, c.quality
+      FROM cl c JOIN best b USING (cluster_id)
+      ORDER BY c.doc_id""",
     "q49_quota_sample" -> s"""
       WITH h AS (SELECT doc_id, lang,
         ${sqlFp("doc_id::VARCHAR")} AS h FROM documents),

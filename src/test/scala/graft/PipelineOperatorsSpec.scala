@@ -838,6 +838,25 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best survivor is the cluster's quality argmax, ties to low id") {
+    val rows = Dedup.keepBestPerCluster(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(rows.length == docs.count())
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, "exactly one survivor per cluster")
+      val best = members.maxBy(m => (m._5, -m._1))
+      assert(keepers.head._1 == best._1)
+      // the keep_id column agrees for every member
+      assert(members.forall(_._3 == best._1))
+    }
+    // the policy must actually differ from min-id somewhere on this
+    // fixture (otherwise the test exercises nothing)
+    assert(rows.exists(r => r._4 && r._3 != r._2),
+      "no cluster picked a non-min-id survivor")
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =

@@ -216,6 +216,13 @@ object PlanCheck {
       "aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("dd14_dedup_keep_best", Seq(
+      // the survivor argmax is a map-side-combinable max_by; the
+      // cluster map and best frames ride broadcasts, quality never
+      // shuffles with the corpus
+      "cluster/best frames broadcast" -> (_.contains("BroadcastHashJoin")),
+      "survivor argmax partially aggregated" -> (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("tp5_shard_audit", Seq(
       // same bucket-parallel shape as tp1: the window exchange hashes
       // on the bucket key; the rollup partially aggregates
