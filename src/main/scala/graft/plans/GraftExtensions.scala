@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", name)
 
+    // the k/dim parameters are STRUCTURAL (they size the generated
+    // code), so SQL callers must pass integer literals — a column
+    // argument has no single value at plan time
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an INTEGER LITERAL, got $other")
+    }
+
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "rolling polynomial hash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
@@ -39,5 +48,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "fixed-order float-array dot product"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("trigram_lang_id"),
+      info("trigram_lang_id", "character-trigram language id"),
+      (exprs: Seq[Expression]) => TrigramLangId(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("shingle_fps"),
+      info("shingle_fps", "distinct word-k-shingle fingerprints"),
+      (exprs: Seq[Expression]) =>
+        ShingleFps(exprs.head, intLit(exprs(1), "shingle_fps k"))))
+    ext.injectFunction((FunctionIdentifier("gram_fps"),
+      info("gram_fps", "word-k-gram fingerprints, multiplicity kept"),
+      (exprs: Seq[Expression]) =>
+        GramFps(exprs.head, intLit(exprs(1), "gram_fps k"))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash signature over shingle fps"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs.head, intLit(exprs(1), "minhash_sig n"))))
+    ext.injectFunction((FunctionIdentifier("hashed_bow"),
+      info("hashed_bow", "feature-hashed bag-of-words counts"),
+      (exprs: Seq[Expression]) =>
+        HashedBow(exprs.head, intLit(exprs(1), "hashed_bow dim"))))
   }
 }

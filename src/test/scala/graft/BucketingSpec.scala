@@ -96,4 +96,22 @@ class BucketingSpec extends AnyFunSuite
     assert(r.getLong(1) != 0L)
     assert(r.getDouble(2) == 11.0)
   }
+
+  test("parameterized SQL functions take k as a literal, reject columns") {
+    val r = spark.sql(
+      "SELECT size(shingle_fps('a b c d', 3)) AS n_sh," +
+        " size(gram_fps('a b c d', 2)) AS n_g," +
+        " size(minhash_sig(shingle_fps('a b c d', 3), 16)) AS n_sig," +
+        " size(hashed_bow('a b a', 8)) AS n_bow").collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3)
+    assert(r.getInt(2) == 16 && r.getInt(3) == 8)
+    // the size parameters shape generated code — a column there has no
+    // plan-time value and must fail loudly, not silently misplan
+    val e = intercept[Exception] {
+      spark.sql("SELECT gram_fps(t, n) FROM (SELECT 'a b' AS t, 2 AS n)")
+        .collect()
+    }
+    assert(e.getMessage.contains("INTEGER LITERAL"),
+      s"unexpected: ${e.getMessage}")
+  }
 }
