@@ -45,12 +45,19 @@ object CorpusStats {
   def lmScore(docs: DataFrame): DataFrame = {
     import graft.functions.hashFunctions.gram_fps
     // (doc_id, bigram fp, first-token fp) per bigram occurrence — the
-    // first token of the bigram at position i is unigram i
-    val occ = docs.select(col("doc_id"),
+    // first token of the bigram at position i is unigram i. The gram
+    // arrays are STAGED into their own projection first: Catalyst does
+    // not CSE across higher-order functions, so referencing
+    // gram_fps(text, 2) twice in one select would run the full
+    // tokenize+fingerprint pass twice per row (the quantizedFrame
+    // lesson).
+    val staged = docs.select(col("doc_id"),
+      gram_fps(col("text"), 2).as("g2s"),
+      gram_fps(col("text"), 1).as("g1s"))
+    val occ = staged.select(col("doc_id"),
       explode(zip_with(
-        gram_fps(col("text"), 2),
-        slice(gram_fps(col("text"), 1), lit(1),
-          size(gram_fps(col("text"), 2))),
+        col("g2s"),
+        slice(col("g1s"), lit(1), size(col("g2s"))),
         (b, u) => struct(b.as("g2"), u.as("g1")))).as("z"))
       .select(col("doc_id"), col("z.g2").as("g2"), col("z.g1").as("g1"))
       .localCheckpoint(eager = false) // consumed by both count joins

@@ -238,16 +238,25 @@ object Dedup {
     * arrays (a document's full shingle set riding `bands` exchanges
     * would dominate shuffle volume at corpus scale); the arrays are
     * joined in only for the deduplicated candidate pairs. */
-  def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, pct: Int = 80): DataFrame = {
-    val ds = docShingles(docs, k)
+  /** Deduplicated within-corpus band-collision candidate pairs
+    * `(a_id, b_id)`, a_id < b_id — shared by every banded detector
+    * ([[minhashPairs]], [[editDistancePairs]]) so the collision join
+    * (and any future skew treatment of it) exists exactly once. */
+  private def bandCandidates(ds: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val banded = bandKeys(ds, numHashes, bands)
-    val candidates = banded.toDF("a_id", "band", "key")
+    banded.toDF("a_id", "band", "key")
       .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    verifyPairs(candidates, "a_id", ds, "b_id", ds, pct)
+  }
+
+  def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, pct: Int = 80): DataFrame = {
+    val ds = docShingles(docs, k)
+    verifyPairs(bandCandidates(ds, numHashes, bands), "a_id", ds,
+      "b_id", ds, pct)
   }
 
   /** Incremental MinHash dedup: near-dup pairs BETWEEN an incoming
@@ -340,12 +349,7 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, maxDist: Int = 8,
       prefixLen: Int = 160, k: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val banded = bandKeys(docShingles(docs, k), numHashes, bands)
-    val candidates = banded.toDF("a_id", "band", "key")
-      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
+    val candidates = bandCandidates(docShingles(docs, k), numHashes, bands)
     // prefixes ride the candidate joins only — the corpus text never
     // crosses the band shuffles
     val pre = docs.select(col("doc_id"),

@@ -48,6 +48,30 @@ object ExtendedQueries {
       FROM m LEFT JOIN rev ON rev.idx = m.idx
       ORDER BY yr, mon"""
 
+  /** Shared value-histogram quantile machinery (q35, q56): over a
+    * cumulative frame with columns `v` (value), `cum_hi` (running
+    * count through v) and `n` (group total), [[Hist.lo]]/[[Hist.hi]]
+    * aggregate the values at the floor/ceil of the fractional rank
+    * `p·(n−1)`, and [[Hist.interp]] applies the quantile_cont /
+    * Spark-percentile interpolation `(⌈r⌉−r)·lo + (r−⌊r⌋)·hi`. The
+    * arithmetic is bit-exact against DuckDB and load-bearing for the
+    * oracle hash — it exists exactly once. */
+  private object Hist {
+    import org.apache.spark.sql.Column
+    def lo(p: Double): Column =
+      min(when(col("cum_hi") > floor(lit(p) * (col("n") - 1)), col("v")))
+    def hi(p: Double): Column =
+      min(when(col("cum_hi") > ceil(lit(p) * (col("n") - 1)), col("v")))
+    def interp(p: Double, l: Column, h: Column, n: Column): Column = {
+      val rank = lit(p) * (n - 1).cast("double")
+      val rLo = floor(rank)
+      val rHi = ceil(rank)
+      when(rLo === rHi, l.cast("double"))
+        .otherwise((rHi - rank) * l.cast("double") +
+          (rank - rLo) * h.cast("double"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Spark executes the recursive CTE natively (UnionLoop); the
     // oracle runs the very same SQL text
@@ -189,32 +213,16 @@ object ExtendedQueries {
         .withColumn("n", sum("c").over(wAll))
       // value at 0-based index i = min v whose cumulative count
       // exceeds i; percentile needs the values at floor and ceil of
-      // the fractional rank
-      def lo(p: Double) =
-        min(when(col("cum_hi") > floor(lit(p) * (col("n") - 1)), col("v")))
-      def hi(p: Double) =
-        min(when(col("cum_hi") > ceil(lit(p) * (col("n") - 1)), col("v")))
-      def interp(p: Double, l: org.apache.spark.sql.Column,
-          h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val rank = lit(p) * (col("n") - 1).cast("double")
-        val rLo = floor(rank)
-        val rHi = ceil(rank)
-        // Spark Percentile / DuckDB quantile_cont interpolation:
-        // (higher-rank)*loVal + (rank-lower)*hiVal, lower value when
-        // the rank is integral
-        when(rLo === rHi, l.cast("double"))
-          .otherwise((rHi - rank) * l.cast("double") +
-            (rank - rLo) * h.cast("double"))
-      }
+      // the fractional rank (shared Hist machinery, also q56's median)
       cum.groupBy("l_returnflag")
         .agg(max("n").as("n"),
-          lo(0.25).as("lo25"), hi(0.25).as("hi25"),
-          lo(0.5).as("lo50"), hi(0.5).as("hi50"),
-          lo(0.9).as("lo90"), hi(0.9).as("hi90"))
+          Hist.lo(0.25).as("lo25"), Hist.hi(0.25).as("hi25"),
+          Hist.lo(0.5).as("lo50"), Hist.hi(0.5).as("hi50"),
+          Hist.lo(0.9).as("lo90"), Hist.hi(0.9).as("hi90"))
         .select(col("l_returnflag"),
-          interp(0.25, col("lo25"), col("hi25")).as("p25"),
-          interp(0.5, col("lo50"), col("hi50")).as("p50"),
-          interp(0.9, col("lo90"), col("hi90")).as("p90"))
+          Hist.interp(0.25, col("lo25"), col("hi25"), col("n")).as("p25"),
+          Hist.interp(0.5, col("lo50"), col("hi50"), col("n")).as("p50"),
+          Hist.interp(0.9, col("lo90"), col("hi90"), col("n")).as("p90"))
         .orderBy("l_returnflag")
     },
     // robust outlier detection: per-group median + MAD (median
@@ -230,25 +238,15 @@ object ExtendedQueries {
           as: String): DataFrame = {
         val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
         val wAll = Window.partitionBy("l_returnflag")
-        val cum = df.groupBy(col("l_returnflag"), valCol.as("v"))
+        df.groupBy(col("l_returnflag"), valCol.as("v"))
           .agg(count(lit(1)).as("c"))
           .withColumn("cum_hi", sum("c").over(wOrd))
           .withColumn("n", sum("c").over(wAll))
-        val rank = lit(0.5) * (col("n") - 1).cast("double")
-        cum.groupBy("l_returnflag")
-          .agg(
-            min(when(col("cum_hi") > floor(lit(0.5) * (col("n") - 1)),
-              col("v"))).as("lo"),
-            min(when(col("cum_hi") > ceil(lit(0.5) * (col("n") - 1)),
-              col("v"))).as("hi"),
-            max("n").as("nn"))
-          .select(col("l_returnflag"), {
-            val r = lit(0.5) * (col("nn") - 1).cast("double")
-            val rLo = floor(r); val rHi = ceil(r)
-            when(rLo === rHi, col("lo").cast("double"))
-              .otherwise((rHi - r) * col("lo").cast("double") +
-                (r - rLo) * col("hi").cast("double"))
-          }.as(as))
+          .groupBy("l_returnflag")
+          .agg(Hist.lo(0.5).as("lo"), Hist.hi(0.5).as("hi"),
+            max("n").as("n"))
+          .select(col("l_returnflag"),
+            Hist.interp(0.5, col("lo"), col("hi"), col("n")).as(as))
       }
       val li = lineitem(s, d)
       val med = groupMedian(li, col("l_quantity"), "med")
@@ -399,11 +397,15 @@ object ExtendedQueries {
       val samp = lineitem(s, d)
         .sample(withReplacement = false, p, seed = 42)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      // LEFT join + coalesce(n, 0): a group whose sample came up EMPTY
+      // must fail its envelope check in-band (within_envelope=false),
+      // not vanish from the output and fail the gate as a confusing
+      // row-count mismatch
       lineitem(s, d)
         .groupBy("l_returnflag").agg(count(lit(1)).as("total"))
-        .join(broadcast(samp), "l_returnflag")
+        .join(broadcast(samp), Seq("l_returnflag"), "left")
         .select(col("l_returnflag"), col("total"),
-          (abs(col("n") - lit(p) * col("total")) <=
+          (abs(coalesce(col("n"), lit(0L)) - lit(p) * col("total")) <=
             lit(6.0) * sqrt(col("total") * p * (1 - p)))
             .as("within_envelope"))
         .orderBy("l_returnflag")

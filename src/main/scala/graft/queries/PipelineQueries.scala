@@ -456,6 +456,18 @@ object PipelineQueries {
 
   private val toks = sqlToks("text")
 
+  /** Composite quality score over raw `text` — twin of
+    * [[TextAnalysis.qualityScore]], whose exact term ORDER is
+    * load-bearing for bit-exact doubles. Shared by every oracle that
+    * scores inline (dd7, dd14, tp3); t02/tp4 keep their staged
+    * two-CTE form because they also emit the intermediate counts. */
+  private val sqlQuality: String =
+    s"(len(list_intersect($toks, ['the','a','of','and','to','in','is']))::DOUBLE" +
+      s" / len($toks)::DOUBLE)" +
+      " - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE" +
+      " / length(text)::DOUBLE)" +
+      s" + least(len($toks)::DOUBLE / 100.0, 1.0)"
+
   /** Shared MinHash-LSH pair pipeline (twin of [[Dedup.minhashPairs]]
     * with k=3, 16 hashes, 4 bands) as a CTE chain ending in
     * `verified(a_id, b_id, common, union_size)` — used by the dd3
@@ -643,11 +655,7 @@ object PipelineQueries {
       FROM f ORDER BY doc_id""",
     "tp3_clean_chunks" -> s"""
       WITH base AS (SELECT doc_id, text, len($toks) AS n_tokens,
-        (len(list_intersect($toks, ['the','a','of','and','to','in','is']))::DOUBLE
-           / len($toks)::DOUBLE)
-          - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-             / length(text)::DOUBLE)
-          + least(len($toks)::DOUBLE / 100.0, 1.0) AS quality
+        ${sqlQuality} AS quality
         FROM documents WHERE doc_id % 50 <> 0),
       q AS (SELECT * FROM base WHERE quality >= 0.2 AND n_tokens >= 5),
       keepids AS (SELECT min(doc_id) AS doc_id FROM q
@@ -1155,11 +1163,7 @@ object PipelineQueries {
       labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src),
       q AS (SELECT doc_id,
-        (len(list_intersect($toks, ['the','a','of','and','to','in','is']))::DOUBLE
-            / len($toks)::DOUBLE)
-          - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-            / length(text)::DOUBLE)
-          + least(len($toks)::DOUBLE / 100.0, 1.0) AS quality
+        ${sqlQuality} AS quality
         FROM documents),
       cl AS (SELECT q.doc_id, q.quality,
           coalesce(l.cluster_id, q.doc_id) AS cluster_id
@@ -1275,11 +1279,7 @@ object PipelineQueries {
         ('zh', ['de','le','shi','bu','wo','ni','ta'])),
       base AS (SELECT doc_id, text, lang,
         len($toks) AS n_tokens,
-        (len(list_intersect($toks, ['the','a','of','and','to','in','is']))::DOUBLE
-           / len($toks)::DOUBLE)
-          - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-             / length(text)::DOUBLE)
-          + least(len($toks)::DOUBLE / 100.0, 1.0) AS quality
+        ${sqlQuality} AS quality
         FROM documents),
       pred AS (SELECT d.doc_id, l.lang_c AS lang_pred,
           ROW_NUMBER() OVER (PARTITION BY d.doc_id

@@ -52,11 +52,10 @@ object ShareQueries {
         val st = part.agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
           max("l_orderkey").as("mx")).collect()(0)
         val url = p.toUri.toString
-        statsB += url -> (if (st.getLong(0) == 0L)
-          """{"numRecords":0,"nullCount":{"l_orderkey":0}}"""
-        else
-          s"""{"numRecords":${st.getLong(0)},"minValues":{"l_orderkey":${st.getLong(1)}},""" +
-            s""""maxValues":{"l_orderkey":${st.getLong(2)}},"nullCount":{"l_orderkey":0}}""")
+        statsB += url -> graft.sources.FileStats.statsJson("l_orderkey",
+          st.getLong(0),
+          if (st.getLong(0) == 0L) 0L else st.getLong(1),
+          if (st.getLong(0) == 0L) 0L else st.getLong(2))
         (url, java.nio.file.Files.size(p), Map.empty[String, String])
       }
       // `lineitem_flag`: partitioned by l_returnflag with true
@@ -79,8 +78,8 @@ object ShareQueries {
               flagFiles += ((f.toUri.toString, java.nio.file.Files.size(f),
                 Map("l_returnflag" -> flag)))
               statsB += f.toUri.toString ->
-                (s"""{"numRecords":${st.getLong(0)},"minValues":{"l_orderkey":${st.getLong(1)}},""" +
-                  s""""maxValues":{"l_orderkey":${st.getLong(2)}},"nullCount":{"l_orderkey":0}}""")
+                graft.sources.FileStats.statsJson("l_orderkey",
+                  st.getLong(0), st.getLong(1), st.getLong(2))
             }
           }
         }

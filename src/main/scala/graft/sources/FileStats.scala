@@ -102,6 +102,8 @@ object FileStats {
   def canSkip(filter: Filter, st: Stats, schema: StructType): Boolean = {
     def fieldType(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType)
+    def floatingPoint(c: String): Boolean =
+      fieldType(c).exists(dt => dt == FloatType || dt == DoubleType)
     // sign of (min - v) / (max - v), when decidable
     def minCmp(c: String, v: Any): Option[Int] = for {
       dt <- fieldType(c); stat <- st.minValues.get(c)
@@ -122,8 +124,16 @@ object FileStats {
       case EqualNullSafe(c, v) => outsideRange(c, v)
       // IN: null elements match no row, so only non-null values decide
       case In(c, vs) => vs.forall(v => v == null || outsideRange(c, v))
-      case GreaterThan(c, v) => maxCmp(c, v).exists(_ <= 0)
-      case GreaterThanOrEqual(c, v) => maxCmp(c, v).exists(_ < 0)
+      // NaN: Spark orders NaN ABOVE every double, while stats writers
+      // may exclude NaN from min/max — so an upper bound from stats
+      // cannot refute `x > v` (a NaN row satisfies it but never raises
+      // maxValues). Lower-bound decisions stay sound (NaN satisfies no
+      // `<`), as do equality decisions (NaN equals no literal; a NaN
+      // literal fails the BigDecimal parse and keeps the file).
+      case GreaterThan(c, v) =>
+        !floatingPoint(c) && maxCmp(c, v).exists(_ <= 0)
+      case GreaterThanOrEqual(c, v) =>
+        !floatingPoint(c) && maxCmp(c, v).exists(_ < 0)
       case LessThan(c, v) => minCmp(c, v).exists(_ >= 0)
       case LessThanOrEqual(c, v) => minCmp(c, v).exists(_ > 0)
       case IsNull(c) => st.nullCount.get(c).contains(0L)
@@ -144,4 +154,16 @@ object FileStats {
   private def nextPrefix(p: String): Option[String] =
     if (p.last == Char.MaxValue) None
     else Some(p.init + (p.last + 1).toChar)
+
+  /** Render the single-long-column stats document the test fixtures
+    * serve (`{"numRecords":N,"minValues":{c:lo},...}`) — one template
+    * for every fixture writer, so the shape [[parse]] consumes and the
+    * shape the stubs emit cannot drift apart. */
+  def statsJson(column: String, numRecords: Long, min: Long,
+      max: Long): String =
+    if (numRecords == 0L)
+      s"""{"numRecords":0,"nullCount":{"$column":0}}"""
+    else
+      s"""{"numRecords":$numRecords,"minValues":{"$column":$min},""" +
+        s""""maxValues":{"$column":$max},"nullCount":{"$column":0}}"""
 }

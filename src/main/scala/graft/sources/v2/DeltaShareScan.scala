@@ -59,7 +59,12 @@ class DeltaShareScanBuilder(
   private var partitionFilters: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var aggResult: Option[(StructType, Seq[InternalRow])] = None
+  /** Outer None = aggregate pushdown not yet probed; Some(None) = a
+    * probe ran and REFUSED (cached — the probe issues a plan-time
+    * `/query` POST, and Spark re-probes via pushAggregation after a
+    * supportCompletePushDown refusal, which must not pay a second
+    * round trip). */
+  private var aggResult: Option[Option[(StructType, Seq[InternalRow])]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (pf, df) = filters.partition(
@@ -105,8 +110,8 @@ class DeltaShareScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (aggResult.isEmpty) aggResult = planAggregation(agg)
-    aggResult.isDefined
+    if (aggResult.isEmpty) aggResult = Some(planAggregation(agg))
+    aggResult.get.isDefined
   }
 
   /** Partial aggregate pushdown is refused — this source answers
@@ -139,6 +144,13 @@ class DeltaShareScanBuilder(
           f.dataType.isInstanceOf[NumericType] || f.dataType == DateType)
       case _ => None
     }
+    // Spark orders NaN ABOVE every float/double while stats writers
+    // may exclude NaN from maxValues, so a stats-answered MAX on a
+    // floating column could silently understate (a file [1.0, NaN]
+    // with maxValues=1.0 must answer MAX = NaN). MIN is unaffected
+    // (NaN is never the minimum under Spark's ordering).
+    def maxSafe(f: org.apache.spark.sql.types.StructField): Boolean =
+      f.dataType != FloatType && f.dataType != DoubleType
     sealed trait Spec
     case object CountSpec extends Spec
     case class MinSpec(f: org.apache.spark.sql.types.StructField) extends Spec
@@ -146,7 +158,8 @@ class DeltaShareScanBuilder(
     val specs: Seq[Spec] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => CountSpec
       case m: Min => dataField(m.column).map(MinSpec).getOrElse(return None)
-      case m: Max => dataField(m.column).map(MaxSpec).getOrElse(return None)
+      case m: Max => dataField(m.column).filter(maxSafe).map(MaxSpec)
+        .getOrElse(return None)
       case _ => return None
     }
     // one /query POST, exact client-side partition pruning — the same
@@ -264,7 +277,7 @@ class DeltaShareScanBuilder(
     }
   }
 
-  override def build(): Scan = aggResult match {
+  override def build(): Scan = aggResult.flatten match {
     case Some((schema, rows)) =>
       new DeltaShareAggScan(addr, schema, rows)
     case None => new DeltaShareScan(

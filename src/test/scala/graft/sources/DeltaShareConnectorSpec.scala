@@ -285,9 +285,8 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (f.getFileName.toString.endsWith(".parquet")) p = f)
       val r = part.agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
         .collect()(0)
-      statsB += p.toUri.toString ->
-        (s"""{"numRecords":${r.getLong(0)},"minValues":{"o_orderkey":${r.getLong(1)}},""" +
-          s""""maxValues":{"o_orderkey":${r.getLong(2)}},"nullCount":{"o_orderkey":0}}""")
+      statsB += p.toUri.toString -> FileStats.statsJson("o_orderkey",
+        r.getLong(0), r.getLong(1), r.getLong(2))
       (p.toUri.toString, Files.size(p), Map.empty[String, String])
     }
     st.tables = Map("orders2" -> ((orders.schema.json, Seq.empty, files)))
@@ -370,9 +369,8 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
             if (f.getFileName.toString.endsWith(".parquet")) {
               files += ((f.toUri.toString, Files.size(f),
                 Map("o_orderstatus" -> status)))
-              statsB += f.toUri.toString ->
-                (s"""{"numRecords":${r.getLong(0)},"minValues":{"o_orderkey":${r.getLong(1)}},""" +
-                  s""""maxValues":{"o_orderkey":${r.getLong(2)}},"nullCount":{"o_orderkey":0}}""")
+              statsB += f.toUri.toString -> FileStats.statsJson(
+                "o_orderkey", r.getLong(0), r.getLong(1), r.getLong(2))
             }
           }
         }

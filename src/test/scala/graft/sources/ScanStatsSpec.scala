@@ -91,7 +91,9 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!skip(StringStartsWith("s", "c")))
     assert(skip(EqualTo("d", java.sql.Date.valueOf("2024-01-15"))))
     assert(!skip(EqualTo("d", java.sql.Date.valueOf("2024-02-15"))))
-    assert(skip(GreaterThan("x", 9.5)) && !skip(GreaterThan("x", 9.4)))
+    // (GreaterThan on a double column is never skipped — see the NaN
+    // soundness block below)
+    assert(!skip(GreaterThan("x", 9.4)))
     // connectives: And skips if either side does; Or needs both
     assert(skip(And(EqualTo("k", 99L), EqualTo("s", "ccc"))))
     assert(skip(Or(EqualTo("k", 99L), EqualTo("s", "aaa"))))
@@ -100,6 +102,16 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!skip(EqualTo("zz", 1L)))
     assert(!skip(Not(EqualTo("k", 150L))))
     assert(FileStats.parse("not json").isEmpty)
+    // NaN soundness: Spark orders NaN above every double while stats
+    // writers may exclude it from max — an upper bound can never
+    // refute x > v on a FLOATING column (a NaN row satisfies it)
+    assert(!skip(GreaterThan("x", 100.0)),
+      "max-based skip on a double column is NaN-unsound")
+    assert(!skip(GreaterThanOrEqual("x", 100.0)))
+    // lower-bound and equality decisions stay decidable on doubles
+    assert(skip(LessThan("x", 1.5)) && skip(EqualTo("x", 0.5)))
+    // a NaN literal keeps the file rather than crashing
+    assert(!skip(EqualTo("x", Double.NaN)))
   }
 }
 
