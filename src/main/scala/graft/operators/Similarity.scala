@@ -298,6 +298,62 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** [[ivfTopK]] with a TRAINED coarse quantizer — the production IVF
+    * shape the fixed-centroid variant documents as its upgrade path:
+    * centroids come from [[VectorStats.kmeansCentroids]] (`iters`
+    * Lloyd rounds from the deterministic seed), the corpus assigns to
+    * its nearest trained centroid map-side, and a query probes the
+    * `nprobe` nearest lists BY THE SAME L2 METRIC the quantizer was
+    * trained under (probing by a different metric than training
+    * degrades recall — the classic IVF mistake). Final candidate
+    * scoring stays cosine, comparable with ss1's ground truth.
+    *
+    * Scale shape: training is [[VectorStats.kmeansCentroids]]'s
+    * O(iters) broadcast-assign + O(k×dims) update rounds; serving
+    * adds one co-partitioned id join (assignment → embedding), a
+    * broadcast k-row probe on the query sample, and the equi-join on
+    * `cid` — candidates shrink ~numCentroids/nprobe-fold, the corpus
+    * never cross-joins. Exactness: same fixed-association dist²
+    * `(x·x − 2·x·c) + c·c` as training, so the DuckDB oracle replays
+    * the full train→assign→probe→rank pipeline bit-for-bit. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cents = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
+      .withColumn("cc", dotD(col("cemb"), col("cemb")))
+      .localCheckpoint(eager = false) // corpus assign + query probe
+    val asgn = VectorStats
+      .assignToCentroids(corpus, cents.select("cid", "cemb"))
+      .select(col("vec_id").as("neighbor_id"), col("cluster_id").as("cid"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm"))
+      .join(asgn, "neighbor_id")
+    val qw = Window.partitionBy("query_id").orderBy(col("dist2"), col("cid"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("q_demb"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
+      .withColumn("xx", dotD(col("q_demb"), col("q_demb")))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("xx") - lit(2.0) * dotD(col("q_demb"), col("cemb")) + col("cc"))
+      .withColumn("rnk", row_number().over(qw))
+      .filter(col("rnk") <= nprobe)
+      .select("query_id", "cid", "q_emb", "q_nrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .select("query_id", "neighbor_id", "score")
+      .distinct() // a pair can match via several probed lists
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Recall@k report of the ANN paths against exact brute force —
     * the "measure, don't guess" operator for index tuning: before
     * trusting `nBits`/`numCentroids`/`nprobe` on a billion vectors,

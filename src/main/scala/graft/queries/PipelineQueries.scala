@@ -402,6 +402,14 @@ object PipelineQueries {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 3), k = 5, nBits = 4)
         .orderBy("query_id", "rank")
     },
+    // IVF under a TRAINED quantizer: the ve3 k-means centroids serve
+    // as the coarse index; probe metric = training metric (L2)
+    "ss6_ivf_trained" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 3), k = 5,
+        numCentroids = 8, iters = 2, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
     "ss3_ivf_topk" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), k = 5,
@@ -498,6 +506,49 @@ object PipelineQueries {
         FROM cand c
         JOIN dn da ON da.doc_id = c.a_id
         JOIN dn db ON db.doc_id = c.b_id)"""
+
+  /** SQL twin of one Lloyd ASSIGNMENT round: nearest `cs` centroid
+    * per vector by (dist², cid) — fixed association
+    * `(x·x − 2·x·c) + c·c`, matching
+    * [[graft.operators.VectorStats.assignToCentroids]]. */
+  private def sqlKmAsg(cs: String, an: String): String = s"""
+        $an AS (SELECT * FROM (
+            SELECT x.vec_id, c.cid,
+              (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
+                + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+            FROM ex x, $cs c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist2, cid) = 1)"""
+
+  /** SQL twin of one Lloyd UPDATE round: per-(cid, dim) fixed-point
+    * DECIMAL means (the ve1 arithmetic) rebuilt into centroid lists. */
+  private def sqlKmUpd(a: String, cn: String): String = {
+    val S = "1099511627776.0"
+    s"""
+        $cn AS (SELECT cid, list(cv ORDER BY dim) AS cemb FROM (
+            SELECT a.cid, t.i0 AS dim,
+              sum(floor(e.emb[t.i0+1] * $S)::BIGINT::DECIMAL(38,0))::DOUBLE
+                / $S / count(*)::DOUBLE AS cv
+            FROM $a a JOIN e USING (vec_id),
+              unnest(range(0, len(e.emb))) AS t(i0)
+            GROUP BY a.cid, t.i0)
+          GROUP BY cid)"""
+  }
+
+  /** The two-round Lloyd training chain (k = 8, lowest-id seed) ending
+    * in trained centroids `c2` — shared by the ve3 k-means oracle and
+    * the ss6 trained-IVF oracle so the bit-exact trajectory arithmetic
+    * exists once. Also exposes `e` (double embeddings) and `ex`
+    * (embeddings + self-dot). */
+  private def sqlKmeansCtes: String = s"""e AS (SELECT vec_id,
+          list_transform(embedding, x0 -> x0::DOUBLE) AS emb FROM embeddings),
+      ex AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx FROM e),
+      c0 AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e
+        ORDER BY vec_id LIMIT 8),
+      ${sqlKmAsg("c0", "a0")},
+      ${sqlKmUpd("a0", "c1")},
+      ${sqlKmAsg("c1", "a1")},
+      ${sqlKmUpd("a1", "c2")}"""
 
   /** Shared SimHash pair pipeline (twin of [[Dedup.simhashPairs]]
     * with three 10-bit blocks) as a CTE chain ending in
@@ -1070,41 +1121,36 @@ object PipelineQueries {
           (SELECT count(*) FROM bt JOIN lt
             USING (query_id, neighbor_id)) AS n_hits)
       ORDER BY method""",
-    "ve3_kmeans" -> {
-      // SQL twin of the two-round Lloyd trajectory: assignment = QUALIFY
-      // row_number over (dist2, cid); update = the same fixed-point
-      // DECIMAL mean as ve1, rebuilt into per-cid centroid lists
-      val S = "1099511627776.0"
-      def asg(cs: String, an: String) = s"""
-        $an AS (SELECT * FROM (
-            SELECT x.vec_id, c.cid,
-              (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
-                + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
-            FROM ex x, $cs c)
-          QUALIFY row_number() OVER (PARTITION BY vec_id
-            ORDER BY dist2, cid) = 1)"""
-      def upd(a: String, cn: String) = s"""
-        $cn AS (SELECT cid, list(cv ORDER BY dim) AS cemb FROM (
-            SELECT a.cid, t.i0 AS dim,
-              sum(floor(e.emb[t.i0+1] * $S)::BIGINT::DECIMAL(38,0))::DOUBLE
-                / $S / count(*)::DOUBLE AS cv
-            FROM $a a JOIN e USING (vec_id),
-              unnest(range(0, len(e.emb))) AS t(i0)
-            GROUP BY a.cid, t.i0)
-          GROUP BY cid)"""
-      s"""
-      WITH e AS (SELECT vec_id,
-          list_transform(embedding, x0 -> x0::DOUBLE) AS emb FROM embeddings),
-      ex AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx FROM e),
-      c0 AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e
-        ORDER BY vec_id LIMIT 8),
-      ${asg("c0", "a0")},
-      ${upd("a0", "c1")},
-      ${asg("c1", "a1")},
-      ${upd("a1", "c2")},
-      ${asg("c2", "a2")}
-      SELECT vec_id, cid AS cluster_id, dist2 FROM a2 ORDER BY vec_id"""
-    },
+    "ve3_kmeans" -> s"""
+      WITH $sqlKmeansCtes,
+      ${sqlKmAsg("c2", "a2")}
+      SELECT vec_id, cid AS cluster_id, dist2 FROM a2 ORDER BY vec_id""",
+    // trained-quantizer IVF: the SAME two-round Lloyd chain yields c2;
+    // corpus assigns under it, queries probe nprobe=2 lists by the
+    // training metric (L2), candidates rank by exact cosine
+    "ss6_ivf_trained" -> s"""
+      WITH $sqlKmeansCtes,
+      ${sqlKmAsg("c2", "a2")},
+      qprobe AS (SELECT * FROM (
+          SELECT x.vec_id AS query_id, c.cid,
+            (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM ex x, c2 c WHERE x.vec_id < 3)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+        FROM qprobe q JOIN a2 a USING (cid)
+        WHERE q.query_id <> a.vec_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+          ${sqlDot("xq.emb", "xn.emb")}
+            / (sqrt(xq.xx) * sqrt(xn.xx)) AS score
+        FROM cand c
+        JOIN ex xq ON xq.vec_id = c.query_id
+        JOIN ex xn ON xn.vec_id = c.neighbor_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     "dd1_dedup_exact" -> s"""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY array_to_string($toks, ' ')

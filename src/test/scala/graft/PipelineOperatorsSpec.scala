@@ -857,6 +857,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       "no cluster picked a non-min-id survivor")
   }
 
+  test("trained IVF scores are exact cosines and recall the brute truth") {
+    val queries = embs.filter(col("vec_id") < 3)
+    val got = Similarity.ivfTopKTrained(embs, queries, k = 5,
+      numCentroids = 8, iters = 2, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.groupBy(_._1).forall(_._2.length <= 5))
+    assert(got.nonEmpty)
+    // every emitted score is the TRUE cosine of that pair (probing
+    // restricts candidates, never distorts scores)
+    val truth = Similarity.bruteForceTopK(embs, queries, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    got.foreach { case (q, _, n, s) => assert(truth((q, n)) == s) }
+    // and the probed lists recall a reasonable share of the true top-5
+    val top5 = Similarity.bruteForceTopK(embs, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = got.map(g => (g._1, g._3)).toSet.intersect(top5)
+    assert(hits.size * 5 >= top5.size,
+      s"recall ${hits.size}/${top5.size} below 20%")
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =

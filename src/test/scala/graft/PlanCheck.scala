@@ -216,6 +216,13 @@ object PlanCheck {
       "aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("ss6_ivf_trained", Seq(
+      // training rounds run behind checkpoint leaves; serving must be
+      // a broadcast probe + equi-join on the list id — no cartesian
+      // reaches the corpus
+      "probe join is equi on the list id" ->
+        (p => !p.contains("CartesianProduct")),
+      "query probe broadcast" -> (_.contains("BroadcastHashJoin"))))
     audit("dd14_dedup_keep_best", Seq(
       // the survivor argmax is a map-side-combinable max_by; the
       // cluster map and best frames ride broadcasts, quality never
