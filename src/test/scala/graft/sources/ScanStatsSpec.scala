@@ -184,4 +184,55 @@ class PredicateHintsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("canSkip soundness fuzz: a skipped file never holds a matching row") {
+    // rows over one long column `k` (with nulls); stats computed the
+    // way a writer would; a random filter may only skip the file when
+    // NO row satisfies it under SQL three-valued semantics
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    val genRows: Gen[Seq[Option[Long]]] = Gen.listOfN(6,
+      Gen.oneOf(Gen.const(None), Gen.choose(-5L, 5L).map(Some(_))))
+    val genF: Gen[Filter] = {
+      val leaf = for {
+        v <- Gen.choose(-6L, 6L)
+        f <- Gen.oneOf[Filter](EqualTo("k", v), LessThan("k", v),
+          GreaterThan("k", v), LessThanOrEqual("k", v),
+          GreaterThanOrEqual("k", v), IsNull("k"), IsNotNull("k"),
+          In("k", Array[Any](v, v + 2)), EqualNullSafe("k", v))
+      } yield f
+      for {
+        a <- leaf; b <- leaf
+        f <- Gen.oneOf[Filter](a, And(a, b), Or(a, b))
+      } yield f
+    }
+    def sat(row: Option[Long], f: Filter): Boolean = f match {
+      case And(l, r) => sat(row, l) && sat(row, r)
+      case Or(l, r) => sat(row, l) || sat(row, r)
+      case IsNull(_) => row.isEmpty
+      case IsNotNull(_) => row.isDefined
+      case EqualNullSafe(_, v) => row.contains(v.asInstanceOf[Long])
+      case EqualTo(_, v) => row.exists(_ == v.asInstanceOf[Long])
+      case LessThan(_, v) => row.exists(_ < v.asInstanceOf[Long])
+      case LessThanOrEqual(_, v) => row.exists(_ <= v.asInstanceOf[Long])
+      case GreaterThan(_, v) => row.exists(_ > v.asInstanceOf[Long])
+      case GreaterThanOrEqual(_, v) => row.exists(_ >= v.asInstanceOf[Long])
+      case In(_, vs) => row.exists(r => vs.exists(_ == r))
+      case _ => true
+    }
+    forAll(Gen.zip(genRows, genF), n = 2000) { case (rows, f) =>
+      val present = rows.flatten
+      val stats = FileStats.Stats(
+        numRecords = Some(rows.length.toLong),
+        minValues = if (present.isEmpty) Map.empty else Map("k" ->
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(present.min.toString)),
+        maxValues = if (present.isEmpty) Map.empty else Map("k" ->
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(present.max.toString)),
+        nullCount = Map("k" -> rows.count(_.isEmpty).toLong))
+      if (FileStats.canSkip(f, stats, kSchema))
+        assert(!rows.exists(sat(_, f)),
+          s"skipped a file with a matching row: rows=$rows filter=$f")
+    }
+  }
 }
