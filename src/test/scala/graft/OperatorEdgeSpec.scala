@@ -238,6 +238,38 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(got.length == 1) // only one neighbor exists
   }
 
+  test("lm score of a single-token doc uses the whole-doc gram convention") {
+    import spark.implicits._
+    // a 1-token doc's "bigram" list is the whole-text gram (= its
+    // unigram), so the doc still scores — against its own frequency
+    val in = Seq((1L, "hello"), (2L, "hello"), (3L, "hello world"))
+      .toDF("doc_id", "text")
+    val got = operators.CorpusStats.lmScore(in).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc emits exactly its bigram-occurrence count
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(_._2 >= 1L))
+    assert(got.forall(g => g._3 >= 0L && g._3 <= 1000L))
+  }
+
+  test("MAD of a constant group is zero and flags no outliers") {
+    // degenerate distribution: every quantity identical → median = the
+    // constant, MAD = 0, and since dev > 1.5·0 requires dev > 0, no
+    // row may be flagged (the guard against 0-MAD divide/compare bugs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q56-const")
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("l_quantity", lit(7.0))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.ExtendedQueries
+      .queries("q56_mad_outliers")(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, med, mad, nOut) =>
+      assert(med == 7.0 && mad == 0.0 && nOut == 0L)
+    }
+  }
+
   test("pii redaction order: emails first, so IP-lookalikes inside stay") {
     import spark.implicits._
     // the address's digits must not be re-matched by later patterns
