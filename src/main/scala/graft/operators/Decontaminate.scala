@@ -105,6 +105,40 @@ object Decontaminate {
     manifest(docs, isEval, hits)
   }
 
+  /** The REVERSE report: per EVAL document, how many corpus documents
+    * share a k-gram with it and how many of its own grams are
+    * compromised — the benchmark-health readout (dc1/dc2 tell you
+    * which training docs to drop; this tells you which eval items are
+    * already memorizable and should be excluded from scoring, the
+    * direction actually published with eval results). Zero-overlap
+    * eval docs appear with zeros: the manifest is complete.
+    *
+    * Scale shape: same gram streams as [[ngramOverlap]] — the eval
+    * side's distinct grams broadcast, the corpus probes MAP-SIDE via
+    * a left-semi-like inner join that only keeps matching grams, so
+    * the 100 TB side still never shuffles in full: only MATCHING
+    * (gram, corpus_doc) pairs reach the per-eval-doc aggregation. */
+  def evalOverlapReport(docs: DataFrame, isEval: Column,
+      k: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"), isEval.as("is_eval"),
+      explode(Dedup.shingles(col("text"), k)).as("s"))
+    val evalSh = sh.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("s"))
+    // corpus grams that hit ANY eval gram, tagged with the corpus doc
+    val matches = sh.filter(!col("is_eval"))
+      .select(col("doc_id").as("corpus_id"), col("s"))
+      .join(broadcast(evalSh), "s")
+    val report = matches.groupBy("eval_id")
+      .agg(countDistinct(col("corpus_id")).as("n_corpus_docs"),
+        countDistinct(col("s")).as("n_shared_grams"))
+    docs.filter(isEval).select(col("doc_id").as("eval_id"))
+      .join(report, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("compromised", col("n_corpus_docs") > 0)
+  }
+
   /** Left-join per-doc hit counts back onto the non-eval corpus so
     * zero-hit documents appear with `n_hits = 0`. */
   private def manifest(docs: DataFrame, isEval: Column,

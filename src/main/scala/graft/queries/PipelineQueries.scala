@@ -167,6 +167,14 @@ object PipelineQueries {
         isEval = col("doc_id") % 50 === 0, k = 5)
         .orderBy("doc_id")
     },
+    // the reverse contamination report: per EVAL doc, how many corpus
+    // docs share a 5-gram with it (which benchmark items are already
+    // memorizable — the direction published with eval results)
+    "dc3_eval_overlap" -> { (s, d) =>
+      Decontaminate.evalOverlapReport(documents(s, d),
+        isEval = col("doc_id") % 50 === 0, k = 5)
+        .orderBy("eval_id")
+    },
     // one row per sampled frame (every 2nd 16-byte window), with a
     // per-frame content hash — the frame-embedding input shape
     "m3_frame_sample" -> { (s, d) =>
@@ -591,6 +599,23 @@ object PipelineQueries {
       ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "dc3_eval_overlap" -> s"""
+      WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
+        FROM documents),
+      ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+      m AS (SELECT ev.eval_id, sh.doc_id AS corpus_id, ev.s
+        FROM sh JOIN ev USING (s) WHERE sh.doc_id % 50 <> 0),
+      rep AS (SELECT eval_id,
+          count(DISTINCT corpus_id)::BIGINT AS n_corpus_docs,
+          count(DISTINCT s)::BIGINT AS n_shared_grams
+        FROM m GROUP BY eval_id)
+      SELECT d.doc_id AS eval_id,
+        coalesce(r.n_corpus_docs, 0)::BIGINT AS n_corpus_docs,
+        coalesce(r.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+        coalesce(r.n_corpus_docs, 0) > 0 AS compromised
+      FROM documents d LEFT JOIN rep r ON r.eval_id = d.doc_id
+      WHERE d.doc_id % 50 = 0
+      ORDER BY eval_id""",
     "t01_token_count" -> s"""
       SELECT doc_id, len($toks) AS n_tokens,
         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens

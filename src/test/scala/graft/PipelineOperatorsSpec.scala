@@ -878,6 +878,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       s"recall ${hits.size}/${top5.size} below 20%")
   }
 
+  test("eval-overlap report is the transpose of the corpus manifest") {
+    val isEval = col("doc_id") % 50 === 0
+    val corpusSide = Decontaminate.ngramOverlap(docs, isEval, k = 5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    val evalSide = Decontaminate.evalOverlapReport(docs, isEval, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // both directions see the same (corpus, eval) gram-sharing
+    // relation: contamination exists on one side iff on the other
+    assert(corpusSide.exists(_._2) == evalSide.exists(_._4))
+    // each compromised eval doc's corpus-doc count is bounded by the
+    // total contaminated corpus docs, and zeros are complete rows
+    val nContaminated = corpusSide.count(_._2)
+    evalSide.foreach { case (_, nDocs, nGrams, comp) =>
+      assert(nDocs <= nContaminated)
+      assert(comp == (nDocs > 0))
+      assert((nDocs > 0) == (nGrams > 0))
+    }
+    assert(evalSide.length == docs.filter(isEval).count())
+  }
+
   test("kmeans assigns every vector and Lloyd rounds never raise the SSE") {
     import operators.VectorStats
     def sse(iters: Int): Double =

@@ -216,6 +216,12 @@ object PlanCheck {
       "aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("dc3_eval_overlap", Seq(
+      // eval gram set broadcast; only MATCHING (gram, corpus doc)
+      // pairs reach the per-eval-doc aggregation
+      "eval grams broadcast to the corpus probe" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ss6_ivf_trained", Seq(
       // training rounds run behind checkpoint leaves; serving must be
       // a broadcast probe + equi-join on the list id — no cartesian
