@@ -281,6 +281,24 @@ object PipelineQueries {
       Similarity.int8TopK(e, e.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     },
+    // recall@5 of the int8 index against the float truth — the
+    // "did 4x compression cost recall" readout that pairs with ve4's
+    // per-vector reconstruction error (same shape as ss4's report)
+    "ss7_recall_int8" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopK(e, qs, k = 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager = false) // semi join + totals scan
+      val got = Similarity.int8TopK(e, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit("int8").as("method"), col("n_truth"), col("n_hits"),
+          expr("CASE WHEN n_truth = 0 THEN 0L " +
+            "ELSE n_hits * 1000 div n_truth END").as("recall_x1000"))
+    },
     "ve1_label_centroids" -> { (s, d) =>
       VectorStats.labelCentroids(embeddings(s, d)).orderBy("label", "dim")
     },
@@ -1002,6 +1020,51 @@ object PipelineQueries {
         ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, rank, neighbor_id, score FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // float truth (ss1 arithmetic, k=5) ∩ int8 top-5 (ss5 arithmetic)
+    "ss7_recall_int8" -> s"""
+      WITH fe AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      fq AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        FROM fe WHERE vec_id < 3),
+      fs AS (SELECT fq.query_id, fe.vec_id AS neighbor_id,
+          ${sqlDot("fq.qe", "fe.embedding")} / (fq.qn * fe.nrm) AS score
+        FROM fe, fq WHERE fq.query_id <> fe.vec_id),
+      ft AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM fs)
+        WHERE rank <= 5),
+      qs AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, v0 -> abs(v0::DOUBLE))) AS scale
+        FROM embeddings),
+      qc AS (SELECT vec_id,
+        CASE WHEN scale > 0 THEN list_transform(embedding,
+            v1 -> floor(v1::DOUBLE * 127.0 / scale + 0.5)::BIGINT)
+          ELSE list_transform(embedding, v2 -> 0::BIGINT) END AS q
+        FROM qs),
+      qn AS (SELECT vec_id, q,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(q, x0 -> x0*x0)), (a0,b0) -> a0+b0) AS qq
+        FROM qc),
+      qqry AS (SELECT vec_id AS query_id, q AS qe, qq AS qqq FROM qn
+        WHERE vec_id < 3),
+      qscored AS (SELECT qqry.query_id, c.vec_id AS neighbor_id,
+        CASE WHEN qqry.qqq > 0 AND c.qq > 0 THEN
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(list_zip(qqry.qe, c.q), z0 -> z0[1]*z0[2])),
+            (a1,b1) -> a1+b1)::DOUBLE
+            / (sqrt(qqry.qqq::DOUBLE) * sqrt(c.qq::DOUBLE))
+        ELSE 0.0 END AS score
+        FROM qn c, qqry WHERE qqry.query_id <> c.vec_id),
+      qt AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM qscored)
+        WHERE rank <= 5)
+      SELECT 'int8' AS method,
+        (SELECT count(*) FROM ft)::BIGINT AS n_truth,
+        (SELECT count(*) FROM ft JOIN qt
+          USING (query_id, neighbor_id))::BIGINT AS n_hits,
+        (SELECT count(*) FROM ft JOIN qt USING (query_id, neighbor_id))
+          * 1000 // (SELECT count(*) FROM ft) AS recall_x1000""",
     "q54_key_skew" -> s"""
       WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
         GROUP BY 1),

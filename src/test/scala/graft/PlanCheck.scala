@@ -216,6 +216,12 @@ object PlanCheck {
       "aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("ss7_recall_int8", Seq(
+      // both top-k sides are broadcast-query corpus scans; the recall
+      // intersection is a key-only semi join
+      "truth/got intersect as a semi join" -> (_.contains("LeftSemi")),
+      "no cartesian beyond the 1-row totals broadcast" ->
+        (p => !p.contains("CartesianProduct"))))
     audit("dc3_eval_overlap", Seq(
       // eval gram set broadcast; only MATCHING (gram, corpus doc)
       // pairs reach the per-eval-doc aggregation
