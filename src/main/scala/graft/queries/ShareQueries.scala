@@ -47,7 +47,7 @@ object ShareQueries {
         val pdir = partsDir.resolve(s"part$i")
         part.coalesce(1).write.mode("overwrite").parquet(pdir.toString)
         var p: java.nio.file.Path = null
-        java.nio.file.Files.list(pdir).forEach(f =>
+        graft.sources.testing.DirWalk.eachChild(pdir)(f =>
           if (f.getFileName.toString.endsWith(".parquet")) p = f)
         val st = part.agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
           max("l_orderkey").as("mx")).collect()(0)
@@ -66,14 +66,14 @@ object ShareQueries {
       li.coalesce(1).write.partitionBy("l_returnflag").mode("overwrite")
         .parquet(flagDir.toString)
       val flagFiles = Seq.newBuilder[(String, Long, Map[String, String])]
-      java.nio.file.Files.list(flagDir).forEach { pd =>
+      graft.sources.testing.DirWalk.eachChild(flagDir) { pd =>
         val dn = pd.getFileName.toString
         if (dn.startsWith("l_returnflag=")) {
           val flag = dn.stripPrefix("l_returnflag=")
           val st = li.filter(col("l_returnflag") === flag)
             .agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
               max("l_orderkey").as("mx")).collect()(0)
-          java.nio.file.Files.list(pd).forEach { f =>
+          graft.sources.testing.DirWalk.eachChild(pd) { f =>
             if (f.getFileName.toString.endsWith(".parquet")) {
               flagFiles += ((f.toUri.toString, java.nio.file.Files.size(f),
                 Map("l_returnflag" -> flag)))

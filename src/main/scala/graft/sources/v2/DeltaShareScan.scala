@@ -63,8 +63,17 @@ class DeltaShareScanBuilder(
     * probe ran and REFUSED (cached — the probe issues a plan-time
     * `/query` POST, and Spark re-probes via pushAggregation after a
     * supportCompletePushDown refusal, which must not pay a second
-    * round trip). */
+    * round trip). [[aggProbedKey]] records WHICH aggregation the cache
+    * answers: Spark currently probes one aggregation per builder, but
+    * if a different one ever arrives the plan is recomputed instead of
+    * serving rows computed for the earlier shape. */
   private var aggResult: Option[Option[(StructType, Seq[InternalRow])]] = None
+  private var aggProbedKey: String = ""
+
+  private def aggKey(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): String =
+    agg.groupByExpressions.map(_.describe()).mkString(",") + "|" +
+      agg.aggregateExpressions.map(_.describe()).mkString(",")
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (pf, df) = filters.partition(
@@ -110,7 +119,11 @@ class DeltaShareScanBuilder(
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (aggResult.isEmpty) aggResult = Some(planAggregation(agg))
+    val key = aggKey(agg)
+    if (aggResult.isEmpty || aggProbedKey != key) {
+      aggProbedKey = key
+      aggResult = Some(planAggregation(agg))
+    }
     aggResult.get.isDefined
   }
 
@@ -144,12 +157,13 @@ class DeltaShareScanBuilder(
           f.dataType.isInstanceOf[NumericType] || f.dataType == DateType)
       case _ => None
     }
-    // Spark orders NaN ABOVE every float/double while stats writers
-    // may exclude NaN from maxValues, so a stats-answered MAX on a
-    // floating column could silently understate (a file [1.0, NaN]
-    // with maxValues=1.0 must answer MAX = NaN). MIN is unaffected
-    // (NaN is never the minimum under Spark's ordering).
-    def maxSafe(f: org.apache.spark.sql.types.StructField): Boolean =
+    // Floating columns are excluded from stats-answered extrema
+    // entirely: Spark orders NaN ABOVE every float/double while stats
+    // writers may exclude NaN from maxValues (a file [1.0, NaN] with
+    // maxValues=1.0 must answer MAX = NaN), and stat writers may
+    // sign-normalize zero (emit -0.0 as min when only +0.0 exists), so
+    // even MIN can differ bit-wise from the row-read answer.
+    def statSafe(f: org.apache.spark.sql.types.StructField): Boolean =
       f.dataType != FloatType && f.dataType != DoubleType
     sealed trait Spec
     case object CountSpec extends Spec
@@ -157,8 +171,9 @@ class DeltaShareScanBuilder(
     case class MaxSpec(f: org.apache.spark.sql.types.StructField) extends Spec
     val specs: Seq[Spec] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => CountSpec
-      case m: Min => dataField(m.column).map(MinSpec).getOrElse(return None)
-      case m: Max => dataField(m.column).filter(maxSafe).map(MaxSpec)
+      case m: Min => dataField(m.column).filter(statSafe).map(MinSpec)
+        .getOrElse(return None)
+      case m: Max => dataField(m.column).filter(statSafe).map(MaxSpec)
         .getOrElse(return None)
       case _ => return None
     }
@@ -196,15 +211,16 @@ class DeltaShareScanBuilder(
       if (groupFields.isEmpty) {
         Seq(InternalRow.fromSeq(aggValues(live.map(_._2)).getOrElse(return None)))
       } else {
+        // group by the TYPED partition value, not the raw string — two
+        // files whose strings differ but cast equal (e.g. '1' vs '01'
+        // from a non-canonical writer) are one group, exactly as a
+        // row-reading scan would emit them
         live.groupBy { case (f, _) =>
-          groupFields.map(g => f.partitionValues.get(g.name).orNull)
-        }.toSeq.map { case (_, group) =>
-          val pv = group.head._1.partitionValues
-          val groupRow = PartitionValues.toInternalRow(pv, groupSchema)
+          groupFields.map(g => PartitionValues.castInternal(
+            f.partitionValues.getOrElse(g.name, null), g.dataType))
+        }.toSeq.map { case (key, group) =>
           val aggs = aggValues(group.map(_._2)).getOrElse(return None)
-          InternalRow.fromSeq(
-            groupSchema.fields.indices.map(i =>
-              groupRow.get(i, groupSchema.fields(i).dataType)) ++ aggs)
+          InternalRow.fromSeq(key ++ aggs)
         }
       }
     val schema = StructType(groupFields ++ specs.zipWithIndex.map {
@@ -235,8 +251,7 @@ class DeltaShareScanBuilder(
               case ShortType => Some(Some(n.asInt().toShort))
               case IntegerType => Some(Some(n.asInt()))
               case LongType => Some(Some(n.asLong()))
-              case FloatType => Some(Some(n.asText().toFloat))
-              case DoubleType => Some(Some(n.asText().toDouble))
+              // Float/Double never reach here (statSafe refuses them)
               case DateType =>
                 Some(Some(java.time.LocalDate.parse(n.asText()).toEpochDay.toInt))
               case _ => None

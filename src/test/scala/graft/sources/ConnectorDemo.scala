@@ -20,9 +20,9 @@ object ConnectorDemo {
       val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       li.write.partitionBy("l_returnflag").mode("overwrite").parquet(tmp.toString)
       val files = Seq.newBuilder[(String, Long, Map[String, String])]
-      Files.list(tmp).forEach { d =>
+      graft.sources.testing.DirWalk.eachChild(tmp) { d =>
         val n = d.getFileName.toString
-        if (n.startsWith("l_returnflag=")) Files.list(d).forEach { f =>
+        if (n.startsWith("l_returnflag=")) graft.sources.testing.DirWalk.eachChild(d) { f =>
           if (f.getFileName.toString.endsWith(".parquet"))
             files += ((f.toUri.toString, Files.size(f),
               Map("l_returnflag" -> n.stripPrefix("l_returnflag="))))

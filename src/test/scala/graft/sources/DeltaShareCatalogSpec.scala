@@ -20,7 +20,7 @@ class DeltaShareCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tmp = Files.createTempDirectory("graft-cat")
     val f = tmp.resolve("nation.parquet")
     li.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
-    val part = Files.list(tmp.resolve("out")).iterator().asScala
+    val part = graft.sources.testing.DirWalk.children(tmp.resolve("out"))
       .find(_.getFileName.toString.endsWith(".parquet")).get
     server.tables = Map("nation" -> (li.schema.json, Seq.empty,
       Seq((part.toUri.toString, Files.size(part), Map.empty[String, String]))))

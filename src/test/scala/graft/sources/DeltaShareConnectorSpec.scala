@@ -32,13 +32,12 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet(tmpDir.toString)
 
     val fullSchema = li.schema.json
-    val partFiles = Files.list(tmpDir).iterator()
     val files = Seq.newBuilder[(String, Long, Map[String, String])]
-    Files.list(tmpDir).forEach { d =>
+    graft.sources.testing.DirWalk.eachChild(tmpDir) { d =>
       val name = d.getFileName.toString
       if (name.startsWith("l_returnflag=")) {
         val flag = name.stripPrefix("l_returnflag=")
-        Files.list(d).forEach { f =>
+        graft.sources.testing.DirWalk.eachChild(d) { f =>
           if (f.getFileName.toString.endsWith(".parquet"))
             files += ((f.toUri.toString, Files.size(f),
               Map("l_returnflag" -> flag)))
@@ -159,11 +158,11 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     li.write.partitionBy("l_returnflag", "l_linestatus").mode("overwrite")
       .parquet(dir.toString)
     val files = Seq.newBuilder[(String, Long, Map[String, String])]
-    Files.list(dir).forEach { d1 =>
+    graft.sources.testing.DirWalk.eachChild(dir) { d1 =>
       val n1 = d1.getFileName.toString
-      if (n1.startsWith("l_returnflag=")) Files.list(d1).forEach { d2 =>
+      if (n1.startsWith("l_returnflag=")) graft.sources.testing.DirWalk.eachChild(d1) { d2 =>
         val n2 = d2.getFileName.toString
-        if (n2.startsWith("l_linestatus=")) Files.list(d2).forEach { f =>
+        if (n2.startsWith("l_linestatus=")) graft.sources.testing.DirWalk.eachChild(d2) { f =>
           if (f.getFileName.toString.endsWith(".parquet"))
             files += ((f.toUri.toString, Files.size(f), Map(
               "l_returnflag" -> n1.stripPrefix("l_returnflag="),
@@ -281,7 +280,7 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pdir = tmp.resolve(name)
       part.coalesce(1).write.mode("overwrite").parquet(pdir.toString)
       var p: java.nio.file.Path = null
-      Files.list(pdir).forEach(f =>
+      graft.sources.testing.DirWalk.eachChild(pdir)(f =>
         if (f.getFileName.toString.endsWith(".parquet")) p = f)
       val r = part.agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
         .collect()(0)
@@ -358,14 +357,14 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         .parquet(tmp.toString)
       val statsB = Map.newBuilder[String, String]
       val files = Seq.newBuilder[(String, Long, Map[String, String])]
-      Files.list(tmp).forEach { d =>
+      graft.sources.testing.DirWalk.eachChild(tmp) { d =>
         val name = d.getFileName.toString
         if (name.startsWith("o_orderstatus=")) {
           val status = name.stripPrefix("o_orderstatus=")
           val part = orders.filter(col("o_orderstatus") === status)
           val r = part.agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
             .collect()(0)
-          Files.list(d).forEach { f =>
+          graft.sources.testing.DirWalk.eachChild(d) { f =>
             if (f.getFileName.toString.endsWith(".parquet")) {
               files += ((f.toUri.toString, Files.size(f),
                 Map("o_orderstatus" -> status)))

@@ -25,9 +25,8 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
     val tmp = Files.createTempDirectory("graft-stats")
     region.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator()
     var p: java.nio.file.Path = null
-    Files.list(tmp).forEach(f =>
+    graft.sources.testing.DirWalk.eachChild(tmp)(f =>
       if (f.getFileName.toString.endsWith(".parquet")) p = f)
     fileSize = Files.size(p)
     server.tables = Map("region" -> (region.schema.json, Seq.empty,
