@@ -39,6 +39,16 @@ object PlanCheck {
       "broadcast for filtered customers" -> (_.contains("BroadcastHashJoin")),
       "top-k as TakeOrdered" -> (p =>
         p.contains("TakeOrderedAndProject") || p.contains("TakeOrdered"))))
+    audit("q09_distinct_agg", Seq(
+      // join-of-partial-aggs shape: each distinct is its own two-level
+      // aggregation — the multi-DISTINCT Expand rewrite (which triples
+      // every fact row before the exchange) must NOT appear
+      "no multi-DISTINCT Expand of the fact table" ->
+        (p => !p.contains("Expand")),
+      "each distinct deduplicated map-side before its exchange" ->
+        (p => "HashAggregate".r.findAllIn(p).size >= 6),
+      "no cartesian in the group-key joins" ->
+        (p => !p.contains("CartesianProduct"))))
     audit("q16_topk", Seq(
       "TakeOrderedAndProject instead of global sort" ->
         (_.contains("TakeOrderedAndProject"))))
