@@ -89,6 +89,16 @@ object ShareQueries {
         "lineitem_flag" -> ((li.schema.json, Seq("l_returnflag"),
           flagFiles.result())))
       server.fileStats = statsB.result()
+      // versioned change feed over the lineitem4 part files: v1 adds
+      // the first range file, v2 the second, v3 removes the first —
+      // the CDF fixture behind share_changes
+      server.changeFeed = Map("lineitem4" -> Seq(
+        StubSharingServer.ChangeEntry(1, 1700000001000L, "add",
+          partFiles(0)._1, partFiles(0)._2),
+        StubSharingServer.ChangeEntry(2, 1700000002000L, "add",
+          partFiles(1)._1, partFiles(1)._2),
+        StubSharingServer.ChangeEntry(3, 1700000003000L, "remove",
+          partFiles(0)._1, partFiles(0)._2)))
       registeredDir = Some(dir)
     }
     server.endpoint
@@ -148,6 +158,26 @@ object ShareQueries {
           max("l_orderkey").as("max_key"))
         .orderBy("l_returnflag")
     },
+    // Change Data Feed through the oracle gate: readChanges over
+    // versions [2,3] must yield exactly "the second range file's rows
+    // as inserts at v2, the first's as deletes at v3" — the oracle
+    // recomputes both sets from the original table (the reference has
+    // no /changes endpoint at all; this is the round-8 verdict's #1
+    // forward item)
+    "share_changes" -> { (s, d) =>
+      s.read.format("deltashare")
+        .option("endpoint", ensure(s, d))
+        .option("bearerToken", "graft-verify")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .option("endingVersion", "3")
+        .load("share1.schema1.lineitem4")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"),
+          col("_commit_timestamp").as("commit_ts"))
+        .orderBy("commit_version", "l_orderkey", "l_linenumber")
+    },
     "share_list_tables" -> { (s, d) =>
       import graft.sources.{DeltaShare, DeltaSharingProfile}
       s.conf.set(DeltaSharingProfile.EndpointConf, ensure(s, d))
@@ -194,6 +224,22 @@ object ShareQueries {
       SELECT l_returnflag, count(*)::BIGINT AS n_rows,
         min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // lineitem4's v2 file is the [bound, 2*bound) key range and the
+    // v1/v3 file is [0, bound), bound = max(l_orderkey)//4 + 1 — the
+    // oracle recomputes the same ranges from the base table; commit
+    // timestamps are the fixture's fixed epoch-millis constants
+    "share_changes" -> """
+      WITH b AS (SELECT max(l_orderkey) // 4 + 1 AS bound FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+             TIMESTAMP '2023-11-14 22:13:22' AS commit_ts
+      FROM lineitem, b WHERE l_orderkey >= bound AND l_orderkey < 2 * bound
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             'delete' AS change_type, CAST(3 AS BIGINT) AS commit_version,
+             TIMESTAMP '2023-11-14 22:13:23' AS commit_ts
+      FROM lineitem, b WHERE l_orderkey < bound
+      ORDER BY commit_version, l_orderkey, l_linenumber""",
     // the stub's catalog fixture is the truth: 3 shares × schema1 ×
     // the 4 registered tables — the Spark side must reproduce it via
     // the live listShares/listSchemas/listTables HTTP walk

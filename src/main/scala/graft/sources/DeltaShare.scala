@@ -73,4 +73,23 @@ object DeltaShare {
       .option("schema", schema)
       .option("table", table)
       .load()
+
+  /** Change Data Feed read over `[startingVersion, endingVersion]`
+    * (inclusive; `endingVersion` absent = table head): the protocol's
+    * `…/changes` endpoint as a DataFrame with `_change_type`,
+    * `_commit_version`, `_commit_timestamp` columns — what a daily
+    * pipeline uses to process just the new data of a shared table
+    * (feeding e.g. [[graft.operators.Dedup.minhashPairsAgainst]]). Absent
+    * from the reference client entirely. */
+  def readChanges(spark: SparkSession, share: String, schema: String,
+      table: String, startingVersion: Long,
+      endingVersion: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("deltashare")
+      .option("share", share)
+      .option("schema", schema)
+      .option("table", table)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", startingVersion.toString)
+    endingVersion.fold(r)(v => r.option("endingVersion", v.toString)).load()
+  }
 }

@@ -246,6 +246,55 @@ class DeltaSharingClient(
     TableFiles(meta, files)
   }
 
+  /** GET `…/changes` → NDJSON [protocol, metaData, add/cdf/remove…] —
+    * the Change Data Feed endpoint of the public Delta Sharing
+    * protocol. `startingVersion` is inclusive and required by the
+    * protocol (timestamp addressing is a server-side alternative this
+    * client doesn't need); `endingVersion` is inclusive and optional
+    * (absent = up to the table head). The reference client does not
+    * implement this endpoint at all, which is why a daily pipeline on
+    * top of it must re-list whole tables. */
+  def queryTableChanges(
+      share: String, schema: String, table: String,
+      startingVersion: Long,
+      endingVersion: Option[Long] = None): TableChanges = {
+    val query = Map.newBuilder[String, String]
+    query += ("startingVersion" -> startingVersion.toString)
+    endingVersion.foreach(v => query += ("endingVersion" -> v.toString))
+    val lines = parseNdjson(
+      perform("GET", s"${tablePath(share, schema, table)}/changes",
+        query.result()).body())
+    val meta = parseMetadataLines(lines).getOrElse(
+      throw new DeltaSharingException(0,
+        s"changes response for $share.$schema.$table had no metaData line"))
+    val actions = lines.flatMap { l =>
+      Seq("add", "cdf", "remove").collectFirst {
+        case k if l.hasNonNull(k) =>
+          val f = l.get(k)
+          ChangeAction(
+            changeType = k,
+            url = f.get("url").asText(),
+            id = optText(f, "id").getOrElse(""),
+            partitionValues =
+              if (f.hasNonNull("partitionValues"))
+                f.get("partitionValues").properties().asScala
+                  .map(e => e.getKey ->
+                    (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+              else Map.empty,
+            size = if (f.hasNonNull("size")) f.get("size").asLong() else 0L,
+            version =
+              if (f.hasNonNull("version")) f.get("version").asLong()
+              else throw new DeltaSharingException(0,
+                s"$k action without a version in changes response"),
+            timestamp =
+              if (f.hasNonNull("timestamp")) f.get("timestamp").asLong() else 0L,
+            stats = optText(f, "stats"),
+            expirationTimestamp = optText(f, "expirationTimestamp"))
+      }
+    }
+    TableChanges(meta, actions)
+  }
+
   /** Shared protocol+metaData NDJSON parsing
     * (`delta_sharing_client.cpp:317-348` and `:409-434`). */
   private def parseMetadataLines(lines: Seq[JsonNode]): Option[TableMetadata] = {

@@ -124,23 +124,28 @@ object PresignedUrlFileSystem {
   */
 object PresignedUrlCache {
 
-  /** Everything needed to re-issue the original `/query` from an
-    * executor when a presigned URL expires mid-scan. */
+  /** Everything needed to re-issue the original request from an
+    * executor when a presigned URL expires mid-scan. `changesRange`
+    * set = the scan was a `/changes` (CDF) read and the refresh
+    * re-issues that GET instead of a `/query` POST. */
   final case class RefreshSpec(
       profile: DeltaSharingProfile,
       share: String, schema: String, table: String,
       jsonPredicateHints: Option[String],
       predicateHints: Seq[String],
       limitHint: Option[Long],
-      version: Option[Long])
+      version: Option[Long],
+      changesRange: Option[(Long, Option[Long])] = None)
 
   /** Stable identity for a shared file: the server's `id` when
     * present, else a digest of the URL with its (re-signed, volatile)
     * query string stripped. */
-  def fileId(f: FileAction): String =
-    if (f.id.nonEmpty) f.id
+  def fileId(f: FileAction): String = fileId(f.id, f.url)
+
+  def fileId(id: String, url: String): String =
+    if (id.nonEmpty) id
     else {
-      val stable = PresignedUrlFileSystem.redact(f.url)
+      val stable = PresignedUrlFileSystem.redact(url)
       java.security.MessageDigest.getInstance("SHA-1")
         .digest(stable.getBytes(StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
@@ -227,26 +232,34 @@ object PresignedUrlCache {
         if (spec == null)
           throw new IOException(
             s"cannot refresh presigned URL for unknown file id $id")
-        val files = new DeltaSharingClient(spec.profile).queryTable(
-          spec.share, spec.schema, spec.table,
-          jsonPredicateHints = spec.jsonPredicateHints,
-          predicateHints = spec.predicateHints,
-          limitHint = spec.limitHint,
-          version = spec.version).files
+        val client = new DeltaSharingClient(spec.profile)
+        val files: Seq[(String, String)] = spec.changesRange match {
+          case Some((from, to)) =>
+            client.queryTableChanges(spec.share, spec.schema, spec.table,
+              startingVersion = from, endingVersion = to)
+              .actions.map(a => (fileId(a.id, a.url), a.url))
+          case None =>
+            client.queryTable(
+              spec.share, spec.schema, spec.table,
+              jsonPredicateHints = spec.jsonPredicateHints,
+              predicateHints = spec.predicateHints,
+              limitHint = spec.limitHint,
+              version = spec.version).files
+              .map(f => (fileId(f), f.url))
+        }
         synchronized {
           // capture the target's URL from the RESPONSE while
           // re-registering: a listing larger than maxEntries would
           // LRU-evict the very entry being refreshed before a
           // read-back could see it
           var target: String = null
-          files.foreach { f =>
-            val fid = fileId(f)
-            if (fid == id) target = f.url
-            urls.put(fid, f.url)
+          files.foreach { case (fid, url) =>
+            if (fid == id) target = url
+            urls.put(fid, url)
           }
           if (target == null)
             throw new IOException(
-              s"re-issued /query no longer returns file id $id")
+              s"re-issued request no longer returns file id $id")
           target
         }
       }

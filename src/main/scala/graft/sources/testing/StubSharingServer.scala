@@ -29,6 +29,14 @@ class StubSharingServer(
   /** files served over HTTP with Range support: name -> local path */
   @volatile var httpFiles: Map[String, Path] = Map.empty
 
+  /** Head version reported by HEAD `…/tables/{t}` — mutable so
+    * streaming tests can publish new versions. */
+  @volatile var tableVersion: Long = 7
+
+  /** Versioned change feed per table, served by GET `…/changes`. */
+  @volatile var changeFeed: Map[String, Seq[StubSharingServer.ChangeEntry]] =
+    Map.empty
+
   /** Per-file Delta stats JSON keyed by (unsigned) file url. Files
     * without an entry are served with NO `stats` field — the stub must
     * never invent row counts, since the connector answers COUNT(*)
@@ -128,8 +136,33 @@ class StubSharingServer(
               n => s"""{"name":"$n","schema":"$sc","share":"$s","id":"t-$n"}""",
               query))
           case ("HEAD", List("shares", _, "schemas", _, "tables", t)) =>
-            ex.getResponseHeaders.set("Delta-Table-Version", "7")
+            ex.getResponseHeaders.set("Delta-Table-Version",
+              tableVersion.toString)
             ex.sendResponseHeaders(200, -1); ex.close()
+          case ("GET", List("shares", _, "schemas", _, "tables", t, "changes")) =>
+            if (!tables.contains(t)) {
+              send(ex, 404, """{"message":"table not found"}""")
+            } else {
+              val params = Option(query).getOrElse("").split("&")
+                .filter(_.nonEmpty).map(_.split("=", 2))
+                .map(a => a(0) -> (if (a.length > 1) a(1) else "")).toMap
+              params.get("startingVersion").map(_.toLong) match {
+                case None =>
+                  send(ex, 400, """{"message":"startingVersion required"}""")
+                case Some(from) =>
+                  val to = params.get("endingVersion").map(_.toLong)
+                    .getOrElse(tableVersion)
+                  val entries = changeFeed.getOrElse(t, Seq.empty)
+                    .filter(e => e.version >= from && e.version <= to)
+                  val lines = entries.map { e =>
+                    val pvJson = e.partitionValues.map { case (k, v) =>
+                      s""""$k":${if (v == null) "null" else s""""$v""""}"""
+                    }.mkString(",")
+                    s"""{"${e.action}":{"url":"${e.url}","id":"f-${e.url.hashCode}","partitionValues":{$pvJson},"size":${e.size},"timestamp":${e.timestamp},"version":${e.version},"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
+                  }
+                  send(ex, 200, (metaNdjson(t) +: lines).mkString("\n"))
+              }
+            }
           case ("GET", List("shares", _, "schemas", _, "tables", t, "metadata")) =>
             if (tables.contains(t)) send(ex, 200, metaNdjson(t))
             else send(ex, 404, """{"message":"table not found"}""")
@@ -203,6 +236,15 @@ class StubSharingServer(
     }
   })
 
+  /** Append an entry to a table's change feed and advance the head
+    * version to cover it. */
+  def publishChange(table: String, e: StubSharingServer.ChangeEntry): Unit =
+    synchronized {
+      changeFeed = changeFeed.updated(table,
+        changeFeed.getOrElse(table, Seq.empty) :+ e)
+      if (e.version > tableVersion) tableVersion = e.version
+    }
+
   def start(): StubSharingServer = {
     // start from a daemon thread so the HttpServer dispatcher thread
     // inherits daemon status — otherwise any JVM embedding the stub
@@ -214,4 +256,15 @@ class StubSharingServer(
     this
   }
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+}
+
+object StubSharingServer {
+  /** One `/changes` action: `action` is "add", "remove", or "cdf". */
+  final case class ChangeEntry(
+      version: Long,
+      timestamp: Long,
+      action: String,
+      url: String,
+      size: Long,
+      partitionValues: Map[String, String] = Map.empty)
 }

@@ -55,8 +55,11 @@ class DeltaShareDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (_, meta) = metadataFor(options)
-    DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    val (addr, meta) = metadataFor(options)
+    val base = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    if (addr.changes.isDefined)
+      DeltaShareChangesScan.changesSchema(base, meta.partitionColumns)
+    else base
   }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
@@ -72,11 +75,18 @@ class DeltaShareDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-/** Fully-resolved table coordinates + connection profile. */
+/** Fully-resolved table coordinates + connection profile. `changes`
+  * set = the read is a Change Data Feed scan over that version range
+  * instead of a snapshot scan. */
 final case class TableAddress(
     share: String, schema: String, table: String,
     profile: DeltaSharingProfile,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    changes: Option[ChangesRange] = None)
+
+/** Inclusive CDF version range; `endingVersion` absent = table head. */
+final case class ChangesRange(
+    startingVersion: Long, endingVersion: Option[Long])
 
 object TableAddress {
   def fromOptions(options: CaseInsensitiveStringMap): TableAddress = {
@@ -102,6 +112,14 @@ object TableAddress {
               s"expected share.schema.table, got '$path'")
           }
       }
+    val changes =
+      if (options.getBoolean("readChangeFeed", false))
+        Some(ChangesRange(
+          Option(options.get("startingVersion")).map(_.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "readChangeFeed requires a startingVersion option")),
+          Option(options.get("endingVersion")).map(_.toLong)))
+      else None
     TableAddress(share, schema, table,
       DeltaSharingProfile(
         resolve("endpoint", DeltaSharingProfile.EndpointConf,
@@ -110,7 +128,8 @@ object TableAddress {
           DeltaSharingProfile.TokenEnv)),
       // time travel: the protocol's `version` field on /query
       // (dead plumbing in the reference, delta_sharing_client.cpp:390-392)
-      versionAsOf = Option(options.get("versionAsOf")).map(_.toLong))
+      versionAsOf = Option(options.get("versionAsOf")).map(_.toLong),
+      changes = changes)
   }
 }
 
@@ -134,6 +153,18 @@ class DeltaShareTable(addr: TableAddress, meta: TableMetadata,
     val spark = SparkSession.active
     val hadoopConf = new Configuration(spark.sessionState.newHadoopConf())
     PresignedUrlFileSystem.register(hadoopConf)
-    new DeltaShareScanBuilder(spark, addr, meta, tableSchema, hadoopConf)
+    if (addr.changes.isDefined) {
+      // CDF read: fixed full-row scan (no pushdown surface — change
+      // feeds are consumed whole by definition)
+      val scan = new DeltaShareChangesScan(spark, addr, meta,
+        // reconstruct the RAW table schema: tableSchema here is the
+        // cdf-augmented one inferSchema returned
+        StructType(tableSchema.fields.filterNot(f =>
+          DeltaShareChangesScan.CdfColumns.contains(f.name))),
+        hadoopConf)
+      () => scan
+    } else {
+      new DeltaShareScanBuilder(spark, addr, meta, tableSchema, hadoopConf)
+    }
   }
 }

@@ -499,7 +499,10 @@ final case class DeltaShareInputPartition(
     size: Long,
     partitionValues: Map[String, String],
     fileId: String,
-    url: String) extends InputPartition
+    url: String,
+    /** CDF scans: this file carries a per-row `_change_type` column
+      * (see [[DeltaShareChangesScan]]); always false for batch scans. */
+    isCdf: Boolean = false) extends InputPartition
 
 final case class DeltaSharePartitionReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.testing.StubSharingServer
+import graft.sources.testing.StubSharingServer.ChangeEntry
+
+/** Change Data Feed (`/changes`) — client parsing, version-range
+  * addressing, and the end-to-end `readChanges` DataFrame with
+  * synthesized (add/remove) and file-carried (cdf) `_change_type`. */
+class DeltaShareChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+  private var server: StubSharingServer = _
+  private var tmp: java.nio.file.Path = _
+  private var countA: Long = 0
+  private var countB: Long = 0
+
+  private def writeOne(df: org.apache.spark.sql.DataFrame,
+      name: String): (String, Long) = {
+    val dir = tmp.resolve(name)
+    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    var p: java.nio.file.Path = null
+    graft.sources.testing.DirWalk.eachChild(dir)(f =>
+      if (f.getFileName.toString.endsWith(".parquet")) p = f)
+    (p.toUri.toString, Files.size(p))
+  }
+
+  override def beforeAll(): Unit = {
+    server = new StubSharingServer(expectedToken = "tok").start()
+    tmp = Files.createTempDirectory("graft-changes")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // sf0.001 lineitem keys run 1..1499 — keep every slice non-empty
+    val a = li.filter(col("l_orderkey") <= 600)
+    val b = li.filter(col("l_orderkey") > 600 && col("l_orderkey") <= 1200)
+    countA = a.count(); countB = b.count()
+    val (urlA, sizeA) = writeOne(a, "fileA")
+    val (urlB, sizeB) = writeOne(b, "fileB")
+    // a change-data file with per-row change types
+    val cdfDf = li.filter(col("l_orderkey") > 1200 && col("l_orderkey") <= 1300)
+      .withColumn("_change_type",
+        when(col("l_linenumber") % 2 === 0, "update_postimage")
+          .otherwise("update_preimage"))
+    val (urlC, sizeC) = writeOne(cdfDf, "fileC")
+
+    server.tables = Map("lineitem" -> ((li.schema.json, Seq.empty[String],
+      Seq((urlA, sizeA, Map.empty[String, String])))))
+    server.changeFeed = Map("lineitem" -> Seq(
+      ChangeEntry(1, 1700000001000L, "add", urlA, sizeA),
+      ChangeEntry(2, 1700000002000L, "add", urlB, sizeB),
+      ChangeEntry(3, 1700000003000L, "remove", urlA, sizeA),
+      ChangeEntry(4, 1700000004000L, "cdf", urlC, sizeC)))
+    server.tableVersion = 4
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private def profile = DeltaSharingProfile(server.endpoint, "tok")
+
+  test("client parses add/remove/cdf actions and version ranges") {
+    val client = new DeltaSharingClient(profile)
+    val all = client.queryTableChanges("share1", "schema1", "lineitem", 1)
+    assert(all.actions.map(_.changeType) == Seq("add", "add", "remove", "cdf"))
+    assert(all.actions.map(_.version) == Seq(1L, 2L, 3L, 4L))
+    assert(all.actions.forall(_.timestamp > 0))
+    assert(all.metadata.schemaString.nonEmpty)
+    val window = client.queryTableChanges("share1", "schema1", "lineitem",
+      startingVersion = 2, endingVersion = Some(3))
+    assert(window.actions.map(_.version) == Seq(2L, 3L))
+    // startingVersion is required by the protocol: the stub 400s a
+    // bare GET, surfaced as a DeltaSharingException
+    intercept[DeltaSharingException] {
+      client.perform("GET",
+        "/shares/share1/schemas/schema1/tables/lineitem/changes")
+    }
+  }
+
+  test("readChanges synthesizes insert/delete rows from add/remove") {
+    val df = DeltaShare.readChanges(
+      sessionWithConf, "share1", "schema1", "lineitem",
+      startingVersion = 2, endingVersion = Some(3))
+    assert(df.columns.toSeq == Seq("l_orderkey", "l_linenumber",
+      "l_quantity", "_change_type", "_commit_version", "_commit_timestamp"))
+    val byType = df.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> countB, "delete" -> countA))
+    // commit metadata rides per-version constants
+    val versions = df.select("_change_type", "_commit_version").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(versions == Map("insert" -> 2L, "delete" -> 3L))
+    val ts = df.filter(col("_change_type") === "insert")
+      .select("_commit_timestamp").distinct().collect()
+    assert(ts.length == 1 &&
+      ts(0).getTimestamp(0).getTime == 1700000002000L)
+  }
+
+  test("cdf files carry their own per-row _change_type") {
+    val df = DeltaShare.readChanges(
+      sessionWithConf, "share1", "schema1", "lineitem",
+      startingVersion = 4)
+    val types = df.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(types == Set("update_preimage", "update_postimage"))
+    assert(df.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("empty range yields an empty frame with the cdf schema") {
+    val df = DeltaShare.readChanges(
+      sessionWithConf, "share1", "schema1", "lineitem",
+      startingVersion = 9, endingVersion = Some(9))
+    assert(df.count() == 0)
+    assert(df.columns.contains("_change_type"))
+  }
+
+  private def sessionWithConf = {
+    spark.conf.set(DeltaSharingProfile.EndpointConf, server.endpoint)
+    spark.conf.set(DeltaSharingProfile.TokenConf, "tok")
+    spark
+  }
+}
