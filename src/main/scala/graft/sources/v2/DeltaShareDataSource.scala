@@ -145,7 +145,7 @@ class DeltaShareTable(addr: TableAddress, meta: TableMetadata,
   override def partitioning(): Array[Transform] =
     meta.partitionColumns.map(Expressions.identity).toArray
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def properties(): util.Map[String, String] =
     (meta.configuration + ("version" -> meta.version.toString)).asJava
 
@@ -164,7 +164,12 @@ class DeltaShareTable(addr: TableAddress, meta: TableMetadata,
         hadoopConf)
       () => scan
     } else {
-      new DeltaShareScanBuilder(spark, addr, meta, tableSchema, hadoopConf)
+      new DeltaShareScanBuilder(spark, addr, meta, tableSchema, hadoopConf,
+        // streaming-only options (ignored by batch scans): where the
+        // stream starts and whether remove actions are skipped
+        streamStartingVersion =
+          Option(options.get("startingVersion")).map(_.toLong),
+        streamIgnoreDeletes = options.getBoolean("ignoreDeletes", false))
     }
   }
 }

@@ -42,7 +42,9 @@ class DeltaShareScanBuilder(
     addr: TableAddress,
     meta: TableMetadata,
     tableSchema: StructType,
-    hadoopConf: Configuration)
+    hadoopConf: Configuration,
+    streamStartingVersion: Option[Long] = None,
+    streamIgnoreDeletes: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -297,7 +299,8 @@ class DeltaShareScanBuilder(
       new DeltaShareAggScan(addr, schema, rows)
     case None => new DeltaShareScan(
       spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
-      partitionFilters, dataFilters, limit, hadoopConf)
+      partitionFilters, dataFilters, limit, hadoopConf,
+      streamStartingVersion, streamIgnoreDeletes)
   }
 }
 
@@ -332,7 +335,9 @@ class DeltaShareScan(
     partitionFilters: Array[Filter],
     dataFilters: Array[Filter],
     limit: Option[Int],
-    hadoopConf: Configuration) extends Scan with Batch
+    hadoopConf: Configuration,
+    streamStartingVersion: Option[Long] = None,
+    streamIgnoreDeletes: Boolean = false) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val partitionColNames = partitionSchema.fieldNames.toSet
@@ -352,6 +357,16 @@ class DeltaShareScan(
     StructType(requiredDataSchema.fields ++ requiredPartitionSchema.fields)
 
   override def toBatch: Batch = this
+
+  /** Streaming form of this scan: version-offset micro-batches over
+    * the `/changes` endpoint (see [[DeltaShareMicroBatchStream]]).
+    * Column pruning applies (required schemas flow through); filters
+    * stay residuals above the stream. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DeltaShareMicroBatchStream(spark, addr, meta, dataSchema,
+      partitionSchema, requiredDataSchema, requiredPartitionSchema,
+      hadoopConf, streamStartingVersion, streamIgnoreDeletes)
 
   override def description(): String =
     s"DeltaShareScan ${addr.share}.${addr.schema}.${addr.table} " +
