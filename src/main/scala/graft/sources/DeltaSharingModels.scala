@@ -90,8 +90,10 @@ final case class DeltaSharingProfile(
 object DeltaSharingProfile {
   val EndpointConf = "spark.deltaShare.endpoint"
   val TokenConf = "spark.deltaShare.bearerToken"
+  val ProfileConf = "spark.deltaShare.profileFile"
   val EndpointEnv = "DELTA_SHARING_ENDPOINT"
   val TokenEnv = "DELTA_SHARING_BEARER_TOKEN"
+  val ProfileEnv = "DELTA_SHARING_PROFILE_FILE"
 
   private def stripSlash(e: String): String =
     if (e.endsWith("/")) e.dropRight(1) else e
@@ -99,14 +101,75 @@ object DeltaSharingProfile {
   def apply(endpoint: String, token: String): DeltaSharingProfile =
     new DeltaSharingProfile(stripSlash(endpoint), token)
 
+  /** Parse a standard `.share` profile file (the JSON document every
+    * real Delta Sharing provider hands its recipients):
+    * `shareCredentialsVersion`, `endpoint`, `bearerToken`, optional
+    * `expirationTime`. The reference reads endpoint/token from
+    * settings/env only (`delta_sharing_client.cpp:21-61`) and has no
+    * file source — this adds it, with the checks the protocol asks
+    * of clients: refuse versions above 1 (forward-incompatible
+    * credentials) and refuse already-expired tokens loudly instead of
+    * failing later with an opaque 401. */
+  def fromFile(path: String): DeltaSharingProfile = {
+    val text =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"cannot read delta sharing profile '$path': ${e.getMessage}")
+      }
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"delta sharing profile '$path' is not valid JSON: ${e.getMessage}")
+      }
+    if (node == null || !node.isObject)
+      throw new IllegalArgumentException(
+        s"delta sharing profile '$path' is not a JSON object")
+    def field(name: String): Option[String] =
+      if (node.hasNonNull(name)) Some(node.get(name).asText()) else None
+    val version = field("shareCredentialsVersion").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"profile '$path' is missing shareCredentialsVersion"))
+    if (version > 1)
+      throw new IllegalArgumentException(
+        s"profile '$path' has shareCredentialsVersion $version; this " +
+          "client supports version 1 — a newer client is required")
+    val endpoint = field("endpoint").getOrElse(
+      throw new IllegalArgumentException(s"profile '$path' has no endpoint"))
+    val token = field("bearerToken").getOrElse(
+      throw new IllegalArgumentException(s"profile '$path' has no bearerToken"))
+    val expiration = field("expirationTime")
+    expiration.foreach { ts =>
+      val inst =
+        try java.time.Instant.parse(ts)
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"profile '$path' has unparseable expirationTime '$ts'")
+        }
+      if (inst.isBefore(java.time.Instant.now()))
+        throw new IllegalArgumentException(
+          s"profile '$path' expired at $ts; request fresh credentials " +
+            "from the share provider")
+    }
+    new DeltaSharingProfile(stripSlash(endpoint), token,
+      credentialsVersion = version, expirationTime = expiration)
+  }
+
   /** Resolve from SparkSession conf, falling back to env vars (the
-    * same precedence the reference implements). */
+    * same precedence the reference implements), with a configured
+    * profile FILE taking priority over inline endpoint/token. */
   def fromSession(spark: org.apache.spark.sql.SparkSession): DeltaSharingProfile = {
     def conf(key: String, env: String): String =
       spark.conf.getOption(key)
         .orElse(sys.env.get(env))
         .getOrElse("")
-    DeltaSharingProfile(
+    val profileFile = conf(ProfileConf, ProfileEnv)
+    if (profileFile.nonEmpty) fromFile(profileFile)
+    else DeltaSharingProfile(
       stripSlash(conf(EndpointConf, EndpointEnv)),
       conf(TokenConf, TokenEnv))
   }

@@ -120,12 +120,18 @@ object TableAddress {
               "readChangeFeed requires a startingVersion option")),
           Option(options.get("endingVersion")).map(_.toLong)))
       else None
-    TableAddress(share, schema, table,
-      DeltaSharingProfile(
+    // profile FILE (option/conf/env) beats inline endpoint+token —
+    // the `.share` document is what real providers distribute
+    val profileFile = resolve("profile", DeltaSharingProfile.ProfileConf,
+      DeltaSharingProfile.ProfileEnv)
+    val profile =
+      if (profileFile.nonEmpty) DeltaSharingProfile.fromFile(profileFile)
+      else DeltaSharingProfile(
         resolve("endpoint", DeltaSharingProfile.EndpointConf,
           DeltaSharingProfile.EndpointEnv),
         resolve("bearerToken", DeltaSharingProfile.TokenConf,
-          DeltaSharingProfile.TokenEnv)),
+          DeltaSharingProfile.TokenEnv))
+    TableAddress(share, schema, table, profile,
       // time travel: the protocol's `version` field on /query
       // (dead plumbing in the reference, delta_sharing_client.cpp:390-392)
       versionAsOf = Option(options.get("versionAsOf")).map(_.toLong),
