@@ -175,6 +175,46 @@ object Similarity {
       threshold)
   }
 
+  /** Semantic dedup, composed end to end (the embedding-side twin of
+    * the tp3 curation pipeline): LSH-bucketed candidates → exact
+    * cosine verify ([[lshCosinePairs]]) → transitive cluster
+    * resolution ([[Dedup.resolveClusters]]) → survivor selection, in
+    * one composition. The survivor policy keeps each cluster's
+    * LARGEST-norm vector (ties → lower id): for near-duplicate
+    * embeddings the norm is the natural "most informative copy"
+    * proxy, and it is computed with the same fixed-order fold as the
+    * verify scores, so the argmax is cross-engine exact.
+    *
+    * Scale shape mirrors [[Dedup.keepBestPerCluster]]: clusters exist
+    * only for PAIRED vectors (a near-dup-sized frame, broadcast at
+    * sane dup rates); the survivor argmax is one map-side-combinable
+    * `max_by` per cluster; the corpus pass is a left probe of the
+    * broadcast cluster map — embeddings never shuffle beyond the
+    * narrow (id, table, bucket) LSH exchanges inside the pair
+    * detector.
+    *
+    * Output: `(vec_id, cluster_id, keep_id, keep)` for every vector
+    * (singletons form their own cluster). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      nBits: Int = 6, tables: Int = 3): DataFrame = {
+    val pairs = lshCosinePairs(embeddings, threshold, nBits, tables)
+      .select("a_id", "b_id")
+    val clusters = graft.operators.Dedup.resolveClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val scored = embeddings
+      .select(col("vec_id"), norm(col("embedding")).as("nrm"))
+      .join(broadcast(clusters), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nrm"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .localCheckpoint(eager = false) // feeds survivor agg + final join
+    val best = scored.groupBy("cluster_id")
+      .agg(max_by(col("vec_id"),
+        struct(col("nrm"), -col("vec_id"))).as("keep_id"))
+    scored.join(broadcast(best), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("keep_id"),
+        (col("vec_id") === col("keep_id")).as("keep"))
+  }
+
   /** (id, table, bucket) rows for `tables` independent hyperplane
     * tables. The bucket shuffles carry only these three narrow
     * columns — the embedding vectors (the wide part of the row)

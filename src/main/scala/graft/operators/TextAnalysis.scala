@@ -239,6 +239,39 @@ object TextAnalysis {
         graft.functions.hashFunctions.hashed_bow(col("text"), dim),
         _.cast("string")), ",").as("bow_csv"))
 
+  /** fastText-style linear classifier INFERENCE over the hashed
+    * bag-of-words features ([[hashedBow]]'s featurizer): margin =
+    * Σ_bucket count·weight + bias, integer-exact (long weights ×
+    * long counts — no float dot, so the cross-engine gate compares
+    * margins bit-for-bit; a float model would quantize to fixed
+    * point the same way).
+    *
+    * `weights` is the trained model: a `(bucket, weight)` frame, dim
+    * rows. It is packed into ONE array row ordered by bucket and
+    * broadcast — the corpus pass is a per-row `zip_with`/`aggregate`
+    * fold against that constant, ZERO corpus shuffle (the ve3
+    * packed-centroid shape): one scan of 100 TB, scoring inline.
+    *
+    * Output: `(doc_id, n_tokens, margin, label)` with label =
+    * keep/drop by margin sign. */
+  def classifierScore(docs: DataFrame, weights: DataFrame,
+      dim: Int = 32, bias: Long = 0L): DataFrame = {
+    val packed = weights
+      .select(struct(col("bucket").cast("int").as("bucket"),
+        col("weight").cast("long").as("weight")).as("s"))
+      .agg(transform(array_sort(collect_list(col("s"))),
+        x => x.getField("weight")).as("w"))
+    docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        graft.functions.hashFunctions.hashed_bow(col("text"), dim).as("bow"))
+      .crossJoin(broadcast(packed))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(zip_with(col("bow"), col("w"),
+          (c, wt) => c.cast("long") * wt), lit(0L), _ + _) + lit(bias))
+          .as("margin"))
+      .withColumn("label",
+        when(col("margin") >= 0, "keep").otherwise("drop"))
+  }
+
   /** PII regexes — the common Java-regex/RE2 subset (both engines
     * compile these identically): RFC-loose emails, dotted-quad IPv4,
     * and NANP-style 3-4 digit phone fragments. Kept deliberately

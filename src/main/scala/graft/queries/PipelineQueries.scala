@@ -117,6 +117,16 @@ object PipelineQueries {
     "t12_hashed_bow" -> { (s, d) =>
       TextAnalysis.hashedBow(documents(s, d), dim = 32).orderBy("doc_id")
     },
+    // linear classifier inference over t12's features: broadcast
+    // weights, integer margins, zero corpus shuffle (verdict #6).
+    // The weight table stands in for a trained model; its values are
+    // a fixed arithmetic formula so the oracle reproduces them.
+    "t15_classifier_score" -> { (s, d) =>
+      val weights = s.range(32).select(col("id").cast("int").as("bucket"),
+        ((col("id") * 37 + 11) % 21 - 10).cast("long").as("weight"))
+      TextAnalysis.classifierScore(documents(s, d), weights,
+        dim = 32, bias = -3L).orderBy("doc_id")
+    },
     // overlapping chunk manifest (64-token chunks, 16 overlap) — the
     // pre-embedding/RAG split, with per-chunk fingerprints
     "tp2_chunk_manifest" -> { (s, d) =>
@@ -376,6 +386,13 @@ object PipelineQueries {
     // best-quality copy (tie → lower id), not the arbitrary min id
     "dd14_dedup_keep_best" -> { (s, d) =>
       Dedup.keepBestPerCluster(documents(s, d)).orderBy("doc_id")
+    },
+    // the full semantic-dedup composition over embeddings: LSH
+    // candidates → exact cosine verify → transitive clusters →
+    // keep-largest-norm survivor, one pipeline (round-8 verdict #5)
+    "dd15_dedup_semantic" -> { (s, d) =>
+      Similarity.semanticDedup(embeddings(s, d), threshold = 0.4,
+        nBits = 6, tables = 3).orderBy("vec_id")
     },
     // transitive duplicate groups over the MinHash pair stream:
     // min-label propagation (see Dedup.resolveClusters) — the step a
@@ -747,6 +764,20 @@ object PipelineQueries {
         array_to_string(list_transform(range(0, 32),
           b0 -> len(list_filter(fps, f0 -> f0 = b0))), ',') AS bow_csv
       FROM f ORDER BY doc_id""",
+    // t12's bucket counts dotted with the same (b*37+11)%21-10 weight
+    // formula the Spark query builds, bias -3 — integer margins
+    "t15_classifier_score" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      f AS (SELECT doc_id, len(toks) AS n_tokens,
+        list_transform(toks, t0 -> ${sqlFp("t0")} % 32) AS fps FROM t),
+      m AS (SELECT doc_id, n_tokens,
+        CAST(list_sum(list_transform(range(0, 32),
+          b0 -> len(list_filter(fps, f0 -> f0 = b0)) *
+            ((b0 * 37 + 11) % 21 - 10))) + (-3) AS BIGINT) AS margin
+        FROM f)
+      SELECT doc_id, n_tokens, margin,
+        CASE WHEN margin >= 0 THEN 'keep' ELSE 'drop' END AS label
+      FROM m ORDER BY doc_id""",
     "tp3_clean_chunks" -> s"""
       WITH base AS (SELECT doc_id, text, len($toks) AS n_tokens,
         ${sqlQuality} AS quality
@@ -1359,6 +1390,45 @@ object PipelineQueries {
       FROM cand
       WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4
       ORDER BY a_id, b_id"""
+    },
+    // dd6's bucket pipeline + dd8's recursive closure + dd14's
+    // keep-best window, composed — the oracle of the full semantic
+    // dedup. Survivor quality is the vector norm (same fixed-order
+    // dot as the verify scores, so the DESC ordering is bit-exact).
+    "dd15_dedup_semantic" -> {
+      val buckets = (0 until 3).map { t =>
+        s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("embedding", 6, t * 16)}}"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH RECURSIVE e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      bucketed AS (SELECT vec_id, embedding, nrm,
+          x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, nrm, unnest($buckets) AS x FROM e)),
+      cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+          a.embedding AS ae, a.nrm AS an, b.embedding AS be, b.nrm AS bn
+        FROM bucketed a JOIN bucketed b
+          ON a.tid = b.tid AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+      pairs AS (SELECT a_id, b_id FROM cand
+        WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      cl AS (SELECT e.vec_id, e.nrm,
+          coalesce(l.cluster_id, e.vec_id) AS cluster_id
+        FROM e LEFT JOIN labels l ON l.id = e.vec_id),
+      best AS (SELECT cluster_id, vec_id AS keep_id FROM (
+        SELECT cluster_id, vec_id, row_number() OVER (
+          PARTITION BY cluster_id ORDER BY nrm DESC, vec_id) AS rn
+        FROM cl) WHERE rn = 1)
+      SELECT c.vec_id, c.cluster_id, b.keep_id,
+        c.vec_id = b.keep_id AS keep
+      FROM cl c JOIN best b USING (cluster_id) ORDER BY vec_id"""
     },
     "dd11_embedding_incremental" -> {
       // dd6's bucket pipeline with the within-corpus a<b condition

@@ -7,16 +7,16 @@ object GenQueriesDoc {
   def main(args: Array[String]): Unit = {
     val groups = Seq(
       ("Aggregation & grouping", "q01|q06|q09|q10|q11|q12|q22|q34|q35|q36|q38|q47|q55|q56|st5"),
-      ("Filters & scans", "q02|share_scan|share_pipeline|share_stats|share_agg|share_list"),
+      ("Filters & scans", "q02|share_scan|share_pipeline|share_stats|share_agg|share_list|share_changes"),
       ("Joins", "q03|q04|q05|q07|q08|q26|q27|q42|q43|q50"),
       ("Subqueries", "q23|q24|q32"),
       ("Window functions", "q13|q14|q15|q25|q37|q41|q48|q53"),
       ("Sort / top-k / set ops", "q16|q17|q30"),
       ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45|q51"),
       ("Sampling", "st6|q49"),
-      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09|t10|t11|t12|t13|t14"),
+      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09|t10|t11|t12|t13|t14|t15"),
       ("Training-mix, splits & packing", "mx1|mx2|mx3|mx4|mx5|tp1|tp2|tp3|tp4|tp5"),
-      ("Deduplication", "dd10|dd11|dd12|dd13|dd14|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dc1|dc2|dc3"),
+      ("Deduplication", "dd10|dd11|dd12|dd13|dd14|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dd15|dc1|dc2|dc3"),
       ("Data layout & skew diagnostics", "q52|q54|q57"),
       ("Similarity search", "ss1|ss2|ss3|ss4|ss5|ss6|ss7"),
       ("Embedding analytics", "ve1|ve2|ve3|ve4"),

@@ -40,7 +40,8 @@ object MetricsCheck {
       "dd13_dedup_editdist", "tp4_token_budget", "ss5_topk_quantized",
       "t13_pii_scrub", "t14_lm_score", "dd14_dedup_keep_best",
       "tp5_shard_audit", "q57_compaction_bins", "mx5_mixture_sqrt",
-      "ss6_ivf_trained", "dc3_eval_overlap", "ss7_recall_int8")
+      "ss6_ivf_trained", "dc3_eval_overlap", "ss7_recall_int8",
+      "dd15_dedup_semantic", "t15_classifier_score")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>

@@ -857,6 +857,56 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       "no cluster picked a non-min-id survivor")
   }
 
+  test("classifier margin is the exact integer dot of t12 counts and weights") {
+    val weights = spark.range(32).select(col("id").cast("int").as("bucket"),
+      ((col("id") * 37 + 11) % 21 - 10).cast("long").as("weight"))
+    val w = weights.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val scored = TextAnalysis.classifierScore(docs, weights,
+      dim = 32, bias = -3L).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val bows = TextAnalysis.hashedBow(docs, dim = 32).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+    assert(bows.nonEmpty && scored.size == bows.length)
+    bows.foreach { case (id, (nTok, csv)) =>
+      val counts = csv.split(",").map(_.toLong)
+      val expected = counts.zipWithIndex.map { case (c, b) => c * w(b) }.sum - 3L
+      val (gotTok, gotMargin, gotLabel) = scored(id)
+      assert(gotTok == nTok && gotMargin == expected)
+      assert(gotLabel == (if (expected >= 0) "keep" else "drop"))
+    }
+    // the fixture must exercise both labels or the sign test is vacuous
+    val labels = scored.values.map(_._3).toSet
+    assert(labels == Set("keep", "drop"))
+  }
+
+  test("semantic dedup: one max-norm survivor per cluster, pairs co-clustered") {
+    val res = Similarity.semanticDedup(embs, threshold = 0.4,
+      nBits = 6, tables = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(res.length == embs.count(), "every vector labeled (singletons too)")
+    val cluster = res.map(r => r._1 -> r._2).toMap
+    // every verified near-dup pair must land in one cluster
+    val pairs = Similarity.lshCosinePairs(embs, 0.4, 6, 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // exactly one survivor per cluster, and it is the norm argmax
+    val norms = embs.select(col("vec_id"),
+      Similarity.norm(col("embedding")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    res.groupBy(_._2).foreach { case (_, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, "exactly one survivor per cluster")
+      val best = members.maxBy(m => (norms(m._1), -m._1))
+      assert(keepers.head._1 == best._1)
+      assert(members.forall(_._3 == best._1))
+    }
+  }
+
   test("trained IVF scores are exact cosines and recall the brute truth") {
     val queries = embs.filter(col("vec_id") < 3)
     val got = Similarity.ivfTopKTrained(embs, queries, k = 5,

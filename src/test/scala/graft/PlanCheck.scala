@@ -245,6 +245,12 @@ object PlanCheck {
       "probe join is equi on the list id" ->
         (p => !p.contains("CartesianProduct")),
       "query probe broadcast" -> (_.contains("BroadcastHashJoin"))))
+    audit("dd15_dedup_semantic", Seq(
+      // cluster labels and survivor frames are near-dup-sized: both
+      // ride broadcasts; the embeddings shuffle only inside the LSH
+      // pair detector's narrow (id, table, bucket) exchanges
+      "cluster/best frames broadcast" -> (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("dd14_dedup_keep_best", Seq(
       // the survivor argmax is a map-side-combinable max_by; the
       // cluster map and best frames ride broadcasts, quality never
@@ -280,6 +286,16 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "gram expansion stays in codegen (no UDF)" -> (p =>
         !p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))))
+    audit("t15_classifier_score", Seq(
+      // packed weights ride a 1-row broadcast; scoring is a per-row
+      // integer fold — the only exchange is the output sort
+      "weights ride a 1-row broadcast (BNLJ)" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "zero corpus shuffle beyond the output sort" -> (p =>
+        "rangepartitioning".r.findAllIn(p).size <= 1 &&
+          !p.contains("hashpartitioning(doc_id")),
+      "scoring stays in codegen (no UDF)" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
     audit("q56_mad_outliers", Seq(
       // both medians are value-histogram aggregations; the 3-row
       // median/MAD frames broadcast back to the corpus scans
