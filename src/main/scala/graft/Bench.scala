@@ -50,14 +50,27 @@ object Bench {
     val p1 = pass()
     val p2 = pass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: full precision trebles the line length for noise
+    // (local[32] jitter is ±10s of ms) and the driver's tail capture
+    // has a bounded window
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // short standalone summary LAST: the full per-query line above can
-    // exceed the driver's tail-capture window, leaving it unparseable —
-    // this one always survives truncation. Distinct metric name so a
-    // consumer aggregating by metric never double-counts the total.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // durable copy: the stdout line above can still exceed the
+    // driver's tail-capture window, so the complete per-query JSON is
+    // also written to a file for round-over-round regression tracking
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => () }
+    // short standalone summary LAST: always survives tail truncation.
+    // Distinct metric name so a consumer aggregating by metric never
+    // double-counts the total.
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

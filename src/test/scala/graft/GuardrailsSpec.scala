@@ -210,6 +210,80 @@ class GuardrailsSpec extends AnyFunSuite {
     }
   }
 
+  test("a deliberately skewed join goes through AQE's skew split") {
+    // q54 measures skew and SkewJoin salts known-skewed keys; this
+    // pins the third leg of the skew story — AQE's runtime skew-split
+    // actually fires on a hot key, so an UNANTICIPATED skew (no
+    // salting in the plan) still cannot produce a straggler task.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      // shrink AQE's skew thresholds so test-sized data exhibits the
+      // 100 TB shape: one hot key ~100× the median partition
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "24k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+      val left = spark.range(22000).select(
+        when(col("id") < 20000, lit(0L)).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 120, "x").as("payload"))
+      val right = spark.range(2200).select(col("id").as("k"),
+        (col("id") * 7).as("dim"))
+      val joined = left.join(right, "k")
+      // execute THIS plan (count() builds a separate execution whose
+      // final adaptive plan we couldn't inspect)
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() == 20000) // only the hot key matches
+      val top = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // collect() treats AQE query stages as leaves; descend into them
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            s +: allNodes(s.plan)
+          case n => Seq(n)
+        }
+      val plan = top
+      val smj = allNodes(top).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a shuffled join, got:\n$plan")
+      assert(smj.exists {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.isSkewJoin
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.isSkewJoin
+        case _ => false
+      }, s"AQE did not skew-split the hot key:\n$plan")
+      // and the split is real: the skewed side's shuffle read fans the
+      // hot partition out over multiple tasks
+      val reads = allNodes(top).collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+      }
+      assert(reads.exists(_.partitionSpecs.count {
+        case p: org.apache.spark.sql.execution.PartialReducerPartitionSpec =>
+          true
+        case _ => false
+      } > 1), "no partial-reducer specs — the hot partition was not split")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("GraftBridge targets the running Spark minor line") {
     assert(org.apache.spark.SPARK_VERSION.startsWith(
       org.apache.spark.sql.GraftBridge.TargetSparkVersionPrefix + "."),
