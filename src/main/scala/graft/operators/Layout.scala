@@ -65,17 +65,45 @@ object Layout {
     * partitions) and a map-side-combinable (part, bin) rollup —
     * integer math, no global sort, no driver state. */
   def compactionBins(df: DataFrame, partCol: String, ordCol: String,
-      sizeCol: String, targetBytes: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("part").orderBy("ord")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(partCol).as("part"), col(ordCol).as("ord"),
+      sizeCol: String, targetBytes: Long): DataFrame =
+    binAssignments(df, partCol, ordCol, sizeCol, targetBytes)
+      .select(col(partCol).as("part"), col("bin"),
         col(sizeCol).cast("long").as("bytes"))
-      .withColumn("cum", sum("bytes").over(w))
-      .withColumn("bin", expr(s"(cum - bytes) div $targetBytes"))
       .groupBy("part", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("bytes").as("bytes"))
+
+  /** Per-row bin labels behind [[compactionBins]]: the input frame
+    * with a `bin` column appended (same window cumsum). Exposed so
+    * [[compact]] routes full rows into the exact bins the plan
+    * reported — the plan and the rewrite can never disagree. */
+  def binAssignments(df: DataFrame, partCol: String, ordCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn("bin",
+        expr(s"(__cum - CAST($sizeCol AS BIGINT)) div ${targetBytes}L"))
+      .drop("__cum")
   }
+
+  /** EXECUTE a compaction plan: rewrite `df` under `outPath` as
+    * parquet with exactly one file per (part, bin) of
+    * [[compactionBins]] — `part`/`bin` become directory partitions,
+    * rows inside each file stay in `ordCol` order (so per-file min/max
+    * stats on the order column prune like a sorted table).
+    *
+    * Scale shape: the bin window's hash exchange on `partCol`, then
+    * one repartition on (part, bin) so each output file is ONE task's
+    * write — a million-bin rewrite is a million parallel tasks, no
+    * driver-side file loop. Two bins hashing to the same task still
+    * get separate files (dynamic partitioning splits by directory). */
+  def compact(df: DataFrame, partCol: String, ordCol: String,
+      sizeCol: String, targetBytes: Long, outPath: String): Unit =
+    binAssignments(df, partCol, ordCol, sizeCol, targetBytes)
+      .repartition(col(partCol), col("bin"))
+      .sortWithinPartitions(col(partCol), col("bin"), col(ordCol))
+      .write.partitionBy(partCol, "bin").mode("overwrite").parquet(outPath)
 
   def zorderStats(df: DataFrame, aCol: String, bCol: String,
       bits: Int = 16, bucketShift: Int = 14): DataFrame = {

@@ -838,6 +838,56 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction executes its plan: bins round-trip to one file each") {
+    val target = 1000L
+    val plan = operators.Layout.compactionBins(docs, "source", "doc_id",
+      "n_chars", target).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val out = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString
+    try {
+      operators.Layout.compact(docs, "source", "doc_id", "n_chars",
+        target, out)
+      // re-read the rewritten table and audit the files it is made of
+      val back = spark.read.parquet(out)
+      assert(back.count() == docs.count(), "rewrite must lose no rows")
+      val files = back.select(col("source"), col("bin").cast("long").as("bin"),
+          input_file_name().as("f"), col("doc_id"),
+          col("n_chars").cast("long").as("bytes"))
+        .groupBy("source", "bin")
+        .agg(countDistinct("f").as("n_files"), count(lit(1)).as("n_docs"),
+          sum("bytes").as("bytes"), min("doc_id").as("lo"),
+          max("doc_id").as("hi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      assert(files.keySet == plan.keySet, "rewritten bins != planned bins")
+      files.foreach { case (key, (nFiles, nDocs, bytes, _, _)) =>
+        assert(nFiles == 1, s"bin $key split across $nFiles files")
+        val (planDocs, planBytes) = plan(key)
+        assert(nDocs == planDocs && bytes == planBytes,
+          s"bin $key stats diverge from the plan")
+      }
+      // bins partition the order column: within a part, bin b's doc_id
+      // range ends before bin b+1's begins (the sorted-table property
+      // that makes per-file min/max stats prune)
+      files.groupBy(_._1._1).foreach { case (_, bins) =>
+        bins.toSeq.sortBy(_._1._2).sliding(2).foreach {
+          case Seq((_, a), (_, b)) => assert(a._5 < b._4,
+            "consecutive bins overlap in doc_id")
+          case _ => ()
+        }
+      }
+    } finally {
+      val dir = java.nio.file.Paths.get(out)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("keep-best survivor is the cluster's quality argmax, ties to low id") {
     val rows = Dedup.keepBestPerCluster(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
