@@ -362,6 +362,57 @@ object Dedup {
       .select("a_id", "b_id", "dist")
   }
 
+  /** Cross-document duplicate SPANS (substring-level exact dedup —
+    * the operation behind "dedup the corpus at the 50-token level,
+    * not the document level"): every maximal run of word-`k`-gram
+    * positions whose gram also appears in ANOTHER document. Cutting
+    * these spans (rather than dropping whole documents) removes the
+    * repeated license blocks / navigation chrome / quoted tweets that
+    * document-level near-dup keeps, without losing the unique prose
+    * around them.
+    *
+    * Guarantee: a word-for-word substring of ≥ `k + minGrams - 1`
+    * words shared verbatim across two documents is reported by both,
+    * as one span each (consecutive duplicated grams merge by the
+    * gaps-and-islands window). Hash collisions (fingerprints are
+    * mod 1e9+7) can only ADD a rare false gram, never split a span.
+    *
+    * Scale shape: per-row gram expansion (codegen'd `GramFps`), one
+    * hash aggregation on the gram fingerprint for document
+    * frequency, a LEFT SEMI back-probe on the same key (both sides
+    * hash-partitioned on `h` — AQE reuses the exchange), then ONE
+    * doc_id-partitioned window to merge islands. Every shuffle
+    * carries (doc_id, pos, h) longs — text never moves. At 25B docs
+    * the gram-df aggregation is the big exchange (same class as
+    * dd3's band shuffle); everything after it is near-dup-sized.
+    *
+    * Output: `(doc_id, start_pos, end_pos, n_grams, n_tokens)` per
+    * maximal span, where positions index the doc's gram stream and
+    * `n_tokens = end_pos - start_pos + k` is the span's word length. */
+  def duplicateSpans(docs: DataFrame, k: Int = 5,
+      minGrams: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col("doc_id"),
+      posexplode(graft.functions.hashFunctions.gram_fps(col("text"), k))
+        .as(Seq("pos", "h")))
+    val dupFps = g.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    val marked = g.join(dupFps, Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      // consecutive positions share (pos - row_number): the classic
+      // gaps-and-islands grouping, integer-exact
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start_pos"), max("pos").as("end_pos"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= minGrams)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        col("n_grams"), (col("end_pos") - col("start_pos") + k).as("n_tokens"))
+  }
+
   /** 30-bit SimHash computed per-row with higher-order functions (no
     * explode, no shuffle): bit j is set when the sum over token
     * fingerprints of `±1` (by bit j of the fp) is positive. 30 bits

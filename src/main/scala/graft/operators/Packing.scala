@@ -173,4 +173,28 @@ object Packing {
           array_join(slice(col("toks"), col("start_tok") + 1,
             col("n_tok")), " ")).as("chunk_fp"))
   }
+
+  /** Deterministic seeded GLOBAL SHUFFLE: every row gets a shard and
+    * a 0-based position within it, both pure functions of
+    * (`seed`, id) — the data-order randomization a training run needs
+    * to be REPRODUCIBLE: re-running the pipeline (or re-materializing
+    * one lost shard) yields byte-identical order, and changing `seed`
+    * reshuffles everything. A `orderBy(rand())` gives neither.
+    *
+    * Scale shape: the shard key is per-row arithmetic; one hash
+    * exchange on `shard` and a per-shard window sort on the hash —
+    * `nShards`-way parallel, each sort sized corpus/nShards, never a
+    * global single-reducer order. The hash ties break on the id, so
+    * the order is total and engine-exact.
+    *
+    * Output: `(id, h, shard, pos)`. */
+  def globalShuffle(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", idCol)
+    df.select(col(idCol),
+        TextAnalysis.fingerprint(
+          concat_ws(":", lit(seed), col(idCol))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
 }

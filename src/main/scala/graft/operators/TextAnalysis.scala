@@ -239,6 +239,42 @@ object TextAnalysis {
         graft.functions.hashFunctions.hashed_bow(col("text"), dim),
         _.cast("string")), ",").as("bow_csv"))
 
+  /** WHERE the repetition lives: maximal runs of word-`k`-gram
+    * positions whose gram occurs MORE THAN ONCE within the same
+    * document — the intra-document twin of `Dedup.duplicateSpans`
+    * (which is cross-document), and the localizer for
+    * [[repetitionScores]]' aggregate fractions: t08 tells you a doc
+    * is 40% repeated trigrams, this tells you which token ranges to
+    * cut or truncate (looping generation, boilerplate chrome, spam
+    * keyword stuffing).
+    *
+    * Scale shape: per-row gram expansion, then EVERYTHING is
+    * partitioned by doc_id — the within-doc multiplicity count and
+    * the islands window run in the same doc-keyed exchange (one
+    * shuffle of (doc_id, pos, h) longs, AQE reuses the partitioning;
+    * no corpus-global aggregation at all, unlike dd16's gram-df).
+    *
+    * Output: `(doc_id, start_pos, end_pos, n_grams, n_tokens)` per
+    * maximal repeated-gram run. */
+  def repetitionSpans(docs: DataFrame, k: Int = 3,
+      minGrams: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col("doc_id"),
+      posexplode(graft.functions.hashFunctions.gram_fps(col("text"), k))
+        .as(Seq("pos", "h")))
+    val perDoc = Window.partitionBy("doc_id", "h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    g.withColumn("occ", count(lit(1)).over(perDoc))
+      .filter(col("occ") >= 2)
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start_pos"), max("pos").as("end_pos"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= minGrams)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        col("n_grams"), (col("end_pos") - col("start_pos") + k).as("n_tokens"))
+  }
+
   /** fastText-style linear classifier INFERENCE over the hashed
     * bag-of-words features ([[hashedBow]]'s featurizer): margin =
     * Σ_bucket count·weight + bias, integer-exact (long weights ×

@@ -129,6 +129,18 @@ object PipelineQueries {
     },
     // overlapping chunk manifest (64-token chunks, 16 overlap) — the
     // pre-embedding/RAG split, with per-chunk fingerprints
+    // intra-doc repeated-trigram runs — the localizer for t08's
+    // aggregate repetition fractions (which token ranges to cut)
+    "t16_repeat_spans" -> { (s, d) =>
+      TextAnalysis.repetitionSpans(documents(s, d), k = 3, minGrams = 2)
+        .orderBy("doc_id", "start_pos")
+    },
+    // reproducible training-order shuffle: seeded hash -> shard +
+    // within-shard position, re-runnable byte-identically
+    "tp6_global_shuffle" -> { (s, d) =>
+      Packing.globalShuffle(documents(s, d), "doc_id", nShards = 8,
+        seed = 42L).orderBy("shard", "pos")
+    },
     "tp2_chunk_manifest" -> { (s, d) =>
       Packing.chunkManifest(documents(s, d), chunkTokens = 64,
         overlap = 16).orderBy("doc_id", "chunk_id")
@@ -393,6 +405,12 @@ object PipelineQueries {
     "dd15_dedup_semantic" -> { (s, d) =>
       Similarity.semanticDedup(embeddings(s, d), threshold = 0.4,
         nBits = 6, tables = 3).orderBy("vec_id")
+    },
+    // substring-LEVEL exact dedup: maximal cross-document duplicated
+    // 5-gram runs — the spans a span-cutting rewrite would remove
+    "dd16_dup_spans" -> { (s, d) =>
+      Dedup.duplicateSpans(documents(s, d), k = 5, minGrams = 1)
+        .orderBy("doc_id", "start_pos")
     },
     // transitive duplicate groups over the MinHash pair stream:
     // min-label propagation (see Dedup.resolveClusters) — the step a
@@ -778,6 +796,35 @@ object PipelineQueries {
       SELECT doc_id, n_tokens, margin,
         CASE WHEN margin >= 0 THEN 'keep' ELSE 'drop' END AS label
       FROM m ORDER BY doc_id""",
+    // within-doc gram multiplicity via a window, then the same
+    // gaps-and-islands merge as dd16
+    // seed:id polynomial hash -> shard; per-shard rank = position
+    "tp6_global_shuffle" -> s"""
+      WITH h AS (SELECT doc_id,
+        ${sqlFp("concat(42, ':', doc_id)")} AS h FROM documents)
+      SELECT doc_id, h, h % 8 AS shard,
+        (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
+          AS pos
+      FROM h ORDER BY shard, pos""",
+    "t16_repeat_spans" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      g AS (SELECT doc_id, CAST(x.pos AS INT) AS pos, x.h AS h FROM
+        (SELECT doc_id, unnest(list_transform(
+           range(0, greatest(len(toks)-3,0)+1),
+           i0 -> {'pos': i0,
+             'h': ${sqlFp("array_to_string((toks)[i0+1:i0+3], ' ')")}})) AS x
+         FROM t)),
+      m AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+          count(*) OVER (PARTITION BY doc_id, h) AS occ FROM g)
+        WHERE occ >= 2),
+      sp AS (SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM m)
+      SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
+        count(*)::BIGINT AS n_grams, (max(pos) - min(pos) + 3)::INT AS n_tokens
+      FROM sp GROUP BY doc_id, grp
+      HAVING count(*) >= 2
+      ORDER BY doc_id, start_pos""",
     "tp3_clean_chunks" -> s"""
       WITH base AS (SELECT doc_id, text, len($toks) AS n_tokens,
         ${sqlQuality} AS quality
@@ -1430,6 +1477,25 @@ object PipelineQueries {
         c.vec_id = b.keep_id AS keep
       FROM cl c JOIN best b USING (cluster_id) ORDER BY vec_id"""
     },
+    // positional 5-grams → cross-doc duplicated fingerprints →
+    // gaps-and-islands span merge, all integer-exact
+    "dd16_dup_spans" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      g AS (SELECT doc_id, CAST(x.pos AS INT) AS pos, x.h AS h FROM
+        (SELECT doc_id, unnest(list_transform(
+           range(0, greatest(len(toks)-5,0)+1),
+           i0 -> {'pos': i0,
+             'h': ${sqlFp("array_to_string((toks)[i0+1:i0+5], ' ')")}})) AS x
+         FROM t)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+      sp AS (SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM m)
+      SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
+        count(*)::BIGINT AS n_grams, (max(pos) - min(pos) + 5)::INT AS n_tokens
+      FROM sp GROUP BY doc_id, grp
+      ORDER BY doc_id, start_pos""",
     "dd11_embedding_incremental" -> {
       // dd6's bucket pipeline with the within-corpus a<b condition
       // swapped for the new×index cross condition (twin of dd9's)

@@ -838,6 +838,101 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate spans: shared substrings merge to one maximal span each") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota" // 9 words
+    val other = "one two three four five six seven" // 7 words
+    val corpus = Seq(
+      (1L, s"unique opening words here $shared and a unique tail"),
+      (2L, s"$shared totally different continuation text follows now"),
+      (3L, "nothing in this document repeats anywhere else at all"),
+      (4L, s"prefix text $other suffix text"),
+      (5L, s"another beginning $other and another end"),
+      // within-doc repetition only — cross-doc detector must NOT fire
+      (6L, s"$other $other")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, k = 5, minGrams = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4)))
+    // docs 1 and 2 share the 9-word run: 5 consecutive 5-gram
+    // positions -> ONE span of n_grams=5, n_tokens=9 in each
+    val d1 = spans.filter(_._1 == 1L)
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d1.length == 1 && d2.length == 1)
+    assert(d1.head._4 == 5 && d1.head._5 == 9)
+    assert(d2.head._4 == 5 && d2.head._5 == 9)
+    assert(d1.head._2 == 4, "doc 1's span starts after its 4-word prefix")
+    assert(d2.head._2 == 0, "doc 2's span starts at position 0")
+    // the 7-word run shared by 4, 5 and 6: 3 grams, 7 tokens
+    assert(spans.filter(_._1 == 4L).map(s => (s._4, s._5)).toSeq ==
+      Seq((3L, 7)))
+    // doc 3 has no cross-doc overlap
+    assert(!spans.exists(_._1 == 3L))
+    // doc 6's two copies both match docs 4/5 cross-doc -> spans exist,
+    // but remove doc 4 and 5 and ONLY-within-doc repetition is silent
+    val solo = Dedup.duplicateSpans(corpus.filter(col("doc_id") >= 6L),
+      k = 5, minGrams = 1).collect()
+    assert(solo.isEmpty, "within-doc repetition must not fire the CROSS-doc detector")
+    // minGrams filters short spans
+    val long = Dedup.duplicateSpans(corpus, k = 5, minGrams = 4).collect()
+      .map(_.getLong(0)).toSet
+    assert(long == Set(1L, 2L), "minGrams=4 keeps only the 5-gram span")
+  }
+
+  test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
+    val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq,
+      "same seed must reproduce the identical order")
+    // permutation: every doc appears once; positions within a shard
+    // are exactly 0..n-1
+    assert(a.map(_._1).distinct.length == docs.count())
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // all shards populated and no shard hogs the corpus (hash balance)
+    val sizes = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    assert(sizes.values.max < 2 * sizes.values.min + 8,
+      s"shard sizes unbalanced: $sizes")
+    // a different seed actually reshuffles
+    val c = operators.Packing.globalShuffle(docs, "doc_id", 8, 43L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val moved = a.count(r => c(r._1) != ((r._3, r._4)))
+    assert(moved > a.length / 2, "changing the seed must move most rows")
+  }
+
+  test("repetition spans localize within-doc repeats; unique docs are silent") {
+    import spark.implicits._
+    val loop = "buy now click here" // 4 words, repeated -> looping text
+    val corpus = Seq(
+      (1L, s"a perfectly unique sentence with no repeats at all whatsoever"),
+      (2L, s"intro words $loop $loop $loop closing words"),
+      // repetition ACROSS docs but not within -> intra-doc detector silent
+      (3L, s"first document ends with $loop"),
+      (4L, s"second document ends with $loop")).toDF("doc_id", "text")
+    val spans = TextAnalysis.repetitionSpans(corpus, k = 3, minGrams = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4)))
+    assert(!spans.exists(_._1 == 1L))
+    assert(!spans.exists(_._1 == 3L) && !spans.exists(_._1 == 4L),
+      "cross-doc-only repetition must not fire the INTRA-doc detector")
+    // doc 2: "buy now click here" × 3 -> trigrams of the loop repeat;
+    // the repeated positions are consecutive -> ONE span covering the
+    // loop region (grams 2..9 of the doc: intro(2) + 12 loop words)
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d2.length == 1, s"expected one merged loop span, got ${d2.toSeq}")
+    assert(d2.head._4 >= 8, "the loop's repeated trigram run spans >= 8 grams")
+    // sanity vs t08: the same doc scores a nonzero duplicate-trigram
+    // fraction (the span is WHERE that fraction lives)
+    val t08 = TextAnalysis.repetitionScores(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(t08(2L) > 0.0 && t08(1L) == 0.0)
+  }
+
   test("compaction executes its plan: bins round-trip to one file each") {
     val target = 1000L
     val plan = operators.Layout.compactionBins(docs, "source", "doc_id",

@@ -251,6 +251,34 @@ object PlanCheck {
       // pair detector's narrow (id, table, bucket) exchanges
       "cluster/best frames broadcast" -> (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("dd16_dup_spans", Seq(
+      // the gram-df filter probes back as a SEMI join on the gram
+      // fingerprint (both sides corpus-sized — a broadcast would OOM
+      // at 100 TB); islands then merge in a doc-keyed window
+      "duplicated-gram probe is a semi join" -> (_.contains("LeftSemi")),
+      "islands window partitioned by doc" ->
+        (_.contains("hashpartitioning(doc_id")),
+      "gram math stays in codegen (no UDF)" -> (p =>
+        !p.contains("ScalaUDF") && !p.contains("BatchEvalPython")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("t16_repeat_spans", Seq(
+      // strictly per-document: multiplicity count and islands both run
+      // in doc-keyed exchanges — no corpus-global aggregation at all
+      "all exchanges doc-keyed" ->
+        (_.contains("hashpartitioning(doc_id")),
+      "no join at all (within-doc windows)" -> (p =>
+        !p.contains("Join") && !p.contains("CartesianProduct")),
+      "gram math stays in codegen (no UDF)" -> (p =>
+        !p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))))
+    audit("tp6_global_shuffle", Seq(
+      // one shard-keyed exchange for the per-shard rank window; the
+      // only range exchange is the declared output ORDER BY
+      "rank window partitioned by shard" ->
+        (_.contains("hashpartitioning(shard")),
+      "no global single-reducer sort beyond the output ORDER BY" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1),
+      "no join, no cartesian" -> (p =>
+        !p.contains("Join") && !p.contains("CartesianProduct"))))
     audit("dd14_dedup_keep_best", Seq(
       // the survivor argmax is a map-side-combinable max_by; the
       // cluster map and best frames ride broadcasts, quality never
