@@ -175,7 +175,9 @@ class DeltaShareTable(addr: TableAddress, meta: TableMetadata,
         // stream starts and whether remove actions are skipped
         streamStartingVersion =
           Option(options.get("startingVersion")).map(_.toLong),
-        streamIgnoreDeletes = options.getBoolean("ignoreDeletes", false))
+        streamIgnoreDeletes = options.getBoolean("ignoreDeletes", false),
+        streamMaxVersionsPerTrigger =
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
     }
   }
 }

@@ -3,7 +3,7 @@ package graft.sources.v2
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
@@ -47,7 +47,9 @@ class DeltaShareMicroBatchStream(
     requiredPartitionSchema: StructType,
     hadoopConf: Configuration,
     startingVersion: Option[Long],
-    ignoreDeletes: Boolean) extends MicroBatchStream {
+    ignoreDeletes: Boolean,
+    maxVersionsPerTrigger: Option[Long]) extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   private val client = new DeltaSharingClient(addr.profile)
 
@@ -60,9 +62,37 @@ class DeltaShareMicroBatchStream(
   override def initialOffset(): Offset =
     DeltaShareVersionOffset(initialVersion)
 
+  private def headVersion(): Long = math.max(initialVersion,
+    client.queryTableVersion(addr.share, addr.schema, addr.table))
+
   override def latestOffset(): Offset =
-    DeltaShareVersionOffset(math.max(initialVersion,
-      client.queryTableVersion(addr.share, addr.schema, addr.table)))
+    DeltaShareVersionOffset(headVersion())
+
+  // ---- SupportsAdmissionControl -----------------------------------
+  //
+  // Rate limiting at version granularity: `maxVersionsPerTrigger`
+  // caps how many commits one micro-batch consumes, so a stream
+  // started with `startingVersion` far in the past backfills in
+  // bounded batches instead of one giant catch-up batch (bounded
+  // executor memory + steady checkpoint progress — the property that
+  // makes replay restartable). Offsets stay plain versions, so the
+  // cap never splits a commit: exactly-once is preserved.
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val from = startOffset.asInstanceOf[DeltaShareVersionOffset].version
+    val head = headVersion()
+    DeltaShareVersionOffset(maxVersionsPerTrigger match {
+      case Some(n) if n > 0 => math.min(head, from + n)
+      case _ => head
+    })
+  }
+
+  /** The true head, for progress reporting (how far behind the capped
+    * batches are). */
+  override def reportLatestOffset(): Offset =
+    DeltaShareVersionOffset(headVersion())
 
   override def deserializeOffset(json: String): Offset =
     DeltaShareVersionOffset(json.trim.toLong)

@@ -44,7 +44,8 @@ class DeltaShareScanBuilder(
     tableSchema: StructType,
     hadoopConf: Configuration,
     streamStartingVersion: Option[Long] = None,
-    streamIgnoreDeletes: Boolean = false)
+    streamIgnoreDeletes: Boolean = false,
+    streamMaxVersionsPerTrigger: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -300,7 +301,8 @@ class DeltaShareScanBuilder(
     case None => new DeltaShareScan(
       spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
       partitionFilters, dataFilters, limit, hadoopConf,
-      streamStartingVersion, streamIgnoreDeletes)
+      streamStartingVersion, streamIgnoreDeletes,
+      streamMaxVersionsPerTrigger)
   }
 }
 
@@ -337,7 +339,8 @@ class DeltaShareScan(
     limit: Option[Int],
     hadoopConf: Configuration,
     streamStartingVersion: Option[Long] = None,
-    streamIgnoreDeletes: Boolean = false) extends Scan with Batch
+    streamIgnoreDeletes: Boolean = false,
+    streamMaxVersionsPerTrigger: Option[Long] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val partitionColNames = partitionSchema.fieldNames.toSet
@@ -366,7 +369,8 @@ class DeltaShareScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new DeltaShareMicroBatchStream(spark, addr, meta, dataSchema,
       partitionSchema, requiredDataSchema, requiredPartitionSchema,
-      hadoopConf, streamStartingVersion, streamIgnoreDeletes)
+      hadoopConf, streamStartingVersion, streamIgnoreDeletes,
+      streamMaxVersionsPerTrigger)
 
   override def description(): String =
     s"DeltaShareScan ${addr.share}.${addr.schema}.${addr.table} " +

@@ -127,6 +127,39 @@ class DeltaShareStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally lax.stop()
   }
 
+  test("maxVersionsPerTrigger backfills in bounded batches, uncapped catches up at once") {
+    // runs after the remove test: the feed holds v1..v3 adds + v4
+    // remove. A capped replay from v1 must consume ONE version per
+    // micro-batch (bounded catch-up); uncapped, the same replay is a
+    // single giant batch.
+    def replay(extra: Map[String, String]): Seq[Set[Long]] = {
+      val batches =
+        new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+      val q = stream(extra ++ Map("ignoreDeletes" -> "true")).writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ckpt-rate").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+          if (ids.nonEmpty) batches.add(ids)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      batches.asScala.toSeq
+    }
+    val capped = replay(Map("maxVersionsPerTrigger" -> "1"))
+    // one version per batch, in commit order
+    assert(capped.length == 3, s"expected 3 single-version batches, got ${capped.length}")
+    capped.zipWithIndex.foreach { case (ids, i) =>
+      assert(ids.forall(_ % 3 == i), s"batch $i mixed versions")
+    }
+    assert(capped.map(_.size).sum == slices.map(_._3).sum)
+    val uncapped = replay(Map.empty)
+    assert(uncapped.length == 1, "uncapped replay should catch up in one batch")
+    assert(uncapped.head.size == slices.map(_._3).sum)
+  }
+
   test("live incremental read feeds minhash dedup against a standing index") {
     // the daily-pipeline composition: each micro-batch of newly shared
     // docs probes the standing index via the incremental band join —
