@@ -44,6 +44,44 @@ object VectorStats {
         (col("s").cast("double") / lit(FixedScale) / col("n").cast("double"))
           .as("centroid"))
 
+  /** Distributed GRAM MATRIX accumulation — `G[i][j] = Σ_rows
+    * x_i · x_j` over the whole corpus, the d×d second-moment input
+    * every linear embedding transform starts from (PCA, whitening,
+    * OPQ rotation for quantizers, least-squares probes): accumulate G
+    * distributed, eigendecompose the d×d result wherever (it's tiny),
+    * apply the rotation back as a ve-style per-row map. Paired with
+    * [[labelCentroids]]' per-dim sums this yields the covariance
+    * (`cov = G/n − μμᵀ`) without a second corpus pass.
+    *
+    * Scale shape: each vector fans into its d(d+1)/2 upper-triangle
+    * products (generate → filter, pipelined straight into the hash
+    * aggregation — the fan-out never materializes or shuffles);
+    * map-side partial aggregation collapses every partition to
+    * ≤ d(d+1)/2 rows, so the exchange carries O(partitions × d²)
+    * regardless of corpus size. CPU is the algorithm's O(n·d²) —
+    * at d beyond a few hundred, block the (i, j) space into column
+    * ranges and run blocks as separate passes.
+    *
+    * Exactness: a float×float product in double is EXACT (24-bit
+    * mantissas → ≤ 48-bit product), and the sum fixed-points each
+    * product first (class scaladoc) — the oracle reproduces G
+    * bit-for-bit.
+    *
+    * Output: `(i, j, n, gram)` for the upper triangle `i ≤ j`. */
+  def gramMatrix(embs: DataFrame): DataFrame =
+    embs
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")),
+        col("embedding"))
+      .select(col("i"), col("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("xi").cast("double") * col("xj").cast("double")
+          * lit(FixedScale)).cast(DecimalType(38, 0))).as("s"))
+      .select(col("i"), col("j"), col("n"),
+        (col("s").cast("double") / lit(FixedScale)).as("gram"))
+
   /** Fixed-order dot product of two DOUBLE arrays via HOFs — the
     * centroid side of k-means is double-valued, so the float-only
     * native `vec_dot` doesn't apply; fold order (element order, left

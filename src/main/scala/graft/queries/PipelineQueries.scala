@@ -344,6 +344,11 @@ object PipelineQueries {
     "ve4_quant_error" -> { (s, d) =>
       VectorStats.quantError(embeddings(s, d)).orderBy("vec_id")
     },
+    // corpus second-moment (Gram) matrix, upper triangle — the d x d
+    // input PCA/whitening/OPQ eigendecompose driver-side
+    "ve5_gram_matrix" -> { (s, d) =>
+      VectorStats.gramMatrix(embeddings(s, d)).orderBy("i", "j")
+    },
     // two deterministic Lloyd rounds from the k-lowest-id seed, then
     // the final assignment under the trained centroids
     "ve3_kmeans" -> { (s, d) =>
@@ -1212,6 +1217,16 @@ object PipelineQueries {
             v1 -> floor(v1::DOUBLE * 127.0 / scale + 0.5)::INT)
           ELSE list_transform(embedding, v2 -> 0) END, ',') AS q_csv
       FROM s ORDER BY vec_id""",
+    "ve5_gram_matrix" -> s"""
+      WITH x AS (SELECT CAST(t.i0 AS INT) AS i, CAST(u.j0 AS INT) AS j,
+          floor(embedding[t.i0+1]::DOUBLE * embedding[u.j0+1]::DOUBLE
+            * 1099511627776.0)::BIGINT::DECIMAL(38,0) AS p
+        FROM embeddings,
+          unnest(range(0, len(embedding))) AS t(i0),
+          unnest(range(0, len(embedding))) AS u(j0)
+        WHERE u.j0 >= t.i0)
+      SELECT i, j, count(*) AS n, sum(p)::DOUBLE / 1099511627776.0 AS gram
+      FROM x GROUP BY i, j ORDER BY i, j""",
     "ve4_quant_error" -> s"""
       WITH s AS (SELECT vec_id,
         list_transform(embedding, v0 -> v0::DOUBLE) AS emb,

@@ -42,7 +42,8 @@ object MetricsCheck {
       "tp5_shard_audit", "q57_compaction_bins", "mx5_mixture_sqrt",
       "ss6_ivf_trained", "dc3_eval_overlap", "ss7_recall_int8",
       "dd15_dedup_semantic", "t15_classifier_score",
-      "dd16_dup_spans", "t16_repeat_spans", "tp6_global_shuffle")
+      "dd16_dup_spans", "t16_repeat_spans", "tp6_global_shuffle",
+      "ve5_gram_matrix")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>

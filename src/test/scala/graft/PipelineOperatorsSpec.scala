@@ -878,6 +878,29 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(long == Set(1L, 2L), "minGrams=4 keeps only the 5-gram span")
   }
 
+  test("gram matrix equals the driver-side exact second moment") {
+    val vecs = embs.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = vecs.head.length
+    val got = operators.VectorStats.gramMatrix(embs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == d * (d + 1) / 2, "full upper triangle present")
+    // exact truth in the same fixed-point arithmetic (sum of
+    // floor(product * 2^40) is order-independent over integers)
+    val scale = 1099511627776.0
+    for (i <- 0 until d; j <- i until d) {
+      val s = vecs.map(v => math.floor(
+        v(i).toDouble * v(j).toDouble * scale)).map(BigDecimal(_)).sum
+      val (n, gram) = got((i, j))
+      assert(n == vecs.length)
+      assert(gram == (s / BigDecimal(scale)).toDouble,
+        s"G[$i][$j] mismatch")
+    }
+    // diagonal entries are sums of squares -> nonnegative
+    assert((0 until d).forall(i => got((i, i))._2 >= 0.0))
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

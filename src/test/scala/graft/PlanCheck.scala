@@ -279,6 +279,15 @@ object PlanCheck {
         (p => "rangepartitioning".r.findAllIn(p).size <= 1),
       "no join, no cartesian" -> (p =>
         !p.contains("Join") && !p.contains("CartesianProduct"))))
+    audit("ve5_gram_matrix", Seq(
+      // the d^2 fan-out pipelines straight into a partially-aggregated
+      // hash agg: the exchange carries O(partitions x d^2), never the
+      // exploded products
+      "gram sums partially aggregated" -> (_.contains("partial_")),
+      "no join, no cartesian" -> (p =>
+        !p.contains("Join") && !p.contains("CartesianProduct")),
+      "one output sort only" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
     audit("dd14_dedup_keep_best", Seq(
       // the survivor argmax is a map-side-combinable max_by; the
       // cluster map and best frames ride broadcasts, quality never
@@ -297,8 +306,10 @@ object PlanCheck {
     audit("q57_compaction_bins", Seq(
       // per-source windows parallel across sources — never a single
       // global sort of the corpus
+      // binAssignments windows on the raw `source` column (renamed to
+      // `part` only in the rollup projection)
       "window partitioned by the table partition key" ->
-        (_.contains("hashpartitioning(part")),
+        (_.contains("hashpartitioning(source")),
       "rollup partially aggregated" -> (_.contains("partial_")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("mx5_mixture_sqrt", Seq(
