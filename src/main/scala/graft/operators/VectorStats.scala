@@ -69,6 +69,15 @@ object VectorStats {
     *
     * Output: `(i, j, n, gram)` for the upper triangle `i ≤ j`. */
   def gramMatrix(embs: DataFrame): DataFrame =
+    moments(embs)
+      .select(col("i"), col("j"), col("n"),
+        (col("s").cast("double") / lit(FixedScale)).as("gram"))
+
+  /** Shared one-pass second+first-moment aggregation behind
+    * [[gramMatrix]] and [[pcaProject]]: upper-triangle products plus,
+    * on the diagonal rows only, the plain per-dim sum (`s1`) — so the
+    * covariance `G/n − μμᵀ` costs ONE corpus scan, not two. */
+  private def moments(embs: DataFrame): DataFrame =
     embs
       .select(posexplode(col("embedding")).as(Seq("i", "xi")),
         col("embedding"))
@@ -78,9 +87,83 @@ object VectorStats {
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         sum(floor(col("xi").cast("double") * col("xj").cast("double")
-          * lit(FixedScale)).cast(DecimalType(38, 0))).as("s"))
-      .select(col("i"), col("j"), col("n"),
-        (col("s").cast("double") / lit(FixedScale)).as("gram"))
+          * lit(FixedScale)).cast(DecimalType(38, 0))).as("s"),
+        sum(when(col("i") === col("j"),
+            floor(col("xi").cast("double") * lit(FixedScale)))
+          .cast(DecimalType(38, 0))).as("s1"))
+
+  /** Top PRINCIPAL COMPONENT of the embedding corpus and every
+    * vector's projection onto it — the 1-D PCA score behind variance
+    * screens, outlier slicing, and whitening QA. Same division of
+    * labor as Spark MLlib's own PCA: the corpus reduces to the d×d
+    * covariance DISTRIBUTED (one scan, [[moments]]), the
+    * eigenproblem is solved on the driver where a d×d matrix is
+    * trivially small, and the resulting direction rides back to the
+    * executors as a broadcast literal for a pure map-side projection.
+    *
+    * Scale shape: one O(n·d²) corpus scan collapsing to d(d+1)/2
+    * partial-agg rows (the [[gramMatrix]] exchange), a driver loop
+    * over 64×64 doubles, then ONE more corpus scan with zero
+    * mid-plan exchanges — at 100 TB the projection is
+    * scan-bandwidth-bound, exactly like ve2's quantization.
+    *
+    * Cross-engine exactness: the power iteration runs in the same
+    * fixed-point arithmetic as every sum here — each matvec addend is
+    * `floor(cov·v · 2^40)` (double product correctly rounded
+    * identically everywhere, floor exact), summed as integers
+    * (order-free), normalized by the integer max-abs; the final L2
+    * norm square is again an integer sum, so its `sqrt` sees a
+    * bit-identical argument. The oracle replays the IDENTICAL
+    * trajectory as `iters` unrolled SQL CTEs over the gram table —
+    * convergence is irrelevant to correctness, any fixed `iters`
+    * agrees bit-for-bit. */
+  def pcaProject(embs: DataFrame, iters: Int = 24): DataFrame = {
+    val dir = pcaDirection(embs, iters)
+    embs.select(col("vec_id"),
+      (aggregate(
+        zip_with(col("embedding"), typedLit(dir.toSeq), (x, w) =>
+          floor(x.cast("double") * w * lit(FixedScale)).cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double") / lit(FixedScale))
+        .as("pc1"))
+  }
+
+  /** The unit top-eigenvector of the corpus covariance via `iters`
+    * fixed-point power iterations from the all-ones start — see
+    * [[pcaProject]] for the exactness contract. */
+  def pcaDirection(embs: DataFrame, iters: Int = 24): Array[Double] = {
+    val rows = moments(embs).collect()
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val n = rows.head.getLong(2)
+    val mu = new Array[Double](d)
+    rows.foreach { r =>
+      if (r.getInt(0) == r.getInt(1))
+        mu(r.getInt(0)) = r.getDecimal(4).doubleValue / FixedScale / n
+    }
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val gram = r.getDecimal(3).doubleValue / FixedScale
+      val c = gram / n - mu(i) * mu(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0)
+    var it = 0
+    while (it < iters) {
+      val s = Array.tabulate(d) { i =>
+        var acc = 0L; var j = 0
+        while (j < d) {
+          acc += math.floor(cov(i)(j) * v(j) * FixedScale).toLong; j += 1
+        }
+        acc
+      }
+      val m = s.map(math.abs).max
+      v = s.map(x => x.toDouble / m.toDouble)
+      it += 1
+    }
+    val n2 = v.map(x => math.floor(x * x * FixedScale).toLong).sum
+    val norm = math.sqrt(n2.toDouble / FixedScale)
+    v.map(_ / norm)
+  }
 
   /** Fixed-order dot product of two DOUBLE arrays via HOFs — the
     * centroid side of k-means is double-valued, so the float-only

@@ -64,6 +64,54 @@ object PipelineQueries {
 
   private def sqlLshBucket(emb: String): String = sqlLshBucketOffset(emb, 4, 0)
 
+  /** Oracle twin of [[VectorStats.pcaProject]]: the power iteration
+    * unrolled as `iters` CTE pairs over the gram/covariance tables —
+    * every step in the same fixed-point arithmetic as the Scala
+    * driver loop, so the trajectory (not just the limit) matches
+    * bit-for-bit. */
+  private def sqlPcaProject(iters: Int): String = {
+    val S = "1099511627776.0"
+    // MATERIALIZED: each step is referenced twice (join + scalar
+    // max); inlined CTEs would re-derive the whole upstream chain
+    // exponentially across the unrolled iterations
+    val steps = (1 to iters).map { k =>
+      s"""sv$k AS MATERIALIZED (
+        SELECT c.i, sum(floor(c.cov * v.v * $S)::BIGINT) AS sv
+        FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+      v$k AS MATERIALIZED (SELECT i, sv::DOUBLE /
+          (SELECT max(abs(sv)) FROM sv$k)::DOUBLE AS v FROM sv$k)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH g AS MATERIALIZED (
+        SELECT CAST(t.i0 AS INT) AS i, CAST(u.j0 AS INT) AS j,
+          count(*) AS n,
+          sum(floor(embedding[t.i0+1]::DOUBLE * embedding[u.j0+1]::DOUBLE
+            * $S)::BIGINT::DECIMAL(38,0)) AS s,
+          sum(CASE WHEN t.i0 = u.j0 THEN
+            floor(embedding[t.i0+1]::DOUBLE * $S)::BIGINT::DECIMAL(38,0)
+            END) AS s1
+        FROM embeddings,
+          unnest(range(0, len(embedding))) AS t(i0),
+          unnest(range(0, len(embedding))) AS u(j0)
+        WHERE u.j0 >= t.i0 GROUP BY 1, 2),
+      mu AS MATERIALIZED (SELECT i, s1::DOUBLE / $S / n AS mu
+        FROM g WHERE i = j),
+      cov AS MATERIALIZED (
+        SELECT q.i, q.j, (q.s::DOUBLE / $S) / q.n - a.mu * b.mu AS cov
+        FROM (SELECT i, j, n, s FROM g
+              UNION ALL SELECT j, i, n, s FROM g WHERE i < j) q
+        JOIN mu a ON a.i = q.i JOIN mu b ON b.i = q.j),
+      v0 AS (SELECT i, 1.0::DOUBLE AS v FROM mu),
+      $steps,
+      dir AS (SELECT i, v / sqrt((SELECT sum(floor(v*v*$S)::BIGINT)
+          FROM v$iters)::DOUBLE / $S) AS w FROM v$iters)
+      SELECT e.vec_id,
+        sum(floor(e.embedding[d.i+1]::DOUBLE * d.w * $S)::BIGINT)::DOUBLE
+          / $S AS pc1
+      FROM embeddings e CROSS JOIN dir d
+      GROUP BY e.vec_id ORDER BY vec_id"""
+  }
+
   // ---- queries -----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,6 +396,11 @@ object PipelineQueries {
     // input PCA/whitening/OPQ eigendecompose driver-side
     "ve5_gram_matrix" -> { (s, d) =>
       VectorStats.gramMatrix(embeddings(s, d)).orderBy("i", "j")
+    },
+    // top-principal-component projection: distributed covariance,
+    // driver-side fixed-point power iteration, map-side projection
+    "ve6_pca_project" -> { (s, d) =>
+      VectorStats.pcaProject(embeddings(s, d)).orderBy("vec_id")
     },
     // two deterministic Lloyd rounds from the k-lowest-id seed, then
     // the final assignment under the trained centroids
@@ -1227,6 +1280,7 @@ object PipelineQueries {
         WHERE u.j0 >= t.i0)
       SELECT i, j, count(*) AS n, sum(p)::DOUBLE / 1099511627776.0 AS gram
       FROM x GROUP BY i, j ORDER BY i, j""",
+    "ve6_pca_project" -> sqlPcaProject(24),
     "ve4_quant_error" -> s"""
       WITH s AS (SELECT vec_id,
         list_transform(embedding, v0 -> v0::DOUBLE) AS emb,

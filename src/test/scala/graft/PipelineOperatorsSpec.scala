@@ -901,6 +901,37 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert((0 until d).forall(i => got((i, i))._2 >= 0.0))
   }
 
+  test("pca projection: unit direction, exact distributed dot, top-axis variance") {
+    val dir = operators.VectorStats.pcaDirection(embs)
+    // the L2 norm the fixed-point normalization targeted
+    assert(math.abs(dir.map(x => x * x).sum - 1.0) < 1e-9, "unit direction")
+    val got = operators.VectorStats.pcaProject(embs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(got.size == vecs.length)
+    // distributed HOF projection == plain scalar fixed-point dot
+    val scale = 1099511627776.0
+    vecs.foreach { case (id, v) =>
+      val s = v.indices.map(i =>
+        math.floor(v(i).toDouble * dir(i) * scale).toLong).sum
+      assert(got(id) == s.toDouble / scale, s"pc1 mismatch for vec $id")
+    }
+    // the trained direction captures at least as much variance as any
+    // single coordinate axis (the floor of what a converged top
+    // component guarantees)
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val pcVar = variance(vecs.map { case (id, _) => got(id) })
+    val d = vecs.head._2.length
+    (0 until d).foreach { i =>
+      val axis = variance(vecs.map(_._2(i).toDouble))
+      assert(pcVar >= axis - 1e-12, s"pc1 variance below axis $i")
+    }
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -279,6 +279,15 @@ object PlanCheck {
         (p => "rangepartitioning".r.findAllIn(p).size <= 1),
       "no join, no cartesian" -> (p =>
         !p.contains("Join") && !p.contains("CartesianProduct"))))
+    audit("ve6_pca_project", Seq(
+      // the direction is a broadcast LITERAL (trained before planning)
+      // — projection is one pure map over the corpus scan: no joins,
+      // no mid-plan exchange, only the output sort
+      "no join, no cartesian" -> (p =>
+        !p.contains("Join") && !p.contains("CartesianProduct")),
+      "no mid-plan hash exchange" -> (p => !p.contains("hashpartitioning")),
+      "one output sort only" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
     audit("ve5_gram_matrix", Seq(
       // the d^2 fan-out pipelines straight into a partially-aggregated
       // hash agg: the exchange carries O(partitions x d^2), never the
