@@ -412,6 +412,104 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** PRODUCT-QUANTIZED top-k (ss8) — the memory-compressed ANN
+    * serving shape for corpora whose float vectors don't fit the
+    * fleet: the embedding splits into `m` subspaces, each trained to
+    * its own `ksub`-centroid codebook ([[VectorStats.kmeansCentroids]]
+    * per slice — deterministic lowest-id seed, fixed-point Lloyd
+    * rounds), every vector stores only its m nearest-centroid codes
+    * (m bytes at ksub ≤ 256 vs 4·d float bytes — 32× at d=64, m=8),
+    * and a query ranks the whole corpus by ASYMMETRIC DISTANCE:
+    * `adist(q, x) = Σ_s ‖q_s − c_{code_s(x)}‖²`, read from a
+    * per-query lookup table of m·ksub precomputed subdistances.
+    *
+    * Scale shape (the PQ paper's promise, kept by this plan):
+    *  - training touches the corpus 3·m times over SLICES (Lloyd's
+    *    inherent cost; codebooks are k-row frames behind lazy
+    *    checkpoints);
+    *  - encoding is m chained broadcast argmin folds
+    *    ([[VectorStats.nearestIn]]) on ONE corpus scan — zero
+    *    exchanges, the corpus never shuffles;
+    *  - query lookup tables are built queries × (m·ksub) centroids —
+    *    tiny — grouped into per-query maps and broadcast as ONE row;
+    *  - scoring is a per-row map probe + fixed-order sum of m doubles;
+    *    only (query_id, neighbor_id, adist) triples reach the top-k
+    *    window.
+    *
+    * Cross-engine exactness: subdistances use the same
+    * `(x·x − 2·x·c) + c·c` association as every assignment here, the
+    * ADC sum is a fixed-order left fold over subspace index, and code
+    * ties break to the smaller cid — the oracle replays codebook
+    * training per slice and ranks by an identically-associated
+    * `list_reduce`. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val d = corpus.select(size(col("embedding"))).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val len = d / m
+    val books = (0 until m).map { s =>
+      VectorStats.kmeansCentroids(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), s * len + 1, len).as("embedding")),
+        ksub, iters)
+        .withColumn("cc", dotD(col("cemb"), col("cemb")))
+        .localCheckpoint(eager = false) // encoder + query table reuse
+    }
+    // ENCODE: m broadcast argmin folds chained on one corpus scan
+    var enc = corpus.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("demb"))
+    (0 until m).foreach { s =>
+      val packed = books(s)
+        .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+          .as("cs"))
+      enc = enc.crossJoin(broadcast(packed))
+        .withColumn("sub", slice(col("demb"), s * len + 1, len))
+        .withColumn("sxx", dotD(col("sub"), col("sub")))
+        .withColumn(s"code_$s",
+          VectorStats.nearestIn(col("cs"), col("sub"), col("sxx"))
+            .getField("cid"))
+        .drop("cs", "sub", "sxx")
+    }
+    // per-query ADC lookup tables: map sid -> (cid -> subdistance)
+    val qt = (0 until m).map { s =>
+      queries.select(col("vec_id").as("query_id"),
+          transform(slice(col("embedding"), s * len + 1, len),
+            v => v.cast("double")).as("qs"))
+        .withColumn("qxx", dotD(col("qs"), col("qs")))
+        .crossJoin(broadcast(books(s)))
+        .select(col("query_id"), lit(s).as("sid"), col("cid"),
+          (col("qxx") - lit(2.0) * dotD(col("qs"), col("cemb"))
+            + col("cc")).as("dq"))
+    }.reduce(_ unionByName _)
+    val packedQ = qt
+      .groupBy("query_id", "sid")
+      .agg(map_from_entries(collect_list(struct(col("cid"), col("dq"))))
+        .as("mp"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("sid"), col("mp"))))
+        .as("smap"))
+      .agg(collect_list(struct(col("query_id"), col("smap"))).as("qarr"))
+    val adist = (0 until m).foldLeft(lit(0.0): Column) { (acc, s) =>
+      acc + element_at(element_at(col("q.smap"), lit(s)), col(s"code_$s"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    enc.crossJoin(broadcast(packedQ))
+      .select((col("vec_id").as("neighbor_id") +:
+        explode(col("qarr")).as("q") +:
+        (0 until m).map(s => col(s"code_$s"))): _*)
+      .withColumn("adist", adist)
+      .filter(col("q.query_id") =!= col("neighbor_id"))
+      .select(col("q.query_id").as("query_id"), col("neighbor_id"),
+        col("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Recall@k report of the ANN paths against exact brute force —
     * the "measure, don't guess" operator for index tuning: before
     * trusting `nBits`/`numCentroids`/`nprobe` on a billion vectors,

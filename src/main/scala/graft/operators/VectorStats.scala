@@ -266,22 +266,33 @@ object VectorStats {
       .withColumn("xx", dotD(col("emb"), col("emb")))
       .crossJoin(broadcast(packed))
       .select(col("vec_id"),
-        aggregate(col("cs"),
-          struct(lit(Long.MaxValue).as("cid"),
-            lit(Double.MaxValue).as("dist2")),
-          (acc, c) => {
-            val d = col("xx") -
-              lit(2.0) * dotD(col("emb"), c.getField("cemb")) +
-              c.getField("cc")
-            val better = d < acc.getField("dist2") ||
-              (d === acc.getField("dist2") &&
-                c.getField("cid") < acc.getField("cid"))
-            when(better, struct(c.getField("cid").as("cid"),
-              d.as("dist2"))).otherwise(acc)
-          }).as("best"))
+        nearestIn(col("cs"), col("emb"), col("xx")).as("best"))
       .select(col("vec_id"), col("best.cid").as("cluster_id"),
         col("best.dist2").as("dist2"))
   }
+
+  /** Map-side argmin over a packed centroid array: the `(cid, dist2)`
+    * struct of the nearest entry of `cs` (elements
+    * `(cid, cemb, cc)`) to the double array `emb` whose self-dot is
+    * `xx` — distance in the fixed association `(x·x − 2·x·c) + c·c`,
+    * ties to the smaller cid. The broadcast fold shared by
+    * [[assignToCentroids]] and [[Similarity.pqTopK]]'s per-subspace
+    * encoder. */
+  private[operators] def nearestIn(cs: Column, emb: Column,
+      xx: Column): Column =
+    aggregate(cs,
+      struct(lit(Long.MaxValue).as("cid"),
+        lit(Double.MaxValue).as("dist2")),
+      (acc, c) => {
+        val d = xx -
+          lit(2.0) * dotD(emb, c.getField("cemb")) +
+          c.getField("cc")
+        val better = d < acc.getField("dist2") ||
+          (d === acc.getField("dist2") &&
+            c.getField("cid") < acc.getField("cid"))
+        when(better, struct(c.getField("cid").as("cid"),
+          d.as("dist2"))).otherwise(acc)
+      })
 
   /** Aggregated argmin assignment over an already-double corpus —
     * used inside the Lloyd update rounds (whose next stage is an

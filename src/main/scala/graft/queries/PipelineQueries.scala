@@ -529,6 +529,14 @@ object PipelineQueries {
         numCentroids = 8, iters = 2, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    // product-quantized ANN: 4 per-subspace codebooks, m-byte codes,
+    // asymmetric-distance ranking from broadcast lookup tables
+    "ss8_pq_topk" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        m = 4, ksub = 8, iters = 2)
+        .orderBy("query_id", "rank")
+    },
     "ss3_ivf_topk" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), k = 5,
@@ -630,26 +638,28 @@ object PipelineQueries {
     * per vector by (dist², cid) — fixed association
     * `(x·x − 2·x·c) + c·c`, matching
     * [[graft.operators.VectorStats.assignToCentroids]]. */
-  private def sqlKmAsg(cs: String, an: String): String = s"""
+  private def sqlKmAsg(cs: String, an: String,
+      ex: String = "ex"): String = s"""
         $an AS (SELECT * FROM (
             SELECT x.vec_id, c.cid,
               (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
                 + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
-            FROM ex x, $cs c)
+            FROM $ex x, $cs c)
           QUALIFY row_number() OVER (PARTITION BY vec_id
             ORDER BY dist2, cid) = 1)"""
 
   /** SQL twin of one Lloyd UPDATE round: per-(cid, dim) fixed-point
     * DECIMAL means (the ve1 arithmetic) rebuilt into centroid lists. */
-  private def sqlKmUpd(a: String, cn: String): String = {
+  private def sqlKmUpd(a: String, cn: String,
+      e: String = "e"): String = {
     val S = "1099511627776.0"
     s"""
         $cn AS (SELECT cid, list(cv ORDER BY dim) AS cemb FROM (
             SELECT a.cid, t.i0 AS dim,
-              sum(floor(e.emb[t.i0+1] * $S)::BIGINT::DECIMAL(38,0))::DOUBLE
+              sum(floor($e.emb[t.i0+1] * $S)::BIGINT::DECIMAL(38,0))::DOUBLE
                 / $S / count(*)::DOUBLE AS cv
-            FROM $a a JOIN e USING (vec_id),
-              unnest(range(0, len(e.emb))) AS t(i0)
+            FROM $a a JOIN $e USING (vec_id),
+              unnest(range(0, len($e.emb))) AS t(i0)
             GROUP BY a.cid, t.i0)
           GROUP BY cid)"""
   }
@@ -668,6 +678,57 @@ object PipelineQueries {
       ${sqlKmUpd("a0", "c1")},
       ${sqlKmAsg("c1", "a1")},
       ${sqlKmUpd("a1", "c2")}"""
+
+  /** Oracle twin of [[Similarity.pqTopK]]: per-subspace codebook
+    * training (the [[sqlKmAsg]]/[[sqlKmUpd]] Lloyd arithmetic over
+    * embedding slices), corpus codes from the final assignments, and
+    * ADC ranking via a fixed-order `list_reduce` over the subspace
+    * subdistances — the identical trajectory and association as the
+    * Scala plan. */
+  private def sqlPqTopK(m: Int, len: Int, ksub: Int, k: Int,
+      nq: Int): String = {
+    def sub(s: Int): String = {
+      val off = s * len
+      s"""e$s AS (SELECT vec_id,
+          list_transform(embedding[${off + 1}:${off + len}],
+            x0 -> x0::DOUBLE) AS emb FROM embeddings),
+      ex$s AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM e$s),
+      c0$s AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e$s
+        ORDER BY vec_id LIMIT $ksub),
+      ${sqlKmAsg(s"c0$s", s"a0$s", s"ex$s")},
+      ${sqlKmUpd(s"a0$s", s"c1$s", s"e$s")},
+      ${sqlKmAsg(s"c1$s", s"a1$s", s"ex$s")},
+      ${sqlKmUpd(s"a1$s", s"c2$s", s"e$s")},
+      ${sqlKmAsg(s"c2$s", s"asg$s", s"ex$s")},
+      qt$s AS (SELECT q.vec_id AS query_id, $s AS sid, c.cid,
+          (q.xx - 2.0*${sqlDot("q.emb", "c.cemb")}
+            + ${sqlDot("c.cemb", "c.cemb")}) AS dq
+        FROM ex$s q, c2$s c WHERE q.vec_id < $nq)"""
+    }
+    val subs = (0 until m).map(sub).mkString(",\n      ")
+    val codes = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS sid, cid FROM asg$s")
+      .mkString(" UNION ALL ")
+    val qt = (0 until m).map(s => s"SELECT * FROM qt$s")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH $subs,
+      codes AS ($codes),
+      qt AS ($qt),
+      scored AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(t.dq ORDER BY t.sid)), (sa, sx) -> sa + sx) AS adist
+        FROM codes c JOIN qt t ON t.sid = c.sid AND t.cid = c.cid
+        WHERE t.query_id <> c.vec_id
+        GROUP BY t.query_id, c.vec_id)
+      SELECT query_id, rank, neighbor_id, adist FROM (
+        SELECT query_id, neighbor_id, adist,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adist, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 
   /** Shared SimHash pair pipeline (twin of [[Dedup.simhashPairs]]
     * with three 10-bit blocks) as a CTE chain ending in
@@ -1281,6 +1342,7 @@ object PipelineQueries {
       SELECT i, j, count(*) AS n, sum(p)::DOUBLE / 1099511627776.0 AS gram
       FROM x GROUP BY i, j ORDER BY i, j""",
     "ve6_pca_project" -> sqlPcaProject(24),
+    "ss8_pq_topk" -> sqlPqTopK(m = 4, len = 16, ksub = 8, k = 5, nq = 3),
     "ve4_quant_error" -> s"""
       WITH s AS (SELECT vec_id,
         list_transform(embedding, v0 -> v0::DOUBLE) AS emb,

@@ -932,6 +932,56 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq top-k equals a driver-side ADC reranking from the same codebooks") {
+    val m = 4; val ksub = 4; val k = 3
+    val got = Similarity.pqTopK(embs, embs.filter(col("vec_id") < 2),
+        k = k, m = m, ksub = ksub, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val d = vecs.head._2.length; val len = d / m
+    // independent plain-Scala replication: slice, read the trained
+    // codebooks, encode by (dist2, cid)-min, rank by ADC
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s = s + a(i) * b(i); i += 1 }; s
+    }
+    val books = (0 until m).map { s =>
+      operators.VectorStats.kmeansCentroids(
+        embs.select(col("vec_id"),
+          slice(col("embedding"), s * len + 1, len).as("embedding")),
+        ksub, 2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    }
+    def subv(v: Array[Float], s: Int): Array[Double] =
+      v.slice(s * len, s * len + len).map(_.toDouble)
+    def nearest(v: Array[Float], s: Int): (Long, Double) = {
+      val q = subv(v, s); val xx = dot(q, q)
+      books(s).map { case (cid, c) =>
+        (cid, xx - 2.0 * dot(q, c) + dot(c, c))
+      }.minBy { case (cid, dist) => (dist, cid) }
+    }
+    for (qid <- 0L until 2L) {
+      val qv = vecs.find(_._1 == qid).get._2
+      val tables = (0 until m).map { s =>
+        val q = subv(qv, s); val xx = dot(q, q)
+        books(s).map { case (cid, c) =>
+          cid -> (xx - 2.0 * dot(q, c) + dot(c, c))
+        }.toMap
+      }
+      val want = vecs.filter(_._1 != qid).map { case (id, v) =>
+        var adist = 0.0
+        (0 until m).foreach(s => adist += tables(s)(nearest(v, s)._1))
+        (id, adist)
+      }.sortBy { case (id, a) => (a, id) }.take(k)
+      want.zipWithIndex.foreach { case ((id, a), i) =>
+        assert(got((qid, i + 1)) == ((id, a)),
+          s"query $qid rank ${i + 1} mismatch")
+      }
+    }
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -245,6 +245,18 @@ object PlanCheck {
       "probe join is equi on the list id" ->
         (p => !p.contains("CartesianProduct")),
       "query probe broadcast" -> (_.contains("BroadcastHashJoin"))))
+    audit("ss8_pq_topk", Seq(
+      // codebooks and query lookup tables ride broadcasts; encoding is
+      // chained map-side argmin folds on one corpus scan — no real
+      // join ever touches the corpus, and the only corpus-wide
+      // exchange is the (query_id, neighbor_id, adist) top-k window
+      "no cartesian reaches the corpus" ->
+        (p => !p.contains("CartesianProduct")),
+      "codes + lookup tables broadcast" ->
+        (p => p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin")),
+      "top-k shuffles narrow triples only" ->
+        (p => "hashpartitioning\\(query_id".r.findAllIn(p).nonEmpty)))
     audit("dd15_dedup_semantic", Seq(
       // cluster labels and survivor frames are near-dup-sized: both
       // ride broadcasts; the embeddings shuffle only inside the LSH
