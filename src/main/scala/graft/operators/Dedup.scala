@@ -413,6 +413,43 @@ object Dedup {
         col("n_grams"), (col("end_pos") - col("start_pos") + k).as("n_tokens"))
   }
 
+  /** EXECUTE the span cut — the rewrite side of [[duplicateSpans]]
+    * (dd17, pairing with it the way `Layout.compact` executes the
+    * q57 plan): every document rewritten over the NORMALIZED token
+    * stream the spans index (lower-cased whitespace tokens), with
+    * each duplicate span's token range `[start_pos, end_pos+k-1]`
+    * removed — license blocks and chrome go, the unique prose around
+    * them stays.
+    *
+    * Scale shape: the span detector's exchanges are dd16's (narrow
+    * (doc_id, pos, h) longs); spans then aggregate to ONE bounded row
+    * per AFFECTED doc, so the rewrite join is affected-docs-sized on
+    * one side — broadcast when that set is small, doc_id
+    * co-partitioned otherwise. The cut itself is a per-row indexed
+    * `filter` HOF; corpus text crosses at most the one rewrite join.
+    *
+    * Output: `(doc_id, n_tokens, n_removed, clean_text)` for every
+    * input doc (`n_removed = 0` and untouched tokens for docs with no
+    * duplicate span). */
+  def stripSpans(docs: DataFrame, k: Int = 5,
+      minGrams: Int = 1): DataFrame = {
+    val spans = duplicateSpans(docs, k, minGrams)
+      .select(col("doc_id"),
+        struct(col("start_pos").as("s"),
+          (col("end_pos") + lit(k - 1)).as("e")).as("sp"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("sp")).as("spans"))
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        col("spans").isNull || !exists(col("spans"), sp =>
+          i >= sp.getField("s") && i <= sp.getField("e"))))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** 30-bit SimHash computed per-row with higher-order functions (no
     * explode, no shuffle): bit j is set when the sum over token
     * fingerprints of `±1` (by bit j of the fp) is positive. 30 bits

@@ -470,6 +470,12 @@ object PipelineQueries {
       Dedup.duplicateSpans(documents(s, d), k = 5, minGrams = 1)
         .orderBy("doc_id", "start_pos")
     },
+    // the rewrite: cut every cross-document duplicate span out of the
+    // normalized token stream, keep the unique prose
+    "dd17_strip_spans" -> { (s, d) =>
+      Dedup.stripSpans(documents(s, d), k = 5, minGrams = 1)
+        .orderBy("doc_id")
+    },
     // transitive duplicate groups over the MinHash pair stream:
     // min-label propagation (see Dedup.resolveClusters) — the step a
     // pair-at-a-time drop rule gets wrong on chains a–b–c
@@ -678,6 +684,24 @@ object PipelineQueries {
       ${sqlKmUpd("a0", "c1")},
       ${sqlKmAsg("c1", "a1")},
       ${sqlKmUpd("a1", "c2")}"""
+
+  /** Shared duplicate-span pipeline (twin of [[Dedup.duplicateSpans]]
+    * at k = 5) ending in `sp(doc_id, pos, grp)` — the gaps-and-islands
+    * frame the dd16 span report and the dd17 strip rewrite both
+    * aggregate; also exposes `t(doc_id, toks)`. */
+  private def sqlDupSpanCtes: String = s"""
+      t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
+      g AS (SELECT doc_id, CAST(x.pos AS INT) AS pos, x.h AS h FROM
+        (SELECT doc_id, unnest(list_transform(
+           range(0, greatest(len(toks)-5,0)+1),
+           i0 -> {'pos': i0,
+             'h': ${sqlFp("array_to_string((toks)[i0+1:i0+5], ' ')")}})) AS x
+         FROM t)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+      sp AS (SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM m)"""
 
   /** Oracle twin of [[Similarity.pqTopK]]: per-subspace codebook
     * training (the [[sqlKmAsg]]/[[sqlKmUpd]] Lloyd arithmetic over
@@ -1611,22 +1635,31 @@ object PipelineQueries {
     // positional 5-grams → cross-doc duplicated fingerprints →
     // gaps-and-islands span merge, all integer-exact
     "dd16_dup_spans" -> s"""
-      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
-      g AS (SELECT doc_id, CAST(x.pos AS INT) AS pos, x.h AS h FROM
-        (SELECT doc_id, unnest(list_transform(
-           range(0, greatest(len(toks)-5,0)+1),
-           i0 -> {'pos': i0,
-             'h': ${sqlFp("array_to_string((toks)[i0+1:i0+5], ' ')")}})) AS x
-         FROM t)),
-      dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-      m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
-      sp AS (SELECT doc_id, pos,
-        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        FROM m)
+      WITH $sqlDupSpanCtes
       SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
         count(*)::BIGINT AS n_grams, (max(pos) - min(pos) + 5)::INT AS n_tokens
       FROM sp GROUP BY doc_id, grp
       ORDER BY doc_id, start_pos""",
+    "dd17_strip_spans" -> s"""
+      WITH $sqlDupSpanCtes,
+      spx AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        FROM sp GROUP BY doc_id, grp),
+      spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+        FROM spx GROUP BY doc_id)
+      SELECT t.doc_id, len(t.toks)::INT AS n_tokens,
+        (len(t.toks) - len(CASE WHEN l.spans IS NULL THEN t.toks
+          ELSE list_filter(t.toks, (x0, i0) -> len(list_filter(l.spans,
+            sp0 -> i0-1 >= sp0.s AND i0-1 <= sp0.e)) = 0) END))::INT
+          AS n_removed,
+        -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        -- concat_ws over an empty array is '' — a fully-stripped doc
+        -- reads as the empty string on both engines
+        coalesce(array_to_string(CASE WHEN l.spans IS NULL THEN t.toks
+          ELSE list_filter(t.toks, (x1, i1) -> len(list_filter(l.spans,
+            sp1 -> i1-1 >= sp1.s AND i1-1 <= sp1.e)) = 0) END, ' '), '')
+          AS clean_text
+      FROM t LEFT JOIN spl l USING (doc_id)
+      ORDER BY t.doc_id""",
     "dd11_embedding_incremental" -> {
       // dd6's bucket pipeline with the within-corpus a<b condition
       // swapped for the new×index cross condition (twin of dd9's)

@@ -43,7 +43,8 @@ object MetricsCheck {
       "ss6_ivf_trained", "dc3_eval_overlap", "ss7_recall_int8",
       "dd15_dedup_semantic", "t15_classifier_score",
       "dd16_dup_spans", "t16_repeat_spans", "tp6_global_shuffle",
-      "ve5_gram_matrix", "ve6_pca_project", "ss8_pq_topk")
+      "ve5_gram_matrix", "ve6_pca_project", "ss8_pq_topk",
+      "dd17_strip_spans")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>

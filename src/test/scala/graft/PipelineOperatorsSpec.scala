@@ -982,6 +982,32 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("strip spans cuts exactly the dd16-reported token ranges") {
+    val k = 4
+    val spans = Dedup.duplicateSpans(docs, k = k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    val toks = docs.selectExpr("doc_id",
+        "filter(split(trim(lower(text)), '\\\\s+'), t -> t != '') AS t")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val got = Dedup.stripSpans(docs, k = k).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(got.size == toks.size, "every input doc is emitted")
+    toks.foreach { case (id, ts) =>
+      val cut = spans.getOrElse(id, Array.empty[(Long, Int, Int)])
+        .flatMap { case (_, s, e) => s to (e + k - 1) }.toSet
+      val kept = ts.indices.filterNot(cut).map(ts)
+      val (n, rem, text) = got(id)
+      assert(n == ts.length && rem == (ts.length - kept.length)
+        && text == kept.mkString(" "), s"doc $id rewrite mismatch")
+    }
+    // at least one doc in the synthetic corpus actually gets cut, and
+    // none is cut beyond its length
+    assert(got.values.exists(_._2 > 0))
+    assert(got.values.forall(v => v._2 <= v._1))
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -273,6 +273,16 @@ object PlanCheck {
       "gram math stays in codegen (no UDF)" -> (p =>
         !p.contains("ScalaUDF") && !p.contains("BatchEvalPython")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("dd17_strip_spans", Seq(
+      // the detector's semi-join + doc window shapes carry over from
+      // dd16; the rewrite join is LEFT with the bounded span-list side
+      // — never a cartesian — and the cut itself is a filter HOF, not
+      // a UDF
+      "duplicated-gram probe is a semi join" -> (_.contains("LeftSemi")),
+      "rewrite joins on doc_id, no cartesian" -> (p =>
+        p.contains("LeftOuter") && !p.contains("CartesianProduct")),
+      "cut stays in codegen (no UDF)" -> (p =>
+        !p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))))
     audit("t16_repeat_spans", Seq(
       // strictly per-document: multiplicity count and islands both run
       // in doc-keyed exchanges — no corpus-global aggregation at all
