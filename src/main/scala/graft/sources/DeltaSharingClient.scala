@@ -176,8 +176,10 @@ class DeltaSharingClient(
     * servers predating it ignore the param, which the scan detects by
     * cross-checking the `/query` response's own metaData line. */
   def queryTableMetadata(share: String, schema: String,
-      table: String, version: Option[Long] = None): TableMetadata = {
+      table: String, version: Option[Long] = None,
+      timestamp: Option[String] = None): TableMetadata = {
     val query = version.map(v => Map("version" -> v.toString))
+      .orElse(timestamp.map(t => Map("timestamp" -> t)))
       .getOrElse(Map.empty[String, String])
     val lines = parseNdjson(
       perform("GET", s"${tablePath(share, schema, table)}/metadata",
@@ -207,7 +209,8 @@ class DeltaSharingClient(
       jsonPredicateHints: Option[String] = None,
       predicateHints: Seq[String] = Nil,
       limitHint: Option[Long] = None,
-      version: Option[Long] = None): TableFiles = {
+      version: Option[Long] = None,
+      timestamp: Option[String] = None): TableFiles = {
     val body = mapper.createObjectNode()
     jsonPredicateHints.foreach { h =>
       body.set[JsonNode]("jsonPredicateHints", mapper.readTree(h))
@@ -220,6 +223,10 @@ class DeltaSharingClient(
     }
     limitHint.foreach(l => body.put("limitHint", l))
     version.foreach(v => body.put("version", v))
+    // ISO-8601 per the protocol; the server resolves it to the last
+    // version committed at or before the instant (version wins when
+    // both are set — TableAddress forbids that combination anyway)
+    if (version.isEmpty) timestamp.foreach(t => body.put("timestamp", t))
     val lines = parseNdjson(
       perform("POST", s"${tablePath(share, schema, table)}/query",
         postBody = Some(mapper.writeValueAsString(body))).body())

@@ -135,6 +135,7 @@ object PresignedUrlCache {
       predicateHints: Seq[String],
       limitHint: Option[Long],
       version: Option[Long],
+      timestamp: Option[String] = None,
       changesRange: Option[(Long, Option[Long])] = None)
 
   /** Stable identity for a shared file: the server's `id` when
@@ -244,7 +245,8 @@ object PresignedUrlCache {
               jsonPredicateHints = spec.jsonPredicateHints,
               predicateHints = spec.predicateHints,
               limitHint = spec.limitHint,
-              version = spec.version).files
+              version = spec.version,
+              timestamp = spec.timestamp).files
               .map(f => (fileId(f), f.url))
         }
         synchronized {

@@ -48,7 +48,8 @@ class DeltaShareDataSource extends TableProvider with DataSourceRegister {
         // that ignore the param are caught by DeltaShareScan's /query
         // schema cross-check)
         val meta = client.queryTableMetadata(addr.share, addr.schema,
-          addr.table, version = addr.versionAsOf)
+          addr.table, version = addr.versionAsOf,
+          timestamp = addr.timestampAsOf)
         cachedMeta = Some((addr, meta))
         (addr, meta)
     }
@@ -82,6 +83,7 @@ final case class TableAddress(
     share: String, schema: String, table: String,
     profile: DeltaSharingProfile,
     versionAsOf: Option[Long] = None,
+    timestampAsOf: Option[String] = None,
     changes: Option[ChangesRange] = None)
 
 /** Inclusive CDF version range; `endingVersion` absent = table head. */
@@ -131,10 +133,18 @@ object TableAddress {
           DeltaSharingProfile.EndpointEnv),
         resolve("bearerToken", DeltaSharingProfile.TokenConf,
           DeltaSharingProfile.TokenEnv))
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val timestampAsOf = Option(options.get("timestampAsOf"))
+    if (versionAsOf.isDefined && timestampAsOf.isDefined)
+      throw new IllegalArgumentException(
+        "versionAsOf and timestampAsOf are mutually exclusive")
     TableAddress(share, schema, table, profile,
-      // time travel: the protocol's `version` field on /query
-      // (dead plumbing in the reference, delta_sharing_client.cpp:390-392)
-      versionAsOf = Option(options.get("versionAsOf")).map(_.toLong),
+      // time travel: the protocol's `version`/`timestamp` fields on
+      // /query (dead plumbing in the reference,
+      // delta_sharing_client.cpp:390-392); timestamp is ISO-8601,
+      // resolved server-side to the last version at or before it
+      versionAsOf = versionAsOf,
+      timestampAsOf = timestampAsOf,
       changes = changes)
   }
 }

@@ -191,7 +191,8 @@ class DeltaShareScanBuilder(
         new DeltaSharingClient(addr.profile)
           .queryTable(addr.share, addr.schema, addr.table,
             jsonPredicateHints = hints, predicateHints = legacy,
-            version = addr.versionAsOf).files
+            version = addr.versionAsOf,
+            timestamp = addr.timestampAsOf).files
           .filter(f => partitionFilters.forall(
             PartitionValues.evalFilter(_, f.partitionValues, partitionSchema)))
       } catch { case _: Exception => return None }
@@ -391,7 +392,8 @@ class DeltaShareScan(
     * when a presigned URL expires mid-task. */
   private def refreshSpec = PresignedUrlCache.RefreshSpec(
     addr.profile, addr.share, addr.schema, addr.table,
-    jsonHints, legacyHints, limit.map(_.toLong), addr.versionAsOf)
+    jsonHints, legacyHints, limit.map(_.toLong), addr.versionAsOf,
+    timestamp = addr.timestampAsOf)
 
   /** One `/query` POST per scan, memoized — statistics estimation and
     * partition planning share it. */
@@ -399,18 +401,22 @@ class DeltaShareScan(
     val client = new DeltaSharingClient(addr.profile)
     val resp = client.queryTable(addr.share, addr.schema, addr.table,
       jsonPredicateHints = jsonHints, predicateHints = legacyHints,
-      limitHint = limit.map(_.toLong), version = addr.versionAsOf)
+      limitHint = limit.map(_.toLong), version = addr.versionAsOf,
+      timestamp = addr.timestampAsOf)
     // Time travel: the plan's schema came from head-version metadata;
     // if the requested version's metaData line disagrees, reading its
     // files with the newer schema would silently mis-decode — fail
     // loudly instead (schema evolution across shared versions is out
     // of scope, as in the reference).
-    if (addr.versionAsOf.isDefined && resp.metadata.schemaString.nonEmpty &&
+    if ((addr.versionAsOf.isDefined || addr.timestampAsOf.isDefined) &&
+        resp.metadata.schemaString.nonEmpty &&
         meta.schemaString.nonEmpty &&
         resp.metadata.schemaString != meta.schemaString)
       throw new DeltaSharingException(0,
-        s"table ${addr.share}.${addr.schema}.${addr.table} at version " +
-          s"${addr.versionAsOf.get} has a different schema than the " +
+        s"table ${addr.share}.${addr.schema}.${addr.table} at " +
+          addr.versionAsOf.map(v => s"version $v")
+            .getOrElse(s"timestamp ${addr.timestampAsOf.get}") +
+          " has a different schema than the " +
           "current version; reading across schema changes is not supported")
     resp.files
   }

@@ -126,6 +126,31 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(server.lastQueryBody.contains(""""version":3"""))
   }
 
+  test("timestampAsOf option reaches the /query POST body") {
+    spark.read.format("deltashare")
+      .option("endpoint", server.endpoint)
+      .option("bearerToken", "tok")
+      .option("timestampAsOf", "2025-01-01T00:00:00Z")
+      .load("share1.schema1.lineitem")
+      .count()
+    assert(server.lastQueryBody.contains(
+      """"timestamp":"2025-01-01T00:00:00Z""""))
+    assert(!server.lastQueryBody.contains(""""version""""))
+  }
+
+  test("versionAsOf and timestampAsOf together are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("deltashare")
+        .option("endpoint", server.endpoint)
+        .option("bearerToken", "tok")
+        .option("versionAsOf", "3")
+        .option("timestampAsOf", "2025-01-01T00:00:00Z")
+        .load("share1.schema1.lineitem")
+        .count()
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("expired presigned url surfaces a clear HTTP failure") {
     // stub has no file registered under this name → 404, standing in
     // for an expired/revoked presigned URL
