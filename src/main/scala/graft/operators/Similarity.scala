@@ -450,29 +450,8 @@ object Similarity {
     val d = corpus.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val len = d / m
-    val books = (0 until m).map { s =>
-      VectorStats.kmeansCentroids(
-        corpus.select(col("vec_id"),
-          slice(col("embedding"), s * len + 1, len).as("embedding")),
-        ksub, iters)
-        .withColumn("cc", dotD(col("cemb"), col("cemb")))
-        .localCheckpoint(eager = false) // encoder + query table reuse
-    }
-    // ENCODE: m broadcast argmin folds chained on one corpus scan
-    var enc = corpus.select(col("vec_id"),
-      transform(col("embedding"), v => v.cast("double")).as("demb"))
-    (0 until m).foreach { s =>
-      val packed = books(s)
-        .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
-          .as("cs"))
-      enc = enc.crossJoin(broadcast(packed))
-        .withColumn("sub", slice(col("demb"), s * len + 1, len))
-        .withColumn("sxx", dotD(col("sub"), col("sub")))
-        .withColumn(s"code_$s",
-          VectorStats.nearestIn(col("cs"), col("sub"), col("sxx"))
-            .getField("cid"))
-        .drop("cs", "sub", "sxx")
-    }
+    val books = pqCodebooks(corpus, m, ksub, iters)
+    val enc = pqEncode(corpus, books)
     // per-query ADC lookup tables: map sid -> (cid -> subdistance)
     val qt = (0 until m).map { s =>
       queries.select(col("vec_id").as("query_id"),
@@ -508,6 +487,54 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
+  /** The `m` per-subspace PQ codebooks (each `(cid, cemb, cc)` with
+    * the self-dot precomputed) — see [[pqTopK]] for the training
+    * contract. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2): Seq[DataFrame] = {
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val d = corpus.select(size(col("embedding"))).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val len = d / m
+    (0 until m).map { s =>
+      VectorStats.kmeansCentroids(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), s * len + 1, len).as("embedding")),
+        ksub, iters)
+        .withColumn("cc", dotD(col("cemb"), col("cemb")))
+        .localCheckpoint(eager = false) // encoder + query table reuse
+    }
+  }
+
+  /** PQ-encode `(vec_id, embedding)` rows against trained codebooks:
+    * `m` chained broadcast argmin folds on ONE scan — zero exchanges,
+    * no stateful aggregation, so the SAME operator encodes a STREAM
+    * of arriving vectors against offline-trained codebooks (the
+    * realtime ingest path of a PQ index; proven live in
+    * StreamingSpec). Output: the input ids + `code_0 … code_{m-1}`. */
+  def pqEncode(vecs: DataFrame, books: Seq[DataFrame]): DataFrame = {
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val m = books.size
+    val len = books.head.select(size(col("cemb"))).head.getInt(0)
+    var enc = vecs.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("demb"))
+    (0 until m).foreach { s =>
+      val packed = books(s)
+        .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+          .as("cs"))
+      enc = enc.crossJoin(broadcast(packed))
+        .withColumn("sub", slice(col("demb"), s * len + 1, len))
+        .withColumn("sxx", dotD(col("sub"), col("sub")))
+        .withColumn(s"code_$s",
+          VectorStats.nearestIn(col("cs"), col("sub"), col("sxx"))
+            .getField("cid"))
+        .drop("cs", "sub", "sxx")
+    }
+    enc.drop("demb")
   }
 
   /** Recall@k report of the ANN paths against exact brute force —

@@ -120,6 +120,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("kmeans_assign_out").count() == embsB.count())
   }
 
+  test("pq encoding runs unchanged on a vector stream") {
+    // like centroid assignment, the PQ encoder is stateless map-side
+    // folds against broadcast codebooks — the realtime ingest path of
+    // a PQ index trained offline
+    val embsB = Tables.embeddings(spark, sf)
+    val books = operators.Similarity.pqCodebooks(embsB, m = 4, ksub = 4,
+      iters = 1)
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val vecStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+    val live = operators.Similarity.pqEncode(vecStream, books)
+    runToMemory(live, "pq_encode_out", "append")
+    val batch = operators.Similarity.pqEncode(embsB, books)
+    assert(asSet(spark.table("pq_encode_out")) == asSet(batch))
+    assert(spark.table("pq_encode_out").count() == embsB.count())
+  }
+
   test("watermark dedup stream preserves distinct event ids") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf))
