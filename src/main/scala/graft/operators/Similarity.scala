@@ -509,19 +509,21 @@ object Similarity {
     }
   }
 
-  /** PQ-encode `(vec_id, embedding)` rows against trained codebooks:
-    * `m` chained broadcast argmin folds on ONE scan — zero exchanges,
-    * no stateful aggregation, so the SAME operator encodes a STREAM
-    * of arriving vectors against offline-trained codebooks (the
-    * realtime ingest path of a PQ index; proven live in
-    * StreamingSpec). Output: the input ids + `code_0 … code_{m-1}`. */
+  /** PQ-encode rows carrying an `embedding` column against trained
+    * codebooks: `m` chained broadcast argmin folds on ONE scan — zero
+    * exchanges, no stateful aggregation, so the SAME operator encodes
+    * a STREAM of arriving vectors against offline-trained codebooks
+    * (the realtime ingest path of a PQ index; proven live in
+    * StreamingSpec). Output: the input columns (minus `embedding`) +
+    * `code_0 … code_{m-1}` — extra columns such as [[ivfPqTopK]]'s
+    * coarse list id ride through untouched. */
   def pqEncode(vecs: DataFrame, books: Seq[DataFrame]): DataFrame = {
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val m = books.size
     val len = books.head.select(size(col("cemb"))).head.getInt(0)
-    var enc = vecs.select(col("vec_id"),
-      transform(col("embedding"), v => v.cast("double")).as("demb"))
+    var enc = vecs.withColumn("demb",
+      transform(col("embedding"), v => v.cast("double")))
     (0 until m).foreach { s =>
       val packed = books(s)
         .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
@@ -534,7 +536,120 @@ object Similarity {
             .getField("cid"))
         .drop("cs", "sub", "sxx")
     }
-    enc.drop("demb")
+    enc.drop("demb", "embedding")
+  }
+
+  /** IVF-PQ top-k (ss9) — the composed billion-scale serving index
+    * (FAISS's IndexIVFPQ shape): a coarse Lloyd quantizer partitions
+    * the corpus into inverted lists, each vector stores only its list
+    * id + the PQ codes of its RESIDUAL against the list centroid
+    * (residual coding re-centers every list at the origin, so the
+    * shared codebooks spend their precision on local structure), and
+    * a query probes its `nprobe` nearest lists, ranking ONLY their
+    * members by asymmetric distance of residuals.
+    *
+    * Scale shape — the whole serving path is broadcast + map-side:
+    *  - coarse assignment AND residual computation are one chained
+    *    fold/probe on the corpus scan (the coarse codebook is a
+    *    broadcast row; the list centroid is looked up INSIDE the same
+    *    packed array — no join back, zero exchanges);
+    *  - PQ training/encoding as in [[pqTopK]], over residuals;
+    *  - the query side is tiny (nq × nprobe lists × m·ksub table
+    *    entries) and joins the encoded corpus on the list id as a
+    *    broadcast equi-join — candidates are exactly the probed
+    *    lists' members, ~nprobe/numCentroids of the corpus;
+    *  - only (query_id, neighbor_id, adist) triples reach the top-k
+    *    window.
+    *
+    * Cross-engine exactness: residuals are plain double subtractions
+    * (correctly rounded identically), probe/assignment/ADC all use
+    * the `(x·x − 2·x·c) + c·c` association and (dist, id) tie rule,
+    * and every trained trajectory is the fixed-point Lloyd of
+    * [[VectorStats.kmeansCentroids]] — the oracle replays coarse
+    * training, residuals, per-subspace books, and the probed ADC
+    * ranking bit-for-bit. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 8, nprobe: Int = 2, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val d = corpus.select(size(col("embedding"))).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val len = d / m
+    val coarse = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
+      .withColumn("cc", dotD(col("cemb"), col("cemb")))
+      .localCheckpoint(eager = false) // corpus assign + query probe
+    val packedCoarse = coarse
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
+    // list id + residual in ONE map-side pass: argmin fold, then the
+    // winning centroid looked up inside the same broadcast array
+    val resid = corpus
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .crossJoin(broadcast(packedCoarse))
+      .withColumn("xx", dotD(col("xd"), col("xd")))
+      .withColumn("lcid",
+        VectorStats.nearestIn(col("cs"), col("xd"), col("xx"))
+          .getField("cid"))
+      .withColumn("cvec",
+        element_at(filter(col("cs"),
+          c => c.getField("cid") === col("lcid")), 1).getField("cemb"))
+      .withColumn("embedding",
+        zip_with(col("xd"), col("cvec"), (x, c) => x - c))
+      .select(col("vec_id"), col("lcid"), col("embedding"))
+      .localCheckpoint(eager = false) // books + encode both scan it
+    val books = pqCodebooks(resid.select(col("vec_id"), col("embedding")),
+      m, ksub, iters)
+    val enc = pqEncode(resid, books)
+    // probe: nprobe nearest coarse lists per query by the training
+    // metric (L2), ties to the smaller cid — as ss6
+    val qw = Window.partitionBy("query_id").orderBy(col("pdist"), col("cid"))
+    val probed = queries
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), v => v.cast("double")).as("qd"))
+      .withColumn("qxx", dotD(col("qd"), col("qd")))
+      .crossJoin(broadcast(coarse))
+      .withColumn("pdist",
+        col("qxx") - lit(2.0) * dotD(col("qd"), col("cemb")) + col("cc"))
+      .withColumn("rnk", row_number().over(qw))
+      .filter(col("rnk") <= nprobe)
+      .withColumn("qr", zip_with(col("qd"), col("cemb"), (x, c) => x - c))
+      .select(col("query_id"), col("cid").as("lcid"), col("qr"))
+    // per-(query, probed list) ADC tables over the query residual
+    val qt = (0 until m).map { s =>
+      probed
+        .withColumn("qs", slice(col("qr"), s * len + 1, len))
+        .withColumn("sxx", dotD(col("qs"), col("qs")))
+        .crossJoin(broadcast(books(s)
+          .select(col("cid").as("bcid"), col("cemb").as("bemb"),
+            col("cc").as("bcc"))))
+        .select(col("query_id"), col("lcid"), lit(s).as("sid"),
+          col("bcid"),
+          (col("sxx") - lit(2.0) * dotD(col("qs"), col("bemb"))
+            + col("bcc")).as("dq"))
+    }.reduce(_ unionByName _)
+    val qmaps = qt
+      .groupBy("query_id", "lcid", "sid")
+      .agg(map_from_entries(collect_list(struct(col("bcid"), col("dq"))))
+        .as("mp"))
+      .groupBy("query_id", "lcid")
+      .agg(map_from_entries(collect_list(struct(col("sid"), col("mp"))))
+        .as("smap"))
+    val adist = (0 until m).foldLeft(lit(0.0): Column) { (acc, s) =>
+      acc + element_at(element_at(col("smap"), lit(s)), col(s"code_$s"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    enc.join(broadcast(qmaps), Seq("lcid"))
+      .withColumn("adist", adist)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
   }
 
   /** Recall@k report of the ANN paths against exact brute force —

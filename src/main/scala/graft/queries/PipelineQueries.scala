@@ -543,6 +543,14 @@ object PipelineQueries {
         m = 4, ksub = 8, iters = 2)
         .orderBy("query_id", "rank")
     },
+    // IVF-PQ: coarse lists + residual PQ codes, probed ADC ranking —
+    // the composed billion-scale serving index
+    "ss9_ivfpq_topk" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        numCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)
+        .orderBy("query_id", "rank")
+    },
     "ss3_ivf_topk" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), k = 5,
@@ -744,6 +752,77 @@ object PipelineQueries {
           list_reduce(list_prepend(0.0::DOUBLE,
             list(t.dq ORDER BY t.sid)), (sa, sx) -> sa + sx) AS adist
         FROM codes c JOIN qt t ON t.sid = c.sid AND t.cid = c.cid
+        WHERE t.query_id <> c.vec_id
+        GROUP BY t.query_id, c.vec_id)
+      SELECT query_id, rank, neighbor_id, adist FROM (
+        SELECT query_id, neighbor_id, adist,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adist, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Oracle twin of [[Similarity.ivfPqTopK]]: the ss6 coarse-training
+    * chain ([[sqlKmeansCtes]]), residuals against the assigned list
+    * centroid, per-subspace residual codebooks (the same Lloyd
+    * arithmetic over residual slices), and probed ADC ranking — the
+    * full IVF-PQ trajectory replayed bit-for-bit. */
+  private def sqlIvfPqTopK(m: Int, len: Int, ksub: Int, k: Int,
+      nq: Int, nprobe: Int): String = {
+    def sub(s: Int): String = {
+      val off = s * len
+      s"""re$s AS (SELECT vec_id, r[${off + 1}:${off + len}] AS emb
+        FROM resid),
+      rex$s AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM re$s),
+      rc0$s AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM re$s
+        ORDER BY vec_id LIMIT $ksub),
+      ${sqlKmAsg(s"rc0$s", s"ra0$s", s"rex$s")},
+      ${sqlKmUpd(s"ra0$s", s"rc1$s", s"re$s")},
+      ${sqlKmAsg(s"rc1$s", s"ra1$s", s"rex$s")},
+      ${sqlKmUpd(s"ra1$s", s"rc2$s", s"re$s")},
+      ${sqlKmAsg(s"rc2$s", s"rasg$s", s"rex$s")}"""
+    }
+    def qts(s: Int): String = {
+      val off = s * len
+      val qs = s"q.r[${off + 1}:${off + len}]"
+      s"""qt$s AS (SELECT q.query_id, q.lcid, $s AS sid, b.cid AS bcid,
+          (${sqlDot(qs, qs)} - 2.0*${sqlDot(qs, "b.cemb")}
+            + ${sqlDot("b.cemb", "b.cemb")}) AS dq
+        FROM qr q, rc2$s b)"""
+    }
+    val subs = (0 until m).map(sub).mkString(",\n      ")
+    val codes = (0 until m).map(s =>
+      s"SELECT a.vec_id, rd.lcid, $s AS sid, a.cid AS bcid " +
+        s"FROM rasg$s a JOIN resid rd USING (vec_id)")
+      .mkString(" UNION ALL ")
+    val qtAll = (0 until m).map(s => s"SELECT * FROM qt$s")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH $sqlKmeansCtes,
+      ${sqlKmAsg("c2", "casg")},
+      resid AS (SELECT a.vec_id, a.cid AS lcid,
+          list_transform(list_zip(e.emb, c.cemb), z9 -> z9[1] - z9[2]) AS r
+        FROM casg a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cid),
+      $subs,
+      codes AS ($codes),
+      qpb AS (SELECT * FROM (SELECT x.vec_id AS query_id, c.cid AS lcid,
+            c.cemb,
+            (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS pdist
+          FROM ex x, c2 c WHERE x.vec_id < $nq)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY pdist, lcid) <= $nprobe),
+      qr AS (SELECT p.query_id, p.lcid,
+          list_transform(list_zip(e.emb, p.cemb), z8 -> z8[1] - z8[2]) AS r
+        FROM qpb p JOIN e ON e.vec_id = p.query_id),
+      ${(0 until m).map(qts).mkString(",\n      ")},
+      qt AS ($qtAll),
+      scored AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(t.dq ORDER BY t.sid)), (sa, sx) -> sa + sx) AS adist
+        FROM codes c
+        JOIN qt t ON t.lcid = c.lcid AND t.sid = c.sid AND t.bcid = c.bcid
         WHERE t.query_id <> c.vec_id
         GROUP BY t.query_id, c.vec_id)
       SELECT query_id, rank, neighbor_id, adist FROM (
@@ -1367,6 +1446,8 @@ object PipelineQueries {
       FROM x GROUP BY i, j ORDER BY i, j""",
     "ve6_pca_project" -> sqlPcaProject(24),
     "ss8_pq_topk" -> sqlPqTopK(m = 4, len = 16, ksub = 8, k = 5, nq = 3),
+    "ss9_ivfpq_topk" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8, k = 5,
+      nq = 3, nprobe = 2),
     "ve4_quant_error" -> s"""
       WITH s AS (SELECT vec_id,
         list_transform(embedding, v0 -> v0::DOUBLE) AS emb,

@@ -1008,6 +1008,83 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 <= v._1))
   }
 
+  test("ivf-pq top-k equals a driver-side probed-ADC replication") {
+    import scala.jdk.CollectionConverters._
+    val (nc, nprobe, m, ksub, k) = (4, 2, 4, 4, 3)
+    val got = Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 2),
+        k = k, numCentroids = nc, nprobe = nprobe, m = m, ksub = ksub,
+        iters = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1)
+    val d = vecs.head._2.length; val len = d / m
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s = s + a(i) * b(i); i += 1 }; s
+    }
+    def argmin(v: Array[Double], books: Seq[(Long, Array[Double])])
+        : (Long, Double) = {
+      val xx = dot(v, v)
+      books.map { case (cid, c) => (cid, xx - 2.0 * dot(v, c) + dot(c, c)) }
+        .minBy { case (cid, dist) => (dist, cid) }
+    }
+    val coarse = operators.VectorStats.kmeansCentroids(embs, nc, 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toSeq.sortBy(_._1)
+    // residuals re-derived independently, then the SAME training code
+    // (training exactness itself is the oracle's job)
+    val resid = vecs.map { case (id, v) =>
+      val (lcid, _) = argmin(v, coarse)
+      val c = coarse.find(_._1 == lcid).get._2
+      (id, lcid, v.indices.map(i => v(i) - c(i)).toArray)
+    }
+    val residDf = spark.createDataFrame(
+      resid.map { case (id, _, r) => org.apache.spark.sql.Row(id, r.toSeq) }
+        .toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val books = operators.Similarity.pqCodebooks(residDf, m, ksub, 1)
+      .map(_.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+        .sortBy(_._1))
+    for (qid <- 0L until 2L) {
+      val qv = vecs.find(_._1 == qid).get._2
+      val probedLists = coarse
+        .map { case (cid, c) =>
+          (cid, dot(qv, qv) - 2.0 * dot(qv, c) + dot(c, c)) }
+        .sortBy { case (cid, dist) => (dist, cid) }.take(nprobe)
+      val cands = probedLists.flatMap { case (lcid, _) =>
+        val c = coarse.find(_._1 == lcid).get._2
+        val qr = qv.indices.map(i => qv(i) - c(i)).toArray
+        val tables = (0 until m).map { s =>
+          val qs = qr.slice(s * len, s * len + len)
+          books(s).map { case (bcid, b) =>
+            bcid -> (dot(qs, qs) - 2.0 * dot(qs, b) + dot(b, b)) }.toMap
+        }
+        resid.filter(r => r._2 == lcid && r._1 != qid).map {
+          case (id, _, rv) =>
+            var adist = 0.0
+            (0 until m).foreach { s =>
+              val rs = rv.slice(s * len, s * len + len)
+              adist += tables(s)(argmin(rs, books(s))._1)
+            }
+            (id, adist)
+        }
+      }
+      val want = cands.sortBy { case (id, a) => (a, id) }.take(k)
+      want.zipWithIndex.foreach { case ((id, a), i) =>
+        assert(got((qid, i + 1)) == ((id, a)),
+          s"query $qid rank ${i + 1} mismatch")
+      }
+    }
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

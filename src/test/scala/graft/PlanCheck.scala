@@ -257,6 +257,16 @@ object PlanCheck {
           p.contains("BroadcastHashJoin")),
       "top-k shuffles narrow triples only" ->
         (p => "hashpartitioning\\(query_id".r.findAllIn(p).nonEmpty)))
+    audit("ss9_ivfpq_topk", Seq(
+      // coarse codebook, residual lookup, PQ books, and query tables
+      // all ride broadcasts; the candidate join is a broadcast EQUI
+      // join on the list id, so only probed-list members are scored
+      "no cartesian reaches the corpus" ->
+        (p => !p.contains("CartesianProduct")),
+      "candidate join is broadcast equi on the list id" ->
+        (_.contains("BroadcastHashJoin")),
+      "top-k shuffles narrow triples only" ->
+        (p => "hashpartitioning\\(query_id".r.findAllIn(p).nonEmpty)))
     audit("dd15_dedup_semantic", Seq(
       // cluster labels and survivor frames are near-dup-sized: both
       // ride broadcasts; the embeddings shuffle only inside the LSH
