@@ -130,7 +130,13 @@ object VectorStats {
   /** The unit top-eigenvector of the corpus covariance via `iters`
     * fixed-point power iterations from the all-ones start — see
     * [[pcaProject]] for the exactness contract. */
-  def pcaDirection(embs: DataFrame, iters: Int = 24): Array[Double] = {
+  def pcaDirection(embs: DataFrame, iters: Int = 24): Array[Double] =
+    iterate(covMatrix(embs), iters)
+
+  /** Collect the tiny d×d covariance from [[moments]]' one-pass
+    * distributed aggregation (`cov = G/n − μμᵀ`, arithmetic in
+    * oracle-matched association). */
+  private def covMatrix(embs: DataFrame): Array[Array[Double]] = {
     val rows = moments(embs).collect()
     val d = rows.iterator.map(_.getInt(1)).max + 1
     val n = rows.head.getLong(2)
@@ -146,6 +152,14 @@ object VectorStats {
       val c = gram / n - mu(i) * mu(j)
       cov(i)(j) = c; cov(j)(i) = c
     }
+    cov
+  }
+
+  /** `iters` fixed-point power iterations from all-ones, L2-normalized
+    * by an integer norm-square — every step oracle-replayable. */
+  private def iterate(cov: Array[Array[Double]], iters: Int)
+      : Array[Double] = {
+    val d = cov.length
     var v = Array.fill(d)(1.0)
     var it = 0
     while (it < iters) {
@@ -163,6 +177,57 @@ object VectorStats {
     val n2 = v.map(x => math.floor(x * x * FixedScale).toLong).sum
     val norm = math.sqrt(n2.toDouble / FixedScale)
     v.map(_ / norm)
+  }
+
+  /** Fixed-point Rayleigh quotient `vᵀ·cov·v` of a unit vector — the
+    * eigenvalue estimate behind [[pcaWhiten2]]'s whitening scale and
+    * its deflation step. */
+  private def rayleigh(cov: Array[Array[Double]],
+      v: Array[Double]): Double = {
+    val d = cov.length
+    val t = Array.tabulate(d) { i =>
+      var acc = 0L; var j = 0
+      while (j < d) {
+        acc += math.floor(cov(i)(j) * v(j) * FixedScale).toLong; j += 1
+      }
+      acc
+    }
+    var l = 0L
+    var i = 0
+    while (i < d) {
+      l += math.floor(v(i) * (t(i).toDouble / FixedScale) * FixedScale)
+        .toLong
+      i += 1
+    }
+    l.toDouble / FixedScale
+  }
+
+  /** WHITENED 2-D PCA map (ve7): every vector projected onto the top
+    * TWO principal components, each score divided by √eigenvalue — the
+    * unit-variance "embedding map" behind drift dashboards, coverage
+    * plots, and decorrelation QA. The second component comes from
+    * HOTELLING DEFLATION: `cov₂ = cov − λ₁·v₁v₁ᵀ` (λ₁ the fixed-point
+    * Rayleigh quotient), then the same power iteration — the textbook
+    * top-k eigensolver, every step in oracle-replayable arithmetic.
+    *
+    * Scale shape: identical to [[pcaProject]] — one O(n·d²) moments
+    * scan, driver loops over the d×d, then ONE zero-exchange
+    * projection scan emitting both coordinates. */
+  def pcaWhiten2(embs: DataFrame, iters: Int = 24): DataFrame = {
+    val cov = covMatrix(embs)
+    val v1 = iterate(cov, iters)
+    val l1 = rayleigh(cov, v1)
+    val d = cov.length
+    val cov2 = Array.tabulate(d, d)((i, j) => cov(i)(j) - l1 * v1(i) * v1(j))
+    val v2 = iterate(cov2, iters)
+    val l2 = rayleigh(cov2, v2)
+    def wcol(dir: Array[Double], lam: Double): Column =
+      aggregate(
+        zip_with(col("embedding"), typedLit(dir.toSeq), (x, w) =>
+          floor(x.cast("double") * w * lit(FixedScale)).cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double") /
+        lit(FixedScale) / lit(math.sqrt(lam))
+    embs.select(col("vec_id"), wcol(v1, l1).as("w1"), wcol(v2, l2).as("w2"))
   }
 
   /** Fixed-order dot product of two DOUBLE arrays via HOFs — the

@@ -69,48 +69,95 @@ object PipelineQueries {
     * every step in the same fixed-point arithmetic as the Scala
     * driver loop, so the trajectory (not just the limit) matches
     * bit-for-bit. */
-  private def sqlPcaProject(iters: Int): String = {
-    val S = "1099511627776.0"
-    // MATERIALIZED: each step is referenced twice (join + scalar
-    // max); inlined CTEs would re-derive the whole upstream chain
-    // exponentially across the unrolled iterations
-    val steps = (1 to iters).map { k =>
-      s"""sv$k AS MATERIALIZED (
-        SELECT c.i, sum(floor(c.cov * v.v * $S)::BIGINT) AS sv
-        FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
-      v$k AS MATERIALIZED (SELECT i, sv::DOUBLE /
-          (SELECT max(abs(sv)) FROM sv$k)::DOUBLE AS v FROM sv$k)"""
-    }.mkString(",\n      ")
-    s"""
-      WITH g AS MATERIALIZED (
+  private val FpS = "1099511627776.0"
+
+  /** Covariance CTEs `g`/`mu`/`cov` — the [[sqlPcaProject]] /
+    * [[sqlPcaWhiten2]] prefix (one-pass gram + diagonal first
+    * moments, `cov = G/n − μμᵀ` in the driver-matched association). */
+  private def sqlCovCtes: String = s"""g AS MATERIALIZED (
         SELECT CAST(t.i0 AS INT) AS i, CAST(u.j0 AS INT) AS j,
           count(*) AS n,
           sum(floor(embedding[t.i0+1]::DOUBLE * embedding[u.j0+1]::DOUBLE
-            * $S)::BIGINT::DECIMAL(38,0)) AS s,
+            * $FpS)::BIGINT::DECIMAL(38,0)) AS s,
           sum(CASE WHEN t.i0 = u.j0 THEN
-            floor(embedding[t.i0+1]::DOUBLE * $S)::BIGINT::DECIMAL(38,0)
+            floor(embedding[t.i0+1]::DOUBLE * $FpS)::BIGINT::DECIMAL(38,0)
             END) AS s1
         FROM embeddings,
           unnest(range(0, len(embedding))) AS t(i0),
           unnest(range(0, len(embedding))) AS u(j0)
         WHERE u.j0 >= t.i0 GROUP BY 1, 2),
-      mu AS MATERIALIZED (SELECT i, s1::DOUBLE / $S / n AS mu
+      mu AS MATERIALIZED (SELECT i, s1::DOUBLE / $FpS / n AS mu
         FROM g WHERE i = j),
       cov AS MATERIALIZED (
-        SELECT q.i, q.j, (q.s::DOUBLE / $S) / q.n - a.mu * b.mu AS cov
+        SELECT q.i, q.j, (q.s::DOUBLE / $FpS) / q.n - a.mu * b.mu AS cov
         FROM (SELECT i, j, n, s FROM g
               UNION ALL SELECT j, i, n, s FROM g WHERE i < j) q
-        JOIN mu a ON a.i = q.i JOIN mu b ON b.i = q.j),
-      v0 AS (SELECT i, 1.0::DOUBLE AS v FROM mu),
+        JOIN mu a ON a.i = q.i JOIN mu b ON b.i = q.j)"""
+
+  /** `iters` unrolled power-iteration steps over `covName`, names
+    * prefixed by `p`, ending in unit vector `${p}dir(i, v)`.
+    * MATERIALIZED: each step is referenced twice (join + scalar max);
+    * inlined CTEs would re-derive the whole upstream chain
+    * exponentially across the unrolled iterations. */
+  private def sqlPowerChain(p: String, covName: String,
+      iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""${p}sv$k AS MATERIALIZED (
+        SELECT c.i, sum(floor(c.cov * v.v * $FpS)::BIGINT) AS sv
+        FROM $covName c JOIN ${p}v${k - 1} v ON v.i = c.j GROUP BY c.i),
+      ${p}v$k AS MATERIALIZED (SELECT i, sv::DOUBLE /
+          (SELECT max(abs(sv)) FROM ${p}sv$k)::DOUBLE AS v
+        FROM ${p}sv$k)"""
+    }.mkString(",\n      ")
+    s"""${p}v0 AS (SELECT i, 1.0::DOUBLE AS v FROM mu),
       $steps,
-      dir AS (SELECT i, v / sqrt((SELECT sum(floor(v*v*$S)::BIGINT)
-          FROM v$iters)::DOUBLE / $S) AS w FROM v$iters)
+      ${p}dir AS (SELECT i, v / sqrt((SELECT sum(floor(v*v*$FpS)::BIGINT)
+          FROM ${p}v$iters)::DOUBLE / $FpS) AS v FROM ${p}v$iters)"""
+  }
+
+  /** Fixed-point Rayleigh quotient CTE `${p}lam(lam)` of unit vector
+    * `${p}dir` on `covName` — twin of the driver's `rayleigh`. */
+  private def sqlRayleigh(p: String, covName: String): String = s"""
+      ${p}t AS MATERIALIZED (
+        SELECT c.i, sum(floor(c.cov * v.v * $FpS)::BIGINT) AS t
+        FROM $covName c JOIN ${p}dir v ON v.i = c.j GROUP BY c.i),
+      ${p}lam AS MATERIALIZED (
+        SELECT sum(floor(v.v * (t.t::DOUBLE / $FpS) * $FpS)::BIGINT)::DOUBLE
+          / $FpS AS lam
+        FROM ${p}dir v JOIN ${p}t t USING (i))"""
+
+  private def sqlPcaProject(iters: Int): String = s"""
+      WITH $sqlCovCtes,
+      ${sqlPowerChain("", "cov", iters)}
       SELECT e.vec_id,
-        sum(floor(e.embedding[d.i+1]::DOUBLE * d.w * $S)::BIGINT)::DOUBLE
-          / $S AS pc1
+        sum(floor(e.embedding[d.i+1]::DOUBLE * d.v * $FpS)::BIGINT)::DOUBLE
+          / $FpS AS pc1
       FROM embeddings e CROSS JOIN dir d
       GROUP BY e.vec_id ORDER BY vec_id"""
-  }
+
+  /** Oracle twin of [[VectorStats.pcaWhiten2]]: first chain on `cov`,
+    * Hotelling deflation `cov₂ = cov − λ₁·v₁v₁ᵀ`, second chain on
+    * `cov₂`, both projections whitened by `√λ`. */
+  private def sqlPcaWhiten2(iters: Int): String = s"""
+      WITH $sqlCovCtes,
+      ${sqlPowerChain("a", "cov", iters)},
+      ${sqlRayleigh("a", "cov")},
+      cov2 AS MATERIALIZED (
+        SELECT c.i, c.j,
+          c.cov - (SELECT lam FROM alam) * a.v * b.v AS cov
+        FROM cov c JOIN adir a ON a.i = c.i JOIN adir b ON b.i = c.j),
+      ${sqlPowerChain("b", "cov2", iters)},
+      ${sqlRayleigh("b", "cov2")},
+      p1 AS (SELECT e.vec_id,
+          (sum(floor(e.embedding[d.i+1]::DOUBLE * d.v * $FpS)
+            ::BIGINT)::DOUBLE / $FpS) / sqrt((SELECT lam FROM alam)) AS w1
+        FROM embeddings e CROSS JOIN adir d GROUP BY e.vec_id),
+      p2 AS (SELECT e.vec_id,
+          (sum(floor(e.embedding[d.i+1]::DOUBLE * d.v * $FpS)
+            ::BIGINT)::DOUBLE / $FpS) / sqrt((SELECT lam FROM blam)) AS w2
+        FROM embeddings e CROSS JOIN bdir d GROUP BY e.vec_id)
+      SELECT p1.vec_id, p1.w1, p2.w2 FROM p1 JOIN p2 USING (vec_id)
+      ORDER BY p1.vec_id"""
 
   // ---- queries -----------------------------------------------------
 
@@ -401,6 +448,11 @@ object PipelineQueries {
     // driver-side fixed-point power iteration, map-side projection
     "ve6_pca_project" -> { (s, d) =>
       VectorStats.pcaProject(embeddings(s, d)).orderBy("vec_id")
+    },
+    // whitened 2-D PCA map: top-2 eigenvectors via Hotelling
+    // deflation, unit-variance coordinates
+    "ve7_pca_whiten" -> { (s, d) =>
+      VectorStats.pcaWhiten2(embeddings(s, d)).orderBy("vec_id")
     },
     // two deterministic Lloyd rounds from the k-lowest-id seed, then
     // the final assignment under the trained centroids
@@ -1445,6 +1497,7 @@ object PipelineQueries {
       SELECT i, j, count(*) AS n, sum(p)::DOUBLE / 1099511627776.0 AS gram
       FROM x GROUP BY i, j ORDER BY i, j""",
     "ve6_pca_project" -> sqlPcaProject(24),
+    "ve7_pca_whiten" -> sqlPcaWhiten2(24),
     "ss8_pq_topk" -> sqlPqTopK(m = 4, len = 16, ksub = 8, k = 5, nq = 3),
     "ss9_ivfpq_topk" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8, k = 5,
       nq = 3, nprobe = 2),

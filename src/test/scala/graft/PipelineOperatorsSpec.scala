@@ -1085,6 +1085,29 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("whitened pca map has unit variance and decorrelated axes") {
+    // more iterations than the declared query's 24: this test checks
+    // CONVERGENCE properties (the oracle checks exactness at any
+    // iteration count), and the tiny fixture's eigengap is small
+    val rows = operators.VectorStats.pcaWhiten2(embs, iters = 96).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == embs.count())
+    val n = rows.length.toDouble
+    val (w1, w2) = (rows.map(_._2), rows.map(_._3))
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    // whitening contract: each coordinate has variance ≈ 1 (exact at
+    // full eigen-convergence; 24 power iterations get within a few %)
+    assert(math.abs(variance(w1) - 1.0) < 0.05, s"var(w1)=${variance(w1)}")
+    assert(math.abs(variance(w2) - 1.0) < 0.05, s"var(w2)=${variance(w2)}")
+    // deflation contract: the two axes are decorrelated
+    val (m1, m2) = (w1.sum / n, w2.sum / n)
+    val cov12 = w1.zip(w2).map { case (a, b) => (a - m1) * (b - m2) }.sum / n
+    assert(math.abs(cov12) < 0.05, s"cov(w1,w2)=$cov12")
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

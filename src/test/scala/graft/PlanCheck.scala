@@ -320,6 +320,14 @@ object PlanCheck {
       "no mid-plan hash exchange" -> (p => !p.contains("hashpartitioning")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("ve7_pca_whiten", Seq(
+      // both whitened coordinates come from broadcast-literal
+      // directions — one pure map over the corpus scan, like ve6
+      "no join, no cartesian" -> (p =>
+        !p.contains("Join") && !p.contains("CartesianProduct")),
+      "no mid-plan hash exchange" -> (p => !p.contains("hashpartitioning")),
+      "one output sort only" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
     audit("ve5_gram_matrix", Seq(
       // the d^2 fan-out pipelines straight into a partially-aggregated
       // hash agg: the exchange carries O(partitions x d^2), never the
