@@ -72,6 +72,52 @@ object ExtendedQueries {
     }
   }
 
+  /** Oracle twin of q58: [[graft.operators.Graph.pageRank]] replayed
+    * as `iters` unrolled CTE rounds — same 2^40 fixed-point integer
+    * arithmetic (`//` floor division matches Spark's `div` on the
+    * all-nonnegative ranks), BIGINT casts on every sum because DuckDB
+    * widens `sum(BIGINT)` to HUGEINT, which would reach the checker
+    * as float64 (the q36 lesson). MATERIALIZED per round: each rank
+    * table feeds the next round's join, the dangling scan, and the
+    * final select. */
+  private def sqlPageRank(iters: Int): String = {
+    val S = "1099511627776"
+    val rounds = (1 to iters).map { k =>
+      s"""recv$k AS MATERIALIZED (
+        SELECT e.dst AS node, sum(r.rank // o.outdeg)::BIGINT AS recv
+        FROM edges e JOIN r${k - 1} r ON r.node = e.src
+          JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst),
+      dm$k AS (SELECT coalesce(sum(r.rank), 0)::BIGINT AS dm
+        FROM r${k - 1} r LEFT JOIN outdeg o ON o.src = r.node
+        WHERE o.src IS NULL),
+      r$k AS MATERIALIZED (
+        SELECT r.node, ((SELECT base FROM c) + (85 * (coalesce(v.recv, 0)
+            + (SELECT dm FROM dm$k) // (SELECT n FROM c))) // 100)::BIGINT
+          AS rank
+        FROM r${k - 1} r LEFT JOIN recv$k v ON v.node = r.node)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM
+          (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      c AS (SELECT count(*) AS n, $S // count(*) AS init,
+          (15 * ($S // count(*))) // 100 AS base FROM nodes),
+      outdeg AS MATERIALIZED (
+        SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      r0 AS MATERIALIZED (
+        SELECT node, (SELECT init FROM c) AS rank FROM nodes),
+      $rounds
+      SELECT node, rank AS rank_fp, rank::DOUBLE / $S.0 AS rank
+      FROM r$iters ORDER BY node"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Spark executes the recursive CTE natively (UnionLoop); the
     // oracle runs the very same SQL text
@@ -260,6 +306,22 @@ object ExtendedQueries {
             .otherwise(0L)).as("n_outliers"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    },
+    // damped PageRank over the customer↔supplier trading graph
+    // (distinct trading pairs from the lineitem⋈orders fact join,
+    // symmetrized), 8 synchronous iterations in 2^40 fixed-point —
+    // the iterative-graph primitive next to dd8/dd10's components;
+    // the oracle replays every iteration through unrolled CTEs
+    "q58_pagerank" -> { (s, d) =>
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+      val edges = e0
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      graft.operators.Graph.pageRank(edges, iters = 8).orderBy("node")
     },
     "q36_moments" -> { (s, d) =>
       // ALL-INTEGER moments in cents. The previous double formulation
@@ -613,6 +675,7 @@ object ExtendedQueries {
         count(*)::BIGINT AS n_rows
       FROM dev d JOIN mad m USING (l_returnflag)
       GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
+    "q58_pagerank" -> sqlPageRank(8),
     "q36_moments" -> """
       WITH m AS (
         SELECT o_orderstatus,

@@ -1108,6 +1108,41 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(math.abs(cov12) < 0.05, s"cov(w1,w2)=$cov12")
   }
 
+  test("pagerank: star center dominates, leaves tie, mass ≈ conserved") {
+    import spark.implicits._
+    // undirected star: center 0 <-> leaves 1..4
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val ranks = operators.Graph.pageRank(star, iters = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 5)
+    // symmetry: all leaves identical; center strictly dominant
+    assert((1L to 4L).map(ranks).distinct.size == 1)
+    assert(ranks(0L) > ranks(1L) * 2)
+    // fixed-point mass: floor drift only (≤ 1 ulp per node per round)
+    val total = ranks.values.sum
+    val S = 1L << 40
+    assert(total <= S && total > S - 5 * 12 * 4, s"mass drifted: $total vs $S")
+  }
+
+  test("pagerank: dangling sink keeps its mass in the system") {
+    import spark.implicits._
+    // 1 -> 2 -> 3, node 3 dangling (no out-edges)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = operators.Graph.pageRank(chain, iters = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the sink accumulates most rank; redistribution keeps sources alive
+    assert(out(3L) > out(2L) && out(2L) > out(1L))
+    val total = out.values.sum
+    val S = 1L << 40
+    // without dangling redistribution node 3's whole inflow would
+    // leak every round and total would collapse toward (1-d)·S
+    assert(total > (S * 7) / 10, s"dangling mass leaked: $total")
+    // deterministic: a second run is bit-identical
+    val again = operators.Graph.pageRank(chain, iters = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -328,6 +328,15 @@ object PlanCheck {
       "no mid-plan hash exchange" -> (p => !p.contains("hashpartitioning")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("q58_pagerank", Seq(
+      // the iterative state is checkpoint-truncated: the final plan
+      // reads the last round's materialized ranks, not an 8-deep
+      // join lineage (the in-loop shapes are measured in METRICS.md)
+      "rank lineage truncated at the checkpoint" ->
+        (_.contains("ExistingRDD")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "one output sort only" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
     audit("ve5_gram_matrix", Seq(
       // the d^2 fan-out pipelines straight into a partially-aggregated
       // hash agg: the exchange carries O(partitions x d^2), never the
