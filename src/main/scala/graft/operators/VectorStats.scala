@@ -230,6 +230,48 @@ object VectorStats {
     embs.select(col("vec_id"), wcol(v1, l1).as("w1"), wcol(v2, l2).as("w2"))
   }
 
+  /** Distribution drift between two embedding snapshots (ve8): the
+    * monitoring primitive behind "did the corpus / the encoder
+    * change" — per dimension, an equi-width histogram of the
+    * reference side vs the current side and the L1 distance between
+    * the two normalized histograms in INTEGER parts-per-million
+    * (`Σ_b |cRef·1e6 div nRef − cCur·1e6 div nCur|`, i.e. 2e6 × the
+    * total-variation distance, exact in BIGINT — no transcendental
+    * PSI log that two engines round differently).
+    *
+    * Binning is `floor((x − lo)·bins/(hi−lo))` clamped to
+    * `[0, bins)`: one multiply-and-floor in double, bit-identical
+    * across engines when `bins/(hi−lo)` is a power of two (the
+    * default 8 bins over [−1,1] gives scale 4.0).
+    *
+    * Scale shape: posexplode to (dim, bin, side) then TWO bounded
+    * hash aggregations — (dim, bin) counts, dims×bins rows, then the
+    * per-dim fold; both partial-aggregated map-side, so the exchange
+    * carries O(dims × bins) counters regardless of corpus size. The
+    * per-dim totals come from the histogram itself (no second corpus
+    * scan) and join back on the dims×bins-row frame, broadcast. */
+  def histogramDrift(embs: DataFrame, isRef: Column, bins: Int = 8,
+      lo: Double = -1.0, hi: Double = 1.0): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val scale = bins / (hi - lo)
+    val hist = embs
+      .select(isRef.as("is_ref"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("is_ref"), col("dim"),
+        least(greatest(floor((col("x").cast("double") - lit(lo)) *
+          lit(scale)), lit(0.0)), lit(bins - 1.0)).cast("long").as("bin"))
+      .groupBy("dim", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("c_cur"))
+    val totals = hist.groupBy("dim")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    hist.join(broadcast(totals), "dim")
+      .groupBy("dim")
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        sum(abs(expr("c_ref * 1000000 div n_ref") -
+          expr("c_cur * 1000000 div n_cur"))).as("l1_ppm"))
+  }
+
   /** Fixed-order dot product of two DOUBLE arrays via HOFs — the
     * centroid side of k-means is double-valued, so the float-only
     * native `vec_dot` doesn't apply; fold order (element order, left

@@ -454,6 +454,13 @@ object PipelineQueries {
     "ve7_pca_whiten" -> { (s, d) =>
       VectorStats.pcaWhiten2(embeddings(s, d)).orderBy("vec_id")
     },
+    // snapshot drift report: per-dim histogram L1 distance (ppm)
+    // between the even-id "reference" half and the odd-id "current"
+    // half — integer-exact total-variation, no transcendental PSI
+    "ve8_drift" -> { (s, d) =>
+      VectorStats.histogramDrift(embeddings(s, d),
+        isRef = col("vec_id") % 2 === 0).orderBy("dim")
+    },
     // two deterministic Lloyd rounds from the k-lowest-id seed, then
     // the final assignment under the trained centroids
     "ve3_kmeans" -> { (s, d) =>
@@ -1498,6 +1505,29 @@ object PipelineQueries {
       FROM x GROUP BY i, j ORDER BY i, j""",
     "ve6_pca_project" -> sqlPcaProject(24),
     "ve7_pca_whiten" -> sqlPcaWhiten2(24),
+    // ve8 twin: same clamped equi-width binning (scale 4.0 is a power
+    // of two, so the double multiply-and-floor is bit-equal), BIGINT
+    // casts on the sums (DuckDB widens sum(BIGINT) to HUGEINT)
+    "ve8_drift" -> """
+      WITH x AS (
+        SELECT vec_id, t.i0 AS dim, embedding[t.i0+1]::DOUBLE AS x
+        FROM embeddings, unnest(range(0, len(embedding))) AS t(i0)),
+      h AS MATERIALIZED (
+        SELECT dim,
+          CAST(least(greatest(floor((x + 1.0) * 4.0), 0.0), 7.0) AS BIGINT)
+            AS bin,
+          sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c_ref,
+          sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS c_cur
+        FROM x GROUP BY 1, 2),
+      t AS (SELECT dim, sum(c_ref)::BIGINT AS n_ref,
+          sum(c_cur)::BIGINT AS n_cur
+        FROM h GROUP BY 1)
+      SELECT h.dim::INT AS dim, max(t.n_ref) AS n_ref,
+        max(t.n_cur) AS n_cur,
+        sum(abs(c_ref * 1000000 // n_ref - c_cur * 1000000 // n_cur))
+          ::BIGINT AS l1_ppm
+      FROM h JOIN t USING (dim)
+      GROUP BY h.dim ORDER BY dim""",
     "ss8_pq_topk" -> sqlPqTopK(m = 4, len = 16, ksub = 8, k = 5, nq = 3),
     "ss9_ivfpq_topk" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8, k = 5,
       nq = 3, nprobe = 2),

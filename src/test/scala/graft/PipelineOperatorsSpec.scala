@@ -1108,6 +1108,31 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(math.abs(cov12) < 0.05, s"cov(w1,w2)=$cov12")
   }
 
+  test("histogram drift: disjoint snapshots saturate at 2e6 ppm, identical at 0") {
+    import spark.implicits._
+    // ref mass entirely in bin 4 (x=0.1), cur entirely in bin 7 (x=0.9)
+    val shifted = (1L to 40L)
+      .map(i => (i, Array.fill(3)(if (i % 2 == 0) 0.1f else 0.9f)))
+      .toDF("vec_id", "embedding")
+    val sep = operators.VectorStats
+      .histogramDrift(shifted, col("vec_id") % 2 === 0).collect()
+    assert(sep.length == 3)
+    assert(sep.forall(_.getAs[Long]("l1_ppm") == 2000000L))
+    // identical distributions: zero distance, totals split evenly
+    val same = (1L to 40L).map(i => (i, Array.fill(3)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val zero = operators.VectorStats
+      .histogramDrift(same, col("vec_id") % 2 === 0).collect()
+    assert(zero.forall(r => r.getAs[Long]("l1_ppm") == 0L &&
+      r.getAs[Long]("n_ref") == 20L && r.getAs[Long]("n_cur") == 20L))
+    // out-of-range values clamp into the edge bins instead of vanishing
+    val wild = Seq((1L, Array(-9f)), (2L, Array(9f))).toDF("vec_id", "embedding")
+    val clamped = operators.VectorStats
+      .histogramDrift(wild, col("vec_id") % 2 === 0).collect()
+    assert(clamped.head.getAs[Long]("n_ref") == 1L &&
+      clamped.head.getAs[Long]("n_cur") == 1L)
+  }
+
   test("pagerank: star center dominates, leaves tie, mass ≈ conserved") {
     import spark.implicits._
     // undirected star: center 0 <-> leaves 1..4

@@ -337,6 +337,12 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("ve8_drift", Seq(
+      // the corpus fan-out pipelines into the (dim, bin) hash agg
+      // map-side; only O(dims × bins) counters cross an exchange
+      "partial agg before exchange" -> (_.contains("partial_")),
+      "totals join is broadcast" -> (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ve5_gram_matrix", Seq(
       // the d^2 fan-out pipelines straight into a partially-aggregated
       // hash agg: the exchange carries O(partitions x d^2), never the
