@@ -256,6 +256,64 @@ object Multimodal {
       .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** REAL-decode perceptual hash (m5): render a deterministic 9×8
+    * 8-bit grayscale image per document (closed-form pixels), PNG
+    * round-trip through the actual `javax.imageio` codec, then the
+    * classic difference hash — bit `r·8+c` set iff
+    * `pixel(r,c+1) > pixel(r,c)` — emitted as two 32-bit halves
+    * (`hash_hi`/`hash_lo`), sidestepping BIGINT sign games in the
+    * cross-engine compare. dHash is THE cheap near-dup signature for
+    * images: resize-to-9×8 + 64 comparisons, robust to recompression
+    * and scaling. Near-dup pairing composes with the [[Dedup]]
+    * machinery unchanged — the two halves are already the 2-block
+    * pigeonhole bands (Hamming ≤ 1 ⇒ one half equal), so
+    * `simhashPairs`-style band-bucket joins apply as-is.
+    *
+    * Scale shape: per-row compute in `mapPartitions` (codec context
+    * amortized per partition, the m4 pattern), payload-pruned to the
+    * id column, shuffle-free; PNG losslessness makes the decoded
+    * raster — and so the hash — equal the closed form the SQL oracle
+    * recomputes independently. */
+  def imageDHash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var p = 0
+          while (p < 72) {
+            img.getRaster.setSample(p % 9, p / 9, 0,
+              ((id * 7 + p * 13) % 256).toInt)
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          if (back == null) sys.error(s"PNG round-trip failed for doc $id")
+          val raster = back.getRaster
+          var hi = 0L
+          var lo = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (raster.getSample(c + 1, r, 0) > raster.getSample(c, r, 0)) {
+                val bit = r * 8 + c
+                if (bit < 32) lo |= 1L << bit
+                else hi |= 1L << (bit - 32)
+              }
+              c += 1
+            }
+            r += 1
+          }
+          (id, back.getWidth.toLong, back.getHeight.toLong, hi, lo)
+        }
+      }
+      .toDF("media_id", "width", "height", "hash_hi", "hash_lo")
+  }
+
   /** Feature frame flattened for SQL-oracle comparison. */
   def features(spark: SparkSession, docs: DataFrame): DataFrame = {
     val f = extractFeatures(spark, mediaFromDocuments(docs))

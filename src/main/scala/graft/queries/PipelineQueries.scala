@@ -628,6 +628,11 @@ object PipelineQueries {
     "m4_image_decode" -> { (s, d) =>
       Multimodal.imageDecode(s, documents(s, d)).orderBy("media_id")
     },
+    // perceptual dHash through the REAL PNG codec; the oracle
+    // recomputes the 64 pixel comparisons from the closed form
+    "m5_image_dhash" -> { (s, d) =>
+      Multimodal.imageDHash(s, documents(s, d)).orderBy("media_id")
+    },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
@@ -1989,6 +1994,18 @@ object PipelineQueries {
       FROM documents d
       CROSS JOIN (SELECT range AS i FROM range(16)) i
       GROUP BY d.doc_id ORDER BY media_id""",
+    "m5_image_dhash" -> """
+      WITH b AS (
+        SELECT d.doc_id AS media_id, t.i AS i,
+          CASE WHEN ((d.doc_id*7 + ((t.i//8)*9 + (t.i%8) + 1)*13) % 256) >
+                    ((d.doc_id*7 + ((t.i//8)*9 + (t.i%8))*13) % 256)
+            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM documents d, unnest(range(0, 64)) AS t(i))
+      SELECT media_id, CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
+          AS hash_hi,
+        sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS hash_lo
+      FROM b GROUP BY media_id ORDER BY media_id""",
     "m1_multimodal_features" -> s"""
       SELECT doc_id AS media_id,
         (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,

@@ -1108,6 +1108,28 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(math.abs(cov12) < 0.05, s"cov(w1,w2)=$cov12")
   }
 
+  test("image dhash equals the closed form through the real PNG codec") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 97L, 255L)
+    val out = Multimodal.imageDHash(spark, ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    ids.foreach { id =>
+      var hi = 0L; var lo = 0L
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val a = (id * 7 + (r * 9 + c) * 13) % 256
+        val b = (id * 7 + (r * 9 + c + 1) * 13) % 256
+        if (b > a) {
+          val bit = r * 8 + c
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+      }
+      assert(out(id) == ((9L, 8L, hi, lo)), s"doc $id")
+    }
+    // perceptual property: distinct synthetic images get distinct hashes
+    assert(out.values.map(v => (v._3, v._4)).toSet.size == ids.size)
+  }
+
   test("histogram drift: disjoint snapshots saturate at 2e6 ppm, identical at 0") {
     import spark.implicits._
     // ref mass entirely in bin 4 (x=0.1), cur entirely in bin 7 (x=0.9)

@@ -337,6 +337,13 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("m5_image_dhash", Seq(
+      // per-row codec work, payload-pruned to the id column; the only
+      // exchange is the output ORDER BY
+      "no mid-plan hash exchange" -> (p => !p.contains("hashpartitioning")),
+      "one output sort only" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ve8_drift", Seq(
       // the corpus fan-out pipelines into the (dim, bin) hash agg
       // map-side; only O(dims × bins) counters cross an exchange
