@@ -178,6 +178,38 @@ object ShareQueries {
           col("_commit_timestamp").as("commit_ts"))
         .orderBy("commit_version", "l_orderkey", "l_linenumber")
     },
+    // INCREMENTAL VIEW MAINTENANCE over the change feed: the per-flag
+    // (count, quantity-sum) aggregate is maintained by FOLDING signed
+    // change rows — base state from versions [1,2], then the v3
+    // delete batch merged in — and must equal a from-scratch
+    // recompute of the head state (the oracle). This is what the CDF
+    // endpoint is FOR at 100 TB: the daily pipeline folds yesterday's
+    // aggregate with today's changes instead of rescanning the table;
+    // groups whose count reaches zero drop out, exactly as a rescan
+    // would drop them.
+    "share_changes_agg" -> { (s, d) =>
+      import graft.Tables.dec2
+      def signedAgg(from: Int, to: Int): DataFrame =
+        s.read.format("deltashare")
+          .option("endpoint", ensure(s, d))
+          .option("bearerToken", "graft-verify")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", from.toString)
+          .option("endingVersion", to.toString)
+          .load("share1.schema1.lineitem4")
+          .withColumn("sign",
+            when(col("_change_type") === "insert", 1L).otherwise(-1L))
+          .groupBy("l_returnflag")
+          .agg(sum(col("sign")).as("n_rows"),
+            sum(dec2(col("l_quantity")) * col("sign")).as("sq"))
+      signedAgg(1, 2).unionByName(signedAgg(3, 3))
+        .groupBy("l_returnflag")
+        .agg(sum("n_rows").as("n_rows"),
+          sum("sq").cast(org.apache.spark.sql.types.DoubleType)
+            .as("sum_qty"))
+        .filter(col("n_rows") > 0)
+        .orderBy("l_returnflag")
+    },
     "share_list_tables" -> { (s, d) =>
       import graft.sources.{DeltaShare, DeltaSharingProfile}
       s.conf.set(DeltaSharingProfile.EndpointConf, ensure(s, d))
@@ -240,6 +272,17 @@ object ShareQueries {
              TIMESTAMP '2023-11-14 22:13:23' AS commit_ts
       FROM lineitem, b WHERE l_orderkey < bound
       ORDER BY commit_version, l_orderkey, l_linenumber""",
+    // head state after the feed: v1 adds the [0,bound) file, v2 adds
+    // [bound,2·bound), v3 removes the first — so the maintained
+    // aggregate must equal a from-scratch recompute over the second
+    // key range only
+    "share_changes_agg" -> """
+      WITH b AS (SELECT max(l_orderkey) // 4 + 1 AS bound FROM lineitem)
+      SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem, b
+      WHERE l_orderkey >= bound AND l_orderkey < 2 * bound
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     // the stub's catalog fixture is the truth: 3 shares × schema1 ×
     // the 4 registered tables — the Spark side must reproduce it via
     // the live listShares/listSchemas/listTables HTTP walk

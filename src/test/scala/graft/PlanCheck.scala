@@ -337,6 +337,12 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("share_changes_agg", Seq(
+      // IVM merge: both change batches partial-aggregate before their
+      // exchanges; the union re-agg is flag-keyed (6 rows), no rescan
+      "partial agg before exchange" -> (_.contains("partial_")),
+      "union of the two signed aggregates" -> (_.contains("Union")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("m5_image_dhash", Seq(
       // per-row codec work, payload-pruned to the id column; the only
       // exchange is the output ORDER BY
