@@ -236,6 +236,13 @@ object PipelineQueries {
       Packing.globalShuffle(documents(s, d), "doc_id", nShards = 8,
         seed = 42L).orderBy("shard", "pos")
     },
+    // Count-Min sketch frequency report: exact top-20 event users
+    // probed against the 4×256 counter grid — deterministic, so the
+    // oracle recomputes the very same sketch
+    "q59_cms_freq" -> { (s, d) =>
+      graft.operators.Profile.cmsHeavyHitters(events(s, d), "user_id",
+        topN = 20)
+    },
     "tp2_chunk_manifest" -> { (s, d) =>
       Packing.chunkManifest(documents(s, d), chunkTokens = 64,
         overlap = 16).orderBy("doc_id", "chunk_id")
@@ -1138,6 +1145,24 @@ object PipelineQueries {
         ${sqlFp("array_to_string(toks[start_tok+1:start_tok+n_tok], ' ')")}
           AS chunk_fp
       FROM c3 ORDER BY doc_id, chunk_id""",
+    // q59 twin: same 4×256 grid, same base-31 bucket hash — CMS is
+    // deterministic/additive, so the whole sketch is SQL-replayable
+    "q59_cms_freq" -> s"""
+      WITH r AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+      sk AS MATERIALIZED (
+        SELECT t.j AS j, ${sqlFp("t.j || ':' || key")} % 256 AS bucket,
+          count(*)::BIGINT AS c
+        FROM r, unnest(range(0, 4)) AS t(j)
+        GROUP BY 1, 2),
+      top AS (SELECT key, count(*)::BIGINT AS n_true FROM r GROUP BY key
+        ORDER BY n_true DESC, key LIMIT 20),
+      pr AS (SELECT t2.key, t2.n_true, u.j,
+          ${sqlFp("u.j || ':' || t2.key")} % 256 AS bucket
+        FROM top t2, unnest(range(0, 4)) AS u(j))
+      SELECT p.key, max(p.n_true) AS n_true,
+        min(coalesce(s.c, 0))::BIGINT AS n_est
+      FROM pr p LEFT JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
+      GROUP BY p.key ORDER BY n_true DESC, key""",
     "tp2_chunk_manifest" -> s"""
       WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
       d AS (SELECT doc_id, toks, len(toks) AS n,

@@ -1108,6 +1108,26 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(math.abs(cov12) < 0.05, s"cov(w1,w2)=$cov12")
   }
 
+  test("count-min sketch never under-counts and brackets the hot key") {
+    import spark.implicits._
+    val keys = (Seq.fill(500)("hot") ++ (1 to 300).map(i => s"k$i"))
+    val df = keys.toDF("k")
+    val rep = operators.Profile.cmsHeavyHitters(df, "k", topN = 301,
+      depth = 4, width = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // CMS guarantee: estimate >= truth, for every probed key
+    assert(rep.forall { case (_, t, e) => e >= t })
+    val hot = rep.find(_._1 == "hot").get
+    assert(hot._2 == 500L)
+    // overestimate bounded by total colliding mass
+    assert(hot._3 <= 500L + 300L)
+    // deterministic: re-run bit-identical
+    val again = operators.Profile.cmsHeavyHitters(df, "k", topN = 301,
+      depth = 4, width = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rep.toSeq)
+  }
+
   test("image dhash equals the closed form through the real PNG codec") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 97L, 255L)

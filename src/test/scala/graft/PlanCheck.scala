@@ -337,6 +337,14 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("q59_cms_freq", Seq(
+      // the counter grid crosses the exchange partially aggregated
+      // (≤ depth×width counters per partition); probes join the
+      // 1024-row sketch broadcast; exact top-N is TakeOrdered
+      "partial agg before exchange" -> (_.contains("partial_")),
+      "sketch probe join is broadcast" -> (_.contains("BroadcastHashJoin")),
+      "top-N as TakeOrdered" -> (_.contains("TakeOrdered")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("share_changes_agg", Seq(
       // IVM merge: both change batches partial-aggregate before their
       // exchanges; the union re-agg is flag-keyed (6 rows), no rescan
