@@ -47,24 +47,39 @@ object Profile {
   def cmsHeavyHitters(df: DataFrame, keyCol: String, topN: Int = 20,
       depth: Int = 4, width: Int = 256): DataFrame = {
     val js = lit((0 until depth).toArray)
-    def bucket(j: Column, key: Column): Column =
-      pmod(graft.operators.TextAnalysis.fingerprint(
-        concat_ws(":", j, key)), lit(width.toLong))
     val rows = df.select(col(keyCol).cast("string").as("key"))
-    val sketch = rows.select(explode(js).as("j"), col("key"))
-      .select(col("j"), bucket(col("j"), col("key")).as("bucket"))
-      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    val sketch = cmsSketch(df, keyCol, depth, width)
     val top = rows.groupBy("key").agg(count(lit(1)).as("n_true"))
       .orderBy(col("n_true").desc, col("key")).limit(topN)
     top.select(col("key"), col("n_true"), explode(js).as("j"))
       .select(col("key"), col("n_true"), col("j"),
-        bucket(col("j"), col("key")).as("bucket"))
+        bucket(col("j"), col("key"), width).as("bucket"))
       .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy("key")
       .agg(max("n_true").as("n_true"),
         min(coalesce(col("c"), lit(0L))).as("n_est"))
       .orderBy(col("n_true").desc, col("key"))
   }
+
+  /** The bare CMS counter grid `(j, bucket, c)` — `depth × width`
+    * rows. A plain two-column streaming-legal aggregation: run it on
+    * a `readStream` frame and Structured Streaming maintains the
+    * sketch with O(depth × width) state over an unbounded stream
+    * (update/complete mode), the canonical bounded-memory frequency
+    * monitor; batch grids from different days merge by summing `c`.
+    * Bucket hash: base-31 fingerprint of `"j:key"` — independent
+    * rows via the seed prefix, cross-engine replayable. */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val js = lit((0 until depth).toArray)
+    df.select(explode(js).as("j"), col(keyCol).cast("string").as("key"))
+      .select(col("j"), bucket(col("j"), col("key"), width).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  private def bucket(j: Column, key: Column, width: Int): Column =
+    pmod(graft.operators.TextAnalysis.fingerprint(
+      concat_ws(":", j, key)), lit(width.toLong))
 
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))

@@ -236,6 +236,13 @@ object PipelineQueries {
       Packing.globalShuffle(documents(s, d), "doc_id", nShards = 8,
         seed = 42L).orderBy("shard", "pos")
     },
+    // the bare CMS counter grid as a query: the SAME aggregation
+    // maintains the sketch over a readStream with O(depth×width)
+    // state (proven live in StreamingSpec) — this is its batch twin
+    "st9_cms_sketch" -> { (s, d) =>
+      graft.operators.Profile.cmsSketch(events(s, d), "user_id")
+        .orderBy("j", "bucket")
+    },
     // Count-Min sketch frequency report: exact top-20 event users
     // probed against the 4×256 counter grid — deterministic, so the
     // oracle recomputes the very same sketch
@@ -1145,6 +1152,12 @@ object PipelineQueries {
         ${sqlFp("array_to_string(toks[start_tok+1:start_tok+n_tok], ' ')")}
           AS chunk_fp
       FROM c3 ORDER BY doc_id, chunk_id""",
+    "st9_cms_sketch" -> s"""
+      WITH r AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events)
+      SELECT t.j::INT AS j, ${sqlFp("t.j || ':' || key")} % 256 AS bucket,
+        count(*)::BIGINT AS c
+      FROM r, unnest(range(0, 4)) AS t(j)
+      GROUP BY 1, 2 ORDER BY j, bucket""",
     // q59 twin: same 4×256 grid, same base-31 bucket hash — CMS is
     // deterministic/additive, so the whole sketch is SQL-replayable
     "q59_cms_freq" -> s"""

@@ -137,6 +137,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("pq_encode_out").count() == embsB.count())
   }
 
+  test("count-min sketch maintains itself over a stream with bounded state") {
+    val stream = graft.operators.Profile.cmsSketch(
+      EventStreams.eventsStream(spark, sf), "user_id")
+    runToMemory(stream, "cms_out", "complete")
+    val streamed = spark.table("cms_out")
+    // bounded state: at most depth × width rows regardless of stream size
+    assert(streamed.count() <= 4 * 256)
+    val batch = graft.operators.Profile.cmsSketch(
+      Tables.events(spark, sf), "user_id")
+    assert(asSet(streamed) == asSet(batch))
+  }
+
   test("watermark dedup stream preserves distinct event ids") {
     val stream = EventStreams.dedupStream(
       EventStreams.eventsStream(spark, sf))
