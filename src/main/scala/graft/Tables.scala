@@ -24,17 +24,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision in parquet, which Spark's
-    * vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader
-    * converts the nanos-long back to a microsecond TimestampType
-    * column (truncation; queries never compare sub-microsecond). */
+  /** `events.ts` normalization to a microsecond TimestampType column,
+    * tolerant of how the generator wrote it:
+    *  - nanosecond parquet timestamps (vectorized reader rejects them;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` they arrive as
+    *    a nanos Long → truncate to µs),
+    *  - microsecond `isAdjustedToUTC=false` timestamps (Spark infers
+    *    TIMESTAMP_NTZ → reinterpret as UTC instants; sessions pin
+    *    `spark.sql.session.timeZone=UTC`, and DuckDB reads the same
+    *    column as its naive TIMESTAMP, so both engines agree on the
+    *    wall-clock values). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(raw)
   }
+
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -89,4 +89,73 @@ object Graph {
     ranks.select(col("node"), col("rank").as("rank_fp"),
       (col("rank").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
+
+  /** Per-node triangle counts via degree-oriented wedge counting —
+    * the clustering-structure primitive next to [[pageRank]]
+    * (importance) and [[Dedup.resolveClusters]] (membership): on a
+    * co-occurrence or near-dup graph, a node's triangle count is the
+    * standard local-clustering signal (dense cliques of templated
+    * boilerplate score high; genuinely diverse documents low).
+    *
+    * `edges` is any edge list `(src, dst)`; direction, duplicates and
+    * self-loops are normalized away (undirected simple graph).
+    * Output: `(node, deg, triangles)` for every node, zero rows kept.
+    *
+    * The naive plan — join adjacency with itself per node — is
+    * O(Σ deg²) and dies on the first celebrity node. The classic fix
+    * (node-iterator++ / Schank): orient each undirected edge from the
+    * (degree, node)-smaller endpoint to the larger, so every oriented
+    * out-neighborhood is bounded by O(√m) REGARDLESS of skew, wedges
+    * number O(m^1.5) total, and each triangle materializes exactly
+    * once — at its (degree,node)-least vertex.
+    *
+    * Shuffle shape at 100 TB: oriented edges are (key,key) pairs —
+    * tiny relative to the corpus that derived them; the wedge
+    * self-join shuffles them once on the pivot `u`; the closure check
+    * is an equi-SEMI-join of wedges against oriented edges on
+    * `(v, w)` (no payload, Spark's hash semi-join, broadcast when the
+    * edge list is small); per-node counts are one partial-agg'd
+    * explode of the triangle triple. No per-node adjacency ever needs
+    * to fit in memory — everything is key-equi joins + hash
+    * aggregates, which spill. */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    // canonical undirected simple edges: a < b
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = false) // scanned for deg, orient, closure
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    // orient low (deg, node) → high: out-degree ≤ O(√m) everywhere
+    val ab = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ab.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(eager = false) // wedge pivot + closure probe
+    // wedges (u; v, w) with v before w in orientation order — each
+    // candidate triangle generated once
+    val vBeforeW = col("l.dv") < col("r.dv") ||
+      (col("l.dv") === col("r.dv") && col("l.v") < col("r.v"))
+    val wedges = oriented.as("l")
+      .join(oriented.as("r"), col("l.u") === col("r.u") && vBeforeW)
+      .select(col("l.u").as("u"), col("l.v").as("v"), col("r.v").as("w"))
+    // closure: wedge (v, w) is a triangle iff oriented edge v→w exists
+    val tris = wedges.join(oriented.select(col("u").as("v"),
+        col("v").as("w")), Seq("v", "w"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

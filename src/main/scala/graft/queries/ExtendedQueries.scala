@@ -323,6 +323,19 @@ object ExtendedQueries {
         .distinct()
       graft.operators.Graph.pageRank(edges, iters = 8).orderBy("node")
     },
+    // per-node triangle counts on the part co-purchase graph (two
+    // parts adjacent iff they share an order): degree-oriented wedge
+    // counting — O(√m)-bounded out-neighborhoods regardless of hub
+    // skew, each triangle found once at its degree-least vertex
+    "q60_triangles" -> { (s, d) =>
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // per-order pair blowup is bounded by order size (≤7 lines)
+      val edges = li.as("x").join(li.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.triangles(edges).orderBy("node")
+    },
     "q36_moments" -> { (s, d) =>
       // ALL-INTEGER moments in cents. The previous double formulation
       // broke at sf0.1: DuckDB's DECIMAL→DOUBLE cast double-rounds
@@ -676,6 +689,39 @@ object ExtendedQueries {
       FROM dev d JOIN mad m USING (l_returnflag)
       GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
     "q58_pagerank" -> sqlPageRank(8),
+    // same orientation rule ((deg, node) lexicographic), same wedge +
+    // closure joins — counts are exact integers, trivially hash-equal
+    "q60_triangles" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk),
+      deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY node),
+      o AS (SELECT
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN a ELSE b END AS u,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN b ELSE a END AS v
+        FROM e0
+        JOIN deg da ON da.node = e0.a
+        JOIN deg db ON db.node = e0.b),
+      od AS (SELECT o.u, o.v, d.deg AS dv
+        FROM o JOIN deg d ON d.node = o.v),
+      w AS (SELECT o1.u AS u, o1.v AS v, o2.v AS w
+        FROM od o1 JOIN od o2 ON o1.u = o2.u
+        AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))),
+      t AS (SELECT w.u, w.v, w.w FROM w
+        WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.v AND o.v = w.w)),
+      pc AS (SELECT node, count(*) AS tri FROM (
+          SELECT u AS node FROM t UNION ALL
+          SELECT v FROM t UNION ALL
+          SELECT w FROM t)
+        GROUP BY node)
+      SELECT d.node, d.deg,
+        CAST(coalesce(pc.tri, 0) AS BIGINT) AS triangles
+      FROM deg d LEFT JOIN pc USING (node)
+      ORDER BY node""",
     "q36_moments" -> """
       WITH m AS (
         SELECT o_orderstatus,

@@ -21,17 +21,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object EventStreams {
 
-  /** File-source stream over `$dir/events.parquet` (nanos handled as
-    * in [[graft.Tables.events]]). */
+  /** File-source stream over `$dir/events.parquet` (`ts` normalized to
+    * TimestampType as in [[graft.Tables.events]] — watermarks reject
+    * TIMESTAMP_NTZ event-time columns). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.Tables.normalizeTs(raw)
   }
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))

@@ -45,7 +45,8 @@ object MetricsCheck {
       "dd16_dup_spans", "t16_repeat_spans", "tp6_global_shuffle",
       "ve5_gram_matrix", "ve6_pca_project", "ss8_pq_topk",
       "dd17_strip_spans", "ss9_ivfpq_topk", "ve7_pca_whiten",
-      "q58_pagerank", "ve8_drift", "q59_cms_freq", "st9_cms_sketch")
+      "q58_pagerank", "ve8_drift", "q59_cms_freq", "st9_cms_sketch",
+      "q60_triangles")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>

@@ -1210,6 +1210,31 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("triangles: K4, triangle-free cycle, and messy-input normalization") {
+    import spark.implicits._
+    // K4: every node has degree 3 and sits on C(3,2) = 3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val t4 = operators.Graph.triangles(k4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t4.size == 4 && t4.values.forall(_ == ((3L, 3L))))
+    // 4-cycle: connected, degree 2, zero triangles — zero rows kept
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val tc = operators.Graph.triangles(cyc).collect()
+    assert(tc.length == 4 && tc.forall(r => r.getLong(2) == 0L))
+    // hub star + one leaf-leaf edge = exactly ONE triangle, found once
+    // despite duplicate edges, reversed direction, and a self-loop
+    val messy = ((1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))) ++
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))).toDF("src", "dst")
+    val tm = operators.Graph.triangles(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tm(0L) == 1L && tm(1L) == 1L && tm(2L) == 1L)
+    assert((3L to 6L).forall(tm(_) == 0L))
+    // degenerate: all self-loops → empty graph, empty result
+    assert(operators.Graph.triangles(
+      Seq((7L, 7L)).toDF("src", "dst")).collect().isEmpty)
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -337,6 +337,18 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("q60_triangles", Seq(
+      // the oriented edge list is checkpoint-materialized once and
+      // re-read for the wedge pivot and the closure probe, so the
+      // lineitem self-join that derived the edges runs once
+      "edge derivation not replayed (checkpoint leaves)" ->
+        (_.contains("ExistingRDD")),
+      "no cartesian (wedge + closure are key-equi joins)" ->
+        (p => !p.contains("CartesianProduct")),
+      "closure check is a semi-join, no wedge payload" ->
+        (_.contains("LeftSemi")),
+      "per-node counts partial-agg'd before the exchange" ->
+        (_.contains("partial_"))))
     audit("q59_cms_freq", Seq(
       // the counter grid crosses the exchange partially aggregated
       // (≤ depth×width counters per partition); probes join the
