@@ -46,6 +46,10 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     results = {}
     names = sorted(os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(p))
+    # a query that threw inside graft.Verify writes no result dir at all;
+    # surface it as a failure instead of silently shrinking the denominator
+    for missing in sorted(set(oracle) - set(names)):
+        results[missing] = "MISSING_RESULT (query threw in graft.Verify?)"
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
