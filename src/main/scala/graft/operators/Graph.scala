@@ -90,6 +90,57 @@ object Graph {
       (col("rank").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** k-core of an undirected graph by synchronous peeling — the
+    * density primitive next to [[pageRank]] (importance),
+    * [[triangles]] (local clustering) and [[Dedup.resolveClusters]]
+    * (membership): the k-core is the maximal subgraph where every
+    * node keeps ≥ k neighbors, the standard "dense nucleus" filter on
+    * a near-dup or co-occurrence graph (template farms and SEO rings
+    * survive aggressive k; organically linked documents don't).
+    *
+    * `edges` is any edge list `(src, dst)`; direction, duplicates and
+    * self-loops are normalized away. Each round recomputes surviving
+    * degrees and drops every node below `k` — the synchronous variant
+    * of the classic peel, so the trajectory is deterministic and an
+    * unrolled-SQL oracle replays it round for round. `rounds` bounds
+    * the cascade depth; once a round drops nothing the iteration is
+    * at the true k-core and further rounds are no-ops (callers size
+    * `rounds` to their graph; the spec asserts convergence on the
+    * test graphs). Output: `(node, deg)` — survivors of the peeled
+    * subgraph with their within-subgraph degree (empty when the whole
+    * graph dissolves).
+    *
+    * Scale shape: the edge list is (key, key) pairs, checkpointed
+    * every round so lineage stays one round deep. A round is one
+    * partial-agg'd degree count (16-byte rows) plus two payload-free
+    * semi-joins of edges against the ≥k node set — all key-equi
+    * hash operations that spill; nothing per-node ever sits in one
+    * executor's memory, and the corpus that derived the edges is
+    * scanned exactly once, before round 0. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var it = 0
+    while (it < rounds) {
+      val keep = degrees(e).where(col("deg") >= k).select("node")
+      e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      it += 1
+    }
+    degrees(e)
+  }
+
   /** Per-node triangle counts via degree-oriented wedge counting —
     * the clustering-structure primitive next to [[pageRank]]
     * (importance) and [[Dedup.resolveClusters]] (membership): on a

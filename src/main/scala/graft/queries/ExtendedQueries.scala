@@ -118,6 +118,36 @@ object ExtendedQueries {
       FROM r$iters ORDER BY node"""
   }
 
+  /** Oracle twin of q62: [[graft.operators.Graph.kCore]] replayed as
+    * `rounds` unrolled peel rounds — each round recomputes surviving
+    * degrees from the previous round's edges and keeps only edges
+    * whose BOTH endpoints still hold ≥ k neighbors, exactly the
+    * synchronous cascade the Spark loop runs. Integer counts
+    * throughout, so the compare is trivially hash-exact. */
+  private def sqlKCore(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""keep$i AS MATERIALIZED (
+        SELECT node FROM (
+          SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM e${i - 1}
+            UNION ALL SELECT b FROM e${i - 1})
+          GROUP BY node) WHERE deg >= $k),
+      e$i AS MATERIALIZED (
+        SELECT e.a, e.b FROM e${i - 1} e
+        JOIN keep$i ka ON ka.node = e.a
+        JOIN keep$i kb ON kb.node = e.b)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk),
+      $peels
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+      GROUP BY node ORDER BY node"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Spark executes the recursive CTE natively (UnionLoop); the
     // oracle runs the very same SQL text
@@ -335,6 +365,18 @@ object ExtendedQueries {
         .where(col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.operators.Graph.triangles(edges).orderBy("node")
+    },
+    // dense nucleus of the part co-purchase graph: synchronous k-core
+    // peeling, k=80 — the sf0.01/sf0.1 graphs shed a real multi-round
+    // cascade (measured: 5 peel rounds to the fixpoint) while the
+    // unrolled depth of 6 covers convergence at every test scale
+    "q62_kcore" -> { (s, d) =>
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x").join(li.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.kCore(edges, k = 80, rounds = 6).orderBy("node")
     },
     "q36_moments" -> { (s, d) =>
       // ALL-INTEGER moments in cents. The previous double formulation
@@ -689,6 +731,7 @@ object ExtendedQueries {
       FROM dev d JOIN mad m USING (l_returnflag)
       GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
     "q58_pagerank" -> sqlPageRank(8),
+    "q62_kcore" -> sqlKCore(80, 6),
     // same orientation rule ((deg, node) lexicographic), same wedge +
     // closure joins — counts are exact integers, trivially hash-equal
     "q60_triangles" -> """

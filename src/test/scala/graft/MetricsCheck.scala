@@ -46,7 +46,7 @@ object MetricsCheck {
       "ve5_gram_matrix", "ve6_pca_project", "ss8_pq_topk",
       "dd17_strip_spans", "ss9_ivfpq_topk", "ve7_pca_whiten",
       "q58_pagerank", "ve8_drift", "q59_cms_freq", "st9_cms_sketch",
-      "q60_triangles")
+      "q60_triangles", "q62_kcore")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>

@@ -1235,6 +1235,39 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       Seq((7L, 7L)).toDF("src", "dst")).collect().isEmpty)
   }
 
+  test("kCore: cascade peel, clique survival, and bounded-rounds contract") {
+    import spark.implicits._
+    // K5 (nodes 1-5) with a pendant path 5-6-7: peeling at k=2 drops
+    // 7 (deg 1) in round 1, which strands 6 (deg 1) for round 2 — a
+    // genuine cascade; the clique plus nothing else survives
+    val g = ((for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)) ++
+      Seq((5L, 6L), (6L, 7L))).toDF("src", "dst")
+    def coreMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k2r1 = coreMap(operators.Graph.kCore(g, k = 2, rounds = 1))
+    assert(k2r1.contains(6L)) // one round is NOT enough: 6 still in
+    val k2 = coreMap(operators.Graph.kCore(g, k = 2, rounds = 2))
+    assert(k2 == (1L to 5L).map(_ -> 4L).toMap) // converged: K5 only
+    assert(coreMap(operators.Graph.kCore(g, k = 2, rounds = 3)) == k2)
+    // k above the clique degree dissolves everything
+    assert(operators.Graph.kCore(g, k = 5, rounds = 2).collect().isEmpty)
+    // normalization: duplicates, reversed direction, self-loops
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L)).toDF("src", "dst")
+    assert(coreMap(operators.Graph.kCore(messy, k = 2, rounds = 1)) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // the triangle, each deg 2
+    // q62's declared bound converges on the real sf0.001 graph: one
+    // extra round changes nothing
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x").join(li.as("y"), "ok")
+      .where(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    val r6 = coreMap(operators.Graph.kCore(edges, k = 80, rounds = 6))
+    val r7 = coreMap(operators.Graph.kCore(edges, k = 80, rounds = 7))
+    assert(r6 == r7)
+  }
+
   test("global shuffle is reproducible, seed-sensitive, and a true permutation") {
     val a = operators.Packing.globalShuffle(docs, "doc_id", 8, 42L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -349,6 +349,17 @@ object PlanCheck {
         (_.contains("LeftSemi")),
       "per-node counts partial-agg'd before the exchange" ->
         (_.contains("partial_"))))
+    audit("q62_kcore", Seq(
+      // the peel loop checkpoints edges every round, so the final
+      // plan is one degree aggregation over the last round's
+      // materialized edge list — not a 6-round join lineage
+      "peel lineage truncated at the checkpoint" ->
+        (_.contains("ExistingRDD")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "final degree count partial-agg'd before the exchange" ->
+        (_.contains("partial_")),
+      "one output sort only" ->
+        (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
     audit("q59_cms_freq", Seq(
       // the counter grid crosses the exchange partially aggregated
       // (≤ depth×width counters per partition); probes join the
