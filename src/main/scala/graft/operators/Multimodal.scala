@@ -314,6 +314,67 @@ object Multimodal {
       .toDF("media_id", "width", "height", "hash_hi", "hash_lo")
   }
 
+  /** REAL-decode audio frame energy (m6): synthesize a deterministic
+    * 16-bit PCM clip per document (closed-form samples), round-trip it
+    * through the actual `javax.sound.sampled` WAV codec — a real RIFF
+    * container written and parsed by the platform audio stack, the
+    * audio analog of m4's `javax.imageio` leg — then emit per-frame
+    * integer energy (Σ sample²) computed from the DECODED bytes.
+    * PCM16 is lossless, so the energies equal the closed form the SQL
+    * oracle recomputes independently; any container/codec bug would
+    * surface as a hash mismatch. Frame energy is the first primitive
+    * of every audio curation pass (silence trimming, clipping
+    * detection, voice-activity gating) — this pins the Spark-side
+    * plumbing (payload pruning, per-partition codec reuse, frame
+    * explode shape) with the decode behind a deterministic source,
+    * the pattern the real ffmpeg-backed UDF slots into.
+    *
+    * Scale shape: per-row compute in `mapPartitions`, payload-pruned
+    * to the id column, one output row per (doc, frame), shuffle-free
+    * but for the declared query's output sort. */
+  def audioEnergy(spark: SparkSession, docs: DataFrame,
+      frames: Int = 8, frameLen: Int = 32): DataFrame = {
+    import spark.implicits._
+    val n = frames * frameLen
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false) // 8 kHz signed PCM16, mono, LE
+        ids.flatMap { id =>
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 7349L + i * 131L + 17L) % 65536L) - 32768L).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val back = in.readAllBytes()
+          if (back.length != n * 2)
+            sys.error(s"WAV round-trip size ${back.length} for doc $id")
+          (0 until frames).map { f =>
+            var e = 0L
+            var j = 0
+            while (j < frameLen) {
+              val k = f * frameLen + j
+              val s = (back(2 * k + 1).toInt << 8) | (back(2 * k) & 0xff)
+              e += s.toLong * s
+              j += 1
+            }
+            (id, f.toLong, e)
+          }
+        }
+      }
+      .toDF("media_id", "frame", "energy")
+  }
+
   /** Feature frame flattened for SQL-oracle comparison. */
   def features(spark: SparkSession, docs: DataFrame): DataFrame = {
     val f = extractFeatures(spark, mediaFromDocuments(docs))

@@ -647,6 +647,13 @@ object PipelineQueries {
     "m5_image_dhash" -> { (s, d) =>
       Multimodal.imageDHash(s, documents(s, d)).orderBy("media_id")
     },
+    // REAL javax.sound WAV round-trip: per-doc deterministic PCM16
+    // clip, encoded+parsed in the executor; the oracle recomputes the
+    // per-frame energies from the same closed form
+    "m6_audio_energy" -> { (s, d) =>
+      Multimodal.audioEnergy(s, documents(s, d))
+        .orderBy("media_id", "frame")
+    },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
@@ -2044,6 +2051,14 @@ object PipelineQueries {
           AS hash_hi,
         sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS hash_lo
       FROM b GROUP BY media_id ORDER BY media_id""",
+    "m6_audio_energy" -> """
+      WITH s AS (
+        SELECT d.doc_id AS media_id, t.i // 32 AS frame,
+          ((d.doc_id * 7349 + t.i * 131 + 17) % 65536) - 32768 AS smp
+        FROM documents d, unnest(range(0, 256)) AS t(i))
+      SELECT media_id, CAST(frame AS BIGINT) AS frame,
+        CAST(sum(smp * smp) AS BIGINT) AS energy
+      FROM s GROUP BY media_id, frame ORDER BY media_id, frame""",
     "m1_multimodal_features" -> s"""
       SELECT doc_id AS media_id,
         (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,

@@ -147,6 +147,32 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audioEnergy round-trips closed-form PCM through the real WAV codec") {
+    val out = Multimodal.audioEnergy(spark, docs.limit(5))
+      .orderBy("media_id", "frame").collect()
+    assert(out.length == 5 * 8)
+    out.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(1))
+      val expect = (0 until 32).map { j =>
+        val s = ((id * 7349L + (f * 32 + j) * 131L + 17L) % 65536L) - 32768L
+        s * s
+      }.sum
+      assert(r.getLong(2) == expect, s"doc $id frame $f")
+    }
+    // the container leg is a REAL canonical RIFF/WAVE file: 44-byte
+    // header + 2 bytes per sample, parseable magic
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](512)), fmt, 256L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(wav.length == 44 + 512)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+  }
+
   test("exact dedup keeps one representative per normalized text") {
     val n = Dedup.exact(docs).count()
     val distinct = docs.select(Dedup.normKey(col("text"))).distinct().count()

@@ -208,6 +208,13 @@ object PlanCheck {
         "Exchange".r.findAllIn(p).size <= 1),
       "column-pruned read (doc_id only)" -> (p =>
         p.contains("ReadSchema: struct<doc_id:bigint>"))))
+    audit("m6_audio_energy", Seq(
+      // per-row WAV encode/decode in mapPartitions: the only exchange
+      // is the final tiny-row sort; payload pruned to the id column
+      "shuffle-free but for the output sort" -> (p =>
+        "Exchange".r.findAllIn(p).size <= 1),
+      "column-pruned read (doc_id only)" -> (p =>
+        p.contains("ReadSchema: struct<doc_id:bigint>"))))
     audit("share_list_tables", Seq(
       // pure catalog walk: rows come from driver HTTP responses,
       // never from data files — no file scan may appear in the plan
