@@ -178,6 +178,24 @@ object ShareQueries {
           col("_commit_timestamp").as("commit_ts"))
         .orderBy("commit_version", "l_orderkey", "l_linenumber")
     },
+    // the same [v2, v3] window addressed by TIMESTAMP bounds — the
+    // server resolves ISO-8601 instants to versions (start between
+    // v1 and v2 commits → v2; end at exactly v3's commit → v3), so
+    // the result must be row-identical to share_changes
+    "share_changes_ts" -> { (s, d) =>
+      s.read.format("deltashare")
+        .option("endpoint", ensure(s, d))
+        .option("bearerToken", "graft-verify")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "2023-11-14T22:13:21.500Z")
+        .option("endingTimestamp", "2023-11-14T22:13:23Z")
+        .load("share1.schema1.lineitem4")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"),
+          col("_commit_timestamp").as("commit_ts"))
+        .orderBy("commit_version", "l_orderkey", "l_linenumber")
+    },
     // INCREMENTAL VIEW MAINTENANCE over the change feed: the per-flag
     // (count, quantity-sum) aggregate is maintained by FOLDING signed
     // change rows — base state from versions [1,2], then the v3
@@ -261,6 +279,19 @@ object ShareQueries {
     // oracle recomputes the same ranges from the base table; commit
     // timestamps are the fixture's fixed epoch-millis constants
     "share_changes" -> """
+      WITH b AS (SELECT max(l_orderkey) // 4 + 1 AS bound FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+             TIMESTAMP '2023-11-14 22:13:22' AS commit_ts
+      FROM lineitem, b WHERE l_orderkey >= bound AND l_orderkey < 2 * bound
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             'delete' AS change_type, CAST(3 AS BIGINT) AS commit_version,
+             TIMESTAMP '2023-11-14 22:13:23' AS commit_ts
+      FROM lineitem, b WHERE l_orderkey < bound
+      ORDER BY commit_version, l_orderkey, l_linenumber""",
+    // timestamp addressing must land on the identical [v2, v3] window
+    "share_changes_ts" -> """
       WITH b AS (SELECT max(l_orderkey) // 4 + 1 AS bound FROM lineitem)
       SELECT l_orderkey, l_linenumber, l_quantity,
              'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version,

@@ -92,4 +92,21 @@ object DeltaShare {
       .option("startingVersion", startingVersion.toString)
     endingVersion.fold(r)(v => r.option("endingVersion", v.toString)).load()
   }
+
+  /** [[readChanges]] with the protocol's timestamp addressing:
+    * ISO-8601 bounds the server resolves to versions (starting →
+    * earliest version committed at or after it; ending → latest at or
+    * before). The natural daily-pipeline form — "changes since
+    * yesterday's run" needs no version bookkeeping. */
+  def readChangesByTimestamp(spark: SparkSession, share: String,
+      schema: String, table: String, startingTimestamp: String,
+      endingTimestamp: Option[String] = None): DataFrame = {
+    val r = spark.read.format("deltashare")
+      .option("share", share)
+      .option("schema", schema)
+      .option("table", table)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", startingTimestamp)
+    endingTimestamp.fold(r)(t => r.option("endingTimestamp", t)).load()
+  }
 }

@@ -255,12 +255,10 @@ class DeltaSharingClient(
 
   /** GET `…/changes` → NDJSON [protocol, metaData, add/cdf/remove…] —
     * the Change Data Feed endpoint of the public Delta Sharing
-    * protocol. `startingVersion` is inclusive and required by the
-    * protocol (timestamp addressing is a server-side alternative this
-    * client doesn't need); `endingVersion` is inclusive and optional
-    * (absent = up to the table head). The reference client does not
-    * implement this endpoint at all, which is why a daily pipeline on
-    * top of it must re-list whole tables. */
+    * protocol. `startingVersion` is inclusive; `endingVersion` is
+    * inclusive and optional (absent = up to the table head). The
+    * reference client does not implement this endpoint at all, which
+    * is why a daily pipeline on top of it must re-list whole tables. */
   def queryTableChanges(
       share: String, schema: String, table: String,
       startingVersion: Long,
@@ -268,9 +266,30 @@ class DeltaSharingClient(
     val query = Map.newBuilder[String, String]
     query += ("startingVersion" -> startingVersion.toString)
     endingVersion.foreach(v => query += ("endingVersion" -> v.toString))
+    changesRequest(share, schema, table, query.result())
+  }
+
+  /** Timestamp-addressed `/changes` — the protocol's alternative
+    * addressing: ISO-8601 bounds the SERVER resolves to versions
+    * (`startingTimestamp` → earliest version committed at or after
+    * it; `endingTimestamp` → latest version at or before). Exactly
+    * one of startingVersion/startingTimestamp may be sent, so this
+    * is a separate entry point rather than more optional params. */
+  def queryTableChangesByTimestamp(
+      share: String, schema: String, table: String,
+      startingTimestamp: String,
+      endingTimestamp: Option[String] = None): TableChanges = {
+    val query = Map.newBuilder[String, String]
+    query += ("startingTimestamp" -> startingTimestamp)
+    endingTimestamp.foreach(t => query += ("endingTimestamp" -> t))
+    changesRequest(share, schema, table, query.result())
+  }
+
+  private def changesRequest(share: String, schema: String, table: String,
+      query: Map[String, String]): TableChanges = {
     val lines = parseNdjson(
       perform("GET", s"${tablePath(share, schema, table)}/changes",
-        query.result()).body())
+        query).body())
     val meta = parseMetadataLines(lines).getOrElse(
       throw new DeltaSharingException(0,
         s"changes response for $share.$schema.$table had no metaData line"))

@@ -136,7 +136,7 @@ object PresignedUrlCache {
       limitHint: Option[Long],
       version: Option[Long],
       timestamp: Option[String] = None,
-      changesRange: Option[(Long, Option[Long])] = None)
+      changesRange: Option[graft.sources.v2.ChangesRange] = None)
 
   /** Stable identity for a shared file: the server's `id` when
     * present, else a digest of the URL with its (re-signed, volatile)
@@ -235,9 +235,8 @@ object PresignedUrlCache {
             s"cannot refresh presigned URL for unknown file id $id")
         val client = new DeltaSharingClient(spec.profile)
         val files: Seq[(String, String)] = spec.changesRange match {
-          case Some((from, to)) =>
-            client.queryTableChanges(spec.share, spec.schema, spec.table,
-              startingVersion = from, endingVersion = to)
+          case Some(range) =>
+            range.fetch(client, spec.share, spec.schema, spec.table)
               .actions.map(a => (fileId(a.id, a.url), a.url))
           case None =>
             client.queryTable(

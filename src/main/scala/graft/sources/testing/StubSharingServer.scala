@@ -145,12 +145,29 @@ class StubSharingServer(
             } else {
               val params = Option(query).getOrElse("").split("&")
                 .filter(_.nonEmpty).map(_.split("=", 2))
-                .map(a => a(0) -> (if (a.length > 1) a(1) else "")).toMap
-              params.get("startingVersion").map(_.toLong) match {
-                case None =>
-                  send(ex, 400, """{"message":"startingVersion required"}""")
-                case Some(from) =>
+                .map(a => a(0) -> (if (a.length > 1)
+                  java.net.URLDecoder.decode(a(1), "UTF-8") else "")).toMap
+              val feed = changeFeed.getOrElse(t, Seq.empty)
+              // timestamp addressing: the server resolves ISO-8601
+              // bounds to versions (starting → earliest version at or
+              // after; ending → latest at or before), per the public
+              // protocol; exactly one starting bound is legal
+              def millis(p: String): Option[Long] = params.get(p)
+                .map(s => java.time.Instant.parse(s).toEpochMilli)
+              val sv = params.get("startingVersion").map(_.toLong)
+              val st = millis("startingTimestamp")
+              if (sv.isDefined == st.isDefined) {
+                send(ex, 400, """{"message":"exactly one of startingVersion/startingTimestamp required"}""")
+              } else if (st.isDefined &&
+                  !feed.exists(_.timestamp >= st.get)) {
+                send(ex, 400, """{"message":"startingTimestamp after the latest table version"}""")
+              } else {
+                  val from = sv.getOrElse(
+                    feed.filter(_.timestamp >= st.get).map(_.version).min)
                   val to = params.get("endingVersion").map(_.toLong)
+                    .orElse(millis("endingTimestamp").map(ts =>
+                      feed.filter(_.timestamp <= ts).map(_.version)
+                        .foldLeft(-1L)(math.max)))
                     .getOrElse(tableVersion)
                   val entries = changeFeed.getOrElse(t, Seq.empty)
                     .filter(e => e.version >= from && e.version <= to)

@@ -69,21 +69,22 @@ class DeltaShareChangesScan(
 
   override def description(): String =
     s"DeltaShareChangesScan ${addr.share}.${addr.schema}.${addr.table} " +
-      s"[startingVersion=${range.startingVersion}" +
-      range.endingVersion.map(v => s", endingVersion=$v").getOrElse("") + "]"
+      Seq(range.startingVersion.map(v => s"startingVersion=$v"),
+        range.startingTimestamp.map(t => s"startingTimestamp=$t"),
+        range.endingVersion.map(v => s"endingVersion=$v"),
+        range.endingTimestamp.map(t => s"endingTimestamp=$t"))
+        .flatten.mkString("[", ", ", "]")
 
   private def refreshSpec = PresignedUrlCache.RefreshSpec(
     addr.profile, addr.share, addr.schema, addr.table,
     jsonPredicateHints = None, predicateHints = Nil, limitHint = None,
     version = None,
-    changesRange = Some((range.startingVersion, range.endingVersion)))
+    changesRange = Some(range))
 
   /** One `/changes` GET per scan, memoized. */
   private lazy val actions: Seq[ChangeAction] =
-    new DeltaSharingClient(addr.profile)
-      .queryTableChanges(addr.share, addr.schema, addr.table,
-        startingVersion = range.startingVersion,
-        endingVersion = range.endingVersion).actions
+    range.fetch(new DeltaSharingClient(addr.profile),
+      addr.share, addr.schema, addr.table).actions
 
   override def planInputPartitions(): Array[InputPartition] =
     actions.map(actionPartition).toArray

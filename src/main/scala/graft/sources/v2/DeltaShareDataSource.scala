@@ -86,9 +86,28 @@ final case class TableAddress(
     timestampAsOf: Option[String] = None,
     changes: Option[ChangesRange] = None)
 
-/** Inclusive CDF version range; `endingVersion` absent = table head. */
+/** Inclusive CDF range, version- OR timestamp-addressed (exactly one
+  * of `startingVersion`/`startingTimestamp` set — protocol rule);
+  * absent end bound = table head. Timestamps are ISO-8601 strings the
+  * SERVER resolves to versions. */
 final case class ChangesRange(
-    startingVersion: Long, endingVersion: Option[Long])
+    startingVersion: Option[Long], endingVersion: Option[Long],
+    startingTimestamp: Option[String] = None,
+    endingTimestamp: Option[String] = None) {
+  require(startingVersion.isDefined != startingTimestamp.isDefined,
+    "exactly one of startingVersion/startingTimestamp must be set")
+
+  /** One `/changes` GET with whichever addressing this range carries. */
+  def fetch(client: graft.sources.DeltaSharingClient,
+      share: String, schema: String,
+      table: String): graft.sources.TableChanges = startingVersion match {
+    case Some(v) => client.queryTableChanges(share, schema, table,
+      startingVersion = v, endingVersion = endingVersion)
+    case None => client.queryTableChangesByTimestamp(share, schema, table,
+      startingTimestamp = startingTimestamp.get,
+      endingTimestamp = endingTimestamp)
+  }
+}
 
 object TableAddress {
   def fromOptions(options: CaseInsensitiveStringMap): TableAddress = {
@@ -115,13 +134,16 @@ object TableAddress {
           }
       }
     val changes =
-      if (options.getBoolean("readChangeFeed", false))
-        Some(ChangesRange(
-          Option(options.get("startingVersion")).map(_.toLong).getOrElse(
-            throw new IllegalArgumentException(
-              "readChangeFeed requires a startingVersion option")),
-          Option(options.get("endingVersion")).map(_.toLong)))
-      else None
+      if (options.getBoolean("readChangeFeed", false)) {
+        val sv = Option(options.get("startingVersion")).map(_.toLong)
+        val st = Option(options.get("startingTimestamp"))
+        if (sv.isDefined == st.isDefined)
+          throw new IllegalArgumentException("readChangeFeed requires " +
+            "exactly one of startingVersion/startingTimestamp")
+        Some(ChangesRange(sv,
+          Option(options.get("endingVersion")).map(_.toLong),
+          st, Option(options.get("endingTimestamp"))))
+      } else None
     // profile FILE (option/conf/env) beats inline endpoint+token —
     // the `.share` document is what real providers distribute
     val profileFile = resolve("profile", DeltaSharingProfile.ProfileConf,

@@ -146,6 +146,6 @@ class DeltaShareMicroBatchStream(
         addr.profile, addr.share, addr.schema, addr.table,
         jsonPredicateHints = None, predicateHints = Nil, limitHint = None,
         version = None,
-        changesRange = Some((initialVersion + 1, None))))
+        changesRange = Some(ChangesRange(Some(initialVersion + 1), None))))
   }
 }

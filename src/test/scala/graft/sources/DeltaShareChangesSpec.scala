@@ -110,6 +110,41 @@ class DeltaShareChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("timestamp addressing resolves to the same window server-side") {
+    val client = new DeltaSharingClient(profile)
+    // v1..v4 commit at epoch-millis 1700000001000..1700000004000 =
+    // 2023-11-14T22:13:21Z..:24Z; a start between v1 and v2 resolves
+    // to v2, an end at exactly v3's commit includes v3
+    val window = client.queryTableChangesByTimestamp(
+      "share1", "schema1", "lineitem",
+      startingTimestamp = "2023-11-14T22:13:21.500Z",
+      endingTimestamp = Some("2023-11-14T22:13:23Z"))
+    assert(window.actions.map(_.version) == Seq(2L, 3L))
+    // a start after the newest commit is a protocol error
+    intercept[DeltaSharingException] {
+      client.queryTableChangesByTimestamp("share1", "schema1", "lineitem",
+        startingTimestamp = "2024-01-01T00:00:00Z")
+    }
+    // the DataFrame surface matches the version-addressed read
+    val byTs = DeltaShare.readChangesByTimestamp(
+      sessionWithConf, "share1", "schema1", "lineitem",
+      startingTimestamp = "2023-11-14T22:13:21.500Z",
+      endingTimestamp = Some("2023-11-14T22:13:23Z"))
+    val byV = DeltaShare.readChanges(
+      sessionWithConf, "share1", "schema1", "lineitem",
+      startingVersion = 2, endingVersion = Some(3))
+    assert(byTs.collect().toSet == byV.collect().toSet)
+    // exactly one starting bound: both or neither is rejected client-side
+    intercept[IllegalArgumentException] {
+      sessionWithConf.read.format("deltashare")
+        .option("endpoint", server.endpoint).option("bearerToken", "tok")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", "2023-11-14T22:13:21Z")
+        .load("share1.schema1.lineitem")
+    }
+  }
+
   test("empty range yields an empty frame with the cdf schema") {
     val df = DeltaShare.readChanges(
       sessionWithConf, "share1", "schema1", "lineitem",
