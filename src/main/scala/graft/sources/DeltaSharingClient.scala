@@ -82,7 +82,21 @@ class DeltaSharingClient(
         case e: java.io.IOException => last = Left(e)
       }
       attempt += 1
-      if (attempt <= maxRetries) Thread.sleep(100L << attempt)
+      if (attempt <= maxRetries) {
+        // a throttling server's Retry-After (seconds, per RFC 9110 —
+        // Delta Sharing servers send it on 429) overrides the
+        // exponential backoff; capped so a misbehaving header can't
+        // park a task for minutes
+        val retryAfterMs: Option[Long] = last match {
+          case Right(resp) =>
+            val h = resp.headers().firstValue("Retry-After")
+            if (h.isPresent)
+              h.get().toLongOption.map(s => math.min(s * 1000L, 10000L))
+            else None
+          case _ => None
+        }
+        Thread.sleep(retryAfterMs.getOrElse(100L << attempt))
+      }
     }
     last match {
       case Right(resp) => throw httpError(resp)

@@ -57,6 +57,13 @@ class StubSharingServer(
     * succeed, then a later column-chunk read hits the expiry. */
   val staleRequestBudget = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Throttling simulation: while positive, each request burns one
+    * unit and is answered 429 with a `Retry-After: [[retryAfterSeconds]]`
+    * header — the client must honor the hint and succeed once the
+    * budget drains. */
+  val throttleBudget = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var retryAfterSeconds: Long = 1
+
   /** Artificial latency on `/query` — lets tests hold a refresh
     * in flight while asserting cached reads stay unblocked. */
   @volatile var queryDelayMs: Long = 0
@@ -107,7 +114,10 @@ class StubSharingServer(
       lastHeaders = ex.getRequestHeaders.entrySet().asScala
         .map(e => e.getKey.toLowerCase -> e.getValue.asScala.mkString(",")).toMap
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-      if (auth != s"Bearer $expectedToken") {
+      if (throttleBudget.get > 0 && throttleBudget.getAndDecrement() > 0) {
+        send(ex, 429, """{"message":"rate limited"}""",
+          Map("Retry-After" -> retryAfterSeconds.toString))
+      } else if (auth != s"Bearer $expectedToken") {
         send(ex, 401, """{"message":"unauthorized"}""")
       } else {
         val path = ex.getRequestURI.getPath.stripPrefix("/delta-sharing")

@@ -52,6 +52,20 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.getShare("share2") == Share("share2", Some("id-share2")))
   }
 
+  test("429 with Retry-After is honored: wait the hinted second, then succeed") {
+    server.retryAfterSeconds = 1
+    server.throttleBudget.set(1)
+    try {
+      val t0 = System.nanoTime()
+      assert(client.listShares().nonEmpty) // survives the throttle
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      // the hint (1000 ms) overrides attempt-1 backoff (200 ms)
+      assert(elapsedMs >= 1000, s"waited only ${elapsedMs}ms")
+      // budget exhausted during the retried request, not after
+      assert(server.throttleBudget.get == 0)
+    } finally server.throttleBudget.set(0)
+  }
+
   test("listSchemas / listTables / listAllTables") {
     assert(client.listSchemas("share1").map(_.name) == Seq("schema1"))
     val t = client.listTables("share1", "schema1")
