@@ -243,6 +243,14 @@ object PipelineQueries {
       graft.operators.Profile.cmsSketch(events(s, d), "user_id")
         .orderBy("j", "bucket")
     },
+    // per-user running profile kept in transformWithState's typed
+    // ValueState over RocksDB (proven live, multi-batch, in
+    // StreamingSpec) — this is its batch twin: the final state any
+    // run of the stream must converge to
+    "st10_stateful_profile" -> { (s, d) =>
+      graft.streaming.StatefulProfile.statefulProfileBatch(events(s, d))
+        .orderBy("user_id")
+    },
     // Count-Min sketch frequency report: exact top-20 event users
     // probed against the 4×256 counter grid — deterministic, so the
     // oracle recomputes the very same sketch
@@ -1165,6 +1173,14 @@ object PipelineQueries {
         count(*)::BIGINT AS c
       FROM r, unnest(range(0, 4)) AS t(j)
       GROUP BY 1, 2 ORDER BY j, bucket""",
+    // per-row cents quantization BEFORE the sum, exactly as the
+    // stream accumulates; the outer cast undoes DuckDB's HUGEINT
+    // widening (the q36 lesson)
+    "st10_stateful_profile" -> """
+      SELECT user_id, count(*)::BIGINT AS n_events,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS sum_cents
+      FROM events GROUP BY user_id ORDER BY user_id""",
     // q59 twin: same 4×256 grid, same base-31 bucket hash — CMS is
     // deterministic/additive, so the whole sketch is SQL-replayable
     "q59_cms_freq" -> s"""

@@ -367,6 +367,12 @@ object PlanCheck {
         (_.contains("partial_")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("st10_stateful_profile", Seq(
+      // the batch twin of the transformWithState stream: one keyed
+      // aggregation, partial before the exchange, cents quantized
+      // per-row so stream and batch accumulate identical integers
+      "partial agg before the exchange" -> (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("q59_cms_freq", Seq(
       // the counter grid crosses the exchange partially aggregated
       // (≤ depth×width counters per partition); probes join the

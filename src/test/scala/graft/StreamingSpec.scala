@@ -332,4 +332,45 @@ class StreamingSpec extends AnyFunSuite {
     val totalCounted = streamed.agg(sum("n")).collect()(0).getLong(0)
     assert(totalCounted == 2 * Tables.events(spark, sf).count())
   }
+
+  test("transformWithState carries per-user state across micro-batches") {
+    import java.nio.file.Files
+    import graft.streaming.StatefulProfile
+    val ev = Tables.events(spark, sf).select("user_id", "value")
+    // two parquet files + maxFilesPerTrigger=1 → two micro-batches,
+    // split so most users appear in BOTH (state must carry over)
+    val dir = Files.createTempDirectory("graft-tws")
+    val withId = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    withId.filter(col("event_id") % 2 === 0).drop("event_id")
+      .coalesce(1).write.parquet(dir.resolve("chunk0").toString)
+    withId.filter(col("event_id") % 2 =!= 0).drop("event_id")
+      .coalesce(1).write.parquet(dir.resolve("chunk1").toString)
+    val schema = ev.schema
+    val stream = StatefulProfile.statefulProfile(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(dir.toString))
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = scala.util.Try(spark.conf.get(key)).toOption
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      runToMemory(stream.toDF(), "tws_out", "update")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val emitted = spark.table("tws_out")
+    // some user updated in more than one batch → incremental emission
+    assert(emitted.groupBy("user_id").count()
+      .filter(col("count") > 1).count() > 0,
+      "no user was updated across batches — state never carried")
+    // the LAST emission per user (max n_events: counts only grow) is
+    // the final state and must equal the batch twin exactly
+    val finalState = emitted.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_cents"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.sum_cents"))
+    val twin = StatefulProfile.statefulProfileBatch(ev)
+    assert(asSet(finalState) == asSet(twin))
+  }
 }
