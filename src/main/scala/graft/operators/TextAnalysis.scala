@@ -340,6 +340,45 @@ object TextAnalysis {
       fingerprint(redactPii(text)).as("redacted_fp"),
       length(redactPii(text)).as("redacted_len"))
 
+  /** Encoding-hygiene rollup (t17): per source, how many documents
+    * carry control characters, how many control / U+FFFD replacement
+    * characters in total, and the per-mille non-ASCII share — the
+    * standard mojibake / binary-spill / double-decode triage a crawl
+    * curation pass runs before any language work (a page that decoded
+    * wrong is unusable however fluent its n-grams look).
+    *
+    * The test corpus is deliberately clean ASCII, so the probe chars
+    * are INJECTED by a closed-form doc_id rule (the m4/m6 fixture
+    * pattern): every doc_id ≡ 0 mod 7 gains two C0 controls, mod 5 a
+    * replacement char, mod 3 two accented letters — both engines
+    * apply the same rule, so the counts are exact and nonzero.
+    *
+    * Scale shape: per-row codegen'd regex counting folded map-side
+    * into one tiny (source, counters) aggregation — ONE corpus scan,
+    * the exchange carries a handful of longs per source. */
+  def encodingReport(docs: DataFrame): DataFrame = {
+    val seeded = docs.withColumn("t", concat(
+      when(col("doc_id") % 7 === 0, lit("\u0001\u0002")).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 5 === 0, lit("\uFFFD")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("\u00e9\u00ed")).otherwise(lit(""))))
+    val t = col("t")
+    def removed(pat: String): Column =
+      length(t) - length(regexp_replace(t, pat, ""))
+    val ctlClass = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    seeded.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(t.rlike(ctlClass), 1L).otherwise(0L)).as("ctl_docs"),
+      sum(removed(ctlClass)).as("ctl_chars"),
+      sum(removed("\uFFFD")).as("fffd_chars"),
+      // the regex stays a Column-level (Java) pattern: routed through
+      // a SQL literal, '\x00' would be eaten by the SQL string parser
+      sum(removed("[^\\x00-\\x7F]")).as("__na"),
+      sum(length(t)).as("__len"))
+      .withColumn("nonascii_pm", expr("(__na * 1000) div __len"))
+      .drop("__na", "__len")
+  }
+
   def repetitionScores(docs: DataFrame): DataFrame = {
     def tag(k: Int): Column = transform(
       graft.functions.hashFunctions.gram_fps(col("text"), k),

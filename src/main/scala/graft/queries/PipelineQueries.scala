@@ -230,6 +230,12 @@ object PipelineQueries {
       TextAnalysis.repetitionSpans(documents(s, d), k = 3, minGrams = 2)
         .orderBy("doc_id", "start_pos")
     },
+    // per-source encoding hygiene: control / replacement / non-ASCII
+    // counting over closed-form-injected probe chars (the corpus is
+    // clean ASCII by construction; the m4/m6 fixture pattern)
+    "t17_encoding" -> { (s, d) =>
+      TextAnalysis.encodingReport(documents(s, d)).orderBy("source")
+    },
     // reproducible training-order shuffle: seeded hash -> shard +
     // within-shard position, re-runnable byte-identically
     "tp6_global_shuffle" -> { (s, d) =>
@@ -1121,6 +1127,27 @@ object PipelineQueries {
         (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
           AS pos
       FROM h ORDER BY shard, pos""",
+    // same injection rule, same regex classes; the outer casts undo
+    // DuckDB's HUGEINT widening
+    "t17_encoding" -> """
+      WITH s AS (SELECT source,
+          (CASE WHEN doc_id % 7 = 0 THEN chr(1) || chr(2) ELSE '' END)
+          || text
+          || (CASE WHEN doc_id % 5 = 0 THEN chr(65533) ELSE '' END)
+          || (CASE WHEN doc_id % 3 = 0 THEN chr(233) || chr(237) ELSE '' END)
+          AS t
+        FROM documents)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        CAST(sum(CASE WHEN regexp_matches(t,
+          '[\x01-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END) AS BIGINT)
+          AS ctl_docs,
+        CAST(sum(length(t) - length(regexp_replace(t,
+          '[\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))) AS BIGINT) AS ctl_chars,
+        CAST(sum(length(t) - length(regexp_replace(t, chr(65533), '', 'g')))
+          AS BIGINT) AS fffd_chars,
+        CAST(sum(length(t) - length(regexp_replace(t, '[^\x00-\x7F]', '',
+          'g'))) * 1000 // sum(length(t)) AS BIGINT) AS nonascii_pm
+      FROM s GROUP BY source ORDER BY source""",
     "t16_repeat_spans" -> s"""
       WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks FROM documents),
       g AS (SELECT doc_id, CAST(x.pos AS INT) AS pos, x.h AS h FROM

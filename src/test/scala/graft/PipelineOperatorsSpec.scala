@@ -173,6 +173,23 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
   }
 
+  test("encodingReport counts injected probe chars exactly") {
+    import spark.implicits._
+    // doc 0 ≡ 0 mod 7, 5 and 3 → all three injections fire:
+    // u0001 u0002 + "hello" + U+FFFD + accented pair = 10 chars with
+    // 2 control, 1 replacement, 3 non-ASCII; doc 1 gets nothing (1 char)
+    val docs = Seq((0L, "s", "hello"), (1L, "s", "x"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.encodingReport(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(1) == 2L) // n_docs
+    assert(row.getLong(2) == 1L) // ctl_docs: only doc 0
+    assert(row.getLong(3) == 2L) // ctl_chars
+    assert(row.getLong(4) == 1L) // fffd_chars
+    assert(row.getLong(5) == (3L * 1000) / 11) // 3 non-ASCII of 11 chars
+  }
+
   test("exact dedup keeps one representative per normalized text") {
     val n = Dedup.exact(docs).count()
     val distinct = docs.select(Dedup.normKey(col("text"))).distinct().count()

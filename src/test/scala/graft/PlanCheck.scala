@@ -367,6 +367,13 @@ object PlanCheck {
         (_.contains("partial_")),
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
+    audit("t17_encoding", Seq(
+      // per-row regex counting folds map-side into a tiny per-source
+      // aggregate: one corpus scan, counters-only exchange
+      "partial agg before the exchange" -> (_.contains("partial_")),
+      "regex counting stays in codegen (no UDF)" ->
+        (p => !p.contains("BatchEvalPython") && !p.contains("ScalaUDF")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("st10_stateful_profile", Seq(
       // the batch twin of the transformWithState stream: one keyed
       // aggregation, partial before the exchange, cents quantized
