@@ -129,6 +129,22 @@ object HashOps {
   /** Left-fold dot product in double — MUST stay a sequential
     * `acc + x_i*y_i` loop (no pairwise/vectorized reassociation) to
     * remain bit-identical with the HOF and SQL fold twins. */
+  /** Intersection of two SORTED, duplicate-free long arrays by
+    * two-pointer merge — O(|a|+|b|) with zero per-row allocation
+    * beyond the result (vs the hash set `array_intersect` builds per
+    * row); the triangle-counting hot path. */
+  def sortedIntersect(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.min(a.length, b.length))
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
   def dotFold(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0
@@ -331,6 +347,24 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `sorted_long_intersect(a, b)` — intersection of two sorted
+  * duplicate-free long arrays, two-pointer merge in codegen. */
+case class SortedLongIntersect(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(HashOps.sortedIntersect(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray()))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashOps.sortedIntersect(" +
+        s"$a.toLongArray(), $b.toLongArray()))")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongIntersect = copy(left = l, right = r)
+}
+
 /** Column-level API + SQL registration. */
 object hashFunctions {
   import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
@@ -342,6 +376,8 @@ object hashFunctions {
   def minhash_sig(c: Column, n: Int): Column = toCol(MinHashSig(toExpr(c), n))
   def hashed_bow(c: Column, dim: Int): Column = toCol(HashedBow(toExpr(c), dim))
   def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
+  def sorted_long_intersect(a: Column, b: Column): Column =
+    toCol(SortedLongIntersect(toExpr(a), toExpr(b)))
 
   /** Register `poly_hash`/`simhash30`/`vec_dot` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

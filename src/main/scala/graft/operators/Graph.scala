@@ -22,6 +22,16 @@ object Graph {
 
   private val Scale = 1L << 40
 
+  /** Node-keyed sides below this many keys are broadcast inside the
+    * iterative operators (a node key + a long ≈ 16 bytes → ~128 MB at
+    * the limit). The operators COUNT their input once (cheap — the
+    * edge list is already checkpoint-materialized) and pick the plan,
+    * because lazily-checkpointed leaves expose no size statistics for
+    * AQE to make the same call. Graphs above the limit keep the
+    * all-shuffle shape, which spills and scales to billions of
+    * nodes. */
+  val BroadcastNodeLimit: Long = 8L * 1000 * 1000
+
   /** Damped PageRank after `iters` synchronous iterations.
     *
     * `edges` is a directed edge list `(src, dst)` (any atomic key
@@ -66,27 +76,46 @@ object Graph {
     val init = Scale / n
     val base = (100L - dampingPct) * init / 100L
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(eager = false)
-    var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
+    // the loop state fuses (node, outdeg, rank) into ONE checkpointed
+    // frame: out-degree is static, so carrying it kills both the
+    // per-round outdeg join and the dangling ANTI-join (dangling ⇔
+    // outdeg = 0, a plain aggregate over the state)
+    var state = nodes
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        lit(init).as("rank"))
+      .localCheckpoint()
+    // the per-source contribution table is node-keyed: below the
+    // broadcast limit it rides a broadcast into the edge join, so the
+    // edge list never shuffles inside the loop (re-scanned map-side
+    // each round); above it, the key-equi shuffle shape scales
+    // unbounded
+    val small = n <= BroadcastNodeLimit
+    def nodeSide(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     var it = 0
     while (it < iters) {
-      val recv = e.join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("node"),
-          expr("rank div outdeg").as("c"))
-        .groupBy("node").agg(sum("c").as("recv"))
-      val dangling = ranks
-        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
-      ranks = nodes.join(recv, Seq("node"), "left")
+      val contrib = state.where(col("outdeg") > 0)
+        .select(col("node").as("src"), expr("rank div outdeg").as("c"))
+      val recv = e.join(nodeSide(contrib), "src")
+        .groupBy(col("dst").as("node")).agg(sum("c").as("recv"))
+      val dangling = state.agg(
+        sum(when(col("outdeg") === 0L, col("rank")).otherwise(lit(0L)))
+          .as("dm"))
+      state = state.select("node", "outdeg")
+        .join(nodeSide(recv), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           expr(s"$base + ($dampingPct * (coalesce(recv, 0L) + dm div $n))" +
             " div 100").as("rank"))
+        // checkpoint every round: each round must materialize exactly
+        // once (un-materialized rounds re-execute inside every later
+        // round's broadcast build — measured O(rounds²) blowup)
         .localCheckpoint()
       it += 1
     }
-    ranks.select(col("node"), col("rank").as("rank_fp"),
+    state.select(col("node"), col("rank").as("rank_fp"),
       (col("rank").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
@@ -113,28 +142,40 @@ object Graph {
     * Scale shape: the edge list is (key, key) pairs, checkpointed
     * every round so lineage stays one round deep. A round is one
     * partial-agg'd degree count (16-byte rows) plus two payload-free
-    * semi-joins of edges against the ≥k node set — all key-equi
-    * hash operations that spill; nothing per-node ever sits in one
-    * executor's memory, and the corpus that derived the edges is
-    * scanned exactly once, before round 0. */
+    * semi-joins of edges against the ≥k node set. The node set is
+    * DATA-ADAPTIVELY broadcast: the initial edge count (one action on
+    * the already-checkpointed list) bounds the node count, and below
+    * [[BroadcastNodeLimit]] keys the ≥k set rides a broadcast so the
+    * edge list never shuffles inside the loop — the same runtime
+    * size-based join choice AQE makes, decided here because a lazy
+    * checkpoint leaf carries no stats. Above the limit every round is
+    * plain key-equi hash joins that spill; nothing per-node ever sits
+    * in one executor's memory either way, and the corpus that derived
+    * the edges is scanned exactly once, before round 0. */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    // one scan of the edge list (explode, not a union of two scans)
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint()
+    // nodes ≤ 2·edges; the ≥k set only shrinks from there
+    val small = e.count() * 2 <= BroadcastNodeLimit
     var it = 0
     while (it < rounds) {
-      val keep = degrees(e).where(col("deg") >= k).select("node")
+      val keep0 = degrees(e).where(col("deg") >= k).select("node")
+      val keep = if (small) broadcast(keep0) else keep0
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select("a", "b")
+        // every round materializes once; skipping this re-executes
+        // prior rounds inside each later broadcast build (O(rounds²))
         .localCheckpoint()
       it += 1
     }
@@ -156,56 +197,92 @@ object Graph {
     * O(Σ deg²) and dies on the first celebrity node. The classic fix
     * (node-iterator++ / Schank): orient each undirected edge from the
     * (degree, node)-smaller endpoint to the larger, so every oriented
-    * out-neighborhood is bounded by O(√m) REGARDLESS of skew, wedges
-    * number O(m^1.5) total, and each triangle materializes exactly
-    * once — at its (degree,node)-least vertex.
+    * out-neighborhood is bounded by O(√m) REGARDLESS of skew. On the
+    * oriented graph a triangle (u,v,w) exists iff w ∈ N⁺(u) ∩ N⁺(v)
+    * for the oriented edge u→v, and it surfaces at exactly ONE edge —
+    * so the plan is edge-iterator: build the oriented adjacency
+    * lists, give every edge its endpoints' two lists, and intersect.
+    * The O(m^1.5) candidate-wedge stream is never MATERIALIZED as
+    * rows (a measured 41M-row, multi-GB wedge join at sf0.1 — and its
+    * two-key semi-probe — collapses into per-row array intersections
+    * inside one projection).
     *
-    * Shuffle shape at 100 TB: oriented edges are (key,key) pairs —
-    * tiny relative to the corpus that derived them; the wedge
-    * self-join shuffles them once on the pivot `u`; the closure check
-    * is an equi-SEMI-join of wedges against oriented edges on
-    * `(v, w)` (no payload, Spark's hash semi-join, broadcast when the
-    * edge list is small); per-node counts are one partial-agg'd
-    * explode of the triangle triple. No per-node adjacency ever needs
-    * to fit in memory — everything is key-equi joins + hash
-    * aggregates, which spill. */
+    * Shuffle shape at 100 TB: the adjacency build is one partial-agg
+    * shuffle of the m oriented (key,key) pairs; each list is O(√m)
+    * long by the orientation bound, so rows stay bounded. Below
+    * [[BroadcastNodeLimit]] edges (decided by ONE count of the
+    * materialized edge list — checkpoint leaves carry no stats for
+    * AQE) the adjacency table rides broadcasts into the edge
+    * annotation joins, which then run map-side; above it they are
+    * plain key-equi hash joins that spill. Per-node counts are a
+    * partial-agg'd union of the three credit streams (u, v from the
+    * intersection size; w from exploding the intersection — one row
+    * per triangle, not per candidate). */
   def triangles(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    // canonical undirected simple edges: a < b
+    // canonical undirected simple edges: a < b; eagerly materialized —
+    // it is scanned for deg, orient and closure, and its count picks
+    // the closure-join strategy below
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint(eager = false) // scanned for deg, orient, closure
-    val deg = und.select(col("a").as("node"))
-      .union(und.select(col("b").as("node")))
+      .localCheckpoint()
+    val m = und.count()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
-    // orient low (deg, node) → high: out-degree ≤ O(√m) everywhere
+    // orient low (deg, node) → high: out-degree ≤ O(√m) everywhere.
+    // The degree table is node-keyed — broadcast below the limit so
+    // the edge list annotates map-side instead of shuffling twice
+    def degSide(d: DataFrame): DataFrame =
+      if (m <= BroadcastNodeLimit) broadcast(d) else d
     val ab = und
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(degSide(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
+      .join(degSide(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = ab.select(
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-      .localCheckpoint(eager = false) // wedge pivot + closure probe
-    // wedges (u; v, w) with v before w in orientation order — each
-    // candidate triangle generated once
-    val vBeforeW = col("l.dv") < col("r.dv") ||
-      (col("l.dv") === col("r.dv") && col("l.v") < col("r.v"))
-    val wedges = oriented.as("l")
-      .join(oriented.as("r"), col("l.u") === col("r.u") && vBeforeW)
-      .select(col("l.u").as("u"), col("l.v").as("v"), col("r.v").as("w"))
-    // closure: wedge (v, w) is a triangle iff oriented edge v→w exists
-    val tris = wedges.join(oriented.select(col("u").as("v"),
-        col("v").as("w")), Seq("v", "w"), "left_semi")
-    val perNode = tris
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(eager = false) // adjacency build + edge stream
+    // oriented out-adjacency: one partial-agg'd shuffle, each list
+    // bounded O(√m) by the orientation. Long node keys get SORTED
+    // lists so the intersection below runs as a codegen'd two-pointer
+    // merge (sorted_long_intersect) instead of a per-row hash set
+    val longKeys = und.schema("a").dataType == org.apache.spark.sql.types.LongType
+    val nbrList =
+      if (longKeys) sort_array(collect_list(col("v")))
+      else collect_list(col("v"))
+    val adj = oriented.groupBy(col("u")).agg(nbrList.as("nbrs"))
+      .localCheckpoint(eager = false)
+    // each oriented edge (u,v) annotated with N+(u) and N+(v); edges
+    // whose v has no out-neighbors cannot close a triangle (inner
+    // join drops them). Triangle (u,v,w) materializes exactly once:
+    // at its (degree,node)-least vertex's edge u→v, as w in the
+    // intersection.
+    val pairs = oriented
+      .join(degSide(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(degSide(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
+        Seq("v"))
+      .select(col("u"), col("v"),
+        (if (longKeys)
+          graft.functions.hashFunctions.sorted_long_intersect(
+            col("nu"), col("nv"))
+        else array_intersect(col("nu"), col("nv"))).as("ws"))
+    // per-node credit: u and v once per triangle on their edge, w
+    // once per triangle from the intersection — fused into ONE
+    // explode so the intersection is computed once per edge
+    val c = size(col("ws")).cast("long")
+    val credits = pairs.select(explode(concat(
+        array(struct(col("u").as("node"), c.as("c")),
+          struct(col("v").as("node"), c.as("c"))),
+        transform(col("ws"), w => struct(w.as("node"), lit(1L).as("c")))))
+      .as("cr"))
+      .select(col("cr.node").as("node"), col("cr.c").as("c"))
+    val perNode = credits.groupBy("node").agg(sum("c").as("triangles"))
+    deg.join(if (m <= BroadcastNodeLimit) broadcast(perNode) else perNode,
+        Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }

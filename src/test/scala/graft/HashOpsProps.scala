@@ -73,6 +73,16 @@ object HashOpsProps extends Properties("HashOps") {
       HashOps.dotFold(a, a) == ref
     }
 
+  property("sortedIntersect equals set intersection on sorted inputs") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 50L)), Gen.listOf(Gen.chooseNum(0L, 50L))) {
+      (xs, ys) =>
+        val a = xs.distinct.sorted.toArray
+        val b = ys.distinct.sorted.toArray
+        val got = graft.functions.HashOps.sortedIntersect(a, b)
+        got.toSeq == (a.toSet intersect b.toSet).toSeq.sorted &&
+          got.toSeq == got.toSeq.sorted
+    }
+
   property("zorder reference: interleave is injective on 16-bit pairs") =
     forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (a, b) =>
       def interleave(x: Long, y: Long): Long =

@@ -345,15 +345,18 @@ object PlanCheck {
       "one output sort only" ->
         (p => "rangepartitioning".r.findAllIn(p).size <= 1)))
     audit("q60_triangles", Seq(
-      // the oriented edge list is checkpoint-materialized once and
-      // re-read for the wedge pivot and the closure probe, so the
-      // lineitem self-join that derived the edges runs once
+      // the canonical edge list is checkpoint-materialized once and
+      // re-read for degrees, orientation and the adjacency build, so
+      // the lineitem self-join that derived the edges runs once
       "edge derivation not replayed (checkpoint leaves)" ->
         (_.contains("ExistingRDD")),
-      "no cartesian (wedge + closure are key-equi joins)" ->
+      "no cartesian (annotation joins are key-equi)" ->
         (p => !p.contains("CartesianProduct")),
-      "closure check is a semi-join, no wedge payload" ->
-        (_.contains("LeftSemi")),
+      "candidate wedges never materialize as rows (codegen'd " +
+        "two-pointer intersection over sorted adjacency)" ->
+        (_.contains("sortedlongintersect")),
+      "adjacency broadcast back to the edge stream" ->
+        (_.contains("BroadcastHashJoin")),
       "per-node counts partial-agg'd before the exchange" ->
         (_.contains("partial_"))))
     audit("q62_kcore", Seq(
