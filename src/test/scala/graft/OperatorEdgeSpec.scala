@@ -278,4 +278,31 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .collect()(0).getString(0)
     assert(red == "x <EMAIL> y")
   }
+
+  test("graph ops on empty and degenerate edge lists") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(operators.Graph.triangles(empty).collect().isEmpty)
+    assert(operators.Graph.kCore(empty, k = 2, rounds = 3).collect().isEmpty)
+    // rounds = 0 is the identity peel: degrees of the normalized graph
+    val one = Seq((1L, 2L)).toDF("src", "dst")
+    val r0 = operators.Graph.kCore(one, k = 5, rounds = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0 == Map(1L -> 1L, 2L -> 1L))
+    // a single edge has no triangles but both nodes are reported
+    val t = operators.Graph.triangles(one).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t == Set((1L, 1L, 0L), (2L, 1L, 0L)))
+  }
+
+  test("audio energy of zero docs is empty; sortedIntersect edge shapes") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(operators.Multimodal.audioEnergy(spark, none).collect().isEmpty)
+    assert(functions.HashOps.sortedIntersect(Array.empty, Array(1L)).isEmpty)
+    assert(functions.HashOps.sortedIntersect(Array(1L, 2L), Array.empty).isEmpty)
+    assert(functions.HashOps.sortedIntersect(
+      Array(1L, 3L, 5L), Array(1L, 3L, 5L)).toSeq == Seq(1L, 3L, 5L))
+  }
 }
