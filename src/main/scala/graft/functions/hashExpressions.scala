@@ -389,5 +389,8 @@ object hashFunctions {
       "trigram_lang_id", exprs => TrigramLangId(exprs.head))
     org.apache.spark.sql.GraftBridge.registerFunction(spark,
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+    org.apache.spark.sql.GraftBridge.registerFunction(spark,
+      "sorted_long_intersect",
+      exprs => SortedLongIntersect(exprs(0), exprs(1)))
   }
 }

@@ -67,5 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hashed_bow", "feature-hashed bag-of-words counts"),
       (exprs: Seq[Expression]) =>
         HashedBow(exprs.head, intLit(exprs(1), "hashed_bow dim"))))
+    ext.injectFunction((FunctionIdentifier("sorted_long_intersect"),
+      info("sorted_long_intersect",
+        "two-pointer intersection of sorted long arrays"),
+      (exprs: Seq[Expression]) => SortedLongIntersect(exprs(0), exprs(1))))
   }
 }
