@@ -325,8 +325,20 @@ object VectorStats {
       .select(col("vec_id").cast("long").as("cid"), col("emb").as("cemb"))
     var round = 0
     while (round < iters) {
-      cents = assignDoubles(e, cents)
-        .join(e, "vec_id")
+      // map-side argmin (the packed-broadcast fold, bit-identical to
+      // the aggregated min_by form) with the embedding carried
+      // in-row: ONE corpus-sized exchange per round — the (cid, dim)
+      // partial-agg'd update — instead of the k-times-expanded
+      // min_by shuffle plus a corpus self-join
+      val packed = cents
+        .withColumn("cc", dotD(col("cemb"), col("cemb")))
+        .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+          .as("cs"))
+      cents = e
+        .withColumn("xx", dotD(col("emb"), col("emb")))
+        .crossJoin(broadcast(packed))
+        .select(nearestIn(col("cs"), col("emb"), col("xx"))
+          .getField("cid").as("cid"), col("emb"))
         .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
         .agg(count(lit(1)).as("n"),
@@ -400,22 +412,6 @@ object VectorStats {
         when(better, struct(c.getField("cid").as("cid"),
           d.as("dist2"))).otherwise(acc)
       })
-
-  /** Aggregated argmin assignment over an already-double corpus —
-    * used inside the Lloyd update rounds (whose next stage is an
-    * aggregation anyway). Same values as [[assignToCentroids]]. */
-  private def assignDoubles(e: DataFrame, cs: DataFrame): DataFrame = {
-    val ex = e.withColumn("xx", dotD(col("emb"), col("emb")))
-    val withCC = cs.withColumn("cc", dotD(col("cemb"), col("cemb")))
-    ex.crossJoin(broadcast(withCC))
-      .withColumn("dist2",
-        col("xx") - lit(2.0) * dotD(col("emb"), col("cemb")) + col("cc"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cid"), col("dist2")),
-        struct(col("dist2"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"),
-        col("best.dist2").as("dist2"))
-  }
 
   /** Reconstruction-error report for [[quantizeInt8]]: per vector,
     * the max and mean absolute error of `q_i·scale/127` against the
