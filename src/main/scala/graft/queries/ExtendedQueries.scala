@@ -566,6 +566,25 @@ object ExtendedQueries {
           col("l_extendedprice").as("top_price"))
         .orderBy("l_orderkey")
     },
+    // navigation-function sweep: first/nth/last value (running and
+    // full frames), lead with an explicit default, lag-based day
+    // gaps — all on ONE window spec, so Catalyst plans a single
+    // exchange + sort shared by every function
+    "q63_window_nav" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"),
+        last(col("o_orderkey")).over(wf).as("last_ok"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_ok"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
     // LATERAL correlated subquery with LIMIT: Catalyst decorrelates
     // the per-customer top-2 into WindowGroupLimit — map-side partial
     // top-k pruning BEFORE the exchange — plus a broadcast join; no
@@ -732,6 +751,23 @@ object ExtendedQueries {
       GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
     "q58_pagerank" -> sqlPageRank(8),
     "q62_kcore" -> sqlKCore(80, 6),
+    // same single window spec; nth_value over the running frame,
+    // last_value over the full frame, INT cast matching Spark's
+    // datediff type
+    "q63_window_nav" -> """
+      SELECT o_custkey, o_orderkey,
+        first_value(o_orderkey) OVER w AS first_ok,
+        nth_value(o_orderkey, 2) OVER w AS second_ok,
+        last_value(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS last_ok,
+        lead(o_orderkey, 1, -1) OVER w AS next_ok,
+        CAST(datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate)
+          AS INT) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
     // same orientation rule ((deg, node) lexicographic), same wedge +
     // closure joins — counts are exact integers, trivially hash-equal
     "q60_triangles" -> """

@@ -10,7 +10,7 @@ object GenQueriesDoc {
       ("Filters & scans", "q02|share_scan|share_pipeline|share_stats|share_agg|share_list|share_changes"),
       ("Joins", "q03|q04|q05|q07|q08|q26|q27|q42|q43|q50"),
       ("Subqueries", "q23|q24|q32"),
-      ("Window functions", "q13|q14|q15|q25|q37|q41|q48|q53"),
+      ("Window functions", "q13|q14|q15|q25|q37|q41|q48|q53|q63"),
       ("Sort / top-k / set ops", "q16|q17|q30"),
       ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45|q51"),
       ("Sampling", "st6|q49"),

@@ -359,6 +359,15 @@ object PlanCheck {
         (_.contains("BroadcastHashJoin")),
       "per-node counts partial-agg'd before the exchange" ->
         (_.contains("partial_"))))
+    audit("q63_window_nav", Seq(
+      // every navigation function shares ONE window spec: a single
+      // hash exchange + sort feeds them all, plus the output range
+      // sort — nothing else
+      "at most two exchanges (window hash + output range)" -> (p =>
+        "Exchange".r.findAllIn(p).size <= 2),
+      "single Window node computes all functions" -> (p =>
+        "Window \\[".r.findAllIn(p).size == 1),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("q62_kcore", Seq(
       // the peel loop checkpoints edges every round, so the final
       // plan is one degree aggregation over the last round's
