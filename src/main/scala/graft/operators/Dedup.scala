@@ -601,27 +601,34 @@ object Dedup {
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint()
+    var converged = false
+    var iter = 0
+    var edgeCount = edges.count()
+    // the per-round min-label maps are node-keyed (≤ one row per
+    // node): below the graph broadcast limit they ride broadcasts
+    // into the reattachment joins (checkpoint leaves carry no stats,
+    // so Spark would otherwise sort-merge); above it the key-equi
+    // shuffle shape scales unbounded
+    val small = edgeCount * 2 <= Graph.BroadcastNodeLimit
+    def mside(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
       val m = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       // v > u >= m, so (v, m) is already canonical and never a loop
-      sym.join(m, "u").filter(col("v") > col("u"))
+      sym.join(mside(m), "u").filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val m = e.groupBy("hi").agg(min("lo").as("m"))
-      val reattached = e.join(m, "hi")
+      val reattached = e.join(mside(m), "hi")
         .filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
       val own = m.select(col("hi"), col("m").as("lo"))
       reattached.union(own).distinct()
     }
-    var converged = false
-    var iter = 0
-    var edgeCount = edges.count()
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // set fixpoint, cheapest test first: counts differ on most
