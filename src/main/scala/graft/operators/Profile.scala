@@ -81,6 +81,117 @@ object Profile {
     pmod(graft.operators.TextAnalysis.fingerprint(
       concat_ws(":", j, key)), lit(width.toLong))
 
+  /** HyperLogLog cardinality sketch as DATA (q64): 256 max-rank
+    * registers per group, built from the cross-engine-replayable
+    * polynomial fingerprint — register = hash("r:"+key) mod 256, rank
+    * = 1 + trailing-zero count of hash("z:"+key), capped at 16. Where
+    * `approx_count_distinct` (st5) hides its HLL++ state inside an
+    * opaque buffer, these registers are rows: mergeable across
+    * partitions, days, or engines by `MAX` per register (max is
+    * streaming-legal, so a `readStream` maintains the same sketch
+    * with O(groups × 256) state), and integer-exact for the oracle
+    * gate — DuckDB replays the identical hash and CASE ladder.
+    *
+    * The report emits, per group: registers touched, the exact
+    * harmonic denominator `s = Σ 2^(16−rank)` (untouched registers
+    * count 2^16), the raw HLL estimate in pure integer math
+    * (`α·m²·2^16` scaled ppm — no float in either engine), and the
+    * EXACT distinct count as the error probe — the same
+    * measured-not-guessed discipline as q59/ss4.
+    *
+    * Scale shape: one map-side-combinable aggregation; the exchange
+    * carries ≤ groups × 256 (register, max-rank) pairs per partition,
+    * never the corpus. The exact-distinct probe is report-only — at
+    * 100 TB you'd drop that column and keep the sketch. */
+  def hllRegisters(df: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    val m = 256
+    val key = col(keyCol).cast("string")
+    val reg = pmod(graft.operators.TextAnalysis.fingerprint(
+      concat(lit("r:"), key)), lit(m.toLong))
+    val z = graft.operators.TextAnalysis.fingerprint(
+      concat(lit("z:"), key))
+    // rank = 1 + trailing zeros of z, capped at 16: the largest
+    // power-of-two divisor wins, so fold smallest→largest and let
+    // each later `when` wrap (outermost test = 2^15)
+    val rank = (1 to 15).foldLeft(lit(1)) { (acc, k) =>
+      when(pmod(z, lit(1L << k)) === 0, k + 1).otherwise(acc)
+    }
+    val regs = df
+      .select(col(groupCol).as("grp"), reg.as("reg"), rank.as("rnk"))
+      .groupBy("grp", "reg").agg(max("rnk").as("rnk"))
+    val sketch = regs.groupBy("grp").agg(
+      count(lit(1)).as("registers_used"),
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), 16 - rnk)")) +
+        (lit(m.toLong) - count(lit(1))) * lit(65536L)).as("s"))
+    // raw HLL estimate, integer-only: est = α₂₅₆ · m² · 2^16 / s with
+    // α as the ppm constant 718353 and m²·2^16 = 4294967296 — the
+    // identical integer division in both engines
+    val est = expr(
+      s"718353L * ${m.toLong * m * 65536L}L div (1000000L * s)")
+    val exact = df
+      .select(col(groupCol).as("grp"), key.as("key"))
+      .groupBy("grp").agg(countDistinct("key").as("n_exact"))
+    sketch
+      .join(exact, Seq("grp"))
+      .select(col("grp"), col("registers_used"), col("s"),
+        est.as("n_est"), col("n_exact"))
+      .orderBy("grp")
+  }
+
+  /** Ordered n-step conversion funnel (q61): how many users performed
+    * `steps(0)`, then `steps(1)` STRICTLY after it, then `steps(2)`
+    * strictly after that — the sequential-pattern readout every
+    * product-analytics engine ships (and the st7 attribution join
+    * can't answer, because each step's clock starts at the PREVIOUS
+    * step's first completion).
+    *
+    * Single-pass shape: one running window per step, all on the same
+    * `(user, ts, event_id)` ordering — step i's earliest-completion
+    * time is `min(ts | type = steps(i) ∧ ts > step_{i−1}_time)` over
+    * the running frame, a chain Catalyst plans as ONE exchange + ONE
+    * sort shared by every step (dependent windows reuse the
+    * partitioning and ordering). Per-user reach flags then aggregate
+    * on the already-user-partitioned rows (no second corpus
+    * exchange), and the step totals are a single-row final reduce.
+    * No self-joins: the naive k-step funnel is k−1 self-joins of the
+    * event log — k−1 corpus shuffles — this is 1.
+    *
+    * Output: one row per step with reached-user count and ppm
+    * conversion vs step 0 (integer math, oracle-exact). */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps.nonEmpty)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events.select(
+      col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val hit = if (i == 0) col("event_type") === step
+        else col("event_type") === step && col("ts") > col(s"s${i - 1}")
+      df = df.withColumn(s"s$i", min(when(hit, col("ts"))).over(w))
+    }
+    val reachCols = steps.indices.map(i =>
+      max(when(col(s"s$i").isNotNull, 1L).otherwise(0L)).as(s"r$i"))
+    val reach = df.groupBy("user_id")
+      .agg(reachCols.head, reachCols.tail: _*)
+    val totals = reach.agg(
+      sum(s"r0").as("n0"),
+      steps.indices.drop(1).map(i => sum(s"r$i").as(s"n$i")): _*)
+    val stepRows = steps.indices.map { i =>
+      struct(lit(i).as("step"), lit(steps(i)).as("event_type"),
+        col(s"n$i").as("users"),
+        when(col("n0") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"n$i * 1000000L div n0")).as("conv_ppm"))
+    }
+    totals
+      .select(explode(array(stepRows: _*)).as("x"))
+      .select(col("x.step"), col("x.event_type"), col("x.users"),
+        col("x.conv_ppm"))
+      .orderBy("step")
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))

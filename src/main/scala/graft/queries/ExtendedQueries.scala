@@ -585,6 +585,15 @@ object ExtendedQueries {
           .as("gap_days"))
         .orderBy("o_custkey", "o_orderkey")
     },
+    // ordered 3-step conversion funnel: each step's clock starts at
+    // the previous step's FIRST completion — one exchange + one sort
+    // for the whole chain (dependent running windows share the
+    // (user, ts, event_id) ordering), vs the naive k−1 self-joins of
+    // the event log (see Profile.funnel scaladoc + PlanCheck)
+    "q61_funnel" -> { (s, d) =>
+      graft.operators.Profile.funnel(events(s, d),
+        Seq("view", "click", "purchase"))
+    },
     // LATERAL correlated subquery with LIMIT: Catalyst decorrelates
     // the per-customer top-2 into WindowGroupLimit — map-side partial
     // top-k pruning BEFORE the exchange — plus a broadcast join; no
@@ -752,6 +761,47 @@ object ExtendedQueries {
     "q58_pagerank" -> sqlPageRank(8),
     "q62_kcore" -> sqlKCore(80, 6),
     // same single window spec; nth_value over the running frame,
+    // the same dependent running-window chain: step i's earliest
+    // completion = min(ts | type_i ∧ ts strictly after step i−1);
+    // casts undo DuckDB's HUGEINT sum widening
+    "q61_funnel" -> """
+      WITH w0 AS (
+        SELECT user_id, event_id, ts, event_type,
+          min(CASE WHEN event_type = 'view' THEN ts END) OVER win AS s0
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      w1 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > s0
+            THEN ts END) OVER win AS s1
+        FROM w0
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s1
+            THEN ts END) OVER win AS s2
+        FROM w1
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      u AS (SELECT user_id,
+          max(CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+          max(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+          max(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+        FROM w2 GROUP BY user_id),
+      t AS (SELECT CAST(sum(r0) AS BIGINT) AS n0,
+          CAST(sum(r1) AS BIGINT) AS n1,
+          CAST(sum(r2) AS BIGINT) AS n2 FROM u)
+      SELECT * FROM (
+        SELECT 0::INT AS step, 'view' AS event_type, n0 AS users,
+          CAST(CASE WHEN n0 = 0 THEN NULL
+            ELSE n0 * 1000000 // n0 END AS BIGINT) AS conv_ppm FROM t
+        UNION ALL SELECT 1::INT, 'click', n1,
+          CAST(CASE WHEN n0 = 0 THEN NULL
+            ELSE n1 * 1000000 // n0 END AS BIGINT) FROM t
+        UNION ALL SELECT 2::INT, 'purchase', n2,
+          CAST(CASE WHEN n0 = 0 THEN NULL
+            ELSE n2 * 1000000 // n0 END AS BIGINT) FROM t)
+      ORDER BY step""",
     // last_value over the full frame, INT cast matching Spark's
     // datediff type
     "q63_window_nav" -> """

@@ -264,6 +264,13 @@ object PipelineQueries {
       graft.operators.Profile.cmsHeavyHitters(events(s, d), "user_id",
         topN = 20)
     },
+    // HyperLogLog registers as mergeable data: per event_type, 256
+    // max-rank registers + integer-only raw estimate, probed against
+    // the exact distinct count (see Profile.hllRegisters)
+    "q64_hll_registers" -> { (s, d) =>
+      graft.operators.Profile.hllRegisters(events(s, d),
+        "event_type", "user_id")
+    },
     "tp2_chunk_manifest" -> { (s, d) =>
       Packing.chunkManifest(documents(s, d), chunkTokens = 64,
         overlap = 16).orderBy("doc_id", "chunk_id")
@@ -1208,6 +1215,42 @@ object PipelineQueries {
         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
           AS BIGINT) AS sum_cents
       FROM events GROUP BY user_id ORDER BY user_id""",
+    // q64 twin: same register/rank hashes (base-31 fingerprint with
+    // 'r:'/'z:' seed prefixes), same trailing-zero CASE ladder, same
+    // pure-integer α·m²·2^16/s estimate — HLL registers are
+    // deterministic and max-mergeable, so the sketch is replayable
+    "q64_hll_registers" -> s"""
+      WITH r AS (SELECT DISTINCT event_type AS grp,
+          CAST(user_id AS VARCHAR) AS key FROM events),
+      h AS (SELECT grp, ${sqlFp("'r:' || key")} % 256 AS reg,
+          ${sqlFp("'z:' || key")} AS z FROM r),
+      rk AS (SELECT grp, reg, max(CASE
+          WHEN z % 32768 = 0 THEN 16
+          WHEN z % 16384 = 0 THEN 15
+          WHEN z % 8192 = 0 THEN 14
+          WHEN z % 4096 = 0 THEN 13
+          WHEN z % 2048 = 0 THEN 12
+          WHEN z % 1024 = 0 THEN 11
+          WHEN z % 512 = 0 THEN 10
+          WHEN z % 256 = 0 THEN 9
+          WHEN z % 128 = 0 THEN 8
+          WHEN z % 64 = 0 THEN 7
+          WHEN z % 32 = 0 THEN 6
+          WHEN z % 16 = 0 THEN 5
+          WHEN z % 8 = 0 THEN 4
+          WHEN z % 4 = 0 THEN 3
+          WHEN z % 2 = 0 THEN 2 ELSE 1 END) AS rnk
+        FROM h GROUP BY grp, reg),
+      t AS (SELECT grp, count(*)::BIGINT AS registers_used,
+          CAST(sum(1::BIGINT << (16 - rnk))
+            + (256 - count(*)) * 65536 AS BIGINT) AS s
+        FROM rk GROUP BY grp),
+      x AS (SELECT grp, count(DISTINCT key)::BIGINT AS n_exact
+        FROM r GROUP BY grp)
+      SELECT t.grp, registers_used, s,
+        CAST(718353 * 4294967296 // (1000000 * s) AS BIGINT) AS n_est,
+        n_exact
+      FROM t JOIN x USING (grp) ORDER BY grp""",
     // q59 twin: same 4×256 grid, same base-31 bucket hash — CMS is
     // deterministic/additive, so the whole sketch is SQL-replayable
     "q59_cms_freq" -> s"""

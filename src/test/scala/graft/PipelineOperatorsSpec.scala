@@ -1542,4 +1542,57 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(s1 <= s0 + 1e-9, s"update 1 raised SSE: $s0 -> $s1")
     assert(s2 <= s1 + 1e-9, s"update 2 raised SSE: $s1 -> $s2")
   }
+
+  test("funnel counts only strictly ordered step chains per user") {
+    import spark.implicits._
+    import operators.Profile
+    val ev = Seq(
+      // u1: clean view→click→purchase chain
+      (1L, 1L, 1000000L, "view"), (1L, 2L, 2000000L, "click"),
+      (1L, 3L, 3000000L, "purchase"),
+      // u2: click BEFORE first view — chain never starts past step 0
+      (2L, 4L, 1000000L, "click"), (2L, 5L, 2000000L, "view"),
+      (2L, 6L, 3000000L, "purchase"),
+      // u3: click at the SAME µs as the view — strictly-after misses
+      (3L, 7L, 1000000L, "view"), (3L, 8L, 1000000L, "click"),
+      // u4: purchase lands between view and click — step 2 unreached
+      (4L, 9L, 1000000L, "view"), (4L, 10L, 2000000L, "purchase"),
+      (4L, 11L, 3000000L, "click"),
+      // u5: full chain again
+      (5L, 12L, 1000000L, "view"), (5L, 13L, 2000000L, "click"),
+      (5L, 14L, 3000000L, "purchase"),
+      // u6: purchase only — no step reached
+      (6L, 15L, 1000000L, "purchase"))
+      .toDF("user_id", "event_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = Profile.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out == Seq(
+      (0, "view", 5L, 1000000L),
+      (1, "click", 3L, 600000L),
+      (2, "purchase", 2L, 400000L)))
+  }
+
+  test("hll registers are duplicate-insensitive and estimate sanely") {
+    import spark.implicits._
+    import operators.Profile
+    val ev = (1 to 500).map(i => ("g" + (i % 2), i.toLong))
+      .toDF("event_type", "user_id")
+    val whole = Profile.hllRegisters(ev, "event_type", "user_id")
+      .collect().toSeq
+    whole.foreach { r =>
+      assert(r.getLong(1) <= 256, "more registers than exist")
+      assert(r.getLong(4) == 250L, "exact probe wrong")
+      // raw estimate in the right decade (no bias corrections by
+      // design — the report measures error, it doesn't hide it)
+      assert(r.getLong(3) > 125L && r.getLong(3) < 500L,
+        s"estimate ${r.getLong(3)} wildly off for n=250")
+    }
+    // the sketch is a set-cardinality object: feeding every row twice
+    // must not move a single register (max-merge idempotence)
+    val dup = Profile.hllRegisters(ev.union(ev), "event_type", "user_id")
+      .collect().toSeq
+    assert(dup == whole)
+  }
 }

@@ -400,6 +400,27 @@ object PlanCheck {
       "sketch probe join is broadcast" -> (_.contains("BroadcastHashJoin")),
       "top-N as TakeOrdered" -> (_.contains("TakeOrdered")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("q61_funnel", Seq(
+      // the k-step funnel is ONE windowed pass, not k−1 self-joins of
+      // the event log: no join at all; the three dependent running
+      // windows share one (user_id) exchange and one (ts, event_id)
+      // sort; per-user reach flags aggregate on the already-
+      // partitioned rows
+      "no self-join of the event log" -> (p => !p.contains("Join")),
+      "one corpus exchange on user_id" ->
+        (p => "hashpartitioning\\(user_id".r.findAllIn(p).size <= 1),
+      "window chain shares one sort" ->
+        (p => "\\bSort\\b".r.findAllIn(p).size <= 2),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("q64_hll_registers", Seq(
+      // register build partial-aggregates map-side (≤ groups×256
+      // (reg, max-rank) pairs cross the exchange, never the corpus);
+      // the exact-distinct probe is its own partial-agg; the final
+      // sketch⋈exact join is groups-sized
+      "partial agg before exchange" -> (_.contains("partial_")),
+      "register merge is a max, map-side combinable" ->
+        (_.contains("partial_max")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("share_changes_agg", Seq(
       // IVM merge: both change batches partial-aggregate before their
       // exchanges; the union re-agg is flag-keyed (6 rows), no rescan
