@@ -322,6 +322,41 @@ object Dedup {
         (col("doc_id") === col("keep_id")).as("keep"), col("quality"))
   }
 
+  /** SOFT dedup (dd18): instead of dropping duplicates, keep every
+    * document and DOWN-WEIGHT it by its near-dup multiplicity —
+    * `weight_ppm = 1e6 div cluster_size` — so a cluster of n
+    * near-copies contributes one document's worth of training mass in
+    * expectation. This is the sampling-weight formulation recent data
+    * recipes prefer over hard removal (hard dedup throws away the
+    * natural frequency signal entirely; soft dedup preserves a
+    * flattened version of it), and the weight column drives a
+    * downstream [[Mixture]]-style hash coin directly.
+    *
+    * Scale shape: clusters exist only for PAIRED docs, so the
+    * cluster-size aggregation runs on the near-dup-sized label frame
+    * (one small key-shuffle), and the corpus pass is a single
+    * broadcast left join — unpaired documents take weight 1e6 ppm
+    * map-side without touching any exchange ([[keepBestPerCluster]]'s
+    * corpus shape).
+    *
+    * Output: one row per document —
+    * `(doc_id, cluster_id, n_copies, weight_ppm)`. */
+  def softDedupWeights(docs: DataFrame, k: Int = 3,
+      pct: Int = 80): DataFrame = {
+    val clusters = resolveClusters(minhashPairs(docs, k = k, pct = pct))
+      .select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(eager = false) // size agg + corpus join
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_copies"))
+    val labeled = clusters.join(broadcast(sizes), "cluster_id")
+    docs.select(col("doc_id"))
+      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_copies"), lit(1L)).as("n_copies"))
+      .withColumn("weight_ppm", expr("1000000 div n_copies"))
+  }
+
   /** Edit-distance-verified near-dup pairs: MinHash band-key
     * collisions propose candidates (same banding as [[minhashPairs]]
     * — one narrow shuffle per band, never all-pairs), then the exact

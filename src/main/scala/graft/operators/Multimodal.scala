@@ -375,6 +375,90 @@ object Multimodal {
       .toDF("media_id", "frame", "energy")
   }
 
+  /** Scene-cut detection over a sampled frame stream (m7): the video
+    * leg of the curation stack. Each media renders `frames`
+    * deterministic 9×8 grayscale frames (closed-form pixels with a
+    * per-SCENE seed — scene length varies per media), every frame is
+    * PNG round-tripped through the REAL `javax.imageio` codec and
+    * difference-hashed exactly as [[imageDHash]], and consecutive
+    * frames are compared by Hamming distance: a jump of `cutBits` or
+    * more bits is a cut. The running cut count numbers the detected
+    * scenes — the shot segmentation a frame-dedup or
+    * one-embedding-per-shot stage consumes.
+    *
+    * dHash-distance shot detection is the standard cheap detector
+    * (PySceneDetect's hash detector); the decode is the stubbed part
+    * (deterministic synthetic frames), the plumbing — per-partition
+    * codec reuse, frame explode, the media-keyed ordered window — is
+    * the real thing a video pipeline runs.
+    *
+    * Scale shape: frame render+hash is per-row `mapPartitions`
+    * (payload-pruned to the id), then ONE media-keyed exchange for
+    * the lag/cumsum window; state per media is `frames` 24-byte rows.
+    * PNG losslessness makes every hash equal the closed form the SQL
+    * oracle recomputes independently.
+    *
+    * Output per (media, frame): the two hash halves, the Hamming
+    * distance to the previous frame (null for frame 0), `is_cut`,
+    * and the running `scene_no`. */
+  def sceneCuts(spark: SparkSession, docs: DataFrame,
+      frames: Int = 12, cutBits: Int = 10): DataFrame = {
+    import spark.implicits._
+    val hashes = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val sceneLen = 2 + (id % 3).toInt
+          (0 until frames).iterator.map { f =>
+            val scene = f / sceneLen
+            val img = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var p = 0
+            while (p < 72) {
+              img.getRaster.setSample(p % 9, p / 9, 0,
+                ((id * 7 + scene * 101 + p * 13) % 256).toInt)
+              p += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            if (back == null) sys.error(s"PNG round-trip failed for doc $id")
+            val raster = back.getRaster
+            var hi = 0L
+            var lo = 0L
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                if (raster.getSample(c + 1, r, 0) > raster.getSample(c, r, 0)) {
+                  val bit = r * 8 + c
+                  if (bit < 32) lo |= 1L << bit
+                  else hi |= 1L << (bit - 32)
+                }
+                c += 1
+              }
+              r += 1
+            }
+            (id, f.toLong, hi, lo)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "hash_hi", "hash_lo")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    hashes
+      .withColumn("prev_hi", lag("hash_hi", 1).over(w))
+      .withColumn("prev_lo", lag("hash_lo", 1).over(w))
+      .withColumn("dist",
+        expr("CAST(bit_count(hash_hi ^ prev_hi) + bit_count(hash_lo ^ prev_lo) AS BIGINT)"))
+      .withColumn("is_cut", coalesce(col("dist") >= cutBits, lit(false)))
+      .withColumn("scene_no",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("media_id", "frame_idx", "hash_hi", "hash_lo",
+        "dist", "is_cut", "scene_no")
+  }
+
   /** Feature frame flattened for SQL-oracle comparison. */
   def features(spark: SparkSession, docs: DataFrame): DataFrame = {
     val f = extractFeatures(spark, mediaFromDocuments(docs))

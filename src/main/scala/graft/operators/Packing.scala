@@ -197,4 +197,57 @@ object Packing {
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }
+
+  /** Deterministic SOURCE-INTERLEAVED epoch order (tp7): round-robin
+    * the corpus's sources into one training stream — each document
+    * gets a seeded-hash rank within its source and the global slot
+    * `src_rank · n_sources + src_idx`, so consecutive stream slots
+    * cycle through the sources (until a source exhausts and its slots
+    * go unused — the reader skips holes). This is the "don't feed the
+    * model a year of one crawl before the next" ordering, reproducible
+    * the same way [[globalShuffle]] is: a pure function of
+    * (`seed`, source, id).
+    *
+    * Scale shape: a per-source GLOBAL rank would funnel the corpus
+    * through one reducer per source (sources are few — the exact skew
+    * q54 exists to catch), so the rank is computed with the
+    * [[tokenBudgetSelect]] two-phase pattern: the hash space is cut
+    * into `buckets` contiguous RANGES, per-(source, range) counts
+    * (one bounded partial agg) turn into running offsets over the
+    * tiny histogram — broadcast back — and the exact rank window runs
+    * PARTITIONED BY (source, range), parallel across
+    * sources × buckets. Identical answer to the naive per-source
+    * window, never its single-reducer sort. Source indices come from
+    * a distinct-sources frame (vocabulary-sized) joined back as a
+    * broadcast.
+    *
+    * Output: `(doc_id, source, src_rank, slot)`. */
+  def interleaveSources(docs: DataFrame, seed: Long,
+      buckets: Int = 32): DataFrame = {
+    val Mod = 1000000007L
+    val rangeWidth = Mod / buckets + 1
+    val hashed = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.fingerprint(
+          concat_ws(":", lit(seed), col("doc_id"))).as("h"))
+      .withColumn("rb", expr(s"h div $rangeWidth"))
+      .localCheckpoint(eager = false) // histogram + rank window
+    val histW = Window.partitionBy("source").orderBy("rb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = hashed.groupBy("source", "rb")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base", sum("n").over(histW) - col("n"))
+      .select("source", "rb", "base")
+    val srcW = Window.orderBy("source")
+    val srcs = docs.select("source").distinct()
+      .withColumn("src_idx", row_number().over(srcW).cast("long") - 1L)
+    val nSrc = srcs.agg(count(lit(1)).as("n_src"))
+    val w = Window.partitionBy("source", "rb").orderBy("h", "doc_id")
+    hashed.join(broadcast(hist), Seq("source", "rb"))
+      .withColumn("src_rank",
+        col("base") + row_number().over(w).cast("long") - 1L)
+      .join(broadcast(srcs), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (col("src_rank") * col("n_src") + col("src_idx")).as("slot"))
+  }
 }

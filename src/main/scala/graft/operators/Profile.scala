@@ -192,6 +192,39 @@ object Profile {
       .orderBy("step")
   }
 
+  /** First-order Markov transition matrix of the event stream (q65):
+    * per (from_type → to_type) ordered-successor pair, the count and
+    * the integer-exact row-conditional probability in ppm — the
+    * behavioral summary behind next-event prediction features, funnel
+    * DESIGN (which step orders actually occur), and bot detection
+    * (impossible transition mass).
+    *
+    * Successor pairing is a `lead` window over `(user, ts, event_id)`
+    * — ONE user-keyed exchange, the same partitioning [[funnel]]
+    * uses; the (from, to) count is a map-side-combinable hash agg on
+    * the few-distinct-types pairs, and the row totals come from a
+    * window over that TINY matrix, never a second corpus pass.
+    *
+    * Output: `(from_type, to_type, n, p_ppm)` ordered by pair. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = trans
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div row_total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer training primitives — the step every LLM data pipeline
+  * runs once per corpus snapshot before token counting ([[TextAnalysis]])
+  * and sequence packing ([[Packing]]) mean anything: the merge rules
+  * themselves have to come from somewhere.
+  *
+  * [[bpeTrain]] is byte-pair-encoding merge learning (Sennrich et al.
+  * 2016, the algorithm behind GPT-2/RoBERTa-style vocabularies) in the
+  * classic word-frequency formulation every production trainer
+  * (HuggingFace `tokenizers`, SentencePiece BPE mode) uses: the corpus
+  * is scanned ONCE to build a word-frequency table, and all merge
+  * iterations run over that vocabulary-sized table — at 100 TB the
+  * petabyte never participates in the loop, only the few-hundred-MB
+  * vocabulary does.
+  */
+object Tokenizer {
+
+  /** Learn `merges` BPE merge rules from the corpus.
+    *
+    * Algorithm (per round, over the word-frequency vocabulary):
+    *  1. count adjacent symbol pairs, weighted by word frequency
+    *     (overlapping positions counted, the classic statistic);
+    *  2. pick the most frequent pair — ties broken by pair text
+    *     ascending, so the choice is total-ordered and reproducible;
+    *  3. rewrite every word's symbol string, merging each
+    *     left-to-right non-overlapping occurrence of the pair (the
+    *     greedy application real BPE tokenizers use).
+    *
+    * Symbol strings are space-separated; the rewrite expands
+    * separators to double spaces before substring replacement so that
+    * (a) a multi-character symbol can never match across a symbol
+    * boundary and (b) adjacent occurrences sharing one separator
+    * (`l l l l` under merge `l l`) each merge, exactly as a
+    * symbol-array scan would — both engines' `replace` scan
+    * left-to-right over the same expansion, so the trajectory is
+    * SQL-oracle-replayable (the [[Graph.pageRank]] contract).
+    *
+    * Scale shape: the corpus contributes ONE scan (tokenize → word
+    * hash-agg, map-side combinable). Every round after that touches
+    * only the vocabulary frame: one explode to (pair, freq) rows
+    * (bounded by Σ word lengths over DISTINCT words), one
+    * partial-agg'd pair count, a 1-row argmax consumed via
+    * `crossJoin(broadcast(...))` — the winning pair never lands on
+    * the driver — and a map-side rewrite. Vocabulary state is
+    * `localCheckpoint`ed per round so lineage stays one round deep.
+    *
+    * Words are restricted to `[a-z]+` after lower-casing (length
+    * `2..maxWordLen`): tokenizer training normalizes its alphabet
+    * anyway, and the restriction keeps the per-word pair fan-out
+    * bounded.
+    *
+    * Output: one row per learned merge —
+    * `(rnd, pair, merged, cnt)`, `rnd` 1-based in learning order.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 8,
+      maxWordLen: Int = 20): DataFrame = {
+    require(merges >= 1, "at least one merge round")
+    val words = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") &&
+        length(col("w")).between(2, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // initial symbols: one character each, space-separated
+    var vocab = words
+      .select(col("freq"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"))
+      .localCheckpoint(eager = false)
+    var out: DataFrame = null
+    for (r <- 1 to merges) {
+      val toks = split(col("sym"), " ")
+      val pairs = vocab
+        .select(col("freq"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(lit(r).as("rnd"), col("pair"),
+          replace(col("pair"), lit(" "), lit("")).as("merged"), col("cnt"))
+        .localCheckpoint(eager = false) // output union + vocab rewrite
+      out = if (out == null) best else out.union(best)
+      // double-space expansion → bounded substring replace → collapse
+      val expanded = concat(lit(" "),
+        replace(col("sym"), lit(" "), lit("  ")), lit(" "))
+      val target = concat(lit(" "),
+        replace(col("_p"), lit(" "), lit("  ")), lit(" "))
+      vocab = vocab
+        .crossJoin(broadcast(best.select(
+          col("pair").as("_p"), col("merged").as("_m"))))
+        .select(col("freq"),
+          trim(regexp_replace(
+            replace(expanded, target, concat(lit(" "), col("_m"), lit(" "))),
+            " +", " ")).as("sym"))
+        .localCheckpoint(eager = false)
+    }
+    out.orderBy("rnd")
+  }
+}

@@ -594,6 +594,12 @@ object ExtendedQueries {
       graft.operators.Profile.funnel(events(s, d),
         Seq("view", "click", "purchase"))
     },
+    // first-order Markov transition matrix of the event stream: one
+    // user-keyed lead window + a tiny (from,to) hash agg; row totals
+    // come from a window over the matrix, never a second corpus pass
+    "q65_transitions" -> { (s, d) =>
+      graft.operators.Profile.eventTransitions(events(s, d))
+    },
     // LATERAL correlated subquery with LIMIT: Catalyst decorrelates
     // the per-customer top-2 into WindowGroupLimit — map-side partial
     // top-k pruning BEFORE the exchange — plus a broadcast join; no
@@ -802,6 +808,21 @@ object ExtendedQueries {
           CAST(CASE WHEN n0 = 0 THEN NULL
             ELSE n2 * 1000000 // n0 END AS BIGINT) FROM t)
       ORDER BY step""",
+    // same lead pairing, same integer ppm conditional; the row-total
+    // window runs over the tiny transition matrix, and the outer
+    // casts undo DuckDB's HUGEINT widening
+    "q65_transitions" -> """
+      WITH t AS (
+        SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type)
+          AS BIGINT) AS BIGINT) AS p_ppm
+      FROM c ORDER BY from_type, to_type""",
     // last_value over the full frame, INT cast matching Spark's
     // datediff type
     "q63_window_nav" -> """

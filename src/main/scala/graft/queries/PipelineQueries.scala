@@ -242,6 +242,25 @@ object PipelineQueries {
       Packing.globalShuffle(documents(s, d), "doc_id", nShards = 8,
         seed = 42L).orderBy("shard", "pos")
     },
+    // source-interleaved epoch order: per-source seeded rank via the
+    // two-phase range-bucket cumsum (no per-source single-reducer
+    // sort), slot = rank * n_sources + source index
+    "tp7_interleave" -> { (s, d) =>
+      Packing.interleaveSources(documents(s, d), seed = 42L)
+        .orderBy("slot")
+    },
+    // BPE tokenizer-merge training: one corpus scan to word
+    // frequencies, then 8 merge rounds over the vocabulary frame —
+    // the oracle replays the identical trajectory as unrolled CTEs
+    "t18_bpe_merges" -> { (s, d) =>
+      graft.operators.Tokenizer.bpeTrain(documents(s, d), merges = 8)
+    },
+    // soft dedup: keep every doc, weight_ppm = 1e6 div near-dup
+    // cluster size — the sampling-weight formulation of dd8's
+    // clusters; corpus pass is one broadcast left join
+    "dd18_soft_dedup" -> { (s, d) =>
+      Dedup.softDedupWeights(documents(s, d)).orderBy("doc_id")
+    },
     // the bare CMS counter grid as a query: the SAME aggregation
     // maintains the sketch over a readStream with O(depth×width)
     // state (proven live in StreamingSpec) — this is its batch twin
@@ -675,6 +694,14 @@ object PipelineQueries {
       Multimodal.audioEnergy(s, documents(s, d))
         .orderBy("media_id", "frame")
     },
+    // video scene-cut detection: per-media deterministic frame stream
+    // dHashed through the REAL PNG codec, consecutive-frame Hamming
+    // jumps >= 10 bits mark cuts; the oracle recomputes hashes from
+    // the closed form and replays the same lag/cumsum windows
+    "m7_scene_cuts" -> { (s, d) =>
+      Multimodal.sceneCuts(s, documents(s, d))
+        .orderBy("media_id", "frame_idx")
+    },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
@@ -722,6 +749,44 @@ object PipelineQueries {
       " - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE" +
       " / length(text)::DOUBLE)" +
       s" + least(len($toks)::DOUBLE / 100.0, 1.0)"
+
+  /** Oracle twin of [[graft.operators.Tokenizer.bpeTrain]]: the merge
+    * trajectory unrolled as one CTE triple per round — pair counts
+    * from the previous vocabulary, the (cnt DESC, pair ASC) argmax,
+    * and the double-space-expanded substring rewrite. Both engines'
+    * `replace` scans left-to-right over the same expansion, so every
+    * round — not just the final merge list — is bit-identical. */
+  private def sqlBpe(merges: Int): String = {
+    val rounds = (1 to merges).map { r =>
+      s"""p$r AS (SELECT list_extract(l, i) || ' ' || list_extract(l, i+1)
+            AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, string_split(sym, ' ') AS l FROM v${r - 1}),
+            unnest(range(1, len(l))) AS t(i)
+          GROUP BY 1),
+      b$r AS (SELECT $r::INT AS rnd, pair, replace(pair, ' ', '') AS merged,
+            cnt
+          FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+      v$r AS (SELECT freq, trim(regexp_replace(
+            replace(' ' || replace(v.sym, ' ', '  ') || ' ',
+                    ' ' || replace(b.pair, ' ', '  ') || ' ',
+                    ' ' || b.merged || ' '),
+            ' +', ' ', 'g')) AS sym
+          FROM v${r - 1} v, b$r b)"""
+    }.mkString(",\n      ")
+    val sel = (1 to merges)
+      .map(r => s"SELECT rnd, pair, merged, cnt FROM b$r")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH w AS (SELECT t.w AS w, count(*)::BIGINT AS freq FROM (
+          SELECT unnest($toks) AS w FROM documents) t
+        WHERE regexp_matches(t.w, '^[a-z]+$$')
+          AND len(t.w) BETWEEN 2 AND 20
+        GROUP BY t.w),
+      v0 AS (SELECT freq,
+          trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym FROM w),
+      $rounds
+      $sel ORDER BY rnd"""
+  }
 
   /** Shared MinHash-LSH pair pipeline (twin of [[Dedup.minhashPairs]]
     * with k=3, 16 hashes, 4 bands) as a CTE chain ending in
@@ -1134,6 +1199,24 @@ object PipelineQueries {
         (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
           AS pos
       FROM h ORDER BY shard, pos""",
+    // the oracle uses the NAIVE per-source window — the engine's
+    // two-phase range-bucket rank must equal it exactly
+    "tp7_interleave" -> s"""
+      WITH h AS (SELECT doc_id, source,
+        ${sqlFp("concat(42, ':', doc_id)")} AS h FROM documents),
+      r AS (SELECT doc_id, source,
+          (row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+            - 1)::BIGINT AS src_rank
+        FROM h),
+      si AS (SELECT source,
+          (row_number() OVER (ORDER BY source) - 1)::BIGINT AS src_idx
+        FROM (SELECT DISTINCT source FROM documents)),
+      n AS (SELECT count(*)::BIGINT AS n_src FROM si)
+      SELECT r.doc_id, r.source, r.src_rank,
+        (r.src_rank * n.n_src + si.src_idx)::BIGINT AS slot
+      FROM r JOIN si USING (source), n
+      ORDER BY slot""",
+    "t18_bpe_merges" -> sqlBpe(8),
     // same injection rule, same regex classes; the outer casts undo
     // DuckDB's HUGEINT widening
     "t17_encoding" -> """
@@ -1843,6 +1926,30 @@ object PipelineQueries {
         c.doc_id = b.keep_id AS keep, c.quality
       FROM cl c JOIN best b USING (cluster_id)
       ORDER BY c.doc_id""",
+    // dd8's recursive closure + a size count over the (paired-only)
+    // label frame; unpaired docs take n=1 via the left join
+    "dd18_soft_dedup" -> s"""
+      WITH RECURSIVE $sqlMinhashCtes,
+      pairs AS (SELECT a_id, b_id FROM verified
+        WHERE common * 100 >= union_size * 80),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      sz AS (SELECT cluster_id, count(*)::BIGINT AS n_copies
+        FROM labels GROUP BY cluster_id),
+      lab AS (SELECT l.id, l.cluster_id, s.n_copies
+        FROM labels l JOIN sz s USING (cluster_id))
+      SELECT d.doc_id,
+        coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        CAST(coalesce(l.n_copies, 1) AS BIGINT) AS n_copies,
+        CAST(1000000 // coalesce(l.n_copies, 1) AS BIGINT) AS weight_ppm
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+      ORDER BY d.doc_id""",
     "q49_quota_sample" -> s"""
       WITH h AS (SELECT doc_id, lang,
         ${sqlFp("doc_id::VARCHAR")} AS h FROM documents),
@@ -2137,6 +2244,36 @@ object PipelineQueries {
           AS hash_hi,
         sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS hash_lo
       FROM b GROUP BY media_id ORDER BY media_id""",
+    // m5's closed-form dHash bits, extended with the per-scene seed
+    // term, then the same lag/xor/bit_count + running-cumsum windows
+    "m7_scene_cuts" -> """
+      WITH b AS (
+        SELECT d.doc_id AS media_id, f.f AS frame_idx, t.i AS i,
+          CASE WHEN ((d.doc_id*7 + (f.f // (2 + d.doc_id % 3))*101
+                      + (((t.i//8)*9 + (t.i%8)) + 1)*13) % 256) >
+                    ((d.doc_id*7 + (f.f // (2 + d.doc_id % 3))*101
+                      + ((t.i//8)*9 + (t.i%8))*13) % 256)
+            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM documents d, unnest(range(0, 12)) AS f(f),
+          unnest(range(0, 64)) AS t(i)),
+      h AS (SELECT media_id, frame_idx,
+          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
+            AS hash_hi,
+          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS hash_lo
+        FROM b GROUP BY media_id, frame_idx),
+      l AS (SELECT media_id, frame_idx, hash_hi, hash_lo,
+          lag(hash_hi) OVER win AS ph, lag(hash_lo) OVER win AS pl
+        FROM h WINDOW win AS (PARTITION BY media_id ORDER BY frame_idx)),
+      d2 AS (SELECT media_id, frame_idx, hash_hi, hash_lo,
+          CAST(bit_count(xor(hash_hi, ph)) + bit_count(xor(hash_lo, pl))
+            AS BIGINT) AS dist
+        FROM l)
+      SELECT media_id, frame_idx, hash_hi, hash_lo, dist,
+        coalesce(dist >= 10, false) AS is_cut,
+        CAST(sum(CASE WHEN coalesce(dist >= 10, false) THEN 1 ELSE 0 END)
+          OVER (PARTITION BY media_id ORDER BY frame_idx
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_no
+      FROM d2 ORDER BY media_id, frame_idx""",
     "m6_audio_energy" -> """
       WITH s AS (
         SELECT d.doc_id AS media_id, t.i // 32 AS frame,

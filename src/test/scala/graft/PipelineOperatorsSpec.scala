@@ -1595,4 +1595,105 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(dup == whole)
   }
+
+  test("bpe merges overlapping runs greedily and breaks ties ascending") {
+    import spark.implicits._
+    // "llll" x3: round 1 must merge "l l" (count 9 = 3 positions x 3
+    // words) and apply it to BOTH halves of each word (the
+    // double-space expansion — a naive single-space replace would
+    // leave "ll l l"), so round 2 sees "ll ll"
+    val runs = Seq((1L, "llll llll llll")).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeTrain(runs, merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m.toSeq == Seq((1, "l l", "ll", 9L), (2, "ll ll", "llll", 3L)))
+    // equal counts: "a b" and "c d" both 2 -> lexicographically first
+    val ties = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    val t = graft.operators.Tokenizer.bpeTrain(ties, merges = 1)
+      .collect()(0)
+    assert(t.getString(1) == "a b" && t.getLong(3) == 2L)
+  }
+
+  test("scene cuts: zero distance within scenes, scene_no sums the cuts") {
+    val rows = Multimodal.sceneCuts(spark, docs.limit(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, fs) =>
+      val ordered = fs.sortBy(_._2)
+      // frame 0 has no predecessor and is never a cut
+      assert(ordered.head._3.isEmpty && !ordered.head._4 &&
+        ordered.head._5 == 0L)
+      val sceneLen = 2 + (id % 3).toInt
+      ordered.tail.foreach { case (_, f, dist, cut, _) =>
+        val sameScene = (f / sceneLen) == ((f - 1) / sceneLen)
+        if (sameScene) assert(dist.contains(0L) && !cut,
+          s"media $id frame $f: intra-scene dist $dist")
+        assert(cut == dist.exists(_ >= 10L))
+      }
+      // scene_no is the running cut count
+      var cuts = 0L
+      ordered.foreach { case (_, _, _, cut, sceneNo) =>
+        if (cut) cuts += 1
+        assert(sceneNo == cuts)
+      }
+    }
+  }
+
+  test("soft dedup halves duplicate weight and keeps every document") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one completely different document body"),
+      (4L, "another unrelated text entirely here")).toDF("doc_id", "text")
+    val rows = Dedup.softDedupWeights(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rows(1L) == ((1L, 2L, 500000L)))
+    assert(rows(2L) == ((1L, 2L, 500000L)))
+    assert(rows(3L) == ((3L, 1L, 1000000L)))
+    assert(rows(4L) == ((4L, 1L, 1000000L)))
+  }
+
+  test("interleave equals the naive per-source window; slots are unique") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.Packing.interleaveSources(docs, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // two-phase rank == naive single-window rank
+    val naiveW = Window.partitionBy("source").orderBy("h", "doc_id")
+    val naive = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.fingerprint(concat_ws(":", lit(42L), col("doc_id")))
+          .as("h"))
+      .withColumn("src_rank", row_number().over(naiveW).cast("long") - 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    got.foreach { case (id, _, rank, _) => assert(naive(id) == rank) }
+    // slots are unique, and consecutive occupied slots cycle sources
+    assert(got.map(_._4).distinct.length == got.length)
+    val bySlot = got.sortBy(_._4)
+    val nSrc = got.map(_._2).distinct.length.toLong
+    bySlot.foreach { case (_, _, rank, slot) =>
+      assert(slot % nSrc >= 0 && slot / nSrc == rank)
+    }
+  }
+
+  test("event transitions count ordered successors with exact ppm shares") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (2L, 1L, "A"), (2L, 2L, "B"),
+      (3L, 1L, "A"), (3L, 2L, "C")).toDF("user_id", "seq", "event_type")
+      .select(col("user_id"), col("seq").as("event_id"),
+        timestamp_micros(col("seq") * 1000000L).as("ts"),
+        col("event_type"))
+    val rows = graft.operators.Profile.eventTransitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("A", "B", 2L, 666666L), ("A", "C", 1L, 333333L),
+      ("B", "A", 1L, 1000000L)))
+  }
 }

@@ -551,6 +551,44 @@ object PlanCheck {
         "Exchange".r.findAllIn(p).size <= 1),
       "regex ops stay in codegen (no UDF)" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("q65_transitions", Seq(
+      // the lead window is the only corpus exchange; the ppm window
+      // runs over the tiny (from,to) matrix
+      "successor pairing partitioned on user" ->
+        (_.contains("hashpartitioning(user_id")),
+      "pair counts partial-aggregated map-side" -> (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("m7_scene_cuts", Seq(
+      // frame render+hash is per-row; one media-keyed exchange feeds
+      // the lag + cumsum windows (plus the output sort)
+      "frame windows partitioned on media" ->
+        (_.contains("hashpartitioning(media_id")),
+      "at most two exchanges (window + output sort)" -> (p =>
+        "Exchange".r.findAllIn(p).size <= 2),
+      "no UDF in the hash pipeline" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("tp7_interleave", Seq(
+      // per-source rank runs partitioned by (source, range-bucket) —
+      // never one reducer per source
+      "rank window partitioned on (source, range-bucket)" ->
+        (_.contains("hashpartitioning(source")),
+      "histogram offsets + source index broadcast back" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("dd18_soft_dedup", Seq(
+      // cluster sizes ride a broadcast; the corpus never shuffles for
+      // the weight assignment (resolveClusters iterations are eager
+      // behind localCheckpoint leaves)
+      "cluster map broadcast onto the corpus" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("t18_bpe_merges", Seq(
+      // rounds run over the vocabulary frame behind localCheckpoint
+      // leaves; the visible plan is the union of per-round argmax
+      // rows — nothing corpus-sized may appear
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "no UDF" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
     // dd8 resolveClusters / dd10 resolveClustersStars: their
     // iterations run eagerly behind localCheckpoint leaves, so the
     // returned plan is a leaf select; the shape guarantees
