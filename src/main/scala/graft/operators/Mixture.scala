@@ -160,4 +160,42 @@ object Mixture {
         % lit(mil) < col("rate_mil"))
       .select(col("doc_id"), col(groupCol), col("rate_mil"))
   }
+
+  /** EXACT stratified split (mx6): within every stratum, assign the
+    * first `pctTrain`% of the seeded-hash order to train, the next
+    * `pctVal`% to val, the rest to test — integer threshold
+    * arithmetic on the dense per-stratum rank, so the quotas are MET
+    * EXACTLY per stratum. [[splitAssign]]'s per-row hash coin is
+    * stable under append but only hits 80/10/10 in expectation (±√n
+    * noise — material for small strata); this is the other point in
+    * the trade: exact proportions, ranks shift when the stratum's
+    * membership changes.
+    *
+    * Scale shape: the per-stratum rank is
+    * [[Packing.seededRankByKey]]'s two-phase range-bucket cumsum
+    * (histogram broadcast, windows partitioned by (stratum, range) —
+    * a dominant stratum never sorts on one reducer); stratum sizes
+    * are a vocabulary-sized aggregate riding a broadcast; the
+    * threshold compare is per-row.
+    *
+    * Output: `(doc_id, stratum, strat_rank, strat_size, split)`. */
+  def exactStratifiedSplit(docs: DataFrame, seed: Long,
+      stratumCol: String = "lang", pctTrain: Int = 80,
+      pctVal: Int = 10): DataFrame = {
+    require(pctTrain + pctVal <= 100, "split percentages exceed 100")
+    val ranked = Packing
+      .seededRankByKey(docs, stratumCol, "doc_id", seed)
+      .withColumnRenamed("key_rank", "strat_rank")
+    val sizes = docs.groupBy(stratumCol)
+      .agg(count(lit(1)).as("strat_size"))
+    ranked.join(broadcast(sizes), stratumCol)
+      .withColumn("split",
+        when(col("strat_rank") * 100 < col("strat_size") * pctTrain,
+          lit("train"))
+          .when(col("strat_rank") * 100 <
+            col("strat_size") * (pctTrain + pctVal), lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col(stratumCol), col("strat_rank"),
+        col("strat_size"), col("split"))
+  }
 }

@@ -224,30 +224,50 @@ object Packing {
     * Output: `(doc_id, source, src_rank, slot)`. */
   def interleaveSources(docs: DataFrame, seed: Long,
       buckets: Int = 32): DataFrame = {
-    val Mod = 1000000007L
-    val rangeWidth = Mod / buckets + 1
-    val hashed = docs.select(col("doc_id"), col("source"),
-        TextAnalysis.fingerprint(
-          concat_ws(":", lit(seed), col("doc_id"))).as("h"))
-      .withColumn("rb", expr(s"h div $rangeWidth"))
-      .localCheckpoint(eager = false) // histogram + rank window
-    val histW = Window.partitionBy("source").orderBy("rb")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hist = hashed.groupBy("source", "rb")
-      .agg(count(lit(1)).as("n"))
-      .withColumn("base", sum("n").over(histW) - col("n"))
-      .select("source", "rb", "base")
+    val ranked = seededRankByKey(docs, "source", "doc_id", seed, buckets)
+      .withColumnRenamed("key_rank", "src_rank")
     val srcW = Window.orderBy("source")
     val srcs = docs.select("source").distinct()
       .withColumn("src_idx", row_number().over(srcW).cast("long") - 1L)
     val nSrc = srcs.agg(count(lit(1)).as("n_src"))
-    val w = Window.partitionBy("source", "rb").orderBy("h", "doc_id")
-    hashed.join(broadcast(hist), Seq("source", "rb"))
-      .withColumn("src_rank",
-        col("base") + row_number().over(w).cast("long") - 1L)
+    ranked
       .join(broadcast(srcs), "source")
       .crossJoin(broadcast(nSrc))
       .select(col("doc_id"), col("source"), col("src_rank"),
         (col("src_rank") * col("n_src") + col("src_idx")).as("slot"))
+  }
+
+  /** Per-`keyCol` dense 0-based rank of every row under the seeded
+    * total order (fingerprint(seed:id), id) — computed with the
+    * [[tokenBudgetSelect]] two-phase range-bucket pattern, so no key
+    * ever funnels through one reducer: the hash space is cut into
+    * `buckets` contiguous ranges, per-(key, range) counts become
+    * running offsets over the bounded histogram (broadcast back), and
+    * the exact rank window runs partitioned by (key, range). Equals
+    * the naive per-key window rank exactly.
+    *
+    * Output: the id/key columns plus `h` and `key_rank`. Shared by
+    * [[interleaveSources]] (tp7) and
+    * [[Mixture.exactStratifiedSplit]] (mx6). */
+  private[operators] def seededRankByKey(df: DataFrame, keyCol: String,
+      idCol: String, seed: Long, buckets: Int = 32): DataFrame = {
+    val Mod = 1000000007L
+    val rangeWidth = Mod / buckets + 1
+    val hashed = df.select(col(idCol), col(keyCol),
+        TextAnalysis.fingerprint(
+          concat_ws(":", lit(seed), col(idCol))).as("h"))
+      .withColumn("rb", expr(s"h div $rangeWidth"))
+      .localCheckpoint(eager = false) // histogram + rank window
+    val histW = Window.partitionBy(keyCol).orderBy("rb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = hashed.groupBy(keyCol, "rb")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base", sum("n").over(histW) - col("n"))
+      .select(keyCol, "rb", "base")
+    val w = Window.partitionBy(keyCol, "rb").orderBy("h", idCol)
+    hashed.join(broadcast(hist), Seq(keyCol, "rb"))
+      .withColumn("key_rank",
+        col("base") + row_number().over(w).cast("long") - 1L)
+      .drop("rb", "base")
   }
 }

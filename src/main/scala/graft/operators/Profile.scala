@@ -225,6 +225,44 @@ object Profile {
       .orderBy("from_type", "to_type")
   }
 
+  /** Weekly retention cohorts (q66): users grouped by first-active
+    * week, each later week reporting how many came back — the
+    * engagement triangle every activity dashboard starts from, and
+    * on a training-data service the freshness measure of sources
+    * (cohort = first-crawl week of a feed).
+    *
+    * Scale shape: ONE user-keyed exchange — the distinct
+    * (user, week) pass; the per-user first week aggregates on the
+    * same partitioning (no second corpus exchange), the join back is
+    * key-equi on user, and the (cohort, offset) rollup is a
+    * map-side-combinable agg over an already-narrow frame. Cohort
+    * sizes come from a window over the tiny retention matrix itself
+    * — never a corpus re-scan. Integer ppm, oracle-exact.
+    *
+    * Output: `(cohort_week, week_offset, n_users, retention_ppm)`. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = events
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+      .localCheckpoint(eager = false) // cohort agg + offset join
+    val cohorts = uw.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    val m = uw.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    m.withColumn("cohort_size",
+        max(when(col("week_offset") === 0L, col("n_users")))
+          .over(Window.partitionBy("cohort_week")))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        expr("n_users * 1000000 div cohort_size").as("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))

@@ -744,4 +744,68 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select("a_id", "b_id", "score")
   }
+
+  /** Maximum-inner-product top-k (ss10) through the cosine LSH index —
+    * the retrieval mode recommendation and reward models actually
+    * serve (the best item is the largest DOT, not the nearest angle;
+    * cosine machinery mis-ranks whenever corpus norms vary).
+    *
+    * The classic asymmetric reduction (Bachrach et al. 2014, the
+    * Shrivastava–Li ALSH family) makes MIPS bucketable: append to
+    * each corpus vector the coordinate `sqrt(M² − |x|²)` (`M` = max
+    * corpus norm) and to each query a zero — every augmented corpus
+    * vector then has norm exactly `M`, so the augmented COSINE order
+    * under a fixed query equals the raw INNER-PRODUCT order, and the
+    * existing hyperplane tables apply unchanged to the augmented
+    * arrays. Candidates from any of `tables` bucket collisions are
+    * ranked by the exact raw dot (fixed-order fold, oracle-exact;
+    * `sqrt` is IEEE-correctly-rounded, the mx5 contract).
+    *
+    * Scale shape: `M²` is a 1-row aggregate riding a broadcast; the
+    * corpus augments and buckets map-side in ONE scan (the bucketed
+    * index persists for repeated query workloads); queries broadcast
+    * with their table×bucket keys exploded; the candidate equi-join
+    * never shuffles the corpus, and per-query ranking sees only
+    * collision candidates. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 6, tables: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sq = corpus.agg(max(dot(col("embedding"), col("embedding")))
+      .as("m2"))
+    def augmented(emb: Column, m2: Column): Column =
+      array_append(transform(emb, _.cast("double")),
+        sqrt(greatest(m2 - dot(emb, emb), lit(0.0))))
+    val buckets = (0 until tables).map { t =>
+      struct(lit(t).as("tid"),
+        lshBucketOffset(col("aug"), nBits, t * 16).as("bkey"))
+    }
+    val c = corpus.crossJoin(broadcast(sq))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"),
+        augmented(col("embedding"), col("m2")).as("aug"))
+      .select(col("neighbor_id"), col("c_emb"),
+        explode(array(buckets: _*)).as("b"))
+      .select(col("neighbor_id"), col("c_emb"),
+        col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+    // queries augment with 0 (their norms don't affect per-query rank)
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        array_append(transform(col("embedding"), _.cast("double")),
+          lit(0.0)).as("aug"))
+      .select(col("query_id"), col("q_emb"),
+        explode(array(buckets: _*)).as("b"))
+      .select(col("query_id"), col("q_emb"),
+        col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("tid", "bkey"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_emb"), col("c_emb")).as("score"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
 }

@@ -600,6 +600,16 @@ object ExtendedQueries {
     "q65_transitions" -> { (s, d) =>
       graft.operators.Profile.eventTransitions(events(s, d))
     },
+    // weekly retention cohorts: one user-keyed distinct pass, cohort
+    // join on the same key, cohort sizes from a window over the tiny
+    // retention matrix
+    "q66_retention" -> { (s, d) =>
+      // ISO string view of the cohort date: date vs datetime64
+      // representations differ across the compare layer's readers
+      graft.operators.Profile.retentionCohorts(events(s, d))
+        .withColumn("cohort_week",
+          date_format(col("cohort_week"), "yyyy-MM-dd"))
+    },
     // LATERAL correlated subquery with LIMIT: Catalyst decorrelates
     // the per-customer top-2 into WindowGroupLimit — map-side partial
     // top-k pruning BEFORE the exchange — plus a broadcast join; no
@@ -823,6 +833,24 @@ object ExtendedQueries {
         CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type)
           AS BIGINT) AS BIGINT) AS p_ppm
       FROM c ORDER BY from_type, to_type""",
+    // both engines truncate to the Monday week start; casts undo
+    // DuckDB's BIGINT datediff and HUGEINT products
+    "q66_retention" -> """
+      WITH uw AS (SELECT DISTINCT user_id,
+          date_trunc('week', ts)::DATE AS week FROM events),
+      c AS (SELECT user_id, min(week) AS cohort_week
+        FROM uw GROUP BY user_id),
+      m AS (SELECT c.cohort_week,
+          CAST(datediff('day', c.cohort_week, u.week) // 7 AS BIGINT)
+            AS week_offset,
+          count(*)::BIGINT AS n_users
+        FROM uw u JOIN c USING (user_id)
+        GROUP BY 1, 2)
+      SELECT cohort_week::VARCHAR AS cohort_week, week_offset, n_users,
+        CAST(n_users * 1000000 // max(CASE WHEN week_offset = 0
+            THEN n_users END) OVER (PARTITION BY cohort_week)
+          AS BIGINT) AS retention_ppm
+      FROM m ORDER BY cohort_week, week_offset""",
     // last_value over the full frame, INT cast matching Spark's
     // datediff type
     "q63_window_nav" -> """

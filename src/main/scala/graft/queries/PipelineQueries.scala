@@ -242,6 +242,13 @@ object PipelineQueries {
       Packing.globalShuffle(documents(s, d), "doc_id", nShards = 8,
         seed = 42L).orderBy("shard", "pos")
     },
+    // exact per-stratum 80/10/10 split on the seeded-hash order —
+    // quotas met exactly (vs mx2's in-expectation hash coin); rank
+    // via the same two-phase range-bucket cumsum as tp7
+    "mx6_exact_split" -> { (s, d) =>
+      Mixture.exactStratifiedSplit(documents(s, d), seed = 43L)
+        .orderBy("doc_id")
+    },
     // source-interleaved epoch order: per-source seeded rank via the
     // two-phase range-bucket cumsum (no per-source single-reducer
     // sort), slot = rank * n_sources + source index
@@ -638,6 +645,14 @@ object PipelineQueries {
     "ss2_ann_lsh" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 3), k = 5, nBits = 4)
+        .orderBy("query_id", "rank")
+    },
+    // maximum-inner-product top-k through the cosine LSH tables via
+    // the norm-augmentation reduction (every augmented corpus vector
+    // has norm M, so augmented-cosine order = raw-dot order)
+    "ss10_mips_topk" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.mipsTopK(e, e.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     },
     // IVF under a TRAINED quantizer: the ve3 k-means centroids serve
@@ -1199,6 +1214,23 @@ object PipelineQueries {
         (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
           AS pos
       FROM h ORDER BY shard, pos""",
+    // the naive per-stratum window again — the engine's two-phase
+    // rank must reproduce it; thresholds are integer products
+    "mx6_exact_split" -> s"""
+      WITH h AS (SELECT doc_id, lang,
+        ${sqlFp("concat(43, ':', doc_id)")} AS h FROM documents),
+      r AS (SELECT doc_id, lang,
+          (row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+            - 1)::BIGINT AS strat_rank
+        FROM h),
+      s AS (SELECT lang, count(*)::BIGINT AS strat_size
+        FROM documents GROUP BY lang)
+      SELECT r.doc_id, r.lang, r.strat_rank, s.strat_size,
+        CASE WHEN r.strat_rank * 100 < s.strat_size * 80 THEN 'train'
+             WHEN r.strat_rank * 100 < s.strat_size * 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM r JOIN s USING (lang)
+      ORDER BY r.doc_id""",
     // the oracle uses the NAIVE per-source window — the engine's
     // two-phase range-bucket rank must equal it exactly
     "tp7_interleave" -> s"""
@@ -2183,6 +2215,39 @@ object PipelineQueries {
         ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, rank, neighbor_id, score FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the norm-augmentation reduction replayed: augmented corpus
+    // vectors (extra coordinate sqrt(M^2 - |x|^2)) bucket through the
+    // same dd6-style hyperplane tables; candidates rank by RAW dot
+    "ss10_mips_topk" -> {
+      val buckets = (0 until 3).map { t =>
+        s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("aug", 6, t * 16)}}"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH mx AS (SELECT max(${sqlDot("embedding", "embedding")}) AS m2
+        FROM embeddings),
+      c AS (SELECT vec_id, embedding,
+          list_append(list_transform(embedding, x -> x::DOUBLE),
+            sqrt(greatest(mx.m2 - ${sqlDot("embedding", "embedding")},
+              0.0))) AS aug
+        FROM embeddings, mx),
+      q AS (SELECT vec_id, embedding,
+          list_append(list_transform(embedding, x -> x::DOUBLE),
+            0.0::DOUBLE) AS aug
+        FROM embeddings WHERE vec_id < 3),
+      cb AS (SELECT vec_id, embedding, x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, unnest($buckets) AS x FROM c)),
+      qb AS (SELECT vec_id, embedding, x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, unnest($buckets) AS x FROM q)),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id,
+          c.vec_id AS neighbor_id,
+          ${sqlDot("q.embedding", "c.embedding")} AS score
+        FROM cb c JOIN qb q
+          ON c.tid = q.tid AND c.bkey = q.bkey AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM cand)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     "ss3_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),

@@ -11,17 +11,18 @@ object GenQueriesDoc {
       ("Joins", "q03|q04|q05|q07|q08|q26|q27|q42|q43|q50"),
       ("Subqueries", "q23|q24|q32"),
       ("Window functions", "q13|q14|q15|q25|q37|q41|q48|q53|q63"),
+      ("Event analytics", "q61|q64|q65|q66"),
       ("Sort / top-k / set ops", "q16|q17|q30"),
       ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45|q51"),
       ("Sampling", "st6|q49"),
-      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09|t10|t11|t12|t13|t14|t15|t16|t17"),
-      ("Training-mix, splits & packing", "mx1|mx2|mx3|mx4|mx5|tp1|tp2|tp3|tp4|tp5|tp6"),
-      ("Deduplication", "dd10|dd11|dd12|dd13|dd14|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dd15|dd16|dd17|dc1|dc2|dc3"),
+      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09|t10|t11|t12|t13|t14|t15|t16|t17|t18"),
+      ("Training-mix, splits & packing", "mx1|mx2|mx3|mx4|mx5|mx6|tp1|tp2|tp3|tp4|tp5|tp6|tp7"),
+      ("Deduplication", "dd10|dd11|dd12|dd13|dd14|dd18|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dd15|dd16|dd17|dc1|dc2|dc3"),
       ("Data layout & skew diagnostics", "q52|q54|q57|q59"),
       ("Graph analytics", "q58|q60|q62"),
-      ("Similarity search", "ss1|ss2|ss3|ss4|ss5|ss6|ss7|ss8|ss9"),
+      ("Similarity search", "ss1|ss2|ss3|ss4|ss5|ss6|ss7|ss8|ss9|ss10"),
       ("Embedding analytics", "ve1|ve2|ve3|ve4|ve5|ve6|ve7|ve8"),
-      ("Multimodal", "m1|m2|m3|m4|m5|m6"),
+      ("Multimodal", "m1|m2|m3|m4|m5|m6|m7"),
       ("Streaming batch twins", "st1|st2|st3|st4|st7|st8|st9"))
     val all = SparkEntry.queries.keySet
     val oracle = SparkEntry.oracleSql.keySet

@@ -46,7 +46,10 @@ object MetricsCheck {
       "ve5_gram_matrix", "ve6_pca_project", "ss8_pq_topk",
       "dd17_strip_spans", "ss9_ivfpq_topk", "ve7_pca_whiten",
       "q58_pagerank", "ve8_drift", "q59_cms_freq", "st9_cms_sketch",
-      "q60_triangles", "q62_kcore")
+      "q60_triangles", "q62_kcore",
+      "t18_bpe_merges", "m7_scene_cuts", "dd18_soft_dedup",
+      "tp7_interleave", "q65_transitions", "ss10_mips_topk",
+      "mx6_exact_split", "q66_retention")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>
@@ -57,8 +60,12 @@ object MetricsCheck {
       val n = qe.toRdd.count()
       val nodes = allNodes(qe.executedPlan)
       val exchanges = nodes.count(_.nodeName.contains("Exchange"))
+      // shuffle volume counts SHUFFLE exchanges only: a
+      // BroadcastExchange's dataSize reports the pre-allocated
+      // HashedRelation page (~64 MB floor even for a 20-row dim),
+      // which is memory estimate, not bytes moved
       val shuffleBytes = nodes
-        .filter(_.nodeName.contains("Exchange"))
+        .filter(_.nodeName == "Exchange")
         .flatMap(_.metrics.get("dataSize")).map(_.value).sum
       println(f"$name%-24s $exchanges%9d ${shuffleBytes / 1e6}%10.1f $n%10d")
     }

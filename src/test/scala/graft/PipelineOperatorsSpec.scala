@@ -1680,6 +1680,77 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mips ranks by raw dot, not cosine, through augmented buckets") {
+    import spark.implicits._
+    // q=[1,0]: cosine prefers a=[0.9,0] (cos 1.0), but the inner
+    // product prefers b=[10,5] (dot 10 vs 0.9) — MIPS must return b
+    // first; with nBits=1 all three collide in hyperplane table 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.0f)),
+      (2L, Array(10.0f, 5.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.mipsTopK(vecs, vecs.filter(col("vec_id") === 0L),
+        k = 2, nBits = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.head == ((1, 2L, 10.0)))
+    assert(rows.toSeq.contains((2, 1L, 0.9f.toDouble)))
+    // on the fixture: scores are the exact fixed-order dots
+    val got = Similarity.mipsTopK(embs, embs.filter(col("vec_id") < 2), k = 3)
+    val recomputed = got.alias("g")
+      .join(embs.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+      .join(embs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")), "neighbor_id")
+      .select((col("score") - Similarity.dot(col("qe"), col("ne")))
+        .as("err")).collect()
+    assert(recomputed.forall(_.getDouble(0) == 0.0))
+  }
+
+  test("exact stratified split meets per-stratum quotas exactly") {
+    val rows = graft.operators.Mixture.exactStratifiedSplit(docs, seed = 43L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(rows.length == docs.count())
+    rows.groupBy(_._2).foreach { case (_, strat) =>
+      val n = strat.head._4
+      assert(strat.length.toLong == n)
+      // ranks are the dense 0..n-1
+      assert(strat.map(_._3).sorted.toSeq == (0L until n).toSeq)
+      val train = strat.count(_._5 == "train").toLong
+      val vl = strat.count(_._5 == "val").toLong
+      val test = strat.count(_._5 == "test").toLong
+      assert(train == (0L until n).count(r => r * 100 < n * 80))
+      assert(train + vl == (0L until n).count(r => r * 100 < n * 90))
+      assert(train + vl + test == n)
+      // split boundaries follow the rank order: no test doc ranks
+      // below a train doc's threshold band
+      strat.foreach { case (_, _, rk, _, sp) =>
+        val expected = if (rk * 100 < n * 80) "train"
+          else if (rk * 100 < n * 90) "val" else "test"
+        assert(sp == expected)
+      }
+    }
+  }
+
+  test("retention cohorts count returning users per week offset") {
+    import spark.implicits._
+    // weeks starting Mon 2024-01-01 and Mon 2024-01-08
+    val ev = Seq(
+      (1L, 1L, "2024-01-02 10:00:00"), (1L, 2L, "2024-01-09 10:00:00"),
+      (2L, 3L, "2024-01-03 10:00:00"),
+      (3L, 4L, "2024-01-10 10:00:00")).toDF("user_id", "event_id", "s")
+      .select(col("user_id"), col("event_id"),
+        to_timestamp(col("s")).as("ts"))
+    val rows = graft.operators.Profile.retentionCohorts(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 0L, 2L, 1000000L),
+      ("2024-01-01", 1L, 1L, 500000L),
+      ("2024-01-08", 0L, 1L, 1000000L)))
+  }
+
   test("event transitions count ordered successors with exact ppm shares") {
     import spark.implicits._
     val ev = Seq(

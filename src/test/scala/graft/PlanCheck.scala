@@ -22,6 +22,18 @@ object PlanCheck {
         println(f"  ${if (pred(p)) "PASS" else "FAIL"}%s $label")
       }
     }
+    // executed-plan variant: AQE applies exchange reuse at RUNTIME, so
+    // assertions on ReusedExchange must read the final adaptive plan
+    def auditExecuted(name: String,
+        wants: Seq[(String, String => Boolean)]): Unit = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      println(s"== $name (executed) ==")
+      wants.foreach { case (label, pred) =>
+        println(f"  ${if (pred(p)) "PASS" else "FAIL"}%s $label")
+      }
+    }
 
     audit("q02_filter_shapes", Seq(
       "filters pushed to parquet" -> (_.contains("PushedFilters: [")),
@@ -49,6 +61,15 @@ object PlanCheck {
         (p => "HashAggregate".r.findAllIn(p).size >= 6),
       "no cartesian in the group-key joins" ->
         (p => !p.contains("CartesianProduct"))))
+    auditExecuted("q09_distinct_agg", Seq(
+      // every distinct branch reads only its own 2-3 columns — the
+      // pruning that makes the multi-scan shape cheap at scale
+      "each branch's scan is column-pruned" -> (p =>
+        p.contains("ReadSchema: struct<l_partkey:bigint,l_returnflag:string>")
+          && p.contains(
+            "ReadSchema: struct<l_suppkey:bigint,l_returnflag:string>")),
+      "null keys filtered AT the scan (pushed)" ->
+        (_.contains("PushedFilters: [IsNotNull(l_partkey)"))))
     audit("q16_topk", Seq(
       "TakeOrderedAndProject instead of global sort" ->
         (_.contains("TakeOrderedAndProject"))))
@@ -589,6 +610,29 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "no UDF" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("ss10_mips_topk", Seq(
+      // augmented queries broadcast; the corpus buckets map-side and
+      // joins equi on (table, bucket) — never a cross product
+      "candidate join is equi on the bucket key" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "augmentation/dots stay in codegen (no UDF)" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("mx6_exact_split", Seq(
+      "rank window partitioned on (stratum, range-bucket)" ->
+        (_.contains("hashpartitioning(lang")),
+      "histogram + stratum sizes broadcast back" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("q66_retention", Seq(
+      // one corpus exchange: the (user, week) distinct; cohort agg
+      // and join reuse the user partitioning
+      "distinct pass partitioned on user" ->
+        (_.contains("hashpartitioning(user_id")),
+      "cohort sizes from a window, not a corpus re-scan" ->
+        (p => "BatchScan|FileScan|Scan parquet".r.findAllIn(p).size <= 1
+          || !p.contains("parquet")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     // dd8 resolveClusters / dd10 resolveClustersStars: their
     // iterations run eagerly behind localCheckpoint leaves, so the
     // returned plan is a leaf select; the shape guarantees
