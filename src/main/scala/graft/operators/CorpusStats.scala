@@ -123,4 +123,37 @@ object CorpusStats {
       .filter(col("rank") <= topN)
       .select("source", "rank", "s", "df", "n_docs")
   }
+
+  /** Per-source corpus-health panel (t19): the Zipf/Heaps-style
+    * vocabulary statistics a crawl-quality dashboard watches —
+    * token count, type (distinct-word) count, type/token ratio,
+    * top-word mass share, and hapax-legomenon share (words seen
+    * exactly once), all as integer ppm so the report is
+    * cross-engine exact. A healthy natural-language source keeps
+    * TTR and hapax share in a stable band; template/spam sources
+    * crater both (few types, no hapaxes), and OCR-noise sources
+    * inflate them (every garble is a new "word") — the two failure
+    * modes this panel separates at a glance.
+    *
+    * Scale shape: one corpus scan explodes to (source, word-fp)
+    * LONGS with multiplicity; the (source, fp) hash agg combines
+    * map-side so the exchange carries ≤ per-source vocabulary rows;
+    * the per-source rollup is a second bounded agg. Text never
+    * shuffles. */
+  def corpusHealth(docs: DataFrame): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    val words = docs.select(col("source"),
+      explode(gram_fps(col("text"), 1)).as("fp"))
+    val wc = words.groupBy("source", "fp").agg(count(lit(1)).as("n"))
+    wc.groupBy("source").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max("n").as("top_count"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("top_count * 1000000 div n_tokens").as("top_share_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+      .orderBy("source")
+  }
 }

@@ -139,6 +139,38 @@ object Decontaminate {
       .withColumn("compromised", col("n_corpus_docs") > 0)
   }
 
+  /** FUZZY decontamination (dc4): near-duplicate matching between the
+    * corpus and the eval set — the contamination [[ngramOverlap]]'s
+    * exact 5-grams miss once a benchmark item has been paraphrased,
+    * truncated, or reformatted on its way into the crawl (the GPT-3
+    * appendix-C lesson: exact n-gram filters under-count real
+    * leakage). Matching is [[Dedup.minhashPairsAgainst]] with the
+    * EVAL side as the broadcast batch: same banding/verify math as
+    * the dedup family, so "contaminated" here means exactly "would
+    * have been a near-dup pair at `pct`% Jaccard".
+    *
+    * Output: one row per FLAGGED corpus doc — its match count, the
+    * best-matching eval item (highest Jaccard ppm, ties to the lower
+    * eval id) and that score. Compose with [[ngramOverlap]] for the
+    * union of exact and fuzzy hits.
+    *
+    * Scale shape: the eval side's band keys broadcast; the corpus is
+    * probed map-side and only band-collision candidates reach the
+    * verify join; the per-doc argmax is a map-side-combinable
+    * `max_by`. The 100 TB side never shuffles in full. */
+  def fuzzyContamination(docs: DataFrame, isEval: Column, k: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, pct: Int = 60): DataFrame = {
+    val pairs = Dedup.minhashPairsAgainst(
+      docs.filter(isEval), docs.filter(!isEval),
+      k = k, numHashes = numHashes, bands = bands, pct = pct)
+      .withColumn("score_ppm", expr("common * 1000000 div union_size"))
+    pairs.groupBy(col("index_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max_by(col("new_id"),
+          struct(col("score_ppm"), -col("new_id"))).as("eval_id"),
+        max("score_ppm").as("score_ppm"))
+  }
+
   /** Left-join per-doc hit counts back onto the non-eval corpus so
     * zero-hit documents appear with `n_hits = 0`. */
   private def manifest(docs: DataFrame, isEval: Column,

@@ -479,6 +479,27 @@ object Multimodal {
         "dist", "is_cut", "scene_no")
   }
 
+  /** Keyframe manifest (m8): one representative frame per DETECTED
+    * scene — the "one embedding per shot" reduction that makes video
+    * corpora affordable to embed (a frame-level embedding stage costs
+    * scenes, not frames). Representative = the scene's first frame
+    * (its hash rides along for downstream frame-dedup against other
+    * media via the [[imageDHash]] band machinery); `n_frames` is the
+    * shot length a sampling-rate or saliency policy would refine.
+    *
+    * Scale shape: one narrow (media, scene) hash agg over
+    * [[sceneCuts]]'s already-windowed rows — `min`/`min_by`/`count`
+    * are all map-side combinable, and nothing frame-sized survives
+    * the aggregation. */
+  def keyframes(spark: SparkSession, docs: DataFrame,
+      frames: Int = 12, cutBits: Int = 10): DataFrame =
+    sceneCuts(spark, docs, frames, cutBits)
+      .groupBy("media_id", "scene_no")
+      .agg(min("frame_idx").as("keyframe_idx"),
+        min_by(col("hash_hi"), col("frame_idx")).as("hash_hi"),
+        min_by(col("hash_lo"), col("frame_idx")).as("hash_lo"),
+        count(lit(1)).as("n_frames"))
+
   /** Feature frame flattened for SQL-oracle comparison. */
   def features(spark: SparkSession, docs: DataFrame): DataFrame = {
     val f = extractFeatures(spark, mediaFromDocuments(docs))

@@ -335,6 +335,23 @@ object PipelineQueries {
         isEval = col("doc_id") % 50 === 0, k = 5)
         .orderBy("doc_id")
     },
+    // NEAR-DUP contamination (what exact 5-grams miss once the
+    // benchmark item was paraphrased/truncated): dd9's eval-broadcast
+    // banding + verify, one best-match row per flagged corpus doc
+    "dc4_fuzzy_contamination" -> { (s, d) =>
+      Decontaminate.fuzzyContamination(documents(s, d),
+        isEval = col("doc_id") % 50 === 0)
+        .orderBy("doc_id")
+    },
+    // filtered vector search: top-k restricted to label = 3 — the
+    // predicate lands in the parquet scan (PushedFilters), queries
+    // broadcast, corpus scanned once
+    "ss11_filtered_topk" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("label") === 3),
+        e.filter(col("vec_id") < 3), k = 5)
+        .orderBy("query_id", "rank")
+    },
     // same output as dc1 by construction (Bloom prefilter has no
     // false negatives; exact confirm removes false positives), but
     // the eval set is probed via a broadcast BITMAP instead of a
@@ -717,6 +734,17 @@ object PipelineQueries {
       Multimodal.sceneCuts(s, documents(s, d))
         .orderBy("media_id", "frame_idx")
     },
+    // one representative frame per detected scene — the
+    // one-embedding-per-shot manifest a video embedding stage consumes
+    "m8_keyframes" -> { (s, d) =>
+      Multimodal.keyframes(s, documents(s, d))
+        .orderBy("media_id", "scene_no")
+    },
+    // per-source Zipf/Heaps vocabulary health: token/type counts,
+    // TTR, top-word share, hapax share — all integer ppm
+    "t19_corpus_health" -> { (s, d) =>
+      CorpusStats.corpusHealth(documents(s, d))
+    },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
@@ -764,6 +792,38 @@ object PipelineQueries {
       " - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE" +
       " / length(text)::DOUBLE)" +
       s" + least(len($toks)::DOUBLE / 100.0, 1.0)"
+
+  /** Oracle twin of [[graft.operators.Multimodal.sceneCuts]] as a CTE
+    * chain ending in `scenes(media_id, frame_idx, hash_hi, hash_lo,
+    * dist, is_cut, scene_no)` — shared by the m7 query and the m8
+    * keyframe rollup. */
+  private def sqlSceneCtes: String = """b AS (
+        SELECT d.doc_id AS media_id, f.f AS frame_idx, t.i AS i,
+          CASE WHEN ((d.doc_id*7 + (f.f // (2 + d.doc_id % 3))*101
+                      + (((t.i//8)*9 + (t.i%8)) + 1)*13) % 256) >
+                    ((d.doc_id*7 + (f.f // (2 + d.doc_id % 3))*101
+                      + ((t.i//8)*9 + (t.i%8))*13) % 256)
+            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM documents d, unnest(range(0, 12)) AS f(f),
+          unnest(range(0, 64)) AS t(i)),
+      h AS (SELECT media_id, frame_idx,
+          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
+            AS hash_hi,
+          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS hash_lo
+        FROM b GROUP BY media_id, frame_idx),
+      l AS (SELECT media_id, frame_idx, hash_hi, hash_lo,
+          lag(hash_hi) OVER win AS ph, lag(hash_lo) OVER win AS pl
+        FROM h WINDOW win AS (PARTITION BY media_id ORDER BY frame_idx)),
+      d2 AS (SELECT media_id, frame_idx, hash_hi, hash_lo,
+          CAST(bit_count(xor(hash_hi, ph)) + bit_count(xor(hash_lo, pl))
+            AS BIGINT) AS dist
+        FROM l),
+      scenes AS (SELECT media_id, frame_idx, hash_hi, hash_lo, dist,
+        coalesce(dist >= 10, false) AS is_cut,
+        CAST(sum(CASE WHEN coalesce(dist >= 10, false) THEN 1 ELSE 0 END)
+          OVER (PARTITION BY media_id ORDER BY frame_idx
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_no
+        FROM d2)"""
 
   /** Oracle twin of [[graft.operators.Tokenizer.bpeTrain]]: the merge
     * trajectory unrolled as one CTE triple per round — pair counts
@@ -1249,6 +1309,25 @@ object PipelineQueries {
       FROM r JOIN si USING (source), n
       ORDER BY slot""",
     "t18_bpe_merges" -> sqlBpe(8),
+    // same unigram-fp multiset; the two-level rollup keeps every
+    // ratio in integer ppm (outer casts undo HUGEINT widening)
+    "t19_corpus_health" -> s"""
+      WITH w AS (SELECT source, unnest(${sqlGrams(toks, 1)}) AS fp
+        FROM documents),
+      wc AS (SELECT source, fp, count(*)::BIGINT AS n
+        FROM w GROUP BY source, fp),
+      r AS (SELECT source,
+          CAST(sum(n) AS BIGINT) AS n_tokens,
+          count(*)::BIGINT AS n_types,
+          CAST(max(n) AS BIGINT) AS top_count,
+          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hapax
+        FROM wc GROUP BY source)
+      SELECT source, n_tokens, n_types,
+        CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        CAST(top_count * 1000000 // n_tokens AS BIGINT) AS top_share_ppm,
+        CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+      FROM r ORDER BY source""",
     // same injection rule, same regex classes; the outer casts undo
     // DuckDB's HUGEINT widening
     "t17_encoding" -> """
@@ -1499,6 +1578,36 @@ object PipelineQueries {
       FROM verified
       WHERE common * 100 >= union_size * 80
       ORDER BY new_id, index_id""",
+    // dd9's cross-split CTEs with the dc1 eval split at 60% Jaccard;
+    // the window argmax replays the engine's max_by tie-break
+    "dc4_fuzzy_contamination" -> s"""
+      WITH ${sqlMinhashCtesCond(
+        "a.doc_id % 50 = 0 AND b.doc_id % 50 <> 0")},
+      p AS (SELECT b_id AS doc_id, a_id AS eval_id,
+          CAST(common * 1000000 // union_size AS BIGINT) AS score_ppm
+        FROM verified
+        WHERE common * 100 >= union_size * 60),
+      r AS (SELECT doc_id, eval_id, score_ppm,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_ppm DESC, eval_id ASC) AS rn,
+          count(*) OVER (PARTITION BY doc_id) AS n_matches
+        FROM p)
+      SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches, eval_id,
+        score_ppm
+      FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "ss11_filtered_topk" -> s"""
+      WITH e AS (SELECT vec_id, label, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        FROM e WHERE vec_id < 3),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e, q WHERE q.query_id <> e.vec_id AND e.label = 3),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
     "q52_zorder_stats" -> {
       val z = (0 until 16).map { i =>
         s"(((l_partkey >> $i) & 1) * ${1L << (2 * i)} + " +
@@ -2311,34 +2420,21 @@ object PipelineQueries {
       FROM b GROUP BY media_id ORDER BY media_id""",
     // m5's closed-form dHash bits, extended with the per-scene seed
     // term, then the same lag/xor/bit_count + running-cumsum windows
-    "m7_scene_cuts" -> """
-      WITH b AS (
-        SELECT d.doc_id AS media_id, f.f AS frame_idx, t.i AS i,
-          CASE WHEN ((d.doc_id*7 + (f.f // (2 + d.doc_id % 3))*101
-                      + (((t.i//8)*9 + (t.i%8)) + 1)*13) % 256) >
-                    ((d.doc_id*7 + (f.f // (2 + d.doc_id % 3))*101
-                      + ((t.i//8)*9 + (t.i%8))*13) % 256)
-            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        FROM documents d, unnest(range(0, 12)) AS f(f),
-          unnest(range(0, 64)) AS t(i)),
-      h AS (SELECT media_id, frame_idx,
-          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
-            AS hash_hi,
-          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS hash_lo
-        FROM b GROUP BY media_id, frame_idx),
-      l AS (SELECT media_id, frame_idx, hash_hi, hash_lo,
-          lag(hash_hi) OVER win AS ph, lag(hash_lo) OVER win AS pl
-        FROM h WINDOW win AS (PARTITION BY media_id ORDER BY frame_idx)),
-      d2 AS (SELECT media_id, frame_idx, hash_hi, hash_lo,
-          CAST(bit_count(xor(hash_hi, ph)) + bit_count(xor(hash_lo, pl))
-            AS BIGINT) AS dist
-        FROM l)
-      SELECT media_id, frame_idx, hash_hi, hash_lo, dist,
-        coalesce(dist >= 10, false) AS is_cut,
-        CAST(sum(CASE WHEN coalesce(dist >= 10, false) THEN 1 ELSE 0 END)
-          OVER (PARTITION BY media_id ORDER BY frame_idx
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_no
-      FROM d2 ORDER BY media_id, frame_idx""",
+    "m7_scene_cuts" -> s"""
+      WITH $sqlSceneCtes
+      SELECT media_id, frame_idx, hash_hi, hash_lo, dist, is_cut,
+        scene_no
+      FROM scenes ORDER BY media_id, frame_idx""",
+    // the m7 chain grouped to one row per detected scene; min_by picks
+    // the first frame's hashes
+    "m8_keyframes" -> s"""
+      WITH $sqlSceneCtes
+      SELECT media_id, scene_no, min(frame_idx) AS keyframe_idx,
+        min_by(hash_hi, frame_idx) AS hash_hi,
+        min_by(hash_lo, frame_idx) AS hash_lo,
+        count(*)::BIGINT AS n_frames
+      FROM scenes GROUP BY media_id, scene_no
+      ORDER BY media_id, scene_no""",
     "m6_audio_energy" -> """
       WITH s AS (
         SELECT d.doc_id AS media_id, t.i // 32 AS frame,

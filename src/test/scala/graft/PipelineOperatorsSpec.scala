@@ -1641,6 +1641,86 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyframes: one row per detected scene, first frame as the rep") {
+    val sample = docs.limit(5)
+    val frames = Multimodal.sceneCuts(spark, sample)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(6))) // media, frame, hi, lo, scene_no
+    val keys = Multimodal.keyframes(spark, sample)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    keys.groupBy(_._1).foreach { case (id, ks) =>
+      val fs = frames.filter(_._1 == id)
+      // scene_no values agree and every scene has exactly one row
+      assert(ks.map(_._2).sorted.toSeq == fs.map(_._5).distinct.sorted.toSeq)
+      assert(ks.map(_._6).sum == fs.length) // n_frames partitions frames
+      ks.foreach { case (_, scene, kf, hi, lo, _) =>
+        val inScene = fs.filter(_._5 == scene)
+        assert(kf == inScene.map(_._2).min)
+        val first = inScene.minBy(_._2)
+        assert(hi == first._3 && lo == first._4)
+      }
+    }
+  }
+
+  test("corpus health: exact integer ppm over a known vocabulary") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b", "A"), (2L, "c", "A"),
+      (3L, "", "B")).toDF("doc_id", "text", "source")
+    val rows = CorpusStats.corpusHealth(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // A: 5 tokens {a:3,b:1,c:1} -> 3 types, top 3, 2 hapaxes
+    assert(rows.toSeq == Seq(
+      ("A", 5L, 3L, 600000L, 600000L, 666666L),
+      // empty doc contributes its one empty-gram token (fp 0)
+      ("B", 1L, 1L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("fuzzy contamination flags paraphrased eval items, exact misses ok") {
+    import spark.implicits._
+    // a truncated/extended copy (the benchmark item plus trailing
+    // chrome): Jaccard 17/22 = 77% — above the 60% fuzzy threshold,
+    // invisible to an exact whole-doc filter, and this pair's band
+    // keys collide under the deterministic hash family (banding has
+    // legitimate false NEGATIVES; recall properties are pinned in the
+    // minhash subset test above)
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen geese wander slowly across the quiet frozen pond"
+    val d = Seq(
+      (50L, base),
+      (1L, base + " and then some extra words"),
+      (2L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val rows = Decontaminate.fuzzyContamination(d,
+        isEval = col("doc_id") % 50 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSet == Set(1L))
+    val (_, n, evalId, score) = rows.head
+    assert(n == 1L && evalId == 50L)
+    // 17/22 shingles shared: high but sub-1e6 Jaccard
+    assert(score == 17L * 1000000L / 22L)
+  }
+
+  test("filtered top-k returns only matching-label neighbors, exact order") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Similarity.bruteForceTopK(
+        embs.filter(col("label") === 3), embs.filter(col("vec_id") < 3),
+        k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, nid, _) => assert(labels(nid) == 3) }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+      val scores = rs.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("soft dedup halves duplicate weight and keeps every document") {
     import spark.implicits._
     val d = Seq(

@@ -588,6 +588,35 @@ object PlanCheck {
         "Exchange".r.findAllIn(p).size <= 2),
       "no UDF in the hash pipeline" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("dc4_fuzzy_contamination", Seq(
+      // eval band keys ride broadcasts; candidates come from the
+      // band-key equi-join, never a cross product
+      "band-collision join is equi, not cartesian" ->
+        (p => !p.contains("CartesianProduct")),
+      "no UDF in the banding/verify path" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("ss11_filtered_topk", Seq(
+      // the label predicate reaches the parquet scan — filtered
+      // vector search pays only the matching stripe
+      "label filter pushed to the scan" ->
+        (_.contains("EqualTo(label,3)")),
+      "queries broadcast (corpus not shuffled)" ->
+        (_.contains("BroadcastNestedLoopJoin"))))
+    audit("m8_keyframes", Seq(
+      // the scene rollup is one narrow hash agg over m7's windowed
+      // rows — nothing frame-sized survives, partial agg map-side
+      "scene rollup partial-aggregated map-side" -> (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "no UDF" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("t19_corpus_health", Seq(
+      // explode to (source, fp) longs; both rollups combine map-side
+      "vocabulary agg partial-aggregated map-side" ->
+        (_.contains("partial_")),
+      "text never shuffles (exchanges carry source+longs)" -> (p =>
+        "Exchange".r.findAllIn(p).size <= 3),
+      "no UDF" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
     audit("tp7_interleave", Seq(
       // per-source rank runs partitioned by (source, range-bucket) —
       // never one reducer per source
