@@ -479,6 +479,75 @@ object Multimodal {
         "dist", "is_cut", "scene_no")
   }
 
+  /** Silence-trim manifest (m9): the first primitive of audio
+    * curation ([[audioEnergy]]'s scaladoc promise made concrete) —
+    * per clip, the active range once leading/trailing silent frames
+    * are cut, from energies computed off the DECODED bytes of a real
+    * WAV round-trip. Clips are synthesized with deterministic
+    * leading (`id % 3` frames) and trailing (`id % 2`) silence gating
+    * the m6 sample formula, so the oracle recomputes every energy in
+    * closed form; PCM16 losslessness makes the match exact. A real
+    * pipeline swaps the synthesizer for its payload column and keeps
+    * everything else — threshold compare, per-media rollup, and the
+    * trim range a re-encode stage consumes.
+    *
+    * Scale shape: synth+codec+energy per-row in `mapPartitions`; ONE
+    * narrow media-keyed partial agg (min/max/count over (media,
+    * frame, energy) rows) — no window needed for an endpoint trim. */
+  def audioTrim(spark: SparkSession, docs: DataFrame,
+      frames: Int = 8, frameLen: Int = 32): DataFrame = {
+    import spark.implicits._
+    val n = frames * frameLen
+    val energies = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false)
+        ids.flatMap { id =>
+          val lead = (id % 3).toInt
+          val tail = (id % 2).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val f = i / frameLen
+            val active = f >= lead && f < frames - tail
+            val s = if (active)
+              (((id * 7349L + i * 131L + 17L) % 65536L) - 32768L).toInt
+            else 0
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val back = in.readAllBytes()
+          if (back.length != n * 2)
+            sys.error(s"WAV round-trip size ${back.length} for doc $id")
+          (0 until frames).map { f =>
+            var e = 0L
+            var j = 0
+            while (j < frameLen) {
+              val k = f * frameLen + j
+              val s = (back(2 * k + 1).toInt << 8) | (back(2 * k) & 0xff)
+              e += s.toLong * s
+              j += 1
+            }
+            (id, f.toLong, e)
+          }
+        }
+      }
+      .toDF("media_id", "frame", "energy")
+    energies.groupBy("media_id").agg(
+      min(when(col("energy") > 0L, col("frame"))).as("first_active"),
+      max(when(col("energy") > 0L, col("frame"))).as("last_active"),
+      sum(when(col("energy") > 0L, 1L).otherwise(0L)).as("n_active"),
+      sum(when(col("energy") === 0L, 1L).otherwise(0L)).as("n_silent"))
+  }
+
   /** Keyframe manifest (m8): one representative frame per DETECTED
     * scene — the "one embedding per shot" reduction that makes video
     * corpora affordable to embed (a frame-level embedding stage costs

@@ -230,6 +230,27 @@ object VectorStats {
     embs.select(col("vec_id"), wcol(v1, l1).as("w1"), wcol(v2, l2).as("w2"))
   }
 
+  /** Embedding outlier scores in the whitened PCA plane (ve9): each
+    * vector's squared distance from the corpus mean along the top-2
+    * whitened directions — a 2-component Mahalanobis surrogate, the
+    * cheap "is this embedding even from this distribution" filter
+    * that runs before expensive semantic dedup or ANN indexing
+    * (encoder glitches, empty-input embeddings, and off-domain
+    * content all land in the tail). Scores are exact products of the
+    * [[pcaWhiten2]] coordinates (same fixed-point projections), so
+    * the report is oracle-exact; output is the top `topN` outliers.
+    *
+    * Scale shape: [[pcaWhiten2]]'s one-scan covariance + driver-side
+    * d×d iteration, then a zero-exchange map-side projection and a
+    * `TakeOrdered` top-N — no global sort, nothing corpus-sized on
+    * any exchange. */
+  def whitenOutliers(embs: DataFrame, topN: Int = 20,
+      iters: Int = 24): DataFrame =
+    pcaWhiten2(embs, iters)
+      .withColumn("dist2", col("w1") * col("w1") + col("w2") * col("w2"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(topN)
+
   /** Distribution drift between two embedding snapshots (ve8): the
     * monitoring primitive behind "did the corpus / the encoder
     * change" — per dimension, an equi-width histogram of the

@@ -138,8 +138,10 @@ object PipelineQueries {
   /** Oracle twin of [[VectorStats.pcaWhiten2]]: first chain on `cov`,
     * Hotelling deflation `cov₂ = cov − λ₁·v₁v₁ᵀ`, second chain on
     * `cov₂`, both projections whitened by `√λ`. */
-  private def sqlPcaWhiten2(iters: Int): String = s"""
-      WITH $sqlCovCtes,
+  /** The [[sqlPcaWhiten2]] CTE chain up to
+    * `wcoords(vec_id, w1, w2)` — shared by ve7 and the ve9 outlier
+    * rollup. */
+  private def sqlWhitenCoordCtes(iters: Int): String = s"""$sqlCovCtes,
       ${sqlPowerChain("a", "cov", iters)},
       ${sqlRayleigh("a", "cov")},
       cov2 AS MATERIALIZED (
@@ -155,9 +157,13 @@ object PipelineQueries {
       p2 AS (SELECT e.vec_id,
           (sum(floor(e.embedding[d.i+1]::DOUBLE * d.v * $FpS)
             ::BIGINT)::DOUBLE / $FpS) / sqrt((SELECT lam FROM blam)) AS w2
-        FROM embeddings e CROSS JOIN bdir d GROUP BY e.vec_id)
-      SELECT p1.vec_id, p1.w1, p2.w2 FROM p1 JOIN p2 USING (vec_id)
-      ORDER BY p1.vec_id"""
+        FROM embeddings e CROSS JOIN bdir d GROUP BY e.vec_id),
+      wcoords AS (SELECT p1.vec_id, p1.w1, p2.w2
+        FROM p1 JOIN p2 USING (vec_id))"""
+
+  private def sqlPcaWhiten2(iters: Int): String = s"""
+      WITH ${sqlWhitenCoordCtes(iters)}
+      SELECT vec_id, w1, w2 FROM wcoords ORDER BY vec_id"""
 
   // ---- queries -----------------------------------------------------
 
@@ -532,6 +538,11 @@ object PipelineQueries {
     "ve7_pca_whiten" -> { (s, d) =>
       VectorStats.pcaWhiten2(embeddings(s, d)).orderBy("vec_id")
     },
+    // 2-component Mahalanobis surrogate: top-20 embedding outliers in
+    // the whitened plane — the pre-index distribution filter
+    "ve9_whiten_outliers" -> { (s, d) =>
+      VectorStats.whitenOutliers(embeddings(s, d))
+    },
     // snapshot drift report: per-dim histogram L1 distance (ppm)
     // between the even-id "reference" half and the odd-id "current"
     // half — integer-exact total-variation, no transcendental PSI
@@ -725,6 +736,11 @@ object PipelineQueries {
     "m6_audio_energy" -> { (s, d) =>
       Multimodal.audioEnergy(s, documents(s, d))
         .orderBy("media_id", "frame")
+    },
+    // silence-trim manifest off the decoded bytes: active frame range
+    // + silent counts per clip (deterministic gated synth clips)
+    "m9_audio_trim" -> { (s, d) =>
+      Multimodal.audioTrim(s, documents(s, d)).orderBy("media_id")
     },
     // video scene-cut detection: per-media deterministic frame stream
     // dHashed through the REAL PNG codec, consecutive-frame Hamming
@@ -1865,6 +1881,13 @@ object PipelineQueries {
       FROM x GROUP BY i, j ORDER BY i, j""",
     "ve6_pca_project" -> sqlPcaProject(24),
     "ve7_pca_whiten" -> sqlPcaWhiten2(24),
+    // same whitened coordinates, scored w1^2+w2^2 (exact double
+    // products of oracle-exact coords) and top-20 by distance
+    "ve9_whiten_outliers" -> s"""
+      WITH ${sqlWhitenCoordCtes(24)}
+      SELECT vec_id, w1, w2, w1*w1 + w2*w2 AS dist2
+      FROM wcoords
+      ORDER BY dist2 DESC, vec_id LIMIT 20""",
     // ve8 twin: same clamped equi-width binning (scale 4.0 is a power
     // of two, so the double multiply-and-floor is bit-equal), BIGINT
     // casts on the sums (DuckDB widens sum(BIGINT) to HUGEINT)
@@ -2435,6 +2458,29 @@ object PipelineQueries {
         count(*)::BIGINT AS n_frames
       FROM scenes GROUP BY media_id, scene_no
       ORDER BY media_id, scene_no""",
+    // m6's closed-form samples gated by the leading/trailing silence
+    // schedule, then the endpoint rollup
+    "m9_audio_trim" -> """
+      WITH s AS (
+        SELECT d.doc_id AS media_id, t.i // 32 AS frame,
+          CASE WHEN (t.i // 32) >= d.doc_id % 3
+                AND (t.i // 32) < 8 - d.doc_id % 2
+            THEN ((d.doc_id * 7349 + t.i * 131 + 17) % 65536) - 32768
+            ELSE 0 END AS smp
+        FROM documents d, unnest(range(0, 256)) AS t(i)),
+      e AS (SELECT media_id, frame, CAST(sum(smp * smp) AS BIGINT)
+          AS energy
+        FROM s GROUP BY 1, 2)
+      SELECT media_id,
+        CAST(min(CASE WHEN energy > 0 THEN frame END) AS BIGINT)
+          AS first_active,
+        CAST(max(CASE WHEN energy > 0 THEN frame END) AS BIGINT)
+          AS last_active,
+        CAST(sum(CASE WHEN energy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_active,
+        CAST(sum(CASE WHEN energy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_silent
+      FROM e GROUP BY media_id ORDER BY media_id""",
     "m6_audio_energy" -> """
       WITH s AS (
         SELECT d.doc_id AS media_id, t.i // 32 AS frame,

@@ -1721,6 +1721,30 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio trim finds the gated active range through the WAV codec") {
+    val rows = Multimodal.audioTrim(spark, docs.limit(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, first, last, nActive, nSilent) =>
+      assert(first == id % 3)
+      assert(last == 7 - id % 2)
+      assert(nActive == 8 - id % 3 - id % 2)
+      assert(nSilent == id % 3 + id % 2)
+    }
+  }
+
+  test("whiten outliers are the top-20 by squared whitened distance") {
+    val coords = graft.operators.VectorStats.pcaWhiten2(embs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = coords
+      .map { case (id, w1, w2) => (id, w1 * w1 + w2 * w2) }
+      .sortBy { case (id, d2) => (-d2, id) }.take(20).toSeq
+    val got = graft.operators.VectorStats.whitenOutliers(embs)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
   test("soft dedup halves duplicate weight and keeps every document") {
     import spark.implicits._
     val d = Seq(

@@ -588,6 +588,16 @@ object PlanCheck {
         "Exchange".r.findAllIn(p).size <= 2),
       "no UDF in the hash pipeline" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("m9_audio_trim", Seq(
+      // endpoint trim needs no window: one media-keyed partial agg
+      "trim rollup partial-aggregated map-side" -> (_.contains("partial_")),
+      "at most two exchanges (agg + output sort)" -> (p =>
+        "Exchange".r.findAllIn(p).size <= 2)))
+    audit("ve9_whiten_outliers", Seq(
+      // zero-exchange map-side projection + TakeOrdered top-N
+      "top-N as TakeOrdered, not a global sort" -> (p =>
+        p.contains("TakeOrderedAndProject") || p.contains("TakeOrdered")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("dc4_fuzzy_contamination", Seq(
       // eval band keys ride broadcasts; candidates come from the
       // band-key equi-join, never a cross product
