@@ -305,4 +305,81 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(functions.HashOps.sortedIntersect(
       Array(1L, 3L, 5L), Array(1L, 3L, 5L)).toSeq == Seq(1L, 3L, 5L))
   }
+
+  test("bpe: alphabet-free corpus yields no merges; single word merges") {
+    import spark.implicits._
+    // no [a-z]+ words survive the filter -> every round's argmax is
+    // empty -> no output rows (not an error)
+    val numeric = Seq((1L, "123 456 789")).toDF("doc_id", "text")
+    assert(graft.operators.Tokenizer.bpeTrain(numeric, merges = 2)
+      .count() == 0L)
+    val one = Seq((1L, "ab")).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeTrain(one, merges = 1).collect()(0)
+    assert(m.getString(1) == "a b" && m.getString(2) == "ab" &&
+      m.getLong(3) == 1L)
+  }
+
+  test("transitions and retention on degenerate event streams") {
+    import spark.implicits._
+    // one event per user: no successors -> empty transition matrix
+    val single = Seq((1L, 1L, "A"), (2L, 2L, "B"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+    assert(graft.operators.Profile.eventTransitions(single).count() == 0L)
+    // every user active only in its cohort week -> one row per cohort,
+    // offset 0, retention exactly 1e6
+    val rows = graft.operators.Profile.retentionCohorts(single)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall { case (off, _, ppm) => off == 0L && ppm == 1000000L })
+  }
+
+  test("interleave with one source is the bare seeded rank") {
+    import spark.implicits._
+    val d = Seq((1L, "x"), (2L, "y"), (3L, "z"))
+      .toDF("doc_id", "text").withColumn("source", lit("only"))
+    val rows = graft.operators.Packing.interleaveSources(d, seed = 7L)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    rows.foreach { case (rank, slot) => assert(slot == rank) }
+    assert(rows.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("exact split degenerate strata: tiny strata round UP into train") {
+    import spark.implicits._
+    // rank*100 < n*80 keeps ceil(0.8n) in train: a 1- or 2-doc stratum
+    // is ALL train (0 < 80, 100 < 160) — never a spurious test doc
+    // from a stratum too small to split
+    val d = Seq((1L, "a", "s1"), (2L, "b", "s2"), (3L, "c", "s2"))
+      .toDF("doc_id", "text", "lang")
+    val bySplit = graft.operators.Mixture.exactStratifiedSplit(d, seed = 1L)
+      .collect().map(r => (r.getString(1), r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(bySplit("s1") == Seq("train"))
+    assert(bySplit("s2") == Seq("train", "train"))
+    // a 10-doc stratum splits exactly 8/1/1
+    val ten = (0 until 10).map(i => (i.toLong, s"doc $i", "big"))
+      .toDF("doc_id", "text", "lang")
+    val counts = graft.operators.Mixture.exactStratifiedSplit(ten, seed = 1L)
+      .collect().groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    assert(counts == Map("train" -> 8, "val" -> 1, "test" -> 1))
+  }
+
+  test("corpus health on a one-type source: TTR floors, no hapaxes") {
+    import spark.implicits._
+    val d = Seq((1L, "x x x x", "mono")).toDF("doc_id", "text", "source")
+    val r = graft.operators.CorpusStats.corpusHealth(d).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L) // tokens, types
+    assert(r.getLong(3) == 250000L)  // ttr
+    assert(r.getLong(4) == 1000000L) // top share
+    assert(r.getLong(5) == 0L)       // hapax
+  }
+
+  test("soft dedup of an all-unique corpus keeps full weight everywhere") {
+    import spark.implicits._
+    val d = Seq((1L, "first completely distinct body of words"),
+      (2L, "second entirely different set of tokens"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.softDedupWeights(d).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(rows.forall(_ == ((1L, 1000000L))))
+  }
 }
