@@ -198,6 +198,50 @@ object Packing {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }
 
+  /** EXECUTE the packing plan (tp8): materialize each output
+    * sequence's identity — contributing doc count, landed token
+    * count, and a rolling fingerprint over the sequence's token
+    * stream IN ORDER — from [[packManifest]]'s placements. The
+    * fingerprint is what makes this the execution proof rather than
+    * another audit: it equals the polynomial hash of exactly the
+    * token-fp stream a trainer loader slicing the same manifest
+    * would emit, so any off-by-one in offsets, straddling, or
+    * ordering changes the value ([[packShardAudit]] checks the
+    * COUNTS; this checks the BYTES). Emitting the hash instead of
+    * the 2048-token arrays keeps the result frame tiny; the real
+    * materializer writes the arrays with the identical placement
+    * arithmetic.
+    *
+    * Scale shape: manifest join on doc_id (key-equi), one explode to
+    * (bucket, global_pos, token_fp) longs, ONE (bucket, pack) hash
+    * aggregation whose per-key state is bounded by `seqLen` structs
+    * — sorted and folded inside the aggregate, never a global sort.
+    * Token text never shuffles; the stream is fingerprints. */
+  def packExecute(docs: DataFrame, seqLen: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    val manifest = packManifest(docs, seqLen, buckets)
+      .filter(col("n_tokens") > 0)
+      .select("doc_id", "n_tokens", "bucket", "pack_id", "tok_off")
+    val toks = docs.select(col("doc_id"), gram_fps(col("text"), 1).as("fps"))
+    val placed = manifest.join(toks, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        (col("pack_id") * seqLen + col("tok_off")).as("start"),
+        posexplode(slice(col("fps"), lit(1), col("n_tokens").cast("int"))))
+      .select(col("doc_id"), col("bucket"),
+        (col("start") + col("pos")).as("gpos"), col("col").as("fp"))
+    placed
+      .groupBy(col("bucket"), expr(s"gpos div $seqLen").as("pack_id"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(
+            (col("gpos") % seqLen).as("p_off"), col("fp")))),
+          lit(0L),
+          (acc, x) => (acc * 31L + x.getField("fp")) % 1000000007L)
+          .as("seq_fp"))
+  }
+
   /** Deterministic SOURCE-INTERLEAVED epoch order (tp7): round-robin
     * the corpus's sources into one training stream — each document
     * gets a seeded-hash rank within its source and the global slot

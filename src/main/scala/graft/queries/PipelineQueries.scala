@@ -442,6 +442,13 @@ object PipelineQueries {
       Packing.packShardAudit(documents(s, d), seqLen = 512, buckets = 32)
         .orderBy("bucket", "pack")
     },
+    // pack EXECUTION proof: per output sequence, doc/token counts AND
+    // a rolling fingerprint of the token stream in placement order —
+    // tp5 checks the counts, this checks the bytes
+    "tp8_pack_execute" -> { (s, d) =>
+      Packing.packExecute(documents(s, d), seqLen = 512, buckets = 32)
+        .orderBy("bucket", "pack_id")
+    },
     // small-files compaction plan: per-source doc_id-ordered byte
     // bins at 4 KB target (sized so the toy SFs produce several bins) — the rewrite work-list
     "q57_compaction_bins" -> { (s, d) =>
@@ -1651,6 +1658,28 @@ object PipelineQueries {
         CASE WHEN n_tokens = 0 THEN 0
           ELSE (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 END AS n_packs
       FROM c ORDER BY doc_id""",
+    // tp1's placement arithmetic, re-exploded per token; the ordered
+    // list() + fold replays the engine's sorted-struct aggregate
+    "tp8_pack_execute" -> s"""
+      WITH d AS (SELECT doc_id, $toks AS tk,
+        len($toks)::BIGINT AS n_tokens,
+        ${sqlFp("doc_id::VARCHAR")} % 32 AS bucket FROM documents),
+      c AS (SELECT doc_id, tk, n_tokens, bucket,
+        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM d),
+      m AS (SELECT doc_id, tk, n_tokens, bucket,
+          cum - n_tokens AS start0
+        FROM c WHERE n_tokens > 0),
+      placed AS (SELECT doc_id, bucket, start0 + t.i AS gpos,
+          ${sqlFp("tk[t.i + 1]")} AS fp
+        FROM m, unnest(range(0, n_tokens)) AS t(i))
+      SELECT bucket, gpos // 512 AS pack_id,
+        count(DISTINCT doc_id)::BIGINT AS n_docs,
+        count(*)::BIGINT AS n_tokens,
+        list_reduce(list_prepend(0::BIGINT, list(fp ORDER BY gpos)),
+          (a0, x0) -> (a0 * 31 + x0) % 1000000007) AS seq_fp
+      FROM placed GROUP BY bucket, pack_id
+      ORDER BY bucket, pack_id""",
     "tp5_shard_audit" -> s"""
       WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens,
         ${sqlFp("doc_id::VARCHAR")} % 32 AS bucket FROM documents),

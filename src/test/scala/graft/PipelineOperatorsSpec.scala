@@ -1745,6 +1745,33 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("pack execution fills every non-tail sequence and matches the audit") {
+    val exec = graft.operators.Packing
+      .packExecute(docs, seqLen = 128, buckets = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val audit = graft.operators.Packing
+      .packShardAudit(docs, seqLen = 128, buckets = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(exec.keySet == audit.keySet)
+    // token/doc counts agree with the interval-arithmetic audit
+    exec.foreach { case (k, (nDocs, nToks, _)) =>
+      assert(audit(k) == ((nDocs, nToks)), s"pack $k")
+    }
+    // every sequence is exactly full except each bucket's ragged tail
+    exec.groupBy(_._1._1).foreach { case (_, packs) =>
+      val last = packs.keys.map(_._2).max
+      packs.foreach { case ((_, p), (_, nToks, _)) =>
+        if (p != last) assert(nToks == 128L)
+      }
+    }
+    // fingerprints are sensitive to the stream, not just the counts:
+    // all full packs hashing equal would mean a degenerate fold
+    val fullFps = exec.collect { case ((_, _), (_, 128L, fp)) => fp }
+    assert(fullFps.toSeq.distinct.length > 1)
+  }
+
   test("soft dedup halves duplicate weight and keeps every document") {
     import spark.implicits._
     val d = Seq(

@@ -588,6 +588,15 @@ object PlanCheck {
         "Exchange".r.findAllIn(p).size <= 2),
       "no UDF in the hash pipeline" -> (p =>
         !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
+    audit("tp8_pack_execute", Seq(
+      // the (bucket, pack) aggregate combines map-side; per-key state
+      // is bounded by seqLen structs
+      "sequence aggregate partial-aggregated map-side" ->
+        (_.contains("partial_")),
+      "doc join is key-equi, not cartesian" ->
+        (p => !p.contains("CartesianProduct")),
+      "no UDF in the fold" -> (p =>
+        !p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))))
     audit("m9_audio_trim", Seq(
       // endpoint trim needs no window: one media-keyed partial agg
       "trim rollup partial-aggregated map-side" -> (_.contains("partial_")),
