@@ -47,6 +47,31 @@ class BucketingSpec extends AnyFunSuite
     s
   }
 
+  test("label-partitioned layout serves filtered vector search via partition pruning") {
+    // the ss11 scale path made concrete: the corpus written
+    // partitionBy(label) turns the metadata predicate into DIRECTORY
+    // pruning — the scan plans only the matching stripe — and the
+    // filtered top-k over the pruned read equals the row-filter answer
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-label-part").toString
+    embs.write.partitionBy("label").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("label") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("label"),
+      s"label not a partition filter:\n$plan")
+    val queries = embs.filter(col("vec_id") < 3)
+    val viaLayout = graft.operators.Similarity
+      .bruteForceTopK(pruned, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaRowFilter = graft.operators.Similarity
+      .bruteForceTopK(embs.filter(col("label") === 3), queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaLayout == viaRowFilter && viaLayout.nonEmpty)
+  }
+
   test("bucketed tables join without any exchange") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
