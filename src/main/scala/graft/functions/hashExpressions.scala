@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashOps {
   final val Mod = 1000000007L
+  final val Mod2 = 1000000009L
 
   /** Rolling polynomial hash over code points — must stay in lockstep
     * with the `ord`-based SQL oracle (`PipelineQueries.sqlFp`). */
@@ -117,6 +118,49 @@ object HashOps {
     var out = 0L
     var j = 0
     while (j < 30) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** 60-bit SimHash over token fingerprints (twin of
+    * `Dedup.simhash60`): bits 0..29 vote on the base-31 mod-1e9+7
+    * poly-hash (identical to [[simHash]]'s 30 bits), bits 30..59 on
+    * an independent base-131 mod-1e9+9 poly-hash of the same token.
+    * 60 bits, not 64, because each half must be < 2^30 so the DuckDB
+    * oracle's `floor(fp / 2^j) % 2` bit extraction stays exact in
+    * doubles — the price of cross-engine bit-for-bit replayability.
+    * Four 15-bit blocks of a 60-bit hash make Hamming distance ≤ 3
+    * pigeonhole-COMPLETE (3 differing bits cannot touch all 4
+    * blocks), vs the 30-bit/3-block scheme which missed distance-3
+    * pairs whose diffs landed in three distinct blocks. */
+  def simHash60(s: UTF8String): Long = {
+    val toks = tokenize(s)
+    val counts = new Array[Long](60)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      var h1 = 0L
+      var h2 = 0L
+      var c = 0
+      while (c < w.length) {
+        val cp = w.codePointAt(c)
+        h1 = (h1 * 31 + cp) % Mod
+        h2 = (h2 * 131 + cp) % Mod2
+        c += Character.charCount(cp)
+      }
+      var j = 0
+      while (j < 30) {
+        counts(j) += (((h1 >>> j) & 1L) * 2L - 1L)
+        counts(j + 30) += (((h2 >>> j) & 1L) * 2L - 1L)
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
       if (counts(j) > 0) out |= (1L << j)
       j += 1
     }
@@ -286,6 +330,18 @@ case class SimHash30(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash30 = copy(c)
 }
 
+/** `simhash60(str)` — 60-bit SimHash of the document's tokens (two
+  * independent 30-bit poly-hash votes; see [[HashOps.simHash60]]). */
+case class SimHash60(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashOps.simHash60(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simHash60($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(c)
+}
+
 /** `trigram_lang_id(str)` — codegen'd character-trigram language ID.
   * Replaces an interpreted HOF chain (per-char split + per-trigram
   * array materialization) that cost ~15 ms/document with one JVM
@@ -372,6 +428,7 @@ object hashFunctions {
   def shingle_fps(c: Column, k: Int): Column = toCol(ShingleFps(toExpr(c), k))
   def gram_fps(c: Column, k: Int): Column = toCol(GramFps(toExpr(c), k))
   def simhash30(c: Column): Column = toCol(SimHash30(toExpr(c)))
+  def simhash60(c: Column): Column = toCol(SimHash60(toExpr(c)))
   def trigram_lang_id(c: Column): Column = toCol(TrigramLangId(toExpr(c)))
   def minhash_sig(c: Column, n: Int): Column = toCol(MinHashSig(toExpr(c), n))
   def hashed_bow(c: Column, dim: Int): Column = toCol(HashedBow(toExpr(c), dim))
@@ -385,6 +442,8 @@ object hashFunctions {
       "poly_hash", exprs => PolyHash(exprs.head))
     org.apache.spark.sql.GraftBridge.registerFunction(spark,
       "simhash30", exprs => SimHash30(exprs.head))
+    org.apache.spark.sql.GraftBridge.registerFunction(spark,
+      "simhash60", exprs => SimHash60(exprs.head))
     org.apache.spark.sql.GraftBridge.registerFunction(spark,
       "trigram_lang_id", exprs => TrigramLangId(exprs.head))
     org.apache.spark.sql.GraftBridge.registerFunction(spark,

@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.LongType
   *  - MinHash+LSH is the scale path: signatures are computed per-row
   *    (no shuffle), then one shuffle per band on the band key; only
   *    bucket-colliding pairs reach the exact verifier;
-  *  - SimHash reduces each document to one 64-bit word per row; the
-  *    pair join is on the first 16-bit block (block-permuted
-  *    Hamming-search pattern);
+  *  - SimHash reduces each document to one 60-bit word per row; the
+  *    pair join runs over DISTINCT hashes on four 15-bit pigeonhole
+  *    blocks (complete at Hamming distance ≤ 3) with an
+  *    oversized-bucket sub-split + hard cap — see [[simhashBlocks]];
   *  - embedding near-dup brute-force is quadratic — kept for oracle
   *    verification; the scale path is [[Similarity]] LSH bucketing.
   *
@@ -494,33 +495,131 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.hashFunctions.simhash30(text)
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`,
-    * candidate-blocked on THREE 10-bit blocks (pairs join if ANY
-    * block matches). By pigeonhole this is complete for distance ≤ 2
-    * (at most 2 diff bits can't hit all 3 blocks); at distance 3 it
-    * misses only pairs whose diffs land in three distinct blocks —
-    * the standard block-permutation trade-off, here with quantified
-    * recall. One shuffle on (block, key); never a cross join. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    // both sides of the block self-join scan this frame — checkpoint
-    // the (id, 64-bit hash) rows (tiny) so simhash runs once per doc
-    val withHash = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
-      .localCheckpoint(eager = false)
-    val blocked = withHash.select(col("doc_id"), col("sh"),
-      explode(array((0 until 3).map { b =>
+  /** 60-bit SimHash (two independent 30-bit poly-hash votes — see
+    * [[graft.functions.HashOps.simHash60]] for why 60 keeps the
+    * DuckDB oracle bit-exact). */
+  def simhash60(text: Column): Column =
+    graft.functions.hashFunctions.simhash60(text)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, shaped
+    * for the 100 TB corpus (the Manku/WWW'07 pigeonhole layout):
+    *
+    *  - 60-bit hash, FOUR 15-bit blocks (pairs join if ANY block
+    *    matches): ≤ 3 differing bits cannot touch all 4 blocks, so
+    *    recall at `maxDist` ≤ 3 is pigeonhole-COMPLETE — and the key
+    *    space is 4 × 2^15 = 131,072 blocks vs the 3,072 a 30-bit/3×10
+    *    scheme allows, so average bucket population drops 40× at the
+    *    same corpus size.
+    *  - The block self-join runs over DISTINCT hash values, not
+    *    documents: a pile-up of a million byte-identical documents
+    *    contributes ONE row per block, so bucket size is bounded by
+    *    distinct-hash diversity, never by duplication rate. Doc pairs
+    *    are recovered afterwards by joining the (doc_id, sh) map onto
+    *    the surviving hash pairs — output-proportional work.
+    *  - Oversized-bucket guard: block-key populations (≤ 131,072
+    *    rows, counted once and broadcast) above `maxBucket` are
+    *    sub-split by the NEXT block's 15 bits. Near-dup hashes differ
+    *    in ≤ maxDist bits total, so most survive the refinement in
+    *    the same sub-bucket; the bounded recall loss under adversarial
+    *    pile-ups is the price of capping the join fan-out at
+    *    `maxBucket`² instead of bucket² (GuardrailsSpec pins the
+    *    bound; docs/SCALING.md §SimHash has the fan-out math).
+    *
+    * Shuffles: one distinct over 8-byte hashes, one (block, key, sub)
+    * exchange of the distinct-hash stream, one distinct over
+    * surviving HASH pairs (ids re-attached after — the pair stream
+    * through the exchange carries two longs, nothing else), two
+    * output-side joins keyed on sh. Document bodies never move. */
+  /** Blocked candidate layout for [[simhashPairs]] over a frame of
+    * DISTINCT 60-bit hashes (`sh`): four (bid, bkey) 15-bit block
+    * keys per hash, with the oversized-bucket guard applied. Returns
+    * (sh, bid, bkey, sub); candidate pairs are equi-joins on
+    * (bid, bkey, sub).
+    *
+    * The guard is two-stage, and the bound it gives is UNCONDITIONAL:
+    *  1. block-key census (≤ 4×2^15 rows whatever the corpus size —
+    *     always broadcastable); buckets above `maxBucket` get a
+    *     15-bit sub-key from the NEXT block — near-dup hashes agree
+    *     on most remaining bits, so genuine near-neighbours survive
+    *     the refinement together;
+    *  2. refined buckets that are STILL above `maxBucket` (an
+    *     adversarial pile-up constant in both blocks) keep a
+    *     deterministic `maxBucket`-sized prefix (row_number over sh).
+    *     The window runs only on the oversized stream — empty in
+    *     non-adversarial corpora — and rank is linear, never
+    *     quadratic, in bucket size. Dropped rows lose only CROSS-hash
+    *     candidates from that one block (the other three blocks still
+    *     route them, and pigeonhole needs just one clean block);
+    *     identical-hash (distance-0) pairs are recovered by the
+    *     expansion join in [[simhashPairs]], never by the block join.
+    *
+    * Max candidate fan-out per join key is therefore `maxBucket`²
+    * regardless of input: the quadratic-bucket failure mode is
+    * structurally closed. */
+  private[graft] def simhashBlocks(hashes: DataFrame,
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = hashes.select(col("sh"),
+      explode(array((0 until 4).map { b =>
         struct(lit(b).as("bid"),
-          shiftright(col("sh"), b * 10).bitwiseAND(1023L).as("bkey"))
+          shiftright(col("sh"), b * 15).bitwiseAND(32767L).as("bkey"))
       }: _*)).as("blk"))
-      .select(col("doc_id"), col("sh"),
-        col("blk.bid").as("bid"), col("blk.bkey").as("bkey"))
-    val a = blocked.toDF("a_id", "a_sh", "bid", "bkey")
-    val b = blocked.toDF("b_id", "b_sh", "bid", "bkey")
-    a.join(b, Seq("bid", "bkey"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+      .select(col("sh"), col("blk.bid").as("bid"), col("blk.bkey").as("bkey"))
+    val sizes = blocked.groupBy("bid", "bkey").count()
+    val subKey = (0 until 4).foldLeft(lit(0L)) { (acc, b) =>
+      when(col("bid") === b,
+        shiftright(col("sh"), ((b + 1) % 4) * 15).bitwiseAND(32767L))
+        .otherwise(acc)
+    }
+    val sized = blocked.join(broadcast(sizes), Seq("bid", "bkey"))
+    val small = sized.filter(col("count") <= maxBucket)
+      .withColumn("sub", lit(0L))
+    val capped = sized.filter(col("count") > maxBucket)
+      .withColumn("sub", subKey)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bid", "bkey", "sub").orderBy("sh")))
+      .filter(col("rn") <= maxBucket)
+    small.select("sh", "bid", "bkey", "sub")
+      .unionByName(capped.select("sh", "bid", "bkey", "sub"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    // hash once per doc; the (id, hash) map is read by the block join
+    // (distinct side) and twice by the pair expansion
+    val withHash = docs.select(col("doc_id"), simhash60(col("text")).as("sh"))
+      .localCheckpoint(eager = false)
+    val hashes = withHash.select("sh").distinct()
+    val refined = simhashBlocks(hashes, maxBucket)
+    val a = refined.toDF("a_sh", "bid", "bkey", "sub")
+    val b = refined.toDF("b_sh", "bid", "bkey", "sub")
+    // candidate pairs of HASH VALUES (a_sh < b_sh orients the pair);
+    // the distinct carries 16 bytes/row — ids re-attach below
+    val hashPairs = a.join(b, Seq("bid", "bkey", "sub"))
+      .filter(col("a_sh") < col("b_sh"))
+      .select("a_sh", "b_sh")
       .distinct()
       .withColumn("dist", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("dist") <= maxDist)
+    // expand hash pairs back to doc pairs, re-orienting on doc_id
+    val da = withHash.toDF("ida", "a_sh")
+    val db = withHash.toDF("idb", "b_sh")
+    val cross = hashPairs.join(da, "a_sh").join(db, "b_sh")
+      .select(
+        least(col("ida"), col("idb")).as("a_id"),
+        greatest(col("ida"), col("idb")).as("b_id"),
+        when(col("ida") < col("idb"), col("a_sh")).otherwise(col("b_sh")).as("a_sh"),
+        when(col("ida") < col("idb"), col("b_sh")).otherwise(col("a_sh")).as("b_sh"),
+        col("dist"))
+    // identical-hash pairs (distance 0) never enter the block join —
+    // recover them from the (id, hash) map; quadratic only in group
+    // size, which is exactly the declared output size for them
+    val intra = withHash.toDF("a_id", "a_sh")
+      .join(withHash.toDF("b_id", "b_sh"),
+        col("a_sh") === col("b_sh") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"),
+        lit(0).as("dist"))
+    cross.unionByName(intra)
       .select("a_id", "b_id", "a_sh", "b_sh", "dist")
   }
 

@@ -30,6 +30,14 @@ object PipelineQueries {
       s"list_filter(string_split_regex($e, ''), c0 -> c0 <> ''), " +
       s"c1 -> ord(c1)::BIGINT)), (a0,x0) -> (a0*31+x0)%1000000007)"
 
+  /** Second independent rolling polynomial hash (base 131, mod
+    * 1e9+9) — twin of the upper 30 bits of
+    * [[graft.functions.HashOps.simHash60]]. */
+  private def sqlFp2(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"list_filter(string_split_regex($e, ''), c0 -> c0 <> ''), " +
+      s"c1 -> ord(c1)::BIGINT)), (a0,x0) -> (a0*131+x0)%1000000009)"
+
   /** ALL word-k-gram fingerprints in order (multiplicities kept) —
     * twin of [[graft.functions.HashOps.gramFps]]. */
   private def sqlGrams(toks: String, k: Int): String =
@@ -1103,23 +1111,31 @@ object PipelineQueries {
   }
 
   /** Shared SimHash pair pipeline (twin of [[Dedup.simhashPairs]]
-    * with three 10-bit blocks) as a CTE chain ending in
-    * `cand(a_id, b_id, a_sh, b_sh)` — used by the dd4 pair oracle
-    * and the dd10 star-cluster oracle. */
+    * with four 15-bit blocks of the 60-bit hash) as a CTE chain
+    * ending in `cand(a_id, b_id, a_sh, b_sh)` — used by the dd4 pair
+    * oracle and the dd10 star-cluster oracle. The engine's
+    * distinct-hash join + pair expansion and this direct doc-level
+    * block join produce the same pair set (the oversized-bucket
+    * sub-split never triggers at oracle scale — GuardrailsSpec covers
+    * that path); per-token fp bit extraction stays < 2^30 so
+    * `floor(fp / 2^j) % 2` is exact in doubles. */
   private def sqlSimhashPairCtes: String = {
-    val fps = s"list_transform($toks, t1 -> ${sqlFp("t1")})"
-    val simhash =
+    def votes(fps: String, shiftBase: Int) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0,30), " +
         s"j0 -> CASE WHEN list_reduce(list_prepend(0::BIGINT, " +
         s"list_transform($fps, fp1 -> ((floor(fp1 / 2^j0)::BIGINT) % 2)*2 - 1)), " +
-        s"(a2,x2) -> a2+x2) > 0 THEN (2^j0)::BIGINT ELSE 0 END)), " +
+        s"(a2,x2) -> a2+x2) > 0 THEN (2^(j0+$shiftBase))::BIGINT ELSE 0 END)), " +
         s"(a3,x3) -> a3+x3)"
+    val fps1 = s"list_transform($toks, t1 -> ${sqlFp("t1")})"
+    val fps2 = s"list_transform($toks, t1 -> ${sqlFp2("t1")})"
+    val simhash = s"${votes(fps1, 0)} + ${votes(fps2, 30)}"
     s"""h AS (SELECT doc_id, $simhash AS sh FROM documents),
       blocked AS (SELECT doc_id, sh, x.bid AS bid, x.bkey AS bkey
         FROM (SELECT doc_id, sh, unnest([
-            {'bid': 0, 'bkey': sh & 1023},
-            {'bid': 1, 'bkey': (sh >> 10) & 1023},
-            {'bid': 2, 'bkey': (sh >> 20) & 1023}]) AS x FROM h)),
+            {'bid': 0, 'bkey': sh & 32767},
+            {'bid': 1, 'bkey': (sh >> 15) & 32767},
+            {'bid': 2, 'bkey': (sh >> 30) & 32767},
+            {'bid': 3, 'bkey': (sh >> 45) & 32767}]) AS x FROM h)),
       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
           a.sh AS a_sh, b.sh AS b_sh
         FROM blocked a JOIN blocked b

@@ -96,6 +96,67 @@ class GuardrailsSpec extends AnyFunSuite {
       "all near-identical copies should share cluster_id = min doc_id")
   }
 
+  test("dd4 block buckets stay ≤ maxBucket under adversarial pile-ups") {
+    import spark.implicits._
+    // 64 distinct hashes that collide in block 0 (low 15 bits all 7)
+    // AND are constant in blocks 2 and 3 — the worst case: block 2's
+    // next-block sub-key (block 3) cannot spread them, so only the
+    // hard cap bounds that bucket
+    val hashes = (0L until 64L).map(i => (i << 15) | 7L).toDF("sh")
+    val refined = Dedup.simhashBlocks(hashes, maxBucket = 8)
+    val worst = refined.groupBy("bid", "bkey", "sub")
+      .count().agg(max("count")).collect()(0).getLong(0)
+    assert(worst <= 8, s"refined bucket of $worst rows escaped the cap")
+    // block 0's pile-up spreads by block-1 bits WITHOUT dropping rows
+    // (the recall-preserving path), block 1 was never oversized
+    assert(refined.filter(col("bid") === 0).count() == 64)
+    assert(refined.filter(col("bid") === 1).count() == 64)
+    // blocks 2/3 fall to the hard cap: a bounded deterministic prefix
+    assert(refined.filter(col("bid") === 2).count() == 8)
+    assert(refined.filter(col("bid") === 3).count() == 8)
+    // determinism: the same input yields the same capped prefix
+    val again = Dedup.simhashBlocks(hashes, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == refined.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
+  test("dd4 identical-document pile-up: one row in the block join, full pair output") {
+    import spark.implicits._
+    // 40 byte-identical docs + 2 distinct near-ish docs: the block
+    // self-join runs over DISTINCT hashes (3 rows), while the declared
+    // output still carries all C(40,2) distance-0 pairs
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val corpus = ((0L until 40L).map(i => (i, dup)) ++
+      Seq((100L, "alpha beta gamma delta"), (101L, "epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+    val distinctHashes = corpus
+      .select(Dedup.simhash60(col("text")).as("sh")).distinct().count()
+    assert(distinctHashes == 3)
+    // even with maxBucket = 1 (every multi-hash bucket capped) the
+    // identical-doc pairs survive: distance-0 recovery never depends
+    // on the block join
+    val pairs = Dedup.simhashPairs(corpus, maxDist = 3, maxBucket = 1)
+      .collect()
+    val zeroDist = pairs.filter(_.getInt(4) == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zeroDist.size == 40 * 39 / 2)
+    assert(zeroDist.forall { case (a, b) => a < b && b < 40L })
+  }
+
+  test("dd4 capped output is a subset of uncapped; default cap changes nothing") {
+    val uncapped = Dedup.simhashPairs(docs, maxDist = 3,
+      maxBucket = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = Dedup.simhashPairs(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == uncapped,
+      "default maxBucket must not trigger at test scale (oracle equivalence)")
+    val tight = Dedup.simhashPairs(docs, maxDist = 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(uncapped), "the cap must never invent pairs")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

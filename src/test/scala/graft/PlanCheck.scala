@@ -83,6 +83,13 @@ object PlanCheck {
     audit("ss1_cosine_topk", Seq(
       "query side broadcast (corpus not shuffled)" ->
         (_.contains("BroadcastNestedLoopJoin"))))
+    audit("dd4_dedup_simhash", Seq(
+      "block-key census joins as a broadcast (≤131k rows by construction)" ->
+        (_.contains("BroadcastHashJoin")),
+      "candidate + expansion joins are equi, never cartesian" ->
+        (p => !p.contains("Cartesian")),
+      "distinct-hash dedup is partially aggregated map-side" ->
+        (_.contains("partial_"))))
     audit("q13_window_rank", Seq(
       "single window exchange" ->
         (p => "Exchange".r.findAllIn(p).size <= 2)))

@@ -3,6 +3,10 @@
 import org.apache.spark.sql.SparkSession
 object VerifySome {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: runMain VerifySome q1,q2,... <sfDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(names, sfDir, outDir) = args.take(3)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
