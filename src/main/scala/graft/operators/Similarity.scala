@@ -135,12 +135,16 @@ object Similarity {
     * bucket in ANY table (union of equi-joins, one shuffle per
     * table), then the exact cosine threshold verifies. Recall grows
     * with `tables`, candidate count shrinks ~2^nBits per table —
-    * at a billion vectors this is the only join shape that works. */
+    * at a billion vectors this is the only join shape that works,
+    * and [[multiTableBuckets]]'s oversized-bucket guard caps the
+    * per-key fan-out at `maxBucket`² even under skewed pile-ups. */
   def lshCosinePairs(embeddings: DataFrame, threshold: Double,
-      nBits: Int = 6, tables: Int = 3): DataFrame = {
-    val bucketed = multiTableBuckets(embeddings, nBits, tables)
-    val candidates = bucketed.toDF("a_id", "tid", "bkey")
-      .join(bucketed.toDF("b_id", "tid", "bkey"), Seq("tid", "bkey"))
+      nBits: Int = 12, tables: Int = 8,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    val bucketed = multiTableBuckets(embeddings, nBits, tables, maxBucket)
+    val candidates = bucketed.toDF("a_id", "tid", "bkey", "sub")
+      .join(bucketed.toDF("b_id", "tid", "bkey", "sub"),
+        Seq("tid", "bkey", "sub"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
@@ -159,11 +163,18 @@ object Similarity {
     * index is probed map-side and never re-bucket-joined against
     * itself. */
   def lshCosinePairsAgainst(newVecs: DataFrame, indexVecs: DataFrame,
-      threshold: Double, nBits: Int = 6, tables: Int = 3): DataFrame = {
-    val candidates = multiTableBuckets(newVecs, nBits, tables)
-      .toDF("new_id", "tid", "bkey")
-      .join(multiTableBuckets(indexVecs, nBits, tables)
-        .toDF("index_id", "tid", "bkey"), Seq("tid", "bkey"))
+      threshold: Double, nBits: Int = 12, tables: Int = 8,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    // the STANDING index gets the census-driven oversized-bucket
+    // guard; the incoming batch probes with BOTH the unsplit (sub=0)
+    // and the refined key, so it matches an index bucket whether or
+    // not the guard split it — and, carrying no census aggregation,
+    // the batch side stays a streaming-legal projection when newVecs
+    // is a live stream
+    val candidates = probeBuckets(newVecs, nBits, tables)
+      .toDF("new_id", "tid", "bkey", "sub")
+      .join(multiTableBuckets(indexVecs, nBits, tables, maxBucket)
+        .toDF("index_id", "tid", "bkey", "sub"), Seq("tid", "bkey", "sub"))
       .select("new_id", "index_id")
       // dropDuplicates, not distinct(): same batch semantics, but it
       // stays a streaming-legal Deduplicate when `newVecs` is a live
@@ -196,8 +207,9 @@ object Similarity {
     * Output: `(vec_id, cluster_id, keep_id, keep)` for every vector
     * (singletons form their own cluster). */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
-      nBits: Int = 6, tables: Int = 3): DataFrame = {
-    val pairs = lshCosinePairs(embeddings, threshold, nBits, tables)
+      nBits: Int = 12, tables: Int = 8,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    val pairs = lshCosinePairs(embeddings, threshold, nBits, tables, maxBucket)
       .select("a_id", "b_id")
     val clusters = graft.operators.Dedup.resolveClusters(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -215,19 +227,75 @@ object Similarity {
         (col("vec_id") === col("keep_id")).as("keep"))
   }
 
-  /** (id, table, bucket) rows for `tables` independent hyperplane
-    * tables. The bucket shuffles carry only these three narrow
-    * columns — the embedding vectors (the wide part of the row)
-    * never ride the `tables` exchanges; they join in only for
-    * deduplicated candidate pairs. */
-  private def multiTableBuckets(embeddings: DataFrame, nBits: Int,
-      tables: Int): DataFrame =
-    embeddings.select(col("vec_id"),
+  /** (id, table, bucket, sub) rows for `tables` independent
+    * hyperplane tables, with the oversized-bucket guard. The bucket
+    * shuffles carry only these narrow columns — the embedding vectors
+    * (the wide part of the row) never ride the `tables` exchanges;
+    * they join in only for deduplicated candidate pairs.
+    *
+    * The guard mirrors [[graft.operators.Dedup.simhashBlocks]] and
+    * its bound is UNCONDITIONAL:
+    *  1. a (tid, bkey) census — ≤ tables × 2^nBits rows, counted once
+    *     and broadcast (keep nBits ≤ ~24 so the census stays
+    *     megabytes); buckets above `maxBucket` are sub-split by a
+    *     REFINEMENT table of `subBits` extra hyperplanes (offset past
+    *     every primary table) — genuinely-similar vectors land on the
+    *     same side of most extra planes, so near-neighbour recall
+    *     survives the split;
+    *  2. refined buckets still above `maxBucket` (a pile-up of
+    *     near-identical vectors, which no hyperplane can separate)
+    *     keep a deterministic `maxBucket`-sized prefix (row_number by
+    *     vec_id). Candidate fan-out per join key is therefore capped
+    *     at `maxBucket`² however adversarial the corpus. Exact-dup
+    *     vector pile-ups should be removed by exact dedup (dd1 on a
+    *     content key) BEFORE LSH — unlike the SimHash path there is
+    *     no distance-0 recovery outside the bucket join, and the
+    *     prefix drop is where that shows up. GuardrailsSpec pins both
+    *     stages; ss4's recall report measures the cost of any given
+    *     (nBits, tables, maxBucket) configuration. */
+  /** Census-free twin of [[multiTableBuckets]] for the PROBE side of
+    * an asymmetric join: each (id, table, bucket) row is emitted with
+    * sub = 0 AND sub = refined key, so it collides with the index
+    * row whichever way the index's guard routed it. No aggregation —
+    * legal in a streaming plan. */
+  private def probeBuckets(vecs: DataFrame, nBits: Int,
+      tables: Int): DataFrame = {
+    val subBits = math.min(nBits.max(8), 15)
+    vecs.select(col("vec_id"),
+      lshBucketOffset(col("embedding"), subBits, tables * 16).as("subkey"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tid"),
           lshBucketOffset(col("embedding"), nBits, t * 16).as("bkey"))
       }: _*)).as("b"))
-      .select(col("vec_id"), col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+      .select(col("vec_id"), col("b.tid").as("tid"),
+        col("b.bkey").as("bkey"),
+        explode(array(lit(0L), col("subkey"))).as("sub"))
+  }
+
+  private[graft] def multiTableBuckets(embeddings: DataFrame, nBits: Int,
+      tables: Int, maxBucket: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subBits = math.min(nBits.max(8), 15)
+    val bucketed = embeddings.select(col("vec_id"),
+      lshBucketOffset(col("embedding"), subBits, tables * 16).as("subkey"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tid"),
+          lshBucketOffset(col("embedding"), nBits, t * 16).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("subkey"),
+        col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+    val sizes = bucketed.groupBy("tid", "bkey").count()
+    val sized = bucketed.join(broadcast(sizes), Seq("tid", "bkey"))
+    val small = sized.filter(col("count") <= maxBucket)
+      .select(col("vec_id"), col("tid"), col("bkey"), lit(0L).as("sub"))
+    val capped = sized.filter(col("count") > maxBucket)
+      .withColumn("sub", col("subkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tid", "bkey", "sub").orderBy("vec_id")))
+      .filter(col("rn") <= maxBucket)
+      .select(col("vec_id"), col("tid"), col("bkey"), col("sub"))
+    small.unionByName(capped)
+  }
 
   /** Exact-cosine verification of candidate (aCol, bCol) pairs:
     * joins each side's embedding + norm back in and keeps pairs at or

@@ -157,6 +157,45 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(tight.subsetOf(uncapped), "the cap must never invent pairs")
   }
 
+  test("LSH oversized-bucket guard bounds buckets under a vector pile-up") {
+    import spark.implicits._
+    // 50 near-identical directions: every hyperplane assigns them the
+    // same sign, so without the guard they all share one bucket per
+    // table — and the refinement planes can't separate them either,
+    // so only the hard cap bounds the bucket
+    val base = Array(1.0f, 0.5f, -0.25f, 0.8f)
+    val corpus = (0L until 50L)
+      .map(i => (i, base.map(x => x + (i % 3) * 1e-6f).toSeq))
+      .toDF("vec_id", "embedding")
+    val refined = Similarity.multiTableBuckets(corpus, nBits = 4,
+      tables = 2, maxBucket = 5)
+    val worst = refined.groupBy("tid", "bkey", "sub").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(worst <= 5, s"refined LSH bucket of $worst rows escaped the cap")
+    // determinism of the capped prefix
+    val a = refined.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Similarity.multiTableBuckets(corpus, nBits = 4,
+      tables = 2, maxBucket = 5).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
+  test("LSH cap never invents pairs; default cap is a no-op at test scale") {
+    val unguarded = Similarity.lshCosinePairs(embs, threshold = 0.4,
+      nBits = 4, tables = 4, maxBucket = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = Similarity.lshCosinePairs(embs, threshold = 0.4,
+      nBits = 4, tables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == unguarded,
+      "default maxBucket must not trigger at test scale (oracle equivalence)")
+    val tight = Similarity.lshCosinePairs(embs, threshold = 0.4,
+      nBits = 4, tables = 4, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(unguarded), "the cap must never invent pairs")
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
