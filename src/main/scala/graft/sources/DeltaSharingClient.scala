@@ -198,9 +198,11 @@ class DeltaSharingClient(
     val lines = parseNdjson(
       perform("GET", s"${tablePath(share, schema, table)}/metadata",
         query).body())
-    parseMetadataLines(lines).getOrElse(
+    val meta = parseMetadataLines(lines).getOrElse(
       throw new DeltaSharingException(0,
         s"metadata response for $share.$schema.$table had no metaData line"))
+    guardDeletionVectors(meta, Nil, s"metadata of $share.$schema.$table")
+    meta
   }
 
   /** HEAD `…/tables/{t}` reading the `Delta-Table-Version` header; the
@@ -247,8 +249,9 @@ class DeltaSharingClient(
     val meta = parseMetadataLines(lines).getOrElse(
       throw new DeltaSharingException(0,
         s"query response for $share.$schema.$table had no metaData line"))
-    val files = lines.filter(_.hasNonNull("file")).map { l =>
-      val f = l.get("file")
+    val fileNodes = lines.filter(_.hasNonNull("file")).map(_.get("file"))
+    guardDeletionVectors(meta, fileNodes, s"query of $share.$schema.$table")
+    val files = fileNodes.map { f =>
       FileAction(
         url = f.get("url").asText(),
         id = optText(f, "id").getOrElse(""),
@@ -307,6 +310,10 @@ class DeltaSharingClient(
     val meta = parseMetadataLines(lines).getOrElse(
       throw new DeltaSharingException(0,
         s"changes response for $share.$schema.$table had no metaData line"))
+    guardDeletionVectors(meta,
+      lines.flatMap(l => Seq("add", "cdf", "remove").collect {
+        case k if l.hasNonNull(k) => l.get(k)
+      }), s"changes of $share.$schema.$table")
     val actions = lines.flatMap { l =>
       Seq("add", "cdf", "remove").collectFirst {
         case k if l.hasNonNull(k) =>
@@ -335,13 +342,49 @@ class DeltaSharingClient(
     TableChanges(meta, actions)
   }
 
+  /** Deletion-vector guard. This client (like the reference,
+    * `delta_sharing_client.cpp:124`, which forces
+    * `responseformat=parquet`) cannot apply deletion vectors: a
+    * parquet-format response for a DV-bearing table would include
+    * rows that are logically DELETED. The reference silently returns
+    * them; we refuse loudly instead. Three independent signals, any
+    * one of which trips the guard:
+    *  - `protocol.readerFeatures` contains `deletionVectors`;
+    *  - table `configuration` has `delta.enableDeletionVectors=true`;
+    *  - a file action carries a `deletionVector` payload (a
+    *    delta-responseformat server answering a parquet client).
+    * Reading the table requires a delta-responseformat client —
+    * declared out of scope in SURVEY §7. */
+  private def guardDeletionVectors(meta: TableMetadata,
+      fileLines: Seq[JsonNode], what: String): Unit = {
+    val featureDv = meta.protocol.readerFeatures
+      .exists(_.equalsIgnoreCase("deletionVectors"))
+    val configDv = meta.configuration
+      .get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
+    val fileDv = fileLines.exists(_.hasNonNull("deletionVector"))
+    if (featureDv || configDv || fileDv) {
+      val signal =
+        if (fileDv) "a file action carries a deletionVector"
+        else if (featureDv) "protocol.readerFeatures includes deletionVectors"
+        else "delta.enableDeletionVectors=true in table configuration"
+      throw new DeltaSharingException(0,
+        s"$what: table uses deletion vectors ($signal). This client reads " +
+          "responseformat=parquet and cannot apply deletion vectors, so " +
+          "results would silently include deleted rows. Read this table " +
+          "with a delta-responseformat-capable client instead.")
+    }
+  }
+
   /** Shared protocol+metaData NDJSON parsing
     * (`delta_sharing_client.cpp:317-348` and `:409-434`). */
   private def parseMetadataLines(lines: Seq[JsonNode]): Option[TableMetadata] = {
     val protocol = lines.find(_.hasNonNull("protocol")).map { l =>
       val p = l.get("protocol")
       DeltaProtocol(
-        if (p.hasNonNull("minReaderVersion")) p.get("minReaderVersion").asInt() else 1)
+        if (p.hasNonNull("minReaderVersion")) p.get("minReaderVersion").asInt() else 1,
+        if (p.hasNonNull("readerFeatures"))
+          p.get("readerFeatures").elements().asScala.map(_.asText()).toSeq
+        else Nil)
     }.getOrElse(DeltaProtocol(1))
     lines.find(_.hasNonNull("metaData")).map { l =>
       val m = l.get("metaData")

@@ -20,7 +20,8 @@ final case class TableRef(
 
 /** Protocol line of an NDJSON response
   * (`delta_sharing_client.hpp:41-43`). */
-final case class DeltaProtocol(minReaderVersion: Int)
+final case class DeltaProtocol(minReaderVersion: Int,
+    readerFeatures: Seq[String] = Nil)
 
 /** `metaData` line (`delta_sharing_client.hpp:50-59`). `schemaString`
   * is Spark StructType JSON — parse with `DataType.fromJson`, which

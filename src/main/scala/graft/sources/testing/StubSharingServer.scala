@@ -43,6 +43,13 @@ class StubSharingServer(
     * from them when present. */
   @volatile var fileStats: Map[String, String] = Map.empty
 
+  /** Tables that carry deletion vectors, by signal kind: "feature"
+    * (protocol readerFeatures), "config"
+    * (delta.enableDeletionVectors), or "file" (per-file
+    * deletionVector payload in /query) — exercises the client's
+    * DV refusal guard. */
+  @volatile var deletionVectorTables: Map[String, String] = Map.empty
+
   /** Presigned-URL expiry simulation: when set, the FIRST `/query`
     * response signs file URLs with `?sig=stale` (which `/files`
     * rejects with 403) and every later `/query` signs with
@@ -105,8 +112,16 @@ class StubSharingServer(
   private def metaNdjson(name: String): String = {
     val (schemaString, partCols, _) = tables(name)
     val esc = schemaString.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"protocol":{"minReaderVersion":1}}
-{"metaData":{"id":"m-$name","name":"$name","description":"","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],"configuration":{"k":"v"},"version":3}}"""
+    val dv = deletionVectorTables.get(name)
+    val protocol =
+      if (dv.contains("feature"))
+        """{"protocol":{"minReaderVersion":3,"readerFeatures":["deletionVectors"]}}"""
+      else """{"protocol":{"minReaderVersion":1}}"""
+    val config =
+      if (dv.contains("config")) """{"k":"v","delta.enableDeletionVectors":"true"}"""
+      else """{"k":"v"}"""
+    s"""$protocol
+{"metaData":{"id":"m-$name","name":"$name","description":"","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],"configuration":$config,"version":3}}"""
   }
 
   server.createContext("/delta-sharing/shares", (ex: HttpExchange) => {
@@ -219,7 +234,11 @@ class StubSharingServer(
                   val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
                   s""","stats":"$esc""""
                 }.getOrElse("")
-                s"""{"file":{"url":"$signed","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size$statsField,"version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
+                val dvField =
+                  if (deletionVectorTables.get(t).contains("file"))
+                    ""","deletionVector":{"storageType":"u","pathOrInlineDv":"dv!abc","offset":1,"sizeInBytes":42,"cardinality":2}"""
+                  else ""
+                s"""{"file":{"url":"$signed","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size$statsField$dvField,"version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
               }
               send(ex, 200, (metaNdjson(t) +: fileLines).mkString("\n"))
             }

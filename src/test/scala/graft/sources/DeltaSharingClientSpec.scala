@@ -125,6 +125,38 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.status == 401 && e.getMessage.contains("unauthorized"))
   }
 
+  test("deletion-vector tables are refused loudly, per signal kind") {
+    // a DV-bearing table read through a parquet-responseformat client
+    // would silently include DELETED rows (both this client and the
+    // reference force responseformat=parquet); the guard must trip on
+    // every independent signal the protocol can carry
+    val schema = lineitemSchemaJson
+    for (signal <- Seq("feature", "config", "file")) {
+      server.tables += ("dvtable" -> ((schema, Seq.empty,
+        Seq(("file:///tmp/z.parquet", 1L, Map.empty[String, String])))))
+      server.deletionVectorTables = Map("dvtable" -> signal)
+      try {
+        val q = intercept[DeltaSharingException] {
+          client.queryTable("share1", "schema1", "dvtable")
+        }
+        assert(q.getMessage.contains("deletion vectors"),
+          s"signal=$signal: ${q.getMessage}")
+        assert(q.getMessage.contains("deleted rows"))
+        if (signal != "file") { // metadata carries no file actions
+          val m = intercept[DeltaSharingException] {
+            client.queryTableMetadata("share1", "schema1", "dvtable")
+          }
+          assert(m.getMessage.contains("deletion vectors"))
+        }
+      } finally {
+        server.deletionVectorTables = Map.empty
+        server.tables -= "dvtable"
+      }
+    }
+    // and a DV-free table still reads fine afterwards
+    assert(client.queryTable("share1", "schema1", "lineitem").files.nonEmpty)
+  }
+
   test("pagination loops until nextPageToken is absent") {
     val paged = new StubSharingServer(expectedToken = "tok", pageSize = 2).start()
     try {
