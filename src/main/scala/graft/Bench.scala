@@ -47,31 +47,53 @@ object Bench {
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
     }
+    // 1-minute system load BEFORE the timed passes: round-over-round
+    // comparisons need to know whether the bench window was contended
+    // (r9's 169s-vs-157s delta was pure machine load, not code)
+    def loadavg: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0)
+      catch { case _: Exception => "-1" }
+    val loadBefore = loadavg
     val p1 = pass()
     val p2 = pass()
+    val loadAfter = loadavg
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    // ms precision: full precision trebles the line length for noise
-    // (local[32] jitter is ±10s of ms) and the driver's tail capture
-    // has a bounded window
-    val qs = results.toSeq.sortBy(_._1)
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the driver captures stdout through a bounded tail window, so the
+    // per-query map must FIT: keys compact to the query-code prefix
+    // ("dd4_dedup_simhash" → "dd4"; collisions keep the full name) and
+    // values are integer milliseconds — ~2 KB for 167 queries vs ~6 KB
+    // verbose. Full names + second-precision doubles go to
+    // BENCH_FULL.json for local regression tracking.
+    val shortKey: Map[String, String] = {
+      val byCode = results.keys.toSeq.groupBy(_.takeWhile(_ != '_'))
+      byCode.flatMap { case (code, names) =>
+        if (names.size == 1) Seq(names.head -> code)
+        else names.map(n => n -> n)
+      }
+    }
+    val qsCompact = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${shortKey(k)}":${math.round(v * 1000)}""" }
+      .mkString("{", ",", "}")
+    // scalar fields FIRST so even a truncated capture keeps them
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadAfter],"sf":"$sfDir","query_unit":"ms","queries":$qsCompact}"""
+    println(compact)
+    val qsFull = results.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(full)
-    // durable copy: the stdout line above can still exceed the
-    // driver's tail-capture window, so the complete per-query JSON is
-    // also written to a file for round-over-round regression tracking
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
-      (full + "\n").getBytes("UTF-8"))
+      (s"""{"metric":"total","value":$total,"unit":"sec","load1m":[$loadBefore,$loadAfter],"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
     catch { case _: Exception => () }
     // short standalone summary LAST: always survives tail truncation.
     // Distinct metric name so a consumer aggregating by metric never
     // double-counts the total.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadAfter],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
