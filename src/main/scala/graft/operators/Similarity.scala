@@ -755,6 +755,75 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("method")
   }
 
+  /** Recall@k for EVERY serving index family vs its own exact-metric
+    * brute-force ground truth (extends [[annRecallReport]], which
+    * covers lsh/ivf only):
+    *  - `lsh` ([[lshTopK]]) and `ivf` ([[ivfTopK]]) vs exact COSINE
+    *    top-k — those indexes rank by cosine;
+    *  - `pq` ([[pqTopK]]) and `ivfpq` ([[ivfPqTopK]]) vs exact
+    *    L2-distance top-k — ADC ranks by (approximate) L2;
+    *  - `mips` ([[mipsTopK]]) vs exact INNER-PRODUCT top-k — the
+    *    augmentation targets raw-dot order.
+    * Measuring each family against the metric it actually serves is
+    * the point: a PQ index judged on cosine truth would under- or
+    * over-report recall wherever the two orders diverge.
+    *
+    * Scale shape: each truth is one broadcast-query corpus scan (the
+    * [[bruteForceTopK]] pattern); recall joins are left-semi on
+    * (query, neighbor) id pairs — k × queries rows, never corpus.
+    * All distances use the fixed-order double fold, so ranks (and
+    * therefore recall counts) are engine-exact. */
+  def annRecallReportAll(corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, nBits: Int = 4, numCentroids: Int = 16, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      pqCoarse: Int = 8, pqNprobe: Int = 2,
+      mipsBits: Int = 6, mipsTables: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ids(df: DataFrame) = df.select("query_id", "neighbor_id")
+    def truthBy(score: Column, asc: Boolean): DataFrame = {
+      val c = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      val ord = if (asc) Seq(col("s").asc, col("neighbor_id").asc)
+                else Seq(col("s").desc, col("neighbor_id").asc)
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("s", score)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(ord: _*)))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager = false) // each truth feeds 1-2 recall rows + its count
+    }
+    val cosTruth = truthBy(
+      dot(col("q_emb"), col("c_emb")) /
+        (norm(col("q_emb")) * norm(col("c_emb"))), asc = false)
+    val l2Truth = truthBy(
+      dot(col("c_emb"), col("c_emb"))
+        - lit(2.0) * dot(col("q_emb"), col("c_emb"))
+        + dot(col("q_emb"), col("q_emb")), asc = true)
+    val dotTruth = truthBy(dot(col("q_emb"), col("c_emb")), asc = false)
+    def recallRow(name: String, truth: DataFrame,
+        res: DataFrame): DataFrame =
+      truth.join(ids(res), Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(name).as("method"), col("n_truth"), col("n_hits"),
+          expr("CASE WHEN n_truth = 0 THEN 0L " +
+            "ELSE n_hits * 1000 div n_truth END").as("recall_x1000"))
+    Seq(
+      recallRow("lsh", cosTruth, lshTopK(corpus, queries, k, nBits)),
+      recallRow("ivf", cosTruth,
+        ivfTopK(corpus, queries, k, numCentroids, nprobe)),
+      recallRow("pq", l2Truth, pqTopK(corpus, queries, k, m, ksub, iters)),
+      recallRow("ivfpq", l2Truth,
+        ivfPqTopK(corpus, queries, k, pqCoarse, pqNprobe, m, ksub, iters)),
+      recallRow("mips", dotTruth,
+        mipsTopK(corpus, queries, k, mipsBits, mipsTables)))
+      .reduce(_ unionAll _).orderBy("method")
+  }
+
   /** Exact integer dot product of two int-code arrays (products fit
     * long: |q|≤127, so Σ q_a·q_b ≤ 127²·dims). Fixed-order fold. */
   private def intDot(a: Column, b: Column): Column =

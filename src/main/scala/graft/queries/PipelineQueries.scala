@@ -534,6 +534,17 @@ object PipelineQueries {
       Similarity.annRecallReport(all, all.filter(col("vec_id") < 3),
         k = 5, nBits = 4, numCentroids = 16, nprobe = 2)
     },
+    // recall@5 for EVERY serving index family vs its own exact-metric
+    // brute truth: lsh/ivf vs cosine (as ss4), pq/ivfpq vs the L2
+    // distance their ADC ranking targets, mips vs raw inner product
+    // (round-9 verdict #5; params pinned to ss2/ss3/ss8/ss9/ss10)
+    "ss12_recall_families" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.annRecallReportAll(e, e.filter(col("vec_id") < 3),
+        k = 5, nBits = 4, numCentroids = 16, nprobe = 2,
+        m = 4, ksub = 8, iters = 2, pqCoarse = 8, pqNprobe = 2,
+        mipsBits = 6, mipsTables = 3)
+    },
     // int8 reconstruction-error QA: max/mean abs error per vector
     "ve4_quant_error" -> { (s, d) =>
       VectorStats.quantError(embeddings(s, d)).orderBy("vec_id")
@@ -1157,6 +1168,90 @@ object PipelineQueries {
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       WHERE d.doc_id % 50 <> 0
       ORDER BY d.doc_id"""
+
+  /** Shared CTE chain of the ss4 recall oracle: cosine brute-force
+    * truth (`bt`), LSH top-k (`lt`) and IVF top-k (`vt`) candidate
+    * sets — reused by ss12, which adds the PQ / IVF-PQ / MIPS
+    * families against their own exact-metric truths. */
+  private def sqlAnnRecallCtes: String = s"""e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+        ${sqlLshBucket("embedding")} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+        FROM e WHERE vec_id < 3),
+      bs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e, q WHERE q.query_id <> e.vec_id),
+      bt AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM bs)
+        WHERE rank <= 5),
+      ls AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e JOIN q ON e.bucket = q.bucket
+        WHERE q.query_id <> e.vec_id),
+      lt AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM ls)
+        WHERE rank <= 5),
+      cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM e WHERE vec_id < 16),
+      cassign AS (SELECT neighbor_id, nemb, nnrm, cid FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS nemb, e.nrm AS nnrm,
+          c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm)
+              DESC, c.cid ASC) AS rn
+        FROM e, cents c) WHERE rn = 1),
+      qassign AS (SELECT query_id, qemb, qnrm, cid FROM (
+        SELECT q2.vec_id AS query_id, q2.embedding AS qemb, q2.nrm AS qnrm,
+          c.cid,
+          ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+            ORDER BY ${sqlDot("q2.embedding", "c.cemb")} / (q2.nrm * c.cnrm)
+              DESC, c.cid ASC) AS rn
+        FROM e q2, cents c WHERE q2.vec_id < 3) WHERE rn <= 2),
+      vcand AS (SELECT DISTINCT a.query_id, b.neighbor_id,
+          a.qemb, a.qnrm, b.nemb, b.nnrm
+        FROM qassign a JOIN cassign b
+          ON a.cid = b.cid AND a.query_id <> b.neighbor_id),
+      vs AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qemb", "nemb")} / (qnrm * nnrm) AS score FROM vcand),
+      vt AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM vs)
+        WHERE rank <= 5)"""
+
+  /** Oracle twin of [[Similarity.mipsTopK]] (ss10) — also embedded as
+    * a subquery by the ss12 recall oracle. */
+  private def sqlMipsTopKSql: String = {
+      val buckets = (0 until 3).map { t =>
+        s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("aug", 6, t * 16)}}"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH mx AS (SELECT max(${sqlDot("embedding", "embedding")}) AS m2
+        FROM embeddings),
+      c AS (SELECT vec_id, embedding,
+          list_append(list_transform(embedding, x -> x::DOUBLE),
+            sqrt(greatest(mx.m2 - ${sqlDot("embedding", "embedding")},
+              0.0))) AS aug
+        FROM embeddings, mx),
+      q AS (SELECT vec_id, embedding,
+          list_append(list_transform(embedding, x -> x::DOUBLE),
+            0.0::DOUBLE) AS aug
+        FROM embeddings WHERE vec_id < 3),
+      cb AS (SELECT vec_id, embedding, x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, unnest($buckets) AS x FROM c)),
+      qb AS (SELECT vec_id, embedding, x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, unnest($buckets) AS x FROM q)),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id,
+          c.vec_id AS neighbor_id,
+          ${sqlDot("q.embedding", "c.embedding")} AS score
+        FROM cb c JOIN qb q
+          ON c.tid = q.tid AND c.bkey = q.bkey AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM cand)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+    }
 
   val oracle: Map[String, String] = Map(
     "dc3_eval_overlap" -> s"""
@@ -1976,52 +2071,7 @@ object PipelineQueries {
         ${sqlFold("errs")} / n::DOUBLE AS mean_err
       FROM er ORDER BY vec_id""",
     "ss4_ann_recall" -> s"""
-      WITH e AS (SELECT vec_id, embedding,
-        sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
-        ${sqlLshBucket("embedding")} AS bucket FROM embeddings),
-      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
-        FROM e WHERE vec_id < 3),
-      bs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
-        FROM e, q WHERE q.query_id <> e.vec_id),
-      bt AS (SELECT query_id, neighbor_id FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY score DESC, neighbor_id ASC) AS rank FROM bs)
-        WHERE rank <= 5),
-      ls AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
-        FROM e JOIN q ON e.bucket = q.bucket
-        WHERE q.query_id <> e.vec_id),
-      lt AS (SELECT query_id, neighbor_id FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY score DESC, neighbor_id ASC) AS rank FROM ls)
-        WHERE rank <= 5),
-      cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
-        FROM e WHERE vec_id < 16),
-      cassign AS (SELECT neighbor_id, nemb, nnrm, cid FROM (
-        SELECT e.vec_id AS neighbor_id, e.embedding AS nemb, e.nrm AS nnrm,
-          c.cid,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm)
-              DESC, c.cid ASC) AS rn
-        FROM e, cents c) WHERE rn = 1),
-      qassign AS (SELECT query_id, qemb, qnrm, cid FROM (
-        SELECT q2.vec_id AS query_id, q2.embedding AS qemb, q2.nrm AS qnrm,
-          c.cid,
-          ROW_NUMBER() OVER (PARTITION BY q2.vec_id
-            ORDER BY ${sqlDot("q2.embedding", "c.cemb")} / (q2.nrm * c.cnrm)
-              DESC, c.cid ASC) AS rn
-        FROM e q2, cents c WHERE q2.vec_id < 3) WHERE rn <= 2),
-      vcand AS (SELECT DISTINCT a.query_id, b.neighbor_id,
-          a.qemb, a.qnrm, b.nemb, b.nnrm
-        FROM qassign a JOIN cassign b
-          ON a.cid = b.cid AND a.query_id <> b.neighbor_id),
-      vs AS (SELECT query_id, neighbor_id,
-          ${sqlDot("qemb", "nemb")} / (qnrm * nnrm) AS score FROM vcand),
-      vt AS (SELECT query_id, neighbor_id FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY score DESC, neighbor_id ASC) AS rank FROM vs)
-        WHERE rank <= 5)
+      WITH $sqlAnnRecallCtes
       SELECT method, n_truth, n_hits, n_hits * 1000 // n_truth AS recall_x1000
       FROM (
         SELECT 'ivf' AS method,
@@ -2033,6 +2083,44 @@ object PipelineQueries {
           (SELECT count(*) FROM bt) AS n_truth,
           (SELECT count(*) FROM bt JOIN lt
             USING (query_id, neighbor_id)) AS n_hits)
+      ORDER BY method""",
+    "ss12_recall_families" -> s"""
+      WITH $sqlAnnRecallCtes,
+      ed AS (SELECT vec_id, list_transform(embedding, x9 -> x9::DOUBLE) AS xd
+        FROM embeddings),
+      edx AS (SELECT vec_id, xd, ${sqlDot("xd", "xd")} AS xx FROM ed),
+      l2s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          (c.xx - 2.0*${sqlDot("q.xd", "c.xd")} + q.xx) AS dist
+        FROM edx c, edx q WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id),
+      l2t AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY dist ASC, neighbor_id ASC) AS rank FROM l2s)
+        WHERE rank <= 5),
+      dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ${sqlDot("q.xd", "c.xd")} AS score
+        FROM edx c, edx q WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id),
+      dott AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank FROM dots)
+        WHERE rank <= 5),
+      pqk AS (SELECT query_id, neighbor_id FROM (${sqlPqTopK(4, 16, 8, 5, 3)})),
+      ipqk AS (SELECT query_id, neighbor_id
+        FROM (${sqlIvfPqTopK(4, 16, 8, 5, 3, 2)})),
+      mipsk AS (SELECT query_id, neighbor_id FROM ($sqlMipsTopKSql))
+      SELECT method, n_truth, n_hits, n_hits * 1000 // n_truth AS recall_x1000
+      FROM (
+        SELECT 'lsh' AS method, (SELECT count(*) FROM bt) AS n_truth,
+          (SELECT count(*) FROM bt JOIN lt
+            USING (query_id, neighbor_id)) AS n_hits
+        UNION ALL SELECT 'ivf', (SELECT count(*) FROM bt),
+          (SELECT count(*) FROM bt JOIN vt USING (query_id, neighbor_id))
+        UNION ALL SELECT 'pq', (SELECT count(*) FROM l2t),
+          (SELECT count(*) FROM l2t JOIN pqk USING (query_id, neighbor_id))
+        UNION ALL SELECT 'ivfpq', (SELECT count(*) FROM l2t),
+          (SELECT count(*) FROM l2t JOIN ipqk USING (query_id, neighbor_id))
+        UNION ALL SELECT 'mips', (SELECT count(*) FROM dott),
+          (SELECT count(*) FROM dott JOIN mipsk
+            USING (query_id, neighbor_id)))
       ORDER BY method""",
     "ve3_kmeans" -> s"""
       WITH $sqlKmeansCtes,
@@ -2395,36 +2483,7 @@ object PipelineQueries {
     // the norm-augmentation reduction replayed: augmented corpus
     // vectors (extra coordinate sqrt(M^2 - |x|^2)) bucket through the
     // same dd6-style hyperplane tables; candidates rank by RAW dot
-    "ss10_mips_topk" -> {
-      val buckets = (0 until 3).map { t =>
-        s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("aug", 6, t * 16)}}"
-      }.mkString("[", ", ", "]")
-      s"""
-      WITH mx AS (SELECT max(${sqlDot("embedding", "embedding")}) AS m2
-        FROM embeddings),
-      c AS (SELECT vec_id, embedding,
-          list_append(list_transform(embedding, x -> x::DOUBLE),
-            sqrt(greatest(mx.m2 - ${sqlDot("embedding", "embedding")},
-              0.0))) AS aug
-        FROM embeddings, mx),
-      q AS (SELECT vec_id, embedding,
-          list_append(list_transform(embedding, x -> x::DOUBLE),
-            0.0::DOUBLE) AS aug
-        FROM embeddings WHERE vec_id < 3),
-      cb AS (SELECT vec_id, embedding, x.tid AS tid, x.bkey AS bkey
-        FROM (SELECT vec_id, embedding, unnest($buckets) AS x FROM c)),
-      qb AS (SELECT vec_id, embedding, x.tid AS tid, x.bkey AS bkey
-        FROM (SELECT vec_id, embedding, unnest($buckets) AS x FROM q)),
-      cand AS (SELECT DISTINCT q.vec_id AS query_id,
-          c.vec_id AS neighbor_id,
-          ${sqlDot("q.embedding", "c.embedding")} AS score
-        FROM cb c JOIN qb q
-          ON c.tid = q.tid AND c.bkey = q.bkey AND q.vec_id <> c.vec_id),
-      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        ORDER BY score DESC, neighbor_id ASC) AS rank FROM cand)
-      SELECT query_id, rank, neighbor_id, score FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank"""
-    },
+    "ss10_mips_topk" -> sqlMipsTopKSql,
     "ss3_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),

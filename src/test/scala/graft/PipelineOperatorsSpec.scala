@@ -44,6 +44,25 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(4) <= 3))
   }
 
+  test("recall report covers all five index families with sane values") {
+    val rows = Similarity.annRecallReportAll(embs,
+      embs.filter(col("vec_id") < 3), k = 5).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("ivf", "ivfpq", "lsh", "mips", "pq"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 15, s"${r.getString(0)}: truth should be k*queries")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000,
+        s"${r.getString(0)}: recall_x1000 out of range")
+    }
+    // lsh/ivf recall must agree with the narrower ss4 report (same
+    // params, same truth) — the extension cannot change existing rows
+    val old = Similarity.annRecallReport(embs,
+      embs.filter(col("vec_id") < 3), k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val all = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(all("lsh") == old("lsh") && all("ivf") == old("ivf"))
+  }
+
   test("cosine topk ranks by exact cosine, ties by id") {
     val rows = Similarity.bruteForceTopK(embs,
       embs.filter(col("vec_id") === 0), k = 5).collect()
