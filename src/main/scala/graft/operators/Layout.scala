@@ -105,6 +105,33 @@ object Layout {
       .sortWithinPartitions(col(partCol), col("bin"), col(ordCol))
       .write.partitionBy(partCol, "bin").mode("overwrite").parquet(outPath)
 
+  /** Materialize the label-partitioned serving layout for FILTERED
+    * vector search (the ss11 serving mode, q67): writes `df` under
+    * `outPath` with `labelCol` as a DIRECTORY partition, so a
+    * `label = v` predicate on the read side becomes partition
+    * PRUNING — the scan lists and reads only the matching stripe,
+    * and the query's cost is proportional to the stripe, not the
+    * corpus (BucketingSpec proves the pruning; PlanCheck pins
+    * `PartitionFilters` on the declared query).
+    *
+    * Scale shape: ONE hash exchange on (label, salt) — `filesPerLabel`
+    * deterministic salts per label so a hot label fans out over
+    * several writer tasks instead of serializing into one — then
+    * dynamic `partitionBy` emits each label under its own directory.
+    * No global sort, no driver-side file loop; a skewed label
+    * distribution shows up as directory sizes, not stragglers.
+    * Labels must be low-cardinality (directories = distinct labels ×
+    * filesPerLabel); for high-cardinality predicates use
+    * [[zorderKey]] + file stats instead of directories. */
+  def partitionByLabel(df: DataFrame, labelCol: String, outPath: String,
+      filesPerLabel: Int = 1): Unit = {
+    val nonLabel = df.columns.filter(_ != labelCol).map(col)
+    df.withColumn("__salt", pmod(hash(nonLabel: _*), lit(filesPerLabel)))
+      .repartition(col(labelCol), col("__salt"))
+      .drop("__salt")
+      .write.partitionBy(labelCol).mode("overwrite").parquet(outPath)
+  }
+
   def zorderStats(df: DataFrame, aCol: String, bCol: String,
       bits: Int = 16, bucketShift: Int = 14): DataFrame = {
     val bound = 1L << bits

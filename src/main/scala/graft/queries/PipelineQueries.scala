@@ -366,6 +366,21 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     },
+    // the WRITER behind ss11's serving mode: materialize the
+    // label-partitioned layout, then serve the same filtered top-k
+    // THROUGH it — label=3 is a directory PartitionFilter on the
+    // read-back scan (PlanCheck pins it), and the result must equal
+    // serving straight off the source table (same oracle as ss11)
+    "q67_label_layout" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_label_layout").getPath
+      graft.operators.Layout.partitionByLabel(e, "label", out)
+      Similarity.bruteForceTopK(
+        s.read.parquet(out).filter(col("label") === 3),
+        e.filter(col("vec_id") < 3), k = 5)
+        .orderBy("query_id", "rank")
+    },
     // same output as dc1 by construction (Bloom prefilter has no
     // false negatives; exact confirm removes false positives), but
     // the eval set is probed via a broadcast BITMAP instead of a
@@ -1253,6 +1268,22 @@ object PipelineQueries {
       WHERE rank <= 5 ORDER BY query_id, rank"""
     }
 
+  /** Oracle of the filtered top-k (ss11) — shared verbatim by q67,
+    * whose label-partitioned layout must be result-invariant. */
+  private def sqlFilteredTopKSql: String = s"""
+      WITH e AS (SELECT vec_id, label, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        FROM e WHERE vec_id < 3),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e, q WHERE q.query_id <> e.vec_id AND e.label = 3),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val oracle: Map[String, String] = Map(
     "dc3_eval_overlap" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
@@ -1729,19 +1760,11 @@ object PipelineQueries {
       SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches, eval_id,
         score_ppm
       FROM r WHERE rn = 1 ORDER BY doc_id""",
-    "ss11_filtered_topk" -> s"""
-      WITH e AS (SELECT vec_id, label, embedding,
-        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
-      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-        FROM e WHERE vec_id < 3),
-      scored AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id,
-          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
-        FROM e, q WHERE q.query_id <> e.vec_id AND e.label = 3),
-      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
-      SELECT query_id, rank, neighbor_id, score FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ss11_filtered_topk" -> sqlFilteredTopKSql,
+    // q67 serves the identical filtered top-k THROUGH the
+    // label-partitioned layout: the layout must not change results,
+    // only the scan's pruning — so the oracle is ss11's, verbatim
+    "q67_label_layout" -> sqlFilteredTopKSql,
     "q52_zorder_stats" -> {
       val z = (0 until 16).map { i =>
         s"(((l_partkey >> $i) & 1) * ${1L << (2 * i)} + " +

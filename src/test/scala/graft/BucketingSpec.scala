@@ -53,23 +53,35 @@ class BucketingSpec extends AnyFunSuite
     // pruning — the scan plans only the matching stripe — and the
     // filtered top-k over the pruned read equals the row-filter answer
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-label-part").toString
-    embs.write.partitionBy("label").mode("overwrite").parquet(dir)
-    val pruned = spark.read.parquet(dir).filter(col("label") === 3)
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("label"),
-      s"label not a partition filter:\n$plan")
-    val queries = embs.filter(col("vec_id") < 3)
-    val viaLayout = graft.operators.Similarity
-      .bruteForceTopK(pruned, queries, k = 5)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        r.getDouble(3))).toSet
-    val viaRowFilter = graft.operators.Similarity
-      .bruteForceTopK(embs.filter(col("label") === 3), queries, k = 5)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        r.getDouble(3))).toSet
-    assert(viaLayout == viaRowFilter && viaLayout.nonEmpty)
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-label-part")
+    val dir = dirPath.toString
+    try {
+      graft.operators.Layout.partitionByLabel(embs, "label", dir,
+        filesPerLabel = 2)
+      val pruned = spark.read.parquet(dir).filter(col("label") === 3)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("label"),
+        s"label not a partition filter:\n$plan")
+      // the salt fans each label stripe over filesPerLabel writers
+      val stripe = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("label=3")).head
+      assert(stripe.listFiles().count(_.getName.endsWith(".parquet")) == 2)
+      val queries = embs.filter(col("vec_id") < 3)
+      val viaLayout = graft.operators.Similarity
+        .bruteForceTopK(pruned, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val viaRowFilter = graft.operators.Similarity
+        .bruteForceTopK(embs.filter(col("label") === 3), queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(viaLayout == viaRowFilter && viaLayout.nonEmpty)
+    } finally {
+      // temp layouts must not accumulate across test runs
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("bucketed tables join without any exchange") {

@@ -90,6 +90,14 @@ object PlanCheck {
         (p => !p.contains("Cartesian")),
       "distinct-hash dedup is partially aggregated map-side" ->
         (_.contains("partial_"))))
+    audit("q67_label_layout", Seq(
+      // the layout writer's read-back scan must prune by DIRECTORY:
+      // label=3 appears as a partition filter, not a data filter
+      "label predicate is a PartitionFilter on the layout scan" -> (p =>
+        p.contains("PartitionFilters") &&
+          p.split("PartitionFilters", 2)(1).take(200).contains("label")),
+      "queries broadcast, corpus scanned once" ->
+        (_.contains("BroadcastNestedLoopJoin"))))
     audit("q13_window_rank", Seq(
       "single window exchange" ->
         (p => "Exchange".r.findAllIn(p).size <= 2)))
