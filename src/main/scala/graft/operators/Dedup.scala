@@ -335,23 +335,33 @@ object Dedup {
     *
     * Scale shape: clusters exist only for PAIRED docs, so the
     * cluster-size aggregation runs on the near-dup-sized label frame
-    * (one small key-shuffle), and the corpus pass is a single
-    * broadcast left join — unpaired documents take weight 1e6 ppm
-    * map-side without touching any exchange ([[keepBestPerCluster]]'s
-    * corpus shape).
+    * (one small key-shuffle), and the corpus pass is a single left
+    * join probing that frame — unpaired documents take weight 1e6
+    * ppm map-side without touching any exchange
+    * ([[keepBestPerCluster]]'s corpus shape). The paired frame rides
+    * a broadcast only while it is ACTUALLY broadcast-sized
+    * (`maxBroadcastLabels` rows, counted once off the checkpointed
+    * frame): at sane dup rates the paired set is orders of magnitude
+    * smaller than the corpus, but a pathological corpus — half of
+    * everything a near-copy — would make the label frame
+    * corpus-scale, and forcing THAT through a broadcast OOMs the
+    * driver; above the threshold the join falls back to the key-equi
+    * shuffle shape, which scales unbounded.
     *
     * Output: one row per document —
     * `(doc_id, cluster_id, n_copies, weight_ppm)`. */
   def softDedupWeights(docs: DataFrame, k: Int = 3,
-      pct: Int = 80): DataFrame = {
+      pct: Int = 80, maxBroadcastLabels: Long = 50L * 1000 * 1000): DataFrame = {
     val clusters = resolveClusters(minhashPairs(docs, k = k, pct = pct))
       .select(col("doc_id"), col("cluster_id"))
-      .localCheckpoint(eager = false) // size agg + corpus join
+      .localCheckpoint(eager = false) // size agg + corpus join + count
+    val small = clusters.count() <= maxBroadcastLabels
+    def mside(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val sizes = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_copies"))
-    val labeled = clusters.join(broadcast(sizes), "cluster_id")
+    val labeled = clusters.join(mside(sizes), "cluster_id")
     docs.select(col("doc_id"))
-      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .join(mside(labeled), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("n_copies"), lit(1L)).as("n_copies"))

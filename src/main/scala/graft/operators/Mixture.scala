@@ -182,6 +182,10 @@ object Mixture {
   def exactStratifiedSplit(docs: DataFrame, seed: Long,
       stratumCol: String = "lang", pctTrain: Int = 80,
       pctVal: Int = 10): DataFrame = {
+    // pctTrain + pctVal = 100 is legal and yields an EMPTY test split
+    // by construction (everything lands in train/val); the mx6 oracle
+    // interpolates whatever percentages the declared query passes, so
+    // non-default configurations stay gate-verified
     require(pctTrain + pctVal <= 100, "split percentages exceed 100")
     val ranked = Packing
       .seededRankByKey(docs, stratumCol, "doc_id", seed)

@@ -55,6 +55,10 @@ object Tokenizer {
     *
     * Output: one row per learned merge —
     * `(rnd, pair, merged, cnt)`, `rnd` 1-based in learning order.
+    * May hold FEWER than `merges` rows: training stops early once the
+    * vocabulary is exhausted (every word a single symbol, no pair
+    * left to merge) instead of burning the remaining rounds as
+    * silent no-ops. Throws if the corpus admits no merge at all.
     */
   def bpeTrain(docs: DataFrame, merges: Int = 8,
       maxWordLen: Int = 20): DataFrame = {
@@ -70,7 +74,15 @@ object Tokenizer {
         trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"))
       .localCheckpoint(eager = false)
     var out: DataFrame = null
-    for (r <- 1 to merges) {
+    var r = 1
+    var exhausted = false
+    // EARLY STOP: when every word has collapsed to a single symbol
+    // the pair table is empty and no further merge exists — the
+    // output then has fewer than `merges` rows BY DESIGN (a tiny or
+    // single-word corpus trains a short merge list; without the stop,
+    // the empty argmax's crossJoin would silently empty the
+    // vocabulary and burn the remaining rounds as no-ops)
+    while (r <= merges && !exhausted) {
       val toks = split(col("sym"), " ")
       val pairs = vocab
         .select(col("freq"), explode(zip_with(
@@ -83,6 +95,8 @@ object Tokenizer {
         .select(lit(r).as("rnd"), col("pair"),
           replace(col("pair"), lit(" "), lit("")).as("merged"), col("cnt"))
         .localCheckpoint(eager = false) // output union + vocab rewrite
+      exhausted = best.isEmpty
+      if (!exhausted) {
       out = if (out == null) best else out.union(best)
       // double-space expansion → bounded substring replace → collapse
       val expanded = concat(lit(" "),
@@ -97,7 +111,10 @@ object Tokenizer {
             replace(expanded, target, concat(lit(" "), col("_m"), lit(" "))),
             " +", " ")).as("sym"))
         .localCheckpoint(eager = false)
+      }
+      r += 1
     }
+    require(out != null, "corpus has no mergeable pair at all")
     out.orderBy("rnd")
   }
 }

@@ -260,7 +260,8 @@ object PipelineQueries {
     // quotas met exactly (vs mx2's in-expectation hash coin); rank
     // via the same two-phase range-bucket cumsum as tp7
     "mx6_exact_split" -> { (s, d) =>
-      Mixture.exactStratifiedSplit(documents(s, d), seed = 43L)
+      Mixture.exactStratifiedSplit(documents(s, d), seed = 43L,
+        pctTrain = Mx6PctTrain, pctVal = Mx6PctVal)
         .orderBy("doc_id")
     },
     // source-interleaved epoch order: per-source seeded rank via the
@@ -835,6 +836,12 @@ object PipelineQueries {
         .orderBy("user_id")
     }
   )
+
+  /** mx6's split percentages — ONE definition drives both the
+    * declared query and its oracle, so changing the configuration
+    * keeps the gate honest (round-9 advice). */
+  private val Mx6PctTrain = 80
+  private val Mx6PctVal = 10
 
   private val toks = sqlToks("text")
 
@@ -1451,8 +1458,9 @@ object PipelineQueries {
       s AS (SELECT lang, count(*)::BIGINT AS strat_size
         FROM documents GROUP BY lang)
       SELECT r.doc_id, r.lang, r.strat_rank, s.strat_size,
-        CASE WHEN r.strat_rank * 100 < s.strat_size * 80 THEN 'train'
-             WHEN r.strat_rank * 100 < s.strat_size * 90 THEN 'val'
+        CASE WHEN r.strat_rank * 100 < s.strat_size * $Mx6PctTrain THEN 'train'
+             WHEN r.strat_rank * 100 < s.strat_size * ${Mx6PctTrain + Mx6PctVal}
+               THEN 'val'
              ELSE 'test' END AS split
       FROM r JOIN s USING (lang)
       ORDER BY r.doc_id""",

@@ -63,6 +63,28 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(all("lsh") == old("lsh") && all("ivf") == old("ivf"))
   }
 
+  test("bpe training stops early when the vocabulary is exhausted") {
+    import spark.implicits._
+    // one 2-letter word: exactly ONE merge exists; rounds 2..8 have
+    // no pair left and must not run (or empty the vocabulary)
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val rows = graft.operators.Tokenizer.bpeTrain(tiny, merges = 8).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "a b" && rows.head.getString(2) == "ab")
+  }
+
+  test("soft dedup weights are identical through the shuffle fallback") {
+    val viaBroadcast = Dedup.softDedupWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // maxBroadcastLabels = 0 forces the key-equi shuffle join the
+    // operator falls back to when the paired frame outgrows a
+    // broadcast — the plan changes, the output must not
+    val viaShuffle = Dedup.softDedupWeights(docs, maxBroadcastLabels = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
+  }
+
   test("cosine topk ranks by exact cosine, ties by id") {
     val rows = Similarity.bruteForceTopK(embs,
       embs.filter(col("vec_id") === 0), k = 5).collect()
