@@ -116,8 +116,14 @@ class DeltaSharingClient(
       s"delta sharing server returned HTTP ${resp.statusCode()}: $msg")
   }
 
+  /** Percent-encoding safe in BOTH path segments and query values:
+    * `URLEncoder` alone form-encodes space as `+`, which inside a
+    * path segment means a LITERAL plus — a share or table name with
+    * a space would route to the wrong resource on a spec-compliant
+    * server (found by ProtocolConformanceSpec). `%20` is correct in
+    * both positions. */
   private def urlEnc(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8")
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
   /** NDJSON: one JSON document per non-empty line
     * (`delta_sharing_client.cpp:163-181`). */

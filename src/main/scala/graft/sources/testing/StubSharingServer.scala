@@ -23,6 +23,11 @@ class StubSharingServer(
 
   @volatile var lastQueryBody: String = ""
   @volatile var lastHeaders: Map[String, String] = Map.empty
+
+  /** Every sharing-endpoint request seen, as (method, path-under-
+    * /delta-sharing, raw query string or "") — the conformance spec
+    * pins the exact request surface the client emits. */
+  @volatile var requestLog: Vector[(String, String, String)] = Vector.empty
   @volatile var shares: Seq[String] = Seq("share1", "share2", "share3")
   /** tableName -> (schemaString, partitionColumns, files) */
   @volatile var tables: Map[String, (String, Seq[String], Seq[(String, Long, Map[String, String])])] = Map.empty
@@ -137,6 +142,13 @@ class StubSharingServer(
       } else {
         val path = ex.getRequestURI.getPath.stripPrefix("/delta-sharing")
         val query = ex.getRequestURI.getQuery
+        synchronized {
+          // RAW path/query so the conformance spec can pin the
+          // client's percent-encoding, not just the decoded route
+          requestLog :+= ((ex.getRequestMethod,
+            ex.getRequestURI.getRawPath.stripPrefix("/delta-sharing"),
+            Option(ex.getRequestURI.getRawQuery).getOrElse("")))
+        }
         val seg = path.split("/").filter(_.nonEmpty)
         // /shares | /shares/{s} | /shares/{s}/schemas |
         // /shares/{s}/schemas/{sc}/tables | /shares/{s}/all-tables |
