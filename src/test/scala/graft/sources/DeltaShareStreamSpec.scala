@@ -160,6 +160,87 @@ class DeltaShareStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped.head.size == slices.map(_._3).sum)
   }
 
+  test("soak: 50-version CDF replay with admission control, restarts, bounded state",
+      graft.SlowSoak) {
+    // round-9 verdict #7: a LONG multi-version replay — 50 commits,
+    // maxVersionsPerTrigger=3 admission, two cold restarts — must
+    // deliver every row exactly once, keep each micro-batch within
+    // the admission cap, and keep per-batch checkpoint state O(1)
+    // (offsets are table versions, never file lists).
+    val soak = new StubSharingServer(expectedToken = "tok").start()
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val vs = (0 until 50).map { i =>
+        val part = docs.filter(col("doc_id") % 50 === i)
+        val (url, size) = writeOne(part, s"soak$i")
+        (url, size, part.count())
+      }
+      soak.tables = Map("documents" -> ((docs.schema.json, Seq.empty[String],
+        Seq((vs(0)._1, vs(0)._2, Map.empty[String, String])))))
+      soak.changeFeed = Map("documents" -> Seq(
+        ChangeEntry(1, 1700000001000L, "add", vs(0)._1, vs(0)._2)))
+      soak.tableVersion = 1
+      def publishThrough(v: Int): Unit =
+        ((soak.tableVersion + 1) to v).foreach { j =>
+          soak.publishChange("documents", ChangeEntry(j,
+            1700000000000L + j * 1000L, "add",
+            vs(j.toInt - 1)._1, vs(j.toInt - 1)._2))
+        }
+      val ckpt = Files.createTempDirectory("graft-soak-ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val batchSpans =
+        new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      def run(): Unit = {
+        val q = spark.readStream.format("deltashare")
+          .option("endpoint", soak.endpoint)
+          .option("bearerToken", "tok")
+          .option("startingVersion", "1")
+          .option("maxVersionsPerTrigger", "3")
+          .load("share1.schema1.documents")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ids = batch.select("doc_id").collect().map(_.getLong(0))
+            ids.foreach(seen.add)
+            if (ids.nonEmpty)
+              batchSpans.add(ids.map(i => (i % 50).toInt).distinct.length)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      publishThrough(20); run() // phase 1: backfill 20 versions
+      publishThrough(35); run() // phase 2: 15 more, cold restart
+      publishThrough(50); run() // phase 3: final 15, second restart
+      import scala.jdk.CollectionConverters._
+      // exactly-once across restarts: the delivered multiset equals
+      // the committed corpus (no loss, no replay)
+      val delivered = seen.asScala.toSeq
+      assert(delivered.length == vs.map(_._3).sum.toInt)
+      assert(delivered.distinct.length == delivered.length,
+        "a restart replayed rows already committed")
+      assert(delivered.map(_ % 50).toSet == (0L until 50L).toSet)
+      // admission control: no micro-batch spanned more than 3 versions
+      assert(batchSpans.asScala.forall(_ <= 3),
+        s"a batch exceeded maxVersionsPerTrigger: ${batchSpans.asScala.toSeq}")
+      assert(batchSpans.asScala.size >= 17,
+        "50 versions at 3/trigger must take at least 17 non-empty batches")
+      // bounded state: each checkpoint offset/commit entry is a
+      // version marker, not a file list — O(1) bytes per batch no
+      // matter how many files a version carries
+      for (sub <- Seq("offsets", "commits")) {
+        val dir = java.nio.file.Paths.get(ckpt, sub)
+        val files = java.nio.file.Files.list(dir).iterator().asScala
+          .filterNot(_.getFileName.toString.startsWith(".")).toSeq
+        assert(files.nonEmpty)
+        files.foreach { f =>
+          assert(Files.size(f) <= 1024,
+            s"$sub/${f.getFileName} is ${Files.size(f)}B — state not O(1)")
+        }
+      }
+    } finally soak.stop()
+  }
+
   test("live incremental read feeds minhash dedup against a standing index") {
     // the daily-pipeline composition: each micro-batch of newly shared
     // docs probes the standing index via the incremental band join —
