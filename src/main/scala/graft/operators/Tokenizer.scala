@@ -58,7 +58,8 @@ object Tokenizer {
     * May hold FEWER than `merges` rows: training stops early once the
     * vocabulary is exhausted (every word a single symbol, no pair
     * left to merge) instead of burning the remaining rounds as
-    * silent no-ops. Throws if the corpus admits no merge at all.
+    * silent no-ops; a corpus with no mergeable pair at all yields
+    * the empty frame.
     */
   def bpeTrain(docs: DataFrame, merges: Int = 8,
       maxWordLen: Int = 20): DataFrame = {
@@ -96,8 +97,11 @@ object Tokenizer {
           replace(col("pair"), lit(" "), lit("")).as("merged"), col("cnt"))
         .localCheckpoint(eager = false) // output union + vocab rewrite
       exhausted = best.isEmpty
+      // an alphabet-free corpus exhausts on round 1: the result is
+      // the empty (rnd, pair, merged, cnt) frame, not an error
+      if (out == null) out = best.limit(if (exhausted) 0 else 1)
+      else if (!exhausted) out = out.union(best)
       if (!exhausted) {
-      out = if (out == null) best else out.union(best)
       // double-space expansion → bounded substring replace → collapse
       val expanded = concat(lit(" "),
         replace(col("sym"), lit(" "), lit("  ")), lit(" "))
@@ -114,7 +118,6 @@ object Tokenizer {
       }
       r += 1
     }
-    require(out != null, "corpus has no mergeable pair at all")
     out.orderBy("rnd")
   }
 }

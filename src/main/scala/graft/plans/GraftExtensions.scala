@@ -71,5 +71,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_long_intersect",
         "two-pointer intersection of sorted long arrays"),
       (exprs: Seq[Expression]) => SortedLongIntersect(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "60-bit simhash of whitespace tokens"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+
+    // ---- the reference's literal SQL table-function surface --------
+    // (`duck_delta_share_extension.cpp:654-661`): builders live in
+    // [[graft.sources.DeltaShare]] so an already-running session can
+    // also register them via `DeltaShare.registerSql(spark)`.
+    ext.injectTableFunction((FunctionIdentifier("delta_share_list"),
+      info("delta_share_list",
+        "list shares (0 args) / schemas (share) / tables (share, schema)"),
+      graft.sources.DeltaShare.listTvfBuilder))
+    ext.injectTableFunction((FunctionIdentifier("delta_share_read"),
+      info("delta_share_read",
+        "delta_share_read('share','schema','table') — shared-table scan"),
+      graft.sources.DeltaShare.readTvfBuilder))
   }
 }

@@ -109,4 +109,61 @@ object DeltaShare {
       .option("startingTimestamp", startingTimestamp)
     endingTimestamp.fold(r)(t => r.option("endingTimestamp", t)).load()
   }
+
+  // ---- SQL table-function surface ----------------------------------
+  // The reference's literal TVFs (`duck_delta_share_extension
+  // .cpp:654-661`). Arguments must be string literals: the listing
+  // happens at PLAN time (driver-side HTTP, small result set) exactly
+  // like the reference's bind-time fetch; delta_share_read returns
+  // the DSv2 relation, so predicates/pruning/limit written over the
+  // TVF push down through the connector as usual.
+
+  private def strLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): String = e match {
+    case other if other.foldable &&
+        other.dataType == org.apache.spark.sql.types.StringType =>
+      String.valueOf(other.eval(null))
+    case other => throw new IllegalArgumentException(
+      s"$what must be a STRING LITERAL, got $other")
+  }
+
+  /** `delta_share_list([share[, schema]])` plan builder — arity
+    * selects shares / schemas / tables, as in the reference. */
+  private[graft] val listTvfBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    exprs => {
+      val spark = SparkSession.active
+      val df = exprs.map(strLit(_, "delta_share_list argument")) match {
+        case Seq() => listShares(spark)
+        case Seq(sh) => listSchemas(spark, sh)
+        case Seq(sh, sc) => listTables(spark, sh, sc)
+        case _ => throw new IllegalArgumentException(
+          "delta_share_list accepts 0, 1, or 2 arguments")
+      }
+      df.queryExecution.logical
+    }
+
+  /** `delta_share_read('share','schema','table')` plan builder. */
+  private[graft] val readTvfBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    exprs => {
+      if (exprs.size != 3) throw new IllegalArgumentException(
+        "usage: delta_share_read('share_name', 'schema_name', 'table_name')")
+      val args = exprs.map(strLit(_, "delta_share_read argument"))
+      readTable(SparkSession.active, args(0), args(1), args(2))
+        .queryExecution.logical
+    }
+
+  /** Register both TVFs into an ALREADY-RUNNING session (sessions
+    * built with [[graft.plans.GraftExtensions]] have them from the
+    * start). */
+  def registerSql(spark: SparkSession): Unit = {
+    org.apache.spark.sql.GraftBridge.registerTableFunction(spark,
+      "delta_share_list", listTvfBuilder)
+    org.apache.spark.sql.GraftBridge.registerTableFunction(spark,
+      "delta_share_read", readTvfBuilder)
+  }
 }

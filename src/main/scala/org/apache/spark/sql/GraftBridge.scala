@@ -27,4 +27,16 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Register a TABLE-function builder into an existing session
+    * (runtime equivalent of `SparkSessionExtensions
+    * .injectTableFunction`) — for sessions built without the
+    * extensions, e.g. an interactive shell that wants
+    * `delta_share_list()` after the fact. */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState
+      .tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
 }
