@@ -780,15 +780,30 @@ object Similarity {
       mipsBits: Int = 6, mipsTables: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ids(df: DataFrame) = df.select("query_id", "neighbor_id")
+    // all three exact-metric truths come from ONE corpus scan: cosine,
+    // L2 and inner product share the same pair dot products
+    // (cos = xy/(√qq·√cc), l2 = cc − 2xy + qq, dot = xy), so the
+    // corpus×queries frame is scored once (checkpointed — queries are
+    // a handful, the frame is |corpus|×|queries| narrow rows) and each
+    // truth is just a rank over a different derived column. The
+    // derived doubles are term-for-term the expressions the separate
+    // scans would compute, so ranks are unchanged.
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+      .withColumn("cc", dot(col("c_emb"), col("c_emb")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+      .withColumn("qq", dot(col("q_emb"), col("q_emb")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_emb"), col("c_emb")).as("xy"),
+        col("cc"), col("qq"))
+      .localCheckpoint(eager = false) // feeds all three truth ranks
     def truthBy(score: Column, asc: Boolean): DataFrame = {
-      val c = corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"))
-      val q = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))
       val ord = if (asc) Seq(col("s").asc, col("neighbor_id").asc)
                 else Seq(col("s").desc, col("neighbor_id").asc)
-      c.crossJoin(broadcast(q))
-        .filter(col("query_id") =!= col("neighbor_id"))
+      scored
         .withColumn("s", score)
         .withColumn("rank", row_number().over(
           Window.partitionBy("query_id").orderBy(ord: _*)))
@@ -797,13 +812,10 @@ object Similarity {
         .localCheckpoint(eager = false) // each truth feeds 1-2 recall rows + its count
     }
     val cosTruth = truthBy(
-      dot(col("q_emb"), col("c_emb")) /
-        (norm(col("q_emb")) * norm(col("c_emb"))), asc = false)
+      col("xy") / (sqrt(col("qq")) * sqrt(col("cc"))), asc = false)
     val l2Truth = truthBy(
-      dot(col("c_emb"), col("c_emb"))
-        - lit(2.0) * dot(col("q_emb"), col("c_emb"))
-        + dot(col("q_emb"), col("q_emb")), asc = true)
-    val dotTruth = truthBy(dot(col("q_emb"), col("c_emb")), asc = false)
+      col("cc") - lit(2.0) * col("xy") + col("qq"), asc = true)
+    val dotTruth = truthBy(col("xy"), asc = false)
     def recallRow(name: String, truth: DataFrame,
         res: DataFrame): DataFrame =
       truth.join(ids(res), Seq("query_id", "neighbor_id"), "left_semi")
