@@ -44,6 +44,23 @@ object HashOpsProps extends Properties("HashOps") {
     h >= 0L && h < (1L << 30)
   }
 
+  property("simHash60 uses 60 bits; low 30 equal simHash") = forAll(text) { s =>
+    val h60 = HashOps.simHash60(u(s))
+    h60 >= 0L && h60 < (1L << 60) &&
+      (h60 & ((1L << 30) - 1)) == HashOps.simHash(u(s))
+  }
+
+  property("4x15-bit blocks are pigeonhole-complete at Hamming <= 3") =
+    forAll(Gen.choose(0L, (1L << 60) - 1),
+      Gen.listOfN(3, Gen.choose(0, 59))) { (h, flips) =>
+      // flip UP TO 3 (possibly repeated → fewer) bits: some block of
+      // the pair must still match — the dd4 candidate-generation
+      // completeness guarantee (3 diff bits cannot touch 4 blocks)
+      val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      def block(x: Long, b: Int): Long = (x >>> (b * 15)) & 32767L
+      (0 until 4).exists(b => block(h, b) == block(h2, b))
+    }
+
   property("minhash is element-wise monotone under shingle union") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0L, HashOps.Mod - 1)),
       Gen.listOf(Gen.choose(0L, HashOps.Mod - 1))) { (base, extra) =>
