@@ -161,6 +161,51 @@ object Mixture {
       .select(col("doc_id"), col(groupCol), col("rate_mil"))
   }
 
+  /** Token-budget epoch plan (mx7) — the data-recipe planner for a
+    * TRAINING RUN rather than a corpus rewrite: given a total token
+    * budget, allocate it across sources with temperature-flattened
+    * weights (α = 1/2, same engine-exact sqrt rule as
+    * [[rebalanceSqrt]]) and report, per source, how many epochs of
+    * that source the plan implies. `epochs_ppm > 10⁶` marks a source
+    * the plan REPEATS (the data-constrained regime — small high-value
+    * sources get multiple epochs while web-scale sources train
+    * sub-epoch); downstream, the ppm drives [[rebalanceUniform]]-
+    * style hash coins (sub-epoch) or an explicit repeat factor.
+    *
+    * Exactness: per-source `sqrt(n_tokens)` is one correctly-rounded
+    * double, frozen to integer micro-units (⌊√n·10⁶⌋) BEFORE the
+    * cross-source sum, so the normalization total is an integer sum —
+    * order-independent, never a float reduction whose grouping could
+    * differ between engines. All shares are integer ppm arithmetic.
+    *
+    * Scale shape: one map-side-combinable (source, token-count)
+    * aggregation over the corpus — the only pass that touches
+    * documents; the plan itself is vocabulary-sized rows and a 1-row
+    * total riding broadcasts.
+    *
+    * Output: `(source, n_docs, n_tokens, weight_ppm, target_tokens,
+    * epochs_ppm)`. */
+  def epochPlan(docs: DataFrame, targetTokens: Long,
+      sourceCol: String = "source"): DataFrame = {
+    val stats = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val total = stats.agg(sum("w_micro").as("w_total"))
+    stats.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("w_micro * 1000000 div w_total").as("weight_ppm"))
+      .withColumn("target_tokens",
+        expr(s"${targetTokens}L * weight_ppm div 1000000"))
+      .withColumn("epochs_ppm",
+        expr("CASE WHEN n_tokens = 0 THEN 0L " +
+          "ELSE target_tokens * 1000000 div n_tokens END"))
+  }
+
   /** EXACT stratified split (mx6): within every stratum, assign the
     * first `pctTrain`% of the seeded-hash order to train, the next
     * `pctVal`% to val, the rest to test — integer threshold

@@ -466,6 +466,47 @@ object VectorStats {
     * engine rounds identically; builtin `round` is half-even in some
     * engines and half-away in others. All-zero vectors quantize to
     * zeros. Per-row, shuffle-free, stays inside whole-stage codegen. */
+  /** Johnson–Lindenstrauss random projection (ve10): map every
+    * embedding onto `outDims` sparse Achlioptas planes — component
+    * (j, i) is +1 / −1 / 0 by the deterministic residue
+    * `(i·7 + j·13) mod 6` (0 → +1, 1 → −1, else 0; density 1/3),
+    * scaled by `sqrt(3/outDims)` so squared distances are preserved
+    * in expectation. The dimension-reduction step run BEFORE
+    * expensive indexing/clustering: a 64-d corpus becomes 16-d at
+    * ~1/4 the index memory and dot-product cost, with distortion
+    * bounded by the JL lemma (ε ≈ sqrt(8 ln n / outDims)).
+    *
+    * Per row the operator also reports `norm_ratio_ppm` =
+    * ⌊10⁶·‖proj‖²/‖x‖²⌋ — the per-vector norm-preservation QA that
+    * makes distortion OBSERVABLE in the output instead of assumed
+    * (zero vectors report 10⁶ exactly).
+    *
+    * Scale shape: entirely map-side — fixed-order folds per output
+    * dim, no shuffle, no state; the planes are arithmetic on indices
+    * (nothing broadcast, nothing trained). Every fold is the same
+    * sequential double fold the DuckDB oracle replays, so
+    * coordinates compare bit-for-bit. */
+  def jlProject(embs: DataFrame, outDims: Int = 16): DataFrame = {
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    def fold(l: Column): Column =
+      aggregate(l, lit(0.0), (a, v) => a + v)
+    val scale = sqrt(lit(3.0) / lit(outDims.toDouble))
+    val proj = array((0 until outDims).map { j =>
+      fold(zip_with(xd, sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => {
+          val m = (i * 7 + lit(j * 13)) % 6
+          when(m === 0, x).when(m === 1, -x).otherwise(lit(0.0))
+        })) * scale
+    }: _*)
+    embs.select(col("vec_id"), proj.as("proj"),
+        fold(transform(xd, v => v * v)).as("xn"))
+      .withColumn("pn", fold(transform(col("proj"), v => v * v)))
+      .select(col("vec_id"), col("proj"),
+        when(col("xn") > 0,
+          floor(lit(1000000.0) * col("pn") / col("xn")).cast("long"))
+          .otherwise(lit(1000000L)).as("norm_ratio_ppm"))
+  }
+
   private def quantizedFrame(embs: DataFrame): DataFrame =
     embs
       .select(col("vec_id"),

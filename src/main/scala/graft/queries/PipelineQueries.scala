@@ -561,6 +561,26 @@ object PipelineQueries {
         m = 4, ksub = 8, iters = 2, pqCoarse = 8, pqNprobe = 2,
         mipsBits = 6, mipsTables = 3)
     },
+    // JL random projection 64→16 dims (sparse Achlioptas planes) with
+    // per-vector norm-preservation QA — the map-side dimension
+    // reduction run before expensive indexing; rows are
+    // (vec_id, dim, coord, norm_ratio_ppm) so the compare is flat
+    "ve10_jl_project" -> { (s, d) =>
+      VectorStats.jlProject(embeddings(s, d), outDims = 16)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("dim", "coord")),
+          col("norm_ratio_ppm"))
+        .withColumn("dim", col("dim").cast("long"))
+        .select("vec_id", "dim", "coord", "norm_ratio_ppm")
+        .orderBy("vec_id", "dim")
+    },
+    // token-budget epoch plan: temperature-flattened (α=1/2) source
+    // weights over a fixed training budget; epochs_ppm > 1e6 marks
+    // sources the plan repeats (the data-constrained regime)
+    "mx7_epoch_plan" -> { (s, d) =>
+      Mixture.epochPlan(documents(s, d), targetTokens = Mx7TargetTokens)
+        .orderBy("source")
+    },
     // int8 reconstruction-error QA: max/mean abs error per vector
     "ve4_quant_error" -> { (s, d) =>
       VectorStats.quantError(embeddings(s, d)).orderBy("vec_id")
@@ -842,6 +862,9 @@ object PipelineQueries {
     * keeps the gate honest (round-9 advice). */
   private val Mx6PctTrain = 80
   private val Mx6PctVal = 10
+
+  /** mx7's training token budget — one definition for query + oracle. */
+  private val Mx7TargetTokens = 10L * 1000 * 1000
 
   private val toks = sqlToks("text")
 
@@ -2153,6 +2176,49 @@ object PipelineQueries {
           (SELECT count(*) FROM dott JOIN mipsk
             USING (query_id, neighbor_id)))
       ORDER BY method""",
+    "ve10_jl_project" -> s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, x8 -> x8::DOUBLE) AS xd
+        FROM embeddings),
+      p AS (SELECT vec_id, xd, list_transform(range(0, 16), j8 ->
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(list_zip(xd, range(0, len(xd))), z8 ->
+              CASE ((z8[2]*7 + j8*13) % 6)
+                WHEN 0 THEN z8[1] WHEN 1 THEN -z8[1]
+                ELSE 0.0::DOUBLE END)),
+            (a8,v8) -> a8+v8) * sqrt(3.0/16.0)) AS proj
+        FROM e),
+      n AS (SELECT vec_id, proj,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(proj, v9 -> v9*v9)), (a9,w9) -> a9+w9) AS pn,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(xd, v7 -> v7*v7)), (a7,w7) -> a7+w7) AS xn
+        FROM p)
+      SELECT vec_id, x.dim AS dim, x.coord AS coord,
+        CASE WHEN xn > 0 THEN floor(1000000.0 * pn / xn)::BIGINT
+             ELSE 1000000::BIGINT END AS norm_ratio_ppm
+      FROM (SELECT vec_id, pn, xn,
+          unnest(list_transform(list_zip(proj, range(0, len(proj))),
+            z6 -> {'dim': z6[2]::BIGINT, 'coord': z6[1]})) AS x
+        FROM n)
+      ORDER BY vec_id, dim""",
+    "mx7_epoch_plan" -> s"""
+      WITH t AS (SELECT source, count(*)::BIGINT AS n_docs,
+          sum(len($toks))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT *, floor(sqrt(n_tokens::DOUBLE) * 1000000.0)::BIGINT
+          AS w_micro FROM t),
+      tot AS (SELECT sum(w_micro)::BIGINT AS w_total FROM w),
+      p AS (SELECT w.source, w.n_docs, w.n_tokens,
+          (w.w_micro * 1000000) // tot.w_total AS weight_ppm
+        FROM w, tot),
+      q AS (SELECT *, ($Mx7TargetTokens * weight_ppm) // 1000000
+          AS target_tokens FROM p)
+      SELECT source, n_docs, n_tokens, weight_ppm, target_tokens,
+        (CASE WHEN n_tokens = 0 THEN 0
+              ELSE (target_tokens * 1000000) // n_tokens END)::BIGINT
+          AS epochs_ppm
+      FROM q ORDER BY source""",
     "ve3_kmeans" -> s"""
       WITH $sqlKmeansCtes,
       ${sqlKmAsg("c2", "a2")}

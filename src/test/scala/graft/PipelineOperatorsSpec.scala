@@ -85,6 +85,43 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
   }
 
+  test("jl projection preserves norms within the JL band; zero vector exact") {
+    import spark.implicits._
+    val rows = graft.operators.VectorStats.jlProject(embs, outDims = 16)
+      .collect()
+    assert(rows.forall(_.getSeq[Double](1).length == 16))
+    // the Achlioptas planes give E[ratio]=1 — individual 16-dim
+    // projections can swing widely (that's the JL variance), but the
+    // corpus MEAN must sit near 1 and no ratio can go negative
+    val ratios = rows.map(_.getLong(2))
+    assert(ratios.forall(_ >= 0L))
+    val mean = ratios.sum.toDouble / ratios.length
+    assert(mean > 500000 && mean < 2000000,
+      s"mean norm ratio $mean far from 1e6 — planes are biased")
+    val zero = Seq((1L, Array.fill(8)(0.0f).toSeq)).toDF("vec_id", "embedding")
+    val z = graft.operators.VectorStats.jlProject(zero, outDims = 4).collect()(0)
+    assert(z.getLong(2) == 1000000L)
+    assert(z.getSeq[Double](1).forall(_ == 0.0))
+  }
+
+  test("epoch plan: integer shares consistent, budget respected") {
+    val plan = graft.operators.Mixture
+      .epochPlan(docs, targetTokens = 1000000L).collect()
+    assert(plan.nonEmpty)
+    val wSum = plan.map(_.getLong(3)).sum
+    assert(wSum <= 1000000L && wSum > 1000000L - plan.length * 2,
+      s"weight_ppm sum $wSum not a floor-partition of 1e6")
+    assert(plan.map(_.getLong(4)).sum <= 1000000L, "plan exceeds the budget")
+    plan.foreach { r =>
+      val (nTok, target, epochs) = (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(epochs == (if (nTok == 0) 0L else target * 1000000L / nTok))
+    }
+    // temperature flattening: a bigger source never gets MORE epochs
+    val byTok = plan.sortBy(_.getLong(2)).map(_.getLong(5)).toSeq
+    assert(byTok.zip(byTok.drop(1)).forall { case (a, b) => a >= b },
+      "epochs_ppm must be non-increasing in source size")
+  }
+
   test("cosine topk ranks by exact cosine, ties by id") {
     val rows = Similarity.bruteForceTopK(embs,
       embs.filter(col("vec_id") === 0), k = 5).collect()

@@ -98,6 +98,17 @@ object PlanCheck {
           p.split("PartitionFilters", 2)(1).take(200).contains("label")),
       "queries broadcast, corpus scanned once" ->
         (_.contains("BroadcastNestedLoopJoin"))))
+    audit("ve10_jl_project", Seq(
+      // dimension reduction must be a pure map: one scan, no joins
+      "no join anywhere (map-side projection)" ->
+        (p => !p.contains("Join")),
+      "single parquet scan" ->
+        (p => "Scan parquet".r.findAllIn(p).size == 1)))
+    audit("mx7_epoch_plan", Seq(
+      "source histogram partially aggregated map-side" ->
+        (_.contains("partial_")),
+      "1-row total rides a broadcast" ->
+        (_.contains("BroadcastNestedLoopJoin"))))
     audit("q13_window_rank", Seq(
       "single window exchange" ->
         (p => "Exchange".r.findAllIn(p).size <= 2)))
