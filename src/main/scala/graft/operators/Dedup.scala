@@ -200,15 +200,27 @@ object Dedup {
   /** (doc_id, band, key) band-key rows for LSH banding: band key =
     * fingerprint-combine of the band's signature slice. Carries only
     * ids and keys — never the shingle arrays. */
-  private def bandKeys(ds: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandKeys(ds: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandKeyVectors(ds, numHashes, bands)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), element_at(col("keys"), b + 1).as("key"))))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Per-document band-key VECTOR `(doc_id, keys[bands], sigkey)` —
+    * `sigkey` folds the whole signature (the all-bands key), used by
+    * the identical-signature rescue path of [[bandCandidates]]. */
+  private def bandKeyVectors(ds: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rows = numHashes / bands
     ds.withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
-              (acc, x) => (acc * 31L + x) % Mod).as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          aggregate(slice(col("sig"), b * rows + 1, lit(rows)), lit(0L),
+            (acc, x) => (acc * 31L + x) % Mod)).as("keys"))
+      .withColumn("sigkey",
+        aggregate(col("keys"), lit(0L), (acc, x) => (acc * 31L + x) % Mod))
   }
 
   /** Exact-Jaccard verification of candidate (aCol, bCol) pairs:
@@ -242,21 +254,67 @@ object Dedup {
   /** Deduplicated within-corpus band-collision candidate pairs
     * `(a_id, b_id)`, a_id < b_id — shared by every banded detector
     * ([[minhashPairs]], [[editDistancePairs]]) so the collision join
-    * (and any future skew treatment of it) exists exactly once. */
+    * (and its skew treatment) exists exactly once.
+    *
+    * Oversized-bucket guard (round 10, the [[simhashBlocks]] pattern
+    * adapted to an UNBOUNDED key space): the band-key domain is
+    * Mod-sized, so there is no broadcastable full census — instead
+    * only the HOT keys (population > `maxBucket`, ≤ corpus/maxBucket
+    * rows by construction) are aggregated and broadcast. Hot buckets
+    * are sub-split by the NEXT band's key (near-dup signatures agree
+    * on most bands, so genuine neighbours usually survive together),
+    * and refined buckets still above the cap keep a deterministic
+    * `maxBucket`-sized prefix — candidate fan-out per join key is
+    * `maxBucket`² unconditionally.
+    *
+    * The cap cannot lose the genuinely-duplicate mass: documents
+    * whose WHOLE signature folds to the same `sigkey` are paired by
+    * a separate identical-signature join, independent of any bucket
+    * cap — quadratic only in identical-signature group size, which is
+    * (almost exactly) the verified-duplicate output size. A sigkey
+    * fold collision can only ADD candidates; the exact-Jaccard verify
+    * stage discards them, so output semantics never change. */
   private def bandCandidates(ds: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
-    val banded = bandKeys(ds, numHashes, bands)
-    banded.toDF("a_id", "band", "key")
-      .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
+      bands: Int, maxBucket: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = bandKeyVectors(ds, numHashes, bands)
+      .localCheckpoint(eager = false) // band explode + sigkey rescue
+    val blocked = vecs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), element_at(col("keys"), b + 1).as("key"),
+          element_at(col("keys"), (b + 1) % bands + 1).as("sub0"))))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("bk.sub0").as("sub0"))
+    val hot = blocked.groupBy("band", "key").count()
+      .filter(col("count") > maxBucket)
+      .select(col("band"), col("key"), lit(true).as("__hot"))
+    val sized = blocked.join(broadcast(hot), Seq("band", "key"), "left")
+    val small = sized.filter(col("__hot").isNull).withColumn("sub", lit(0L))
+    val capped = sized.filter(col("__hot").isNotNull)
+      .withColumn("sub", col("sub0"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "key", "sub").orderBy("doc_id")))
+      .filter(col("rn") <= maxBucket)
+    val banded = small.select("doc_id", "band", "key", "sub")
+      .unionByName(capped.select("doc_id", "band", "key", "sub"))
+    val bandPairs = banded.toDF("a_id", "band", "key", "sub")
+      .join(banded.toDF("b_id", "band", "key", "sub"),
+        Seq("band", "key", "sub"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-      .distinct()
+    val intra = vecs.select(col("doc_id").as("a_id"), col("sigkey"))
+      .join(vecs.select(col("doc_id").as("b_id"), col("sigkey")), "sigkey")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    bandPairs.unionByName(intra).distinct()
   }
 
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, pct: Int = 80): DataFrame = {
+      bands: Int = 4, pct: Int = 80,
+      maxBucket: Int = 1 << 16): DataFrame = {
     val ds = docShingles(docs, k)
-    verifyPairs(bandCandidates(ds, numHashes, bands), "a_id", ds,
+    verifyPairs(bandCandidates(ds, numHashes, bands, maxBucket), "a_id", ds,
       "b_id", ds, pct)
   }
 

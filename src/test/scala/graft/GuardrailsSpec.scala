@@ -157,6 +157,35 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(tight.subsetOf(uncapped), "the cap must never invent pairs")
   }
 
+  test("minhash band guard: identical pile-ups survive any cap, no invented pairs") {
+    import spark.implicits._
+    // 30 byte-identical docs (one band bucket of 30 per band) + one
+    // genuine near-dup pair in its own buckets
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((0L until 30L).map(i => (i, dup)) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashPairs(corpus, pct = 70, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxBucket=2 caps every identical-doc band bucket — but the
+    // identical-signature rescue path keeps ALL C(30,2) dup pairs,
+    // and the near-dup pair's buckets are under the cap: identical
+    // output through a radically different candidate route
+    val capped = Dedup.minhashPairs(corpus, pct = 70, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+    assert(uncapped.filter(p => p._1 < 30 && p._2 < 30).size == 30 * 29 / 2)
+    assert(uncapped.contains((100L, 101L)),
+      "near-dup pair must survive banding")
+    // default cap is a no-op on the fixture corpus (oracle equivalence)
+    val fixDefault = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixUncapped = Dedup.minhashPairs(docs, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixDefault == fixUncapped)
+  }
+
   test("LSH oversized-bucket guard bounds buckets under a vector pile-up") {
     import spark.implicits._
     // 50 near-identical directions: every hyperplane assigns them the
