@@ -332,15 +332,68 @@ object Dedup {
     * arrays are joined in only for deduplicated candidate pairs. */
   def minhashPairsAgainst(newDocs: DataFrame, indexDocs: DataFrame,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      pct: Int = 80): DataFrame = {
+      pct: Int = 80, maxBucket: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dsN = docShingles(newDocs, k)
     val dsI = docShingles(indexDocs, k)
-    val candidates = bandKeys(dsN, numHashes, bands)
-      .toDF("new_id", "band", "key")
-      .join(bandKeys(dsI, numHashes, bands).toDF("index_id", "band", "key"),
-        Seq("band", "key"))
+    // STANDING-INDEX-side oversized-bucket guard (the [[bandCandidates]]
+    // pattern, asymmetric): a pile-up bucket in a billion-doc index
+    // would otherwise fan every colliding batch doc out by the full
+    // bucket. Hot index keys (population > maxBucket — at most
+    // index/maxBucket of them) sub-split by the next band's key and
+    // cap at a deterministic prefix; the BATCH side probes with both
+    // the unsplit (sub = 0) and its own refined key, so it matches
+    // whichever way the guard routed the index bucket — and, carrying
+    // no aggregation, the batch side stays streaming-legal. The
+    // identical-signature rescue join (batch sigkey × index sigkey —
+    // a stream-static equi-join) keeps the genuinely-duplicate mass
+    // cap-independent; fold collisions only add candidates, which
+    // exact verify discards.
+    val vecsI = bandKeyVectors(dsI, numHashes, bands)
+      .localCheckpoint(eager = false) // band explode + sigkey rescue
+    val blockedI = vecsI.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), element_at(col("keys"), b + 1).as("key"),
+          element_at(col("keys"), (b + 1) % bands + 1).as("sub0"))))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("bk.sub0").as("sub0"))
+    val hot = blockedI.groupBy("band", "key").count()
+      .filter(col("count") > maxBucket)
+      .select(col("band"), col("key"), lit(true).as("__hot"))
+    val sizedI = blockedI.join(broadcast(hot), Seq("band", "key"), "left")
+    val smallI = sizedI.filter(col("__hot").isNull).withColumn("sub", lit(0L))
+    val cappedI = sizedI.filter(col("__hot").isNotNull)
+      .withColumn("sub", col("sub0"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "key", "sub").orderBy("doc_id")))
+      .filter(col("rn") <= maxBucket)
+    val indexKeys = smallI.select(col("doc_id").as("index_id"),
+        col("band"), col("key"), col("sub"))
+      .unionByName(cappedI.select(col("doc_id").as("index_id"),
+        col("band"), col("key"), col("sub")))
+    val vecsN = bandKeyVectors(dsN, numHashes, bands)
+    val probeN = vecsN.select(col("doc_id").as("new_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), element_at(col("keys"), b + 1).as("key"),
+            element_at(col("keys"), (b + 1) % bands + 1).as("sub0"))))
+          .as("bk"))
+      .select(col("new_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"),
+        explode(array(lit(0L), col("bk.sub0"))).as("sub"))
+    val bandPairs = probeN
+      .join(indexKeys, Seq("band", "key", "sub"))
       .select("new_id", "index_id")
-      .distinct()
+    val intra = vecsN.select(col("doc_id").as("new_id"), col("sigkey"))
+      .join(vecsI.select(col("doc_id").as("index_id"), col("sigkey")),
+        "sigkey")
+      .select("new_id", "index_id")
+    val candidates = bandPairs.unionByName(intra)
+      // dropDuplicates, not distinct(): stays a streaming-legal
+      // Deduplicate when newDocs is a live stream (distinct() is an
+      // Aggregate, which would forbid the downstream verify joins in
+      // append mode)
+      .dropDuplicates("new_id", "index_id")
     verifyPairs(candidates, "new_id", dsN, "index_id", dsI, pct)
   }
 

@@ -186,6 +186,30 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(fixDefault == fixUncapped)
   }
 
+  test("incremental minhash guard: index pile-up capped, output cap-invariant") {
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val index = ((0L until 30L).map(i => (i * 10 + 1, dup)) :+
+      (501L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, dup), // collides with the 30-doc pile-up bucket
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashPairsAgainst(batch, index, pct = 70,
+      maxBucket = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap every pile-up bucket: the identical-signature rescue keeps
+    // all 30 batch-x-index duplicate pairs, the near-dup pair's
+    // bucket is under the cap
+    val capped = Dedup.minhashPairsAgainst(batch, index, pct = 70,
+      maxBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+    assert(uncapped.count(_._1 == 1000L) == 30)
+    assert(uncapped.contains((1001L, 501L)))
+  }
+
   test("LSH oversized-bucket guard bounds buckets under a vector pile-up") {
     import spark.implicits._
     // 50 near-identical directions: every hyperplane assigns them the
