@@ -278,7 +278,7 @@ object Dedup {
       bands: Int, maxBucket: Int = 1 << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = bandKeyVectors(ds, numHashes, bands)
-      .localCheckpoint(eager = false) // band explode + sigkey rescue
+      .localCheckpoint(eager = false) // band explode + census (+ rescue)
     val blocked = vecs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), element_at(col("keys"), b + 1).as("key"),
@@ -289,25 +289,40 @@ object Dedup {
     val hot = blocked.groupBy("band", "key").count()
       .filter(col("count") > maxBucket)
       .select(col("band"), col("key"), lit(true).as("__hot"))
-    val sized = blocked.join(broadcast(hot), Seq("band", "key"), "left")
-    val small = sized.filter(col("__hot").isNull).withColumn("sub", lit(0L))
-    val capped = sized.filter(col("__hot").isNotNull)
-      .withColumn("sub", col("sub0"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("band", "key", "sub").orderBy("doc_id")))
-      .filter(col("rn") <= maxBucket)
-    val banded = small.select("doc_id", "band", "key", "sub")
-      .unionByName(capped.select("doc_id", "band", "key", "sub"))
-    val bandPairs = banded.toDF("a_id", "band", "key", "sub")
-      .join(banded.toDF("b_id", "band", "key", "sub"),
-        Seq("band", "key", "sub"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-    val intra = vecs.select(col("doc_id").as("a_id"), col("sigkey"))
-      .join(vecs.select(col("doc_id").as("b_id"), col("sigkey")), "sigkey")
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-    bandPairs.unionByName(intra).distinct()
+    // PAY-AS-YOU-GO: the census (one narrow key aggregation — the
+    // same rows the collision join shuffles anyway) always runs, but
+    // the sub-split / cap / rescue machinery only engages when a
+    // bucket actually exceeds the cap. The common, healthy corpus
+    // pays one aggregate and keeps the plain two-table join; nothing
+    // is dropped in that branch, so the rescue join is unnecessary.
+    if (hot.isEmpty) {
+      val banded = blocked.select("doc_id", "band", "key")
+      banded.toDF("a_id", "band", "key")
+        .join(banded.toDF("b_id", "band", "key"), Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    } else {
+      val sized = blocked.join(broadcast(hot), Seq("band", "key"), "left")
+      val small = sized.filter(col("__hot").isNull).withColumn("sub", lit(0L))
+      val capped = sized.filter(col("__hot").isNotNull)
+        .withColumn("sub", col("sub0"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("band", "key", "sub").orderBy("doc_id")))
+        .filter(col("rn") <= maxBucket)
+      val banded = small.select("doc_id", "band", "key", "sub")
+        .unionByName(capped.select("doc_id", "band", "key", "sub"))
+      val bandPairs = banded.toDF("a_id", "band", "key", "sub")
+        .join(banded.toDF("b_id", "band", "key", "sub"),
+          Seq("band", "key", "sub"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      val intra = vecs.select(col("doc_id").as("a_id"), col("sigkey"))
+        .join(vecs.select(col("doc_id").as("b_id"), col("sigkey")), "sigkey")
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      bandPairs.unionByName(intra).distinct()
+    }
   }
 
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
@@ -361,39 +376,51 @@ object Dedup {
     val hot = blockedI.groupBy("band", "key").count()
       .filter(col("count") > maxBucket)
       .select(col("band"), col("key"), lit(true).as("__hot"))
-    val sizedI = blockedI.join(broadcast(hot), Seq("band", "key"), "left")
-    val smallI = sizedI.filter(col("__hot").isNull).withColumn("sub", lit(0L))
-    val cappedI = sizedI.filter(col("__hot").isNotNull)
-      .withColumn("sub", col("sub0"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("band", "key", "sub").orderBy("doc_id")))
-      .filter(col("rn") <= maxBucket)
-    val indexKeys = smallI.select(col("doc_id").as("index_id"),
-        col("band"), col("key"), col("sub"))
-      .unionByName(cappedI.select(col("doc_id").as("index_id"),
-        col("band"), col("key"), col("sub")))
-    val vecsN = bandKeyVectors(dsN, numHashes, bands)
-    val probeN = vecsN.select(col("doc_id").as("new_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"), element_at(col("keys"), b + 1).as("key"),
-            element_at(col("keys"), (b + 1) % bands + 1).as("sub0"))))
-          .as("bk"))
-      .select(col("new_id"), col("bk.band").as("band"),
-        col("bk.key").as("key"),
-        explode(array(lit(0L), col("bk.sub0"))).as("sub"))
-    val bandPairs = probeN
-      .join(indexKeys, Seq("band", "key", "sub"))
-      .select("new_id", "index_id")
-    val intra = vecsN.select(col("doc_id").as("new_id"), col("sigkey"))
-      .join(vecsI.select(col("doc_id").as("index_id"), col("sigkey")),
-        "sigkey")
-      .select("new_id", "index_id")
-    val candidates = bandPairs.unionByName(intra)
-      // dropDuplicates, not distinct(): stays a streaming-legal
-      // Deduplicate when newDocs is a live stream (distinct() is an
-      // Aggregate, which would forbid the downstream verify joins in
-      // append mode)
-      .dropDuplicates("new_id", "index_id")
+    // pay-as-you-go, as in [[bandCandidates]]: the INDEX census is a
+    // batch-side aggregate either way (the index is the static side),
+    // and the guard machinery engages only when a bucket is hot
+    val candidates = if (hot.isEmpty) {
+      bandKeys(dsN, numHashes, bands)
+        .toDF("new_id", "band", "key")
+        .join(bandKeys(dsI, numHashes, bands)
+          .toDF("index_id", "band", "key"), Seq("band", "key"))
+        .select("new_id", "index_id")
+        // dropDuplicates, not distinct(): stays a streaming-legal
+        // Deduplicate when newDocs is a live stream (distinct() is an
+        // Aggregate, which would forbid the downstream verify joins
+        // in append mode)
+        .dropDuplicates("new_id", "index_id")
+    } else {
+      val sizedI = blockedI.join(broadcast(hot), Seq("band", "key"), "left")
+      val smallI = sizedI.filter(col("__hot").isNull).withColumn("sub", lit(0L))
+      val cappedI = sizedI.filter(col("__hot").isNotNull)
+        .withColumn("sub", col("sub0"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("band", "key", "sub").orderBy("doc_id")))
+        .filter(col("rn") <= maxBucket)
+      val indexKeys = smallI.select(col("doc_id").as("index_id"),
+          col("band"), col("key"), col("sub"))
+        .unionByName(cappedI.select(col("doc_id").as("index_id"),
+          col("band"), col("key"), col("sub")))
+      val vecsN = bandKeyVectors(dsN, numHashes, bands)
+      val probeN = vecsN.select(col("doc_id").as("new_id"),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band"), element_at(col("keys"), b + 1).as("key"),
+              element_at(col("keys"), (b + 1) % bands + 1).as("sub0"))))
+            .as("bk"))
+        .select(col("new_id"), col("bk.band").as("band"),
+          col("bk.key").as("key"),
+          explode(array(lit(0L), col("bk.sub0"))).as("sub"))
+      val bandPairs = probeN
+        .join(indexKeys, Seq("band", "key", "sub"))
+        .select("new_id", "index_id")
+      val intra = vecsN.select(col("doc_id").as("new_id"), col("sigkey"))
+        .join(vecsI.select(col("doc_id").as("index_id"), col("sigkey")),
+          "sigkey")
+        .select("new_id", "index_id")
+      bandPairs.unionByName(intra)
+        .dropDuplicates("new_id", "index_id")
+    }
     verifyPairs(candidates, "new_id", dsN, "index_id", dsI, pct)
   }
 

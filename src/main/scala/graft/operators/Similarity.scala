@@ -277,24 +277,44 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val subBits = math.min(nBits.max(8), 15)
     val bucketed = embeddings.select(col("vec_id"),
-      lshBucketOffset(col("embedding"), subBits, tables * 16).as("subkey"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tid"),
           lshBucketOffset(col("embedding"), nBits, t * 16).as("bkey"))
       }: _*)).as("b"))
-      .select(col("vec_id"), col("subkey"),
-        col("b.tid").as("tid"), col("b.bkey").as("bkey"))
-    val sizes = bucketed.groupBy("tid", "bkey").count()
-    val sized = bucketed.join(broadcast(sizes), Seq("tid", "bkey"))
-    val small = sized.filter(col("count") <= maxBucket)
-      .select(col("vec_id"), col("tid"), col("bkey"), lit(0L).as("sub"))
-    val capped = sized.filter(col("count") > maxBucket)
-      .withColumn("sub", col("subkey"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("tid", "bkey", "sub").orderBy("vec_id")))
-      .filter(col("rn") <= maxBucket)
-      .select(col("vec_id"), col("tid"), col("bkey"), col("sub"))
-    small.unionByName(capped)
+      .select(col("vec_id"), col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+    val hot = bucketed.groupBy("tid", "bkey").count()
+      .filter(col("count") > maxBucket)
+      .select(col("tid"), col("bkey"), lit(true).as("__hot"))
+    // pay-as-you-go (see Dedup.bandCandidates): the census always
+    // runs — it is one bounded aggregation — but the sub-split /
+    // cap machinery engages only when a bucket actually exceeds the
+    // cap; the healthy corpus keeps the plain bucket layout
+    if (hot.isEmpty) {
+      bucketed.select(col("vec_id"), col("tid"), col("bkey"),
+        lit(0L).as("sub"))
+    } else {
+      // the refinement key (subBits extra hyperplane projections per
+      // row) is computed only on this hot path — the healthy corpus
+      // never pays for it
+      val bucketedSub = embeddings.select(col("vec_id"),
+        lshBucketOffset(col("embedding"), subBits, tables * 16).as("subkey"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tid"),
+            lshBucketOffset(col("embedding"), nBits, t * 16).as("bkey"))
+        }: _*)).as("b"))
+        .select(col("vec_id"), col("subkey"),
+          col("b.tid").as("tid"), col("b.bkey").as("bkey"))
+      val sized = bucketedSub.join(broadcast(hot), Seq("tid", "bkey"), "left")
+      val small = sized.filter(col("__hot").isNull)
+        .select(col("vec_id"), col("tid"), col("bkey"), lit(0L).as("sub"))
+      val capped = sized.filter(col("__hot").isNotNull)
+        .withColumn("sub", col("subkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("tid", "bkey", "sub").orderBy("vec_id")))
+        .filter(col("rn") <= maxBucket)
+        .select(col("vec_id"), col("tid"), col("bkey"), col("sub"))
+      small.unionByName(capped)
+    }
   }
 
   /** Exact-cosine verification of candidate (aCol, bCol) pairs:
