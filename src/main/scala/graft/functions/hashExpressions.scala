@@ -167,6 +167,37 @@ object HashOps {
     out
   }
 
+  /** Johnson–Lindenstrauss projection of a float vector onto
+    * `outDims` sparse Achlioptas planes (twin of the HOF chain in
+    * `VectorStats.jlProject` — one tight JVM loop instead of
+    * outDims interpreted fold closures, ~10× on the ve10 hot path).
+    * BIT-EXACT contract with the oracle: the inner sum is the same
+    * sequential `acc + v` fold with v ∈ {+x, −x, +0.0} — the
+    * `acc + 0.0` on skipped components is kept because it normalizes
+    * a −0.0 accumulator to +0.0 exactly like the HOF/SQL fold does —
+    * and the scale multiply happens once after the fold. */
+  def jlProject(a: ArrayData, outDims: Int): GenericArrayData = {
+    val arr = a.toFloatArray()
+    val n = arr.length
+    val scale = java.lang.Math.sqrt(3.0 / outDims)
+    val out = new Array[Double](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val m = (i * 7 + j * 13) % 6
+        if (m == 0) acc += arr(i).toDouble
+        else if (m == 1) acc += -arr(i).toDouble
+        else acc += 0.0
+        i += 1
+      }
+      out(j) = acc * scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over shingle fps with the affine permutations
     * `(fp*(2i+1) + i*12345 + 1) mod M` (twin of
     * `Dedup.minhashSignature`). */
@@ -342,6 +373,20 @@ case class SimHash60(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(c)
 }
 
+/** `jl_project(vec, outDims)` — sparse-Achlioptas JL projection of a
+  * float vector (see [[HashOps.jlProject]]). */
+case class JlProject(child: Expression, outDims: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashOps.jlProject(v.asInstanceOf[ArrayData], outDims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.jlProject($c, $outDims)")
+  override protected def withNewChildInternal(c: Expression): JlProject =
+    copy(child = c)
+}
+
 /** `trigram_lang_id(str)` — codegen'd character-trigram language ID.
   * Replaces an interpreted HOF chain (per-char split + per-trigram
   * array materialization) that cost ~15 ms/document with one JVM
@@ -429,6 +474,8 @@ object hashFunctions {
   def gram_fps(c: Column, k: Int): Column = toCol(GramFps(toExpr(c), k))
   def simhash30(c: Column): Column = toCol(SimHash30(toExpr(c)))
   def simhash60(c: Column): Column = toCol(SimHash60(toExpr(c)))
+  def jl_project(c: Column, outDims: Int): Column =
+    toCol(JlProject(toExpr(c), outDims))
   def trigram_lang_id(c: Column): Column = toCol(TrigramLangId(toExpr(c)))
   def minhash_sig(c: Column, n: Int): Column = toCol(MinHashSig(toExpr(c), n))
   def hashed_bow(c: Column, dim: Int): Column = toCol(HashedBow(toExpr(c), dim))

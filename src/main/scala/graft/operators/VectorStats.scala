@@ -490,14 +490,12 @@ object VectorStats {
     val xd = transform(col("embedding"), v => v.cast("double"))
     def fold(l: Column): Column =
       aggregate(l, lit(0.0), (a, v) => a + v)
-    val scale = sqrt(lit(3.0) / lit(outDims.toDouble))
-    val proj = array((0 until outDims).map { j =>
-      fold(zip_with(xd, sequence(lit(0), size(col("embedding")) - 1),
-        (x, i) => {
-          val m = (i * 7 + lit(j * 13)) % 6
-          when(m === 0, x).when(m === 1, -x).otherwise(lit(0.0))
-        })) * scale
-    }: _*)
+    // native codegen'd projection — one JVM loop per row instead of
+    // outDims interpreted fold closures (~10× at 64→16); the HOF
+    // twin lives in the DuckDB oracle, and HashOpsProps pins the two
+    // bit-equal
+    val proj = graft.functions.hashFunctions
+      .jl_project(col("embedding"), outDims)
     embs.select(col("vec_id"), proj.as("proj"),
         fold(transform(xd, v => v * v)).as("xn"))
       .withColumn("pn", fold(transform(col("proj"), v => v * v)))

@@ -40,6 +40,24 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native jl_project equals the HOF fold bit-for-bit on the fixture corpus") {
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    def fold(l: org.apache.spark.sql.Column) =
+      aggregate(l, lit(0.0), (a, v) => a + v)
+    val scale = sqrt(lit(3.0) / lit(16.0))
+    val hof = array((0 until 16).map { j =>
+      fold(zip_with(xd, sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => {
+          val m = (i * 7 + lit(j * 13)) % 6
+          when(m === 0, x).when(m === 1, -x).otherwise(lit(0.0))
+        })) * scale
+    }: _*)
+    val both = embs.select(
+      graft.functions.hashFunctions.jl_project(col("embedding"), 16)
+        .as("native"), hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("dd5's LSH routing never invents pairs and scores match brute exactly") {
     val brute = Similarity.cosinePairs(embs, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
