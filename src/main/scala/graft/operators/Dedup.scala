@@ -771,6 +771,66 @@ object Dedup {
       .select("a_id", "b_id", "a_sh", "b_sh", "dist")
   }
 
+  /** Incremental SimHash near-dup detection: pairs BETWEEN an
+    * incoming batch and a standing index — the SimHash member of the
+    * incremental family ([[minhashPairsAgainst]] for shingles, dd9;
+    * `Similarity.lshCosinePairsAgainst` for embeddings, dd11). Same
+    * 60-bit hash, four 15-bit pigeonhole blocks, and Hamming ≤
+    * `maxDist` contract as [[simhashPairs]] (a pair found here equals
+    * the pair a full run over new ∪ index would find across the
+    * boundary), but candidates come only from new×index collisions:
+    *
+    *  - the INDEX side blocks over DISTINCT hashes through
+    *    [[simhashBlocks]] — census-guarded, sub-split, hard-capped;
+    *  - the BATCH side probes with both the unsplit (sub = 0) and
+    *    the refined key, so it matches whichever way the guard routed
+    *    an index bucket — and carries no aggregation, so the
+    *    operator runs unchanged on a stream of arriving documents;
+    *  - identical hashes across the boundary are recovered by an
+    *    sh-equality join independent of any cap (distance-0 pairs
+    *    never depend on the block join).
+    *
+    * One narrow exchange of distinct index hashes, one batch-side
+    * probe join, two output-proportional id expansions; index
+    * document bodies never move. */
+  def simhashPairsAgainst(newDocs: DataFrame, indexDocs: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame = {
+    val hashN = newDocs.select(col("doc_id"), simhash60(col("text")).as("sh"))
+      .localCheckpoint(eager = false)
+    val hashI = indexDocs.select(col("doc_id"), simhash60(col("text")).as("sh"))
+      .localCheckpoint(eager = false)
+    val indexBlocks = simhashBlocks(hashI.select("sh").distinct(), maxBucket)
+      .toDF("i_sh", "bid", "bkey", "sub")
+    val probe = hashN.select(col("sh").as("n_sh")).distinct()
+      .select(col("n_sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("bid"),
+            shiftright(col("n_sh"), b * 15).bitwiseAND(32767L).as("bkey"),
+            shiftright(col("n_sh"), ((b + 1) % 4) * 15)
+              .bitwiseAND(32767L).as("sub0"))
+        }: _*)).as("blk"))
+      .select(col("n_sh"), col("blk.bid").as("bid"),
+        col("blk.bkey").as("bkey"),
+        explode(array(lit(0L), col("blk.sub0"))).as("sub"))
+    val hashPairs = probe.join(indexBlocks, Seq("bid", "bkey", "sub"))
+      .select("n_sh", "i_sh")
+      .dropDuplicates("n_sh", "i_sh")
+      .withColumn("dist", bit_count(col("n_sh").bitwiseXOR(col("i_sh"))))
+      .filter(col("dist") <= maxDist && col("dist") > 0)
+    val cross = hashPairs
+      .join(hashN.toDF("new_id", "n_sh"), "n_sh")
+      .join(hashI.toDF("index_id", "i_sh"), "i_sh")
+      .select(col("new_id"), col("index_id"),
+        col("n_sh").as("new_sh"), col("i_sh").as("index_sh"), col("dist"))
+    val intra = hashN.toDF("new_id", "new_sh")
+      .join(hashI.toDF("index_id", "index_sh"),
+        col("new_sh") === col("index_sh"))
+      .select(col("new_id"), col("index_id"), col("new_sh"),
+        col("index_sh"), lit(0).as("dist"))
+    cross.unionByName(intra)
+      .select("new_id", "index_id", "new_sh", "index_sh", "dist")
+  }
+
   /** Connected-component resolution of near-dup pairs: every document
     * that appears in at least one pair gets the MINIMUM doc_id of its
     * transitive duplicate cluster as `cluster_id`, and

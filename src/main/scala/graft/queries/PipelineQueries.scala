@@ -662,6 +662,16 @@ object PipelineQueries {
         threshold = 0.4, nBits = 6, tables = 3)
         .orderBy("new_id", "index_id")
     },
+    // incremental SimHash dedup: the SimHash member of the
+    // incremental family (dd9 shingles, dd11 embeddings) — every
+    // 10th doc is the incoming batch, pairs only cross the boundary
+    "dd19_simhash_incremental" -> { (s, d) =>
+      val all = documents(s, d)
+      Dedup.simhashPairsAgainst(
+        all.filter(col("doc_id") % 10 === 0),
+        all.filter(col("doc_id") % 10 =!= 0))
+        .orderBy("new_id", "index_id")
+    },
     // survivor POLICY over dd8's clusters: keep each cluster's
     // best-quality copy (tie → lower id), not the arbitrary min id
     "dd14_dedup_keep_best" -> { (s, d) =>
@@ -1175,7 +1185,10 @@ object PipelineQueries {
     * sub-split never triggers at oracle scale — GuardrailsSpec covers
     * that path); per-token fp bit extraction stays < 2^30 so
     * `floor(fp / 2^j) % 2` is exact in doubles. */
-  private def sqlSimhashPairCtes: String = {
+  /** The 60-bit SimHash as a DuckDB expression (twin of
+    * `HashOps.simHash60`) — shared by the pair CTEs and the dd19
+    * incremental oracle. */
+  private def sqlSimhash60: String = {
     def votes(fps: String, shiftBase: Int) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0,30), " +
         s"j0 -> CASE WHEN list_reduce(list_prepend(0::BIGINT, " +
@@ -1184,8 +1197,11 @@ object PipelineQueries {
         s"(a3,x3) -> a3+x3)"
     val fps1 = s"list_transform($toks, t1 -> ${sqlFp("t1")})"
     val fps2 = s"list_transform($toks, t1 -> ${sqlFp2("t1")})"
-    val simhash = s"${votes(fps1, 0)} + ${votes(fps2, 30)}"
-    s"""h AS (SELECT doc_id, $simhash AS sh FROM documents),
+    s"${votes(fps1, 0)} + ${votes(fps2, 30)}"
+  }
+
+  private def sqlSimhashPairCtes: String = {
+    s"""h AS (SELECT doc_id, $sqlSimhash60 AS sh FROM documents),
       blocked AS (SELECT doc_id, sh, x.bid AS bid, x.bkey AS bkey
         FROM (SELECT doc_id, sh, unnest([
             {'bid': 0, 'bkey': sh & 32767},
@@ -2352,6 +2368,29 @@ object PipelineQueries {
         FROM h)
       SELECT doc_id, lang, h, rn FROM r WHERE rn <= 100
       ORDER BY lang, rn""",
+    "dd19_simhash_incremental" -> s"""
+      WITH h AS (SELECT doc_id, $sqlSimhash60 AS sh FROM documents),
+      n AS (SELECT doc_id, sh FROM h WHERE doc_id % 10 = 0),
+      i AS (SELECT doc_id, sh FROM h WHERE doc_id % 10 <> 0),
+      nb AS (SELECT doc_id, sh, x.bid AS bid, x.bkey AS bkey
+        FROM (SELECT doc_id, sh, unnest([
+            {'bid': 0, 'bkey': sh & 32767},
+            {'bid': 1, 'bkey': (sh >> 15) & 32767},
+            {'bid': 2, 'bkey': (sh >> 30) & 32767},
+            {'bid': 3, 'bkey': (sh >> 45) & 32767}]) AS x FROM n)),
+      ib AS (SELECT doc_id, sh, x.bid AS bid, x.bkey AS bkey
+        FROM (SELECT doc_id, sh, unnest([
+            {'bid': 0, 'bkey': sh & 32767},
+            {'bid': 1, 'bkey': (sh >> 15) & 32767},
+            {'bid': 2, 'bkey': (sh >> 30) & 32767},
+            {'bid': 3, 'bkey': (sh >> 45) & 32767}]) AS x FROM i)),
+      cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id,
+          a.sh AS new_sh, b.sh AS index_sh
+        FROM nb a JOIN ib b ON a.bid = b.bid AND a.bkey = b.bkey)
+      SELECT new_id, index_id, new_sh, index_sh,
+        bit_count(xor(new_sh, index_sh)) AS dist
+      FROM cand WHERE bit_count(xor(new_sh, index_sh)) <= 3
+      ORDER BY new_id, index_id""",
     "dd4_dedup_simhash" -> s"""
       WITH $sqlSimhashPairCtes
       SELECT a_id, b_id, a_sh, b_sh, bit_count(xor(a_sh, b_sh)) AS dist

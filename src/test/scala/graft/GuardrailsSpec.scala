@@ -204,6 +204,27 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(fixDefault == fixUncapped)
   }
 
+  test("incremental simhash equals the full run's cross-boundary pairs; pile-up cap-invariant") {
+    import spark.implicits._
+    val isNew = col("doc_id") % 10 === 0
+    val inc = Dedup.simhashPairsAgainst(docs.filter(isNew),
+      docs.filter(!isNew)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhashPairs(docs).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+      .filter { case (a, b) => a % 10 == 0 && b % 10 != 0 }.toSet
+    assert(inc == full, "incremental must equal the full run across the boundary")
+    // identical-doc pile-up across the boundary survives any cap via
+    // the sh-equality rescue
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val newD = Seq((1000L, dup)).toDF("doc_id", "text")
+    val idx = (0L until 25L).map(i => (i, dup)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsAgainst(newD, idx, maxBucket = 1)
+      .collect()
+    assert(pairs.length == 25 && pairs.forall(_.getInt(4) == 0))
+  }
+
   test("incremental minhash guard: index pile-up capped, output cap-invariant") {
     import spark.implicits._
     val dup = "the quick brown fox jumps over the lazy dog again and again"

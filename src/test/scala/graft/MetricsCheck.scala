@@ -49,7 +49,7 @@ object MetricsCheck {
       "q60_triangles", "q62_kcore",
       "t18_bpe_merges", "m7_scene_cuts", "dd18_soft_dedup",
       "tp7_interleave", "q65_transitions", "ss10_mips_topk",
-      "mx6_exact_split", "q66_retention", "m8_keyframes", "t19_corpus_health", "dc4_fuzzy_contamination", "ss11_filtered_topk", "ss12_recall_families", "m9_audio_trim", "ve9_whiten_outliers", "tp8_pack_execute", "q67_label_layout", "ve10_jl_project", "mx7_epoch_plan")
+      "mx6_exact_split", "q66_retention", "m8_keyframes", "t19_corpus_health", "dc4_fuzzy_contamination", "ss11_filtered_topk", "ss12_recall_families", "m9_audio_trim", "ve9_whiten_outliers", "tp8_pack_execute", "q67_label_layout", "ve10_jl_project", "mx7_epoch_plan", "dd19_simhash_incremental")
 
     println(f"${"query"}%-24s ${"exchanges"}%9s ${"shuffle MB"}%10s ${"out rows"}%10s")
     interesting.foreach { name =>
