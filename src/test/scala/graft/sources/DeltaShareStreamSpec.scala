@@ -241,6 +241,43 @@ class DeltaShareStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally soak.stop()
   }
 
+  test("live incremental read feeds SIMHASH dedup against a standing index") {
+    // dd19 on a live stream: each micro-batch of newly shared docs
+    // probes the standing index's guarded SimHash blocks — the
+    // index is never re-joined against itself
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val index = docs.filter(col("doc_id") % 3 === 0)
+    val found = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val seenIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = stream(Map("ignoreDeletes" -> "true")).writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-shdedup").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id").collect().foreach(r => seenIds.add(r.getLong(0)))
+        graft.operators.Dedup
+          .simhashPairsAgainst(batch.select("doc_id", "text"),
+            index.select("doc_id", "text"))
+          .collect()
+          .foreach(r => found.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamedPairs = found.asScala.toSet
+    // truth over exactly the docs the stream delivered (how many
+    // versions exist depends on which tests ran before this one)
+    val batchPairs = graft.operators.Dedup
+      .simhashPairsAgainst(
+        docs.filter(col("doc_id").isin(seenIds.asScala.toSeq: _*))
+          .select("doc_id", "text"),
+        index.select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedPairs == batchPairs)
+    assert(batchPairs.nonEmpty,
+      "fixture should contain at least one simhash near-duplicate pair")
+  }
+
   test("live incremental read feeds minhash dedup against a standing index") {
     // the daily-pipeline composition: each micro-batch of newly shared
     // docs probes the standing index via the incremental band join —
