@@ -175,7 +175,24 @@ object HashOps {
     * sequential `acc + v` fold with v ∈ {+x, −x, +0.0} — the
     * `acc + 0.0` on skipped components is kept because it normalizes
     * a −0.0 accumulator to +0.0 exactly like the HOF/SQL fold does —
-    * and the scale multiply happens once after the fold. */
+    * and the scale multiply happens once after the fold.
+    *
+    * The per-(i, j) sign comes from the quadratic residue mix
+    * `h = (i·1000003 + j) mod p; m = (h² + h) mod p mod 6` with
+    * p = 1e9+7 (m = 0 → +1, 1 → −1, else 0). A LINEAR mix like
+    * `(i·a + j·b) mod 6` is NOT acceptable here: any (a, b) makes
+    * the matrix periodic with period lcm ≤ 6 in each index (output
+    * columns repeat, effective rank ≤ 6), silently voiding the JL
+    * distance guarantee. The quadratic term kills the residue
+    * structure; GuardrailsSpec pins pairwise-distinct columns and
+    * ~1/3 density on the 64→16 default. Both mod operands are
+    * non-negative and pre-reduced, so h² ≤ p² < 2⁶³ — the mix is
+    * overflow-free for any realistic dimensionality. */
+  def jlSign(i: Int, j: Int): Int = {
+    val h = (i.toLong * 1000003L + j.toLong) % 1000000007L
+    ((h * h + h) % 1000000007L % 6L).toInt
+  }
+
   def jlProject(a: ArrayData, outDims: Int): GenericArrayData = {
     val arr = a.toFloatArray()
     val n = arr.length
@@ -186,7 +203,7 @@ object HashOps {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val m = (i * 7 + j * 13) % 6
+        val m = jlSign(i, j)
         if (m == 0) acc += arr(i).toDouble
         else if (m == 1) acc += -arr(i).toDouble
         else acc += 0.0

@@ -784,8 +784,11 @@ object Dedup {
     *    [[simhashBlocks]] — census-guarded, sub-split, hard-capped;
     *  - the BATCH side probes with both the unsplit (sub = 0) and
     *    the refined key, so it matches whichever way the guard routed
-    *    an index bucket — and carries no aggregation, so the
-    *    operator runs unchanged on a stream of arriving documents;
+    *    an index bucket — and carries no checkpoint and no Aggregate
+    *    (hash collapse is `dropDuplicates`, a streaming-legal
+    *    Deduplicate, exactly as in [[minhashPairsAgainst]]), so the
+    *    operator runs unchanged on a readStream of arriving
+    *    documents (StreamingSpec drives it live);
     *  - identical hashes across the boundary are recovered by an
     *    sh-equality join independent of any cap (distance-0 pairs
     *    never depend on the block join).
@@ -795,13 +798,19 @@ object Dedup {
     * document bodies never move. */
   def simhashPairsAgainst(newDocs: DataFrame, indexDocs: DataFrame,
       maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame = {
+    // no checkpoint on the NEW side: it may be a live stream
+    // (localCheckpoint on a streaming frame is an AnalysisException);
+    // the static index keeps its plan-truncating checkpoint
     val hashN = newDocs.select(col("doc_id"), simhash60(col("text")).as("sh"))
-      .localCheckpoint(eager = false)
     val hashI = indexDocs.select(col("doc_id"), simhash60(col("text")).as("sh"))
       .localCheckpoint(eager = false)
     val indexBlocks = simhashBlocks(hashI.select("sh").distinct(), maxBucket)
       .toDF("i_sh", "bid", "bkey", "sub")
-    val probe = hashN.select(col("sh").as("n_sh")).distinct()
+    // dropDuplicates, not distinct(): the same batch semantics, but a
+    // streaming-legal Deduplicate ahead of the downstream joins when
+    // newDocs is a live stream (cross-batch suppression is recovered
+    // by the buffered hashPairs side of the id-expansion join)
+    val probe = hashN.select(col("sh").as("n_sh")).dropDuplicates("n_sh")
       .select(col("n_sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("bid"),

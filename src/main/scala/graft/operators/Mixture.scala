@@ -176,7 +176,14 @@ object Mixture {
     * double, frozen to integer micro-units (⌊√n·10⁶⌋) BEFORE the
     * cross-source sum, so the normalization total is an integer sum —
     * order-independent, never a float reduction whose grouping could
-    * differ between engines. All shares are integer ppm arithmetic.
+    * differ between engines. The ppm SHARES are then double-floor
+    * surrogates (`⌊a·10⁶/b⌋` via one IEEE product, one quotient, one
+    * floor — each correctly rounded, so both engines produce the
+    * same bits): integer `a * 1000000` would wrap Long silently at
+    * the trillion-token scales this planner is FOR (a source above
+    * ~8.5e13 tokens wraps `w_micro·10⁶`; a target above ~9.2e12
+    * wraps `target_tokens·10⁶`), and non-ANSI Spark would emit a
+    * negative ppm where the oracle errors.
     *
     * Scale shape: one map-side-combinable (source, token-count)
     * aggregation over the corpus — the only pass that touches
@@ -198,12 +205,17 @@ object Mixture {
     val total = stats.agg(sum("w_micro").as("w_total"))
     stats.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        expr("w_micro * 1000000 div w_total").as("weight_ppm"))
+        when(col("w_total") === 0, 0L).otherwise(
+          floor(col("w_micro").cast("double") * lit(1000000.0)
+            / col("w_total").cast("double")).cast("long"))
+          .as("weight_ppm"))
       .withColumn("target_tokens",
-        expr(s"${targetTokens}L * weight_ppm div 1000000"))
+        floor(lit(targetTokens.toDouble) * col("weight_ppm").cast("double")
+          / lit(1000000.0)).cast("long"))
       .withColumn("epochs_ppm",
-        expr("CASE WHEN n_tokens = 0 THEN 0L " +
-          "ELSE target_tokens * 1000000 div n_tokens END"))
+        when(col("n_tokens") === 0, 0L).otherwise(
+          floor(col("target_tokens").cast("double") * lit(1000000.0)
+            / col("n_tokens").cast("double")).cast("long")))
   }
 
   /** EXACT stratified split (mx6): within every stratum, assign the

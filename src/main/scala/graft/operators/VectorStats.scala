@@ -468,10 +468,15 @@ object VectorStats {
     * zeros. Per-row, shuffle-free, stays inside whole-stage codegen. */
   /** Johnson–Lindenstrauss random projection (ve10): map every
     * embedding onto `outDims` sparse Achlioptas planes — component
-    * (j, i) is +1 / −1 / 0 by the deterministic residue
-    * `(i·7 + j·13) mod 6` (0 → +1, 1 → −1, else 0; density 1/3),
-    * scaled by `sqrt(3/outDims)` so squared distances are preserved
-    * in expectation. The dimension-reduction step run BEFORE
+    * (j, i) is +1 / −1 / 0 by the deterministic quadratic mix
+    * `h = (i·1000003 + j) mod p; m = (h² + h) mod p mod 6`, p = 1e9+7
+    * (0 → +1, 1 → −1, else 0; density 1/3), scaled by
+    * `sqrt(3/outDims)` so squared distances are preserved in
+    * expectation. The mix MUST be nonlinear in (i, j): a linear
+    * residue like `(i·7 + j·13) mod 6` makes the sign matrix
+    * 6-periodic in both indices (duplicate output columns, effective
+    * rank ≤ 6), which silently voids the JL guarantee while staying
+    * bit-identical to an oracle sharing the flaw. The dimension-reduction step run BEFORE
     * expensive indexing/clustering: a 64-d corpus becomes 16-d at
     * ~1/4 the index memory and dot-product cost, with distortion
     * bounded by the JL lemma (ε ≈ sqrt(8 ln n / outDims)).

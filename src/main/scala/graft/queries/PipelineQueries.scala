@@ -374,8 +374,10 @@ object PipelineQueries {
     // serving straight off the source table (same oracle as ss11)
     "q67_label_layout" -> { (s, d) =>
       val e = embeddings(s, d)
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_label_layout").getPath
+      // app-unique path: two sessions running this query on the same
+      // machine must not clobber each other's layout mid-scan
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_label_layout_${s.sparkContext.applicationId}").getPath
       graft.operators.Layout.partitionByLabel(e, "label", out)
       Similarity.bruteForceTopK(
         s.read.parquet(out).filter(col("label") === 3),
@@ -2199,7 +2201,10 @@ object PipelineQueries {
       p AS (SELECT vec_id, xd, list_transform(range(0, 16), j8 ->
           list_reduce(list_prepend(0.0::DOUBLE,
             list_transform(list_zip(xd, range(0, len(xd))), z8 ->
-              CASE ((z8[2]*7 + j8*13) % 6)
+              CASE (((((z8[2]*1000003 + j8) % 1000000007)
+                      * ((z8[2]*1000003 + j8) % 1000000007)
+                      + ((z8[2]*1000003 + j8) % 1000000007))
+                     % 1000000007) % 6)
                 WHEN 0 THEN z8[1] WHEN 1 THEN -z8[1]
                 ELSE 0.0::DOUBLE END)),
             (a8,v8) -> a8+v8) * sqrt(3.0/16.0)) AS proj
@@ -2226,13 +2231,21 @@ object PipelineQueries {
           AS w_micro FROM t),
       tot AS (SELECT sum(w_micro)::BIGINT AS w_total FROM w),
       p AS (SELECT w.source, w.n_docs, w.n_tokens,
-          (w.w_micro * 1000000) // tot.w_total AS weight_ppm
+          -- double-floor ppm surrogate, NOT integer a*1000000 // b:
+          -- the integer product wraps BIGINT at trillion-token scale
+          -- (mirrors Mixture.epochPlan exactly — one IEEE product,
+          -- one quotient, one floor)
+          CASE WHEN tot.w_total = 0 THEN 0::BIGINT
+               ELSE floor(w.w_micro::DOUBLE * 1000000.0
+                 / tot.w_total::DOUBLE)::BIGINT END AS weight_ppm
         FROM w, tot),
-      q AS (SELECT *, ($Mx7TargetTokens * weight_ppm) // 1000000
+      q AS (SELECT *, floor($Mx7TargetTokens::DOUBLE
+            * weight_ppm::DOUBLE / 1000000.0)::BIGINT
           AS target_tokens FROM p)
       SELECT source, n_docs, n_tokens, weight_ppm, target_tokens,
         (CASE WHEN n_tokens = 0 THEN 0
-              ELSE (target_tokens * 1000000) // n_tokens END)::BIGINT
+              ELSE floor(target_tokens::DOUBLE * 1000000.0
+                / n_tokens::DOUBLE) END)::BIGINT
           AS epochs_ppm
       FROM q ORDER BY source""",
     "ve3_kmeans" -> s"""

@@ -48,7 +48,8 @@ class GuardrailsSpec extends AnyFunSuite {
     val hof = array((0 until 16).map { j =>
       fold(zip_with(xd, sequence(lit(0), size(col("embedding")) - 1),
         (x, i) => {
-          val m = (i * 7 + lit(j * 13)) % 6
+          val h = (i.cast("long") * 1000003L + lit(j.toLong)) % 1000000007L
+          val m = (h * h + h) % 1000000007L % 6
           when(m === 0, x).when(m === 1, -x).otherwise(lit(0.0))
         })) * scale
     }: _*)
@@ -56,6 +57,31 @@ class GuardrailsSpec extends AnyFunSuite {
       graft.functions.hashFunctions.jl_project(col("embedding"), 16)
         .as("native"), hof.as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("JL sign matrix is decorrelated: distinct columns, ~1/3 density") {
+    // the round-10 linear mix (i*7 + j*13) % 6 was 6-periodic in both
+    // indices — output dims j, j+6, j+12 were bit-identical and the
+    // 64→16 projection had effective rank ≤ 6; this pin fails on any
+    // mix whose columns repeat or whose density drifts off Achlioptas
+    val cols = (0 until 16).map { j =>
+      (0 until 64).map(i => graft.functions.HashOps.jlSign(i, j) match {
+        case 0 => 1; case 1 => -1; case _ => 0
+      }).toVector
+    }
+    assert(cols.distinct.size == 16,
+      "projection columns must be pairwise distinct")
+    assert(cols.forall(c => c.count(_ != 0) > 0),
+      "no projection column may be all-zero")
+    val density = cols.flatten.count(_ != 0).toDouble / (16 * 64)
+    assert(density > 0.2 && density < 0.5,
+      s"nonzero density $density must stay near the Achlioptas 1/3")
+    // and no column is a scalar multiple (±) of another — the rank
+    // degeneracy the linear mix produced
+    val normalized = cols.map(c => if (c.find(_ != 0).exists(_ < 0))
+      c.map(-_) else c)
+    assert(normalized.distinct.size == 16,
+      "no projection column may be ±another column")
   }
 
   test("dd5's LSH routing never invents pairs and scores match brute exactly") {

@@ -104,6 +104,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("inc_vec_out").count() > 0)
   }
 
+  test("incremental simhash dedup runs unchanged on a document stream") {
+    // dd19's batch as a LIVE stream: arriving documents probe the
+    // standing index's guarded SimHash blocks — the SAME operator
+    // code, no streaming variant. The new side carries no checkpoint
+    // and no Aggregate (hash collapse is a Deduplicate), which is
+    // exactly what this test pins: a distinct()/localCheckpoint on
+    // that side would make this an AnalysisException, not a result
+    val docsB = Tables.documents(spark, sf)
+    val index = docsB.filter(col("doc_id") % 10 =!= 0)
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .filter(col("doc_id") % 10 === 0)
+    val live = operators.Dedup.simhashPairsAgainst(
+      newStream.select("doc_id", "text"), index.select("doc_id", "text"))
+    runToMemory(live, "inc_sh_out", "append")
+    val batch = operators.Dedup.simhashPairsAgainst(
+      docsB.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+      index.select("doc_id", "text"))
+    assert(asSet(spark.table("inc_sh_out")) == asSet(batch))
+    assert(spark.table("inc_sh_out").count() > 0)
+  }
+
   test("centroid assignment runs unchanged on a vector stream") {
     // the map-side argmin has no stateful aggregation, so the SAME
     // operator does realtime inference: arriving vectors against
