@@ -140,6 +140,48 @@ object CorpusStats {
     * map-side so the exchange carries ≤ per-source vocabulary rows;
     * the per-source rollup is a second bounded agg. Text never
     * shuffles. */
+  /** Cross-source n-gram overlap matrix (t20): for every source
+    * pair, how many distinct word-5-gram fingerprints they SHARE,
+    * and the containment of the smaller side
+    * (`⌊overlap·10⁶ / min(grams_a, grams_b)⌋`) — the redundancy
+    * audit run BEFORE fixing a mixture: two "independent" web
+    * sources with 40% containment are the same crawl twice, and
+    * upweighting both double-counts the duplicated mass that
+    * [[graft.operators.Mixture.epochPlan]] would then repeat.
+    *
+    * Scale shape: one distinct over (source, fp) — a map-side-
+    * combinable exchange of 16-byte rows, ≤ per-source distinct-gram
+    * counts whatever the corpus size; the per-gram pair expansion is
+    * bounded by `n_sources²` per gram (sources are dozens, never
+    * corpus-sized — this is the dimension that makes the self-join
+    * safe where a per-DOC join would not be); totals ride a
+    * broadcast. Text never shuffles. The containment is the same
+    * double-floor ppm surrogate as `epochPlan` (one IEEE product,
+    * quotient, floor — bit-identical cross-engine; integer
+    * `overlap·10⁶` would wrap Long beyond ~9.2e12 grams).
+    *
+    * Output: `(source_a, source_b, grams_a, grams_b, overlap,
+    * containment_ppm)`, one row per source pair sharing ≥ 1 gram. */
+  def sourceOverlap(docs: DataFrame, k: Int = 5): DataFrame = {
+    val g = docs.select(col("source"),
+        explode(Dedup.shingles(col("text"), k)).as("fp"))
+      .distinct()
+      .localCheckpoint(eager = false) // totals + both pair-join sides
+    val totals = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = g.toDF("source_a", "fp")
+      .join(g.toDF("source_b", "fp"), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(broadcast(totals.toDF("source_a", "grams_a")), Seq("source_a"))
+      .join(broadcast(totals.toDF("source_b", "grams_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("grams_a"),
+        col("grams_b"), col("overlap"),
+        floor(col("overlap").cast("double") * lit(1000000.0)
+          / least(col("grams_a"), col("grams_b")).cast("double"))
+          .cast("long").as("containment_ppm"))
+  }
+
   def corpusHealth(docs: DataFrame): DataFrame = {
     import graft.functions.hashFunctions.gram_fps
     val words = docs.select(col("source"),

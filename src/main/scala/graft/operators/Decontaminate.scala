@@ -171,6 +171,37 @@ object Decontaminate {
         max("score_ppm").as("score_ppm"))
   }
 
+  /** SEMANTIC contamination (dc5): flag every corpus item whose
+    * EMBEDDING sits within cosine `threshold` of an eval item — the
+    * tier above [[ngramOverlap]] (exact 5-grams) and
+    * [[fuzzyContamination]] (near-dup Jaccard): it catches a
+    * benchmark item that was fully REWRITTEN but kept its meaning,
+    * which no surface-form matcher can. The detector is
+    * `Similarity.lshCosinePairsAgainst` with the eval set as the
+    * probe side and the corpus as the standing index.
+    *
+    * Output: one row per FLAGGED corpus vector — match count, the
+    * best-matching eval item (highest cosine, ties to the lower
+    * eval id) and that score.
+    *
+    * Scale shape: eval probes are a broadcast-sized frame; the
+    * corpus side carries only (id, bucket-key) rows through the
+    * guarded bucket join, and full vectors are fetched just for
+    * band-collision candidates; the per-doc argmax is a
+    * map-side-combinable `max_by`. The 100 TB side never shuffles
+    * in full. */
+  def semanticContamination(embs: DataFrame, isEval: Column,
+      threshold: Double, nBits: Int = 6, tables: Int = 3): DataFrame = {
+    val pairs = Similarity.lshCosinePairsAgainst(
+      embs.filter(isEval), embs.filter(!isEval),
+      threshold = threshold, nBits = nBits, tables = tables)
+    pairs.groupBy(col("index_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max_by(col("new_id"),
+          struct(col("score"), -col("new_id"))).as("eval_id"),
+        max("score").as("score"))
+  }
+
   /** Left-join per-doc hit counts back onto the non-eval corpus so
     * zero-hit documents appear with `n_hits = 0`. */
   private def manifest(docs: DataFrame, isEval: Column,

@@ -679,10 +679,12 @@ object Dedup {
     * through the exchange carries two longs, nothing else), two
     * output-side joins keyed on sh. Document bodies never move. */
   /** Blocked candidate layout for [[simhashPairs]] over a frame of
-    * DISTINCT 60-bit hashes (`sh`): four (bid, bkey) 15-bit block
-    * keys per hash, with the oversized-bucket guard applied. Returns
-    * (sh, bid, bkey, sub); candidate pairs are equi-joins on
-    * (bid, bkey, sub).
+    * DISTINCT hashes (`sh`): `blocks` (bid, bkey) `bits`-bit block
+    * keys per hash (default four 15-bit blocks of the 60-bit text
+    * SimHash; [[hammingPairs]] reuses it with four 16-bit blocks for
+    * 64-bit perceptual hashes), with the oversized-bucket guard
+    * applied. Returns (sh, bid, bkey, sub); candidate pairs are
+    * equi-joins on (bid, bkey, sub).
     *
     * The guard is two-stage, and the bound it gives is UNCONDITIONAL:
     *  1. block-key census (≤ 4×2^15 rows whatever the corpus size —
@@ -705,18 +707,19 @@ object Dedup {
     * regardless of input: the quadratic-bucket failure mode is
     * structurally closed. */
   private[graft] def simhashBlocks(hashes: DataFrame,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, blocks: Int = 4, bits: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val mask = (1L << bits) - 1L
     val blocked = hashes.select(col("sh"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until blocks).map { b =>
         struct(lit(b).as("bid"),
-          shiftright(col("sh"), b * 15).bitwiseAND(32767L).as("bkey"))
+          shiftright(col("sh"), b * bits).bitwiseAND(mask).as("bkey"))
       }: _*)).as("blk"))
       .select(col("sh"), col("blk.bid").as("bid"), col("blk.bkey").as("bkey"))
     val sizes = blocked.groupBy("bid", "bkey").count()
-    val subKey = (0 until 4).foldLeft(lit(0L)) { (acc, b) =>
+    val subKey = (0 until blocks).foldLeft(lit(0L)) { (acc, b) =>
       when(col("bid") === b,
-        shiftright(col("sh"), ((b + 1) % 4) * 15).bitwiseAND(32767L))
+        shiftright(col("sh"), ((b + 1) % blocks) * bits).bitwiseAND(mask))
         .otherwise(acc)
     }
     val sized = blocked.join(broadcast(sizes), Seq("bid", "bkey"))
@@ -732,13 +735,35 @@ object Dedup {
   }
 
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-      maxBucket: Int = 1 << 16): DataFrame = {
+      maxBucket: Int = 1 << 16): DataFrame =
+    hammingPairs(docs.select(col("doc_id"), simhash60(col("text")).as("sh")),
+      maxDist, maxBucket)
+
+  /** Hamming-distance pairs over an EXPLICIT `(doc_id, sh)` hash
+    * frame — [[simhashPairs]] minus the text hashing, so the SAME
+    * guarded pigeonhole machinery serves any 64-bit-or-narrower
+    * fingerprint: 60-bit text SimHash (dd4), 64-bit image dHash
+    * (`Multimodal.imageNearDup`, m10), audio chromaprints, … The
+    * pigeonhole is COMPLETE for `maxDist < blocks` (a pair within
+    * maxDist must agree on at least one of `blocks` disjoint
+    * `bits`-bit blocks), so with the cap disengaged the output is
+    * exactly all pairs at Hamming distance ≤ maxDist.
+    *
+    * Scale shape as [[simhashPairs]]: block join over DISTINCT
+    * hashes (identical inputs collapse before the quadratic step),
+    * census-guarded sub-split + hard cap ([[simhashBlocks]]),
+    * id expansion proportional to output. */
+  def hammingPairs(hashed: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 1 << 16, blocks: Int = 4,
+      bits: Int = 15): DataFrame = {
+    require(maxDist < blocks,
+      s"pigeonhole needs maxDist ($maxDist) < blocks ($blocks)")
     // hash once per doc; the (id, hash) map is read by the block join
     // (distinct side) and twice by the pair expansion
-    val withHash = docs.select(col("doc_id"), simhash60(col("text")).as("sh"))
+    val withHash = hashed.select(col("doc_id"), col("sh"))
       .localCheckpoint(eager = false)
     val hashes = withHash.select("sh").distinct()
-    val refined = simhashBlocks(hashes, maxBucket)
+    val refined = simhashBlocks(hashes, maxBucket, blocks, bits)
     val a = refined.toDF("a_sh", "bid", "bkey", "sub")
     val b = refined.toDF("b_sh", "bid", "bkey", "sub")
     // candidate pairs of HASH VALUES (a_sh < b_sh orients the pair);

@@ -324,6 +324,33 @@ object Multimodal {
       .toDF("media_id", "width", "height", "hash_hi", "hash_lo")
   }
 
+  /** Near-duplicate IMAGE detection (m10): pairs of media whose
+    * 64-bit perceptual dHashes ([[imageDHash]] — real PNG decode)
+    * sit within `maxDist` Hamming bits — the image member of the
+    * near-dup family (dd4 text SimHash, dd3 shingle MinHash, dd5
+    * embedding cosine). Re-encoded, resized, or lightly-edited
+    * copies keep most gradient bits, so a small radius catches the
+    * visual duplicates a byte-exact hash misses.
+    *
+    * Scale shape: decode + hash are one payload-pruned
+    * `mapPartitions` pass; pairing is [[Dedup.hammingPairs]] over the
+    * combined 64-bit hash with four 16-bit pigeonhole blocks —
+    * complete at maxDist ≤ 3, block join over DISTINCT hashes,
+    * census-guarded against pile-up buckets (a logo or blank frame
+    * repeated a billion times collapses to ONE hash before the
+    * quadratic step). Media bytes never move; only (id, hash) rows
+    * reach an exchange.
+    *
+    * Output: `(a_id, b_id, dist)`, a_id < b_id. */
+  def imageNearDup(spark: SparkSession, docs: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame = {
+    val dh = imageDHash(spark, docs)
+      .select(col("media_id").as("doc_id"),
+        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("sh"))
+    Dedup.hammingPairs(dh, maxDist, maxBucket, blocks = 4, bits = 16)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** REAL-decode audio frame energy (m6): synthesize a deterministic
     * 16-bit PCM clip per document (closed-form samples), round-trip it
     * through the actual `javax.sound.sampled` WAV codec — a real RIFF

@@ -293,13 +293,95 @@ object Packing {
     * Output: the id/key columns plus `h` and `key_rank`. Shared by
     * [[interleaveSources]] (tp7) and
     * [[Mixture.exactStratifiedSplit]] (mx6). */
+  /** Quality-annealed curriculum order (tp9): every document gets a
+    * global training position such that stage 0 (the highest-quality
+    * band) trains first and each later stage admits progressively
+    * noisier data — the curriculum-learning schedule, as a
+    * deterministic manifest instead of a loader-side heuristic.
+    * Stages are FIXED bands of the calibrated quality score
+    * (`stage = ⌊(2 − q)·stages/3⌋` clamped — q spans [−1, 2], so the
+    * binning is data-independent and append-stable: a new document
+    * never moves an old one's stage); within a stage the order is the
+    * seeded shuffle of [[seededRankByKey]] (no curriculum should
+    * present documents in storage order).
+    *
+    * Scale shape: quality is per-row; the within-stage rank is the
+    * two-phase range-bucket cumsum (histogram broadcast, windows
+    * partitioned by (stage, range) — no global sort, no single
+    * reducer); stage offsets are a ≤-stages-row window riding a
+    * broadcast.
+    *
+    * Output: `(doc_id, quality, stage, stage_rank, curriculum_pos)`
+    * with `curriculum_pos` a total 0-based order. */
+  def curriculumOrder(docs: DataFrame, stages: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val staged = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("stage",
+        least(lit(stages - 1), greatest(lit(0),
+          floor((lit(2.0) - col("quality")) * stages / lit(3.0))
+            .cast("int"))))
+    val ranked = seededRankByKey(staged, "stage", "doc_id", seed,
+        keep = Seq("quality"))
+      .withColumnRenamed("key_rank", "stage_rank")
+    val offW = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ `stages` rows: the unpartitioned window is bounded
+    val offsets = staged.groupBy("stage").agg(count(lit(1)).as("n"))
+      .withColumn("base", sum("n").over(offW) - col("n"))
+      .select("stage", "base")
+    ranked.join(broadcast(offsets), Seq("stage"))
+      .select(col("doc_id"), col("quality"), col("stage"),
+        col("stage_rank"),
+        (col("base") + col("stage_rank")).as("curriculum_pos"))
+  }
+
+  /** Pack attention-mask manifest (tp10): the loader-facing view of
+    * [[packManifest]] — one row per (sequence, document span) with
+    * the IN-SEQUENCE offset and length of each document's token
+    * slice, i.e. exactly the boundaries a trainer needs to build the
+    * block-diagonal attention mask (and loss mask) that stops packed
+    * documents from attending across their joins. `slot` numbers the
+    * spans within a sequence in token order; spans tile each
+    * sequence exactly ([[packShardAudit]] proves the totals).
+    *
+    * Scale shape: the manifest's per-bucket window, one explode of
+    * each doc's touched-pack range (≤ n_tokens/seqLen + 1 rows), and
+    * a window partitioned by (bucket, pack) — bounded by
+    * docs-per-sequence, never corpus-sized. Pure integer interval
+    * arithmetic; text never moves past the token count.
+    *
+    * Output: `(bucket, pack, slot, doc_id, start, len)`. */
+  def packMasks(docs: DataFrame, seqLen: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    val m = packManifest(docs, seqLen, buckets)
+      .withColumn("cum",
+        expr(s"pack_id * $seqLen + tok_off + n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val spans = m.select(col("doc_id"), col("bucket"), col("n_tokens"),
+        col("cum"),
+        explode(sequence(col("pack_id"),
+          col("pack_id") + col("n_packs") - 1)).as("pack"))
+      .withColumn("p0", col("pack") * lit(seqLen.toLong))
+      .withColumn("a", greatest(col("cum") - col("n_tokens"), col("p0")))
+      .withColumn("start", col("a") - col("p0"))
+      .withColumn("len",
+        least(col("cum"), (col("pack") + 1) * seqLen) - col("a"))
+    val slotW = Window.partitionBy("bucket", "pack")
+      .orderBy("start", "doc_id")
+    spans
+      .withColumn("slot", row_number().over(slotW).cast("long") - 1L)
+      .select("bucket", "pack", "slot", "doc_id", "start", "len")
+  }
+
   private[operators] def seededRankByKey(df: DataFrame, keyCol: String,
-      idCol: String, seed: Long, buckets: Int = 32): DataFrame = {
+      idCol: String, seed: Long, buckets: Int = 32,
+      keep: Seq[String] = Nil): DataFrame = {
     val Mod = 1000000007L
     val rangeWidth = Mod / buckets + 1
-    val hashed = df.select(col(idCol), col(keyCol),
+    val hashed = df.select(col(idCol) +: col(keyCol) +: keep.map(col) :+
         TextAnalysis.fingerprint(
-          concat_ws(":", lit(seed), col(idCol))).as("h"))
+          concat_ws(":", lit(seed), col(idCol))).as("h"): _*)
       .withColumn("rb", expr(s"h div $rangeWidth"))
       .localCheckpoint(eager = false) // histogram + rank window
     val histW = Window.partitionBy(keyCol).orderBy("rb")

@@ -577,6 +577,51 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adist")
   }
 
+  /** Two-stage ANN serving (ss13): ADC SHORTLIST → EXACT re-rank —
+    * the standard recall-restoring tail of a quantized serving path
+    * (FAISS's `search` + refine). Stage 1 is [[pqTopK]]'s asymmetric-
+    * distance ranking, widened to `shortlist` candidates per query
+    * (cheap: code lookups, no full vectors); stage 2 re-scores ONLY
+    * those candidates with true L2 over the full vectors and keeps
+    * the exact top `k`. ADC error moves neighbors a few ranks, so a
+    * shortlist a few × k deep recovers most of the recall the codes
+    * lost — [[annRecallReport]] quantifies exactly that gap.
+    *
+    * Scale shape: stage 2 touches `nq × shortlist` (query, neighbor)
+    * ids — a broadcast against the corpus, probed map-side by id, so
+    * the re-rank's cost is independent of corpus size; full vectors
+    * are read only for shortlisted ids and never shuffle. The
+    * expensive side stays stage 1's one encoded-corpus scan.
+    *
+    * Cross-engine exactness: the exact distance is the same
+    * `(q·q − 2·q·n) + n·n` association and sequential fold as every
+    * verify path, ties to the smaller neighbor id.
+    *
+    * Output: `(query_id, rank, neighbor_id, dist)`, rank ≤ k. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 20, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val short = pqTopK(corpus, queries, shortlist, m, ksub, iters)
+      .select("query_id", "neighbor_id")
+    val nx = corpus.select(col("vec_id").as("neighbor_id"),
+      transform(col("embedding"), v => v.cast("double")).as("nd"))
+    val qx = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), v => v.cast("double")).as("qd"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist"), col("neighbor_id"))
+    nx.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qx), Seq("query_id"))
+      .withColumn("dist",
+        dotD(col("qd"), col("qd")) - lit(2.0) * dotD(col("qd"), col("nd"))
+          + dotD(col("nd"), col("nd")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
   /** The `m` per-subspace PQ codebooks (each `(cid, cemb, cc)` with
     * the self-dot precomputed) — see [[pqTopK]] for the training
     * contract. */

@@ -384,6 +384,15 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     },
+    // SEMANTIC contamination (what dc1/dc4 miss once the benchmark
+    // item was fully rewritten but kept its meaning): eval embedding
+    // probes against the guarded corpus LSH index, one best-match
+    // row per flagged corpus vector
+    "dc5_semantic_contamination" -> { (s, d) =>
+      Decontaminate.semanticContamination(embeddings(s, d),
+        isEval = col("vec_id") % 50 === 0, threshold = 0.4)
+        .orderBy("vec_id")
+    },
     // same output as dc1 by construction (Bloom prefilter has no
     // false negatives; exact confirm removes false positives), but
     // the eval set is probed via a broadcast BITMAP instead of a
@@ -467,6 +476,20 @@ object PipelineQueries {
     "tp5_shard_audit" -> { (s, d) =>
       Packing.packShardAudit(documents(s, d), seqLen = 512, buckets = 32)
         .orderBy("bucket", "pack")
+    },
+    // quality-annealed curriculum manifest: fixed quality bands →
+    // seeded within-stage shuffle → global training position; the
+    // rank is the two-phase range-bucket cumsum, no global sort
+    "tp9_curriculum" -> { (s, d) =>
+      Packing.curriculumOrder(documents(s, d), stages = 4, seed = 42L)
+        .orderBy("doc_id")
+    },
+    // the loader-facing mask manifest over tp1's packs: per packed
+    // sequence, each document span's in-sequence offset and length —
+    // the block-diagonal attention/loss-mask boundaries
+    "tp10_pack_masks" -> { (s, d) =>
+      Packing.packMasks(documents(s, d), seqLen = 512)
+        .orderBy("bucket", "pack", "slot")
     },
     // pack EXECUTION proof: per output sequence, doc/token counts AND
     // a rolling fingerprint of the token stream in placement order —
@@ -781,11 +804,27 @@ object PipelineQueries {
         numCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)
         .orderBy("query_id", "rank")
     },
+    // two-stage serving: ADC shortlist (code lookups, cheap) → EXACT
+    // re-rank of only those candidates with full vectors — re-rank
+    // cost is nq×shortlist id-probes, independent of corpus size
+    "ss13_pq_rerank" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.pqRerankTopK(e, e.filter(col("vec_id") < 3), k = 5,
+        shortlist = 20, m = 4, ksub = 8, iters = 2)
+        .orderBy("query_id", "rank")
+    },
     "ss3_ivf_topk" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), k = 5,
         numCentroids = 16, nprobe = 2)
         .orderBy("query_id", "rank")
+    },
+    // near-dup IMAGE detection: 64-bit dHash pairs within Hamming 3
+    // via the guarded pigeonhole block join (four 16-bit blocks) —
+    // media bytes never reach an exchange, only (id, hash) rows
+    "m10_image_neardup" -> { (s, d) =>
+      Multimodal.imageNearDup(s, documents(s, d))
+        .orderBy("a_id", "b_id")
     },
     "m1_multimodal_features" -> { (s, d) =>
       Multimodal.features(s, documents(s, d)).orderBy("media_id")
@@ -834,6 +873,13 @@ object PipelineQueries {
     // TTR, top-word share, hapax share — all integer ppm
     "t19_corpus_health" -> { (s, d) =>
       CorpusStats.corpusHealth(documents(s, d))
+    },
+    // cross-source 5-gram overlap matrix: the redundancy audit run
+    // before fixing a mixture — two "independent" sources with high
+    // containment are the same crawl twice
+    "t20_source_overlap" -> { (s, d) =>
+      CorpusStats.sourceOverlap(documents(s, d))
+        .orderBy("source_a", "source_b")
     },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
@@ -1062,7 +1108,10 @@ object PipelineQueries {
     * ADC ranking via a fixed-order `list_reduce` over the subspace
     * subdistances — the identical trajectory and association as the
     * Scala plan. */
-  private def sqlPqTopK(m: Int, len: Int, ksub: Int, k: Int,
+  /** The ss8 ADC CTE chain (per-subspace Lloyd training, corpus
+    * codes, per-query lookup tables, `scored` = full ADC ranking
+    * input) — shared by [[sqlPqTopK]] and [[sqlPqRerank]]. */
+  private def sqlPqScoredCtes(m: Int, len: Int, ksub: Int,
       nq: Int): String = {
     def sub(s: Int): String = {
       val off = s * len
@@ -1089,8 +1138,7 @@ object PipelineQueries {
       .mkString(" UNION ALL ")
     val qt = (0 until m).map(s => s"SELECT * FROM qt$s")
       .mkString(" UNION ALL ")
-    s"""
-      WITH $subs,
+    s"""$subs,
       codes AS ($codes),
       qt AS ($qt),
       scored AS (SELECT t.query_id, c.vec_id AS neighbor_id,
@@ -1098,14 +1146,48 @@ object PipelineQueries {
             list(t.dq ORDER BY t.sid)), (sa, sx) -> sa + sx) AS adist
         FROM codes c JOIN qt t ON t.sid = c.sid AND t.cid = c.cid
         WHERE t.query_id <> c.vec_id
-        GROUP BY t.query_id, c.vec_id)
+        GROUP BY t.query_id, c.vec_id)"""
+  }
+
+  private def sqlPqTopK(m: Int, len: Int, ksub: Int, k: Int,
+      nq: Int): String =
+    s"""
+      WITH ${sqlPqScoredCtes(m, len, ksub, nq)}
       SELECT query_id, rank, neighbor_id, adist FROM (
         SELECT query_id, neighbor_id, adist,
           row_number() OVER (PARTITION BY query_id
             ORDER BY adist, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= $k ORDER BY query_id, rank"""
-  }
+
+  /** Oracle twin of [[Similarity.pqRerankTopK]]: the ss8 ADC chain
+    * widened to `shortlist` candidates, then an exact full-vector
+    * re-rank of only those — the same two-stage trajectory. */
+  private def sqlPqRerank(m: Int, len: Int, ksub: Int, shortlist: Int,
+      k: Int, nq: Int): String =
+    s"""
+      WITH ${sqlPqScoredCtes(m, len, ksub, nq)},
+      short AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS srank
+          FROM scored)
+        WHERE srank <= $shortlist),
+      fx AS (SELECT vec_id,
+          list_transform(embedding, xf -> xf::DOUBLE) AS fd
+        FROM embeddings),
+      rr AS (SELECT s.query_id, s.neighbor_id,
+          (${sqlDot("q.fd", "q.fd")} - 2.0*${sqlDot("q.fd", "n.fd")}
+            + ${sqlDot("n.fd", "n.fd")}) AS dist
+        FROM short s
+        JOIN fx q ON q.vec_id = s.query_id
+        JOIN fx n ON n.vec_id = s.neighbor_id)
+      SELECT query_id, rank, neighbor_id, dist FROM (
+        SELECT query_id, neighbor_id, dist,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY dist, neighbor_id) AS rank
+        FROM rr)
+      WHERE rank <= $k ORDER BY query_id, rank"""
 
   /** Oracle twin of [[Similarity.ivfPqTopK]]: the ss6 coarse-training
     * chain ([[sqlKmeansCtes]]), residuals against the assigned list
@@ -1523,6 +1605,26 @@ object PipelineQueries {
       FROM r JOIN si USING (source), n
       ORDER BY slot""",
     "t18_bpe_merges" -> sqlBpe(8),
+    // distinct (source, 5-gram-fp) pairs, self-joined per gram (the
+    // source dimension is dozens-sized, so the per-gram fanout is
+    // bounded), then the double-floor containment ppm
+    "t20_source_overlap" -> s"""
+      WITH g AS (SELECT DISTINCT source, fp FROM
+          (SELECT source, unnest(${sqlShinglesK(toks, 5)}) AS fp
+           FROM documents)),
+      t AS (SELECT source, count(*)::BIGINT AS n FROM g GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+          count(*)::BIGINT AS overlap
+        FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, ta.n AS grams_a, tb.n AS grams_b,
+        p.overlap,
+        floor(p.overlap::DOUBLE * 1000000.0
+          / least(ta.n, tb.n)::DOUBLE)::BIGINT AS containment_ppm
+      FROM p
+      JOIN t ta ON ta.source = p.source_a
+      JOIN t tb ON tb.source = p.source_b
+      ORDER BY source_a, source_b""",
     // same unigram-fp multiset; the two-level rollup keeps every
     // ratio in integer ppm (outer casts undo HUGEINT widening)
     "t19_corpus_health" -> s"""
@@ -1883,6 +1985,56 @@ object PipelineQueries {
         sum(contrib) = 512 AS is_full
       FROM contrib GROUP BY bucket, pack
       ORDER BY bucket, pack""",
+    // naive per-stage window twin of the two-phase engine rank; the
+    // quality expression is t02's verbatim
+    "tp9_curriculum" -> s"""
+      WITH q AS (SELECT doc_id,
+        (len(list_intersect($toks,
+            ['the','a','of','and','to','in','is']))::DOUBLE
+          / len($toks)::DOUBLE)
+        - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+            'g')))::DOUBLE / length(text)::DOUBLE)
+        + least(len($toks)::DOUBLE / 100.0, 1.0) AS quality
+      FROM documents),
+      s AS (SELECT doc_id, quality,
+        least(3, greatest(0, floor((2.0 - quality) * 4 / 3.0)::INT))
+          AS stage FROM q),
+      h AS (SELECT s.*, ${sqlFp("concat(42, ':', doc_id)")} AS h FROM s),
+      r AS (SELECT doc_id, quality, stage,
+          (row_number() OVER (PARTITION BY stage ORDER BY h, doc_id)
+            - 1)::BIGINT AS stage_rank
+        FROM h),
+      sz AS (SELECT stage, count(*)::BIGINT AS n FROM s GROUP BY stage),
+      o AS (SELECT stage,
+          (sum(n) OVER (ORDER BY stage) - n)::BIGINT AS base FROM sz)
+      SELECT r.doc_id, r.quality, r.stage, r.stage_rank,
+        (o.base + r.stage_rank)::BIGINT AS curriculum_pos
+      FROM r JOIN o USING (stage)
+      ORDER BY r.doc_id""",
+    // tp5's interval arithmetic kept per (doc, pack) span instead of
+    // aggregated — slot numbers the spans in token order
+    "tp10_pack_masks" -> s"""
+      WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+        ${sqlFp("doc_id::VARCHAR")} % 32 AS bucket FROM documents),
+      c AS (SELECT doc_id, n_tokens, bucket,
+        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM d),
+      m AS (SELECT doc_id, bucket, n_tokens, cum,
+        (cum - n_tokens) // 512 AS pack_id,
+        (cum - 1) // 512 AS pack_last FROM c WHERE n_tokens > 0),
+      x AS (SELECT doc_id, bucket, n_tokens, cum,
+        unnest(range(pack_id, pack_last + 1)) AS pack FROM m),
+      sp AS (SELECT bucket, pack, doc_id,
+        (greatest(cum - n_tokens, pack * 512) - pack * 512)::BIGINT
+          AS start,
+        (least(cum, (pack + 1) * 512)
+          - greatest(cum - n_tokens, pack * 512))::BIGINT AS len
+        FROM x)
+      SELECT bucket, pack,
+        (row_number() OVER (PARTITION BY bucket, pack
+          ORDER BY start, doc_id) - 1)::BIGINT AS slot,
+        doc_id, start, len
+      FROM sp ORDER BY bucket, pack, slot""",
     "q57_compaction_bins" -> """
       WITH c AS (SELECT source AS part, doc_id AS ord,
         n_chars::BIGINT AS bytes,
@@ -2124,6 +2276,8 @@ object PipelineQueries {
       FROM h JOIN t USING (dim)
       GROUP BY h.dim ORDER BY dim""",
     "ss8_pq_topk" -> sqlPqTopK(m = 4, len = 16, ksub = 8, k = 5, nq = 3),
+    "ss13_pq_rerank" -> sqlPqRerank(m = 4, len = 16, ksub = 8,
+      shortlist = 20, k = 5, nq = 3),
     "ss9_ivfpq_topk" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8, k = 5,
       nq = 3, nprobe = 2),
     "ve4_quant_error" -> s"""
@@ -2535,6 +2689,36 @@ object PipelineQueries {
       WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4
       ORDER BY new_id, index_id"""
     },
+    // dd11's bucket replay with the eval/corpus condition, then the
+    // dc4 best-match window on top
+    "dc5_semantic_contamination" -> {
+      val buckets = (0 until 3).map { t =>
+        s"{'tid': $t, 'bkey': ${sqlLshBucketOffset("embedding", 6, t * 16)}}"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      bucketed AS (SELECT vec_id, embedding, nrm,
+          x.tid AS tid, x.bkey AS bkey
+        FROM (SELECT vec_id, embedding, nrm, unnest($buckets) AS x FROM e)),
+      cand AS (SELECT DISTINCT a.vec_id AS eval_id, b.vec_id AS vec_id,
+          a.embedding AS ae, a.nrm AS an, b.embedding AS be, b.nrm AS bn
+        FROM bucketed a JOIN bucketed b
+          ON a.tid = b.tid AND a.bkey = b.bkey
+          AND a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
+      p AS (SELECT vec_id, eval_id,
+          ${sqlDot("ae", "be")} / (an * bn) AS score
+        FROM cand
+        WHERE ${sqlDot("ae", "be")} / (an * bn) >= 0.4),
+      r AS (SELECT vec_id, eval_id, score,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY score DESC, eval_id ASC) AS rn,
+          count(*) OVER (PARTITION BY vec_id) AS n_matches
+        FROM p)
+      SELECT vec_id, CAST(n_matches AS BIGINT) AS n_matches, eval_id,
+        score
+      FROM r WHERE rn = 1 ORDER BY vec_id"""
+    },
     "dd5_dedup_embedding" -> {
       // SQL twin of the LSH-routed plan: 4 tables of 4 hyperplanes
       // (disjoint plane sets via the same t*16 offsets), candidates =
@@ -2694,6 +2878,27 @@ object PipelineQueries {
           AS hash_hi,
         sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS hash_lo
       FROM b GROUP BY media_id ORDER BY media_id""",
+    // m5's closed-form dHash recomputed per media, then the plain
+    // all-pairs Hamming join — the pigeonhole block join is complete
+    // at maxDist<blocks, so the guarded candidate path must equal it
+    "m10_image_neardup" -> """
+      WITH b AS (
+        SELECT d.doc_id AS media_id, t.i AS i,
+          CASE WHEN ((d.doc_id*7 + ((t.i//8)*9 + (t.i%8) + 1)*13) % 256) >
+                    ((d.doc_id*7 + ((t.i//8)*9 + (t.i%8))*13) % 256)
+            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM documents d, unnest(range(0, 64)) AS t(i)),
+      h AS (SELECT media_id,
+          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
+            AS hi,
+          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+        FROM b GROUP BY media_id)
+      SELECT a.media_id AS a_id, b2.media_id AS b_id,
+        (bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)))::INT
+          AS dist
+      FROM h a JOIN h b2 ON a.media_id < b2.media_id
+      WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3
+      ORDER BY a_id, b_id""",
     // m5's closed-form dHash bits, extended with the per-scene seed
     // term, then the same lag/xor/bit_count + running-cumsum windows
     "m7_scene_cuts" -> s"""

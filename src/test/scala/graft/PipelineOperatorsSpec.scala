@@ -1976,4 +1976,148 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       ("A", "B", 2L, 666666L), ("A", "C", 1L, 333333L),
       ("B", "A", 1L, 1000000L)))
   }
+
+  // driver-side exact-L2 truth with the operator's fold order and
+  // (dist, id) tie rule; excludes self like pqTopK does
+  private def bruteL2TopK(k: Int,
+      isQuery: Long => Boolean): Set[(Long, Int, Long)] = {
+    val vecs = embs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    vecs.filter(v => isQuery(v._1)).flatMap { case (qid, q) =>
+      val qq = dot(q, q)
+      vecs.filter(_._1 != qid)
+        .map { case (cid, c) => (cid, qq - 2.0 * dot(q, c) + dot(c, c)) }
+        .sortBy { case (cid, dist) => (dist, cid) }
+        .take(k).zipWithIndex
+        .map { case ((cid, _), i) => (qid, i + 1, cid) }
+    }.toSet
+  }
+
+  test("pq rerank with a full-corpus shortlist equals brute-force L2 top-k") {
+    // with the shortlist as wide as the corpus the ADC stage cannot
+    // drop anything, so the exact re-rank must reproduce the brute
+    // truth — this pins the stage-2 arithmetic and tie rule
+    val n = embs.count().toInt
+    val queries = embs.filter(col("vec_id") < 2)
+    val rerank = Similarity.pqRerankTopK(embs, queries, k = 5,
+      shortlist = n, m = 4, ksub = 4, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rerank == bruteL2TopK(5, _ < 2))
+  }
+
+  test("pq rerank never worsens recall vs raw ADC ranking") {
+    val queries = embs.filter(col("vec_id") < 3)
+    val truth = bruteL2TopK(5, _ < 3).map(t => (t._1, t._3))
+    def recall(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.map(r => (r.getLong(0), r.getLong(2))).count(truth.contains)
+    val adc = recall(Similarity.pqTopK(embs, queries, k = 5,
+      m = 4, ksub = 4, iters = 1).collect())
+    val rr = recall(Similarity.pqRerankTopK(embs, queries, k = 5,
+      shortlist = 20, m = 4, ksub = 4, iters = 1).collect())
+    assert(rr >= adc, s"rerank recall $rr < adc recall $adc")
+  }
+
+  test("image near-dup pairs equal brute-force dhash hamming") {
+    val dh = Multimodal.imageDHash(spark, docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(3) << 32) | r.getLong(4)))
+    val brute = (for {
+      (a, ha) <- dh; (b, hb) <- dh
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Multimodal.imageNearDup(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture should contain near-dup images")
+  }
+
+  test("hammingPairs rejects a radius the pigeonhole cannot cover") {
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(docs.select(col("doc_id"), col("doc_id").as("sh")),
+        maxDist = 4, blocks = 4)
+    }
+  }
+
+  test("semantic contamination flags only true above-threshold matches") {
+    val isEval = col("vec_id") % 50 === 0
+    val flagged = Decontaminate.semanticContamination(embs, isEval,
+      threshold = 0.4).collect()
+    // every reported (vec, eval, score) must be a genuine pair of the
+    // underlying detector, with the argmax tie rule applied
+    val pairs = Similarity.lshCosinePairsAgainst(
+      embs.filter(isEval), embs.filter(!isEval), threshold = 0.4)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+    val byDoc = pairs.groupBy(_._1)
+    assert(flagged.length == byDoc.size)
+    flagged.foreach { r =>
+      val (doc, evalId, score) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val best = byDoc(doc).maxBy(p => (p._3, -p._2))
+      assert((best._2, best._3) == (evalId, score))
+      assert(r.getLong(1) == byDoc(doc).length)
+    }
+  }
+
+  test("source overlap is bounded by the smaller side and matches brute") {
+    val rows = CorpusStats.sourceOverlap(docs).collect()
+    rows.foreach { r =>
+      val (ga, gb, ov, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      assert(ov <= math.min(ga, gb))
+      assert(ppm == math.floor(ov.toDouble * 1e6 / math.min(ga, gb)).toLong)
+    }
+    // brute twin over the exploded shingle frame
+    val g = docs.select(col("source"),
+        explode(Dedup.shingles(col("text"), 5)).as("fp"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = g.groupBy(_._1).map { case (s, v) => (s, v.map(_._2).toSet) }
+    val brute = (for {
+      (a, sa) <- bySrc; (b, sb) <- bySrc if a < b
+      n = (sa & sb).size if n > 0
+    } yield ((a, b), n.toLong)).toMap
+    assert(rows.map(r => ((r.getString(0), r.getString(1)),
+      r.getLong(4))).toMap == brute)
+  }
+
+  test("curriculum order is a stage-monotone permutation") {
+    val rows = graft.operators.Packing.curriculumOrder(docs, stages = 4)
+      .collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(4)).sorted.toSeq == (0L until n).toSeq,
+      "curriculum_pos must be a 0-based permutation")
+    // every stage-s position precedes every stage-(s+1) position
+    val maxByStage = rows.groupBy(_.getInt(2))
+      .map { case (s, v) => (s, (v.map(_.getLong(4)).min,
+        v.map(_.getLong(4)).max)) }
+    maxByStage.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, (_, maxA)), (_, (minB, _))) => assert(maxA < minB)
+      case _ =>
+    }
+  }
+
+  test("pack masks tile every sequence exactly") {
+    val masks = graft.operators.Packing.packMasks(docs, seqLen = 512)
+      .collect()
+    // per (bucket, pack): spans are disjoint, contiguous from 0, and
+    // sum to the audited token count
+    val audit = graft.operators.Packing
+      .packShardAudit(docs, seqLen = 512).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    masks.groupBy(r => (r.getLong(0), r.getLong(1))).foreach {
+      case (key, spans) =>
+        val ordered = spans.sortBy(_.getLong(2))
+        assert(ordered.map(_.getLong(2)).toSeq ==
+          (0L until ordered.length).toSeq, "slots must be dense")
+        var pos = 0L
+        ordered.foreach { s =>
+          assert(s.getLong(4) == pos, s"gap at $key slot ${s.getLong(2)}")
+          assert(s.getLong(5) > 0)
+          pos += s.getLong(5)
+        }
+        assert(pos == audit(key), s"span total != audited tokens at $key")
+    }
+  }
 }

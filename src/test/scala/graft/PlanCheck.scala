@@ -104,6 +104,39 @@ object PlanCheck {
         (p => !p.contains("Join")),
       "single parquet scan" ->
         (p => "Scan parquet".r.findAllIn(p).size == 1)))
+    audit("ss13_pq_rerank", Seq(
+      // stage 2 must ride broadcasts: the corpus is probed by id, the
+      // shortlist and query vectors never force a corpus exchange
+      "shortlist + queries broadcast into the re-rank" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("m10_image_neardup", Seq(
+      "media payload pruned before decode (id-only read)" ->
+        (p => !p.contains("text")),
+      "block join is equi, not cartesian" ->
+        (p => !p.contains("Cartesian"))))
+    audit("dc5_semantic_contamination", Seq(
+      "bucket probe join is equi, not cartesian" ->
+        (p => !p.contains("Cartesian")),
+      "per-doc argmax partially aggregated map-side" ->
+        (_.contains("partial_"))))
+    audit("t20_source_overlap", Seq(
+      "totals ride broadcasts onto the pair frame" ->
+        (_.contains("BroadcastHashJoin")),
+      "distinct (source, fp) combines map-side" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("tp9_curriculum", Seq(
+      // the rank must be the two-phase range-bucket shape: the
+      // per-doc window partitions by (stage, range-bucket) — the
+      // only SinglePartition window is the ≤-stages-row offsets one
+      "rank window partitioned by (stage, range-bucket)" ->
+        (_.contains("hashpartitioning(stage")),
+      "stage offsets broadcast" -> (_.contains("BroadcastHashJoin"))))
+    audit("tp10_pack_masks", Seq(
+      "span window partitioned by (bucket, pack)" ->
+        (_.contains("hashpartitioning(bucket")),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
     audit("mx7_epoch_plan", Seq(
       "source histogram partially aggregated map-side" ->
         (_.contains("partial_")),
