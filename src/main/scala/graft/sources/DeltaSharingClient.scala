@@ -41,9 +41,15 @@ class DeltaSharingClient(
 
   // ---- transport ---------------------------------------------------
 
-  /** GET/POST/HEAD with the protocol headers the reference sends
-    * (`delta_sharing_client.cpp:119-125`): bearer auth + parquet
-    * response capability. */
+  /** GET/POST/HEAD with the protocol headers: bearer auth + response
+    * capabilities. Unlike the reference (which pins
+    * `responseformat=parquet`, `delta_sharing_client.cpp:119-125`)
+    * the client also advertises `delta`, so servers that can ONLY
+    * answer in delta responseformat are readable; it does NOT claim
+    * `deletionVectors` in readerfeatures, so a compliant server must
+    * not send DV-bearing files — and if one does anyway, the
+    * [[guardDeletionVectors]] refusal trips rather than silently
+    * returning deleted rows. */
   private[sources] def perform(
       method: String,
       path: String,
@@ -58,7 +64,7 @@ class DeltaSharingClient(
     val b = HttpRequest.newBuilder(uri)
       .timeout(requestTimeout)
       .header("Authorization", s"Bearer ${profile.bearerToken}")
-      .header("delta-sharing-capabilities", "responseformat=parquet")
+      .header("delta-sharing-capabilities", "responseformat=parquet,delta")
     val req = method match {
       case "GET" => b.GET().build()
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
@@ -258,19 +264,34 @@ class DeltaSharingClient(
     val fileNodes = lines.filter(_.hasNonNull("file")).map(_.get("file"))
     guardDeletionVectors(meta, fileNodes, s"query of $share.$schema.$table")
     val files = fileNodes.map { f =>
+      // delta responseformat wraps the add action: the presigned URL
+      // is `add.path`, partitionValues/size/stats live on the add;
+      // id/expirationTimestamp stay on the outer file envelope. The
+      // parquet responseformat keeps everything on the file node.
+      val src =
+        if (f.hasNonNull("deltaSingleAction"))
+          f.get("deltaSingleAction").get("add")
+        else f
       FileAction(
-        url = f.get("url").asText(),
+        url = (if (src.hasNonNull("path")) src.get("path")
+               else src.get("url")).asText(),
         id = optText(f, "id").getOrElse(""),
         partitionValues =
-          if (f.hasNonNull("partitionValues"))
-            f.get("partitionValues").properties().asScala
+          if (src.hasNonNull("partitionValues"))
+            src.get("partitionValues").properties().asScala
               .map(e => e.getKey ->
                 (if (e.getValue.isNull) null else e.getValue.asText())).toMap
           else Map.empty,
-        size = if (f.hasNonNull("size")) f.get("size").asLong() else 0L,
-        stats = optText(f, "stats"),
-        version = if (f.hasNonNull("version")) Some(f.get("version").asLong()) else None,
-        timestamp = if (f.hasNonNull("timestamp")) Some(f.get("timestamp").asLong()) else None,
+        size = if (src.hasNonNull("size")) src.get("size").asLong() else 0L,
+        stats = optText(src, "stats"),
+        version =
+          if (f.hasNonNull("version")) Some(f.get("version").asLong())
+          else None,
+        timestamp =
+          if (f.hasNonNull("timestamp")) Some(f.get("timestamp").asLong())
+          else if (src.hasNonNull("modificationTime"))
+            Some(src.get("modificationTime").asLong())
+          else None,
         expirationTimestamp = optText(f, "expirationTimestamp"))
     }
     TableFiles(meta, files)
@@ -367,25 +388,42 @@ class DeltaSharingClient(
       .exists(_.equalsIgnoreCase("deletionVectors"))
     val configDv = meta.configuration
       .get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
-    val fileDv = fileLines.exists(_.hasNonNull("deletionVector"))
+    // the DV payload sits on the file node (parquet responseformat)
+    // or nested inside deltaSingleAction.add (delta responseformat) —
+    // the guard must see through both envelopes
+    val fileDv = fileLines.exists { l =>
+      l.hasNonNull("deletionVector") ||
+        (l.hasNonNull("deltaSingleAction") &&
+          l.get("deltaSingleAction").hasNonNull("add") &&
+          l.get("deltaSingleAction").get("add").hasNonNull("deletionVector"))
+    }
     if (featureDv || configDv || fileDv) {
       val signal =
         if (fileDv) "a file action carries a deletionVector"
         else if (featureDv) "protocol.readerFeatures includes deletionVectors"
         else "delta.enableDeletionVectors=true in table configuration"
       throw new DeltaSharingException(0,
-        s"$what: table uses deletion vectors ($signal). This client reads " +
-          "responseformat=parquet and cannot apply deletion vectors, so " +
-          "results would silently include deleted rows. Read this table " +
-          "with a delta-responseformat-capable client instead.")
+        s"$what: table uses deletion vectors ($signal). This client does " +
+          "not apply deletion vectors, so results would silently include " +
+          "deleted rows. Vacuum/compact the shared table, or read it " +
+          "with a deletion-vector-capable client instead.")
     }
   }
 
   /** Shared protocol+metaData NDJSON parsing
     * (`delta_sharing_client.cpp:317-348` and `:409-434`). */
+  /** Parse the [protocol, metaData] header lines of ANY endpoint
+    * response. Both responseformats are accepted: the delta
+    * responseformat nests the payloads one level down
+    * (`protocol.deltaProtocol`, `metaData.deltaMetadata`, with
+    * `version` staying on the outer metaData envelope) — unwrapping
+    * here means every caller (scan planning, CDF, streaming) reads
+    * delta-format servers with no other change. */
   private def parseMetadataLines(lines: Seq[JsonNode]): Option[TableMetadata] = {
     val protocol = lines.find(_.hasNonNull("protocol")).map { l =>
-      val p = l.get("protocol")
+      val p0 = l.get("protocol")
+      val p = if (p0.hasNonNull("deltaProtocol")) p0.get("deltaProtocol")
+              else p0
       DeltaProtocol(
         if (p.hasNonNull("minReaderVersion")) p.get("minReaderVersion").asInt() else 1,
         if (p.hasNonNull("readerFeatures"))
@@ -393,7 +431,13 @@ class DeltaSharingClient(
         else Nil)
     }.getOrElse(DeltaProtocol(1))
     lines.find(_.hasNonNull("metaData")).map { l =>
-      val m = l.get("metaData")
+      val m0 = l.get("metaData")
+      val m = if (m0.hasNonNull("deltaMetadata")) m0.get("deltaMetadata")
+              else m0
+      def versionOf: Long =
+        if (m0.hasNonNull("version")) m0.get("version").asLong()
+        else if (m.hasNonNull("version")) m.get("version").asLong()
+        else 0L
       TableMetadata(
         id = optText(m, "id").getOrElse(""),
         name = optText(m, "name").getOrElse(""),
@@ -411,7 +455,7 @@ class DeltaSharingClient(
             m.get("configuration").properties().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap
           else Map.empty,
-        version = if (m.hasNonNull("version")) m.get("version").asLong() else 0L,
+        version = versionOf,
         protocol = protocol)
     }
   }

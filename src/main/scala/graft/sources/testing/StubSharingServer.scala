@@ -55,6 +55,16 @@ class StubSharingServer(
     * DV refusal guard. */
   @volatile var deletionVectorTables: Map[String, String] = Map.empty
 
+  /** Tables answered in DELTA responseformat: protocol/metaData
+    * payloads nested under `deltaProtocol`/`deltaMetadata`, file
+    * lines wrapping an `add` action under `deltaSingleAction` with
+    * the presigned URL as `add.path` — the other wire shape of the
+    * public protocol. Requests whose `delta-sharing-capabilities`
+    * header does not advertise `delta` are refused with 400,
+    * pinning that the client actually sends the capability it
+    * relies on. */
+  @volatile var deltaFormatTables: Set[String] = Set.empty
+
   /** Presigned-URL expiry simulation: when set, the FIRST `/query`
     * response signs file URLs with `?sig=stale` (which `/files`
     * rejects with 403) and every later `/query` signs with
@@ -118,16 +128,37 @@ class StubSharingServer(
     val (schemaString, partCols, _) = tables(name)
     val esc = schemaString.replace("\\", "\\\\").replace("\"", "\\\"")
     val dv = deletionVectorTables.get(name)
-    val protocol =
-      if (dv.contains("feature"))
-        """{"protocol":{"minReaderVersion":3,"readerFeatures":["deletionVectors"]}}"""
-      else """{"protocol":{"minReaderVersion":1}}"""
     val config =
       if (dv.contains("config")) """{"k":"v","delta.enableDeletionVectors":"true"}"""
       else """{"k":"v"}"""
-    s"""$protocol
-{"metaData":{"id":"m-$name","name":"$name","description":"","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],"configuration":$config,"version":3}}"""
+    val partJson = partCols.map(c => s""""$c"""").mkString(",")
+    if (deltaFormatTables.contains(name)) {
+      // delta responseformat: payloads nested one level down, table
+      // version on the OUTER metaData envelope
+      val protocol =
+        if (dv.contains("feature"))
+          """{"protocol":{"deltaProtocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}}"""
+        else """{"protocol":{"deltaProtocol":{"minReaderVersion":1,"minWriterVersion":2}}}"""
+      s"""$protocol
+{"metaData":{"version":3,"size":100,"numFiles":${tables(name)._3.size},"deltaMetadata":{"id":"m-$name","name":"$name","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[$partJson],"configuration":$config}}}"""
+    } else {
+      val protocol =
+        if (dv.contains("feature"))
+          """{"protocol":{"minReaderVersion":3,"readerFeatures":["deletionVectors"]}}"""
+        else """{"protocol":{"minReaderVersion":1}}"""
+      s"""$protocol
+{"metaData":{"id":"m-$name","name":"$name","description":"","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[$partJson],"configuration":$config,"version":3}}"""
+    }
   }
+
+  /** Did this request advertise delta responseformat? */
+  private def acceptsDelta(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("delta-sharing-capabilities"))
+      .exists(_.toLowerCase.split(";").exists { part =>
+        val kv = part.trim.split("=", 2)
+        kv.length == 2 && kv(0) == "responseformat" &&
+          kv(1).split(",").map(_.trim).contains("delta")
+      })
 
   server.createContext("/delta-sharing/shares", (ex: HttpExchange) => {
     try {
@@ -218,12 +249,20 @@ class StubSharingServer(
               }
             }
           case ("GET", List("shares", _, "schemas", _, "tables", t, "metadata")) =>
-            if (tables.contains(t)) send(ex, 200, metaNdjson(t))
-            else send(ex, 404, """{"message":"table not found"}""")
+            if (!tables.contains(t))
+              send(ex, 404, """{"message":"table not found"}""")
+            else if (deltaFormatTables.contains(t) && !acceptsDelta(ex))
+              send(ex, 400, """{"message":"table requires responseformat=delta"}""")
+            else send(ex, 200, metaNdjson(t),
+              if (deltaFormatTables.contains(t))
+                Map("delta-sharing-capabilities" -> "responseformat=delta")
+              else Map.empty)
           case ("POST", List("shares", _, "schemas", _, "tables", t, "query")) =>
             if (queryDelayMs > 0) Thread.sleep(queryDelayMs)
             if (!tables.contains(t)) {
               send(ex, 404, """{"message":"table not found"}""")
+            } else if (deltaFormatTables.contains(t) && !acceptsDelta(ex)) {
+              send(ex, 400, """{"message":"table requires responseformat=delta"}""")
             } else {
               lastQueryBody = new String(
                 ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -250,9 +289,18 @@ class StubSharingServer(
                   if (deletionVectorTables.get(t).contains("file"))
                     ""","deletionVector":{"storageType":"u","pathOrInlineDv":"dv!abc","offset":1,"sizeInBytes":42,"cardinality":2}"""
                   else ""
-                s"""{"file":{"url":"$signed","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size$statsField$dvField,"version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
+                if (deltaFormatTables.contains(t))
+                  // delta responseformat: the presigned URL is
+                  // add.path, partitionValues/size/stats ride the add
+                  // action, id/expiry stay on the file envelope
+                  s"""{"file":{"id":"f-${url.hashCode}","expirationTimestamp":"2099-01-01T00:00:00Z","deltaSingleAction":{"add":{"path":"$signed","partitionValues":{$pvJson},"size":$size,"modificationTime":1700000000000,"dataChange":true$statsField$dvField}}}}"""
+                else
+                  s"""{"file":{"url":"$signed","id":"f-${url.hashCode}","partitionValues":{$pvJson},"size":$size$statsField$dvField,"version":3,"timestamp":1700000000000,"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
               }
-              send(ex, 200, (metaNdjson(t) +: fileLines).mkString("\n"))
+              send(ex, 200, (metaNdjson(t) +: fileLines).mkString("\n"),
+                if (deltaFormatTables.contains(t))
+                  Map("delta-sharing-capabilities" -> "responseformat=delta")
+                else Map.empty)
             }
           case other =>
             send(ex, 404, s"""{"message":"no route $other"}""")

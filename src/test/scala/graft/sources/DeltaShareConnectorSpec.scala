@@ -44,8 +44,12 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       }
     }
-    server.tables = Map("lineitem" -> (fullSchema, Seq("l_returnflag"),
-      files.result()))
+    server.tables = Map(
+      "lineitem" -> (fullSchema, Seq("l_returnflag"), files.result()),
+      // the SAME table served in delta responseformat — reads must be
+      // indistinguishable from the parquet-responseformat twin
+      "lineitem_delta" -> (fullSchema, Seq("l_returnflag"), files.result()))
+    server.deltaFormatTables = Set("lineitem_delta")
   }
 
   override def afterAll(): Unit = server.stop()
@@ -66,6 +70,23 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val flags = df.select("l_returnflag").distinct().collect()
       .map(_.getString(0)).sorted
     assert(flags.sameElements(Array("A", "N", "R")))
+  }
+
+  test("delta responseformat table reads end-to-end like the parquet twin") {
+    val delta = spark.read.format("deltashare")
+      .option("endpoint", server.endpoint)
+      .option("bearerToken", "tok")
+      .option("share", "share1").option("schema", "schema1")
+      .option("table", "lineitem_delta")
+      .load()
+    val parquetFmt = read()
+    assert(delta.schema == parquetFmt.schema)
+    assert(delta.count() == expectedCount)
+    // identical row multiset through the other wire shape
+    assert(delta.exceptAll(parquetFmt).isEmpty)
+    assert(parquetFmt.exceptAll(delta).isEmpty)
+    // partition pruning still works through the delta envelope
+    assert(delta.filter(col("l_returnflag") === "A").count() == flagACount)
   }
 
   test("load(\"share.schema.table\") addressing works") {

@@ -44,7 +44,7 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("capabilities and auth headers are sent") {
     client.listShares()
     assert(server.lastHeaders("delta-sharing-capabilities") ==
-      "responseformat=parquet")
+      "responseformat=parquet,delta")
     assert(server.lastHeaders("authorization") == "Bearer tok")
   }
 
@@ -155,6 +155,53 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // and a DV-free table still reads fine afterwards
     assert(client.queryTable("share1", "schema1", "lineitem").files.nonEmpty)
+  }
+
+  test("delta responseformat parses to the same table model as parquet") {
+    // the same table served in both wire shapes must yield identical
+    // metadata and file actions — the unwrap is a pure envelope
+    // translation (add.path → url, modificationTime → timestamp)
+    val schema = lineitemSchemaJson
+    server.tables += ("fmt" -> ((schema, Seq("p"),
+      Seq(("file:///tmp/a.parquet", 11L, Map("p" -> "x")),
+        ("file:///tmp/b.parquet", 22L, Map("p" -> null))))))
+    try {
+      val parquetResp = client.queryTable("share1", "schema1", "fmt")
+      val parquetMeta = client.queryTableMetadata("share1", "schema1", "fmt")
+      server.deltaFormatTables = Set("fmt")
+      val deltaResp = client.queryTable("share1", "schema1", "fmt")
+      val deltaMeta = client.queryTableMetadata("share1", "schema1", "fmt")
+      assert(deltaMeta == parquetMeta)
+      def essence(t: TableFiles) = t.files.map(f =>
+        (f.url, f.partitionValues, f.size, f.stats, f.timestamp,
+          f.expirationTimestamp))
+      assert(essence(deltaResp) == essence(parquetResp))
+      assert(deltaResp.metadata.schemaString == schema)
+      assert(deltaResp.metadata.partitionColumns == Seq("p"))
+      assert(deltaResp.metadata.version == 3)
+    } finally {
+      server.deltaFormatTables = Set.empty
+      server.tables -= "fmt"
+    }
+  }
+
+  test("deletion vector nested in deltaSingleAction.add trips the guard") {
+    val schema = lineitemSchemaJson
+    server.tables += ("dvd" -> ((schema, Seq.empty,
+      Seq(("file:///tmp/z.parquet", 1L, Map.empty[String, String])))))
+    server.deltaFormatTables = Set("dvd")
+    server.deletionVectorTables = Map("dvd" -> "file")
+    try {
+      val e = intercept[DeltaSharingException] {
+        client.queryTable("share1", "schema1", "dvd")
+      }
+      assert(e.getMessage.contains("deletion vectors"))
+      assert(e.getMessage.contains("deleted rows"))
+    } finally {
+      server.deltaFormatTables = Set.empty
+      server.deletionVectorTables = Map.empty
+      server.tables -= "dvd"
+    }
   }
 
   test("pagination loops until nextPageToken is absent") {
