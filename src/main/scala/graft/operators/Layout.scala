@@ -123,6 +123,30 @@ object Layout {
     * Labels must be low-cardinality (directories = distinct labels ×
     * filesPerLabel); for high-cardinality predicates use
     * [[zorderKey]] + file stats instead of directories. */
+  /** EXECUTE the z-order layout (q68): rewrite `df` clustered by the
+    * Morton interleave of (aCol, bCol) — range-partition on the z
+    * key (contiguous key ranges per output file, the property that
+    * keeps per-file min/max tight in BOTH dimensions), sort within
+    * each range, write `numFiles` parquet files. A box predicate on
+    * (a, b) then prunes at the parquet file/row-group stats level:
+    * the scan reads only files whose (a, b) ranges intersect the
+    * box — the high-cardinality complement of [[partitionByLabel]]'s
+    * directory pruning ([[zorderStats]] reports the range tightness
+    * the rewrite would produce; BucketingSpec MEASURES files-read
+    * against a linearly-laid-out twin).
+    *
+    * Scale shape: `repartitionByRange` samples the z key and
+    * exchanges once into contiguous ranges — parallel, never a
+    * single-reducer global sort; each task sorts only its own range
+    * and writes one file. No driver-side file loop. */
+  def zorderWrite(df: DataFrame, aCol: String, bCol: String,
+      outPath: String, bits: Int = 16, numFiles: Int = 16): Unit =
+    df.withColumn("__z", zorderKey(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
+
   def partitionByLabel(df: DataFrame, labelCol: String, outPath: String,
       filesPerLabel: Int = 1): Unit = {
     val nonLabel = df.columns.filter(_ != labelCol).map(col)

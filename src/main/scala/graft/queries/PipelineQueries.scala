@@ -458,6 +458,25 @@ object PipelineQueries {
       Layout.zorderStats(lineitem(s, d), "l_partkey", "l_suppkey")
         .orderBy("z_bucket")
     },
+    // the WRITER behind q52's layout stats: materialize the z-order
+    // clustered layout, then serve a (partkey, suppkey) box query
+    // THROUGH it — per-file min/max stay tight in both dims so the
+    // scan prunes files (BucketingSpec measures files-read vs a
+    // linear twin); results must equal serving off the source table
+    "q68_zorder_layout" -> { (s, d) =>
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zorder_layout_${s.sparkContext.applicationId}").getPath
+      Layout.zorderWrite(
+        lineitem(s, d).select("l_partkey", "l_suppkey", "l_quantity"),
+        "l_partkey", "l_suppkey", out)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(10, 40) &&
+          col("l_suppkey").between(2, 12))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_partkey", "l_suppkey")
+    },
     // heavy-hitter profile of the event stream's user key — the
     // measurement that sizes salting factors before a skewed join
     "q54_key_skew" -> { (s, d) =>
@@ -2035,6 +2054,14 @@ object PipelineQueries {
           ORDER BY start, doc_id) - 1)::BIGINT AS slot,
         doc_id, start, len
       FROM sp ORDER BY bucket, pack, slot""",
+    // the layout must not change results, only the scan's pruning —
+    // so the oracle is the plain box query on the source table
+    "q68_zorder_layout" -> """
+      SELECT l_partkey, l_suppkey, count(*)::BIGINT AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 2 AND 12
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "q57_compaction_bins" -> """
       WITH c AS (SELECT source AS part, doc_id AS ord,
         n_chars::BIGINT AS bytes,

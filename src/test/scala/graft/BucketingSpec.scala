@@ -84,6 +84,61 @@ class BucketingSpec extends AnyFunSuite
     }
   }
 
+  test("z-order layout keeps per-file boxes prunable where a linear layout cannot") {
+    // the q68 scale claim MEASURED from the written files: cluster
+    // lineitem by the Morton interleave of (l_partkey, l_suppkey) vs
+    // a linear l_orderkey layout of the same rows, then compute each
+    // FILE's (partkey, suppkey) min/max box — exactly the stats a
+    // skipping layer (Delta data skipping, parquet row-group pruning)
+    // consults. Under the z-order layout a tight box predicate must
+    // intersect strictly fewer file boxes. (Spark itself prunes
+    // parquet ROW GROUPS with these stats inside the reader; file
+    // listing is stats-blind, so the property is asserted on the
+    // stats themselves, not on a planner metric.)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_orderkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val linDir = java.nio.file.Files.createTempDirectory("graft-linear")
+    try {
+      graft.operators.Layout.zorderWrite(li, "l_partkey", "l_suppkey",
+        zDir.toString, bits = 16, numFiles = 16)
+      li.repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(linDir.toString)
+      def intersectingFiles(dir: String): Int = {
+        val boxes = spark.read.parquet(dir)
+          .withColumn("__file", input_file_name())
+          .groupBy("__file")
+          .agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+            min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+          .collect()
+        assert(boxes.length == 16, s"expected 16 files in $dir")
+        boxes.count { r =>
+          r.getLong(1) <= 40 && r.getLong(2) >= 10 &&
+            r.getLong(3) <= 12 && r.getLong(4) >= 2
+        }
+      }
+      val (zHit, linHit) = (intersectingFiles(zDir.toString),
+        intersectingFiles(linDir.toString))
+      assert(zHit < linHit,
+        s"box intersects $zHit z-order files vs $linHit linear — " +
+          "clustering bought no pruning")
+      // and the rewrite is lossless: both layouts answer identically
+      def answer(dir: String) = spark.read.parquet(dir)
+        .filter(col("l_partkey").between(10, 40) &&
+          col("l_suppkey").between(2, 12))
+        .groupBy("l_partkey", "l_suppkey").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(answer(zDir.toString) == answer(linDir.toString))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(zDir, linDir).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("bucketed tables join without any exchange") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

@@ -137,6 +137,14 @@ object PlanCheck {
       "span window partitioned by (bucket, pack)" ->
         (_.contains("hashpartitioning(bucket")),
       "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("q68_zorder_layout", Seq(
+      // served THROUGH the rewritten layout: the box predicate must
+      // reach the parquet scan of the layout, feeding row-group
+      // stats pruning (BucketingSpec measures the per-file boxes)
+      "box predicate pushed to the layout scan" ->
+        (p => p.contains("PushedFilters: [") &&
+          p.split("PushedFilters", 2)(1).take(300).contains("l_partkey")),
+      "partial agg before exchange" -> (_.contains("partial_"))))
     audit("mx7_epoch_plan", Seq(
       "source histogram partially aggregated map-side" ->
         (_.contains("partial_")),
