@@ -14,7 +14,9 @@ object TimeQ {
     graft.SparkEntry.queries("dd1_dedup_exact")(spark, dir).collect()
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val c = graft.SparkEntry.queries(n)(spark, dir).collect().length
+      // count, not collect: scale-smoke queries can emit tens of
+      // millions of rows, which must execute but not sit in driver heap
+      val c = graft.SparkEntry.queries(n)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"TIMEQ $n%-28s $sec%8.3f s  rows=$c")
     }
