@@ -374,6 +374,44 @@ object Packing {
       .select("bucket", "pack", "slot", "doc_id", "start", "len")
   }
 
+  /** Length-bucketed batching manifest (tp11): the OTHER packing
+    * strategy — instead of concatenating documents into fixed
+    * sequences ([[packManifest]], pretraining), group documents of
+    * similar length into fixed-token-budget batches and pad each to
+    * its band's ceiling (finetuning/inference, where documents must
+    * stay whole and cross-document packing is wrong). Bands are
+    * fixed `bandWidth`-token strips; a batch holds
+    * `max(1, batchTokens div bandCeil)` documents of ONE band, so
+    * padding waste is bounded by the band width and REPORTED per row
+    * (`pad_tokens` — the number the curriculum/efficiency dashboards
+    * aggregate).
+    *
+    * Scale shape: band assignment is per-row; within-band order is
+    * the seeded two-phase range-bucket rank of [[seededRankByKey]]
+    * (histogram broadcast — a dominant band never sorts on one
+    * reducer); batch/slot/pad are integer arithmetic on the rank.
+    *
+    * Output: `(doc_id, n_tokens, band, band_rank, batch_no, slot,
+    * pad_tokens)`. */
+  def lengthBatches(docs: DataFrame, batchTokens: Int = 2048,
+      bandWidth: Int = 64, seed: Long = 42L): DataFrame = {
+    val sized = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("band", expr(s"n_tokens div $bandWidth"))
+    val ranked = seededRankByKey(sized, "band", "doc_id", seed,
+        keep = Seq("n_tokens"))
+      .withColumnRenamed("key_rank", "band_rank")
+    ranked
+      .withColumn("band_ceil", (col("band") + 1) * bandWidth)
+      .withColumn("per_batch",
+        greatest(lit(1L), expr(s"${batchTokens}L div band_ceil")))
+      .select(col("doc_id"), col("n_tokens"), col("band"),
+        col("band_rank"),
+        expr("band_rank div per_batch").as("batch_no"),
+        (col("band_rank") % col("per_batch")).as("slot"),
+        (col("band_ceil") - col("n_tokens")).as("pad_tokens"))
+  }
+
   private[operators] def seededRankByKey(df: DataFrame, keyCol: String,
       idCol: String, seed: Long, buckets: Int = 32,
       keep: Seq[String] = Nil): DataFrame = {

@@ -263,6 +263,72 @@ object Profile {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** EXACT quantiles without a global sort (q69): for each requested
+    * `q_ppm`, return the actual element at 0-based rank
+    * `⌊(n−1)·q/10⁶⌋` of the sorted column — discrete-quantile
+    * semantics, bit-exact because a REAL element is returned, never
+    * an interpolation.
+    *
+    * The naive plan (`row_number() OVER (ORDER BY v)`) is a
+    * single-reducer sort of the corpus. Instead, the
+    * histogram-refinement shape of `Packing.tokenBudgetSelect`:
+    *
+    *  1. ONE map-side-combinable aggregation builds the per-⌊v⌋
+    *     integer-bucket histogram — sized by the VALUE DOMAIN, not
+    *     the corpus (prices, token counts, scores all live in fixed
+    *     ranges); its running totals are a window over that bounded
+    *     frame;
+    *  2. each target rank resolves to (bucket, intra-bucket offset)
+    *     against the broadcast histogram; pass 2 re-reads ONLY the
+    *     picked buckets (a broadcast semi-probe — at most one bucket
+    *     per requested quantile) and ranks within each, windows
+    *     partitioned per bucket.
+    *
+    * Equal values make the intra-bucket row_number choice arbitrary
+    * but the returned VALUE identical — the output is deterministic.
+    *
+    * Output: `(q_ppm, value)`, one row per requested quantile. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qsPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    // NOT checkpointed: each re-read is a 1-column pushed-down
+    // parquet scan — at corpus scale re-scanning one column beats
+    // materializing it, and the visible plan keeps its partial aggs
+    val v = df.select(col(valueCol).cast("double").as("v"))
+    val hist = v.groupBy(floor(col("v")).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+    // bounded by the value domain, not the corpus — the
+    // tokenBudgetSelect precedent for an unpartitioned window
+    val histW = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cumn", sum("n").over(histW))
+      .withColumn("base", col("cumn") - col("n"))
+    // rank = ⌊(n−1)·q/10⁶⌋ via the exact split
+    // (kM+s)·q div M = k·q + (s·q div M) — never builds the raw
+    // (n−1)·q product, which would wrap Long beyond ~9.2e12 rows
+    // (the mx7 overflow lesson, solved in integers here because the
+    // rank must be EXACT, not a ppm share)
+    val qdf = qsPpm.toDF("q_ppm")
+      .crossJoin(broadcast(hist.agg(sum("n").as("total"))))
+      .withColumn("r", expr(
+        "(total - 1) div 1000000 * q_ppm + " +
+          "((total - 1) % 1000000) * q_ppm div 1000000"))
+    val picks = cum.join(broadcast(qdf),
+        col("base") <= col("r") && col("r") < col("cumn"))
+      .select(col("q_ppm"), col("b"), (col("r") - col("base")).as("off"))
+    val bucketRows = v
+      .withColumn("b", floor(col("v")).cast("long"))
+      .join(broadcast(picks.select("b").distinct()), Seq("b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("b").orderBy("v")).cast("long") - 1L)
+    // picks is ≤ |qsPpm| rows — broadcast, never a shuffled join
+    broadcast(picks).join(bucketRows,
+        picks("b") === bucketRows("b") && col("off") === col("rn"))
+      .select(col("q_ppm"), col("v").as("value"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))

@@ -482,6 +482,15 @@ object PipelineQueries {
     "q54_key_skew" -> { (s, d) =>
       Profile.keySkew(events(s, d), "user_id", topN = 20)
     },
+    // EXACT percentiles without a global sort: value-domain histogram
+    // + targeted bucket re-rank — the shape that replaces the
+    // single-reducer row_number at 100 TB; returns real elements, so
+    // the compare is bit-exact
+    "q69_exact_quantiles" -> { (s, d) =>
+      Profile.exactQuantiles(lineitem(s, d), "l_extendedprice",
+        Seq(250000L, 500000L, 750000L, 990000L))
+        .orderBy("q_ppm")
+    },
     // training-sequence packing manifest: which sequence and offset
     // each document's tokens land at, after bucket-parallel
     // concat-and-chop packing
@@ -509,6 +518,14 @@ object PipelineQueries {
     "tp10_pack_masks" -> { (s, d) =>
       Packing.packMasks(documents(s, d), seqLen = 512)
         .orderBy("bucket", "pack", "slot")
+    },
+    // the OTHER packing strategy: whole documents, length-banded
+    // batches padded to the band ceiling — the finetuning/inference
+    // shape, with per-row padding waste reported
+    "tp11_length_batches" -> { (s, d) =>
+      Packing.lengthBatches(documents(s, d), batchTokens = 2048,
+        bandWidth = 64, seed = 42L)
+        .orderBy("doc_id")
     },
     // pack EXECUTION proof: per output sequence, doc/token counts AND
     // a rolling fingerprint of the token stream in placement order —
@@ -2030,6 +2047,22 @@ object PipelineQueries {
         (o.base + r.stage_rank)::BIGINT AS curriculum_pos
       FROM r JOIN o USING (stage)
       ORDER BY r.doc_id""",
+    // naive per-band window twin of the two-phase engine rank
+    "tp11_length_batches" -> s"""
+      WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+        len($toks)::BIGINT // 64 AS band FROM documents),
+      h AS (SELECT d.*, ${sqlFp("concat(42, ':', doc_id)")} AS h FROM d),
+      r AS (SELECT doc_id, n_tokens, band,
+          (row_number() OVER (PARTITION BY band ORDER BY h, doc_id)
+            - 1)::BIGINT AS band_rank
+        FROM h),
+      x AS (SELECT *, (band + 1) * 64 AS band_ceil,
+          greatest(1, 2048 // ((band + 1) * 64)) AS per_batch FROM r)
+      SELECT doc_id, n_tokens, band, band_rank,
+        (band_rank // per_batch)::BIGINT AS batch_no,
+        (band_rank % per_batch)::BIGINT AS slot,
+        (band_ceil - n_tokens)::BIGINT AS pad_tokens
+      FROM x ORDER BY doc_id""",
     // tp5's interval arithmetic kept per (doc, pack) span instead of
     // aggregated — slot numbers the spans in token order
     "tp10_pack_masks" -> s"""
@@ -2054,6 +2087,21 @@ object PipelineQueries {
           ORDER BY start, doc_id) - 1)::BIGINT AS slot,
         doc_id, start, len
       FROM sp ORDER BY bucket, pack, slot""",
+    // naive single-sort twin of the histogram-refined engine plan;
+    // the rank arithmetic is the same exact integer split
+    "q69_exact_quantiles" -> """
+      WITH v AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem),
+      n AS (SELECT count(*)::BIGINT AS total FROM v),
+      q AS (SELECT q_ppm::BIGINT AS q_ppm FROM (VALUES (250000),
+        (500000), (750000), (990000)) t(q_ppm)),
+      r AS (SELECT q_ppm,
+          ((total - 1) // 1000000 * q_ppm
+            + ((total - 1) % 1000000) * q_ppm // 1000000)::BIGINT AS r
+        FROM q, n),
+      s AS (SELECT v, (row_number() OVER (ORDER BY v) - 1)::BIGINT AS rn
+        FROM v)
+      SELECT r.q_ppm, s.v AS value FROM r JOIN s ON s.rn = r.r
+      ORDER BY q_ppm""",
     // the layout must not change results, only the scan's pruning —
     // so the oracle is the plain box query on the source table
     "q68_zorder_layout" -> """

@@ -2098,6 +2098,47 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact quantiles equal the sorted-corpus elements") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val qs = Seq(0L, 250000L, 500000L, 750000L, 990000L, 1000000L)
+    val got = graft.operators.Profile
+      .exactQuantiles(li, "l_extendedprice", qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val sorted = li.select(col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    qs.foreach { q =>
+      val r = ((n - 1).toLong * q / 1000000L).toInt
+      assert(got(q) == sorted(r), s"q=$q: ${got(q)} != ${sorted(r)}")
+    }
+    assert(got(0L) == sorted.head && got(1000000L) == sorted.last)
+  }
+
+  test("length batches pad within the band and fill slots densely") {
+    val rows = graft.operators.Packing.lengthBatches(docs,
+      batchTokens = 2048, bandWidth = 64).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val (n, band, pad) = (r.getLong(1), r.getLong(2), r.getLong(6))
+      assert(band == n / 64)
+      assert(pad >= 1 && pad <= 64, s"pad $pad out of band range")
+      assert(pad == (band + 1) * 64 - n)
+    }
+    // within each band: batches numbered densely, slots dense within
+    // every batch except possibly the last
+    rows.groupBy(_.getLong(2)).foreach { case (band, brs) =>
+      val perBatch = math.max(1L, 2048L / ((band + 1) * 64))
+      brs.groupBy(_.getLong(4)).foreach { case (batch, bs) =>
+        assert(bs.map(_.getLong(5)).sorted.toSeq ==
+          (0L until bs.length).toSeq, s"band $band batch $batch slots")
+        assert(bs.length <= perBatch)
+      }
+      val ranks = brs.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (0L until brs.length).toSeq,
+        s"band $band ranks must be a dense permutation")
+    }
+  }
+
   test("pack masks tile every sequence exactly") {
     val masks = graft.operators.Packing.packMasks(docs, seqLen = 512)
       .collect()

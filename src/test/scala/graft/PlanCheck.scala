@@ -145,6 +145,20 @@ object PlanCheck {
         (p => p.contains("PushedFilters: [") &&
           p.split("PushedFilters", 2)(1).take(300).contains("l_partkey")),
       "partial agg before exchange" -> (_.contains("partial_"))))
+    audit("q69_exact_quantiles", Seq(
+      // the corpus must never sort globally: the only windows are
+      // the bounded histogram cumsum and the per-picked-bucket rank
+      "histogram aggregated map-side" -> (_.contains("partial_")),
+      "picked buckets probed via broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      // the only SinglePartition window is the domain-bounded
+      // histogram cumsum; the corpus-row rank partitions per bucket
+      "bucket re-rank window partitioned by bucket" ->
+        (_.contains("hashpartitioning(b"))))
+    audit("tp11_length_batches", Seq(
+      "band rank window partitioned by (band, range-bucket)" ->
+        (_.contains("hashpartitioning(band")),
+      "no cartesian" -> (p => !p.contains("Cartesian"))))
     audit("mx7_epoch_plan", Seq(
       "source histogram partially aggregated map-side" ->
         (_.contains("partial_")),
