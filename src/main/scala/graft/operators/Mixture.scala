@@ -161,6 +161,62 @@ object Mixture {
       .select(col("doc_id"), col(groupCol), col("rate_mil"))
   }
 
+  /** Dedup-DISCOUNTED mixture weights (mx8): the composition of
+    * [[CorpusStats.sourceOverlap]]'s redundancy audit into the
+    * mixture planner. A pair of "independent" sources that are the
+    * same crawl twice would be double-counted by any
+    * tokens-proportional weighting ([[epochPlan]]); here each source
+    * is discounted by the WORST containment it shows against a
+    * larger source (larger by distinct-gram count, name as the tie
+    * rule — the bigger side keeps its mass, the smaller side is the
+    * duplicate), then weighted by the same α = 1/2 micro-frozen
+    * sqrt rule as [[epochPlan]] over its EFFECTIVE tokens.
+    *
+    * All shares are the overflow-safe double-floor ppm surrogates;
+    * the max-containment fold is an integer `max` (exact,
+    * order-independent).
+    *
+    * Scale shape: one corpus (source, token) aggregation, the
+    * sourceOverlap audit (whose pair space is n_sources², never
+    * corpus-sized), and vocabulary-sized joins riding broadcasts.
+    *
+    * Output: `(source, n_tokens, dup_ppm, eff_tokens, weight_ppm)`. */
+  def effectiveMixture(docs: DataFrame, k: Int = 5,
+      sourceCol: String = "source"): DataFrame = {
+    val ov = CorpusStats.sourceOverlap(docs, k)
+    // orient every pair toward the side that LOSES the mass: the
+    // smaller-gram source (ties → lexicographically larger name)
+    val discounted = ov.select(
+        when(col("grams_a") < col("grams_b")
+          || (col("grams_a") === col("grams_b")
+            && col("source_a") > col("source_b")), col("source_a"))
+          .otherwise(col("source_b")).as("source"),
+        col("containment_ppm"))
+      .groupBy("source")
+      .agg(max("containment_ppm").as("dup_ppm"))
+    val stats = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"))
+      .join(broadcast(discounted), Seq("source"), "left")
+      .withColumn("dup_ppm", coalesce(col("dup_ppm"), lit(0L)))
+      .withColumn("eff_tokens",
+        col("n_tokens") - floor(col("n_tokens").cast("double")
+          * col("dup_ppm").cast("double") / lit(1000000.0)).cast("long"))
+      .withColumn("w_micro",
+        floor(sqrt(col("eff_tokens").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val total = stats.agg(sum("w_micro").as("w_total"))
+    stats.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("dup_ppm"),
+        col("eff_tokens"),
+        when(col("w_total") === 0, 0L).otherwise(
+          floor(col("w_micro").cast("double") * lit(1000000.0)
+            / col("w_total").cast("double")).cast("long"))
+          .as("weight_ppm"))
+  }
+
   /** Token-budget epoch plan (mx7) — the data-recipe planner for a
     * TRAINING RUN rather than a corpus rewrite: given a total token
     * budget, allocate it across sources with temperature-flattened

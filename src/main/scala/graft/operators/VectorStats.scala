@@ -271,6 +271,57 @@ object VectorStats {
     * carries O(dims × bins) counters regardless of corpus size. The
     * per-dim totals come from the histogram itself (no second corpus
     * scan) and join back on the dims×bins-row frame, broadcast. */
+  /** COVARIANCE drift between two corpus halves (ve11): per (i, j)
+    * upper-triangle cell, the covariance of the reference slice vs
+    * the current slice and their absolute difference — the
+    * second-moment companion of [[histogramDrift]]: per-dimension
+    * histograms cannot see a CORRELATION shift (two dims whose
+    * marginals are unchanged but whose joint structure rotated —
+    * e.g. an encoder update that re-mixes feature axes); the d×d
+    * covariance delta is exactly that detector.
+    *
+    * Scale shape: ONE corpus scan producing 2·d(d+1)/2 partial-agg
+    * cells (the [[gramMatrix]] exchange with an `is_ref` group key);
+    * means come from the diagonal cells and ride a 2d-row broadcast;
+    * everything after the scan is d²-sized. Same fixed-point
+    * integer-sum exactness as every moment here.
+    *
+    * Output: `(i, j, cov_ref, cov_cur, drift)`, j ≥ i. */
+  def covDrift(embs: DataFrame, isRef: Column): DataFrame = {
+    val m = embs
+      .select(isRef.as("is_ref"), col("embedding"))
+      .select(col("is_ref"),
+        posexplode(col("embedding")).as(Seq("i", "xi")), col("embedding"))
+      .select(col("is_ref"), col("i"), col("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("is_ref", "i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("xi").cast("double") * col("xj").cast("double")
+          * lit(FixedScale)).cast(DecimalType(38, 0))).as("s"),
+        sum(when(col("i") === col("j"),
+            floor(col("xi").cast("double") * lit(FixedScale)))
+          .cast(DecimalType(38, 0))).as("s1"))
+      .localCheckpoint(eager = false) // cells + the two mean joins
+    val means = m.filter(col("i") === col("j"))
+      .select(col("is_ref"), col("i").as("d"),
+        (col("s1").cast("double") / lit(FixedScale)
+          / col("n").cast("double")).as("mu"))
+    val cov = m
+      .join(broadcast(means.toDF("is_ref", "i", "mu_i")), Seq("is_ref", "i"))
+      .join(broadcast(means.toDF("is_ref", "j", "mu_j")), Seq("is_ref", "j"))
+      .select(col("is_ref"), col("i"), col("j"),
+        (col("s").cast("double") / lit(FixedScale)
+          / col("n").cast("double")
+          - col("mu_i") * col("mu_j")).as("cov"))
+    cov.filter(col("is_ref"))
+      .select(col("i"), col("j"), col("cov").as("cov_ref"))
+      .join(cov.filter(!col("is_ref"))
+        .select(col("i"), col("j"), col("cov").as("cov_cur")), Seq("i", "j"))
+      .select(col("i"), col("j"), col("cov_ref"), col("cov_cur"),
+        abs(col("cov_ref") - col("cov_cur")).as("drift"))
+  }
+
   def histogramDrift(embs: DataFrame, isRef: Column, bins: Int = 8,
       lo: Double = -1.0, hi: Double = 1.0): DataFrame = {
     require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")

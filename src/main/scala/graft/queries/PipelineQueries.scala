@@ -426,6 +426,12 @@ object PipelineQueries {
     "mx5_mixture_sqrt" -> { (s, d) =>
       Mixture.rebalanceSqrt(documents(s, d)).orderBy("doc_id")
     },
+    // dedup-DISCOUNTED mixture: each source loses its worst
+    // containment vs a larger source (the t20 audit composed into
+    // the planner), then α=1/2 weights over EFFECTIVE tokens
+    "mx8_effective_mixture" -> { (s, d) =>
+      Mixture.effectiveMixture(documents(s, d)).orderBy("source")
+    },
     // corpus-bigram-LM predictability score (integer perplexity
     // surrogate): mean per-mille conditional estimate over each doc's
     // bigram occurrences — CCNet-style quality signal
@@ -672,6 +678,12 @@ object PipelineQueries {
     "ve8_drift" -> { (s, d) =>
       VectorStats.histogramDrift(embeddings(s, d),
         isRef = col("vec_id") % 2 === 0).orderBy("dim")
+    },
+    // the second-moment companion of ve8: per-dim histograms cannot
+    // see a correlation shift; the d×d covariance delta can
+    "ve11_cov_drift" -> { (s, d) =>
+      VectorStats.covDrift(embeddings(s, d),
+        isRef = col("vec_id") % 2 === 0).orderBy("i", "j")
     },
     // two deterministic Lloyd rounds from the k-lowest-id seed, then
     // the final assignment under the trained centroids
@@ -2047,6 +2059,43 @@ object PipelineQueries {
         (o.base + r.stage_rank)::BIGINT AS curriculum_pos
       FROM r JOIN o USING (stage)
       ORDER BY r.doc_id""",
+    // t20's overlap CTEs + the discount/sqrt-weight arithmetic
+    "mx8_effective_mixture" -> s"""
+      WITH g AS (SELECT DISTINCT source, fp FROM
+          (SELECT source, unnest(${sqlShinglesK(toks, 5)}) AS fp
+           FROM documents)),
+      t AS (SELECT source, count(*)::BIGINT AS n FROM g GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+          count(*)::BIGINT AS overlap
+        FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2),
+      ov AS (SELECT p.source_a, p.source_b, ta.n AS grams_a,
+          tb.n AS grams_b,
+          floor(p.overlap::DOUBLE * 1000000.0
+            / least(ta.n, tb.n)::DOUBLE)::BIGINT AS containment_ppm
+        FROM p JOIN t ta ON ta.source = p.source_a
+        JOIN t tb ON tb.source = p.source_b),
+      disc AS (SELECT CASE WHEN grams_a < grams_b
+            OR (grams_a = grams_b AND source_a > source_b)
+            THEN source_a ELSE source_b END AS source,
+          max(containment_ppm)::BIGINT AS dup_ppm
+        FROM ov GROUP BY 1),
+      s AS (SELECT source, sum(len($toks))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+      e AS (SELECT s.source, s.n_tokens,
+          coalesce(d.dup_ppm, 0)::BIGINT AS dup_ppm,
+          (s.n_tokens - floor(s.n_tokens::DOUBLE
+            * coalesce(d.dup_ppm, 0)::DOUBLE / 1000000.0))::BIGINT
+            AS eff_tokens
+        FROM s LEFT JOIN disc d ON d.source = s.source),
+      w AS (SELECT *, floor(sqrt(eff_tokens::DOUBLE)
+          * 1000000.0)::BIGINT AS w_micro FROM e),
+      tot AS (SELECT sum(w_micro)::BIGINT AS w_total FROM w)
+      SELECT w.source, w.n_tokens, w.dup_ppm, w.eff_tokens,
+        CASE WHEN tot.w_total = 0 THEN 0::BIGINT
+             ELSE floor(w.w_micro::DOUBLE * 1000000.0
+               / tot.w_total::DOUBLE)::BIGINT END AS weight_ppm
+      FROM w, tot ORDER BY source""",
     // naive per-band window twin of the two-phase engine rank
     "tp11_length_batches" -> s"""
       WITH d AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens,
@@ -2318,6 +2367,37 @@ object PipelineQueries {
         WHERE u.j0 >= t.i0)
       SELECT i, j, count(*) AS n, sum(p)::DOUBLE / 1099511627776.0 AS gram
       FROM x GROUP BY i, j ORDER BY i, j""",
+    // ve5's fixed-point moment cells split by half; means from the
+    // diagonal, covariance and delta in the same double op order
+    "ve11_cov_drift" -> s"""
+      WITH x AS (SELECT (vec_id % 2 = 0) AS is_ref,
+          CAST(t.i0 AS INT) AS i, CAST(u.j0 AS INT) AS j,
+          floor(embedding[t.i0+1]::DOUBLE * embedding[u.j0+1]::DOUBLE
+            * 1099511627776.0)::BIGINT::DECIMAL(38,0) AS p,
+          (CASE WHEN t.i0 = u.j0 THEN
+            floor(embedding[t.i0+1]::DOUBLE * 1099511627776.0)::BIGINT
+            ELSE NULL END)::DECIMAL(38,0) AS p1
+        FROM embeddings,
+          unnest(range(0, len(embedding))) AS t(i0),
+          unnest(range(0, len(embedding))) AS u(j0)
+        WHERE u.j0 >= t.i0),
+      m AS (SELECT is_ref, i, j, count(*)::BIGINT AS n,
+          sum(p) AS s, sum(p1) AS s1
+        FROM x GROUP BY 1, 2, 3),
+      mu AS (SELECT is_ref, i AS d,
+          s1::DOUBLE / 1099511627776.0 / n::DOUBLE AS mu
+        FROM m WHERE i = j),
+      c AS (SELECT m.is_ref, m.i, m.j,
+          (m.s::DOUBLE / 1099511627776.0 / m.n::DOUBLE
+            - mi.mu * mj.mu) AS cov
+        FROM m
+        JOIN mu mi ON mi.is_ref = m.is_ref AND mi.d = m.i
+        JOIN mu mj ON mj.is_ref = m.is_ref AND mj.d = m.j)
+      SELECT r.i, r.j, r.cov AS cov_ref, q.cov AS cov_cur,
+        abs(r.cov - q.cov) AS drift
+      FROM c r JOIN c q ON q.i = r.i AND q.j = r.j
+        AND r.is_ref AND NOT q.is_ref
+      ORDER BY r.i, r.j""",
     "ve6_pca_project" -> sqlPcaProject(24),
     "ve7_pca_whiten" -> sqlPcaWhiten2(24),
     // same whitened coordinates, scored w1^2+w2^2 (exact double

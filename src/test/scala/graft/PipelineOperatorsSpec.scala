@@ -2139,6 +2139,47 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("effective mixture discounts the smaller side of each overlap") {
+    val rows = graft.operators.Mixture.effectiveMixture(docs).collect()
+    val ov = CorpusStats.sourceOverlap(docs).collect()
+    val grams = (ov.map(r => (r.getString(0), r.getLong(2))) ++
+      ov.map(r => (r.getString(1), r.getLong(3)))).toMap
+    // recompute each source's worst containment against a larger peer
+    val expect = ov.flatMap { r =>
+      val (a, b, ga, gb, ppm) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(5))
+      val loser = if (ga < gb || (ga == gb && a > b)) a else b
+      Seq(loser -> ppm)
+    }.groupBy(_._1).map { case (s, v) => (s, v.map(_._2).max) }
+    rows.foreach { r =>
+      val (s, n, dup, eff, w) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dup == expect.getOrElse(s, 0L), s"dup_ppm of $s")
+      assert(eff == n - math.floor(n.toDouble * dup / 1e6).toLong)
+      assert(w >= 0 && w <= 1000000L)
+    }
+    assert(math.abs(rows.map(_.getLong(4)).sum - 1000000L) <= rows.length,
+      "weights must sum to ~1e6 (floor slack <= 1 ppm per source)")
+    assert(grams.nonEmpty)
+  }
+
+  test("covariance drift is zero between identical halves") {
+    import spark.implicits._
+    // mirror the corpus into both halves: every (i, j) drift must be
+    // exactly 0.0 (the two slices see identical moment sums)
+    val base = embs.limit(50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mirrored = (base.map { case (id, e) => (id * 2, e) } ++
+      base.map { case (id, e) => (id * 2 + 1, e) })
+      .toSeq.toDF("vec_id", "embedding")
+    val drift = graft.operators.VectorStats
+      .covDrift(mirrored, col("vec_id") % 2 === 0)
+      .collect()
+    assert(drift.nonEmpty)
+    drift.foreach(r => assert(r.getDouble(4) == 0.0,
+      s"drift at (${r.getInt(0)},${r.getInt(1)}) = ${r.getDouble(4)}"))
+  }
+
   test("pack masks tile every sequence exactly") {
     val masks = graft.operators.Packing.packMasks(docs, seqLen = 512)
       .collect()

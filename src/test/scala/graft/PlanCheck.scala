@@ -159,6 +159,17 @@ object PlanCheck {
       "band rank window partitioned by (band, range-bucket)" ->
         (_.contains("hashpartitioning(band")),
       "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("mx8_effective_mixture", Seq(
+      "overlap audit + totals ride broadcasts" ->
+        (_.contains("BroadcastHashJoin")),
+      "gram distinct combines map-side" -> (_.contains("partial_")),
+      "no cartesian except the 1-row total" ->
+        (p => "CartesianProduct".r.findAllIn(p).isEmpty)))
+    audit("ve11_cov_drift", Seq(
+      "moment cells partially aggregated before the exchange" ->
+        (p => p.contains("partial_") || p.contains("ExistingRDD")),
+      "means ride broadcasts onto the cells" ->
+        (_.contains("BroadcastHashJoin"))))
     audit("mx7_epoch_plan", Seq(
       "source histogram partially aggregated map-side" ->
         (_.contains("partial_")),
