@@ -329,6 +329,31 @@ class DeltaSharingClient(
     changesRequest(share, schema, table, query.result())
   }
 
+  /** Map a delta-responseformat change line to (changeType, outer
+    * envelope, inner delta action). The `/changes` wire shape in the
+    * delta responseformat wraps each action in a `file` envelope
+    * carrying id/version/timestamp/expirationTimestamp, with the
+    * presigned URL and partitionValues/size/stats on the single
+    * nested delta action (`add`, `cdc`, or `remove`) — the delta
+    * `cdc` action is the parquet responseformat's `cdf` line.
+    * An envelope whose nested action is none of the three is a
+    * LOUD failure: returning an empty/partial change feed would be
+    * the silent-wrong-result mode the DV guard exists to prevent. */
+  private def unwrapDeltaChange(l: JsonNode, table: String)
+      : (String, JsonNode, JsonNode) = {
+    val f = l.get("file")
+    val env = f.get("deltaSingleAction")
+    if (env == null || env.isNull)
+      throw new DeltaSharingException(0,
+        s"changes response for $table: file line without deltaSingleAction")
+    Seq("add" -> "add", "cdc" -> "cdf", "remove" -> "remove")
+      .collectFirst { case (k, t) if env.hasNonNull(k) => (t, f, env.get(k)) }
+      .getOrElse(throw new DeltaSharingException(0,
+        s"changes response for $table: unrecognized deltaSingleAction " +
+          s"(fields: ${env.fieldNames().asScala.mkString(",")}); " +
+          "refusing to return a partial change feed"))
+  }
+
   private def changesRequest(share: String, schema: String, table: String,
       query: Map[String, String]): TableChanges = {
     val lines = parseNdjson(
@@ -337,34 +362,43 @@ class DeltaSharingClient(
     val meta = parseMetadataLines(lines).getOrElse(
       throw new DeltaSharingException(0,
         s"changes response for $share.$schema.$table had no metaData line"))
-    guardDeletionVectors(meta,
-      lines.flatMap(l => Seq("add", "cdf", "remove").collect {
-        case k if l.hasNonNull(k) => l.get(k)
-      }), s"changes of $share.$schema.$table")
-    val actions = lines.flatMap { l =>
-      Seq("add", "cdf", "remove").collectFirst {
-        case k if l.hasNonNull(k) =>
-          val f = l.get(k)
-          ChangeAction(
-            changeType = k,
-            url = f.get("url").asText(),
-            id = optText(f, "id").getOrElse(""),
-            partitionValues =
-              if (f.hasNonNull("partitionValues"))
-                f.get("partitionValues").properties().asScala
-                  .map(e => e.getKey ->
-                    (if (e.getValue.isNull) null else e.getValue.asText())).toMap
-              else Map.empty,
-            size = if (f.hasNonNull("size")) f.get("size").asLong() else 0L,
-            version =
-              if (f.hasNonNull("version")) f.get("version").asLong()
-              else throw new DeltaSharingException(0,
-                s"$k action without a version in changes response"),
-            timestamp =
-              if (f.hasNonNull("timestamp")) f.get("timestamp").asLong() else 0L,
-            stats = optText(f, "stats"),
-            expirationTimestamp = optText(f, "expirationTimestamp"))
+    // both wire shapes: bare add/cdf/remove nodes (parquet
+    // responseformat) or file.deltaSingleAction envelopes (delta
+    // responseformat — a server may elect it because the shared
+    // capabilities header advertises both on every request)
+    val shaped: Seq[(String, JsonNode, JsonNode)] = lines.flatMap { l =>
+      if (l.hasNonNull("file"))
+        Some(unwrapDeltaChange(l, s"$share.$schema.$table"))
+      else Seq("add", "cdf", "remove").collectFirst {
+        case k if l.hasNonNull(k) => (k, l.get(k), l.get(k))
       }
+    }
+    // the guard inspects the inner action nodes, where a wrapped
+    // deletionVector payload (add OR remove) would ride
+    guardDeletionVectors(meta, shaped.map(_._3),
+      s"changes of $share.$schema.$table")
+    val actions = shaped.map { case (changeType, outer, src) =>
+      ChangeAction(
+        changeType = changeType,
+        url = (if (src.hasNonNull("path")) src.get("path")
+               else src.get("url")).asText(),
+        id = optText(outer, "id").getOrElse(""),
+        partitionValues =
+          if (src.hasNonNull("partitionValues"))
+            src.get("partitionValues").properties().asScala
+              .map(e => e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+          else Map.empty,
+        size = if (src.hasNonNull("size")) src.get("size").asLong() else 0L,
+        version =
+          if (outer.hasNonNull("version")) outer.get("version").asLong()
+          else throw new DeltaSharingException(0,
+            s"$changeType action without a version in changes response"),
+        timestamp =
+          if (outer.hasNonNull("timestamp")) outer.get("timestamp").asLong()
+          else 0L,
+        stats = optText(src, "stats"),
+        expirationTimestamp = optText(outer, "expirationTimestamp"))
     }
     TableChanges(meta, actions)
   }

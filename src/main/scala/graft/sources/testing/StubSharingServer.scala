@@ -210,6 +210,8 @@ class StubSharingServer(
           case ("GET", List("shares", _, "schemas", _, "tables", t, "changes")) =>
             if (!tables.contains(t)) {
               send(ex, 404, """{"message":"table not found"}""")
+            } else if (deltaFormatTables.contains(t) && !acceptsDelta(ex)) {
+              send(ex, 400, """{"message":"table requires responseformat=delta"}""")
             } else {
               val params = Option(query).getOrElse("").split("&")
                 .filter(_.nonEmpty).map(_.split("=", 2))
@@ -243,9 +245,25 @@ class StubSharingServer(
                     val pvJson = e.partitionValues.map { case (k, v) =>
                       s""""$k":${if (v == null) "null" else s""""$v""""}"""
                     }.mkString(",")
-                    s"""{"${e.action}":{"url":"${e.url}","id":"f-${e.url.hashCode}","partitionValues":{$pvJson},"size":${e.size},"timestamp":${e.timestamp},"version":${e.version},"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
+                    if (deltaFormatTables.contains(t)) {
+                      // delta responseformat: the action is wrapped in a
+                      // file envelope (id/version/timestamp/expiry) with
+                      // the presigned URL as the nested action's `path`;
+                      // the parquet `cdf` line is the delta `cdc` action
+                      val inner = if (e.action == "cdf") "cdc" else e.action
+                      val dvField =
+                        if (deletionVectorTables.get(t).contains("file") &&
+                            inner == "add")
+                          ""","deletionVector":{"storageType":"u","pathOrInlineDv":"dv!abc","offset":1,"sizeInBytes":42,"cardinality":2}"""
+                        else ""
+                      s"""{"file":{"id":"f-${e.url.hashCode}","version":${e.version},"timestamp":${e.timestamp},"expirationTimestamp":"2099-01-01T00:00:00Z","deltaSingleAction":{"$inner":{"path":"${e.url}","partitionValues":{$pvJson},"size":${e.size},"dataChange":true$dvField}}}}"""
+                    } else
+                      s"""{"${e.action}":{"url":"${e.url}","id":"f-${e.url.hashCode}","partitionValues":{$pvJson},"size":${e.size},"timestamp":${e.timestamp},"version":${e.version},"expirationTimestamp":"2099-01-01T00:00:00Z"}}"""
                   }
-                  send(ex, 200, (metaNdjson(t) +: lines).mkString("\n"))
+                  send(ex, 200, (metaNdjson(t) +: lines).mkString("\n"),
+                    if (deltaFormatTables.contains(t))
+                      Map("delta-sharing-capabilities" -> "responseformat=delta")
+                    else Map.empty)
               }
             }
           case ("GET", List("shares", _, "schemas", _, "tables", t, "metadata")) =>

@@ -145,6 +145,74 @@ class DeltaShareChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("delta responseformat /changes parses to the same actions as parquet") {
+    // the capabilities header advertises responseformat=parquet,delta on
+    // EVERY request, so a server may elect the delta wire shape for
+    // /changes too: actions arrive as file.deltaSingleAction envelopes
+    // (add / cdc / remove, URL as `path`) and must unwrap to the exact
+    // action list the parquet twin yields
+    val client = new DeltaSharingClient(profile)
+    val parquetActions = client
+      .queryTableChanges("share1", "schema1", "lineitem", 1).actions
+    server.deltaFormatTables = Set("lineitem")
+    try {
+      val deltaChanges =
+        client.queryTableChanges("share1", "schema1", "lineitem", 1)
+      def essence(a: Seq[ChangeAction]) = a.map(c =>
+        (c.changeType, c.url, c.partitionValues, c.size, c.version,
+          c.timestamp, c.expirationTimestamp))
+      assert(essence(deltaChanges.actions) == essence(parquetActions))
+      assert(deltaChanges.actions.map(_.changeType) ==
+        Seq("add", "add", "remove", "cdf")) // cdc unwraps back to cdf
+      assert(deltaChanges.metadata.schemaString.nonEmpty)
+      // and the DataFrame surface is byte-identical to the parquet twin
+      val deltaDf = DeltaShare.readChanges(
+        sessionWithConf, "share1", "schema1", "lineitem",
+        startingVersion = 2, endingVersion = Some(3)).collect().toSet
+      server.deltaFormatTables = Set.empty
+      val parquetDf = DeltaShare.readChanges(
+        sessionWithConf, "share1", "schema1", "lineitem",
+        startingVersion = 2, endingVersion = Some(3)).collect().toSet
+      assert(deltaDf == parquetDf && deltaDf.nonEmpty)
+    } finally server.deltaFormatTables = Set.empty
+  }
+
+  test("delta-format /changes with a wrapped deletionVector trips the guard") {
+    server.deltaFormatTables = Set("lineitem")
+    server.deletionVectorTables = Map("lineitem" -> "file")
+    try {
+      val e = intercept[DeltaSharingException] {
+        new DeltaSharingClient(profile)
+          .queryTableChanges("share1", "schema1", "lineitem", 1)
+      }
+      assert(e.getMessage.contains("deletion vectors"))
+    } finally {
+      server.deltaFormatTables = Set.empty
+      server.deletionVectorTables = Map.empty
+    }
+  }
+
+  test("unrecognized deltaSingleAction in /changes fails loudly, not empty") {
+    // a wrapped action kind the client doesn't know must throw — a
+    // silently dropped line would freeze incremental consumers with a
+    // partial (or empty) change feed
+    server.deltaFormatTables = Set("lineitem")
+    server.publishChange("lineitem",
+      ChangeEntry(5, 1700000005000L, "commitInfo", "file:///tmp/none", 1L))
+    try {
+      val e = intercept[DeltaSharingException] {
+        new DeltaSharingClient(profile)
+          .queryTableChanges("share1", "schema1", "lineitem", 1)
+      }
+      assert(e.getMessage.contains("unrecognized deltaSingleAction"))
+    } finally {
+      server.deltaFormatTables = Set.empty
+      server.changeFeed = Map("lineitem" ->
+        server.changeFeed("lineitem").filter(_.version <= 4))
+      server.tableVersion = 4
+    }
+  }
+
   test("empty range yields an empty frame with the cdf schema") {
     val df = DeltaShare.readChanges(
       sessionWithConf, "share1", "schema1", "lineitem",
