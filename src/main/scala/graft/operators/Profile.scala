@@ -273,10 +273,16 @@ object Profile {
     * single-reducer sort of the corpus. Instead, the
     * histogram-refinement shape of `Packing.tokenBudgetSelect`:
     *
-    *  1. ONE map-side-combinable aggregation builds the per-⌊v⌋
-    *     integer-bucket histogram — sized by the VALUE DOMAIN, not
-    *     the corpus (prices, token counts, scores all live in fixed
-    *     ranges); its running totals are a window over that bounded
+    *  0. a 1-row (min, max) pre-aggregation fixes the OBSERVED value
+    *     domain (one extra pushed-down column scan) — the bucket key
+    *     is the affine `⌊(v−lo)·B/(hi−lo)⌋`, NOT `⌊v⌋`, so a column
+    *     whose whole domain is narrower than one unit (scores in
+    *     [0,1), ratios, normalized floats) still spreads over B
+    *     buckets instead of collapsing to a single-reducer corpus
+    *     sort in pass 2;
+    *  1. ONE map-side-combinable aggregation builds the B-bucket
+    *     histogram — B is fixed (default 2¹⁶), independent of the
+    *     corpus; its running totals are a window over that bounded
     *     frame;
     *  2. each target rank resolves to (bucket, intra-bucket offset)
     *     against the broadcast histogram; pass 2 re-reads ONLY the
@@ -286,10 +292,15 @@ object Profile {
     *
     * Equal values make the intra-bucket row_number choice arbitrary
     * but the returned VALUE identical — the output is deterministic.
+    * A single massively-repeated value is the one residual hot spot:
+    * equal keys are irreducible by any value-based split, so a picked
+    * bucket holding one dominant value still ranks it on one
+    * partition (ties sort cheaply, but the rows co-locate). The
+    * all-equal COLUMN case short-circuits without any pass 2.
     *
     * Output: `(q_ppm, value)`, one row per requested quantile. */
   def exactQuantiles(df: DataFrame, valueCol: String,
-      qsPpm: Seq[Long]): DataFrame = {
+      qsPpm: Seq[Long], buckets: Int = 1 << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
@@ -297,7 +308,16 @@ object Profile {
     // parquet scan — at corpus scale re-scanning one column beats
     // materializing it, and the visible plan keeps its partial aggs
     val v = df.select(col(valueCol).cast("double").as("v"))
-    val hist = v.groupBy(floor(col("v")).cast("long").as("b"))
+    // driver-side 1-row scalar: the observed domain for the affine key
+    val mm = v.agg(min("v").as("lo"), max("v").as("hi")).head()
+    if (mm.isNullAt(0))                       // empty (or all-null) input
+      return qsPpm.toDF("q_ppm").select(col("q_ppm"),
+        lit(null).cast("double").as("value")).limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    if (lo == hi)                             // all-equal column: rank-free
+      return qsPpm.toDF("q_ppm").select(col("q_ppm"), lit(lo).as("value"))
+    val bucketOf = affineBucket(col("v"), lo, hi, buckets)
+    val hist = v.groupBy(bucketOf.as("b"))
       .agg(count(lit(1)).as("n"))
     // bounded by the value domain, not the corpus — the
     // tokenBudgetSelect precedent for an unpartitioned window
@@ -319,7 +339,7 @@ object Profile {
         col("base") <= col("r") && col("r") < col("cumn"))
       .select(col("q_ppm"), col("b"), (col("r") - col("base")).as("off"))
     val bucketRows = v
-      .withColumn("b", floor(col("v")).cast("long"))
+      .withColumn("b", bucketOf)
       .join(broadcast(picks.select("b").distinct()), Seq("b"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("b").orderBy("v")).cast("long") - 1L)
@@ -328,6 +348,18 @@ object Profile {
         picks("b") === bucketRows("b") && col("off") === col("rn"))
       .select(col("q_ppm"), col("v").as("value"))
   }
+
+  /** Affine domain-adaptive bucket key for [[exactQuantiles]]:
+    * `⌊(v−lo)·B/(hi−lo)⌋` clamped to B−1 (so v=hi lands in the last
+    * bucket). Monotonic in v — subtraction of a shared lo and
+    * multiplication/division by positive constants are all monotone
+    * under IEEE rounding — so cumulative bucket counts order
+    * correctly. Exposed package-private so tests can pin the spread
+    * bound on fractional domains. */
+  private[graft] def affineBucket(v: Column, lo: Double, hi: Double,
+      buckets: Int): Column =
+    least(floor((v - lit(lo)) * lit(buckets.toDouble) / lit(hi - lo)),
+      lit((buckets - 1).toDouble)).cast("long")
 
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))

@@ -55,7 +55,20 @@ object ExtendedQueries {
     * `p·(n−1)`, and [[Hist.interp]] applies the quantile_cont /
     * Spark-percentile interpolation `(⌈r⌉−r)·lo + (r−⌊r⌋)·hi`. The
     * arithmetic is bit-exact against DuckDB and load-bearing for the
-    * oracle hash — it exists exactly once. */
+    * oracle hash — it exists exactly once.
+    *
+    * Deliberately NOT routed through
+    * [[graft.operators.Profile.exactQuantiles]]: that operator's
+    * contract is DISCRETE-element quantiles of one whole column
+    * (returns a real element at rank ⌊(n−1)·q/10⁶⌋), while q35/q56's
+    * contract is `quantile_cont`/`median` INTERPOLATION computed
+    * per group — the (⌈r⌉−r)·lo + (r−⌊r⌋)·hi blend between two
+    * neighboring elements is the semantic, not an approximation. For
+    * the grouped case this value-histogram shape is already the
+    * scale-safe plan: its shuffle is bounded by the DISTINCT-value
+    * domain per group (l_quantity has ~50 values), never the row
+    * count, so there is no corpus sort for exactQuantiles' bucket
+    * refinement to save. */
   private object Hist {
     import org.apache.spark.sql.Column
     def lo(p: Double): Column =

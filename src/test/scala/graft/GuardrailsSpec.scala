@@ -314,6 +314,37 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(tight.subsetOf(unguarded), "the cap must never invent pairs")
   }
 
+  test("exactQuantiles on a fractional [0,1) domain: correct AND spread") {
+    import spark.implicits._
+    // the round-11 floor(v) bucketing put ALL of [0,1) in one bucket,
+    // turning pass 2 into a single-reducer corpus sort; the affine key
+    // must spread a sub-unit domain over the full bucket range
+    val n = 50000
+    val vals = (0 until n).map(i => ((i * 7919) % n).toDouble / n)
+    val df = vals.toDF("score")
+    val qs = Seq(0L, 250000L, 500000L, 750000L, 990000L, 1000000L)
+    val got = graft.operators.Profile.exactQuantiles(df, "score", qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val r = ((n - 1).toLong * q / 1000000L).toInt
+      assert(got(q) == sorted(r), s"q=$q")
+    }
+    // spread bound: with B=2^16 buckets over the observed domain, no
+    // bucket (hence no pass-2 window partition) exceeds a tiny slice
+    val (lo, hi) = (sorted.head, sorted.last)
+    val maxBucket = df.groupBy(graft.operators.Profile
+        .affineBucket(col("score"), lo, hi, 1 << 16).as("b"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 4, s"max bucket $maxBucket — domain not spread")
+    // all-equal column short-circuits (no corpus sort at all)
+    val const = (0 until 1000).map(_ => 0.25).toDF("score")
+    val c = graft.operators.Profile.exactQuantiles(const, "score",
+      Seq(500000L)).collect()
+    assert(c.toSeq.map(r => (r.getLong(0), r.getDouble(1))) ==
+      Seq((500000L, 0.25)))
+  }
+
   test("no declared query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
