@@ -178,18 +178,24 @@ object HashOps {
     * and the scale multiply happens once after the fold.
     *
     * The per-(i, j) sign comes from the quadratic residue mix
-    * `h = (i·1000003 + j) mod p; m = (h² + h) mod p mod 6` with
-    * p = 1e9+7 (m = 0 → +1, 1 → −1, else 0). A LINEAR mix like
+    * `h = (i·1000003 + j + 715827883) mod p; m = (h² + h) mod p mod 6`
+    * with p = 1e9+7 (m = 0 → +1, 1 → −1, else 0). A LINEAR mix like
     * `(i·a + j·b) mod 6` is NOT acceptable here: any (a, b) makes
     * the matrix periodic with period lcm ≤ 6 in each index (output
     * columns repeat, effective rank ≤ 6), silently voiding the JL
     * distance guarantee. The quadratic term kills the residue
-    * structure; GuardrailsSpec pins pairwise-distinct columns and
-    * ~1/3 density on the 64→16 default. Both mod operands are
+    * structure — but ONLY past the modulus: h(h+1) is always even,
+    * so while h² + h < p the unreduced value makes m ∈ {0, 2, 4} and
+    * the −1 sign is unreachable (the round-11 flaw: for row i = 0,
+    * h = j stayed tiny and dim 0 biased every output coordinate
+    * positive). The large odd offset pushes every (i, j) into the
+    * reduced regime, where parity mixes. GuardrailsSpec pins
+    * pairwise-distinct columns, ~1/3 density AND a balanced row-0
+    * sign split on the 64→16 default. Both mod operands are
     * non-negative and pre-reduced, so h² ≤ p² < 2⁶³ — the mix is
     * overflow-free for any realistic dimensionality. */
   def jlSign(i: Int, j: Int): Int = {
-    val h = (i.toLong * 1000003L + j.toLong) % 1000000007L
+    val h = (i.toLong * 1000003L + j.toLong + 715827883L) % 1000000007L
     ((h * h + h) % 1000000007L % 6L).toInt
   }
 

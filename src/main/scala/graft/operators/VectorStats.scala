@@ -520,7 +520,9 @@ object VectorStats {
   /** Johnson–Lindenstrauss random projection (ve10): map every
     * embedding onto `outDims` sparse Achlioptas planes — component
     * (j, i) is +1 / −1 / 0 by the deterministic quadratic mix
-    * `h = (i·1000003 + j) mod p; m = (h² + h) mod p mod 6`, p = 1e9+7
+    * `h = (i·1000003 + j + 715827883) mod p; m = (h² + h) mod p
+    * mod 6`, p = 1e9+7 (the odd offset keeps every h in the reduced
+    * regime — unreduced h(h+1) is even, which starves the −1 sign)
     * (0 → +1, 1 → −1, else 0; density 1/3), scaled by
     * `sqrt(3/outDims)` so squared distances are preserved in
     * expectation. The mix MUST be nonlinear in (i, j): a linear

@@ -2510,9 +2510,9 @@ object PipelineQueries {
       p AS (SELECT vec_id, xd, list_transform(range(0, 16), j8 ->
           list_reduce(list_prepend(0.0::DOUBLE,
             list_transform(list_zip(xd, range(0, len(xd))), z8 ->
-              CASE (((((z8[2]*1000003 + j8) % 1000000007)
-                      * ((z8[2]*1000003 + j8) % 1000000007)
-                      + ((z8[2]*1000003 + j8) % 1000000007))
+              CASE (((((z8[2]*1000003 + j8 + 715827883) % 1000000007)
+                      * ((z8[2]*1000003 + j8 + 715827883) % 1000000007)
+                      + ((z8[2]*1000003 + j8 + 715827883) % 1000000007))
                      % 1000000007) % 6)
                 WHEN 0 THEN z8[1] WHEN 1 THEN -z8[1]
                 ELSE 0.0::DOUBLE END)),

@@ -48,7 +48,8 @@ class GuardrailsSpec extends AnyFunSuite {
     val hof = array((0 until 16).map { j =>
       fold(zip_with(xd, sequence(lit(0), size(col("embedding")) - 1),
         (x, i) => {
-          val h = (i.cast("long") * 1000003L + lit(j.toLong)) % 1000000007L
+          val h = (i.cast("long") * 1000003L + lit(j.toLong) +
+            715827883L) % 1000000007L
           val m = (h * h + h) % 1000000007L % 6
           when(m === 0, x).when(m === 1, -x).otherwise(lit(0.0))
         })) * scale
@@ -82,6 +83,13 @@ class GuardrailsSpec extends AnyFunSuite {
       c.map(-_) else c)
     assert(normalized.distinct.size == 16,
       "no projection column may be ±another column")
+    // row-0 sign balance: without the odd offset, h = j stays below
+    // the modulus for i = 0, h(h+1) is even, and the −1 sign is
+    // UNREACHABLE across the whole first input dimension — every
+    // projected coordinate biased along dim 0 (the round-11 flaw)
+    val row0 = (0 until 16).map(j => graft.functions.HashOps.jlSign(0, j))
+    assert(row0.contains(1),
+      "row 0 must reach the −1 sign — input dim 0 is biased otherwise")
   }
 
   test("dd5's LSH routing never invents pairs and scores match brute exactly") {
