@@ -825,8 +825,13 @@ object Similarity {
     * covers lsh/ivf only):
     *  - `lsh` ([[lshTopK]]) and `ivf` ([[ivfTopK]]) vs exact COSINE
     *    top-k — those indexes rank by cosine;
-    *  - `pq` ([[pqTopK]]) and `ivfpq` ([[ivfPqTopK]]) vs exact
-    *    L2-distance top-k — ADC ranks by (approximate) L2;
+    *  - `pq` ([[pqTopK]]), `pq_rerank` ([[pqRerankTopK]]) and
+    *    `ivfpq` ([[ivfPqTopK]]) vs exact L2-distance top-k — ADC
+    *    ranks by (approximate) L2, and the re-rank's whole claim
+    *    ("exact distances on the shortlist recover the recall ADC
+    *    loses") becomes a MEASURED row: recall(pq_rerank) ≥
+    *    recall(pq) whenever the shortlist covers what ADC mis-ranked
+    *    (GuardrailsSpec pins the inequality on the fixture);
     *  - `mips` ([[mipsTopK]]) vs exact INNER-PRODUCT top-k — the
     *    augmentation targets raw-dot order.
     * Measuring each family against the metric it actually serves is
@@ -842,7 +847,8 @@ object Similarity {
       k: Int = 5, nBits: Int = 4, numCentroids: Int = 16, nprobe: Int = 2,
       m: Int = 4, ksub: Int = 8, iters: Int = 2,
       pqCoarse: Int = 8, pqNprobe: Int = 2,
-      mipsBits: Int = 6, mipsTables: Int = 3): DataFrame = {
+      mipsBits: Int = 6, mipsTables: Int = 3,
+      rerankShortlist: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ids(df: DataFrame) = df.select("query_id", "neighbor_id")
     // all three exact-metric truths come from ONE corpus scan: cosine,
@@ -894,6 +900,8 @@ object Similarity {
       recallRow("ivf", cosTruth,
         ivfTopK(corpus, queries, k, numCentroids, nprobe)),
       recallRow("pq", l2Truth, pqTopK(corpus, queries, k, m, ksub, iters)),
+      recallRow("pq_rerank", l2Truth,
+        pqRerankTopK(corpus, queries, k, rerankShortlist, m, ksub, iters)),
       recallRow("ivfpq", l2Truth,
         ivfPqTopK(corpus, queries, k, pqCoarse, pqNprobe, m, ksub, iters)),
       recallRow("mips", dotTruth,

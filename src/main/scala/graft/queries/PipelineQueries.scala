@@ -626,7 +626,7 @@ object PipelineQueries {
       Similarity.annRecallReportAll(e, e.filter(col("vec_id") < 3),
         k = 5, nBits = 4, numCentroids = 16, nprobe = 2,
         m = 4, ksub = 8, iters = 2, pqCoarse = 8, pqNprobe = 2,
-        mipsBits = 6, mipsTables = 3)
+        mipsBits = 6, mipsTables = 3, rerankShortlist = 20)
     },
     // JL random projection 64→16 dims (sparse Achlioptas planes) with
     // per-vector norm-preservation QA — the map-side dimension
@@ -2485,6 +2485,8 @@ object PipelineQueries {
             ORDER BY score DESC, neighbor_id ASC) AS rank FROM dots)
         WHERE rank <= 5),
       pqk AS (SELECT query_id, neighbor_id FROM (${sqlPqTopK(4, 16, 8, 5, 3)})),
+      pqrk AS (SELECT query_id, neighbor_id
+        FROM (${sqlPqRerank(4, 16, 8, 20, 5, 3)})),
       ipqk AS (SELECT query_id, neighbor_id
         FROM (${sqlIvfPqTopK(4, 16, 8, 5, 3, 2)})),
       mipsk AS (SELECT query_id, neighbor_id FROM ($sqlMipsTopKSql))
@@ -2497,6 +2499,8 @@ object PipelineQueries {
           (SELECT count(*) FROM bt JOIN vt USING (query_id, neighbor_id))
         UNION ALL SELECT 'pq', (SELECT count(*) FROM l2t),
           (SELECT count(*) FROM l2t JOIN pqk USING (query_id, neighbor_id))
+        UNION ALL SELECT 'pq_rerank', (SELECT count(*) FROM l2t),
+          (SELECT count(*) FROM l2t JOIN pqrk USING (query_id, neighbor_id))
         UNION ALL SELECT 'ivfpq', (SELECT count(*) FROM l2t),
           (SELECT count(*) FROM l2t JOIN ipqk USING (query_id, neighbor_id))
         UNION ALL SELECT 'mips', (SELECT count(*) FROM dott),

@@ -92,6 +92,18 @@ class GuardrailsSpec extends AnyFunSuite {
       "row 0 must reach the −1 sign — input dim 0 is biased otherwise")
   }
 
+  test("pq_rerank recall is measured and ≥ plain pq recall (ss13's claim)") {
+    // exact distances over the ADC shortlist can only fix mis-ranks
+    // inside the shortlist, never lose a hit ADC already had — the
+    // report row turns the operator's claim into a measurement
+    val report = Similarity.annRecallReportAll(
+      embs, embs.filter(col("vec_id") < 3), k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(report.contains("pq_rerank"), "pq_rerank row missing from ss12")
+    assert(report("pq_rerank") >= report("pq"),
+      s"rerank ${report("pq_rerank")} < pq ${report("pq")}")
+  }
+
   test("dd5's LSH routing never invents pairs and scores match brute exactly") {
     val brute = Similarity.cosinePairs(embs, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
