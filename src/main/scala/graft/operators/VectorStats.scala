@@ -53,14 +53,14 @@ object VectorStats {
     * [[labelCentroids]]' per-dim sums this yields the covariance
     * (`cov = G/n − μμᵀ`) without a second corpus pass.
     *
-    * Scale shape: each vector fans into its d(d+1)/2 upper-triangle
-    * products (generate → filter, pipelined straight into the hash
-    * aggregation — the fan-out never materializes or shuffles);
-    * map-side partial aggregation collapses every partition to
-    * ≤ d(d+1)/2 rows, so the exchange carries O(partitions × d²)
-    * regardless of corpus size. CPU is the algorithm's O(n·d²) —
-    * at d beyond a few hundred, block the (i, j) space into column
-    * ranges and run blocks as separate passes.
+    * Scale shape: each vector folds its d(d+1)/2 upper-triangle
+    * products into a per-partition accumulator INSIDE the
+    * [[graft.functions.TypedAggregators.covMoments]] Aggregator —
+    * zero generated rows, and the exchange carries one O(d²) cell
+    * buffer per partition regardless of corpus size. CPU is the
+    * algorithm's O(n·d²) as a tight JVM loop — at d beyond a few
+    * thousand, block the (i, j) space into column ranges and run
+    * blocks as separate passes.
     *
     * Exactness: a float×float product in double is EXACT (24-bit
     * mantissas → ≤ 48-bit product), and the sum fixed-points each
@@ -76,21 +76,36 @@ object VectorStats {
   /** Shared one-pass second+first-moment aggregation behind
     * [[gramMatrix]] and [[pcaProject]]: upper-triangle products plus,
     * on the diagonal rows only, the plain per-dim sum (`s1`) — so the
-    * covariance `G/n − μμᵀ` costs ONE corpus scan, not two. */
+    * covariance `G/n − μμᵀ` costs ONE corpus scan, not two.
+    *
+    * The fan-out lives INSIDE the
+    * [[graft.functions.TypedAggregators.covMoments]] typed
+    * `Aggregator` (a per-partition outer-product fold): no exploded
+    * row ever exists — the round-11 double-`posexplode` shape pushed
+    * n·d(d+1)/2 generated rows through the hash-agg pipeline (~525k
+    * per vector at d=1024), ~3 orders of magnitude more row traffic
+    * for the identical O(d²) exchanged cells. Cell sums travel as
+    * exact integer strings and surface as the same DECIMAL(38,0)
+    * columns. */
   private def moments(embs: DataFrame): DataFrame =
-    embs
-      .select(posexplode(col("embedding")).as(Seq("i", "xi")),
-        col("embedding"))
-      .select(col("i"), col("xi"),
-        posexplode(col("embedding")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"),
-        sum(floor(col("xi").cast("double") * col("xj").cast("double")
-          * lit(FixedScale)).cast(DecimalType(38, 0))).as("s"),
-        sum(when(col("i") === col("j"),
-            floor(col("xi").cast("double") * lit(FixedScale)))
-          .cast(DecimalType(38, 0))).as("s1"))
+    momentCells(embs
+      .select(transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .agg(momentsUdaf(col("xd")).as("m"))
+      .select(explode(col("m.cells")).as("cell")))
+
+  private lazy val momentsUdaf =
+    udaf(graft.functions.TypedAggregators.covMoments)
+
+  /** Unpack [[graft.functions.TypedAggregators.CovCell]] structs into
+    * the (i, j, n, s, s1) moment frame (s/s1 as DECIMAL(38,0) — the
+    * string→decimal cast is exact). */
+  private def momentCells(cells: DataFrame): DataFrame =
+    cells.select(
+      cells.columns.filter(_ != "cell").map(col) :+
+        col("cell.i").as("i") :+ col("cell.j").as("j") :+
+        col("cell.n").as("n") :+
+        col("cell.s").cast(DecimalType(38, 0)).as("s") :+
+        col("cell.s1").cast(DecimalType(38, 0)).as("s1"): _*)
 
   /** Top PRINCIPAL COMPONENT of the embedding corpus and every
     * vector's projection onto it — the 1-D PCA score behind variance
@@ -280,28 +295,23 @@ object VectorStats {
     * e.g. an encoder update that re-mixes feature axes); the d×d
     * covariance delta is exactly that detector.
     *
-    * Scale shape: ONE corpus scan producing 2·d(d+1)/2 partial-agg
-    * cells (the [[gramMatrix]] exchange with an `is_ref` group key);
+    * Scale shape: ONE corpus scan folding per-partition into the
+    * [[graft.functions.TypedAggregators.covMoments]] outer-product
+    * Aggregator — 2·d(d+1)/2 cells cross the exchange (the
+    * [[gramMatrix]] shape with an `is_ref` group key), no exploded
+    * rows anywhere;
     * means come from the diagonal cells and ride a 2d-row broadcast;
     * everything after the scan is d²-sized. Same fixed-point
     * integer-sum exactness as every moment here.
     *
     * Output: `(i, j, cov_ref, cov_cur, drift)`, j ≥ i. */
   def covDrift(embs: DataFrame, isRef: Column): DataFrame = {
-    val m = embs
-      .select(isRef.as("is_ref"), col("embedding"))
-      .select(col("is_ref"),
-        posexplode(col("embedding")).as(Seq("i", "xi")), col("embedding"))
-      .select(col("is_ref"), col("i"), col("xi"),
-        posexplode(col("embedding")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy("is_ref", "i", "j")
-      .agg(count(lit(1)).as("n"),
-        sum(floor(col("xi").cast("double") * col("xj").cast("double")
-          * lit(FixedScale)).cast(DecimalType(38, 0))).as("s"),
-        sum(when(col("i") === col("j"),
-            floor(col("xi").cast("double") * lit(FixedScale)))
-          .cast(DecimalType(38, 0))).as("s1"))
+    val m = momentCells(embs
+      .select(isRef.as("is_ref"),
+        transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .groupBy("is_ref")
+      .agg(momentsUdaf(col("xd")).as("mc"))
+      .select(col("is_ref"), explode(col("mc.cells")).as("cell")))
       .localCheckpoint(eager = false) // cells + the two mean joins
     val means = m.filter(col("i") === col("j"))
       .select(col("is_ref"), col("i").as("d"),

@@ -382,4 +382,33 @@ class OperatorEdgeSpec extends AnyFunSuite {
       .map(r => (r.getLong(2), r.getLong(3)))
     assert(rows.forall(_ == ((1L, 1000000L))))
   }
+
+  test("covMoments aggregator is exact through the BigInteger spill lane") {
+    import spark.implicits._
+    // values large enough that every product addend floor(xi*xj*2^40)
+    // exceeds the Long fast-lane bound (~4e18), forcing the spill
+    // path; 64 partitions force merges of partial buffers
+    val scale = 1099511627776.0d
+    val vecs = (0 until 200).map { r =>
+      Array(1.0e5 + r, -2.0e5 + r, 3.0e4 * (r % 3)) }
+    val df = vecs.toDF("xd").repartition(64)
+    val got = df.agg(udaf(graft.functions.TypedAggregators.covMoments)
+        .apply(col("xd")).as("m"))
+      .select(explode(col("m.cells")).as("c"))
+      .select("c.i", "c.j", "c.n", "c.s", "c.s1")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), BigInt(r.getString(3)),
+          Option(r.getString(4)).map(BigInt(_)))).toMap
+    // exact BINARY value of the floored double (scala BigDecimal(d)
+    // would string-round via Double.toString above 2^53)
+    def fl(d: Double) = BigInt(new java.math.BigDecimal(math.floor(d))
+      .toBigInteger)
+    for (i <- 0 until 3; j <- i until 3) {
+      val expS = vecs.map(v => fl(v(i) * v(j) * scale)).sum
+      val expS1 = if (i == j) Some(vecs.map(v => fl(v(j) * scale)).sum)
+                  else None
+      val (n, s, s1) = got((i, j))
+      assert(n == 200L && s == expS && s1 == expS1, s"cell ($i,$j)")
+    }
+  }
 }
