@@ -61,26 +61,37 @@ object Bench {
     val loadAfter = loadavg
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // the driver captures stdout through a bounded tail window, so the
-    // per-query map must FIT: keys compact to the query-code prefix
-    // ("dd4_dedup_simhash" → "dd4"; collisions keep the full name) and
-    // values are integer milliseconds — ~2 KB for 167 queries vs ~6 KB
-    // verbose. Full names + second-precision doubles go to
-    // BENCH_FULL.json for local regression tracking.
-    val shortKey: Map[String, String] = {
-      val byCode = results.keys.toSeq.groupBy(_.takeWhile(_ != '_'))
-      byCode.flatMap { case (code, names) =>
-        if (names.size == 1) Seq(names.head -> code)
-        else names.map(n => n -> n)
-      }
+    // the driver captures stdout through a bounded ~2 KB tail window,
+    // so EVERYTHING that must survive (per-query map + summary +
+    // sbt's trailing success line) has to fit in it together — at 183
+    // queries the round-11 flat "code":ms map alone was 2016 bytes
+    // and the head of the alphabet (dd*) fell out of the capture.
+    // Compact form: queries nested by FAMILY (the code's alpha
+    // prefix), subkey = the code's digits — "dd4_dedup_simhash" lands
+    // at q.dd.4, reconstructed as family+subkey = "dd4"; codes with
+    // no digits (the share_* group) use the full remainder as subkey
+    // ("share_changes_agg" → q.share._changes_agg). Values are
+    // integer CENTIseconds. ~1.6 KB for 183 queries. Full names +
+    // second-precision doubles go to BENCH_FULL.json for local
+    // regression tracking.
+    def fam(k: String): String = k.takeWhile(_.isLetter)
+    def sub(k: String): String = {
+      val code = k.takeWhile(_ != '_')
+      val digits = code.drop(fam(k).length)
+      if (digits.nonEmpty) digits else k.drop(fam(k).length)
     }
-    val qsCompact = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${shortKey(k)}":${math.round(v * 1000)}""" }
-      .mkString("{", ",", "}")
-    // scalar fields FIRST so even a truncated capture keeps them
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadAfter],"sf":"$sfDir","query_unit":"ms","queries":$qsCompact}"""
-    println(compact)
+    val qsByFam = results.toSeq.sortBy(_._1).groupBy(t => fam(t._1))
+      .toSeq.sortBy(_._1)
+      .map { case (f, qs) =>
+        val inner = qs.sortBy(_._1)
+          .map { case (k, v) => s""""${sub(k)}":${math.round(v * 100)}""" }
+          .mkString("{", ",", "}")
+        s""""$f":$inner"""
+      }.mkString("{", ",", "}")
+    // scalar-only total line first (head-clippable without data loss —
+    // the same scalars repeat in the summary line that follows)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadAfter],"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","query_unit":"cs","queries":$qsByFam}""")
     val qsFull = results.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
