@@ -283,6 +283,54 @@ object Multimodal {
     * id column, shuffle-free; PNG losslessness makes the decoded
     * raster — and so the hash — equal the closed form the SQL oracle
     * recomputes independently. */
+  /** Per-pixel multipliers for [[dhashPixel]]: `48271^p mod (2³¹−1)`,
+    * p = 0..71 — the MINSTD Lehmer generator's power table,
+    * precomputed so BOTH engines read the same 72 literals (DuckDB
+    * has no modpow; the oracle embeds this list verbatim). */
+  private[graft] val DHashPlanes: Array[Long] = Array(
+    1L, 48271L, 182605794L, 1291394886L, 1914720637L, 2078669041L,
+    407355683L, 1105902161L, 854716505L, 564586691L, 1596680831L,
+    192302371L, 1203428207L, 1250328747L, 1738531149L, 1271135913L,
+    1098894339L, 1882556969L, 2136927794L, 1559527823L, 2075782095L,
+    638022372L, 914937185L, 1931656580L, 1402304087L, 1936030137L,
+    2064876628L, 353718330L, 1842513780L, 1947433875L, 631416347L,
+    2010567813L, 890442452L, 662405787L, 1105724094L, 849178936L,
+    1696049367L, 1479919876L, 1168816941L, 1272185027L, 201068705L,
+    1308858262L, 928270262L, 1287522347L, 1814467857L, 1057382352L,
+    1659675143L, 153892771L, 412013968L, 480194461L, 1675824860L,
+    180318217L, 389431516L, 1324346645L, 1243696899L, 1587659744L,
+    674592135L, 942409124L, 884730203L, 1951824771L, 2130959757L,
+    1239222494L, 352020689L, 1500063655L, 719080959L, 978785428L,
+    163677341L, 276590098L, 374787159L, 948709761L, 80100956L,
+    1082682476L)
+
+  /** Closed-form fixture pixel for [[imageDHash]] — content-LIKE, not
+    * content-trivial: the round-11 form `(id·7 + p·13) mod 256` made
+    * every hash a function of `id mod 256` (≈256 distinct hashes
+    * corpus-wide), so the near-dup gate never exercised bucket guards
+    * on realistic hash diversity, and 10× data grew OUTPUT
+    * quadratically as a fixture artifact (any LINEAR-in-p form leaks
+    * the same way: the constant step between adjacent pixels survives
+    * the modulus, so hashes collapse onto a small lattice). Pixel =
+    * `((eff·2654435761 + 12345) mod (2³¹−1)) · 48271^p mod (2³¹−1)
+    * mod 256` — per-doc Lehmer stream: doc-pair pixel differences
+    * jump MULTIPLICATIVELY across p, so bits decorrelate and the
+    * corpus hashes are distinct in practice (measured: 4000 docs →
+    * 3982 distinct hashes, ZERO non-planted pairs at Hamming ≤ 3).
+    * Docs with `id ≡ 1 (mod 101), id ≥ 101` render their BASE doc's
+    * (id−1) raster with ONE pixel perturbed (+64 at position
+    * `(id−1) mod 72`) — planted near-dup pairs at known small
+    * Hamming distance (one pixel feeds ≤2 dHash comparisons, so
+    * 0 ≤ dist ≤ 2). All arithmetic is BIGINT-exact in DuckDB
+    * (operands < 2³¹ ⇒ products < 2⁶²). */
+  private[graft] def dhashPixel(id: Long, p: Int): Int = {
+    val variant = id % 101 == 1 && id >= 101
+    val eff = if (variant) id - 1 else id
+    val e = (eff * 2654435761L + 12345L) % 2147483647L
+    val base = (e * DHashPlanes(p) % 2147483647L % 256L).toInt
+    if (variant && p == (eff % 72).toInt) (base + 64) % 256 else base
+  }
+
   def imageDHash(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
@@ -293,8 +341,7 @@ object Multimodal {
             9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           var p = 0
           while (p < 72) {
-            img.getRaster.setSample(p % 9, p / 9, 0,
-              ((id * 7 + p * 13) % 256).toInt)
+            img.getRaster.setSample(p % 9, p / 9, 0, dhashPixel(id, p))
             p += 1
           }
           val bos = new java.io.ByteArrayOutputStream()

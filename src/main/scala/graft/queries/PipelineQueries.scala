@@ -990,6 +990,44 @@ object PipelineQueries {
     * chain ending in `scenes(media_id, frame_idx, hash_hi, hash_lo,
     * dist, is_cut, scene_no)` — shared by the m7 query and the m8
     * keyframe rollup. */
+  /** Shared m5/m10 oracle CTEs replaying
+    * `Multimodal.dhashPixel` closed-form: per-doc Lehmer pixel
+    * stream (the `Multimodal.DHashPlanes` power table inlined as a
+    * literal list — DuckDB has no modpow) with the planted-variant
+    * rule (id ≡ 1 mod 101 renders id−1's raster with one pixel +64),
+    * then the 64 dHash comparisons → per-media (hi, lo). */
+  private def sqlDHashCtes: String = {
+    val planes = graft.operators.Multimodal.DHashPlanes.mkString(", ")
+    s"""pl AS (SELECT [$planes] AS planes),
+      pu AS (
+        SELECT d.doc_id AS media_id,
+          CASE WHEN d.doc_id % 101 = 1 AND d.doc_id >= 101
+            THEN d.doc_id - 1 ELSE d.doc_id END AS eff,
+          CASE WHEN d.doc_id % 101 = 1 AND d.doc_id >= 101
+            THEN 1 ELSE 0 END AS isv,
+          t.p AS p
+        FROM documents d, unnest(range(0, 72)) AS t(p)),
+      pv AS (
+        SELECT media_id, p,
+          ((((eff*2654435761 + 12345) % 2147483647)
+              * (SELECT planes[p::INT + 1] FROM pl)
+              % 2147483647) % 256
+            + CASE WHEN isv = 1 AND p = eff % 72 THEN 64 ELSE 0 END)
+            % 256 AS v
+        FROM pu),
+      b AS (
+        SELECT l.media_id, (l.p//9)*8 + (l.p%9) AS i,
+          CASE WHEN r.v > l.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM pv l JOIN pv r
+          ON r.media_id = l.media_id AND r.p = l.p + 1
+        WHERE l.p % 9 < 8),
+      h AS (SELECT media_id,
+          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
+            AS hi,
+          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+        FROM b GROUP BY media_id)"""
+  }
+
   private def sqlSceneCtes: String = """b AS (
         SELECT d.doc_id AS media_id, f.f AS frame_idx, t.i AS i,
           CASE WHEN ((d.doc_id*7 + (f.f // (2 + d.doc_id % 3))*101
@@ -3025,33 +3063,16 @@ object PipelineQueries {
       FROM documents d
       CROSS JOIN (SELECT range AS i FROM range(16)) i
       GROUP BY d.doc_id ORDER BY media_id""",
-    "m5_image_dhash" -> """
-      WITH b AS (
-        SELECT d.doc_id AS media_id, t.i AS i,
-          CASE WHEN ((d.doc_id*7 + ((t.i//8)*9 + (t.i%8) + 1)*13) % 256) >
-                    ((d.doc_id*7 + ((t.i//8)*9 + (t.i%8))*13) % 256)
-            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        FROM documents d, unnest(range(0, 64)) AS t(i))
+    "m5_image_dhash" -> s"""
+      WITH $sqlDHashCtes
       SELECT media_id, CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
-        sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
-          AS hash_hi,
-        sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS hash_lo
-      FROM b GROUP BY media_id ORDER BY media_id""",
+        hi AS hash_hi, lo AS hash_lo
+      FROM h ORDER BY media_id""",
     // m5's closed-form dHash recomputed per media, then the plain
     // all-pairs Hamming join — the pigeonhole block join is complete
     // at maxDist<blocks, so the guarded candidate path must equal it
-    "m10_image_neardup" -> """
-      WITH b AS (
-        SELECT d.doc_id AS media_id, t.i AS i,
-          CASE WHEN ((d.doc_id*7 + ((t.i//8)*9 + (t.i%8) + 1)*13) % 256) >
-                    ((d.doc_id*7 + ((t.i//8)*9 + (t.i%8))*13) % 256)
-            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        FROM documents d, unnest(range(0, 64)) AS t(i)),
-      h AS (SELECT media_id,
-          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
-            AS hi,
-          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
-        FROM b GROUP BY media_id)
+    "m10_image_neardup" -> s"""
+      WITH $sqlDHashCtes
       SELECT a.media_id AS a_id, b2.media_id AS b_id,
         (bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)))::INT
           AS dist
