@@ -822,26 +822,49 @@ object Dedup {
     * probe join, two output-proportional id expansions; index
     * document bodies never move. */
   def simhashPairsAgainst(newDocs: DataFrame, indexDocs: DataFrame,
-      maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame =
+    hammingPairsAgainst(
+      newDocs.select(col("doc_id"), simhash60(col("text")).as("sh")),
+      indexDocs.select(col("doc_id"), simhash60(col("text")).as("sh")),
+      maxDist, maxBucket)
+
+  /** Incremental Hamming pairs over EXPLICIT `(doc_id, sh)` hash
+    * frames — [[simhashPairsAgainst]] minus the text hashing, so the
+    * SAME batch-probes-index machinery serves any 64-bit-or-narrower
+    * fingerprint family's incremental member: 60-bit text SimHash
+    * (dd19), 64-bit image dHash (`Multimodal.imageNearDupAgainst`,
+    * m11), audio chromaprints, … — exactly as [[hammingPairs]]
+    * generalizes [[simhashPairs]] for the full-corpus case. The NEW
+    * side stays streaming-legal (no checkpoint, no Aggregate — hash
+    * collapse is a `dropDuplicates` Deduplicate), so the operator
+    * runs unchanged on a readStream probing a standing index. */
+  def hammingPairsAgainst(newHashed: DataFrame, indexHashed: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 1 << 16, blocks: Int = 4,
+      bits: Int = 15): DataFrame = {
+    require(maxDist < blocks,
+      s"pigeonhole needs maxDist ($maxDist) < blocks ($blocks)")
+    val mask = (1L << bits) - 1L
     // no checkpoint on the NEW side: it may be a live stream
     // (localCheckpoint on a streaming frame is an AnalysisException);
     // the static index keeps its plan-truncating checkpoint
-    val hashN = newDocs.select(col("doc_id"), simhash60(col("text")).as("sh"))
-    val hashI = indexDocs.select(col("doc_id"), simhash60(col("text")).as("sh"))
+    val hashN = newHashed.select(col("doc_id"), col("sh"))
+    val hashI = indexHashed.select(col("doc_id"), col("sh"))
       .localCheckpoint(eager = false)
-    val indexBlocks = simhashBlocks(hashI.select("sh").distinct(), maxBucket)
+    val indexBlocks = simhashBlocks(hashI.select("sh").distinct(),
+      maxBucket, blocks, bits)
       .toDF("i_sh", "bid", "bkey", "sub")
     // dropDuplicates, not distinct(): the same batch semantics, but a
     // streaming-legal Deduplicate ahead of the downstream joins when
-    // newDocs is a live stream (cross-batch suppression is recovered
-    // by the buffered hashPairs side of the id-expansion join)
+    // the new side is a live stream (cross-batch suppression is
+    // recovered by the buffered hashPairs side of the id-expansion
+    // join)
     val probe = hashN.select(col("sh").as("n_sh")).dropDuplicates("n_sh")
       .select(col("n_sh"),
-        explode(array((0 until 4).map { b =>
+        explode(array((0 until blocks).map { b =>
           struct(lit(b).as("bid"),
-            shiftright(col("n_sh"), b * 15).bitwiseAND(32767L).as("bkey"),
-            shiftright(col("n_sh"), ((b + 1) % 4) * 15)
-              .bitwiseAND(32767L).as("sub0"))
+            shiftright(col("n_sh"), b * bits).bitwiseAND(mask).as("bkey"),
+            shiftright(col("n_sh"), ((b + 1) % blocks) * bits)
+              .bitwiseAND(mask).as("sub0"))
         }: _*)).as("blk"))
       .select(col("n_sh"), col("blk.bid").as("bid"),
         col("blk.bkey").as("bkey"),

@@ -398,6 +398,32 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** Incremental image near-dup (m11): dHash pairs BETWEEN an
+    * incoming batch of media and a standing index — the IMAGE member
+    * of the incremental family (dd9 shingles, dd11 embeddings, dd19
+    * text SimHash). Decode + hash stay the same payload-pruned
+    * `mapPartitions` pass on each side; pairing is
+    * [[Dedup.hammingPairsAgainst]] over the combined 64-bit hash with
+    * four 16-bit pigeonhole blocks (complete at maxDist ≤ 3): the
+    * index blocks over DISTINCT hashes (census-guarded, sub-split,
+    * hard-capped), the batch side probes sub = 0 ∪ refined key with
+    * no checkpoint and no Aggregate — so the SAME operator ingests a
+    * live readStream of arriving media against an offline-built
+    * index (StreamingSpec drives it). Index media bytes never move;
+    * only (id, hash) rows reach an exchange.
+    *
+    * Output: `(new_id, index_id, dist)`, dist ≤ maxDist. */
+  def imageNearDupAgainst(spark: SparkSession, newDocs: DataFrame,
+      indexDocs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    def hashed(d: DataFrame) = imageDHash(spark, d)
+      .select(col("media_id").as("doc_id"),
+        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("sh"))
+    Dedup.hammingPairsAgainst(hashed(newDocs), hashed(indexDocs),
+      maxDist, maxBucket, blocks = 4, bits = 16)
+      .select(col("new_id"), col("index_id"), col("dist"))
+  }
+
   /** REAL-decode audio frame energy (m6): synthesize a deterministic
     * 16-bit PCM clip per document (closed-form samples), round-trip it
     * through the actual `javax.sound.sampled` WAV codec — a real RIFF

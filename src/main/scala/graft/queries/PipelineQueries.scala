@@ -874,6 +874,17 @@ object PipelineQueries {
       Multimodal.imageNearDup(s, documents(s, d))
         .orderBy("a_id", "b_id")
     },
+    // incremental image near-dup: arriving media (even ids) probe the
+    // standing index's guarded dHash blocks — every planted variant
+    // pair (id-1, id) is consecutive, so every one crosses the parity
+    // boundary and the gate sees real cross-boundary hits
+    "m11_image_incremental" -> { (s, d) =>
+      val all = documents(s, d)
+      Multimodal.imageNearDupAgainst(s,
+        all.filter(col("doc_id") % 2 === 0),
+        all.filter(col("doc_id") % 2 =!= 0))
+        .orderBy("new_id", "index_id")
+    },
     "m1_multimodal_features" -> { (s, d) =>
       Multimodal.features(s, documents(s, d)).orderBy("media_id")
     },
@@ -3079,6 +3090,21 @@ object PipelineQueries {
       FROM h a JOIN h b2 ON a.media_id < b2.media_id
       WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3
       ORDER BY a_id, b_id""",
+    // the same closed-form dHashes split new (even) vs index (odd),
+    // then the plain all-pairs cross-boundary Hamming join — the
+    // guarded probe path must equal it
+    "m11_image_incremental" -> s"""
+      WITH $sqlDHashCtes,
+      n AS (SELECT media_id AS doc_id, hi, lo FROM h
+        WHERE media_id % 2 = 0),
+      ix AS (SELECT media_id AS doc_id, hi, lo FROM h
+        WHERE media_id % 2 <> 0)
+      SELECT n.doc_id AS new_id, ix.doc_id AS index_id,
+        (bit_count(xor(n.hi, ix.hi)) + bit_count(xor(n.lo, ix.lo)))::INT
+          AS dist
+      FROM n, ix
+      WHERE bit_count(xor(n.hi, ix.hi)) + bit_count(xor(n.lo, ix.lo)) <= 3
+      ORDER BY new_id, index_id""",
     // m5's closed-form dHash bits, extended with the per-scene seed
     // term, then the same lag/xor/bit_count + running-cumsum windows
     "m7_scene_cuts" -> s"""

@@ -2048,6 +2048,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain near-dup images")
   }
 
+  test("incremental image near-dup equals the full run's cross-boundary pairs") {
+    val full = Multimodal.imageNearDup(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossOnly = full.filter { case (a, b) => (a % 2) != (b % 2) }
+      .map { case (a, b) => if (a % 2 == 0) (a, b) else (b, a) }
+    val inc = Multimodal.imageNearDupAgainst(spark,
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == crossOnly)
+    assert(inc.nonEmpty, "planted variant pairs are consecutive ids, " +
+      "so every one crosses the parity boundary")
+  }
+
   test("hammingPairs rejects a radius the pigeonhole cannot cover") {
     intercept[IllegalArgumentException] {
       Dedup.hammingPairs(docs.select(col("doc_id"), col("doc_id").as("sh")),

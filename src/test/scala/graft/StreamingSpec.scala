@@ -127,6 +127,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("inc_sh_out").count() > 0)
   }
 
+  test("incremental image near-dup runs unchanged on a media stream") {
+    // m11's batch as a LIVE stream: arriving media decode + dHash in
+    // the same mapPartitions pass (stateless, streaming-legal), then
+    // probe the standing index's guarded blocks — the SAME operator
+    // code, no streaming variant, exactly the dd19 contract for the
+    // image family
+    val docsB = Tables.documents(spark, sf)
+    val index = docsB.filter(col("doc_id") % 2 =!= 0)
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .filter(col("doc_id") % 2 === 0)
+    val live = operators.Multimodal.imageNearDupAgainst(spark,
+      newStream, index)
+    runToMemory(live, "inc_img_out", "append")
+    val batch = operators.Multimodal.imageNearDupAgainst(spark,
+      docsB.filter(col("doc_id") % 2 === 0), index)
+    assert(asSet(spark.table("inc_img_out")) == asSet(batch))
+    assert(spark.table("inc_img_out").count() > 0)
+  }
+
   test("centroid assignment runs unchanged on a vector stream") {
     // the map-side argmin has no stateful aggregation, so the SAME
     // operator does realtime inference: arriving vectors against
