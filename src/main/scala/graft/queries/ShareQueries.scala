@@ -84,10 +84,46 @@ object ShareQueries {
           }
         }
       }
+      // `lineitem_dv`: the same rows in ONE file served in DELTA
+      // responseformat with an INLINE deletion vector deleting every
+      // row whose l_orderkey % 7 == 0 — the DV-application read path
+      // through the oracle gate (the oracle recomputes survivors by
+      // predicate, so any position mis-mapping fails the compare).
+      // File-order row positions need an unsplit single-partition
+      // read; pin the split confs for just this planning read.
+      val dvDir = java.nio.file.Files.createTempDirectory("graft-share-dv")
+      val dvFile = dvDir.resolve("lineitem_dv.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/lineitem.parquet"), dvFile)
+      val oldMax = s.conf.getOption("spark.sql.files.maxPartitionBytes")
+      val oldMin = s.conf.getOption("spark.sql.files.minPartitionNum")
+      val delPos =
+        try {
+          s.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+          s.conf.set("spark.sql.files.minPartitionNum", "1")
+          val ordered = s.read.parquet(dvFile.toString)
+            .withColumn("pos", monotonically_increasing_id())
+          require(ordered.rdd.getNumPartitions == 1,
+            "DV fixture needs the file read as one in-order partition")
+          ordered.filter(col("l_orderkey") % 7 === 0)
+            .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+        } finally {
+          oldMax.foreach(s.conf.set("spark.sql.files.maxPartitionBytes", _))
+          oldMin.foreach(s.conf.set("spark.sql.files.minPartitionNum", _))
+          if (oldMin.isEmpty) s.conf.unset("spark.sql.files.minPartitionNum")
+        }
+      val dvData = graft.sources.DeletionVectors.serialize(delPos)
+      val dvDesc =
+        s"""{"storageType":"i","pathOrInlineDv":"${graft.sources.DeletionVectors.z85Encode(dvData)}","sizeInBytes":${dvData.length},"cardinality":${delPos.size}}"""
       server.tables = Map(table("lineitem"), table("documents"),
         "lineitem4" -> ((li.schema.json, Seq.empty[String], partFiles)),
         "lineitem_flag" -> ((li.schema.json, Seq("l_returnflag"),
-          flagFiles.result())))
+          flagFiles.result())),
+        "lineitem_dv" -> ((li.schema.json, Seq.empty[String],
+          Seq((dvFile.toUri.toString, java.nio.file.Files.size(dvFile),
+            Map.empty[String, String])))))
+      server.deltaFormatTables = Set("lineitem_dv")
+      server.fileDeletionVectors = Map(dvFile.toUri.toString -> dvDesc)
       server.fileStats = statsB.result()
       // versioned change feed over the lineitem4 part files: v1 adds
       // the first range file, v2 the second, v3 removes the first —
@@ -228,6 +264,18 @@ object ShareQueries {
         .filter(col("n_rows") > 0)
         .orderBy("l_returnflag")
     },
+    // deletion-vector APPLICATION through the oracle gate: the shared
+    // table carries an inline DV deleting l_orderkey % 7 == 0 rows by
+    // POSITION; the oracle recomputes survivors by PREDICATE, so the
+    // compare proves the position↔row mapping, the Z85/roaring
+    // decode, and the anti-filter all end-to-end (with a residual
+    // data filter on top — DV files read unfiltered, Spark re-filters)
+    "share_dv_read" -> { (s, d) =>
+      sharedTable(s, d, "lineitem_dv")
+        .filter(col("l_quantity") >= 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     "share_list_tables" -> { (s, d) =>
       import graft.sources.{DeltaShare, DeltaSharingProfile}
       s.conf.set(DeltaSharingProfile.EndpointConf, ensure(s, d))
@@ -265,6 +313,12 @@ object ShareQueries {
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem
       WHERE l_orderkey <= 64 AND l_quantity >= 30
+      ORDER BY l_orderkey, l_linenumber""",
+    // lineitem_dv = lineitem minus the DV'd rows (l_orderkey % 7 = 0)
+    "share_dv_read" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE l_orderkey % 7 <> 0 AND l_quantity >= 25
       ORDER BY l_orderkey, l_linenumber""",
     "share_agg_count" -> """
       SELECT count(*)::BIGINT AS n_rows, min(l_orderkey) AS min_key,

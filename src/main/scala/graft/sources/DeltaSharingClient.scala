@@ -45,10 +45,11 @@ class DeltaSharingClient(
     * capabilities. Unlike the reference (which pins
     * `responseformat=parquet`, `delta_sharing_client.cpp:119-125`)
     * the client also advertises `delta`, so servers that can ONLY
-    * answer in delta responseformat are readable; it does NOT claim
-    * `deletionVectors` in readerfeatures, so a compliant server must
-    * not send DV-bearing files — and if one does anyway, the
-    * [[guardDeletionVectors]] refusal trips rather than silently
+    * answer in delta responseformat are readable; it also claims
+    * `deletionvectors` in readerfeatures — supported descriptors
+    * (inline / absolute-URL) are APPLIED by the scan as a row-index
+    * anti-filter ([[DeletionVectors]]), and anything the decoder
+    * cannot handle still refuses loudly rather than silently
     * returning deleted rows. */
   private[sources] def perform(
       method: String,
@@ -64,7 +65,8 @@ class DeltaSharingClient(
     val b = HttpRequest.newBuilder(uri)
       .timeout(requestTimeout)
       .header("Authorization", s"Bearer ${profile.bearerToken}")
-      .header("delta-sharing-capabilities", "responseformat=parquet,delta")
+      .header("delta-sharing-capabilities",
+        "responseformat=parquet,delta;readerfeatures=deletionvectors")
     val req = method match {
       case "GET" => b.GET().build()
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
@@ -213,7 +215,10 @@ class DeltaSharingClient(
     val meta = parseMetadataLines(lines).getOrElse(
       throw new DeltaSharingException(0,
         s"metadata response for $share.$schema.$table had no metaData line"))
-    guardDeletionVectors(meta, Nil, s"metadata of $share.$schema.$table")
+    // no DV guard here: metadata returns SCHEMA, which is correct for
+    // DV-bearing tables too, and the scan needs it before /query can
+    // decide readability — row-level hazards are guarded where rows
+    // are produced (/query, /changes)
     meta
   }
 
@@ -262,7 +267,7 @@ class DeltaSharingClient(
       throw new DeltaSharingException(0,
         s"query response for $share.$schema.$table had no metaData line"))
     val fileNodes = lines.filter(_.hasNonNull("file")).map(_.get("file"))
-    guardDeletionVectors(meta, fileNodes, s"query of $share.$schema.$table")
+    val isDeltaFormat = fileNodes.exists(_.hasNonNull("deltaSingleAction"))
     val files = fileNodes.map { f =>
       // delta responseformat wraps the add action: the presigned URL
       // is `add.path`, partitionValues/size/stats live on the add;
@@ -292,10 +297,43 @@ class DeltaSharingClient(
           else if (src.hasNonNull("modificationTime"))
             Some(src.get("modificationTime").asLong())
           else None,
-        expirationTimestamp = optText(f, "expirationTimestamp"))
+        expirationTimestamp = optText(f, "expirationTimestamp"),
+        deletionVector = parseDv(src))
     }
+    // DV readability: explicit per-file descriptors this client can
+    // decode (inline or absolute-URL) are APPLIED by the scan; an
+    // unsupported storageType, or a table-level DV signal on a
+    // response whose format cannot carry descriptors, refuses loudly
+    // (the reference would silently return deleted rows)
+    val unsupported = files.flatMap(_.deletionVector).filterNot(_.supported)
+    if (unsupported.nonEmpty)
+      throw new DeltaSharingException(0,
+        s"query of $share.$schema.$table: deletion vector storageType " +
+          s"'${unsupported.head.storageType}' is not readable by this " +
+          "client (supported: inline 'i', absolute-URL 'p'; " +
+          "relative-path 'u' needs a table root a sharing client never " +
+          "has). Refusing rather than silently including deleted rows.")
+    if (!files.exists(_.deletionVector.isDefined) && !isDeltaFormat)
+      guardDeletionVectors(meta, Nil, s"query of $share.$schema.$table")
     TableFiles(meta, files)
   }
+
+  /** Parse a `deletionVector` descriptor off an add/file node. */
+  private def parseDv(src: JsonNode): Option[DeletionVectors.Descriptor] =
+    if (!src.hasNonNull("deletionVector")) None
+    else {
+      val d = src.get("deletionVector")
+      Some(DeletionVectors.Descriptor(
+        storageType = optText(d, "storageType").getOrElse(""),
+        pathOrInlineDv = optText(d, "pathOrInlineDv").getOrElse(""),
+        offset = if (d.hasNonNull("offset")) d.get("offset").asLong() else 0L,
+        sizeInBytes =
+          if (d.hasNonNull("sizeInBytes")) d.get("sizeInBytes").asLong()
+          else 0L,
+        cardinality =
+          if (d.hasNonNull("cardinality")) d.get("cardinality").asLong()
+          else 0L))
+    }
 
   /** GET `…/changes` → NDJSON [protocol, metaData, add/cdf/remove…] —
     * the Change Data Feed endpoint of the public Delta Sharing
@@ -403,19 +441,22 @@ class DeltaSharingClient(
     TableChanges(meta, actions)
   }
 
-  /** Deletion-vector guard. This client (like the reference,
-    * `delta_sharing_client.cpp:124`, which forces
-    * `responseformat=parquet`) cannot apply deletion vectors: a
-    * parquet-format response for a DV-bearing table would include
-    * rows that are logically DELETED. The reference silently returns
-    * them; we refuse loudly instead. Three independent signals, any
-    * one of which trips the guard:
-    *  - `protocol.readerFeatures` contains `deletionVectors`;
-    *  - table `configuration` has `delta.enableDeletionVectors=true`;
-    *  - a file action carries a `deletionVector` payload (a
-    *    delta-responseformat server answering a parquet client).
-    * Reading the table requires a delta-responseformat client —
-    * declared out of scope in SURVEY §7. */
+  /** Residual deletion-vector guard. Snapshot reads now APPLY
+    * supported descriptors (inline / absolute-URL — see
+    * [[DeletionVectors]] and the unsupported-storageType refusal in
+    * `queryTable`); this guard covers the paths where a DV can still
+    * produce silently-wrong rows:
+    *  - a PARQUET-responseformat `/query` for a table whose
+    *    protocol/configuration signals DVs but whose file actions
+    *    carry no descriptors — the format cannot express them, so
+    *    deleted rows would come back as live (the reference's silent
+    *    failure mode, `delta_sharing_client.cpp:124`);
+    *  - any DV payload in a `/changes` response — CDF semantics over
+    *    DVs (row-level deletes materialized per version) are not
+    *    implemented.
+    * Signals: `protocol.readerFeatures` contains `deletionVectors`,
+    * `delta.enableDeletionVectors=true`, or a file action carries a
+    * `deletionVector` payload. */
   private def guardDeletionVectors(meta: TableMetadata,
       fileLines: Seq[JsonNode], what: String): Unit = {
     val featureDv = meta.protocol.readerFeatures
@@ -437,10 +478,12 @@ class DeltaSharingClient(
         else if (featureDv) "protocol.readerFeatures includes deletionVectors"
         else "delta.enableDeletionVectors=true in table configuration"
       throw new DeltaSharingException(0,
-        s"$what: table uses deletion vectors ($signal). This client does " +
-          "not apply deletion vectors, so results would silently include " +
-          "deleted rows. Vacuum/compact the shared table, or read it " +
-          "with a deletion-vector-capable client instead.")
+        s"$what: table uses deletion vectors ($signal), which this " +
+          "response format/endpoint cannot carry or this client cannot " +
+          "apply here, so results would silently include deleted rows. " +
+          "Serve the table in delta responseformat with per-file " +
+          "descriptors (snapshot reads apply them), or vacuum/compact " +
+          "the shared table.")
     }
   }
 

@@ -48,7 +48,12 @@ final case class FileAction(
     stats: Option[String],
     version: Option[Long],
     timestamp: Option[Long],
-    expirationTimestamp: Option[String])
+    expirationTimestamp: Option[String],
+    /** Deletion-vector descriptor, when the file carries one — the
+      * scan APPLIES supported descriptors (row-index anti-filter,
+      * [[DeletionVectors]]); unsupported storage types refuse at
+      * parse time in the client. */
+    deletionVector: Option[DeletionVectors.Descriptor] = None)
 
 /** Result of POST `…/tables/{t}/query`
   * (`delta_sharing_client.cpp:371-465`). */

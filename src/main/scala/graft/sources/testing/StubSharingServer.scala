@@ -55,6 +55,13 @@ class StubSharingServer(
     * DV refusal guard. */
   @volatile var deletionVectorTables: Map[String, String] = Map.empty
 
+  /** REAL per-file deletion-vector descriptors, keyed by (unsigned)
+    * file url: full descriptor JSON injected on the file/add action —
+    * the READABLE DV fixture (inline Z85 or URL-addressed), vs
+    * [[deletionVectorTables]]'s unsupported-storageType refusal
+    * fixture. */
+  @volatile var fileDeletionVectors: Map[String, String] = Map.empty
+
   /** Tables answered in DELTA responseformat: protocol/metaData
     * payloads nested under `deltaProtocol`/`deltaMetadata`, file
     * lines wrapping an `add` action under `deltaSingleAction` with
@@ -306,7 +313,8 @@ class StubSharingServer(
                 val dvField =
                   if (deletionVectorTables.get(t).contains("file"))
                     ""","deletionVector":{"storageType":"u","pathOrInlineDv":"dv!abc","offset":1,"sizeInBytes":42,"cardinality":2}"""
-                  else ""
+                  else fileDeletionVectors.get(url)
+                    .map(j => s""","deletionVector":$j""").getOrElse("")
                 if (deltaFormatTables.contains(t))
                   // delta responseformat: the presigned URL is
                   // add.path, partitionValues/size/stats ride the add

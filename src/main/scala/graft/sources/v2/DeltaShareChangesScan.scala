@@ -127,15 +127,16 @@ class DeltaShareChangesScan(
         (partitionSchema.fields :+
           StructField(CommitVersionCol, LongType, nullable = false) :+
           StructField(CommitTimestampCol, TimestampType, nullable = false)))
+    val addRemoveRead = fmt.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = addRemovePartSchema,
+      requiredSchema = dataSchema,
+      filters = Nil,
+      options = opts,
+      hadoopConf = confAddRemove)
     val addRemove = DeltaSharePartitionReaderFactory(
-      fmt.buildReaderWithPartitionValues(
-        sparkSession = spark,
-        dataSchema = dataSchema,
-        partitionSchema = addRemovePartSchema,
-        requiredSchema = dataSchema,
-        filters = Nil,
-        options = opts,
-        hadoopConf = confAddRemove),
+      addRemoveRead, addRemoveRead,
       addRemovePartSchema, new SerializableConfiguration(confAddRemove),
       refreshSpec)
     // cdf: the file itself carries _change_type per row — it is the
@@ -146,15 +147,15 @@ class DeltaShareChangesScan(
     val cdfPartSchema = StructType(partitionSchema.fields :+
       StructField(CommitVersionCol, LongType, nullable = false) :+
       StructField(CommitTimestampCol, TimestampType, nullable = false))
-    val cdf = DeltaSharePartitionReaderFactory(
-      fmt.buildReaderWithPartitionValues(
-        sparkSession = spark,
-        dataSchema = cdfDataSchema,
-        partitionSchema = cdfPartSchema,
-        requiredSchema = cdfDataSchema,
-        filters = Nil,
-        options = opts,
-        hadoopConf = confCdf),
+    val cdfRead = fmt.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = cdfDataSchema,
+      partitionSchema = cdfPartSchema,
+      requiredSchema = cdfDataSchema,
+      filters = Nil,
+      options = opts,
+      hadoopConf = confCdf)
+    val cdf = DeltaSharePartitionReaderFactory(cdfRead, cdfRead,
       cdfPartSchema, new SerializableConfiguration(confCdf), refreshSpec)
     DeltaShareChangesReaderFactory(addRemove, cdf)
   }

@@ -140,7 +140,8 @@ class DeltaShareMicroBatchStream(
         filters = Nil,
         options = Map("returning_batch" -> "false", "mergeSchema" -> "false"),
         hadoopConf = conf)
-    DeltaSharePartitionReaderFactory(readFunc, requiredPartitionSchema,
+    DeltaSharePartitionReaderFactory(readFunc, readFunc,
+      requiredPartitionSchema,
       new SerializableConfiguration(conf),
       PresignedUrlCache.RefreshSpec(
         addr.profile, addr.share, addr.schema, addr.table,

@@ -196,6 +196,11 @@ class DeltaShareScanBuilder(
           .filter(f => partitionFilters.forall(
             PartitionValues.evalFilter(_, f.partitionValues, partitionSchema)))
       } catch { case _: Exception => return None }
+    // a DV-bearing file's stats count DELETED rows too (numRecords,
+    // and potentially extrema sitting on deleted rows) — stats-only
+    // answers would be wrong, so refuse and fall back to reading rows
+    // (where the reader applies the DV anti-filter)
+    if (files.exists(_.deletionVector.isDefined)) return None
     val withStats = files.map(f => f -> f.stats.flatMap(FileStats.parse))
     if (!withStats.forall(_._2.exists(_.numRecords.isDefined))) return None
     // a zero-record file contributes no rows, hence no group
@@ -491,7 +496,8 @@ class DeltaShareScan(
         else f.url
       DeltaShareInputPartition(path, f.size, f.partitionValues,
         fileId = if (presigned) PresignedUrlCache.fileId(f) else "",
-        url = if (presigned) f.url else "")
+        url = if (presigned) f.url else "",
+        dv = f.deletionVector)
     }.toArray
   }
 
@@ -504,17 +510,24 @@ class DeltaShareScan(
     // requiredPartitionSchema), so passing the full partitionSchema
     // here would misalign any query projecting a subset of ≥2
     // partition columns.
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      sparkSession = spark,
-      dataSchema = dataSchema,
-      partitionSchema = requiredPartitionSchema,
-      requiredSchema = requiredDataSchema,
-      filters = dataFilters.toSeq,
-      options = Map(
-        "returning_batch" -> "false",
-        "mergeSchema" -> "false"),
-      hadoopConf = hadoopConf)
-    DeltaSharePartitionReaderFactory(readFunc, requiredPartitionSchema,
+    def buildRead(filters: Seq[Filter]) =
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = dataSchema,
+        partitionSchema = requiredPartitionSchema,
+        requiredSchema = requiredDataSchema,
+        filters = filters,
+        options = Map(
+          "returning_batch" -> "false",
+          "mergeSchema" -> "false"),
+        hadoopConf = hadoopConf)
+    // DV-bearing files read with NO parquet-level filters: row-group /
+    // page skipping would break the physical row-index correspondence
+    // the anti-filter depends on. Safe because every data filter is a
+    // RESIDUAL (pushFilters) that Spark re-applies above the scan —
+    // only the pushdown optimization is lost, and only for DV files.
+    DeltaSharePartitionReaderFactory(buildRead(dataFilters.toSeq),
+      buildRead(Nil), requiredPartitionSchema,
       new SerializableConfiguration(hadoopConf), refreshSpec)
   }
 }
@@ -527,10 +540,16 @@ final case class DeltaShareInputPartition(
     url: String,
     /** CDF scans: this file carries a per-row `_change_type` column
       * (see [[DeltaShareChangesScan]]); always false for batch scans. */
-    isCdf: Boolean = false) extends InputPartition
+    isCdf: Boolean = false,
+    /** Deletion-vector descriptor for THIS file, when present: the
+      * reader fetches + decodes it task-side and anti-filters by
+      * physical row index. */
+    dv: Option[graft.sources.DeletionVectors.Descriptor] = None)
+  extends InputPartition
 
 final case class DeltaSharePartitionReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
+    readFuncUnfiltered: PartitionedFile => Iterator[InternalRow],
     partitionSchema: StructType,
     conf: SerializableConfiguration,
     refreshSpec: PresignedUrlCache.RefreshSpec) extends PartitionReaderFactory {
@@ -556,11 +575,28 @@ final case class DeltaSharePartitionReaderFactory(
     // the parquet closure may emit ColumnarBatch disguised as
     // InternalRow (vectorized path); flatten to rows for DSv2
     import scala.jdk.CollectionConverters._
-    val rows: Iterator[InternalRow] =
-      readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+    val read = if (p.dv.isDefined) readFuncUnfiltered else readFunc
+    val raw: Iterator[InternalRow] =
+      read(pf).asInstanceOf[Iterator[Any]].flatMap {
         case b: ColumnarBatch => b.rowIterator().asScala
         case row: InternalRow => Iterator.single(row)
       }
+    // deletion-vector application: the partition is one WHOLE file
+    // read in physical order with no parquet-level skipping, so the
+    // iterator position IS the file row index — a merge-walk against
+    // the decoded ascending positions drops exactly the deleted rows
+    val rows: Iterator[InternalRow] = p.dv match {
+      case None => raw
+      case Some(dv) =>
+        val deleted = graft.sources.DeletionVectors.positions(dv)
+        var pos = -1L
+        var di = 0
+        raw.filter { _ =>
+          pos += 1
+          while (di < deleted.length && deleted(di) < pos) di += 1
+          !(di < deleted.length && deleted(di) == pos)
+        }
+    }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

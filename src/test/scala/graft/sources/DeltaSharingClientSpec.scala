@@ -44,7 +44,7 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("capabilities and auth headers are sent") {
     client.listShares()
     assert(server.lastHeaders("delta-sharing-capabilities") ==
-      "responseformat=parquet,delta")
+      "responseformat=parquet,delta;readerfeatures=deletionvectors")
     assert(server.lastHeaders("authorization") == "Bearer tok")
   }
 
@@ -125,11 +125,13 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.status == 401 && e.getMessage.contains("unauthorized"))
   }
 
-  test("deletion-vector tables are refused loudly, per signal kind") {
-    // a DV-bearing table read through a parquet-responseformat client
-    // would silently include DELETED rows (both this client and the
-    // reference force responseformat=parquet); the guard must trip on
-    // every independent signal the protocol can carry
+  test("unreadable deletion-vector shapes are refused loudly, per signal") {
+    // snapshot reads APPLY supported descriptors (inline/URL — see
+    // DeletionVectorSpec); what must still refuse is (a) a descriptor
+    // this client cannot decode (relative-path 'u' needs a table
+    // root) and (b) a PARQUET-responseformat response for a table
+    // whose protocol/config signals DVs — that format cannot carry
+    // descriptors, so deleted rows would come back live
     val schema = lineitemSchemaJson
     for (signal <- Seq("feature", "config", "file")) {
       server.tables += ("dvtable" -> ((schema, Seq.empty,
@@ -139,15 +141,16 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         val q = intercept[DeltaSharingException] {
           client.queryTable("share1", "schema1", "dvtable")
         }
-        assert(q.getMessage.contains("deletion vectors"),
+        if (signal == "file") {
+          assert(q.getMessage.contains("storageType 'u'"),
+            s"signal=$signal: ${q.getMessage}")
+        } else assert(q.getMessage.contains("deletion vectors"),
           s"signal=$signal: ${q.getMessage}")
         assert(q.getMessage.contains("deleted rows"))
-        if (signal != "file") { // metadata carries no file actions
-          val m = intercept[DeltaSharingException] {
-            client.queryTableMetadata("share1", "schema1", "dvtable")
-          }
-          assert(m.getMessage.contains("deletion vectors"))
-        }
+        // metadata answers SCHEMA, correct for DV tables too — the
+        // scan needs it before /query decides readability
+        assert(client.queryTableMetadata("share1", "schema1", "dvtable")
+          .schemaString.nonEmpty)
       } finally {
         server.deletionVectorTables = Map.empty
         server.tables -= "dvtable"
@@ -185,17 +188,17 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("deletion vector nested in deltaSingleAction.add trips the guard") {
+  test("unsupported deletion vector nested in deltaSingleAction.add refuses") {
     val schema = lineitemSchemaJson
     server.tables += ("dvd" -> ((schema, Seq.empty,
       Seq(("file:///tmp/z.parquet", 1L, Map.empty[String, String])))))
     server.deltaFormatTables = Set("dvd")
-    server.deletionVectorTables = Map("dvd" -> "file")
+    server.deletionVectorTables = Map("dvd" -> "file") // storageType 'u'
     try {
       val e = intercept[DeltaSharingException] {
         client.queryTable("share1", "schema1", "dvd")
       }
-      assert(e.getMessage.contains("deletion vectors"))
+      assert(e.getMessage.contains("storageType 'u'"))
       assert(e.getMessage.contains("deleted rows"))
     } finally {
       server.deltaFormatTables = Set.empty

@@ -101,11 +101,11 @@ class ProtocolConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.listShares()
     assert(server.lastHeaders("authorization") == "Bearer tok")
     assert(server.lastHeaders("delta-sharing-capabilities") ==
-      "responseformat=parquet,delta")
+      "responseformat=parquet,delta;readerfeatures=deletionvectors")
     client.queryTable("share1", "schema1", "lineitem")
     assert(server.lastHeaders("authorization") == "Bearer tok")
     assert(server.lastHeaders("delta-sharing-capabilities") ==
-      "responseformat=parquet,delta")
+      "responseformat=parquet,delta;readerfeatures=deletionvectors")
     assert(server.lastHeaders("content-type") == "application/json")
   }
 
