@@ -122,7 +122,32 @@ object ShareQueries {
         "lineitem_dv" -> ((li.schema.json, Seq.empty[String],
           Seq((dvFile.toUri.toString, java.nio.file.Files.size(dvFile),
             Map.empty[String, String])))))
-      server.deltaFormatTables = Set("lineitem_dv")
+      // `lineitem_cm`: the same rows with PHYSICAL col-<i>x parquet
+      // column names and a LOGICAL schema mapped via field metadata —
+      // column-mapping reads through the oracle gate (the oracle sees
+      // the original logical table, so any physical→logical mix-up
+      // fails the compare)
+      val cmDir = java.nio.file.Files.createTempDirectory("graft-share-cm")
+      val physNames = li.schema.fields.indices.map(i => s"col-${i}x")
+      li.toDF(physNames: _*).coalesce(1).write.mode("overwrite")
+        .parquet(cmDir.resolve("data").toString)
+      var cmFile: java.nio.file.Path = null
+      graft.sources.testing.DirWalk.eachChild(cmDir.resolve("data"))(f =>
+        if (f.getFileName.toString.endsWith(".parquet")) cmFile = f)
+      val cmSchema = org.apache.spark.sql.types.StructType(
+        li.schema.fields.zipWithIndex.map { case (f, i) =>
+          org.apache.spark.sql.types.StructField(f.name, f.dataType,
+            f.nullable, new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("delta.columnMapping.physicalName", s"col-${i}x")
+              .putLong("delta.columnMapping.id", i + 1L).build())
+        })
+      server.tables += ("lineitem_cm" -> ((cmSchema.json,
+        Seq.empty[String],
+        Seq((cmFile.toUri.toString, java.nio.file.Files.size(cmFile),
+          Map.empty[String, String])))))
+      server.deltaFormatTables = Set("lineitem_dv", "lineitem_cm")
+      server.tableConfig = Map("lineitem_cm" ->
+        Map("delta.columnMapping.mode" -> "name"))
       server.fileDeletionVectors = Map(dvFile.toUri.toString -> dvDesc)
       server.fileStats = statsB.result()
       // versioned change feed over the lineitem4 part files: v1 adds
@@ -276,6 +301,16 @@ object ShareQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
     },
+    // column-mapping read through the oracle gate: parquet stores
+    // col-<i>x physical names, the logical schema maps them in field
+    // metadata — projection, a data filter, and the compare against
+    // the ORIGINAL logical table prove the rename round-trip
+    "share_cm_read" -> { (s, d) =>
+      sharedTable(s, d, "lineitem_cm")
+        .filter(col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     "share_list_tables" -> { (s, d) =>
       import graft.sources.{DeltaShare, DeltaSharingProfile}
       s.conf.set(DeltaSharingProfile.EndpointConf, ensure(s, d))
@@ -313,6 +348,12 @@ object ShareQueries {
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem
       WHERE l_orderkey <= 64 AND l_quantity >= 30
+      ORDER BY l_orderkey, l_linenumber""",
+    // lineitem_cm = lineitem under physical names; oracle reads logical
+    "share_cm_read" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem
+      WHERE l_returnflag = 'A'
       ORDER BY l_orderkey, l_linenumber""",
     // lineitem_dv = lineitem minus the DV'd rows (l_orderkey % 7 = 0)
     "share_dv_read" -> """
@@ -376,7 +417,8 @@ object ShareQueries {
       FROM (VALUES ('share1'), ('share2'), ('share3')) AS s(share_name)
       CROSS JOIN (VALUES ('schema1')) AS c(schema_name)
       CROSS JOIN (VALUES ('documents'), ('lineitem'), ('lineitem4'),
-        ('lineitem_flag')) AS n(table_name)
+        ('lineitem_cm'), ('lineitem_dv'), ('lineitem_flag'))
+        AS n(table_name)
       ORDER BY share_name, schema_name, table_name"""
   )
 }

@@ -66,7 +66,7 @@ class DeltaSharingClient(
       .timeout(requestTimeout)
       .header("Authorization", s"Bearer ${profile.bearerToken}")
       .header("delta-sharing-capabilities",
-        "responseformat=parquet,delta;readerfeatures=deletionvectors")
+        "responseformat=parquet,delta;readerfeatures=deletionvectors,columnmapping")
     val req = method match {
       case "GET" => b.GET().build()
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
@@ -315,7 +315,10 @@ class DeltaSharingClient(
           "has). Refusing rather than silently including deleted rows.")
     if (!files.exists(_.deletionVector.isDefined) && !isDeltaFormat)
       guardDeletionVectors(meta, Nil, s"query of $share.$schema.$table")
-    TableFiles(meta, files)
+    // column mapping: translate the physical-keyed side channels
+    // (partitionValues, stats keys) to logical once, centrally — the
+    // entire pruning/stats/scan stack above stays logical-only
+    TableFiles(meta, ColumnMapping.remapFiles(meta, files))
   }
 
   /** Parse a `deletionVector` descriptor off an add/file node. */

@@ -62,6 +62,10 @@ class StubSharingServer(
     * fixture. */
   @volatile var fileDeletionVectors: Map[String, String] = Map.empty
 
+  /** Extra table `configuration` entries merged into metaData (e.g.
+    * `delta.columnMapping.mode`). */
+  @volatile var tableConfig: Map[String, Map[String, String]] = Map.empty
+
   /** Tables answered in DELTA responseformat: protocol/metaData
     * payloads nested under `deltaProtocol`/`deltaMetadata`, file
     * lines wrapping an `add` action under `deltaSingleAction` with
@@ -135,9 +139,12 @@ class StubSharingServer(
     val (schemaString, partCols, _) = tables(name)
     val esc = schemaString.replace("\\", "\\\\").replace("\"", "\\\"")
     val dv = deletionVectorTables.get(name)
+    val extra = tableConfig.getOrElse(name, Map.empty)
+      .map { case (k, v) => s""","$k":"$v"""" }.mkString
     val config =
-      if (dv.contains("config")) """{"k":"v","delta.enableDeletionVectors":"true"}"""
-      else """{"k":"v"}"""
+      if (dv.contains("config"))
+        s"""{"k":"v","delta.enableDeletionVectors":"true"$extra}"""
+      else s"""{"k":"v"$extra}"""
     val partJson = partCols.map(c => s""""$c"""").mkString(",")
     if (deltaFormatTables.contains(name)) {
       // delta responseformat: payloads nested one level down, table

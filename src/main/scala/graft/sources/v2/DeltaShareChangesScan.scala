@@ -51,7 +51,8 @@ class DeltaShareChangesScan(
 
   import DeltaShareChangesScan._
 
-  private val partitionCols = meta.partitionColumns
+  private val partitionCols =
+    ColumnMapping.logicalPartitionColumns(meta)
   private val partitionSchema = StructType(
     partitionCols.flatMap(c => tableSchema.fields.find(_.name == c)))
   private val dataSchema = StructType(

@@ -59,13 +59,15 @@ class DeltaShareDataSource extends TableProvider with DataSourceRegister {
     val (addr, meta) = metadataFor(options)
     val base = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
     if (addr.changes.isDefined)
-      DeltaShareChangesScan.changesSchema(base, meta.partitionColumns)
+      DeltaShareChangesScan.changesSchema(base,
+        graft.sources.ColumnMapping.logicalPartitionColumns(meta))
     else base
   }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] = {
     val (_, meta) = metadataFor(options)
-    meta.partitionColumns.map(Expressions.identity).toArray
+    graft.sources.ColumnMapping.logicalPartitionColumns(meta)
+      .map(Expressions.identity).toArray
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -181,7 +183,8 @@ class DeltaShareTable(addr: TableAddress, meta: TableMetadata,
   override def name(): String = s"${addr.share}.${addr.schema}.${addr.table}"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    meta.partitionColumns.map(Expressions.identity).toArray
+    graft.sources.ColumnMapping.logicalPartitionColumns(meta)
+      .map(Expressions.identity).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def properties(): util.Map[String, String] =

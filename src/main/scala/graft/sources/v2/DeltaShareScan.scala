@@ -52,9 +52,11 @@ class DeltaShareScanBuilder(
   with SupportsPushDownLimit
   with SupportsPushDownAggregates {
 
-  private val partitionCols = meta.partitionColumns.toSet
+  private val partitionCols =
+    ColumnMapping.logicalPartitionColumns(meta).toSet
   private val partitionSchema = StructType(
-    meta.partitionColumns.flatMap(c => tableSchema.fields.find(_.name == c)))
+    ColumnMapping.logicalPartitionColumns(meta)
+      .flatMap(c => tableSchema.fields.find(_.name == c)))
   private val dataSchema = StructType(
     tableSchema.fields.filterNot(f => partitionCols.contains(f.name)))
 
@@ -510,13 +512,25 @@ class DeltaShareScan(
     // requiredPartitionSchema), so passing the full partitionSchema
     // here would misalign any query projecting a subset of ≥2
     // partition columns.
+    // column mapping: hand the parquet reader PHYSICAL column names
+    // (renamed positionally from the logical schemas, mapping taken
+    // from the TABLE schema's field metadata) — InternalRows are
+    // positional, so logical names re-attach for free above the
+    // reader. Parquet-level filter pushdown is skipped for mapped
+    // tables (logical filter names would not match physical columns);
+    // data filters are residuals Spark re-applies, so only the
+    // row-group-skip optimization is lost.
+    val mapped = ColumnMapping.mode(meta).isDefined
+    def phys(schema: StructType): StructType =
+      if (mapped) ColumnMapping.toPhysical(schema,
+        StructType(dataSchema.fields)) else schema
     def buildRead(filters: Seq[Filter]) =
       new ParquetFileFormat().buildReaderWithPartitionValues(
         sparkSession = spark,
-        dataSchema = dataSchema,
+        dataSchema = phys(dataSchema),
         partitionSchema = requiredPartitionSchema,
-        requiredSchema = requiredDataSchema,
-        filters = filters,
+        requiredSchema = phys(requiredDataSchema),
+        filters = if (mapped) Nil else filters,
         options = Map(
           "returning_batch" -> "false",
           "mergeSchema" -> "false"),

@@ -7,7 +7,7 @@ object GenQueriesDoc {
   def main(args: Array[String]): Unit = {
     val groups = Seq(
       ("Aggregation & grouping", "q01|q06|q09|q10|q11|q12|q22|q34|q35|q36|q38|q47|q55|q56|q69|st5"),
-      ("Filters & scans", "q02|share_scan|share_pipeline|share_stats|share_agg|share_list|share_changes|share_dv"),
+      ("Filters & scans", "q02|share_scan|share_pipeline|share_stats|share_agg|share_list|share_changes|share_dv|share_cm"),
       ("Joins", "q03|q04|q05|q07|q08|q26|q27|q42|q43|q50"),
       ("Subqueries", "q23|q24|q32"),
       ("Window functions", "q13|q14|q15|q25|q37|q41|q48|q53|q63"),

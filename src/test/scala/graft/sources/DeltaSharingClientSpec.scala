@@ -44,7 +44,7 @@ class DeltaSharingClientSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("capabilities and auth headers are sent") {
     client.listShares()
     assert(server.lastHeaders("delta-sharing-capabilities") ==
-      "responseformat=parquet,delta;readerfeatures=deletionvectors")
+      "responseformat=parquet,delta;readerfeatures=deletionvectors,columnmapping")
     assert(server.lastHeaders("authorization") == "Bearer tok")
   }
 

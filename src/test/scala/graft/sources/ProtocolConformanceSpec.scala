@@ -101,11 +101,11 @@ class ProtocolConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.listShares()
     assert(server.lastHeaders("authorization") == "Bearer tok")
     assert(server.lastHeaders("delta-sharing-capabilities") ==
-      "responseformat=parquet,delta;readerfeatures=deletionvectors")
+      "responseformat=parquet,delta;readerfeatures=deletionvectors,columnmapping")
     client.queryTable("share1", "schema1", "lineitem")
     assert(server.lastHeaders("authorization") == "Bearer tok")
     assert(server.lastHeaders("delta-sharing-capabilities") ==
-      "responseformat=parquet,delta;readerfeatures=deletionvectors")
+      "responseformat=parquet,delta;readerfeatures=deletionvectors,columnmapping")
     assert(server.lastHeaders("content-type") == "application/json")
   }
 
