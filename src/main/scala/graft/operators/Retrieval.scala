@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lexical retrieval — the inverted-index complement of the
+  * [[Similarity]] vector family (hybrid search runs BOTH and fuses:
+  * BM25 catches exact terminology ANN embeds away, ANN catches
+  * paraphrase BM25 can't see).
+  */
+object Retrieval {
+
+  /** BM25 top-k document retrieval (t22): classic Okapi BM25 with
+    * k₁ = 1.2, b = 0.75, in EXACT integer arithmetic.
+    *
+    * Both BM25 factors are replaced by monotone integer surrogates so
+    * the oracle compares bit-for-bit (the t09/t14 discipline — `log`
+    * is not cross-engine exact, integer `div` is):
+    *  - idf: `(2N − 2df + 1)·10⁶ div (2df + 1)` — the argument of
+    *    the classic `ln((N − df + ½)/(df + ½))` with halves cleared,
+    *    so per-term ordering is identical;
+    *  - tf saturation: `tf·(k₁+1) / (tf + k₁(1 − b + b·len/avgdl))`
+    *    with k₁ = 6/5, b = 3/4 and `avgdl = total_len/N` multiplied
+    *    through: `22·L·tf·10⁶ div (10·L·tf + 3·L + 9·len·N)` where
+    *    L = total corpus tokens — an EXACT rational, no rounded
+    *    average-length intermediate;
+    *  - term score = `idf_ppm · factor div 10⁶`, summed per
+    *    (query, doc). Intermediates run in DECIMAL(38,0) so corpus
+    *    scale cannot wrap a Long mid-product.
+    *
+    * Scale shape: ONE corpus tokenize scan builds the postings
+    * `(term fp, doc_id, tf)` via a map-side-combinable aggregation
+    * (shuffle bounded by Σ distinct terms per doc, not corpus
+    * bytes — text never leaves the scan); document frequencies are a
+    * vocabulary-sized aggregation; corpus totals are a 1-row
+    * broadcast. The QUERY side (terms + their df) is tiny and
+    * broadcasts onto the postings — the corpus-sized side never
+    * re-shuffles for scoring; per-(query, doc) partial aggregation
+    * collapses before the exchange, and top-k is a per-query-key
+    * window over ≤ nq partitions' worth of matched docs.
+    *
+    * Output: `(query_id, rank, doc_id, score_ppm, n_terms_hit)`,
+    * rank ≤ k, ties by doc_id. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.hashFunctions.gram_fps
+    // postings + doc lengths from ONE staged tokenize (gram_fps is a
+    // HOF-adjacent expression — stage it so it runs once per row)
+    val staged = docs
+      .select(col("doc_id"), gram_fps(col("text"), 1).as("fps"))
+      .localCheckpoint(eager = false) // feeds postings AND lengths
+    val postings = staged
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp", "doc_id").agg(count(lit(1)).as("tf"))
+    val lens = staged.select(col("doc_id"),
+      size(col("fps")).cast("long").as("len"))
+    val totals = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_len"))
+    val dfreq = postings.groupBy("fp").agg(count(lit(1)).as("df"))
+    // query terms (distinct per query) + idf, all on the tiny side
+    val qterms = queries
+      .select(col("query_id"),
+        explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+      .join(dfreq, Seq("fp")) // unseen terms score nothing anyway
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col("fp"),
+        expr("(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)")
+          .as("idf_ppm"),
+        col("n_docs"), col("total_len"))
+    val termScores = postings
+      .join(broadcast(qterms), Seq("fp"))
+      .join(lens, Seq("doc_id"))
+      .withColumn("factor",
+        expr("CAST(22 AS DECIMAL(38,0)) * total_len * tf * 1000000 div " +
+          "(CAST(10 AS DECIMAL(38,0)) * total_len * tf + " +
+          "3 * CAST(total_len AS DECIMAL(38,0)) + " +
+          "9 * CAST(len AS DECIMAL(38,0)) * n_docs)"))
+      .withColumn("term_score",
+        expr("CAST(idf_ppm AS DECIMAL(38,0)) * factor div 1000000"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    termScores
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("term_score").cast(DecimalType(38, 0)))
+          .cast("long").as("score_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_ppm", "n_terms_hit")
+  }
+}

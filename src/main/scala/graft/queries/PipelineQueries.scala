@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{CorpusStats, Decontaminate, Dedup, Layout, Mixture, Multimodal, Packing, Profile, Similarity, TextAnalysis, VectorStats}
+import graft.operators.{CorpusStats, Decontaminate, Dedup, Layout, Mixture, Multimodal, Packing, Profile, Retrieval, Similarity, TextAnalysis, VectorStats}
 import graft.streaming.EventStreams
 
 /** North-star pipeline queries (SURVEY.md §2.3): text analysis, the
@@ -940,6 +940,15 @@ object PipelineQueries {
       CorpusStats.sourceOverlap(documents(s, d))
         .orderBy("source_a", "source_b")
     },
+    // BM25 lexical top-10 per query (queries = the first 3 docs'
+    // texts) — exact integer Okapi surrogates, inverted-index plan
+    "t22_bm25_topk" -> { (s, d) =>
+      val all = documents(s, d)
+      Retrieval.bm25TopK(all,
+        all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")), k = 10)
+        .orderBy("query_id", "rank")
+    },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
@@ -1705,6 +1714,38 @@ object PipelineQueries {
     // distinct (source, 5-gram-fp) pairs, self-joined per gram (the
     // source dimension is dozens-sized, so the per-gram fanout is
     // bounded), then the double-floor containment ppm
+    // inverted-index BM25 twin: postings/df/lengths from the same
+    // tokens+fp chain, identical integer idf and tf-saturation
+    // surrogates (HUGEINT casts mirror the Spark DECIMAL(38,0) lane)
+    "t22_bm25_topk" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      gx AS (SELECT doc_id, len(t)::BIGINT AS len,
+          ${sqlGrams("t", 1)} AS fps FROM tk),
+      p AS (SELECT fp, doc_id, count(*)::BIGINT AS tf FROM
+          (SELECT doc_id, unnest(fps) AS fp FROM gx) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, len FROM gx),
+      nn AS (SELECT count(*)::BIGINT AS n_docs,
+          sum(len)::BIGINT AS total_len FROM dl),
+      dfq AS (SELECT fp, count(*)::BIGINT AS df FROM p GROUP BY 1),
+      qt AS (SELECT query_id, fp,
+          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
+            AS idf_ppm
+        FROM (SELECT doc_id AS query_id, unnest(list_distinct(fps)) AS fp
+              FROM gx WHERE doc_id < 3) q
+        JOIN dfq USING (fp), nn),
+      sc AS (SELECT qt.query_id, p.doc_id,
+          count(*)::BIGINT AS n_terms_hit,
+          sum(qt.idf_ppm::HUGEINT *
+              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
+               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
+                + 9::HUGEINT * dl.len * nn.n_docs))
+              // 1000000)::BIGINT AS score_ppm
+        FROM qt JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
+        GROUP BY 1, 2)
+      SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score_ppm DESC, doc_id) AS rank FROM sc)
+      WHERE rank <= 10 ORDER BY query_id, rank""",
     "t20_source_overlap" -> s"""
       WITH g AS (SELECT DISTINCT source, fp FROM
           (SELECT source, unnest(${sqlShinglesK(toks, 5)}) AS fp

@@ -2062,6 +2062,35 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       "so every one crosses the parity boundary")
   }
 
+  test("bm25: both-term docs outrank single-term docs; self-retrieval wins") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple apple orange"),
+      (2L, "banana banana kiwi"),
+      (3L, "pear pear pear pear"),
+      (4L, "apple banana cherry")).toDF("doc_id", "text")
+    val q = Seq((100L, "apple banana")).toDF("query_id", "text")
+    val rows = graft.operators.Retrieval.bm25TopK(corpus, q, k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+    // docs 0 and 4 match both terms and must outrank every
+    // single-term doc; doc 3 matches nothing and must be absent
+    val ranked = rows.sortBy(_._1).map(_._2)
+    assert(ranked.take(2).toSet == Set(0L, 4L), s"got ${ranked.toSeq}")
+    assert(!ranked.contains(3L))
+    assert(rows.forall { case (_, d, hits) =>
+      if (d == 0L || d == 4L) hits == 2 else hits == 1 })
+    // self-retrieval on the real fixture: a document used as its own
+    // query must surface in its own top-3 (exact rank 1 is NOT
+    // guaranteed — the dedup fixture plants near-copies that can
+    // legitimately outscore the original on length normalization)
+    val self = graft.operators.Retrieval.bm25TopK(docs,
+      docs.filter(col("doc_id") === 7)
+        .select(col("doc_id").as("query_id"), col("text")), k = 3)
+      .collect().map(_.getLong(2))
+    assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
+  }
+
   test("hammingPairs rejects a radius the pigeonhole cannot cover") {
     intercept[IllegalArgumentException] {
       Dedup.hammingPairs(docs.select(col("doc_id"), col("doc_id").as("sh")),

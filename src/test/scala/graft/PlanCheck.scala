@@ -131,6 +131,13 @@ object PlanCheck {
       "distinct (source, fp) combines map-side" ->
         (_.contains("partial_")),
       "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("t22_bm25_topk", Seq(
+      "postings / df / per-(query,doc) aggs combine map-side" ->
+        (_.contains("partial_")),
+      "query terms broadcast onto the postings" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian (totals are a 1-row broadcast)" ->
+        (p => !p.contains("CartesianProduct"))))
     audit("tp9_curriculum", Seq(
       // the rank must be the two-phase range-bucket shape: the
       // per-doc window partitions by (stage, range-bucket) — the
