@@ -120,4 +120,49 @@ object Tokenizer {
     }
     out.orderBy("rnd")
   }
+
+  /** Apply learned BPE merges to the corpus (t23) — the INFERENCE
+    * half of [[bpeTrain]], and the step that turns "BPE-ish token
+    * count" estimates ([[TextAnalysis.bpeTokenCount]]) into REAL
+    * tokenizer-true counts for packing/budgeting: each whitespace
+    * token char-splits into symbols ([a-z]+ words only — anything
+    * else passes through as ONE opaque symbol, the unknown-token
+    * convention), then every merge applies IN TRAINING ORDER with
+    * the trainer's own greedy left-to-right non-overlapping rewrite
+    * (the same double-space expansion, so both engines' `replace`
+    * walk the same string).
+    *
+    * The merge list is the MODEL: a few-hundred-row driver-side
+    * artifact folded into the column expression, so encoding is one
+    * pure map over the corpus — no join, no shuffle, whole-stage
+    * codegen'd; at 100 TB the encode is scan-bandwidth-bound. Rows
+    * report the per-doc rollup (`n_words`, true `n_tokens`, and the
+    * polynomial fingerprint of the full encoded symbol stream — any
+    * divergence in any symbol of any word moves the hash).
+    *
+    * Output: `(doc_id, n_words, n_tokens, enc_fp)`. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def encodeTok(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val sym0 = when(t.rlike("^[a-z]+$"),
+        trim(regexp_replace(t, "(.)", "$1 "))).otherwise(t)
+      merges.foldLeft(sym0) { case (sym, (pair, merged)) =>
+        val expanded = concat(lit(" "),
+          replace(sym, lit(" "), lit("  ")), lit(" "))
+        trim(regexp_replace(
+          replace(expanded,
+            lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + merged + " ")),
+          " +", " "))
+      }
+    }
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        transform(col("t"), encodeTok(_)).as("enc"))
+      .select(col("doc_id"),
+        size(col("enc")).cast("long").as("n_words"),
+        aggregate(col("enc"), lit(0L),
+          (a, e) => a + size(split(e, " "))).as("n_tokens"),
+        TextAnalysis.fingerprint(array_join(col("enc"), " ")).as("enc_fp"))
+  }
 }

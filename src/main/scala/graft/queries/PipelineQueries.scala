@@ -280,6 +280,16 @@ object PipelineQueries {
     // soft dedup: keep every doc, weight_ppm = 1e6 div near-dup
     // cluster size — the sampling-weight formulation of dd8's
     // clusters; corpus pass is one broadcast left join
+    // the trained merges APPLIED back to every document: per-doc real
+    // token counts + a fingerprint of the exact encoded symbol stream
+    // (the model is the 8-row merge list, folded into the map)
+    "t23_bpe_encode" -> { (s, d) =>
+      val docsDf = documents(s, d)
+      val rules = graft.operators.Tokenizer.bpeTrain(docsDf, merges = 8)
+        .orderBy("rnd").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Tokenizer.bpeEncode(docsDf, rules).orderBy("doc_id")
+    },
     "dd18_soft_dedup" -> { (s, d) =>
       Dedup.softDedupWeights(documents(s, d)).orderBy("doc_id")
     },
@@ -1083,6 +1093,18 @@ object PipelineQueries {
     * `replace` scans left-to-right over the same expansion, so every
     * round — not just the final merge list — is bit-identical. */
   private def sqlBpe(merges: Int): String = {
+    val sel = (1 to merges)
+      .map(r => s"SELECT rnd, pair, merged, cnt FROM b$r")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH ${sqlBpeCtes(merges)}
+      $sel ORDER BY rnd"""
+  }
+
+  /** The t18 training CTE chain alone (w, v0, p_r/b_r/v_r rounds) —
+    * shared by the t18 merge-list oracle and the t23 encode oracle
+    * (which applies the b_r merges back to every document). */
+  private def sqlBpeCtes(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS (SELECT list_extract(l, i) || ' ' || list_extract(l, i+1)
             AS pair, CAST(sum(freq) AS BIGINT) AS cnt
@@ -1099,19 +1121,44 @@ object PipelineQueries {
             ' +', ' ', 'g')) AS sym
           FROM v${r - 1} v, b$r b)"""
     }.mkString(",\n      ")
-    val sel = (1 to merges)
-      .map(r => s"SELECT rnd, pair, merged, cnt FROM b$r")
-      .mkString("\n      UNION ALL ")
-    s"""
-      WITH w AS (SELECT t.w AS w, count(*)::BIGINT AS freq FROM (
+    s"""w AS (SELECT t.w AS w, count(*)::BIGINT AS freq FROM (
           SELECT unnest($toks) AS w FROM documents) t
         WHERE regexp_matches(t.w, '^[a-z]+$$')
           AND len(t.w) BETWEEN 2 AND 20
         GROUP BY t.w),
       v0 AS (SELECT freq,
           trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym FROM w),
-      $rounds
-      $sel ORDER BY rnd"""
+      $rounds"""
+  }
+
+  /** t23 oracle: retrain the t18 merges, then fold every document's
+    * tokens through them in training order — the same expand/replace/
+    * collapse rewrite per merge, NULL-safe for early-exhausted
+    // training via a never-matching chr(1) sentinel.
+    */
+  private def sqlBpeEncode(merges: Int): String = {
+    val scalars = (1 to merges).map(r =>
+      s"coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b$r), chr(1)) AS p$r,\n" +
+      s"        coalesce((SELECT ' ' || merged || ' ' FROM b$r), chr(1)) AS m$r")
+      .mkString(",\n        ")
+    val fold = (1 to merges).foldLeft(
+      "(CASE WHEN regexp_matches(tok, '^[a-z]+$$') " +
+        "THEN trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) ELSE tok END)"
+    ) { (acc, r) =>
+      s"trim(regexp_replace(replace(' ' || replace($acc, ' ', '  ') || ' ', p$r, m$r), ' +', ' ', 'g'))"
+    }
+    s"""
+      WITH ${sqlBpeCtes(merges)},
+      ms AS (SELECT $scalars),
+      enc AS (SELECT d.doc_id,
+          list_transform($toks, tok -> $fold) AS enc
+        FROM documents d, ms)
+      SELECT doc_id, len(enc)::BIGINT AS n_words,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(enc, e9 -> len(string_split(e9, ' '))::BIGINT)),
+          (a9, x9) -> a9 + x9) AS n_tokens,
+        ${sqlFp("array_to_string(enc, ' ')")} AS enc_fp
+      FROM enc ORDER BY doc_id"""
   }
 
   /** Shared MinHash-LSH pair pipeline (twin of [[Dedup.minhashPairs]]
@@ -1711,6 +1758,7 @@ object PipelineQueries {
       FROM r JOIN si USING (source), n
       ORDER BY slot""",
     "t18_bpe_merges" -> sqlBpe(8),
+    "t23_bpe_encode" -> sqlBpeEncode(8),
     // distinct (source, 5-gram-fp) pairs, self-joined per gram (the
     // source dimension is dozens-sized, so the per-gram fanout is
     // bounded), then the double-floor containment ppm

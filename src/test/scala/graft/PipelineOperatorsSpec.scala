@@ -2062,6 +2062,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       "so every one crosses the parity boundary")
   }
 
+  test("bpe encode applies trained merges in order; counts are exact") {
+    import spark.implicits._
+    val d = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val rules = graft.operators.Tokenizer.bpeTrain(d, merges = 2)
+      .orderBy("rnd").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules.map(_._2) == Seq("aa", "ab"))
+    def enc(rs: Seq[(String, String)]) = graft.operators.Tokenizer
+      .bpeEncode(d, rs).collect()(0)
+    val full = enc(rules)
+    assert(full.getLong(1) == 3L && full.getLong(2) == 3L,
+      "both merges: every word one symbol")
+    assert(enc(rules.take(1)).getLong(2) == 4L,
+      "first merge only: ab stays two symbols")
+    assert(enc(Nil).getLong(2) == 6L, "no merges: raw characters")
+    // non-alpha tokens pass through as ONE opaque symbol
+    val mixed = Seq((1L, "aa 123 a-b")).toDF("doc_id", "text")
+    val m = graft.operators.Tokenizer.bpeEncode(mixed, rules).collect()(0)
+    assert(m.getLong(1) == 3L && m.getLong(2) == 3L) // aa, 123, a-b: 1 each
+  }
+
   test("bm25: both-term docs outrank single-term docs; self-retrieval wins") {
     import spark.implicits._
     val corpus = Seq(

@@ -138,6 +138,11 @@ object PlanCheck {
         (_.contains("BroadcastHashJoin")),
       "no cartesian (totals are a 1-row broadcast)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("t23_bpe_encode", Seq(
+      "pure map: no join anywhere (the merge list is a literal)" ->
+        (p => !p.contains("Join")),
+      "single corpus scan" ->
+        (p => "Scan parquet".r.findAllIn(p).size == 1)))
     audit("tp9_curriculum", Seq(
       // the rank must be the two-phase range-bucket shape: the
       // per-doc window partitions by (stage, range-bucket) — the
