@@ -585,4 +585,60 @@ object VectorStats {
             v => floor(v * lit(127.0) / col("scale") + lit(0.5))
               .cast("int")))
           .otherwise(transform(col("emb"), _ => lit(0))).as("q"))
+
+  /** Matryoshka truncation recall (ve12): recall@k of brute cosine
+    * retrieval over PREFIX-truncated embeddings vs the full-dimension
+    * truth — the QA every MRL-style embedding deployment runs before
+    * serving a cheaper prefix (Kusupati et al. 2022: if the encoder
+    * was trained matryoshka, small prefixes keep most recall; if it
+    * was NOT, this report is how you find out before the index ships
+    * at a quarter of the memory and recall quietly craters).
+    *
+    * One |corpus|×|queries| pair frame (queries broadcast — the
+    * ss12 brute-truth pattern, a MEASUREMENT tool, never a serving
+    * path) is checkpointed once and re-scored per truncation: the
+    * prefix dot is the prefix of the full fixed-order fold
+    * (`dot(a[1:d], b[1:d])`), so every score is engine-exact and no
+    * extra corpus scan exists per dims entry. The full-dimension row
+    * is the truth compared against itself — its recall MUST be 1000,
+    * which pins the machinery (GuardrailsSpec asserts it).
+    *
+    * Output: `(dims, n_truth, n_hits, recall_x1000)`, one row per
+    * truncation. */
+  def mrlRecall(corpus: DataFrame, queries: DataFrame,
+      dims: Seq[Int] = Seq(16, 32, 64), k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Similarity.dot
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .localCheckpoint(eager = false) // re-scored per truncation
+    def topk(d: Int): DataFrame = {
+      val qa = slice(col("q_emb"), 1, d)
+      val ca = slice(col("c_emb"), 1, d)
+      pairs
+        .withColumn("s",
+          dot(qa, ca) / (sqrt(dot(qa, qa)) * sqrt(dot(ca, ca))))
+        .withColumn("rank", row_number().over(Window
+          .partitionBy("query_id")
+          .orderBy(col("s").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val full = corpus.select(size(col("embedding"))).head.getInt(0)
+    val truth = topk(full).localCheckpoint(eager = false)
+    val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    dims.sorted.map { d =>
+      require(d >= 1 && d <= full, s"dims $d outside 1..$full")
+      truth.join(topk(d), Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(nTruth)
+        .select(lit(d.toLong).as("dims"), col("n_truth"), col("n_hits"),
+          expr("CASE WHEN n_truth = 0 THEN 0L " +
+            "ELSE n_hits * 1000 div n_truth END").as("recall_x1000"))
+    }.reduce(_ unionAll _).orderBy("dims")
+  }
 }

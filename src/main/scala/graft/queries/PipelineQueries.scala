@@ -642,6 +642,13 @@ object PipelineQueries {
     // per-vector norm-preservation QA — the map-side dimension
     // reduction run before expensive indexing; rows are
     // (vec_id, dim, coord, norm_ratio_ppm) so the compare is flat
+    // Matryoshka truncation recall: brute cosine top-5 over 16/32/64
+    // prefix dims vs the full-dim truth (full-dim row pins 1000)
+    "ve12_mrl_recall" -> { (s, d) =>
+      val e = embeddings(s, d)
+      VectorStats.mrlRecall(e, e.filter(col("vec_id") < 3),
+        dims = Seq(16, 32, 64), k = 5)
+    },
     "ve10_jl_project" -> { (s, d) =>
       VectorStats.jlProject(embeddings(s, d), outDims = 16)
         .select(col("vec_id"),
@@ -2645,6 +2652,43 @@ object PipelineQueries {
           (SELECT count(*) FROM dott JOIN mipsk
             USING (query_id, neighbor_id)))
       ORDER BY method""",
+    // per-truncation brute cosine over prefix slices, identical
+    // fixed-order folds; truth = the full 64-dim ranking
+    "ve12_mrl_recall" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      ${Seq(16, 32, 64).map { d =>
+        s"""s$d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ${sqlDot(s"q.embedding[1:$d]", s"c.embedding[1:$d]")} /
+          (sqrt(${sqlDot(s"q.embedding[1:$d]", s"q.embedding[1:$d]")}) *
+           sqrt(${sqlDot(s"c.embedding[1:$d]", s"c.embedding[1:$d]")}))
+            AS s
+        FROM e c, e q WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id),
+      t$d AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY s DESC, neighbor_id ASC) AS rank FROM s$d)
+        WHERE rank <= 5)"""
+      }.mkString(",\n      ")}
+      SELECT d.dims, (SELECT count(*) FROM t64)::BIGINT AS n_truth,
+        CASE d.dims
+          WHEN 16 THEN (SELECT count(*) FROM t64 JOIN t16
+            USING (query_id, neighbor_id))
+          WHEN 32 THEN (SELECT count(*) FROM t64 JOIN t32
+            USING (query_id, neighbor_id))
+          ELSE (SELECT count(*) FROM t64 t JOIN t64 u
+            USING (query_id, neighbor_id))
+        END::BIGINT AS n_hits,
+        CASE WHEN (SELECT count(*) FROM t64) = 0 THEN 0
+          ELSE (CASE d.dims
+            WHEN 16 THEN (SELECT count(*) FROM t64 JOIN t16
+              USING (query_id, neighbor_id))
+            WHEN 32 THEN (SELECT count(*) FROM t64 JOIN t32
+              USING (query_id, neighbor_id))
+            ELSE (SELECT count(*) FROM t64 t JOIN t64 u
+              USING (query_id, neighbor_id))
+          END) * 1000 // (SELECT count(*) FROM t64)
+        END::BIGINT AS recall_x1000
+      FROM (VALUES (16::BIGINT), (32::BIGINT), (64::BIGINT)) AS d(dims)
+      ORDER BY d.dims""",
     "ve10_jl_project" -> s"""
       WITH e AS (SELECT vec_id,
           list_transform(embedding, x8 -> x8::DOUBLE) AS xd

@@ -104,6 +104,15 @@ class GuardrailsSpec extends AnyFunSuite {
       s"rerank ${report("pq_rerank")} < pq ${report("pq")}")
   }
 
+  test("mrl recall: the full-dim row is the truth vs itself — 1000 exactly") {
+    val rows = graft.operators.VectorStats.mrlRecall(
+      embs, embs.filter(col("vec_id") < 3), dims = Seq(16, 64), k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(rows(64L)._2 == 1000L, "full-dim recall must be perfect")
+    assert(rows(16L)._1 == 15L, "truth is k*queries")
+    assert(rows(16L)._2 <= 1000L)
+  }
+
   test("dd5's LSH routing never invents pairs and scores match brute exactly") {
     val brute = Similarity.cosinePairs(embs, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
