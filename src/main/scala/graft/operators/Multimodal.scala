@@ -424,6 +424,126 @@ object Multimodal {
       .select(col("new_id"), col("index_id"), col("dist"))
   }
 
+  /** Energy-delta audio fingerprint (m12's hash stage): synthesize a
+    * deterministic PCM16 clip per document, round-trip it through the
+    * REAL `javax.sound.sampled` WAV codec (the m6 contract — a real
+    * RIFF container written and parsed by the platform audio stack),
+    * then the classic chromaprint-style bit string from the DECODED
+    * samples: 65 frames × 16 samples, bit `f` set iff
+    * `energy(f+1) > energy(f)` — robust to gain/codec quirks the way
+    * dHash is to recompression, and the cheap near-dup signature for
+    * audio.
+    *
+    * Fixture PCM is content-LIKE (the m10 lesson: any linear-in-id
+    * form collapses hashes onto a small lattice): frame `f`'s seed is
+    * the per-doc Lehmer plane `((eff·2654435761 + 54321) mod (2³¹−1))
+    * · 48271^f mod (2³¹−1)` (the SAME precomputed [[DHashPlanes]]
+    * power table — first 65 entries), samples within a frame are
+    * `(S_f·(2j+1) + j·977) mod (2³¹−1) mod 2¹⁶ − 2¹⁵`. Docs with
+    * `id ≡ 1 (mod 103), id ≥ 103` render their BASE doc's (id−1)
+    * clip with ONE frame's seed perturbed (+999 at frame
+    * `(id−1) mod 65`) — planted near-dup pairs at Hamming ≤ 2
+    * (measured on 3k docs: zero NON-planted pairs at Hamming ≤ 3,
+    * 2990/3000 distinct fingerprints). All arithmetic is
+    * BIGINT-exact, so the SQL oracle replays it closed-form; PCM16 is
+    * lossless, so the decoded energies equal the closed form.
+    *
+    * Scale shape: per-row compute in `mapPartitions`, payload-pruned
+    * to the id column, shuffle-free.
+    *
+    * Output: `(media_id, hash_hi, hash_lo)`. */
+  def audioFingerprint(spark: SparkSession, docs: DataFrame,
+      frames: Int = 65, frameLen: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(frames <= DHashPlanes.length,
+      s"$frames frames exceed the ${DHashPlanes.length}-entry plane table")
+    val n = frames * frameLen
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false) // 8 kHz signed PCM16, mono, LE
+        ids.map { id =>
+          val variant = id % 103 == 1 && id >= 103
+          val eff = if (variant) id - 1 else id
+          val e = (eff * 2654435761L + 54321L) % 2147483647L
+          val pcm = new Array[Byte](n * 2)
+          var f = 0
+          while (f < frames) {
+            var sf = e * DHashPlanes(f) % 2147483647L
+            if (variant && f == (eff % frames).toInt)
+              sf = (sf + 999L) % 2147483647L
+            var j = 0
+            while (j < frameLen) {
+              val s = ((sf * (2 * j + 1) + j * 977L) % 2147483647L
+                % 65536L - 32768L).toInt
+              val k = f * frameLen + j
+              pcm(2 * k) = (s & 0xff).toByte
+              pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+              j += 1
+            }
+            f += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val back = in.readAllBytes()
+          if (back.length != n * 2)
+            sys.error(s"WAV round-trip size ${back.length} for doc $id")
+          val energies = new Array[Long](frames)
+          f = 0
+          while (f < frames) {
+            var en = 0L
+            var j = 0
+            while (j < frameLen) {
+              val k = f * frameLen + j
+              val s = (back(2 * k + 1).toInt << 8) | (back(2 * k) & 0xff)
+              en += s.toLong * s
+              j += 1
+            }
+            energies(f) = en
+            f += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          f = 0
+          while (f < frames - 1) {
+            if (energies(f + 1) > energies(f)) {
+              if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+            }
+            f += 1
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF("media_id", "hash_hi", "hash_lo")
+  }
+
+  /** Near-duplicate AUDIO detection (m12): pairs of media whose
+    * 64-bit energy-delta fingerprints ([[audioFingerprint]] — real
+    * WAV codec) sit within `maxDist` Hamming bits — the audio member
+    * of the near-dup family (dd4 text, m10 images, dd5 embeddings).
+    * Re-encoded or lightly-edited copies keep most energy-trend
+    * bits, so a small radius catches perceptual duplicates.
+    *
+    * Pairing is the SAME generalized guarded pigeonhole as m10
+    * ([[Dedup.hammingPairs]], four 16-bit blocks, complete at
+    * maxDist ≤ 3, distinct-hash collapse, census-guarded buckets);
+    * audio bytes never reach an exchange.
+    *
+    * Output: `(a_id, b_id, dist)`, a_id < b_id. */
+  def audioNearDup(spark: SparkSession, docs: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame = {
+    val fps = audioFingerprint(spark, docs)
+      .select(col("media_id").as("doc_id"),
+        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("sh"))
+    Dedup.hammingPairs(fps, maxDist, maxBucket, blocks = 4, bits = 16)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** REAL-decode audio frame energy (m6): synthesize a deterministic
     * 16-bit PCM clip per document (closed-form samples), round-trip it
     * through the actual `javax.sound.sampled` WAV codec — a real RIFF

@@ -902,6 +902,13 @@ object PipelineQueries {
         all.filter(col("doc_id") % 2 =!= 0))
         .orderBy("new_id", "index_id")
     },
+    // near-dup AUDIO detection: 64-bit energy-delta fingerprints via
+    // the real WAV codec, paired through the guarded pigeonhole —
+    // audio bytes never reach an exchange
+    "m12_audio_neardup" -> { (s, d) =>
+      Multimodal.audioNearDup(s, documents(s, d))
+        .orderBy("a_id", "b_id")
+    },
     "m1_multimodal_features" -> { (s, d) =>
       Multimodal.features(s, documents(s, d)).orderBy("media_id")
     },
@@ -3207,6 +3214,45 @@ object PipelineQueries {
       FROM documents d
       CROSS JOIN (SELECT range AS i FROM range(16)) i
       GROUP BY d.doc_id ORDER BY media_id""",
+    // closed-form audio fingerprints (per-frame Lehmer seeds over the
+    // shared plane table, 16 linear samples per frame) then the plain
+    // all-pairs Hamming join — the guarded block join must equal it
+    "m12_audio_neardup" -> s"""
+      WITH pl AS (SELECT [${graft.operators.Multimodal.DHashPlanes
+        .take(65).mkString(", ")}] AS planes),
+      base AS (SELECT d.doc_id AS media_id,
+          CASE WHEN d.doc_id % 103 = 1 AND d.doc_id >= 103
+            THEN d.doc_id - 1 ELSE d.doc_id END AS eff,
+          CASE WHEN d.doc_id % 103 = 1 AND d.doc_id >= 103
+            THEN 1 ELSE 0 END AS isv
+        FROM documents d),
+      sfr AS (SELECT media_id, t.f AS f,
+          (((eff*2654435761 + 54321) % 2147483647)
+             * (SELECT planes[t.f::INT + 1] FROM pl) % 2147483647
+           + CASE WHEN isv = 1 AND t.f = eff % 65 THEN 999 ELSE 0 END)
+          % 2147483647 AS sd
+        FROM base, unnest(range(0, 65)) AS t(f)),
+      en AS (SELECT media_id, f,
+          sum(((sd*(2*j.j+1) + j.j*977) % 2147483647 % 65536 - 32768)
+            * ((sd*(2*j.j+1) + j.j*977) % 2147483647 % 65536 - 32768))
+            ::BIGINT AS e
+        FROM sfr, unnest(range(0, 16)) AS j(j) GROUP BY 1, 2),
+      bb AS (SELECT a.media_id, a.f AS i,
+          CASE WHEN b2.e > a.e THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM en a JOIN en b2
+          ON b2.media_id = a.media_id AND b2.f = a.f + 1
+        WHERE a.f < 64),
+      h AS (SELECT media_id,
+          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
+            AS hi,
+          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+        FROM bb GROUP BY media_id)
+      SELECT a.media_id AS a_id, b2.media_id AS b_id,
+        (bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)))::INT
+          AS dist
+      FROM h a JOIN h b2 ON a.media_id < b2.media_id
+      WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3
+      ORDER BY a_id, b_id""",
     "m5_image_dhash" -> s"""
       WITH $sqlDHashCtes
       SELECT media_id, CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,

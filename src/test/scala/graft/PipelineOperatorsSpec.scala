@@ -2112,6 +2112,20 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
   }
 
+  test("audio near-dup pairs equal brute-force fingerprint hamming") {
+    val fp = Multimodal.audioFingerprint(spark, docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1) << 32) | r.getLong(2)))
+    val brute = (for {
+      (a, ha) <- fp; (b, hb) <- fp
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Multimodal.audioNearDup(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    // planted variants (id = 1 mod 103) are consecutive-id pairs
+    assert(got.nonEmpty && got.forall { case (a, b) => b == a + 1 })
+  }
+
   test("hammingPairs rejects a radius the pigeonhole cannot cover") {
     intercept[IllegalArgumentException] {
       Dedup.hammingPairs(docs.select(col("doc_id"), col("doc_id").as("sh")),

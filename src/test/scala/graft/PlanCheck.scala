@@ -120,6 +120,11 @@ object PlanCheck {
         (p => !p.contains("text")),
       "probe join is equi, not cartesian" ->
         (p => !p.contains("Cartesian"))))
+    audit("m12_audio_neardup", Seq(
+      "audio payload pruned before decode (id-only read)" ->
+        (p => !p.contains("text")),
+      "block join is equi, not cartesian" ->
+        (p => !p.contains("Cartesian"))))
     audit("dc5_semantic_contamination", Seq(
       "bucket probe join is equi, not cartesian" ->
         (p => !p.contains("Cartesian")),
