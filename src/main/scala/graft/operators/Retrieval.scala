@@ -49,14 +49,17 @@ object Retrieval {
     // HOF-adjacent expression — stage it so it runs once per row)
     val staged = docs
       .select(col("doc_id"), gram_fps(col("text"), 1).as("fps"))
-      .localCheckpoint(eager = false) // feeds postings AND lengths
+      .localCheckpoint(eager = false) // feeds postings AND totals
+    // doc length rides INSIDE the postings group key (functionally
+    // dependent on doc_id) — scoring then needs no second corpus-
+    // keyed join to re-attach lengths
     val postings = staged
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .groupBy("fp", "doc_id").agg(count(lit(1)).as("tf"))
-    val lens = staged.select(col("doc_id"),
-      size(col("fps")).cast("long").as("len"))
-    val totals = lens.agg(count(lit(1)).as("n_docs"),
-      sum("len").as("total_len"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("len"),
+        explode(col("fps")).as("fp"))
+      .groupBy("fp", "doc_id", "len").agg(count(lit(1)).as("tf"))
+    val totals = staged
+      .select(size(col("fps")).cast("long").as("l"))
+      .agg(count(lit(1)).as("n_docs"), sum("l").as("total_len"))
     val dfreq = postings.groupBy("fp").agg(count(lit(1)).as("df"))
     // query terms (distinct per query) + idf, all on the tiny side
     val qterms = queries
@@ -70,7 +73,6 @@ object Retrieval {
         col("n_docs"), col("total_len"))
     val termScores = postings
       .join(broadcast(qterms), Seq("fp"))
-      .join(lens, Seq("doc_id"))
       .withColumn("factor",
         expr("CAST(22 AS DECIMAL(38,0)) * total_len * tf * 1000000 div " +
           "(CAST(10 AS DECIMAL(38,0)) * total_len * tf + " +
