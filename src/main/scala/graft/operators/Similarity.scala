@@ -600,12 +600,21 @@ object Similarity {
     * Output: `(query_id, rank, neighbor_id, dist)`, rank ≤ k. */
   def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       shortlist: Int = 20, m: Int = 4, ksub: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    rerankFromShortlist(corpus, queries,
+      pqTopK(corpus, queries, shortlist, m, ksub, iters)
+        .select("query_id", "neighbor_id"), k)
+
+  /** Stage 2 alone: exact-L2 re-rank of an EXPLICIT (query_id,
+    * neighbor_id) shortlist — split out so a caller that already has
+    * an ADC ranking (ss12 widens ONE [[pqTopK]] pass to the
+    * shortlist depth and reads its own top-k as the prefix) never
+    * pays a second codebook training + encode + ADC scan. */
+  private[graft] def rerankFromShortlist(corpus: DataFrame,
+      queries: DataFrame, short: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val short = pqTopK(corpus, queries, shortlist, m, ksub, iters)
-      .select("query_id", "neighbor_id")
     val nx = corpus.select(col("vec_id").as("neighbor_id"),
       transform(col("embedding"), v => v.cast("double")).as("nd"))
     val qx = queries.select(col("vec_id").as("query_id"),
@@ -895,13 +904,21 @@ object Similarity {
         .select(lit(name).as("method"), col("n_truth"), col("n_hits"),
           expr("CASE WHEN n_truth = 0 THEN 0L " +
             "ELSE n_hits * 1000 div n_truth END").as("recall_x1000"))
+    // ONE ADC pass at shortlist depth serves both PQ rows: the plain
+    // pq top-k is its rank ≤ k prefix (same deterministic ordering),
+    // and the re-rank re-scores the full shortlist — no duplicate
+    // codebook training / encode / ADC scan
+    require(rerankShortlist >= k, "shortlist must cover k")
+    val pqShort = pqTopK(corpus, queries, rerankShortlist, m, ksub, iters)
+      .localCheckpoint(eager = false)
     Seq(
       recallRow("lsh", cosTruth, lshTopK(corpus, queries, k, nBits)),
       recallRow("ivf", cosTruth,
         ivfTopK(corpus, queries, k, numCentroids, nprobe)),
-      recallRow("pq", l2Truth, pqTopK(corpus, queries, k, m, ksub, iters)),
+      recallRow("pq", l2Truth, pqShort.filter(col("rank") <= k)),
       recallRow("pq_rerank", l2Truth,
-        pqRerankTopK(corpus, queries, k, rerankShortlist, m, ksub, iters)),
+        rerankFromShortlist(corpus, queries,
+          pqShort.select("query_id", "neighbor_id"), k)),
       recallRow("ivfpq", l2Truth,
         ivfPqTopK(corpus, queries, k, pqCoarse, pqNprobe, m, ksub, iters)),
       recallRow("mips", dotTruth,
