@@ -631,6 +631,94 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "dist")
   }
 
+  /** kNN GRAPH (ss14): every corpus vector's top-`k` cosine
+    * neighbors among the corpus itself — the all-pairs-shaped
+    * structure semantic clustering, SemDeDup-style cluster pruning,
+    * and kNN-graph community detection all start from, and the one
+    * retrieval shape [[ivfTopK]] cannot serve (its query side
+    * broadcasts; here the "query" side IS the corpus).
+    *
+    * Plan: one scored corpus×centroids frame feeds BOTH roles — each
+    * vector's HOME list (map-side-combinable `max_by` argmax, the
+    * ivfTopK corpus shape) and its top-`nprobe` PROBE lists (per-
+    * vector window over `numCentroids` rows). Candidates are the
+    * probe↔home equi-join on the list id — a SHUFFLE join
+    * co-partitioned by list, never a broadcast, so both corpus-sized
+    * sides stream — and each (query, neighbor) pair arises at most
+    * once (a neighbor has ONE home list), so no dedup exchange
+    * exists. Per-vector top-k runs through the bounded
+    * [[TopKAggregator]]: candidate volume never hits a sort, and
+    * partial aggregation caps per-group state at k on both sides of
+    * the final shuffle.
+    *
+    * Sizing at scale: per-vector candidates ≈ nprobe · |list|, so
+    * pick `numCentroids ≈ √corpus` (lists ≈ √n → candidates ≈
+    * nprobe·√n per vector, n^1.5 total — the standard coarse-IVF
+    * graph budget; the declared query pins toy params for the
+    * gate). A data-skewed MEGA-list would still blow the join, so a
+    * census checks list sizes and, only when one exceeds `maxList`,
+    * caps every list to a deterministic vec_id-ordered prefix
+    * (documented recall loss on the capped lists — the
+    * [[Dedup.simhashBlocks]] guard discipline).
+    *
+    * Output: `(vec_id, rank, neighbor_id, score)`, rank ≤ k, ties by
+    * neighbor id; vectors whose probed lists hold no other vector are
+    * absent. */
+  def knnGraph(corpus: DataFrame, k: Int = 3, numCentroids: Int = 16,
+      nprobe: Int = 2, maxList: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_score",
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+      .select("vec_id", "embedding", "nrm", "cid", "c_score")
+      .localCheckpoint(eager = false) // home assignment + probe lists
+    val home = scored.groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding"), col("nrm")),
+        struct(col("c_score"), -col("cid"))).as("b"))
+      .select(col("vec_id").as("neighbor_id"), col("b.cid").as("cid"),
+        col("b.embedding").as("n_emb"), col("b.nrm").as("n_nrm"))
+    // pay-as-you-go census: the cap machinery only engages when a
+    // list actually exceeds maxList
+    val maxObserved = home.groupBy("cid").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    val homeCapped =
+      if (maxObserved <= maxList) home
+      else home
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cid").orderBy("neighbor_id")))
+        .filter(col("rn") <= maxList)
+        .drop("rn")
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("c_score").desc, col("cid"))
+    val probes = scored
+      .withColumn("c_rank", row_number().over(wq))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val pairs = homeCapped.join(probes, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+          .as("score"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k)
+    pairs.groupByKey(_._1)
+      .mapValues(v => (v._2, v._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((sc, nid), i) => (qid, i + 1, nid, sc) }
+      }
+      .toDF("vec_id", "rank", "neighbor_id", "score")
+  }
+
   /** The `m` per-subspace PQ codebooks (each `(cid, cemb, cc)` with
     * the self-dot precomputed) — see [[pqTopK]] for the training
     * contract. */

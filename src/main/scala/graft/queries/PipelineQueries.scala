@@ -628,6 +628,14 @@ object PipelineQueries {
     // brute truth: lsh/ivf vs cosine (as ss4), pq/ivfpq vs the L2
     // distance their ADC ranking targets, mips vs raw inner product
     // (round-9 verdict #5; params pinned to ss2/ss3/ss8/ss9/ss10)
+    // kNN GRAPH: every vector's top-3 cosine neighbors via coarse-IVF
+    // probes (home argmax + top-2 probe lists, shuffle-equi on list
+    // id, bounded-heap per-vector top-k) — the semantic-clustering
+    // backbone; the oracle replays assignment, probing, and ranking
+    "ss14_knn_graph" -> { (s, d) =>
+      Similarity.knnGraph(embeddings(s, d), k = 3, numCentroids = 16,
+        nprobe = 2).orderBy("vec_id", "rank")
+    },
     "ss12_recall_families" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.annRecallReportAll(e, e.filter(col("vec_id") < 3),
@@ -2670,6 +2678,34 @@ object PipelineQueries {
       ORDER BY method""",
     // per-truncation brute cosine over prefix slices, identical
     // fixed-order folds; truth = the full 64-dim ranking
+    // coarse-IVF kNN graph twin: same centroid scores, home argmax
+    // (rank-1 window = the max_by total order), top-2 probes, pair
+    // scores, rank <= 3 — all the same fixed-order folds
+    "ss14_knn_graph" -> s"""
+      WITH e AS (SELECT vec_id, embedding,
+          sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM e WHERE vec_id < 16),
+      sc AS (SELECT v.vec_id, c.cid,
+          ${sqlDot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm) AS cs
+        FROM e v, cents c),
+      ranked AS (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cs DESC, cid) AS r
+        FROM sc),
+      home AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE r = 1),
+      probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE r <= 2),
+      scored AS (SELECT p.query_id AS vec_id, h.neighbor_id,
+          ${sqlDot("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS score
+        FROM probes p JOIN home h USING (cid)
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e n ON n.vec_id = h.neighbor_id
+        WHERE p.query_id <> h.neighbor_id)
+      SELECT vec_id, rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 3 ORDER BY vec_id, rank""",
     "ve12_mrl_recall" -> s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       ${Seq(16, 32, 64).map { d =>

@@ -2083,6 +2083,33 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(m.getLong(1) == 3L && m.getLong(2) == 3L) // aa, 123, a-b: 1 each
   }
 
+  test("knn graph: exact scores, sorted ranks, measured recall vs brute") {
+    val g = Similarity.knnGraph(embs, k = 3, numCentroids = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    // ranks are dense and scores descend within each vector
+    g.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      })
+    }
+    // every edge's score equals the exact cosine (probe routing can
+    // miss neighbors, never mis-score them)
+    val brute = Similarity.bruteForceTopK(embs, embs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteAll = Similarity.cosinePairs(embs, threshold = -2.0).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    g.foreach { case (q, _, n, sc) => assert(bruteAll((q, n)) == sc) }
+    // recall vs the true graph, measured not guessed
+    val hits = g.count { case (q, _, n, _) => brute.contains((q, n)) }
+    val recall = hits.toDouble / brute.size
+    assert(recall > 0.3, s"knn-graph recall $recall too low for the params")
+  }
+
   test("bm25: both-term docs outrank single-term docs; self-retrieval wins") {
     import spark.implicits._
     val corpus = Seq(

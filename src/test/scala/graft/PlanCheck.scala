@@ -110,6 +110,13 @@ object PlanCheck {
       "shortlist + queries broadcast into the re-rank" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("ss14_knn_graph", Seq(
+      "probe-home candidate join is equi on the list id" ->
+        (p => !p.contains("CartesianProduct")),
+      "per-vector top-k partially aggregated (bounded heap)" ->
+        (_.contains("partial_")),
+      "scored corpus frame is checkpoint-truncated (one compute)" ->
+        (_.contains("Scan ExistingRDD"))))
     audit("m10_image_neardup", Seq(
       "media payload pruned before decode (id-only read)" ->
         (p => !p.contains("text")),
