@@ -113,6 +113,24 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(rows(16L)._2 <= 1000L)
   }
 
+  test("knn graph mega-list cap engages without breaking score exactness") {
+    // maxList far below the fixture's list sizes forces the census
+    // cap branch; edges may be fewer but every emitted score must
+    // still be the exact cosine and ranks stay dense
+    val capped = graft.operators.Similarity.knnGraph(embs, k = 3,
+      numCentroids = 16, nprobe = 2, maxList = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(capped.nonEmpty)
+    val exact = Similarity.cosinePairs(embs, threshold = -2.0).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    capped.foreach { case (q, _, n, sc) => assert(exact((q, n)) == sc) }
+    capped.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("dd5's LSH routing never invents pairs and scores match brute exactly") {
     val brute = Similarity.cosinePairs(embs, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
