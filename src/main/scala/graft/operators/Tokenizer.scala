@@ -133,36 +133,72 @@ object Tokenizer {
     * walk the same string).
     *
     * The merge list is the MODEL: a few-hundred-row driver-side
-    * artifact folded into the column expression, so encoding is one
-    * pure map over the corpus — no join, no shuffle, whole-stage
-    * codegen'd; at 100 TB the encode is scan-bandwidth-bound. Rows
-    * report the per-doc rollup (`n_words`, true `n_tokens`, and the
-    * polynomial fingerprint of the full encoded symbol stream — any
-    * divergence in any symbol of any word moves the hash).
+    * artifact baked into a tight per-partition JVM loop — tokens come
+    * from the same Spark `tokens` column as every text operator, then
+    * each word's symbol ARRAY folds through the merges with the
+    * greedy left-to-right non-overlapping scan (BY CONSTRUCTION equal
+    * to the trainer's double-space string rewrite — that trick exists
+    * precisely to mimic this array scan in pure SQL, so the DuckDB
+    * twin keeps replaying the string form while the engine runs the
+    * array form; the oracle gate pins the equality). One pure map
+    * over the corpus — no join, no shuffle; at 100 TB the encode is
+    * scan-bandwidth-bound. Rows report the per-doc rollup
+    * (`n_words`, true `n_tokens`, and the polynomial fingerprint of
+    * the full encoded symbol stream — any divergence in any symbol
+    * of any word moves the hash).
     *
     * Output: `(doc_id, n_words, n_tokens, enc_fp)`. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    def encodeTok(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val sym0 = when(t.rlike("^[a-z]+$"),
-        trim(regexp_replace(t, "(.)", "$1 "))).otherwise(t)
-      merges.foldLeft(sym0) { case (sym, (pair, merged)) =>
-        val expanded = concat(lit(" "),
-          replace(sym, lit(" "), lit("  ")), lit(" "))
-        trim(regexp_replace(
-          replace(expanded,
-            lit(" " + pair.replace(" ", "  ") + " "),
-            lit(" " + merged + " ")),
-          " +", " "))
-      }
-    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules: Array[(String, String, String)] = merges.map {
+      case (pair, merged) =>
+        val i = pair.indexOf(' ')
+        require(i > 0, s"merge pair '$pair' is not two symbols")
+        (pair.substring(0, i), pair.substring(i + 1), merged)
+    }.toArray
     docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-      .select(col("doc_id"),
-        transform(col("t"), encodeTok(_)).as("enc"))
-      .select(col("doc_id"),
-        size(col("enc")).cast("long").as("n_words"),
-        aggregate(col("enc"), lit(0L),
-          (a, e) => a + size(split(e, " "))).as("n_tokens"),
-        TextAnalysis.fingerprint(array_join(col("enc"), " ")).as("enc_fp"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        var nTokens = 0L
+        val sb = new StringBuilder
+        toks.foreach { tok =>
+          var cur: Array[String] =
+            if (tok.matches("^[a-z]+$")) tok.toCharArray.map(_.toString)
+            else Array(tok)
+          var r = 0
+          while (r < rules.length) {
+            val (a, b, m) = rules(r)
+            if (cur.length >= 2) {
+              val out = new scala.collection.mutable.ArrayBuffer[String](
+                cur.length)
+              var i = 0
+              while (i < cur.length) {
+                if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+                  out += m
+                  i += 2
+                } else {
+                  out += cur(i)
+                  i += 1
+                }
+              }
+              cur = out.toArray
+            }
+            r += 1
+          }
+          nTokens += cur.length
+          var j = 0
+          while (j < cur.length) {
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(cur(j))
+            j += 1
+          }
+        }
+        (id, toks.length.toLong, nTokens,
+          graft.functions.HashOps.polyHash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "enc_fp")
   }
 }

@@ -13,11 +13,17 @@ object TimeQ {
     // warmup
     graft.SparkEntry.queries("dd1_dedup_exact")(spark, dir).collect()
     names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, dir)
       val t0 = System.nanoTime()
-      // count, not collect: scale-smoke queries can emit tens of
-      // millions of rows, which must execute but not sit in driver heap
-      val c = graft.SparkEntry.queries(n)(spark, dir).count()
+      // noop WRITE, not count(): count lets Catalyst prune every
+      // unused column, so a map-only query (t23's encode, a pure
+      // projection) would "run" in 0.2 s without computing anything —
+      // the round-12 lesson. The noop sink consumes all columns
+      // (matching Bench) and nothing sits in driver heap.
+      df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      // row count reported OUTSIDE the timed window, for sanity only
+      val c = df.count()
       println(f"TIMEQ $n%-28s $sec%8.3f s  rows=$c")
     }
     spark.stop()
