@@ -109,6 +109,7 @@ object ShareQueries {
             .select("pos").collect().map(_.getLong(0)).sorted.toSeq
         } finally {
           oldMax.foreach(s.conf.set("spark.sql.files.maxPartitionBytes", _))
+          if (oldMax.isEmpty) s.conf.unset("spark.sql.files.maxPartitionBytes")
           oldMin.foreach(s.conf.set("spark.sql.files.minPartitionNum", _))
           if (oldMin.isEmpty) s.conf.unset("spark.sql.files.minPartitionNum")
         }

@@ -11,9 +11,13 @@ package graft.sources
   *    the payload to a 4-byte multiple before encoding, so decode
   *    truncates back to the descriptor's `sizeInBytes`;
   *  - the `RoaringBitmapArray` "portable" format: magic `1681511377`
-  *    (int32 LE), bitmap count (int64 LE), then one STANDARD 32-bit
-  *    roaring bitmap per high-32 index (RoaringFormatSpec: cookie
-  *    12346/12347, array / bitmap / run containers, little-endian);
+  *    (int32 LE), bitmap count (int64 LE — the ARRAY length, i.e.
+  *    max key + 1, empty slots included), then per NON-EMPTY bitmap:
+  *    its key (int32 LE, the high-32 index, strictly ascending) and
+  *    one STANDARD 32-bit roaring bitmap (RoaringFormatSpec: cookie
+  *    12346/12347, array / bitmap / run containers, little-endian).
+  *    Empty bitmaps are SKIPPED on the wire — the key, not the entry
+  *    ordinal, addresses the high-32 slot;
   *  - the on-disk DV file framing for URL-addressed descriptors:
   *    1-byte version, then per DV `[size int32 BE][data][crc32 BE]`
   *    at the descriptor's `offset`.
@@ -127,13 +131,21 @@ object DeletionVectors {
     require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue,
       s"unreasonable bitmap count $nBitmaps")
     val out = Array.newBuilder[Long]
-    var k = 0L
-    while (k < nBitmaps) {
-      val high = k << 32
+    // non-empty bitmaps only, each prefixed by its int32 LE key; the
+    // count above is the array LENGTH (max key + 1), so entries run
+    // until the payload is exhausted, not `count` times
+    var lastKey = -1L
+    while (buf.hasRemaining) {
+      val key = buf.getInt.toLong
+      require(key >= 0 && key < nBitmaps,
+        s"roaring bitmap key $key outside [0, $nBitmaps)")
+      require(key > lastKey,
+        s"roaring bitmap keys must be strictly ascending ($key after $lastKey)")
+      lastKey = key
+      val high = key << 32
       readRoaring32(buf, v => out += (high | (v & 0xffffffffL)))
-      k += 1
     }
-    out.result() // ascending: bitmaps by index, containers by key, values in order
+    out.result() // ascending: bitmaps by key, containers by key, values in order
   }
 
   /** One standard 32-bit roaring bitmap, per RoaringFormatSpec. */
@@ -196,7 +208,8 @@ object DeletionVectors {
   }
 
   /** Serialize ascending 64-bit positions as a portable
-    * RoaringBitmapArray (cookie 12346, array containers ≤4096 and
+    * RoaringBitmapArray (count = max key + 1; per NON-EMPTY bitmap an
+    * int32 LE key then cookie 12346 with array containers ≤4096 and
     * bitmap containers above — no run encoding; readers must accept
     * both per the spec). Stub/test authoring side of [[deserialize]]. */
   def serialize(positions: Seq[Long]): Array[Byte] = {
@@ -211,10 +224,10 @@ object DeletionVectors {
     def i64le(v: Long): Unit = { out.writeLong(java.lang.Long.reverseBytes(v)) }
     i32le(Magic)
     i64le(nBitmaps)
-    var k = 0L
-    while (k < nBitmaps) {
-      val vals = byHigh.getOrElse(k, Seq.empty).map(p => (p & 0xffffffffL).toInt)
+    byHigh.toSeq.sortBy(_._1).foreach { case (high, ps) =>
+      val vals = ps.map(p => (p & 0xffffffffL).toInt)
       val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      i32le(high.toInt) // bitmap key — empty slots are skipped entirely
       i32le(SerialCookieNoRun)
       i32le(byKey.size)
       byKey.foreach { case (key, vs) =>
@@ -237,7 +250,6 @@ object DeletionVectors {
           words.foreach(i64le)
         } else vs.sorted.foreach(v => i16le(v & 0xffff))
       }
-      k += 1
     }
     out.flush()
     bos.toByteArray

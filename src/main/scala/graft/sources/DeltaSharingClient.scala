@@ -267,7 +267,18 @@ class DeltaSharingClient(
       throw new DeltaSharingException(0,
         s"query response for $share.$schema.$table had no metaData line"))
     val fileNodes = lines.filter(_.hasNonNull("file")).map(_.get("file"))
-    val isDeltaFormat = fileNodes.exists(_.hasNonNull("deltaSingleAction"))
+    // format detection must NOT depend on file presence: a delta
+    // responseformat /query that returns ZERO files (legitimately
+    // empty table/slice) still signals its format via the wrapped
+    // protocol/metaData line shapes — keying off fileNodes alone would
+    // mis-detect it as parquet and trip the table-level DV guard
+    val isDeltaFormat =
+      lines.exists(l =>
+        (l.hasNonNull("protocol") &&
+          l.get("protocol").hasNonNull("deltaProtocol")) ||
+        (l.hasNonNull("metaData") &&
+          l.get("metaData").hasNonNull("deltaMetadata"))) ||
+      fileNodes.exists(_.hasNonNull("deltaSingleAction"))
     val files = fileNodes.map { f =>
       // delta responseformat wraps the add action: the presigned URL
       // is `add.path`, partitionValues/size/stats live on the add;

@@ -474,7 +474,12 @@ class DeltaShareScan(
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(files.map(_.size).sum)
     override def numRows(): OptionalLong = {
-      val counts = files.map(_.stats.flatMap(parseNumRecords))
+      // stats.numRecords counts PHYSICAL rows incl. DV-deleted ones;
+      // subtract the descriptor's cardinality so join-size planning
+      // (broadcast decisions) sees the surviving row count
+      val counts = files.map(f => f.stats.flatMap(parseNumRecords)
+        .map(n => math.max(0L,
+          n - f.deletionVector.map(_.cardinality).getOrElse(0L))))
       if (counts.nonEmpty && counts.forall(_.isDefined))
         OptionalLong.of(counts.flatten.sum)
       else OptionalLong.empty()

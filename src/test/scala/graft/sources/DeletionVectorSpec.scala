@@ -59,6 +59,7 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     def i16(v: Int) = out.writeShort(java.lang.Short.reverseBytes(v.toShort).toInt)
     def i64(v: Long) = out.writeLong(java.lang.Long.reverseBytes(v))
     i32(1681511377); i64(1L)                 // magic + one bitmap
+    i32(0)                                   // bitmap key (high-32 = 0)
     i32((0 << 16) | 12347)                   // cookie: (n-1)<<16 | 12347
     out.writeByte(1)                         // run flag bitset: container 0
     i16(0); i16(4)                           // key 0, cardinality-1 = 4
@@ -69,6 +70,41 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.flush()
     assert(DeletionVectors.deserialize(bos.toByteArray).toSeq ==
       Seq(5L, 6L, 7L, 8L, 100L))
+  }
+
+  test("portable-format conformance: keyed entries, empty bitmaps skipped") {
+    // Hand-authored byte-for-byte per the PUBLIC Delta protocol's
+    // RoaringBitmapArray portable format (the layout delta-spark's
+    // writer produces): magic, int64 count = ARRAY length (max key+1,
+    // empty slots included), then per NON-EMPTY bitmap an int32 LE
+    // key followed by a standard 32-bit roaring bitmap. Keys 0 and 2
+    // present, key 1 EMPTY and absent from the wire — a dense
+    // index-ordinal decoder (no keys) cannot parse this fixture: it
+    // would read key bytes as a roaring cookie and fail.
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def i32(v: Int) = out.writeInt(Integer.reverseBytes(v))
+    def i16(v: Int) = out.writeShort(java.lang.Short.reverseBytes(v.toShort).toInt)
+    def i64(v: Long) = out.writeLong(java.lang.Long.reverseBytes(v))
+    i32(1681511377); i64(3L)        // magic + array length 3 (keys 0..2)
+    i32(0)                          // --- bitmap key 0 ---
+    i32(12346)                      // cookie SERIAL_COOKIE_NO_RUNCONTAINER
+    i32(1)                          // one container
+    i16(0); i16(2)                  // container key 0, cardinality-1 = 2
+    i32(16)                         // offset header: 4+4+4+4 bytes in
+    i16(1); i16(2); i16(3)          // values {1,2,3}
+    i32(2)                          // --- bitmap key 2 (key 1 skipped) ---
+    i32(12346)
+    i32(1)
+    i16(0); i16(0)                  // container key 0, cardinality 1
+    i32(16)
+    i16(7)                          // value {7}
+    out.flush()
+    val expect = Seq(1L, 2L, 3L, (2L << 32) | 7L)
+    assert(DeletionVectors.deserialize(bos.toByteArray).toSeq == expect)
+    // and our own serializer emits this exact keyed layout for the
+    // same positions (count = max key + 1, no entry for empty key 1)
+    assert(DeletionVectors.serialize(expect).toSeq == bos.toByteArray.toSeq)
   }
 
   /** Write df as ONE parquet file; return (url, size, rows-in-file-order). */
