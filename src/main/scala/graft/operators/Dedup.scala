@@ -706,22 +706,62 @@ object Dedup {
     * Max candidate fan-out per join key is therefore `maxBucket`²
     * regardless of input: the quadratic-bucket failure mode is
     * structurally closed. */
-  private[graft] def simhashBlocks(hashes: DataFrame,
-      maxBucket: Int, blocks: Int = 4, bits: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (sh, bid, bkey) block keys for a DISTINCT-hash frame — the
+    * explode [[simhashBlocks]] and [[hammingBlockCensus]] share. */
+  private def blockExplode(hashes: DataFrame, blocks: Int,
+      bits: Int): DataFrame = {
     val mask = (1L << bits) - 1L
-    val blocked = hashes.select(col("sh"),
+    hashes.select(col("sh"),
       explode(array((0 until blocks).map { b =>
         struct(lit(b).as("bid"),
           shiftright(col("sh"), b * bits).bitwiseAND(mask).as("bkey"))
       }: _*)).as("blk"))
       .select(col("sh"), col("blk.bid").as("bid"), col("blk.bkey").as("bkey"))
-    val sizes = blocked.groupBy("bid", "bkey").count()
-    val subKey = (0 until blocks).foldLeft(lit(0L)) { (acc, b) =>
+  }
+
+  /** The NEXT-block sub-key used to rescue oversized buckets. */
+  private def blockSubKey(blocks: Int, bits: Int): Column = {
+    val mask = (1L << bits) - 1L
+    (0 until blocks).foldLeft(lit(0L)) { (acc, b) =>
       when(col("bid") === b,
         shiftright(col("sh"), ((b + 1) % blocks) * bits).bitwiseAND(mask))
         .otherwise(acc)
     }
+  }
+
+  /** Census of the [[simhashBlocks]] oversized-bucket guard over an
+    * explicit `(doc_id, sh)` hash frame — the guard engages SILENTLY
+    * from the caller's view, so this makes its cost a visible NUMBER
+    * (the [[graft.operators.Similarity.knnGraphCensus]] discipline):
+    * one row per bucket ABOVE `maxBucket` (empty whenever the cap is
+    * disengaged) with the bucket's distinct-hash size and
+    * `rows_dropped` = hashes the deterministic prefix cap discards
+    * AFTER the next-block sub-split rescue. Same plan shape as the
+    * guard itself: distinct hashes, block explode, one (bid, bkey)
+    * aggregation, sub-split counted only on the oversized stream. */
+  def hammingBlockCensus(hashed: DataFrame, maxBucket: Int,
+      blocks: Int = 4, bits: Int = 15): DataFrame = {
+    val hashes = hashed.select("sh").distinct()
+    val blocked = blockExplode(hashes, blocks, bits)
+    val sizes = blocked.groupBy("bid", "bkey").count()
+    blocked
+      .join(broadcast(sizes.filter(col("count") > maxBucket)
+        .withColumnRenamed("count", "bucket_size")), Seq("bid", "bkey"))
+      .withColumn("sub", blockSubKey(blocks, bits))
+      .groupBy("bid", "bkey", "bucket_size", "sub")
+      .agg(count(lit(1)).as("sub_n"))
+      .groupBy("bid", "bkey", "bucket_size")
+      .agg(sum(greatest(col("sub_n") - lit(maxBucket.toLong), lit(0L)))
+        .as("rows_dropped"))
+      .select("bid", "bkey", "bucket_size", "rows_dropped")
+  }
+
+  private[graft] def simhashBlocks(hashes: DataFrame,
+      maxBucket: Int, blocks: Int = 4, bits: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = blockExplode(hashes, blocks, bits)
+    val sizes = blocked.groupBy("bid", "bkey").count()
+    val subKey = blockSubKey(blocks, bits)
     val sized = blocked.join(broadcast(sizes), Seq("bid", "bkey"))
     val small = sized.filter(col("count") <= maxBucket)
       .withColumn("sub", lit(0L))

@@ -638,18 +638,26 @@ object Similarity {
     * retrieval shape [[ivfTopK]] cannot serve (its query side
     * broadcasts; here the "query" side IS the corpus).
     *
-    * Plan: one scored corpus×centroids frame feeds BOTH roles — each
-    * vector's HOME list (map-side-combinable `max_by` argmax, the
-    * ivfTopK corpus shape) and its top-`nprobe` PROBE lists (per-
-    * vector window over `numCentroids` rows). Candidates are the
-    * probe↔home equi-join on the list id — a SHUFFLE join
-    * co-partitioned by list, never a broadcast, so both corpus-sized
-    * sides stream — and each (query, neighbor) pair arises at most
-    * once (a neighbor has ONE home list), so no dedup exchange
-    * exists. Per-vector top-k runs through the bounded
-    * [[TopKAggregator]]: candidate volume never hits a sort, and
-    * partial aggregation caps per-group state at k on both sides of
-    * the final shuffle.
+    * Plan: the coarse quantizer is TRAINED — `iters` Lloyd rounds
+    * from [[VectorStats.kmeansCentroids]]'s deterministic lowest-id
+    * seed — so list sizes track the data's actual density instead of
+    * whatever the first `numCentroids` ids happen to be (id-prefix
+    * centroids skew lists on clustered real data, and the mega-list
+    * cap then converts that skew into silent recall loss). One scored
+    * corpus×centroids frame (L2 `dist²` — the SAME metric the
+    * quantizer was trained under; probing by a different metric than
+    * training degrades recall) feeds BOTH roles: each vector's HOME
+    * list (map-side-combinable `min_by` argmin, the ivfTopK corpus
+    * shape) and its top-`nprobe` PROBE lists (per-vector window over
+    * `numCentroids` rows). Candidates are the probe↔home equi-join on
+    * the list id — a SHUFFLE join co-partitioned by list, never a
+    * broadcast, so both corpus-sized sides stream — and each (query,
+    * neighbor) pair arises at most once (a neighbor has ONE home
+    * list), so no dedup exchange exists. Final edge scores stay
+    * cosine, comparable with ss1's ground truth. Per-vector top-k
+    * runs through the bounded [[TopKAggregator]]: candidate volume
+    * never hits a sort, and partial aggregation caps per-group state
+    * at k on both sides of the final shuffle.
     *
     * Sizing at scale: per-vector candidates ≈ nprobe · |list|, so
     * pick `numCentroids ≈ √corpus` (lists ≈ √n → candidates ≈
@@ -664,27 +672,59 @@ object Similarity {
     * Output: `(vec_id, rank, neighbor_id, score)`, rank ≤ k, ties by
     * neighbor id; vectors whose probed lists hold no other vector are
     * absent. */
+  /** The trained scored corpus×centroids frame and the home (inverted
+    * list) assignment [[knnGraph]] and [[knnGraphCensus]] share —
+    * same Lloyd training, same L2 metric, same tie-breaks. */
+  private def knnScoredHome(corpus: DataFrame, numCentroids: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cents = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
+      .withColumn("cc", dotD(col("cemb"), col("cemb")))
+      .localCheckpoint(eager = false) // home assignment + probe lists
+    val scored = corpus
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("demb"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      .withColumn("xx", dotD(col("demb"), col("demb")))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("xx") - lit(2.0) * dotD(col("demb"), col("cemb")) + col("cc"))
+      .select("vec_id", "embedding", "nrm", "cid", "dist2")
+      .localCheckpoint(eager = false) // home assignment + probe lists
+    val home = scored.groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("embedding"), col("nrm")),
+        struct(col("dist2"), col("cid"))).as("b"))
+      .select(col("vec_id").as("neighbor_id"), col("b.cid").as("cid"),
+        col("b.embedding").as("n_emb"), col("b.nrm").as("n_nrm"))
+    (scored, home)
+  }
+
+  /** Per-list census of [[knnGraph]]'s inverted lists (ss15): the
+    * graph's mega-list cap engages SILENTLY from the caller's view —
+    * this makes its cost a visible NUMBER per list (`capped`,
+    * `rows_dropped` = what the cap would discard at `maxList`), the
+    * [[annRecallReport]] discipline applied to the guard machinery.
+    * Same training/assignment plan as the graph (broadcast-trained
+    * centroids, map-side argmin, one narrow exchange for the
+    * group-by); output is ≤ `numCentroids` rows. */
+  def knnGraphCensus(corpus: DataFrame, numCentroids: Int = 16,
+      maxList: Int = 1 << 16, iters: Int = 2): DataFrame = {
+    val (_, home) = knnScoredHome(corpus, numCentroids, iters)
+    home.groupBy("cid")
+      .agg(count(lit(1)).as("list_size"))
+      .select(col("cid"), col("list_size"),
+        (col("list_size") > maxList).as("capped"),
+        greatest(col("list_size") - lit(maxList.toLong), lit(0L))
+          .as("rows_dropped"))
+  }
+
   def knnGraph(corpus: DataFrame, k: Int = 3, numCentroids: Int = 16,
-      nprobe: Int = 2, maxList: Int = 1 << 16): DataFrame = {
+      nprobe: Int = 2, maxList: Int = 1 << 16, iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = corpus.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-        norm(col("embedding")).as("c_nrm"))
-    val scored = corpus
-      .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_score",
-        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-      .select("vec_id", "embedding", "nrm", "cid", "c_score")
-      .localCheckpoint(eager = false) // home assignment + probe lists
-    val home = scored.groupBy("vec_id")
-      .agg(max_by(struct(col("cid"), col("embedding"), col("nrm")),
-        struct(col("c_score"), -col("cid"))).as("b"))
-      .select(col("vec_id").as("neighbor_id"), col("b.cid").as("cid"),
-        col("b.embedding").as("n_emb"), col("b.nrm").as("n_nrm"))
+    val (scored, home) = knnScoredHome(corpus, numCentroids, iters)
     // pay-as-you-go census: the cap machinery only engages when a
     // list actually exceeds maxList
     val maxObserved = home.groupBy("cid").count()
@@ -697,7 +737,7 @@ object Similarity {
         .filter(col("rn") <= maxList)
         .drop("rn")
     val wq = Window.partitionBy("vec_id")
-      .orderBy(col("c_score").desc, col("cid"))
+      .orderBy(col("dist2"), col("cid"))
     val probes = scored
       .withColumn("c_rank", row_number().over(wq))
       .filter(col("c_rank") <= nprobe)
@@ -1003,6 +1043,13 @@ object Similarity {
       recallRow("lsh", cosTruth, lshTopK(corpus, queries, k, nBits)),
       recallRow("ivf", cosTruth,
         ivfTopK(corpus, queries, k, numCentroids, nprobe)),
+      // the kNN graph serves ALL corpus vectors; its recall is read
+      // off the query sample's rows (the semi-join with truth keeps
+      // exactly those), making the graph's probe/cap quality a
+      // NUMBER alongside the serving families it feeds
+      recallRow("knn_graph", cosTruth,
+        knnGraph(corpus, k, numCentroids, nprobe)
+          .withColumnRenamed("vec_id", "query_id")),
       recallRow("pq", l2Truth, pqShort.filter(col("rank") <= k)),
       recallRow("pq_rerank", l2Truth,
         rerankFromShortlist(corpus, queries,

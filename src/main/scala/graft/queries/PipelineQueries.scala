@@ -628,13 +628,23 @@ object PipelineQueries {
     // brute truth: lsh/ivf vs cosine (as ss4), pq/ivfpq vs the L2
     // distance their ADC ranking targets, mips vs raw inner product
     // (round-9 verdict #5; params pinned to ss2/ss3/ss8/ss9/ss10)
-    // kNN GRAPH: every vector's top-3 cosine neighbors via coarse-IVF
-    // probes (home argmax + top-2 probe lists, shuffle-equi on list
+    // kNN GRAPH: every vector's top-3 cosine neighbors via TRAINED
+    // coarse-IVF probes (2-round Lloyd quantizer, L2 home argmin +
+    // top-2 probe lists by the training metric, shuffle-equi on list
     // id, bounded-heap per-vector top-k) — the semantic-clustering
-    // backbone; the oracle replays assignment, probing, and ranking
+    // backbone; the oracle replays training, assignment, probing, and
+    // ranking bit-for-bit
     "ss14_knn_graph" -> { (s, d) =>
       Similarity.knnGraph(embeddings(s, d), k = 3, numCentroids = 16,
         nprobe = 2).orderBy("vec_id", "rank")
+    },
+    // census of the graph's inverted lists at a deliberately tiny
+    // maxList: the mega-list cap's cost as a NUMBER (which lists cap,
+    // how many rows each would drop) — guard observability, not a
+    // serving path
+    "ss15_knn_census" -> { (s, d) =>
+      Similarity.knnGraphCensus(embeddings(s, d), numCentroids = 16,
+        maxList = 8).orderBy("cid")
     },
     "ss12_recall_families" -> { (s, d) =>
       val e = embeddings(s, d)
@@ -1253,16 +1263,46 @@ object PipelineQueries {
           GROUP BY cid)"""
   }
 
+  /** Oracle twin of [[Similarity.knnGraph]] (self-contained WITH …
+    * SELECT, nestable in parens): the trained Lloyd chain at
+    * `numCentroids`, L2 home argmin + top-`nprobe` probes by the
+    * training metric, cosine pair scores, per-vector `rank <= k`.
+    * Emits `(vec_id, rank, neighbor_id, score)` with NO trailing
+    * ORDER BY so callers can wrap or append one. */
+  private def sqlKnnGraph(k: Int, numCentroids: Int, nprobe: Int): String =
+    s"""
+      WITH ${sqlKmeansCtes(numCentroids)},
+      ranked AS (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist2, cid) AS r
+        FROM (SELECT x.vec_id, c.cid,
+            (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM ex x, c2 c)),
+      home AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE r = 1),
+      probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        WHERE r <= $nprobe),
+      kgsc AS (SELECT p.query_id AS vec_id, h.neighbor_id,
+          ${sqlDot("q.emb", "n.emb")} / (sqrt(q.xx) * sqrt(n.xx)) AS score
+        FROM probes p JOIN home h USING (cid)
+        JOIN ex q ON q.vec_id = p.query_id
+        JOIN ex n ON n.vec_id = h.neighbor_id
+        WHERE p.query_id <> h.neighbor_id)
+      SELECT vec_id, rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id) AS rank FROM kgsc)
+      WHERE rank <= $k"""
+
   /** The two-round Lloyd training chain (k = 8, lowest-id seed) ending
     * in trained centroids `c2` — shared by the ve3 k-means oracle and
     * the ss6 trained-IVF oracle so the bit-exact trajectory arithmetic
     * exists once. Also exposes `e` (double embeddings) and `ex`
     * (embeddings + self-dot). */
-  private def sqlKmeansCtes: String = s"""e AS (SELECT vec_id,
+  private def sqlKmeansCtes(k: Int = 8): String = s"""e AS (SELECT vec_id,
           list_transform(embedding, x0 -> x0::DOUBLE) AS emb FROM embeddings),
       ex AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx FROM e),
       c0 AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e
-        ORDER BY vec_id LIMIT 8),
+        ORDER BY vec_id LIMIT $k),
       ${sqlKmAsg("c0", "a0")},
       ${sqlKmUpd("a0", "c1")},
       ${sqlKmAsg("c1", "a1")},
@@ -1410,7 +1450,7 @@ object PipelineQueries {
     val qtAll = (0 until m).map(s => s"SELECT * FROM qt$s")
       .mkString(" UNION ALL ")
     s"""
-      WITH $sqlKmeansCtes,
+      WITH ${sqlKmeansCtes()},
       ${sqlKmAsg("c2", "casg")},
       resid AS (SELECT a.vec_id, a.cid AS lcid,
           list_transform(list_zip(e.emb, c.cemb), z9 -> z9[1] - z9[2]) AS r
@@ -2658,7 +2698,9 @@ object PipelineQueries {
         FROM (${sqlPqRerank(4, 16, 8, 20, 5, 3)})),
       ipqk AS (SELECT query_id, neighbor_id
         FROM (${sqlIvfPqTopK(4, 16, 8, 5, 3, 2)})),
-      mipsk AS (SELECT query_id, neighbor_id FROM ($sqlMipsTopKSql))
+      mipsk AS (SELECT query_id, neighbor_id FROM ($sqlMipsTopKSql)),
+      knng AS (SELECT vec_id AS query_id, neighbor_id
+        FROM (${sqlKnnGraph(5, 16, 2)}))
       SELECT method, n_truth, n_hits, n_hits * 1000 // n_truth AS recall_x1000
       FROM (
         SELECT 'lsh' AS method, (SELECT count(*) FROM bt) AS n_truth,
@@ -2666,6 +2708,8 @@ object PipelineQueries {
             USING (query_id, neighbor_id)) AS n_hits
         UNION ALL SELECT 'ivf', (SELECT count(*) FROM bt),
           (SELECT count(*) FROM bt JOIN vt USING (query_id, neighbor_id))
+        UNION ALL SELECT 'knn_graph', (SELECT count(*) FROM bt),
+          (SELECT count(*) FROM bt JOIN knng USING (query_id, neighbor_id))
         UNION ALL SELECT 'pq', (SELECT count(*) FROM l2t),
           (SELECT count(*) FROM l2t JOIN pqk USING (query_id, neighbor_id))
         UNION ALL SELECT 'pq_rerank', (SELECT count(*) FROM l2t),
@@ -2678,34 +2722,19 @@ object PipelineQueries {
       ORDER BY method""",
     // per-truncation brute cosine over prefix slices, identical
     // fixed-order folds; truth = the full 64-dim ranking
-    // coarse-IVF kNN graph twin: same centroid scores, home argmax
-    // (rank-1 window = the max_by total order), top-2 probes, pair
-    // scores, rank <= 3 — all the same fixed-order folds
-    "ss14_knn_graph" -> s"""
-      WITH e AS (SELECT vec_id, embedding,
-          sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-        FROM embeddings),
-      cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
-        FROM e WHERE vec_id < 16),
-      sc AS (SELECT v.vec_id, c.cid,
-          ${sqlDot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm) AS cs
-        FROM e v, cents c),
-      ranked AS (SELECT vec_id, cid,
-          row_number() OVER (PARTITION BY vec_id
-            ORDER BY cs DESC, cid) AS r
-        FROM sc),
-      home AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE r = 1),
-      probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE r <= 2),
-      scored AS (SELECT p.query_id AS vec_id, h.neighbor_id,
-          ${sqlDot("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS score
-        FROM probes p JOIN home h USING (cid)
-        JOIN e q ON q.vec_id = p.query_id
-        JOIN e n ON n.vec_id = h.neighbor_id
-        WHERE p.query_id <> h.neighbor_id)
-      SELECT vec_id, rank, neighbor_id, score FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-          ORDER BY score DESC, neighbor_id) AS rank FROM scored)
-      WHERE rank <= 3 ORDER BY vec_id, rank""",
+    // trained coarse-IVF kNN graph twin: the full Lloyd training
+    // chain, L2 home argmin (rank-1 window = the min_by total order),
+    // top-2 probes by the training metric, cosine pair scores,
+    // rank <= 3 — all the same fixed-order folds
+    "ss14_knn_graph" -> s"""${sqlKnnGraph(3, 16, 2)}
+      ORDER BY vec_id, rank""",
+    // the same trained home assignment, aggregated per list
+    "ss15_knn_census" -> s"""
+      WITH ${sqlKmeansCtes(16)},
+      ${sqlKmAsg("c2", "homea")}
+      SELECT cid, count(*) AS list_size, (count(*) > 8) AS capped,
+        greatest(count(*) - 8, 0) AS rows_dropped
+      FROM homea GROUP BY cid ORDER BY cid""",
     "ve12_mrl_recall" -> s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       ${Seq(16, 32, 64).map { d =>
@@ -2796,14 +2825,14 @@ object PipelineQueries {
           AS epochs_ppm
       FROM q ORDER BY source""",
     "ve3_kmeans" -> s"""
-      WITH $sqlKmeansCtes,
+      WITH ${sqlKmeansCtes()},
       ${sqlKmAsg("c2", "a2")}
       SELECT vec_id, cid AS cluster_id, dist2 FROM a2 ORDER BY vec_id""",
     // trained-quantizer IVF: the SAME two-round Lloyd chain yields c2;
     // corpus assigns under it, queries probe nprobe=2 lists by the
     // training metric (L2), candidates rank by exact cosine
     "ss6_ivf_trained" -> s"""
-      WITH $sqlKmeansCtes,
+      WITH ${sqlKmeansCtes()},
       ${sqlKmAsg("c2", "a2")},
       qprobe AS (SELECT * FROM (
           SELECT x.vec_id AS query_id, c.cid,

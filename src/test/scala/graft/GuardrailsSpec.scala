@@ -131,6 +131,60 @@ class GuardrailsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph census + forced-cap recall: the cap's cost is a number") {
+    val maxList = 8
+    // census rows must equal the trained home-assignment list sizes
+    // (recomputed through the public kmeans path), with capped /
+    // rows_dropped the exact arithmetic consequences
+    val census = Similarity.knnGraphCensus(embs, numCentroids = 16,
+      maxList = maxList)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))
+    val sizes = graft.operators.VectorStats.kmeansAssign(embs, 16, 2)
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census.map(c => c._1 -> c._2).toMap == sizes)
+    census.foreach { case (_, size, capped, dropped) =>
+      assert(capped == (size > maxList))
+      assert(dropped == math.max(size - maxList, 0L))
+    }
+    assert(census.exists(_._3),
+      "fixture must engage the cap for this pin to mean anything")
+    // recall: the capped candidate set is a subset of the uncapped
+    // one (same centroids, same probes), so recall can only drop —
+    // and BOTH are measured, turning the silent loss into a number
+    val truth = Similarity.bruteForceTopK(embs, embs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(cap: Int): Double = {
+      val g = Similarity.knnGraph(embs, k = 3, numCentroids = 16,
+        nprobe = 2, maxList = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      g.count(truth.contains).toDouble / truth.size
+    }
+    val rCap = recall(maxList)
+    val rFull = recall(Int.MaxValue)
+    assert(rCap <= rFull + 1e-12, "a cap must never ADD recall")
+    assert(rCap > 0.05, s"forced-cap recall $rCap collapsed to noise")
+    info(f"knn-graph recall@3: capped($maxList)=$rCap%.3f uncapped=$rFull%.3f")
+  }
+
+  test("hammingBlockCensus names the adversarial pile-up and its drops exactly") {
+    import spark.implicits._
+    // the dd4 worst case: 64 hashes colliding in block 0, constant in
+    // blocks 2 and 3 — block 0 rescues via block-1 bits (zero drops),
+    // blocks 2/3 cannot (constant sub-key) and drop 64-8 each
+    val hashed = (0L until 64L).map(i => (i, (i << 15) | 7L))
+      .toDF("doc_id", "sh")
+    val census = Dedup.hammingBlockCensus(hashed, maxBucket = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(census == Set((0, 7L, 64L, 0L), (2, 0L, 64L, 56L),
+      (3, 0L, 64L, 56L)))
+    // disengaged cap → empty census (the common case costs ~nothing)
+    assert(Dedup.hammingBlockCensus(hashed, maxBucket = 1 << 16)
+      .isEmpty)
+  }
+
   test("dd5's LSH routing never invents pairs and scores match brute exactly") {
     val brute = Similarity.cosinePairs(embs, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

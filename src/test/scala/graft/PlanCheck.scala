@@ -110,6 +110,13 @@ object PlanCheck {
       "shortlist + queries broadcast into the re-rank" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("Cartesian"))))
+    audit("ss15_knn_census", Seq(
+      "trained centroids broadcast (no cartesian)" ->
+        (p => !p.contains("CartesianProduct")),
+      "list sizes partially aggregated before the exchange" ->
+        (_.contains("partial_")),
+      "trained-assignment frame checkpoint-truncated (one compute)" ->
+        (_.contains("Scan ExistingRDD"))))
     audit("ss14_knn_graph", Seq(
       "probe-home candidate join is equi on the list id" ->
         (p => !p.contains("CartesianProduct")),
