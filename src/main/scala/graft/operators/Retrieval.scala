@@ -91,4 +91,42 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_ppm", "n_terms_hit")
   }
+
+  /** Reciprocal-rank fusion (t24) — the standard hybrid-retrieval
+    * combiner over [[bm25TopK]]'s lexical ranking and a
+    * [[Similarity]] vector ranking (or any number of rankings):
+    * `score(d) = Σ_lists 1/(rrfK + rank_list(d))`, which needs no
+    * score calibration across lists — only ranks — and is the reason
+    * RRF is the default fusion in production hybrid search.
+    *
+    * Integer-exact ppm surrogate (the t09/t14/t22 discipline):
+    * each contribution is `1_000_000 div (rrfK + rank)` summed per
+    * (query, doc) — reciprocal-of-integer is not cross-engine exact
+    * in floating point, integer `div` is. Ties break by doc_id.
+    *
+    * Scale shape: every input is already a per-query top-k frame
+    * (≤ k·|queries| rows), so fusion is a union of TINY frames, one
+    * (query_id, doc_id) partial-aggregating exchange, and a
+    * per-query window — all the corpus-sized work stays inside the
+    * input rankings' own plans (postings probe, ANN index); fusion
+    * never touches the corpus.
+    *
+    * Inputs need `(query_id, doc_id, rank)`; output is
+    * `(query_id, rank, doc_id, rrf_ppm, n_lists)`, rank ≤ `k`. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    u.groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"1000000 div ($rrfK + rank)")).as("rrf_ppm"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_ppm", "n_lists")
+  }
 }

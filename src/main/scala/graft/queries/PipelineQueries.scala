@@ -988,6 +988,25 @@ object PipelineQueries {
           .select(col("doc_id").as("query_id"), col("text")), k = 10)
         .orderBy("query_id", "rank")
     },
+    // HYBRID retrieval: BM25 lexical top-10 and brute cosine top-10
+    // for the same 3 query docs (doc_id ≡ vec_id in the fixture id
+    // space), fused by reciprocal-rank — both input rankings reuse
+    // their existing plans untouched; fusion is a tiny rank-keyed
+    // union + one aggregation + per-query window
+    "t24_hybrid_rrf" -> { (s, d) =>
+      val all = documents(s, d)
+      val bm = Retrieval.bm25TopK(all,
+        all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")), k = 10)
+        .select("query_id", "doc_id", "rank")
+      val e = embeddings(s, d)
+      val ann = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+        k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(Seq(bm, ann), k = 10)
+        .orderBy("query_id", "rank")
+    },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
@@ -1262,6 +1281,59 @@ object PipelineQueries {
             GROUP BY a.cid, t.i0)
           GROUP BY cid)"""
   }
+
+  /** Oracle twin of [[Retrieval.bm25TopK]] (k = 10 over the doc_id<3
+    * query docs) — self-contained WITH … SELECT, nestable in parens
+    * and shared by the t22 standalone oracle and the t24 RRF fusion.
+    * Emits `(query_id, rank, doc_id, score_ppm, n_terms_hit)` with no
+    * trailing ORDER BY. */
+  private def sqlBm25TopK: String = s"""
+      WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      gx AS (SELECT doc_id, len(t)::BIGINT AS len,
+          ${sqlGrams("t", 1)} AS fps FROM tk),
+      p AS (SELECT fp, doc_id, count(*)::BIGINT AS tf FROM
+          (SELECT doc_id, unnest(fps) AS fp FROM gx) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, len FROM gx),
+      nn AS (SELECT count(*)::BIGINT AS n_docs,
+          sum(len)::BIGINT AS total_len FROM dl),
+      dfq AS (SELECT fp, count(*)::BIGINT AS df FROM p GROUP BY 1),
+      qt AS (SELECT query_id, fp,
+          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
+            AS idf_ppm
+        FROM (SELECT doc_id AS query_id, unnest(list_distinct(fps)) AS fp
+              FROM gx WHERE doc_id < 3) q
+        JOIN dfq USING (fp), nn),
+      sc AS (SELECT qt.query_id, p.doc_id,
+          count(*)::BIGINT AS n_terms_hit,
+          sum(qt.idf_ppm::HUGEINT *
+              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
+               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
+                + 9::HUGEINT * dl.len * nn.n_docs))
+              // 1000000)::BIGINT AS score_ppm
+        FROM qt JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
+        GROUP BY 1, 2)
+      SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score_ppm DESC, doc_id) AS rank FROM sc)
+      WHERE rank <= 10"""
+
+  /** Oracle twin of [[Similarity.bruteForceTopK]] over the vec_id<`nq`
+    * query sample — nestable, shared by ss1 and the t24 RRF fusion.
+    * Emits `(query_id, rank, neighbor_id, score)`, no trailing
+    * ORDER BY. */
+  private def sqlCosineTopK(k: Int, nq: Int): String = s"""
+      WITH e AS (SELECT vec_id, embedding,
+        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+        FROM e WHERE vec_id < $nq),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
+        FROM e, q WHERE q.query_id <> e.vec_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= $k"""
 
   /** Oracle twin of [[Similarity.knnGraph]] (self-contained WITH …
     * SELECT, nestable in parens): the trained Lloyd chain at
@@ -1836,34 +1908,23 @@ object PipelineQueries {
     // inverted-index BM25 twin: postings/df/lengths from the same
     // tokens+fp chain, identical integer idf and tf-saturation
     // surrogates (HUGEINT casts mirror the Spark DECIMAL(38,0) lane)
-    "t22_bm25_topk" -> s"""
-      WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
-      gx AS (SELECT doc_id, len(t)::BIGINT AS len,
-          ${sqlGrams("t", 1)} AS fps FROM tk),
-      p AS (SELECT fp, doc_id, count(*)::BIGINT AS tf FROM
-          (SELECT doc_id, unnest(fps) AS fp FROM gx) GROUP BY 1, 2),
-      dl AS (SELECT doc_id, len FROM gx),
-      nn AS (SELECT count(*)::BIGINT AS n_docs,
-          sum(len)::BIGINT AS total_len FROM dl),
-      dfq AS (SELECT fp, count(*)::BIGINT AS df FROM p GROUP BY 1),
-      qt AS (SELECT query_id, fp,
-          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
-            AS idf_ppm
-        FROM (SELECT doc_id AS query_id, unnest(list_distinct(fps)) AS fp
-              FROM gx WHERE doc_id < 3) q
-        JOIN dfq USING (fp), nn),
-      sc AS (SELECT qt.query_id, p.doc_id,
-          count(*)::BIGINT AS n_terms_hit,
-          sum(qt.idf_ppm::HUGEINT *
-              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
-               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
-                + 9::HUGEINT * dl.len * nn.n_docs))
-              // 1000000)::BIGINT AS score_ppm
-        FROM qt JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
-        GROUP BY 1, 2)
-      SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
+    "t22_bm25_topk" -> s"""$sqlBm25TopK
+      ORDER BY query_id, rank""",
+    // RRF hybrid fusion: the full t22 BM25 chain and the full ss1
+    // cosine chain replayed as nested subqueries, fused by the same
+    // integer 1e6 div (60+rank) contributions
+    "t24_hybrid_rrf" -> s"""
+      WITH bm AS (SELECT query_id, doc_id, rank FROM ($sqlBm25TopK)),
+      ann AS (SELECT query_id, neighbor_id AS doc_id, rank
+        FROM (${sqlCosineTopK(10, 3)})),
+      u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann),
+      f AS (SELECT query_id, doc_id,
+          sum(1000000 // (60 + rank))::BIGINT AS rrf_ppm,
+          count(*)::BIGINT AS n_lists
+        FROM u GROUP BY 1, 2)
+      SELECT query_id, rank, doc_id, rrf_ppm, n_lists FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY score_ppm DESC, doc_id) AS rank FROM sc)
+          ORDER BY rrf_ppm DESC, doc_id) AS rank FROM f)
       WHERE rank <= 10 ORDER BY query_id, rank""",
     "t20_source_overlap" -> s"""
       WITH g AS (SELECT DISTINCT source, fp FROM
@@ -3207,19 +3268,8 @@ object PipelineQueries {
       SELECT doc_id, lang, lang_pred, n_tokens, quality
       FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY doc_id""",
-    "ss1_cosine_topk" -> s"""
-      WITH e AS (SELECT vec_id, embedding,
-        sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
-      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-        FROM e WHERE vec_id < 3),
-      scored AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id,
-          ${sqlDot("q.qe", "e.embedding")} / (q.qn * e.nrm) AS score
-        FROM e, q WHERE q.query_id <> e.vec_id),
-      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
-      SELECT query_id, rank, neighbor_id, score FROM ranked
-      WHERE rank <= 10 ORDER BY query_id, rank""",
+    "ss1_cosine_topk" -> s"""${sqlCosineTopK(10, 3)}
+      ORDER BY query_id, rank""",
     "ss2_ann_lsh" -> s"""
       WITH e AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm,

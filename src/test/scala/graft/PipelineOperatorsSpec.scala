@@ -2139,6 +2139,26 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
   }
 
+  test("rrf fusion: both-list docs outrank single-list docs, ppm sums exact") {
+    import spark.implicits._
+    // query 1: doc 10 is rank 1 in BOTH lists; doc 11 lexical-only
+    // rank 1; doc 12 vector-only rank 2
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 2), (1L, 12L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byDoc = fused.map(f => f._3 -> f).toMap
+    // exact integer contributions: 1e6 div 61 = 16393, div 62 = 16129
+    assert(byDoc(10L)._4 == 16393L + 16129L && byDoc(10L)._5 == 2L)
+    assert(byDoc(11L)._4 == 16129L && byDoc(11L)._5 == 1L)
+    assert(byDoc(12L)._4 == 16393L && byDoc(12L)._5 == 1L)
+    // the both-list doc wins; singles order by their own contribution
+    assert(fused.sortBy(_._2).map(_._3).toSeq == Seq(10L, 12L, 11L))
+  }
+
   test("audio near-dup pairs equal brute-force fingerprint hamming") {
     val fp = Multimodal.audioFingerprint(spark, docs).collect()
       .map(r => (r.getLong(0), (r.getLong(1) << 32) | r.getLong(2)))
