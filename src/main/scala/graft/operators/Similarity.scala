@@ -759,6 +759,54 @@ object Similarity {
       .toDF("vec_id", "rank", "neighbor_id", "score")
   }
 
+  /** SemDeDup over the kNN graph (dd20) — the composition the graph
+    * exists for: [[knnGraph]] edges thresholded at `threshold` cosine
+    * become the duplicate-pair candidates, transitive closure via
+    * [[graft.operators.Dedup.resolveClustersStars]] (the O(log² n)
+    * alternating-star components — no recursion depth tied to cluster
+    * diameter), and the dd15 survivor policy: keep each cluster's
+    * LARGEST-norm vector (ties → lower id), singletons survive as
+    * their own cluster.
+    *
+    * vs dd15 ([[semanticDedup]]): same contract and survivor policy,
+    * different candidate generator — dd15's LSH pair detector is
+    * threshold-recall-shaped (find ALL pairs above t), the graph is
+    * k-degree-shaped (each vector contributes ≤ k nearest edges), so
+    * at SemDeDup's operating point (high threshold, clusters =
+    * near-identical caps) the graph generates ~k·n candidates instead
+    * of bucket-quadratic ones — the published SemDeDup recipe.
+    *
+    * Scale shape: the graph's own plan (trained broadcast centroids,
+    * one probe↔home equi-join, bounded top-k state); thresholded
+    * edges are a near-dup-sized frame; cluster maps are node-keyed
+    * and broadcast below the graph limit; the corpus pass is one left
+    * probe + one map-side `max_by` per cluster — embeddings never
+    * shuffle outside the graph's own exchanges.
+    *
+    * Output (dd15 contract): `(vec_id, cluster_id, keep_id, keep)`
+    * for every vector. */
+  def semDeDupGraph(embeddings: DataFrame, threshold: Double,
+      k: Int = 3, numCentroids: Int = 16, nprobe: Int = 2,
+      maxList: Int = 1 << 16, iters: Int = 2): DataFrame = {
+    val edges = knnGraph(embeddings, k, numCentroids, nprobe, maxList, iters)
+      .filter(col("score") >= threshold)
+      .select(col("vec_id").as("a_id"), col("neighbor_id").as("b_id"))
+    val clusters = graft.operators.Dedup.resolveClustersStars(edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val scored = embeddings
+      .select(col("vec_id"), norm(col("embedding")).as("nrm"))
+      .join(broadcast(clusters), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nrm"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .localCheckpoint(eager = false) // feeds survivor agg + final join
+    val best = scored.groupBy("cluster_id")
+      .agg(max_by(col("vec_id"),
+        struct(col("nrm"), -col("vec_id"))).as("keep_id"))
+    scored.join(broadcast(best), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("keep_id"),
+        (col("vec_id") === col("keep_id")).as("keep"))
+  }
+
   /** The `m` per-subspace PQ codebooks (each `(cid, cemb, cc)` with
     * the self-dot precomputed) — see [[pqTopK]] for the training
     * contract. */

@@ -789,6 +789,14 @@ object PipelineQueries {
       Similarity.semanticDedup(embeddings(s, d), threshold = 0.4,
         nBits = 6, tables = 3).orderBy("vec_id")
     },
+    // SemDeDup over the kNN graph: thresholded graph edges as the
+    // candidate source (k-degree volume, not bucket-quadratic), star
+    // components, keep-largest-norm — the dd15 contract with ss14 as
+    // the generator
+    "dd20_semdedup_graph" -> { (s, d) =>
+      Similarity.semDeDupGraph(embeddings(s, d), threshold = 0.4,
+        k = 3, numCentroids = 16, nprobe = 2).orderBy("vec_id")
+    },
     // substring-LEVEL exact dedup: maximal cross-document duplicated
     // 5-gram runs — the spans a span-cutting rewrite would remove
     "dd16_dup_spans" -> { (s, d) =>
@@ -3122,6 +3130,34 @@ object PipelineQueries {
         c.vec_id = b.keep_id AS keep
       FROM cl c JOIN best b USING (cluster_id) ORDER BY vec_id"""
     },
+    // the full trained kNN-graph chain as the candidate source,
+    // thresholded, then the dd15 closure + survivor arithmetic
+    "dd20_semdedup_graph" -> s"""
+      WITH RECURSIVE g AS (SELECT vec_id, neighbor_id, score
+          FROM (${sqlKnnGraph(3, 16, 2)})),
+      pairs AS (SELECT vec_id AS a_id, neighbor_id AS b_id FROM g
+        WHERE score >= 0.4),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      en AS (SELECT vec_id,
+          sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      cl AS (SELECT en.vec_id, en.nrm,
+          coalesce(l.cluster_id, en.vec_id) AS cluster_id
+        FROM en LEFT JOIN labels l ON l.id = en.vec_id),
+      best AS (SELECT cluster_id, vec_id AS keep_id FROM (
+        SELECT cluster_id, vec_id, row_number() OVER (
+          PARTITION BY cluster_id ORDER BY nrm DESC, vec_id) AS rn
+        FROM cl) WHERE rn = 1)
+      SELECT c.vec_id, c.cluster_id, b.keep_id,
+        c.vec_id = b.keep_id AS keep
+      FROM cl c JOIN best b USING (cluster_id) ORDER BY vec_id""",
     // positional 5-grams → cross-doc duplicated fingerprints →
     // gaps-and-islands span merge, all integer-exact
     "dd16_dup_spans" -> s"""

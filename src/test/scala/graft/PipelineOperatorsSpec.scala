@@ -2139,6 +2139,42 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
   }
 
+  test("semDeDup over the graph: labels = union-find truth, keeps = max norm") {
+    val out = Similarity.semDeDupGraph(embs, threshold = 0.4, k = 3,
+      numCentroids = 16, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == embs.count())
+    val edges = Similarity.knnGraph(embs, k = 3, numCentroids = 16,
+      nprobe = 2)
+      .filter(col("score") >= 0.4)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find with min-id roots = the expected labels
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    out.foreach { case (v, c, _, _) =>
+      assert(c == find(v), s"vec $v labeled $c, expected ${find(v)}")
+    }
+    // keep is each cluster's largest-norm member, ties to lower id
+    val nrm = embs.select(col("vec_id"),
+      Similarity.norm(col("embedding")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val expectKeep = rows.map(_._1).minBy(v => (-nrm(v), v))
+      rows.foreach { case (v, _, keepId, keep) =>
+        assert(keepId == expectKeep)
+        assert(keep == (v == expectKeep))
+      }
+    }
+  }
+
   test("rrf fusion: both-list docs outrank single-list docs, ppm sums exact") {
     import spark.implicits._
     // query 1: doc 10 is rank 1 in BOTH lists; doc 11 lexical-only
