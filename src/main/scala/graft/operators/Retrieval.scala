@@ -43,7 +43,6 @@ object Retrieval {
     * Output: `(query_id, rank, doc_id, score_ppm, n_terms_hit)`,
     * rank ≤ k, ties by doc_id. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.hashFunctions.gram_fps
     // postings + doc lengths from ONE staged tokenize (gram_fps is a
     // HOF-adjacent expression — stage it so it runs once per row)
@@ -60,6 +59,19 @@ object Retrieval {
     val totals = staged
       .select(size(col("fps")).cast("long").as("l"))
       .agg(count(lit(1)).as("n_docs"), sum("l").as("total_len"))
+    bm25Score(postings, totals, queries, k)
+  }
+
+  /** The shared Okapi scoring tail over a postings frame
+    * `(fp, doc_id, len, tf)` — the exact-integer arithmetic of
+    * [[bm25TopK]], reused by the standing-index probe so both paths
+    * are bit-identical by construction. `dfreq` is derived from the
+    * postings (one vocabulary-sized aggregation); `totals` is the
+    * 1-row corpus census the caller already has or derives. */
+  private def bm25Score(postings: DataFrame, totals: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.hashFunctions.gram_fps
     val dfreq = postings.groupBy("fp").agg(count(lit(1)).as("df"))
     // query terms (distinct per query) + idf, all on the tiny side
     val qterms = queries
@@ -90,6 +102,86 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_ppm", "n_terms_hit")
+  }
+
+  /** STANDING BM25 index (t25): the per-document postings
+    * `(fp, doc_id, len, tf)` computed ENTIRELY per-row — tf comes
+    * from counting inside the document's own token array (a
+    * codegen'd HOF pair over ≤ len distinct terms), len is the array
+    * size, and NO cross-row state exists. Three consequences:
+    *  - materialize-once: persist/bucket this frame by `fp` and every
+    *    [[bm25TopKAgainst]] probe skips the corpus tokenize entirely
+    *    (the only corpus-sized cost of t22);
+    *  - streaming-legal: the same operator maps a LIVE document
+    *    stream batch-by-batch into index rows (proven in
+    *    StreamingSpec) — no aggregation, so append mode just works;
+    *  - incrementally maintainable: [[bm25ApplyCdf]] folds a CDF
+    *    batch in with one doc-keyed anti-join + a union of the new
+    *    docs' rows (the dd9 discipline — deltas touch the index, the
+    *    corpus is never re-read).
+    * df and corpus totals are NOT stored: they are one vocabulary-
+    * sized and one doc-distinct aggregation over the postings at
+    * probe time, always consistent with the maintained rows (a stored
+    * df would need its own delta bookkeeping and can drift). */
+  def bm25Index(docs: DataFrame): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    docs
+      .select(col("doc_id"), gram_fps(col("text"), 1).as("fps"))
+      // a token-less document keeps ONE null-fp sentinel row: it must
+      // still count in the probe-time n_docs census (bm25TopK's
+      // corpus scan counts it), and a bare explode would erase it
+      .select(col("doc_id"), size(col("fps")).cast("long").as("len"),
+        explode(when(size(col("fps")) === 0,
+          array(struct(lit(null).cast("long").as("fp"),
+            lit(0L).as("tf"))))
+          .otherwise(transform(array_distinct(col("fps")), f =>
+            struct(f.as("fp"),
+              size(filter(col("fps"), x => x === f)).cast("long")
+                .as("tf")))))
+          .as("p"))
+      .select(col("p.fp").as("fp"), col("doc_id"), col("len"),
+        col("p.tf").as("tf"))
+  }
+
+  /** Fold a CDF batch into a standing [[bm25Index]]: deleted /
+    * pre-image docs leave via ONE doc-keyed anti-join, inserted /
+    * post-image docs arrive as their per-row postings — no other row
+    * moves, and df/len totals need no bookkeeping (derived at probe
+    * time). Unknown change types fail loudly rather than corrupt the
+    * index. */
+  def bm25ApplyCdf(index: DataFrame, cdf: DataFrame): DataFrame = {
+    val known = Seq("insert", "delete", "update_preimage",
+      "update_postimage")
+    // row-level guard: an unrecognized change type throws at task
+    // time instead of silently dropping the row from both branches
+    val validated = cdf.withColumn("_change_type",
+      when(col("_change_type").isin(known: _*), col("_change_type"))
+        .otherwise(raise_error(concat(
+          lit("bm25ApplyCdf: unknown CDF change type '"),
+          col("_change_type"), lit("'"))).cast("string")))
+      .localCheckpoint(eager = false) // feeds the leave + arrive legs
+    val gone = validated
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("doc_id")
+    val arrived = validated
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("doc_id", "text")
+    index.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(bm25Index(arrived))
+      .select("fp", "doc_id", "len", "tf") // keep the index layout stable
+  }
+
+  /** Probe a standing [[bm25Index]] with a query batch — identical
+    * scores to [[bm25TopK]] on the equivalent corpus (same shared
+    * scoring tail), but the corpus-sized tokenize is GONE: the probe
+    * touches the postings (bucket/persist them by `fp` for repeated
+    * workloads), one vocabulary-sized df aggregation, one
+    * doc-distinct totals census, and the tiny broadcast query side. */
+  def bm25TopKAgainst(index: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val totals = index.select("doc_id", "len").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    bm25Score(index, totals, queries, k)
   }
 
   /** Reciprocal-rank fusion (t24) — the standard hybrid-retrieval

@@ -996,6 +996,24 @@ object PipelineQueries {
           .select(col("doc_id").as("query_id"), col("text")), k = 10)
         .orderBy("query_id", "rank")
     },
+    // STANDING BM25 index: per-row postings (no cross-row state —
+    // streaming-legal), a CDF batch folded in with one doc-keyed
+    // anti-join + new-doc postings (the dd9 incremental discipline),
+    // then an index probe — identical scoring arithmetic to t22
+    "t25_bm25_standing" -> { (s, d) =>
+      val all = documents(s, d)
+      val cdf = all.filter(col("doc_id") % 97 === 5)
+        .select(col("doc_id"), col("text"),
+          lit("delete").as("_change_type"))
+        .unionByName(all.filter(col("doc_id") % 31 === 7)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+            lit("insert").as("_change_type")))
+      val idx = Retrieval.bm25ApplyCdf(Retrieval.bm25Index(all), cdf)
+      Retrieval.bm25TopKAgainst(idx,
+        all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")), k = 10)
+        .orderBy("query_id", "rank")
+    },
     // HYBRID retrieval: BM25 lexical top-10 and brute cosine top-10
     // for the same 3 query docs (doc_id ≡ vec_id in the fixture id
     // space), fused by reciprocal-rank — both input rankings reuse
@@ -1292,11 +1310,13 @@ object PipelineQueries {
 
   /** Oracle twin of [[Retrieval.bm25TopK]] (k = 10 over the doc_id<3
     * query docs) — self-contained WITH … SELECT, nestable in parens
-    * and shared by the t22 standalone oracle and the t24 RRF fusion.
+    * and shared by the t22 standalone oracle, the t24 RRF fusion and
+    * (with a CDF-modified `corpus`) the t25 standing-index probe.
     * Emits `(query_id, rank, doc_id, score_ppm, n_terms_hit)` with no
     * trailing ORDER BY. */
-  private def sqlBm25TopK: String = s"""
-      WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+  private def sqlBm25TopK(
+      corpus: String = "SELECT doc_id, text FROM documents"): String = s"""
+      WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM ($corpus)),
       gx AS (SELECT doc_id, len(t)::BIGINT AS len,
           ${sqlGrams("t", 1)} AS fps FROM tk),
       p AS (SELECT fp, doc_id, count(*)::BIGINT AS tf FROM
@@ -1916,13 +1936,21 @@ object PipelineQueries {
     // inverted-index BM25 twin: postings/df/lengths from the same
     // tokens+fp chain, identical integer idf and tf-saturation
     // surrogates (HUGEINT casts mirror the Spark DECIMAL(38,0) lane)
-    "t22_bm25_topk" -> s"""$sqlBm25TopK
+    "t22_bm25_topk" -> s"""${sqlBm25TopK()}
+      ORDER BY query_id, rank""",
+    // the t22 chain over the CDF-modified corpus — the maintained
+    // index must score exactly as a fresh build over the same docs
+    "t25_bm25_standing" -> s"""${sqlBm25TopK(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 5
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents
+         WHERE doc_id % 31 = 7""")}
       ORDER BY query_id, rank""",
     // RRF hybrid fusion: the full t22 BM25 chain and the full ss1
     // cosine chain replayed as nested subqueries, fused by the same
     // integer 1e6 div (60+rank) contributions
     "t24_hybrid_rrf" -> s"""
-      WITH bm AS (SELECT query_id, doc_id, rank FROM ($sqlBm25TopK)),
+      WITH bm AS (SELECT query_id, doc_id, rank FROM (${sqlBm25TopK()})),
       ann AS (SELECT query_id, neighbor_id AS doc_id, rank
         FROM (${sqlCosineTopK(10, 3)})),
       u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann),

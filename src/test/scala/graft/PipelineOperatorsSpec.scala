@@ -2175,6 +2175,50 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("standing bm25 index: probe ≡ fresh bm25TopK, CDF fold ≡ rebuild") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple apple orange"),
+      (2L, "banana banana kiwi"),
+      (3L, ""), // token-less doc must still count in the n_docs census
+      (4L, "apple banana cherry")).toDF("doc_id", "text")
+    val q = Seq((100L, "apple banana"), (101L, "kiwi"))
+      .toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // index probe is bit-identical to the one-shot scorer
+    val idx = graft.operators.Retrieval.bm25Index(corpus)
+    assert(rows(graft.operators.Retrieval.bm25TopKAgainst(idx, q, k = 5)) ==
+      rows(graft.operators.Retrieval.bm25TopK(corpus, q, k = 5)))
+    // CDF fold (delete 2, update 1, insert 5) ≡ fresh build + probe
+    val cdf = Seq(
+      (2L, "banana banana kiwi", "delete"),
+      (1L, "apple apple apple orange", "update_preimage"),
+      (1L, "grape orange", "update_postimage"),
+      (5L, "kiwi kiwi pear", "insert"))
+      .toDF("doc_id", "text", "_change_type")
+    val folded = graft.operators.Retrieval.bm25ApplyCdf(idx, cdf)
+    val after = Seq(
+      (0L, "apple banana"), (1L, "grape orange"), (3L, ""),
+      (4L, "apple banana cherry"), (5L, "kiwi kiwi pear"))
+      .toDF("doc_id", "text")
+    def idxRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(idxRows(folded) ==
+      idxRows(graft.operators.Retrieval.bm25Index(after)))
+    assert(rows(graft.operators.Retrieval.bm25TopKAgainst(folded, q, k = 5))
+      == rows(graft.operators.Retrieval.bm25TopK(after, q, k = 5)))
+    // unknown change types fail loudly, never silently drop
+    val bad = Seq((9L, "x", "upsert")).toDF("doc_id", "text", "_change_type")
+    val e = intercept[Exception] {
+      graft.operators.Retrieval.bm25ApplyCdf(idx, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("rrf fusion: both-list docs outrank single-list docs, ppm sums exact") {
     import spark.implicits._
     // query 1: doc 10 is rank 1 in BOTH lists; doc 11 lexical-only

@@ -61,6 +61,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(spark.table("quality_out")) == asSet(quality(docsBatch)))
   }
 
+  test("standing bm25 index ingests a live document stream") {
+    // t25's postings builder is per-row (tf counted inside the doc's
+    // own token array — no Aggregate), so the SAME operator maps a
+    // live crawl into index rows in append mode; the accumulated
+    // stream output must equal the batch-built index exactly
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    runToMemory(operators.Retrieval.bm25Index(
+      docStream.select("doc_id", "text")), "bm25_idx_out", "append")
+    val batch = operators.Retrieval.bm25Index(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+    assert(asSet(spark.table("bm25_idx_out")) == asSet(batch))
+    assert(spark.table("bm25_idx_out").count() > 0)
+  }
+
   test("stream-static join decontaminates a document stream") {
     // the eval gram set is a STATIC frame joined into a streaming
     // scan — Structured Streaming's stream-static join, the shape
