@@ -57,6 +57,7 @@ object Bench {
       catch { case _: Exception => "-1" }
     val loadBefore = loadavg
     val p1 = pass()
+    val loadMid = loadavg // per-PASS load: which pass a spike hit matters
     val p2 = pass()
     val loadAfter = loadavg
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
@@ -90,7 +91,7 @@ object Bench {
       }.mkString("{", ",", "}")
     // scalar-only total line first (head-clippable without data loss —
     // the same scalars repeat in the summary line that follows)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadAfter],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadMid,$loadAfter],"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","query_unit":"cs","queries":$qsByFam}""")
     val qsFull = results.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }
@@ -98,13 +99,13 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
-      (s"""{"metric":"total","value":$total,"unit":"sec","load1m":[$loadBefore,$loadAfter],"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":$total,"unit":"sec","load1m":[$loadBefore,$loadMid,$loadAfter],"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: Exception => () }
     // short standalone summary LAST: always survives tail truncation.
     // Distinct metric name so a consumer aggregating by metric never
     // double-counts the total.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadAfter],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadMid,$loadAfter],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -157,6 +157,17 @@ object Tokenizer {
         require(i > 0, s"merge pair '$pair' is not two symbols")
         (pair.substring(0, i), pair.substring(i + 1), merged)
     }.toArray
+    // `tok.matches("^[a-z]+$")` would compile the pattern once PER
+    // TOKEN; the check is a plain char scan — nonempty and all [a-z]
+    def isLowerAlpha(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < 'a' || c > 'z') return false
+        i += 1
+      }
+      s.length > 0
+    }
     docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .as[(Long, Seq[String])]
@@ -165,7 +176,7 @@ object Tokenizer {
         val sb = new StringBuilder
         toks.foreach { tok =>
           var cur: Array[String] =
-            if (tok.matches("^[a-z]+$")) tok.toCharArray.map(_.toString)
+            if (isLowerAlpha(tok)) tok.toCharArray.map(_.toString)
             else Array(tok)
           var r = 0
           while (r < rules.length) {
