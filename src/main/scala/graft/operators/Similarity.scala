@@ -675,10 +675,11 @@ object Similarity {
   /** The trained scored corpus×centroids frame and the home (inverted
     * list) assignment [[knnGraph]] and [[knnGraphCensus]] share —
     * same Lloyd training, same L2 metric, same tie-breaks. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   private def knnScoredHome(corpus: DataFrame, numCentroids: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val cents = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
       .withColumn("cc", dotD(col("cemb"), col("cemb")))
       .localCheckpoint(eager = false) // home assignment + probe lists
@@ -697,7 +698,22 @@ object Similarity {
         struct(col("dist2"), col("cid"))).as("b"))
       .select(col("vec_id").as("neighbor_id"), col("b.cid").as("cid"),
         col("b.embedding").as("n_emb"), col("b.nrm").as("n_nrm"))
-    (scored, home)
+    (cents, scored, home)
+  }
+
+  /** The mega-list cap [[knnGraph]] and [[knnGraphAgainst]] share:
+    * pay-as-you-go census, deterministic neighbor_id-ordered prefix
+    * only on lists that actually exceed `maxList`. */
+  private def capHome(home: DataFrame, maxList: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxObserved = home.groupBy("cid").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    if (maxObserved <= maxList) home
+    else home
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy("neighbor_id")))
+      .filter(col("rn") <= maxList)
+      .drop("rn")
   }
 
   /** Per-list census of [[knnGraph]]'s inverted lists (ss15): the
@@ -710,7 +726,7 @@ object Similarity {
     * group-by); output is ≤ `numCentroids` rows. */
   def knnGraphCensus(corpus: DataFrame, numCentroids: Int = 16,
       maxList: Int = 1 << 16, iters: Int = 2): DataFrame = {
-    val (_, home) = knnScoredHome(corpus, numCentroids, iters)
+    val (_, _, home) = knnScoredHome(corpus, numCentroids, iters)
     home.groupBy("cid")
       .agg(count(lit(1)).as("list_size"))
       .select(col("cid"), col("list_size"),
@@ -724,18 +740,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (scored, home) = knnScoredHome(corpus, numCentroids, iters)
-    // pay-as-you-go census: the cap machinery only engages when a
-    // list actually exceeds maxList
-    val maxObserved = home.groupBy("cid").count()
-      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
-    val homeCapped =
-      if (maxObserved <= maxList) home
-      else home
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("cid").orderBy("neighbor_id")))
-        .filter(col("rn") <= maxList)
-        .drop("rn")
+    val (_, scored, home) = knnScoredHome(corpus, numCentroids, iters)
+    val homeCapped = capHome(home, maxList)
     val wq = Window.partitionBy("vec_id")
       .orderBy(col("dist2"), col("cid"))
     val probes = scored
@@ -751,6 +757,83 @@ object Similarity {
       .as[(Long, Long, Double)]
     val agg = new TopKAggregator(k)
     pairs.groupByKey(_._1)
+      .mapValues(v => (v._2, v._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((sc, nid), i) => (qid, i + 1, nid, sc) }
+      }
+      .toDF("vec_id", "rank", "neighbor_id", "score")
+  }
+
+  /** The STANDING side of the incremental kNN graph (ss16): the
+    * trained coarse centroids and the capped home (inverted) lists —
+    * exactly [[knnGraph]]'s internal state, exposed so an arriving
+    * vector batch can probe it without retraining (the dd9/dd19/m11
+    * standing-index discipline, applied to vectors). Persist both
+    * frames (centroids are k rows; home lists are one narrow row per
+    * corpus vector, bucket by `cid` for repeated batches). */
+  def knnIndex(corpus: DataFrame, numCentroids: Int = 16,
+      maxList: Int = 1 << 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val (cents, _, home) = knnScoredHome(corpus, numCentroids, iters)
+    (cents, capHome(home, maxList))
+  }
+
+  /** Candidate edges of an ARRIVING vector batch against a standing
+    * [[knnIndex]] — STREAMING-LEGAL: the batch side carries no
+    * window, no aggregation and no checkpoint, so the same operator
+    * runs unchanged on a `readStream` of new vectors (proven live in
+    * StreamingSpec). The top-`nprobe` probe lists are picked IN-ROW —
+    * the packed centroid broadcast is sorted per vector by the same
+    * (dist², cid) order [[knnGraph]]'s probe window uses (an O(k log
+    * k) array_sort over ≤ numCentroids entries, zero exchanges) — and
+    * candidates are one stream-static equi-join on the list id.
+    * Output: `(query_id, neighbor_id, score)` exact cosine, each pair
+    * at most once (a neighbor has ONE home list). */
+  def knnCandidatesAgainst(newVecs: DataFrame, cents: DataFrame,
+      home: DataFrame, nprobe: Int = 2): DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
+    newVecs
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), v => v.cast("double")).as("demb"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
+      .withColumn("xx", dotD(col("demb"), col("demb")))
+      .crossJoin(broadcast(packed))
+      .withColumn("probe", explode(slice(array_sort(
+        transform(col("cs"), c =>
+          struct((col("xx")
+            - lit(2.0) * dotD(col("demb"), c.getField("cemb"))
+            + c.getField("cc")).as("dist2"),
+            c.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("query_id"), col("probe.cid").as("cid"),
+        col("q_emb"), col("q_nrm"))
+      .join(home, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+          .as("score"))
+  }
+
+  /** Incremental kNN-graph maintenance (ss16), batch tail: the
+    * arriving batch's top-`k` graph rows against the standing corpus
+    * — [[knnCandidatesAgainst]] + the bounded [[TopKAggregator]]
+    * (per-group state ≤ k on both sides of the one narrow exchange).
+    * The index is trained WITHOUT the arriving batch — that is the
+    * point: new vectors get graph rows at probe cost, retraining is a
+    * scheduled offline event (the ivfTopKTrained/ss6 quantizer), not
+    * a per-batch one. Output matches [[knnGraph]]'s row shape:
+    * `(vec_id, rank, neighbor_id, score)`. */
+  def knnGraphAgainst(newVecs: DataFrame, corpus: DataFrame, k: Int = 3,
+      numCentroids: Int = 16, nprobe: Int = 2, maxList: Int = 1 << 16,
+      iters: Int = 2): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val (cents, home) = knnIndex(corpus, numCentroids, maxList, iters)
+    val agg = new TopKAggregator(k)
+    knnCandidatesAgainst(newVecs, cents, home, nprobe)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
       .mapValues(v => (v._2, v._3))
       .agg(agg.toColumn)
       .flatMap { case (qid, tops) =>

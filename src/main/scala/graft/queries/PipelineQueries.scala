@@ -638,6 +638,16 @@ object PipelineQueries {
       Similarity.knnGraph(embeddings(s, d), k = 3, numCentroids = 16,
         nprobe = 2).orderBy("vec_id", "rank")
     },
+    // INCREMENTAL graph maintenance: the vec_id≡0 (mod 10) batch
+    // probes a standing index trained WITHOUT it (the dd9/dd19/m11
+    // standing-index discipline for vectors); the candidate stage is
+    // streaming-legal (in-row probe pick, stream-static equi-join)
+    "ss16_knn_incremental" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.knnGraphAgainst(e.filter(col("vec_id") % 10 === 0),
+        e.filter(col("vec_id") % 10 =!= 0), k = 3, numCentroids = 16,
+        nprobe = 2).orderBy("vec_id", "rank")
+    },
     // census of the graph's inverted lists at a deliberately tiny
     // maxList: the mega-list cap's cost as a NUMBER (which lists cap,
     // how many rows each would drop) — guard observability, not a
@@ -1398,8 +1408,9 @@ object PipelineQueries {
     * the ss6 trained-IVF oracle so the bit-exact trajectory arithmetic
     * exists once. Also exposes `e` (double embeddings) and `ex`
     * (embeddings + self-dot). */
-  private def sqlKmeansCtes(k: Int = 8): String = s"""e AS (SELECT vec_id,
-          list_transform(embedding, x0 -> x0::DOUBLE) AS emb FROM embeddings),
+  private def sqlKmeansCtes(k: Int = 8,
+      src: String = "embeddings"): String = s"""e AS (SELECT vec_id,
+          list_transform(embedding, x0 -> x0::DOUBLE) AS emb FROM $src),
       ex AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx FROM e),
       c0 AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e
         ORDER BY vec_id LIMIT $k),
@@ -2825,6 +2836,34 @@ object PipelineQueries {
     // rank <= 3 — all the same fixed-order folds
     "ss14_knn_graph" -> s"""${sqlKnnGraph(3, 16, 2)}
       ORDER BY vec_id, rank""",
+    // the Lloyd chain trained on the INDEX subset only, new batch
+    // probed by the same (dist2, cid) order as the in-row pick
+    "ss16_knn_incremental" -> s"""
+      WITH ${sqlKmeansCtes(16,
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)")},
+      ${sqlKmAsg("c2", "homea")},
+      newv AS (SELECT vec_id,
+          list_transform(embedding, xn -> xn::DOUBLE) AS emb
+        FROM embeddings WHERE vec_id % 10 = 0),
+      newx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM newv),
+      probes AS (SELECT * FROM (
+          SELECT n.vec_id AS query_id, c.cid,
+            (n.xx - 2.0*${sqlDot("n.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM newx n, c2 c)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      kisc AS (SELECT p.query_id AS vec_id, h.vec_id AS neighbor_id,
+          ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx)) AS score
+        FROM probes p JOIN homea h USING (cid)
+        JOIN newx q ON q.vec_id = p.query_id
+        JOIN ex x ON x.vec_id = h.vec_id
+        WHERE p.query_id <> h.vec_id)
+      SELECT vec_id, rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
+      WHERE rank <= 3 ORDER BY vec_id, rank""",
     // the same trained home assignment, aggregated per list
     "ss15_knn_census" -> s"""
       WITH ${sqlKmeansCtes(16)},

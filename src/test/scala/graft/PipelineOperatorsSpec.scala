@@ -2139,6 +2139,33 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
   }
 
+  test("incremental knn probe: exact scores, dense ranks, index-only neighbors") {
+    val g = Similarity.knnGraphAgainst(
+      embs.filter(col("vec_id") % 10 === 0),
+      embs.filter(col("vec_id") % 10 =!= 0),
+      k = 3, numCentroids = 16, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(g.nonEmpty)
+    // queries come only from the arriving batch, neighbors only from
+    // the standing index
+    g.foreach { case (q, _, n, _) =>
+      assert(q % 10 == 0); assert(n % 10 != 0)
+    }
+    g.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      })
+    }
+    // probe routing can miss neighbors, never mis-score them
+    val exact = Similarity.cosinePairs(embs, threshold = -2.0).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    g.foreach { case (q, _, n, sc) => assert(exact((q, n)) == sc) }
+  }
+
   test("semDeDup over the graph: labels = union-find truth, keeps = max norm") {
     val out = Similarity.semDeDupGraph(embs, threshold = 0.4, k = 3,
       numCentroids = 16, nprobe = 2).collect()

@@ -61,6 +61,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(spark.table("quality_out")) == asSet(quality(docsBatch)))
   }
 
+  test("knn candidate probe runs unchanged on a vector stream") {
+    // ss16's candidate stage as a LIVE stream: arriving vectors pick
+    // their probe lists IN-ROW (no window, no aggregation on the
+    // stream side) and equi-join the standing home lists — the same
+    // operator code, no streaming variant
+    val embsB = Tables.embeddings(spark, sf)
+    val (cents, home) = operators.Similarity.knnIndex(
+      embsB.filter(col("vec_id") % 10 =!= 0), numCentroids = 16)
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+      .filter(col("vec_id") % 10 === 0)
+    val live = operators.Similarity.knnCandidatesAgainst(
+      newStream.select("vec_id", "embedding"), cents, home)
+    runToMemory(live, "knn_inc_out", "append")
+    val batch = operators.Similarity.knnCandidatesAgainst(
+      embsB.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding"), cents, home)
+    assert(asSet(spark.table("knn_inc_out")) == asSet(batch))
+    assert(spark.table("knn_inc_out").count() > 0)
+  }
+
   test("standing bm25 index ingests a live document stream") {
     // t25's postings builder is per-row (tf counted inside the doc's
     // own token array — no Aggregate), so the SAME operator maps a
