@@ -400,6 +400,21 @@ object PipelineQueries {
         isEval = col("vec_id") % 50 === 0, threshold = 0.4)
         .orderBy("vec_id")
     },
+    // RETRIEVAL contamination: each eval doc runs as a BM25 query
+    // against the standing TRAIN-only index; training members that
+    // surface in its lexical top-5 above the score floor are the
+    // contamination suspects — what embedding probes (dc5) miss when
+    // the leak is exact terminology, and n-gram overlap (dc1/dc4)
+    // misses when it is scattered rather than contiguous
+    "dc6_bm25_contamination" -> { (s, d) =>
+      val all = documents(s, d)
+      Retrieval.bm25TopKAgainst(
+        Retrieval.bm25Index(all.filter(col("doc_id") % 50 =!= 3)),
+        all.filter(col("doc_id") % 50 === 3)
+          .select(col("doc_id").as("query_id"), col("text")), k = 5)
+        .filter(col("score_ppm") >= 5000000L)
+        .orderBy("query_id", "rank")
+    },
     // same output as dc1 by construction (Bloom prefilter has no
     // false negatives; exact confirm removes false positives), but
     // the eval set is probed via a broadcast BITMAP instead of a
@@ -1325,7 +1340,10 @@ object PipelineQueries {
     * Emits `(query_id, rank, doc_id, score_ppm, n_terms_hit)` with no
     * trailing ORDER BY. */
   private def sqlBm25TopK(
-      corpus: String = "SELECT doc_id, text FROM documents"): String = s"""
+      corpus: String = "SELECT doc_id, text FROM documents",
+      queries: String =
+        "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 3",
+      k: Int = 10): String = s"""
       WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM ($corpus)),
       gx AS (SELECT doc_id, len(t)::BIGINT AS len,
           ${sqlGrams("t", 1)} AS fps FROM tk),
@@ -1335,11 +1353,13 @@ object PipelineQueries {
       nn AS (SELECT count(*)::BIGINT AS n_docs,
           sum(len)::BIGINT AS total_len FROM dl),
       dfq AS (SELECT fp, count(*)::BIGINT AS df FROM p GROUP BY 1),
+      qg AS (SELECT query_id, ${sqlGrams(s"(${sqlToks("text")})", 1)} AS fps
+        FROM ($queries)),
       qt AS (SELECT query_id, fp,
           (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
             AS idf_ppm
-        FROM (SELECT doc_id AS query_id, unnest(list_distinct(fps)) AS fp
-              FROM gx WHERE doc_id < 3) q
+        FROM (SELECT query_id, unnest(list_distinct(fps)) AS fp
+              FROM qg) q
         JOIN dfq USING (fp), nn),
       sc AS (SELECT qt.query_id, p.doc_id,
           count(*)::BIGINT AS n_terms_hit,
@@ -1353,7 +1373,7 @@ object PipelineQueries {
       SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY score_ppm DESC, doc_id) AS rank FROM sc)
-      WHERE rank <= 10"""
+      WHERE rank <= $k"""
 
   /** Oracle twin of [[Similarity.bruteForceTopK]] over the vec_id<`nq`
     * query sample — nestable, shared by ss1 and the t24 RRF fusion.
@@ -1948,6 +1968,15 @@ object PipelineQueries {
     // tokens+fp chain, identical integer idf and tf-saturation
     // surrogates (HUGEINT casts mirror the Spark DECIMAL(38,0) lane)
     "t22_bm25_topk" -> s"""${sqlBm25TopK()}
+      ORDER BY query_id, rank""",
+    // the t22 chain with a train-only corpus and the eval split as
+    // the query set, floored at the contamination score
+    "dc6_bm25_contamination" -> s"""
+      SELECT * FROM (${sqlBm25TopK(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 3",
+        "SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 50 = 3",
+        k = 5)})
+      WHERE score_ppm >= 5000000
       ORDER BY query_id, rank""",
     // the t22 chain over the CDF-modified corpus — the maintained
     // index must score exactly as a fresh build over the same docs
