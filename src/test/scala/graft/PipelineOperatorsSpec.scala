@@ -44,11 +44,11 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(4) <= 3))
   }
 
-  test("recall report covers all six index families with sane values") {
+  test("recall report covers all seven index families with sane values") {
     val rows = Similarity.annRecallReportAll(embs,
       embs.filter(col("vec_id") < 3), k = 5).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ivf", "ivfpq", "lsh", "mips", "pq", "pq_rerank"))
+      Seq("ivf", "ivfpq", "knn_graph", "lsh", "mips", "pq", "pq_rerank"))
     rows.foreach { r =>
       assert(r.getLong(1) == 15, s"${r.getString(0)}: truth should be k*queries")
       assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000,

@@ -157,6 +157,27 @@ object PlanCheck {
         (_.contains("BroadcastHashJoin")),
       "no cartesian (totals are a 1-row broadcast)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("t24_hybrid_rrf", Seq(
+      "fusion aggregation combines map-side" -> (_.contains("partial_")),
+      "no cartesian anywhere in the fused plan" ->
+        (p => !p.contains("CartesianProduct"))))
+    audit("t25_bm25_standing", Seq(
+      "CDF leave leg is a doc-keyed anti-join" ->
+        (p => p.contains("LeftAnti")),
+      "query terms broadcast onto the standing postings" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("dc6_bm25_contamination", Seq(
+      "eval queries broadcast onto the train postings" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("ss16_knn_incremental", Seq(
+      "probe-home candidate join is equi on the list id" ->
+        (p => !p.contains("CartesianProduct")),
+      "per-vector top-k partially aggregated (bounded heap)" ->
+        (_.contains("partial_")),
+      "standing index checkpoint-truncated (one compute)" ->
+        (_.contains("Scan ExistingRDD"))))
     audit("t23_bpe_encode", Seq(
       "pure map: no join anywhere (the merge list is a literal)" ->
         (p => !p.contains("Join")),
