@@ -674,13 +674,20 @@ object Similarity {
     * absent. */
   /** The trained scored corpus×centroids frame and the home (inverted
     * list) assignment [[knnGraph]] and [[knnGraphCensus]] share —
-    * same Lloyd training, same L2 metric, same tie-breaks. */
+    * same Lloyd training, same L2 metric, same tie-breaks. `centsIn`
+    * optionally supplies an already-trained `(cid, cemb)` quantizer
+    * (the [[pqEncode]]-books contract): the trained quantizer is an
+    * OFFLINE artifact, so callers running several graph-family
+    * operators over one corpus train once and pass it in — results
+    * are identical to in-place training by kmeans determinism. */
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   private def knnScoredHome(corpus: DataFrame, numCentroids: Int,
-      iters: Int): (DataFrame, DataFrame, DataFrame) = {
-    val cents = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
+      iters: Int, centsIn: Option[DataFrame] = None)
+    : (DataFrame, DataFrame, DataFrame) = {
+    val cents = centsIn
+      .getOrElse(VectorStats.kmeansCentroids(corpus, numCentroids, iters))
       .withColumn("cc", dotD(col("cemb"), col("cemb")))
       .localCheckpoint(eager = false) // home assignment + probe lists
     val scored = corpus
@@ -725,8 +732,9 @@ object Similarity {
     * centroids, map-side argmin, one narrow exchange for the
     * group-by); output is ≤ `numCentroids` rows. */
   def knnGraphCensus(corpus: DataFrame, numCentroids: Int = 16,
-      maxList: Int = 1 << 16, iters: Int = 2): DataFrame = {
-    val (_, _, home) = knnScoredHome(corpus, numCentroids, iters)
+      maxList: Int = 1 << 16, iters: Int = 2,
+      cents: Option[DataFrame] = None): DataFrame = {
+    val (_, _, home) = knnScoredHome(corpus, numCentroids, iters, cents)
     home.groupBy("cid")
       .agg(count(lit(1)).as("list_size"))
       .select(col("cid"), col("list_size"),
@@ -736,11 +744,12 @@ object Similarity {
   }
 
   def knnGraph(corpus: DataFrame, k: Int = 3, numCentroids: Int = 16,
-      nprobe: Int = 2, maxList: Int = 1 << 16, iters: Int = 2): DataFrame = {
+      nprobe: Int = 2, maxList: Int = 1 << 16, iters: Int = 2,
+      cents: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (_, scored, home) = knnScoredHome(corpus, numCentroids, iters)
+    val (_, scored, home) = knnScoredHome(corpus, numCentroids, iters, cents)
     val homeCapped = capHome(home, maxList)
     val wq = Window.partitionBy("vec_id")
       .orderBy(col("dist2"), col("cid"))
@@ -773,8 +782,10 @@ object Similarity {
     * frames (centroids are k rows; home lists are one narrow row per
     * corpus vector, bucket by `cid` for repeated batches). */
   def knnIndex(corpus: DataFrame, numCentroids: Int = 16,
-      maxList: Int = 1 << 16, iters: Int = 2): (DataFrame, DataFrame) = {
-    val (cents, _, home) = knnScoredHome(corpus, numCentroids, iters)
+      maxList: Int = 1 << 16, iters: Int = 2,
+      centsIn: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val (cents, _, home) =
+      knnScoredHome(corpus, numCentroids, iters, centsIn)
     (cents, capHome(home, maxList))
   }
 
@@ -870,8 +881,10 @@ object Similarity {
     * for every vector. */
   def semDeDupGraph(embeddings: DataFrame, threshold: Double,
       k: Int = 3, numCentroids: Int = 16, nprobe: Int = 2,
-      maxList: Int = 1 << 16, iters: Int = 2): DataFrame = {
-    val edges = knnGraph(embeddings, k, numCentroids, nprobe, maxList, iters)
+      maxList: Int = 1 << 16, iters: Int = 2,
+      cents: Option[DataFrame] = None): DataFrame = {
+    val edges = knnGraph(embeddings, k, numCentroids, nprobe, maxList,
+      iters, cents)
       .filter(col("score") >= threshold)
       .select(col("vec_id").as("a_id"), col("neighbor_id").as("b_id"))
     val clusters = graft.operators.Dedup.resolveClustersStars(edges)
