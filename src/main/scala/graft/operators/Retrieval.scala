@@ -69,16 +69,27 @@ object Retrieval {
     * postings (one vocabulary-sized aggregation); `totals` is the
     * 1-row corpus census the caller already has or derives. */
   private def bm25Score(postings: DataFrame, totals: DataFrame,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int,
+      dfCapPpm: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.hashFunctions.gram_fps
     val dfreq = postings.groupBy("fp").agg(count(lit(1)).as("df"))
-    // query terms (distinct per query) + idf, all on the tiny side
+    // query terms (distinct per query) + idf, all on the tiny side.
+    // dfCapPpm restricts scoring to DISCRIMINATIVE terms (df ≤
+    // cap·N/1e6): a stopword-grade term matches ~every document, so
+    // with a large query batch the postings⋈terms join degenerates
+    // toward |corpus|×|queries| while the term contributes ~zero idf
+    // — the dd2 df-cap discipline applied to scoring. None = full
+    // BM25 (t22/t25); contamination probes (dc6) cap it.
     val qterms = queries
       .select(col("query_id"),
         explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
       .join(dfreq, Seq("fp")) // unseen terms score nothing anyway
       .crossJoin(broadcast(totals))
+      .filter(dfCapPpm match {
+        case Some(cap) => col("df") * lit(1000000L) <= lit(cap) * col("n_docs")
+        case None => lit(true)
+      })
       .select(col("query_id"), col("fp"),
         expr("(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)")
           .as("idf_ppm"),
@@ -178,10 +189,48 @@ object Retrieval {
     * workloads), one vocabulary-sized df aggregation, one
     * doc-distinct totals census, and the tiny broadcast query side. */
   def bm25TopKAgainst(index: DataFrame, queries: DataFrame,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, dfCapPpm: Option[Long] = None): DataFrame = {
     val totals = index.select("doc_id", "len").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
-    bm25Score(index, totals, queries, k)
+    bm25Score(index, totals, queries, k, dfCapPpm)
+  }
+
+  /** TF-IDF keyword extraction (t26): each document's top-`k` terms
+    * by tf·idf — the corpus-labeling / facet-tagging primitive run
+    * before topic bucketing or mixture design. Integer-exact (the
+    * t22 discipline): idf is the same ppm surrogate
+    * `(2N − 2df + 1)·10⁶ div (2df + 1)` (per-term ordering identical
+    * to the classic log form), `score_ppm = tf · idf_ppm`, ties by
+    * term text.
+    *
+    * Scale shape: ONE tokenize scan → a (doc, term) tf aggregation
+    * (map-side combinable; the shuffle is bounded by Σ distinct
+    * terms per doc, never corpus bytes); df is a vocabulary-sized
+    * aggregation over that SAME frame (checkpoint-shared, no second
+    * scan); the doc count is a 1-row broadcast; top-k is a per-doc
+    * window over the doc's own terms. Terms travel as strings — the
+    * user-facing artifact — the t09 PMI shuffle shape.
+    *
+    * Output: `(doc_id, rank, term, score_ppm)`, rank ≤ `k`. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text")))
+          .as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds df AND scoring
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_ppm").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_ppm",
+        expr("tf * ((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "score_ppm")
   }
 
   /** Reciprocal-rank fusion (t24) — the standard hybrid-retrieval

@@ -406,11 +406,19 @@ object PipelineQueries {
     // contamination suspects — what embedding probes (dc5) miss when
     // the leak is exact terminology, and n-gram overlap (dc1/dc4)
     // misses when it is scattered rather than contiguous
+    // eval split 1/100: the fixture vocabulary is deliberately tiny
+    // (31 terms, all common), so every query term matches most of the
+    // corpus — the worst-case density for lexical scoring; a real
+    // Zipfian corpus would instead engage `dfCapPpm` to drop
+    // stopword-grade terms (pinned in the unit test)
     "dc6_bm25_contamination" -> { (s, d) =>
       val all = documents(s, d)
       Retrieval.bm25TopKAgainst(
-        Retrieval.bm25Index(all.filter(col("doc_id") % 50 =!= 3)),
-        all.filter(col("doc_id") % 50 === 3)
+        // a STANDING index is materialized once — that is its
+        // contract; df/totals/scoring all read the same frame
+        Retrieval.bm25Index(all.filter(col("doc_id") % 100 =!= 3))
+          .localCheckpoint(eager = false),
+        all.filter(col("doc_id") % 100 === 3)
           .select(col("doc_id").as("query_id"), col("text")), k = 5)
         .filter(col("score_ppm") >= 5000000L)
         .orderBy("query_id", "rank")
@@ -1023,6 +1031,13 @@ object PipelineQueries {
           .select(col("doc_id").as("query_id"), col("text")), k = 10)
         .orderBy("query_id", "rank")
     },
+    // TF-IDF keywords: each doc's top-5 terms by the integer tf·idf
+    // surrogate — the corpus-labeling primitive before topic
+    // bucketing / mixture design
+    "t26_tfidf_keywords" -> { (s, d) =>
+      Retrieval.tfidfKeywords(documents(s, d), k = 5)
+        .orderBy("doc_id", "rank")
+    },
     // STANDING BM25 index: per-row postings (no cross-row state —
     // streaming-legal), a CDF batch folded in with one doc-keyed
     // anti-join + new-doc postings (the dd9 incremental discipline),
@@ -1036,6 +1051,7 @@ object PipelineQueries {
           .select((col("doc_id") + 100000).as("doc_id"), col("text"),
             lit("insert").as("_change_type")))
       val idx = Retrieval.bm25ApplyCdf(Retrieval.bm25Index(all), cdf)
+        .localCheckpoint(eager = false) // the standing frame, materialized once
       Retrieval.bm25TopKAgainst(idx,
         all.filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"), col("text")), k = 10)
@@ -1361,7 +1377,7 @@ object PipelineQueries {
       corpus: String = "SELECT doc_id, text FROM documents",
       queries: String =
         "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 3",
-      k: Int = 10): String = s"""
+      k: Int = 10, dfCapPpm: Option[Long] = None): String = s"""
       WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM ($corpus)),
       gx AS (SELECT doc_id, len(t)::BIGINT AS len,
           ${sqlGrams("t", 1)} AS fps FROM tk),
@@ -1378,7 +1394,9 @@ object PipelineQueries {
             AS idf_ppm
         FROM (SELECT query_id, unnest(list_distinct(fps)) AS fp
               FROM qg) q
-        JOIN dfq USING (fp), nn),
+        JOIN dfq USING (fp), nn
+        ${dfCapPpm.map(c =>
+          s"WHERE dfq.df * 1000000 <= $c * nn.n_docs").getOrElse("")}),
       sc AS (SELECT qt.query_id, p.doc_id,
           count(*)::BIGINT AS n_terms_hit,
           sum(qt.idf_ppm::HUGEINT *
@@ -1987,12 +2005,28 @@ object PipelineQueries {
     // surrogates (HUGEINT casts mirror the Spark DECIMAL(38,0) lane)
     "t22_bm25_topk" -> s"""${sqlBm25TopK()}
       ORDER BY query_id, rank""",
+    // same tokenize → tf → df → integer idf trajectory per doc
+    "t26_tfidf_keywords" -> s"""
+      WITH tk AS (SELECT doc_id, unnest(${sqlToks("text")}) AS term
+        FROM documents),
+      tfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk
+        GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfx GROUP BY 1),
+      nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      sc AS (SELECT tfx.doc_id, tfx.term,
+          tfx.tf * ((2*nn.n_docs - 2*dfq.df + 1) * 1000000
+            // (2*dfq.df + 1)) AS score_ppm
+        FROM tfx JOIN dfq USING (term), nn)
+      SELECT doc_id, rank, term, score_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score_ppm DESC, term) AS rank FROM sc)
+      WHERE rank <= 5 ORDER BY doc_id, rank""",
     // the t22 chain with a train-only corpus and the eval split as
     // the query set, floored at the contamination score
     "dc6_bm25_contamination" -> s"""
       SELECT * FROM (${sqlBm25TopK(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 3",
-        "SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 50 = 3",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 3",
+        "SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 100 = 3",
         k = 5)})
       WHERE score_ppm >= 5000000
       ORDER BY query_id, rank""",

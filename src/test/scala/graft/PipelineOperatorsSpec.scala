@@ -2139,6 +2139,47 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
   }
 
+  test("bm25 dfCapPpm scores only discriminative terms") {
+    import spark.implicits._
+    // "common" is in 4/5 docs (800000 ppm), "rare" in 1/5 (200000)
+    val corpus = Seq(
+      (0L, "common rare"), (1L, "common x"), (2L, "common y"),
+      (3L, "common z"), (4L, "w v")).toDF("doc_id", "text")
+    val idx = graft.operators.Retrieval.bm25Index(corpus)
+    val q = Seq((9L, "common rare")).toDF("query_id", "text")
+    val full = graft.operators.Retrieval
+      .bm25TopKAgainst(idx, q, k = 10).collect()
+      .map(r => r.getLong(2) -> r.getLong(4)).toMap
+    val capped = graft.operators.Retrieval
+      .bm25TopKAgainst(idx, q, k = 10, dfCapPpm = Some(500000L)).collect()
+      .map(r => r.getLong(2) -> r.getLong(4)).toMap
+    // full BM25 matches every common-term doc; the cap keeps only the
+    // rare-term match (doc 0), with exactly one contributing term
+    assert(full.keySet == Set(0L, 1L, 2L, 3L))
+    assert(capped.keySet == Set(0L))
+    assert(capped(0L) == 1L, "only the rare term may contribute")
+  }
+
+  test("tfidf keywords: rare terms outrank common ones, tf breaks within-doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log"),
+      (2L, "the bird flew over the log")).toDF("doc_id", "text")
+    val rows = graft.operators.Retrieval.tfidfKeywords(corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    // doc 0's top keywords are its unique terms (df=1), never "the"
+    // (df=3, idf_ppm small) — and every doc has exactly k rows here
+    val d0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(_._3).toSet.subsetOf(Set("cat", "mat", "sat", "on")))
+    assert(!rows.exists(r => r._3 == "the" && r._2 == 1))
+    assert(rows.groupBy(_._1).values.forall(_.length == 3))
+    // exact integer arithmetic: df=1 term in a 3-doc corpus has
+    // idf_ppm = (2*3-2+1)*1e6 div 3 = 1666666; tf=1 → score equals it
+    assert(d0.head._4 == 1666666L)
+  }
+
   test("incremental knn probe: exact scores, dense ranks, index-only neighbors") {
     val g = Similarity.knnGraphAgainst(
       embs.filter(col("vec_id") % 10 === 0),
@@ -2227,6 +2268,10 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       (5L, "kiwi kiwi pear", "insert"))
       .toDF("doc_id", "text", "_change_type")
     val folded = graft.operators.Retrieval.bm25ApplyCdf(idx, cdf)
+    // the leave leg must be a doc-keyed anti-join (pinned here, not in
+    // PlanCheck: the declared query checkpoints the standing frame, so
+    // the fold's plan is truncated behind a Scan ExistingRDD there)
+    assert(folded.queryExecution.executedPlan.toString.contains("LeftAnti"))
     val after = Seq(
       (0L, "apple banana"), (1L, "grape orange"), (3L, ""),
       (4L, "apple banana cherry"), (5L, "kiwi kiwi pear"))

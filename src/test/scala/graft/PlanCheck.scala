@@ -162,11 +162,21 @@ object PlanCheck {
       "no cartesian anywhere in the fused plan" ->
         (p => !p.contains("CartesianProduct"))))
     audit("t25_bm25_standing", Seq(
-      "CDF leave leg is a doc-keyed anti-join" ->
-        (p => p.contains("LeftAnti")),
+      // the CDF fold's LeftAnti shape is pinned in the unit test on
+      // the raw bm25ApplyCdf frame; here the standing frame must be
+      // checkpoint-truncated — materialized ONCE, so df/totals/scoring
+      // all read the same rows instead of re-running the fold 3×
+      "standing index checkpoint-truncated (one compute)" ->
+        (_.contains("Scan ExistingRDD")),
       "query terms broadcast onto the standing postings" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("t26_tfidf_keywords", Seq(
+      "tf / df aggs combine map-side" -> (_.contains("partial_")),
+      "tf frame checkpoint-shared between df and scoring" ->
+        (_.contains("Scan ExistingRDD")),
+      "no cartesian (doc census is a 1-row broadcast)" ->
+        (p => !p.contains("CartesianProduct"))))
     audit("dc6_bm25_contamination", Seq(
       "eval queries broadcast onto the train postings" ->
         (_.contains("BroadcastHashJoin")),
