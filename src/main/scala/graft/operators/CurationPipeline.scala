@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation — the composition the individual
@@ -68,6 +69,57 @@ object CurationPipeline {
       Seq("doc_id"), "left_semi")
     Packing.chunkManifest(clean.select("doc_id", "text"),
       chunkTokens, overlap)
+  }
+
+  /** Per-source frequency caps (cr1) — the C4/RefinedWeb-style
+    * curation rule: no source (domain, crawl host, feed) may
+    * contribute more than `cap` documents, and when a source is over
+    * its cap the HIGHEST-QUALITY `cap` documents survive — keeping a
+    * hot domain from dominating the mixture while preserving its best
+    * content. Emits the keeper manifest
+    * `(doc_id, source, quality, src_rank)` with `src_rank` the 1-based
+    * quality rank within the source (ties by doc_id).
+    *
+    * Scale shape: the within-source rank is the two-phase range-bucket
+    * cumsum ([[Packing.tokenBudgetSelect]]'s discipline) — quality is
+    * per-row, docs bucket by `⌊quality·2²⁰⌋`, a per-(source, bucket)
+    * histogram cumsums into per-bucket rank bases, and the final
+    * window partitions by (source, bucket): a source with a billion
+    * documents never funnels through one reducer, which is exactly
+    * how a naive `row_number() OVER (PARTITION BY source)` dies on
+    * the hottest crawl domain. Buckets whose rank window starts at or
+    * past the cap are pruned BEFORE the join, so the per-source
+    * histogram side carries at most the cap-window buckets and the
+    * final window only ever sees potentially-keepable rows. The
+    * histogram join is left unhinted: its pruned size is
+    * Σ_source min(buckets, cap+1) rows — usually broadcastable, but
+    * the optimizer (AQE) should make that call when the source
+    * universe is huge. */
+  def sourceCaps(docs: DataFrame, cap: Long,
+      groupCol: String = "source"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    // 2^20 micro-buckets: exact in double, fine enough that a bucket
+    // only holds docs whose qualities differ below any curation signal
+    val QScale = 1048576.0d
+    val scored = docs.select(col("doc_id"), col(groupCol),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("qk", floor(col("quality") * lit(QScale)).cast("long"))
+      .localCheckpoint(eager = false) // feeds histogram AND final rank
+    val histW = Window.partitionBy(groupCol).orderBy(col("qk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = scored.groupBy(groupCol, "qk")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base", sum("n").over(histW) - col("n"))
+      .filter(col("base") < cap) // bucket starts inside the cap window
+      .select(groupCol, "qk", "base")
+    val w = Window.partitionBy(groupCol, "qk")
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.join(hist, Seq(groupCol, "qk"))
+      .withColumn("src_rank",
+        col("base") + row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= cap)
+      .select(col("doc_id"), col(groupCol), col("quality"),
+        col("src_rank"))
   }
 
   def curate(docs: DataFrame, minQuality: Double = 0.0, minTokens: Int = 5,

@@ -790,6 +790,14 @@ object PipelineQueries {
           jaccardPct = 92)
         .orderBy("doc_id")
     },
+    // per-source frequency caps: no source contributes more than `cap`
+    // docs, keeping its highest-quality ones — the C4/RefinedWeb
+    // anti-domination rule, ranked skew-safely (two-phase
+    // quality-bucket cumsum, never one reducer per hot domain)
+    "cr1_source_caps" -> { (s, d) =>
+      graft.operators.CurationPipeline.sourceCaps(documents(s, d),
+        cap = 10L).orderBy("source", "src_rank")
+    },
     // incremental embedding dedup: every 10th vector is the incoming
     // batch, the rest the standing index; candidates only from
     // new×index bucket collisions (vector twin of dd9)
@@ -3452,6 +3460,18 @@ object PipelineQueries {
       SELECT doc_id, lang, lang_pred, n_tokens, quality
       FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY doc_id""",
+    // the engine's two-phase (source, quality-bucket) rank collapses
+    // to a plain within-source quality rank — the oracle states the
+    // SEMANTICS; the bucketing is purely the skew-safe execution shape
+    "cr1_source_caps" -> s"""
+      WITH q AS (SELECT doc_id, source, ${sqlQuality} AS quality
+        FROM documents),
+      r AS (SELECT doc_id, source, quality,
+          row_number() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id)::BIGINT AS src_rank
+        FROM q)
+      SELECT doc_id, source, quality, src_rank FROM r
+      WHERE src_rank <= 10 ORDER BY source, src_rank""",
     "ss1_cosine_topk" -> s"""${sqlCosineTopK(10, 3)}
       ORDER BY query_id, rank""",
     "ss2_ann_lsh" -> s"""

@@ -2139,6 +2139,35 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
   }
 
+  test("source caps: two-phase rank equals the naive per-source quality rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // src "a" is over the cap (5 docs), "b" exactly at it, "c" under;
+    // quality varies with text shape, ties resolved by doc_id
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over a lazy dog near the river", "a"),
+      (1L, "x y z", "a"), (2L, "a a a a a a a a", "a"),
+      (3L, "the of and to in is a good clean sentence", "a"),
+      (4L, "!!! ??? ;;; ,,, ...", "a"),
+      (5L, "one two three four five six", "b"),
+      (6L, "the cat sat on the mat", "b"),
+      (7L, "solo doc for c", "c")).toDF("doc_id", "text", "source")
+    val got = graft.operators.CurationPipeline.sourceCaps(docs, cap = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    val naive = docs.select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("q").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    assert(got.toSeq == naive.toSeq)
+    // every source keeps min(n, cap) docs — the census identity
+    assert(got.count(_._2 == "a") == 2 && got.count(_._2 == "b") == 2
+      && got.count(_._2 == "c") == 1)
+  }
+
   test("bm25 dfCapPpm scores only discriminative terms") {
     import spark.implicits._
     // "common" is in 4/5 docs (800000 ppm), "rare" in 1/5 (200000)

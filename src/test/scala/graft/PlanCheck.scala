@@ -171,6 +171,17 @@ object PlanCheck {
       "query terms broadcast onto the standing postings" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("cr1_source_caps", Seq(
+      // the per-source rank must be the two-phase shape: the final
+      // window partitions by (source, quality-bucket), never by the
+      // bare source — one reducer per hot domain is the failure mode
+      "rank window partitioned by (source, quality-bucket)" ->
+        (p => "hashpartitioning\\(source#\\d+, qk#".r
+          .findFirstIn(p).isDefined),
+      "histogram aggregated map-side" -> (_.contains("partial_")),
+      "scored frame checkpoint-shared (one quality compute)" ->
+        (_.contains("Scan ExistingRDD")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("t26_tfidf_keywords", Seq(
       "tf / df aggs combine map-side" -> (_.contains("partial_")),
       "tf frame checkpoint-shared between df and scoring" ->
