@@ -292,6 +292,83 @@ object Mixture {
     * threshold compare is per-row.
     *
     * Output: `(doc_id, stratum, strat_rank, strat_size, split)`. */
+  /** DSIR-style importance selection (ds1) — Data Selection via
+    * Importance Resampling (Xie et al. 2023, arXiv:2302.03169): score
+    * every raw document by how much its hashed n-gram bag looks like a
+    * TARGET corpus (the high-quality exemplar set) relative to the raw
+    * corpus itself, then sample ∝ weight with a deterministic hash
+    * coin. Features are the unigram+bigram fingerprints folded into
+    * `buckets` hash buckets (the paper's hashed n-gram model); bucket
+    * rates carry add-one smoothing so unseen buckets never zero a
+    * document out.
+    *
+    * Integer surrogate (the repo's no-transcendentals discipline): the
+    * paper's log-likelihood-ratio Σ c_b·(log t̂_b − log r̂_b) is
+    * replaced by the log-free rational
+    * `score_ppm = (Σ c_b·t̂_b) · 10⁶ div (Σ c_b·r̂_b)` — the document's
+    * average target-rate over its grams against its average raw-rate
+    * (rates in parts-per-billion, sums in DECIMAL(38,0)). Same sign
+    * structure (>10⁶ ⇔ target-like), DuckDB-exact. Acceptance is
+    * Bernoulli ∝ weight against the corpus max:
+    * `coin(seed, doc_id) · max_score < score · 10⁶`.
+    *
+    * Scale shape: ONE gram scan of the raw corpus — the per-(doc,
+    * bucket) count frame is checkpoint-shared between the corpus
+    * bucket census (Σ over docs) and the per-doc scoring, so raw
+    * bytes are tokenized exactly once; the bucket weight table
+    * (≤ `buckets` rows, both rates + both totals) broadcasts onto
+    * that frame; per-doc masses partial-aggregate map-side (grams of
+    * one document never cross the wire individually — the shuffle is
+    * ≤ distinct-buckets-per-doc rows and collapses to one row per
+    * doc); the max-score gate is a 1-row broadcast. The target side
+    * is the small exemplar set by construction.
+    *
+    * Output: `(doc_id, n_grams, score_ppm, selected)`. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    require(buckets > 0, "buckets must be positive")
+    def bucketed(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        explode(concat(gram_fps(col("text"), 1),
+          gram_fps(col("text"), 2))).as("fp"))
+      .select(col("doc_id"), (col("fp") % buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val rawB = bucketed(raw)
+      .localCheckpoint(eager = false) // census + total + scoring
+    val tgtB = bucketed(target)
+      .localCheckpoint(eager = false) // census + total
+    // ≤ `buckets` rows: rates in ppb with add-one smoothing, exact in
+    // the decimal lane ((c+1)·1e9 overflows long at corpus scale);
+    // totals are 1-row broadcasts so a one-sided bucket still sees
+    // BOTH corpus sizes after the full-outer join
+    val weights = rawB.groupBy("b").agg(sum("c").as("rc"))
+      .join(tgtB.groupBy("b").agg(sum("c").as("tc")),
+        Seq("b"), "full_outer")
+      .crossJoin(broadcast(rawB.agg(sum("c").as("rtot"))))
+      .crossJoin(broadcast(tgtB.agg(sum("c").as("ttot"))))
+      .select(col("b"),
+        expr(s"cast((coalesce(rc, 0) + 1) as decimal(38,0)) * 1000000000"
+          + s" div (rtot + $buckets)").as("r_ppb"),
+        expr(s"cast((coalesce(tc, 0) + 1) as decimal(38,0)) * 1000000000"
+          + s" div (ttot + $buckets)").as("t_ppb"))
+    val scored = rawB.join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        sum(col("c").cast("decimal(38,0)") * col("t_ppb")).as("tm"),
+        sum(col("c").cast("decimal(38,0)") * col("r_ppb")).as("rm"))
+      .withColumn("score_ppm",
+        expr("cast(tm * 1000000 div rm as bigint)"))
+    val mx = scored.agg(max("score_ppm").as("mx"))
+    scored.crossJoin(broadcast(mx))
+      .withColumn("coin", TextAnalysis.fingerprint(
+        concat_ws(":", lit(seed), col("doc_id"))) % 1000000L)
+      .withColumn("selected",
+        col("coin").cast("decimal(38,0)") * col("mx") <
+          col("score_ppm").cast("decimal(38,0)") * lit(1000000L))
+      .select("doc_id", "n_grams", "score_ppm", "selected")
+  }
+
   def exactStratifiedSplit(docs: DataFrame, seed: Long,
       stratumCol: String = "lang", pctTrain: Int = 80,
       pctVal: Int = 10): DataFrame = {

@@ -790,6 +790,16 @@ object PipelineQueries {
           jaccardPct = 92)
         .orderBy("doc_id")
     },
+    // DSIR importance selection: src0 is the high-quality target
+    // exemplar set; every other doc is scored by its hashed
+    // unigram+bigram bag's target-vs-raw rate ratio and sampled
+    // ∝ weight with a deterministic hash coin
+    "ds1_dsir_select" -> { (s, d) =>
+      val all = documents(s, d)
+      Mixture.dsirSelect(all.filter(col("source") =!= "src0"),
+        all.filter(col("source") === "src0"), buckets = 1024)
+        .orderBy("doc_id")
+    },
     // per-source frequency caps: no source contributes more than `cap`
     // docs, keeping its highest-quality ones — the C4/RefinedWeb
     // anti-domination rule, ranked skew-safely (two-phase
@@ -3460,6 +3470,41 @@ object PipelineQueries {
       SELECT doc_id, lang, lang_pred, n_tokens, quality
       FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY doc_id""",
+    // the DSIR trajectory: hashed unigram+bigram buckets, add-one
+    // smoothed ppb rates, the log-free rational score surrogate, and
+    // the ∝-weight hash coin — HUGEINT mirrors the decimal lane
+    "ds1_dsir_select" -> s"""
+      WITH rg AS (SELECT doc_id,
+          unnest(${sqlGrams(toks, 1)} || ${sqlGrams(toks, 2)}) AS fp
+        FROM documents WHERE source <> 'src0'),
+      tg AS (SELECT doc_id,
+          unnest(${sqlGrams(toks, 1)} || ${sqlGrams(toks, 2)}) AS fp
+        FROM documents WHERE source = 'src0'),
+      rb AS (SELECT doc_id, fp % 1024 AS b, count(*)::BIGINT AS c
+        FROM rg GROUP BY 1, 2),
+      tb AS (SELECT doc_id, fp % 1024 AS b, count(*)::BIGINT AS c
+        FROM tg GROUP BY 1, 2),
+      rcen AS (SELECT b, sum(c)::BIGINT AS rc FROM rb GROUP BY 1),
+      tcen AS (SELECT b, sum(c)::BIGINT AS tc FROM tb GROUP BY 1),
+      rt AS (SELECT sum(c)::BIGINT AS rtot FROM rb),
+      tt AS (SELECT sum(c)::BIGINT AS ttot FROM tb),
+      w AS (SELECT b,
+          (coalesce(rc, 0) + 1)::HUGEINT * 1000000000
+            // (rtot + 1024) AS r_ppb,
+          (coalesce(tc, 0) + 1)::HUGEINT * 1000000000
+            // (ttot + 1024) AS t_ppb
+        FROM rcen FULL OUTER JOIN tcen USING (b), rt, tt),
+      sc AS (SELECT rb.doc_id, sum(rb.c)::BIGINT AS n_grams,
+          sum(rb.c::HUGEINT * w.t_ppb) AS tm,
+          sum(rb.c::HUGEINT * w.r_ppb) AS rm
+        FROM rb JOIN w USING (b) GROUP BY 1),
+      s2 AS (SELECT doc_id, n_grams,
+          (tm * 1000000 // rm)::BIGINT AS score_ppm FROM sc),
+      mx AS (SELECT max(score_ppm)::BIGINT AS m FROM s2)
+      SELECT doc_id, n_grams, score_ppm,
+        (${sqlFp("concat(42, ':', doc_id)")} % 1000000)::HUGEINT * mx.m
+          < score_ppm::HUGEINT * 1000000 AS selected
+      FROM s2, mx ORDER BY doc_id""",
     // the engine's two-phase (source, quality-bucket) rank collapses
     // to a plain within-source quality rank — the oracle states the
     // SEMANTICS; the bucketing is purely the skew-safe execution shape

@@ -2139,6 +2139,32 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
   }
 
+  test("dsir: target-like docs outscore unrelated ones, selection ∝ weight") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta gamma delta"),
+      (101L, "alpha gamma epsilon")).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "alpha beta gamma"), // pure target vocabulary
+      (1L, "xx yy zz ww vv"), // disjoint vocabulary
+      (2L, "alpha xx yy zz")).toDF("doc_id", "text") // mixed
+    val rows = graft.operators.Mixture
+      .dsirSelect(raw, target, buckets = 512, seed = 7L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows(0L)._1 > rows(2L)._1 && rows(2L)._1 > rows(1L)._1,
+      s"target-likeness must order the scores: $rows")
+    // the arg-max document is ALWAYS selected (coin < 1e6 ≤ ratio·1e6)
+    assert(rows(0L)._2)
+    // selection replays the exact coin rule, doc by doc
+    val mx = rows.values.map(_._1).max
+    raw.select(col("doc_id"), (graft.operators.TextAnalysis.fingerprint(
+        concat_ws(":", lit(7L), col("doc_id"))) % 1000000L).as("coin"))
+      .collect().foreach { r =>
+        val (score, sel) = rows(r.getLong(0))
+        assert(sel == (BigInt(r.getLong(1)) * mx < BigInt(score) * 1000000L))
+      }
+  }
+
   test("source caps: two-phase rank equals the naive per-source quality rank") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -171,6 +171,17 @@ object PlanCheck {
       "query terms broadcast onto the standing postings" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("ds1_dsir_select", Seq(
+      // the raw corpus is tokenized ONCE: census, totals, and scoring
+      // all read the checkpointed (doc, bucket) frame
+      "gram frame checkpoint-shared (one raw tokenize)" ->
+        (_.contains("Scan ExistingRDD")),
+      "bucket weights broadcast onto the gram frame" ->
+        (_.contains("BroadcastHashJoin")),
+      "per-doc masses partially aggregated map-side" ->
+        (_.contains("partial_")),
+      "no cartesian (totals/max are 1-row broadcasts)" ->
+        (p => !p.contains("CartesianProduct"))))
     audit("cr1_source_caps", Seq(
       // the per-source rank must be the two-phase shape: the final
       // window partitions by (source, quality-bucket), never by the
