@@ -71,19 +71,29 @@ object Retrieval {
   private def bm25Score(postings: DataFrame, totals: DataFrame,
       queries: DataFrame, k: Int,
       dfCapPpm: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.hashFunctions.gram_fps
+    bm25ScoreFps(postings, totals,
+      queries.select(col("query_id"),
+        explode(array_distinct(gram_fps(col("text"), 1))).as("fp")),
+      k, dfCapPpm)
+  }
+
+  /** The term-level entry of the scoring tail: `qfps` is the already-
+    * fingerprinted `(query_id, fp)` term set — what [[rm3Expand]]'s
+    * second pass feeds after splicing expansion terms in. */
+  private def bm25ScoreFps(postings: DataFrame, totals: DataFrame,
+      qfps: DataFrame, k: Int,
+      dfCapPpm: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = postings.groupBy("fp").agg(count(lit(1)).as("df"))
-    // query terms (distinct per query) + idf, all on the tiny side.
+    // query terms + idf, all on the tiny side.
     // dfCapPpm restricts scoring to DISCRIMINATIVE terms (df ≤
     // cap·N/1e6): a stopword-grade term matches ~every document, so
     // with a large query batch the postings⋈terms join degenerates
     // toward |corpus|×|queries| while the term contributes ~zero idf
     // — the dd2 df-cap discipline applied to scoring. None = full
     // BM25 (t22/t25); contamination probes (dc6) cap it.
-    val qterms = queries
-      .select(col("query_id"),
-        explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+    val qterms = qfps
       .join(dfreq, Seq("fp")) // unseen terms score nothing anyway
       .crossJoin(broadcast(totals))
       .filter(dfCapPpm match {
@@ -193,6 +203,53 @@ object Retrieval {
     val totals = index.select("doc_id", "len").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
     bm25Score(index, totals, queries, k, dfCapPpm)
+  }
+
+  /** RM3-style pseudo-relevance-feedback expansion (t27): run each
+    * query against the index, mine expansion terms from its top
+    * `fbDocs` feedback documents, and re-score with the expanded term
+    * set — the classic fix for vocabulary mismatch (a query that says
+    * "car" also retrieving "automobile" documents once the feedback
+    * set supplies the term).
+    *
+    * Feedback term weight is the relevance-model estimate with a
+    * uniform document prior, in exact integers:
+    * `fb_w_ppm(q, w) = Σ_{d ∈ fb(q)} tf(w,d)·10⁶ div len(d)` — the
+    * paper's Σ p(w|d); the top `fbTerms` terms per query (ties by fp)
+    * join the ORIGINAL terms unweighted (the interpolation-free RM3
+    * variant: expansion widens recall, BM25's own idf re-weights
+    * every term in the second pass).
+    *
+    * Scale shape: pass 1 is the standard [[bm25TopKAgainst]] probe;
+    * the feedback frame is ≤ fbDocs·|queries| rows and broadcasts
+    * onto the postings' doc_id for term mining (one equi-join, the
+    * corpus never re-shuffles); expansion top-k is a per-query window
+    * over mined terms; pass 2 is the shared scoring tail fed
+    * term-level — both passes reuse the SAME postings frame, so a
+    * checkpointed standing index is tokenized zero times and scanned
+    * thrice. Output: [[bm25TopK]]'s shape. */
+  def rm3Expand(index: DataFrame, queries: DataFrame, k: Int = 10,
+      fbDocs: Int = 5, fbTerms: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.hashFunctions.gram_fps
+    val totals = index.select("doc_id", "len").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    val feedback = bm25TopKAgainst(index, queries, fbDocs)
+      .select("query_id", "doc_id")
+    val fbWeights = feedback
+      .join(index.filter(col("fp").isNotNull), Seq("doc_id"))
+      .groupBy("query_id", "fp")
+      .agg(sum(expr("tf * 1000000 div len")).as("fb_w_ppm"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("fb_w_ppm").desc, col("fp"))
+    val expansion = fbWeights
+      .withColumn("erank", row_number().over(wE))
+      .filter(col("erank") <= fbTerms)
+      .select("query_id", "fp")
+    val orig = queries.select(col("query_id"),
+      explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+    bm25ScoreFps(index, totals,
+      orig.unionByName(expansion).distinct(), k)
   }
 
   /** TF-IDF keyword extraction (t26): each document's top-`k` terms

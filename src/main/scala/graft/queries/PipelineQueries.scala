@@ -1056,6 +1056,18 @@ object PipelineQueries {
       Retrieval.tfidfKeywords(documents(s, d), k = 5)
         .orderBy("doc_id", "rank")
     },
+    // RM3 pseudo-relevance feedback: expansion terms mined from each
+    // query's top-5 feedback docs re-score with the original terms —
+    // both passes share one checkpointed standing index
+    "t27_rm3_expansion" -> { (s, d) =>
+      val all = documents(s, d)
+      Retrieval.rm3Expand(
+        Retrieval.bm25Index(all).localCheckpoint(eager = false),
+        all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")),
+        k = 10, fbDocs = 5, fbTerms = 3)
+        .orderBy("query_id", "rank")
+    },
     // STANDING BM25 index: per-row postings (no cross-row state —
     // streaming-legal), a CDF batch folded in with one doc-keyed
     // anti-join + new-doc postings (the dd9 incremental discipline),
@@ -2023,6 +2035,67 @@ object PipelineQueries {
     // surrogates (HUGEINT casts mirror the Spark DECIMAL(38,0) lane)
     "t22_bm25_topk" -> s"""${sqlBm25TopK()}
       ORDER BY query_id, rank""",
+    // the t22 chain run twice: pass-1 ranks pick the feedback docs,
+    // fw/ex mine the Σ tf·1e6 div len expansion terms, pass 2 scores
+    // the distinct original ∪ expansion term set
+    "t27_rm3_expansion" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      gx AS (SELECT doc_id, len(t)::BIGINT AS len,
+          ${sqlGrams("t", 1)} AS fps FROM tk),
+      p AS (SELECT fp, doc_id, count(*)::BIGINT AS tf FROM
+          (SELECT doc_id, unnest(fps) AS fp FROM gx) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, len FROM gx),
+      nn AS (SELECT count(*)::BIGINT AS n_docs,
+          sum(len)::BIGINT AS total_len FROM dl),
+      dfq AS (SELECT fp, count(*)::BIGINT AS df FROM p GROUP BY 1),
+      q1 AS (SELECT query_id, unnest(list_distinct(fps)) AS fp FROM
+        (SELECT doc_id AS query_id,
+            ${sqlGrams(s"(${sqlToks("text")})", 1)} AS fps
+          FROM documents WHERE doc_id < 3)),
+      qt1 AS (SELECT query_id, fp,
+          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
+            AS idf_ppm
+        FROM q1 JOIN dfq USING (fp), nn),
+      sc1 AS (SELECT qt1.query_id, p.doc_id,
+          sum(qt1.idf_ppm::HUGEINT *
+              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
+               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
+                + 9::HUGEINT * dl.len * nn.n_docs))
+              // 1000000)::BIGINT AS score_ppm
+        FROM qt1 JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
+        GROUP BY 1, 2),
+      fb AS (SELECT query_id, doc_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_ppm DESC, doc_id) AS r FROM sc1)
+        WHERE r <= 5),
+      fw AS (SELECT fb.query_id, p.fp,
+          sum(p.tf * 1000000 // dl.len)::BIGINT AS fb_w_ppm
+        FROM fb JOIN p ON p.doc_id = fb.doc_id
+        JOIN dl ON dl.doc_id = fb.doc_id GROUP BY 1, 2),
+      ex AS (SELECT query_id, fp FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY fb_w_ppm DESC, fp) AS er FROM fw)
+        WHERE er <= 3),
+      q2 AS (SELECT DISTINCT query_id, fp FROM (
+          SELECT query_id, fp FROM q1
+          UNION ALL SELECT query_id, fp FROM ex)),
+      qt2 AS (SELECT query_id, fp,
+          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
+            AS idf_ppm
+        FROM q2 JOIN dfq USING (fp), nn),
+      sc2 AS (SELECT qt2.query_id, p.doc_id,
+          count(*)::BIGINT AS n_terms_hit,
+          sum(qt2.idf_ppm::HUGEINT *
+              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
+               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
+                + 9::HUGEINT * dl.len * nn.n_docs))
+              // 1000000)::BIGINT AS score_ppm
+        FROM qt2 JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
+        GROUP BY 1, 2)
+      SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score_ppm DESC, doc_id) AS rank FROM sc2)
+      WHERE rank <= 10 ORDER BY query_id, rank""",
     // same tokenize → tf → df → integer idf trajectory per doc
     "t26_tfidf_keywords" -> s"""
       WITH tk AS (SELECT doc_id, unnest(${sqlToks("text")}) AS term

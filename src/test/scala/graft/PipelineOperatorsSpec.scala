@@ -2139,6 +2139,26 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(self.contains(7L), s"doc 7 missing from ${self.toSeq}")
   }
 
+  test("rm3: expansion terms retrieve docs the original query misses") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "car road trip"), (1L, "automobile road journey"),
+      (2L, "car automobile dealer"), (3L, "kitchen sink faucet"))
+      .toDF("doc_id", "text")
+    val q = Seq((9L, "car")).toDF("query_id", "text")
+    val idx = graft.operators.Retrieval.bm25Index(corpus)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(2)).toSet
+    val plain = hits(graft.operators.Retrieval.bm25TopKAgainst(idx, q, k = 10))
+    val rm3 = hits(graft.operators.Retrieval.rm3Expand(idx, q, k = 10,
+      fbDocs = 2, fbTerms = 4))
+    // "car" alone can never see doc 1; feedback docs 0/2 supply
+    // "automobile"/"road", which retrieve it on the second pass
+    assert(plain == Set(0L, 2L))
+    assert(rm3.contains(1L) && rm3.contains(0L) && rm3.contains(2L))
+    assert(!rm3.contains(3L), "off-topic doc must stay unretrieved")
+  }
+
   test("dsir: target-like docs outscore unrelated ones, selection ∝ weight") {
     import spark.implicits._
     val target = Seq((100L, "alpha beta gamma delta"),

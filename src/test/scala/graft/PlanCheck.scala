@@ -171,6 +171,16 @@ object PlanCheck {
       "query terms broadcast onto the standing postings" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("t27_rm3_expansion", Seq(
+      // both passes read the SAME checkpointed index — the corpus is
+      // tokenized zero times inside the plan
+      "standing index checkpoint-shared across both passes" ->
+        (_.contains("Scan ExistingRDD")),
+      "query/feedback sides broadcast onto the postings" ->
+        (_.contains("BroadcastHashJoin")),
+      "per-(query,doc) scores partially aggregated" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ds1_dsir_select", Seq(
       // the raw corpus is tokenized ONCE: census, totals, and scoring
       // all read the checkpointed (doc, bucket) frame
