@@ -83,9 +83,13 @@ object Retrieval {
     * second pass feeds after splicing expansion terms in. */
   private def bm25ScoreFps(postings: DataFrame, totals: DataFrame,
       qfps: DataFrame, k: Int,
-      dfCapPpm: Option[Long] = None): DataFrame = {
+      dfCapPpm: Option[Long] = None,
+      dfreqOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfreq = postings.groupBy("fp").agg(count(lit(1)).as("df"))
+    // callers that score twice over one index (rm3) pass the
+    // vocabulary-sized df aggregation in so it computes once
+    val dfreq = dfreqOpt.getOrElse(
+      postings.groupBy("fp").agg(count(lit(1)).as("df")))
     // query terms + idf, all on the tiny side.
     // dfCapPpm restricts scoring to DISCRIMINATIVE terms (df ≤
     // cap·N/1e6): a stopword-grade term matches ~every document, so
@@ -234,7 +238,13 @@ object Retrieval {
     import graft.functions.hashFunctions.gram_fps
     val totals = index.select("doc_id", "len").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
-    val feedback = bm25TopKAgainst(index, queries, fbDocs)
+    // the vocabulary-sized df agg feeds BOTH passes — compute once
+    val dfreq = index.groupBy("fp").agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = false)
+    val orig = queries.select(col("query_id"),
+      explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+    val feedback = bm25ScoreFps(index, totals, orig, fbDocs,
+        dfreqOpt = Some(dfreq))
       .select("query_id", "doc_id")
     val fbWeights = feedback
       .join(index.filter(col("fp").isNotNull), Seq("doc_id"))
@@ -246,10 +256,9 @@ object Retrieval {
       .withColumn("erank", row_number().over(wE))
       .filter(col("erank") <= fbTerms)
       .select("query_id", "fp")
-    val orig = queries.select(col("query_id"),
-      explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
     bm25ScoreFps(index, totals,
-      orig.unionByName(expansion).distinct(), k)
+      orig.unionByName(expansion).distinct(), k,
+      dfreqOpt = Some(dfreq))
   }
 
   /** TF-IDF keyword extraction (t26): each document's top-`k` terms
