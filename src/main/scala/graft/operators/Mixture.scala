@@ -326,32 +326,11 @@ object Mixture {
     * Output: `(doc_id, n_grams, score_ppm, selected)`. */
   def dsirSelect(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
       seed: Long = 42L): DataFrame = {
-    import graft.functions.hashFunctions.gram_fps
     require(buckets > 0, "buckets must be positive")
-    def bucketed(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"),
-        explode(concat(gram_fps(col("text"), 1),
-          gram_fps(col("text"), 2))).as("fp"))
-      .select(col("doc_id"), (col("fp") % buckets).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    val rawB = bucketed(raw)
+    val rawB = bucketedGrams(raw, buckets)
       .localCheckpoint(eager = false) // census + total + scoring
-    val tgtB = bucketed(target)
-      .localCheckpoint(eager = false) // census + total
-    // ≤ `buckets` rows: rates in ppb with add-one smoothing, exact in
-    // the decimal lane ((c+1)·1e9 overflows long at corpus scale);
-    // totals are 1-row broadcasts so a one-sided bucket still sees
-    // BOTH corpus sizes after the full-outer join
-    val weights = rawB.groupBy("b").agg(sum("c").as("rc"))
-      .join(tgtB.groupBy("b").agg(sum("c").as("tc")),
-        Seq("b"), "full_outer")
-      .crossJoin(broadcast(rawB.agg(sum("c").as("rtot"))))
-      .crossJoin(broadcast(tgtB.agg(sum("c").as("ttot"))))
-      .select(col("b"),
-        expr(s"cast((coalesce(rc, 0) + 1) as decimal(38,0)) * 1000000000"
-          + s" div (rtot + $buckets)").as("r_ppb"),
-        expr(s"cast((coalesce(tc, 0) + 1) as decimal(38,0)) * 1000000000"
-          + s" div (ttot + $buckets)").as("t_ppb"))
+    val weights = dsirModelFromBuckets(rawB,
+      bucketedGrams(target, buckets), buckets)
     val scored = rawB.join(broadcast(weights), "b")
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"),
@@ -367,6 +346,90 @@ object Mixture {
         col("coin").cast("decimal(38,0)") * col("mx") <
           col("score_ppm").cast("decimal(38,0)") * lit(1000000L))
       .select("doc_id", "n_grams", "score_ppm", "selected")
+  }
+
+  /** Per-(doc, hash-bucket) gram counts — the shared feature step of
+    * the DSIR family: unigram+bigram fingerprints folded into
+    * `buckets` buckets, multiplicities kept. */
+  private def bucketedGrams(docs: DataFrame, buckets: Int): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    docs
+      .select(col("doc_id"),
+        explode(concat(gram_fps(col("text"), 1),
+          gram_fps(col("text"), 2))).as("fp"))
+      .select(col("doc_id"), (col("fp") % buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** The bucket weight table from already-bucketed count frames:
+    * EXACTLY `buckets` rows (the full domain, so probe-side lookups
+    * never miss), rates in ppb with add-one smoothing in the decimal
+    * lane; totals ride 1-row broadcasts. */
+  private def dsirModelFromBuckets(rawB: DataFrame, tgtB0: DataFrame,
+      buckets: Int): DataFrame = {
+    val tgtB = tgtB0.localCheckpoint(eager = false) // census + total
+    rawB.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(rawB.groupBy("b").agg(sum("c").as("rc")), Seq("b"), "left")
+      .join(tgtB.groupBy("b").agg(sum("c").as("tc")), Seq("b"), "left")
+      .crossJoin(broadcast(rawB.agg(sum("c").as("rtot"))))
+      .crossJoin(broadcast(tgtB.agg(sum("c").as("ttot"))))
+      .select(col("b"),
+        expr(s"cast((coalesce(rc, 0) + 1) as decimal(38,0)) * 1000000000"
+          + s" div (rtot + $buckets)").cast("long").as("r_ppb"),
+        expr(s"cast((coalesce(tc, 0) + 1) as decimal(38,0)) * 1000000000"
+          + s" div (ttot + $buckets)").cast("long").as("t_ppb"))
+  }
+
+  /** The STANDING DSIR model (ds2's train step): the full-domain
+    * bucket weight table `(b, r_ppb, t_ppb)` — `buckets` rows,
+    * materialize once (persist/localCheckpoint at the caller), score
+    * arriving documents forever after with [[dsirScoreAgainst]]
+    * without ever re-reading the raw corpus. One raw tokenize scan,
+    * one target tokenize scan. */
+  def dsirModel(raw: DataFrame, target: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    dsirModelFromBuckets(
+      bucketedGrams(raw, buckets).localCheckpoint(eager = false),
+      bucketedGrams(target, buckets), buckets)
+  }
+
+  /** Score documents against a standing [[dsirModel]] — STREAMING-
+    * LEGAL (the dd9/ss16/t25 standing-index discipline for importance
+    * weights): the ≤`buckets`-row model packs into two in-row lookup
+    * maps on a 1-row broadcast, and each document's masses fold over
+    * its own gram array with a codegen'd higher-order aggregate — no
+    * per-gram row ever exists, no aggregation, no shuffle on the
+    * document side, so the same operator maps a LIVE document stream
+    * batch-by-batch in append mode (proven in StreamingSpec).
+    * Per-gram ppb values sum in a Long (≤10⁹ per gram — a 10⁹-gram
+    * document would be needed to wrap); only the final ratio runs in
+    * the decimal lane. Scores are IDENTICAL to [[dsirSelect]]'s on
+    * the same corpus: Σ over gram occurrences ≡ Σ c_b·ŵ_b.
+    *
+    * Output: `(doc_id, n_grams, score_ppm)` — selection is the
+    * caller's threshold (a batch-max coin needs the whole batch and
+    * is [[dsirSelect]]'s job). */
+  def dsirScoreAgainst(model: DataFrame, docs: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    val packed = model.agg(
+      map_from_entries(collect_list(struct(col("b"), col("r_ppb"))))
+        .as("rmap"),
+      map_from_entries(collect_list(struct(col("b"), col("t_ppb"))))
+        .as("tmap"))
+    docs.crossJoin(broadcast(packed))
+      .withColumn("grams", concat(gram_fps(col("text"), 1),
+        gram_fps(col("text"), 2)))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        expr(s"aggregate(grams, 0L, (a, g) -> " +
+          s"a + element_at(tmap, g % $buckets))").as("tm"),
+        expr(s"aggregate(grams, 0L, (a, g) -> " +
+          s"a + element_at(rmap, g % $buckets))").as("rm"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("cast(cast(tm as decimal(38,0)) * 1000000 div rm as bigint)")
+          .as("score_ppm"))
   }
 
   def exactStratifiedSplit(docs: DataFrame, seed: Long,

@@ -800,6 +800,21 @@ object PipelineQueries {
         all.filter(col("source") === "src0"), buckets = 1024)
         .orderBy("doc_id")
     },
+    // standing-model DSIR: the bucket weight table trains WITHOUT the
+    // arriving batch (every 10th raw doc), which is then scored at
+    // pure probe cost — per-row map lookups over a 1-row broadcast,
+    // streaming-legal (live run in StreamingSpec)
+    "ds2_dsir_incremental" -> { (s, d) =>
+      val all = documents(s, d)
+      val raw = all.filter(col("source") =!= "src0")
+      val model = Mixture.dsirModel(
+        raw.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("source") === "src0"), buckets = 1024)
+        .localCheckpoint(eager = false) // the standing model frame
+      Mixture.dsirScoreAgainst(model,
+        raw.filter(col("doc_id") % 10 === 0), buckets = 1024)
+        .orderBy("doc_id")
+    },
     // per-source frequency caps: no source contributes more than `cap`
     // docs, keeping its highest-quality ones — the C4/RefinedWeb
     // anti-domination rule, ranked skew-safely (two-phase
@@ -3578,6 +3593,40 @@ object PipelineQueries {
         (${sqlFp("concat(42, ':', doc_id)")} % 1000000)::HUGEINT * mx.m
           < score_ppm::HUGEINT * 1000000 AS selected
       FROM s2, mx ORDER BY doc_id""",
+    // ds1's weight chain trained on the standing split only, scores
+    // over the arriving split; the full bucket domain (range 0..1024)
+    // gives unseen buckets their smoothed default exactly as the
+    // engine's packed maps do
+    "ds2_dsir_incremental" -> s"""
+      WITH rg AS (SELECT doc_id,
+          unnest(${sqlGrams(toks, 1)} || ${sqlGrams(toks, 2)}) AS fp
+        FROM documents WHERE source <> 'src0' AND doc_id % 10 <> 0),
+      tg AS (SELECT doc_id,
+          unnest(${sqlGrams(toks, 1)} || ${sqlGrams(toks, 2)}) AS fp
+        FROM documents WHERE source = 'src0'),
+      rcen AS (SELECT fp % 1024 AS b, count(*)::BIGINT AS rc
+        FROM rg GROUP BY 1),
+      tcen AS (SELECT fp % 1024 AS b, count(*)::BIGINT AS tc
+        FROM tg GROUP BY 1),
+      rt AS (SELECT count(*)::BIGINT AS rtot FROM rg),
+      tt AS (SELECT count(*)::BIGINT AS ttot FROM tg),
+      dom AS (SELECT range::BIGINT AS b FROM range(0, 1024)),
+      w AS (SELECT dom.b,
+          ((coalesce(rc, 0) + 1)::HUGEINT * 1000000000
+            // (rt.rtot + 1024))::BIGINT AS r_ppb,
+          ((coalesce(tc, 0) + 1)::HUGEINT * 1000000000
+            // (tt.ttot + 1024))::BIGINT AS t_ppb
+        FROM dom LEFT JOIN rcen ON rcen.b = dom.b
+        LEFT JOIN tcen ON tcen.b = dom.b, rt, tt),
+      ag AS (SELECT doc_id, fp % 1024 AS b FROM (SELECT doc_id,
+          unnest(${sqlGrams(toks, 1)} || ${sqlGrams(toks, 2)}) AS fp
+        FROM documents WHERE source <> 'src0' AND doc_id % 10 = 0)),
+      sc AS (SELECT ag.doc_id, count(*)::BIGINT AS n_grams,
+          sum(w.t_ppb)::BIGINT AS tm, sum(w.r_ppb)::BIGINT AS rm
+        FROM ag JOIN w ON w.b = ag.b GROUP BY 1)
+      SELECT doc_id, n_grams,
+        (tm::HUGEINT * 1000000 // rm)::BIGINT AS score_ppm
+      FROM sc ORDER BY doc_id""",
     // the engine's two-phase (source, quality-bucket) rank collapses
     // to a plain within-source quality rank — the oracle states the
     // SEMANTICS; the bucketing is purely the skew-safe execution shape

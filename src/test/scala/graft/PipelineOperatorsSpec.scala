@@ -2185,6 +2185,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       }
   }
 
+  test("dsir standing-model probe scores equal the batch selector's") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val raw = Seq((0L, "alpha beta gamma"), (1L, "xx yy zz ww vv"),
+      (2L, "alpha xx yy zz"), (3L, "totally unseen vocabulary here"))
+      .toDF("doc_id", "text")
+    // model trained on the SAME corpus ⇒ probe scores ≡ dsirSelect's
+    // (Σ over gram occurrences ≡ Σ c_b·w_b; doc 3 exercises the
+    // smoothed full-domain defaults for buckets unseen in target)
+    val model = graft.operators.Mixture.dsirModel(raw, target, buckets = 64)
+    val probe = graft.operators.Mixture
+      .dsirScoreAgainst(model, raw, buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val batch = graft.operators.Mixture
+      .dsirSelect(raw, target, buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(probe == batch)
+  }
+
   test("source caps: two-phase rank equals the naive per-source quality rank") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -192,6 +192,17 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("ds2_dsir_incremental", Seq(
+      // the probe side is pure per-row: packed maps on a 1-row
+      // broadcast, masses folded in-row — the arriving docs never
+      // shuffle
+      "packed model rides a broadcast onto the doc scan" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "arriving documents never exchange on doc_id" ->
+        (p => !p.contains("hashpartitioning(doc_id")),
+      "standing model checkpoint-truncated (one train)" ->
+        (_.contains("Scan ExistingRDD")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("cr1_source_caps", Seq(
       // the per-source rank must be the two-phase shape: the final
       // window partitions by (source, quality-bucket), never by the

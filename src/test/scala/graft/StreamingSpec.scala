@@ -99,6 +99,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("bm25_idx_out").count() > 0)
   }
 
+  test("dsir scoring runs unchanged on a document stream") {
+    // ds2's probe is per-row (the packed weight maps ride a 1-row
+    // broadcast, masses fold over the doc's own gram array — no
+    // Aggregate on the stream side), so the SAME operator scores a
+    // live crawl in append mode against the standing model
+    val docsB = Tables.documents(spark, sf)
+    val model = operators.Mixture.dsirModel(
+      docsB.filter(col("source") =!= "src0"),
+      docsB.filter(col("source") === "src0"), buckets = 256)
+      .localCheckpoint() // standing: trained once, eagerly
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    runToMemory(operators.Mixture.dsirScoreAgainst(model,
+      docStream.select("doc_id", "text"), buckets = 256),
+      "dsir_out", "append")
+    val batch = operators.Mixture.dsirScoreAgainst(model,
+      docsB.select("doc_id", "text"), buckets = 256)
+    assert(asSet(spark.table("dsir_out")) == asSet(batch))
+    assert(spark.table("dsir_out").count() > 0)
+  }
+
   test("stream-static join decontaminates a document stream") {
     // the eval gram set is a STATIC frame joined into a streaming
     // scan — Structured Streaming's stream-static join, the shape
