@@ -348,6 +348,27 @@ object Mixture {
       .select("doc_id", "n_grams", "score_ppm", "selected")
   }
 
+  /** Topic-balanced mixture (mx9) — the composition the t26 keywords
+    * exist for: each document's topic is its top tf·idf term
+    * ([[Retrieval.tfidfKeywords]] at k = 1 — the argmax keyword is a
+    * cheap, deterministic topic label), and the corpus is then
+    * temperature-flattened over TOPICS with [[rebalanceSqrt]]'s
+    * α = ½ rule — so one dominant subject (one hot crawl vertical)
+    * stops crowding out the tail subjects, the same anti-domination
+    * rule mx5 applies to languages and cr1 applies to sources.
+    *
+    * One lazy plan: the topic frame (doc_id, topic) is checkpoint-
+    * shared between the topic histogram and the keep-filter join; the
+    * histogram is vocabulary-sized and broadcasts; the keep decision
+    * is the per-row hash coin. Output: `(doc_id, topic, rate_mil)`
+    * for the kept documents. */
+  def topicMixture(docs: DataFrame, mil: Long = 1000L): DataFrame = {
+    val topics = Retrieval.tfidfKeywords(docs, k = 1)
+      .select(col("doc_id"), col("term").as("topic"))
+      .localCheckpoint(eager = false) // histogram + keep-filter join
+    rebalanceSqrt(topics, groupCol = "topic", mil = mil)
+  }
+
   /** Per-(doc, hash-bucket) gram counts — the shared feature step of
     * the DSIR family: unigram+bigram fingerprints folded into
     * `buckets` buckets, multiplicities kept. */

@@ -800,6 +800,11 @@ object PipelineQueries {
         all.filter(col("source") === "src0"), buckets = 1024)
         .orderBy("doc_id")
     },
+    // topic-balanced mixture: top-1 tf·idf keyword as the topic
+    // label, then the α = ½ temperature flatten over topics
+    "mx9_topic_mixture" -> { (s, d) =>
+      Mixture.topicMixture(documents(s, d)).orderBy("doc_id")
+    },
     // standing-model DSIR: the bucket weight table trains WITHOUT the
     // arriving batch (every 10th raw doc), which is then scored at
     // pure probe cost — per-row map lookups over a 1-row broadcast,
@@ -3593,6 +3598,32 @@ object PipelineQueries {
         (${sqlFp("concat(42, ':', doc_id)")} % 1000000)::HUGEINT * mx.m
           < score_ppm::HUGEINT * 1000000 AS selected
       FROM s2, mx ORDER BY doc_id""",
+    // t26's chain at rank 1 labels the topics; mx5's sqrt flatten
+    // replays over them
+    "mx9_topic_mixture" -> s"""
+      WITH tk AS (SELECT doc_id, unnest(${sqlToks("text")}) AS term
+        FROM documents),
+      tfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk
+        GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*)::BIGINT AS df FROM tfx GROUP BY 1),
+      nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      sc AS (SELECT tfx.doc_id, tfx.term,
+          tfx.tf * ((2*nn.n_docs - 2*dfq.df + 1) * 1000000
+            // (2*dfq.df + 1)) AS score_ppm
+        FROM tfx JOIN dfq USING (term), nn),
+      topic AS (SELECT doc_id, term AS topic FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_ppm DESC, term) AS rank FROM sc)
+        WHERE rank = 1),
+      s AS (SELECT topic, count(*) AS n_grp FROM topic GROUP BY 1),
+      t AS (SELECT min(n_grp)::BIGINT AS n_min FROM s),
+      r AS (SELECT s.topic, floor(1000.0 *
+          sqrt(t.n_min::DOUBLE / s.n_grp::DOUBLE))::BIGINT AS rate_mil
+        FROM s CROSS JOIN t)
+      SELECT d.doc_id, d.topic, r.rate_mil
+      FROM topic d JOIN r USING (topic)
+      WHERE ${sqlFp("d.doc_id::VARCHAR")} % 1000 < r.rate_mil
+      ORDER BY d.doc_id""",
     // ds1's weight chain trained on the standing split only, scores
     // over the arriving split; the full bucket domain (range 0..1024)
     // gives unseen buckets their smoothed default exactly as the

@@ -2185,6 +2185,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       }
   }
 
+  test("topic mixture: argmax-keyword topics, sqrt flatten over them") {
+    import spark.implicits._
+    // two "subjects": cat-docs dominate 4:2; every doc's top keyword
+    // is its subject word (df 4 or 2 — rarer than the df-6 fillers)
+    val docs = Seq(
+      (0L, "cat alpha beta"), (1L, "cat alpha beta"),
+      (2L, "cat alpha beta"), (3L, "cat alpha beta"),
+      (4L, "dog alpha beta"), (5L, "dog alpha beta"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Mixture.topicMixture(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every kept doc is labeled by its subject word
+    rows.foreach { case (id, topic, _) =>
+      assert(topic == (if (id <= 3) "cat" else "dog"), s"$id -> $topic") }
+    // α = ½ rates: dog (the min group) keeps 1000, cat gets
+    // floor(1000·sqrt(2/4)) = 707
+    val byTopic = rows.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(byTopic.get("dog").forall(_ == 1000L))
+    assert(byTopic.get("cat").forall(_ == 707L))
+  }
+
   test("dsir standing-model probe scores equal the batch selector's") {
     import spark.implicits._
     val target = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")

@@ -192,6 +192,14 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("mx9_topic_mixture", Seq(
+      "topic frame checkpoint-shared (histogram + keep join)" ->
+        (_.contains("Scan ExistingRDD")),
+      "topic histogram broadcast, keep decision map-side" ->
+        (_.contains("BroadcastHashJoin")),
+      "tf / histogram aggs combine map-side" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ds2_dsir_incremental", Seq(
       // the probe side is pure per-row: packed maps on a 1-row
       // broadcast, masses folded in-row — the arriving docs never
