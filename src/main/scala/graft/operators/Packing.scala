@@ -412,6 +412,57 @@ object Packing {
         (col("band_ceil") - col("n_tokens")).as("pad_tokens"))
   }
 
+  /** Span-corruption manifest (tp12) — the T5/UL2 denoising plan as a
+    * deterministic manifest: each document masks `rateMil`/1000 of its
+    * tokens in spans of mean length `meanSpan`, and the loader reads
+    * the manifest instead of rolling its own RNG (so the same
+    * document always corrupts the same way — resumable training,
+    * reproducible ablations).
+    *
+    * Deterministic construction, exact integers throughout:
+    * `masked = n·rateMil div 1000` tokens in
+    * `spans = max(1, masked div meanSpan)` spans; span i has length
+    * `masked div spans (+1 for the first masked mod spans)` — lengths
+    * tile `masked` exactly — and lives inside its own document
+    * SEGMENT `[i·n div spans, (i+1)·n div spans)` at a seeded-hash
+    * offset, so spans can never overlap or touch out of order. At
+    * `rateMil ≤ 400` every segment is provably longer than its span;
+    * beyond that a `least` clamp keeps the plan legal (and the tiling
+    * identity becomes ≤). Documents too short to mask a single token
+    * (`n·rateMil < 1000`) emit no rows.
+    *
+    * Scale shape: pure per-row — token count, arithmetic, and an
+    * explode bounded by the doc's own span count; zero shuffles, one
+    * corpus scan, streaming-legal by construction.
+    *
+    * Output: `(doc_id, n_tokens, span_no, start_tok, mask_len)`. */
+  def spanCorruptionPlan(docs: DataFrame, rateMil: Int = 150,
+      meanSpan: Int = 3, seed: Long = 42L): DataFrame = {
+    require(rateMil > 0 && rateMil <= 1000, "rateMil in (0, 1000]")
+    require(meanSpan > 0, "meanSpan must be positive")
+    docs
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("masked", expr(s"n * $rateMil div 1000"))
+      .filter(col("masked") >= 1)
+      .withColumn("spans",
+        greatest(lit(1L), expr(s"masked div $meanSpan")))
+      .select(col("doc_id"), col("n"), col("masked"), col("spans"),
+        explode(sequence(lit(0L), col("spans") - 1)).as("span_no"))
+      .withColumn("seg_start", expr("span_no * n div spans"))
+      .withColumn("seg_len",
+        expr("(span_no + 1) * n div spans - span_no * n div spans"))
+      .withColumn("mask_len",
+        least(expr("masked div spans + if(span_no < masked % spans, 1, 0)"),
+          col("seg_len")))
+      .withColumn("start_tok", col("seg_start") +
+        TextAnalysis.fingerprint(concat_ws(":", lit(seed),
+          col("doc_id"), col("span_no")))
+          % (col("seg_len") - col("mask_len") + 1))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("span_no"),
+        col("start_tok"), col("mask_len"))
+  }
+
   private[operators] def seededRankByKey(df: DataFrame, keyCol: String,
       idCol: String, seed: Long, buckets: Int = 32,
       keep: Seq[String] = Nil): DataFrame = {

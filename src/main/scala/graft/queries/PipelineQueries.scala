@@ -555,6 +555,14 @@ object PipelineQueries {
       Packing.packMasks(documents(s, d), seqLen = 512)
         .orderBy("bucket", "pack", "slot")
     },
+    // T5/UL2 denoising as a deterministic manifest: 15% of each doc's
+    // tokens in mean-3 spans, each span seeded-hash-placed inside its
+    // own segment — pure per-row arithmetic, zero shuffles
+    "tp12_span_corruption" -> { (s, d) =>
+      Packing.spanCorruptionPlan(documents(s, d), rateMil = 150,
+        meanSpan = 3, seed = 42L)
+        .orderBy("doc_id", "span_no")
+    },
     // the OTHER packing strategy: whole documents, length-banded
     // batches padded to the band ceiling — the finetuning/inference
     // shape, with per-row padding waste reported
@@ -2645,6 +2653,27 @@ object PipelineQueries {
           ORDER BY start, doc_id) - 1)::BIGINT AS slot,
         doc_id, start, len
       FROM sp ORDER BY bucket, pack, slot""",
+    // same deterministic segment/length/offset arithmetic per doc
+    "tp12_span_corruption" -> s"""
+      WITH b AS (SELECT doc_id, len(${sqlToks("text")})::BIGINT AS n
+        FROM documents),
+      c AS (SELECT doc_id, n, n * 150 // 1000 AS masked FROM b
+        WHERE n * 150 // 1000 >= 1),
+      d AS (SELECT doc_id, n, masked,
+          greatest(1, masked // 3)::BIGINT AS spans FROM c),
+      e AS (SELECT doc_id, n, masked, spans,
+          unnest(range(0, spans))::BIGINT AS span_no FROM d),
+      f AS (SELECT *, span_no * n // spans AS seg_start,
+          (span_no + 1) * n // spans - span_no * n // spans AS seg_len,
+          masked // spans + CASE WHEN span_no < masked % spans
+            THEN 1 ELSE 0 END AS len0 FROM e),
+      g AS (SELECT doc_id, n AS n_tokens, span_no, seg_start, seg_len,
+          least(len0, seg_len) AS mask_len FROM f)
+      SELECT doc_id, n_tokens, span_no,
+        (seg_start + ${sqlFp("concat(42, ':', doc_id, ':', span_no)")}
+          % (seg_len - mask_len + 1))::BIGINT AS start_tok,
+        mask_len
+      FROM g ORDER BY doc_id, span_no""",
     // naive single-sort twin of the histogram-refined engine plan;
     // the rank arithmetic is the same exact integer split
     "q69_exact_quantiles" -> """

@@ -2185,6 +2185,35 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       }
   }
 
+  test("span corruption: spans tile the budget inside disjoint segments") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, (1 to 100).map(i => s"w$i").mkString(" ")), // n=100
+      (1L, "a b c d e f"), // n=6 → masked 0 → no rows
+      (2L, (1 to 40).map(i => s"t$i").mkString(" "))) // n=40
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Packing
+      .spanCorruptionPlan(docs, rateMil = 150, meanSpan = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(!rows.exists(_._1 == 1L), "too-short doc must emit nothing")
+    for (doc <- Seq(0L, 2L)) {
+      val sp = rows.filter(_._1 == doc).sortBy(_._3)
+      val n = sp.head._2
+      val masked = n * 150 / 1000
+      val spans = math.max(1, masked / 3)
+      assert(sp.length == spans)
+      // lengths tile the budget exactly (no clamp at this rate)
+      assert(sp.map(_._5).sum == masked)
+      // each span lives in its own segment → strictly ordered,
+      // non-overlapping, in-bounds
+      sp.zipWithIndex.foreach { case ((_, _, i, start, len), idx) =>
+        assert(i == idx)
+        assert(start >= i * n / spans && start + len <= (i + 1) * n / spans)
+      }
+    }
+  }
+
   test("topic mixture: argmax-keyword topics, sqrt flatten over them") {
     import spark.implicits._
     // two "subjects": cat-docs dominate 4:2; every doc's top keyword

@@ -192,6 +192,11 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("tp12_span_corruption", Seq(
+      "pure map: no join anywhere (per-row manifest)" ->
+        (p => !p.contains("Join")),
+      "single corpus scan" ->
+        (p => "Scan parquet".r.findAllIn(p).size == 1)))
     audit("mx9_topic_mixture", Seq(
       "topic frame checkpoint-shared (histogram + keep join)" ->
         (_.contains("Scan ExistingRDD")),
