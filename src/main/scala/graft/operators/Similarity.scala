@@ -1201,7 +1201,10 @@ object Similarity {
       recallRow("ivfpq", l2Truth,
         ivfPqTopK(corpus, queries, k, pqCoarse, pqNprobe, m, ksub, iters)),
       recallRow("mips", dotTruth,
-        mipsTopK(corpus, queries, k, mipsBits, mipsTables)))
+        mipsTopK(corpus, queries, k, mipsBits, mipsTables)),
+      // sq8 serves by inner product over dequantized codes — its
+      // truth is the exact-dot rank, like mips
+      recallRow("sq8", dotTruth, sq8TopK(corpus, queries, k)))
       .reduce(_ unionAll _).orderBy("method")
   }
 
@@ -1285,6 +1288,66 @@ object Similarity {
     * with their table×bucket keys exploded; the candidate equi-join
     * never shuffles the corpus, and per-query ranking sees only
     * collision candidates. */
+  /** SQ8 scalar-quantized top-k (ss17) — the int8 serving path that
+    * completes the quantization family (LSH / IVF / PQ / IVF-PQ /
+    * MRL): each dimension gets an affine [min, max] → [0, 255] code
+    * (4× smaller than float32, trivially SIMD-able at serve time),
+    * and queries score asymmetrically against the DEQUANTIZED codes
+    * (the query stays full-precision — the ADC discipline of ss8) by
+    * inner product.
+    *
+    * Determinism: codes are `⌊(x − mn_d)·255 / span_d⌋` clamped to
+    * 255 (a constant-span dimension codes 0); every step is IEEE
+    * double arithmetic in a fixed fold order, so the oracle replays
+    * bit-exactly — no RNG, no rounding-mode surprises.
+    *
+    * Scale shape: the per-dim (min, max) table is a d-row aggregation
+    * that partial-aggregates map-side and packs into a 1-row
+    * broadcast; encoding is a pure map over the corpus (materialize
+    * the code frame once — it IS the 4×-smaller standing index);
+    * queries ride a broadcast onto one code scan and the per-query
+    * top-k runs through the bounded [[TopKAggregator]] (no full sort
+    * of the scored candidates). Output: `(query_id, rank,
+    * neighbor_id, score)`, ties by neighbor id. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val packed = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), col("v").cast("double").as("v"))
+      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+      .agg(expr("array_sort(collect_list(struct(pos, mn, mx)))").as("st"))
+      .select(expr("transform(st, s -> s.mn)").as("mns"),
+        expr("transform(st, s -> CASE WHEN s.mx > s.mn " +
+          "THEN s.mx - s.mn ELSE 0D END)").as("spans"))
+    val codes = corpus.crossJoin(broadcast(packed))
+      .select(col("vec_id").as("neighbor_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN spans[i] > 0D " +
+          "THEN least(CAST(255 AS BIGINT), CAST(floor(" +
+          "(CAST(x AS DOUBLE) - mns[i]) * 255.0D / spans[i]) AS BIGINT)) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("codes"))
+    val qs = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(packed)) // stats ride the tiny side
+    val scored = codes.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(transform(codes, (c, i) -> " +
+          "CAST(q_emb[i] AS DOUBLE) * " +
+          "(mns[i] + CAST(c AS DOUBLE) * spans[i] / 255.0D)), " +
+          "0D, (a, x) -> a + x)").as("score"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues(v => (v._2, v._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((s, nid), i) => (qid, i + 1, nid, s) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "score")
+  }
+
   def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 6, tables: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

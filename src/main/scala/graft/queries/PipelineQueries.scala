@@ -949,6 +949,14 @@ object PipelineQueries {
       Similarity.mipsTopK(e, e.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     },
+    // SQ8 serving: per-dim affine int8 codes (the 4×-smaller standing
+    // index), queries score asymmetrically against the dequantized
+    // codes by inner product
+    "ss17_sq8_topk" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.sq8TopK(e, e.filter(col("vec_id") < 3), k = 5)
+        .orderBy("query_id", "rank")
+    },
     // IVF under a TRAINED quantizer: the ve3 k-means centroids serve
     // as the coarse index; probe metric = training metric (L2)
     "ss6_ivf_trained" -> { (s, d) =>
@@ -1485,6 +1493,38 @@ object PipelineQueries {
       ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, rank, neighbor_id, score FROM ranked
+      WHERE rank <= $k"""
+
+  /** Oracle twin of [[Similarity.sq8TopK]] (self-contained WITH …
+    * SELECT, nestable in parens, no trailing ORDER BY): per-dim
+    * affine [min,max] → [0,255] codes, fixed-order dequantized dot,
+    * `rank <= k` over the `vec_id < nq` query sample. */
+  private def sqlSq8TopK(k: Int, nq: Int): String = s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      x AS (SELECT u.pos, min(u.v) AS mn, max(u.v) AS mx FROM
+          (SELECT unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS pos FROM e) u
+        GROUP BY 1),
+      st AS (SELECT list(mn ORDER BY pos) AS mns,
+          list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY pos)
+            AS spans FROM x),
+      cd AS (SELECT vec_id AS neighbor_id,
+          list_transform(range(1, len(embedding) + 1), i ->
+            CASE WHEN st.spans[i] > 0 THEN least(255,
+              floor((embedding[i]::DOUBLE - st.mns[i]) * 255.0
+                / st.spans[i])::BIGINT)
+            ELSE 0 END) AS codes
+        FROM e, st),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+        WHERE vec_id < $nq),
+      sc AS (SELECT q.query_id, cd.neighbor_id,
+          ${sqlFold("list_transform(range(1, len(cd.codes) + 1), i -> " +
+            "q.qe[i]::DOUBLE * (st.mns[i] + cd.codes[i]::DOUBLE " +
+            "* st.spans[i] / 255.0))")} AS score
+        FROM cd, q, st WHERE q.query_id <> cd.neighbor_id)
+      SELECT query_id, rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rank FROM sc)
       WHERE rank <= $k"""
 
   /** Oracle twin of [[Similarity.knnGraph]] (self-contained WITH …
@@ -3028,6 +3068,7 @@ object PipelineQueries {
       ipqk AS (SELECT query_id, neighbor_id
         FROM (${sqlIvfPqTopK(4, 16, 8, 5, 3, 2)})),
       mipsk AS (SELECT query_id, neighbor_id FROM ($sqlMipsTopKSql)),
+      sq8k AS (SELECT query_id, neighbor_id FROM (${sqlSq8TopK(5, 3)})),
       knng AS (SELECT vec_id AS query_id, neighbor_id
         FROM (${sqlKnnGraph(5, 16, 2)}))
       SELECT method, n_truth, n_hits, n_hits * 1000 // n_truth AS recall_x1000
@@ -3047,6 +3088,9 @@ object PipelineQueries {
           (SELECT count(*) FROM l2t JOIN ipqk USING (query_id, neighbor_id))
         UNION ALL SELECT 'mips', (SELECT count(*) FROM dott),
           (SELECT count(*) FROM dott JOIN mipsk
+            USING (query_id, neighbor_id))
+        UNION ALL SELECT 'sq8', (SELECT count(*) FROM dott),
+          (SELECT count(*) FROM dott JOIN sq8k
             USING (query_id, neighbor_id)))
       ORDER BY method""",
     // per-truncation brute cosine over prefix slices, identical
@@ -3720,6 +3764,9 @@ object PipelineQueries {
     // vectors (extra coordinate sqrt(M^2 - |x|^2)) bucket through the
     // same dd6-style hyperplane tables; candidates rank by RAW dot
     "ss10_mips_topk" -> sqlMipsTopKSql,
+    // per-dim affine codes + the fixed-order dequantized dot
+    "ss17_sq8_topk" -> s"""SELECT * FROM (${sqlSq8TopK(5, 3)})
+      ORDER BY query_id, rank""",
     "ss3_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),

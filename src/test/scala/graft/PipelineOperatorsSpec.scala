@@ -44,11 +44,16 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(4) <= 3))
   }
 
-  test("recall report covers all seven index families with sane values") {
+  test("recall report covers all eight index families with sane values") {
     val rows = Similarity.annRecallReportAll(embs,
       embs.filter(col("vec_id") < 3), k = 5).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ivf", "ivfpq", "knn_graph", "lsh", "mips", "pq", "pq_rerank"))
+      Seq("ivf", "ivfpq", "knn_graph", "lsh", "mips", "pq", "pq_rerank",
+        "sq8"))
+    // 8-bit-per-dim codes barely perturb a dot ranking: sq8's recall
+    // against the exact-dot truth must dominate the family floor
+    assert(rows.find(_.getString(0) == "sq8").get.getLong(3) >= 800,
+      "sq8 recall should be near-exact on the fixture")
     rows.foreach { r =>
       assert(r.getLong(1) == 15, s"${r.getString(0)}: truth should be k*queries")
       assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000,
@@ -2183,6 +2188,24 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         val (score, sel) = rows(r.getLong(0))
         assert(sel == (BigInt(r.getLong(1)) * mx < BigInt(score) * 1000000L))
       }
+  }
+
+  test("sq8: codes stay in [0,255], max/min dims hit the rails") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(0.0f, 10.0f)), (1L, Array(5.0f, 20.0f)),
+      (2L, Array(10.0f, 30.0f)), (3L, Array(2.5f, 15.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((9L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(corpus, q, k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // dequantized dots: dim0 spans [0,10], dim1 [10,30]; vec 2 sits on
+    // both rails (codes 255/255 → dequantizes exactly to 10 and 30)
+    assert(got.head == ((1, 2L, 40.0)))
+    // vec 0 sits on the low rails (codes 0/0 → exactly 0 and 10)
+    assert(got.last == ((4, 0L, 10.0)))
+    // dot ordering preserved under quantization on this fixture
+    assert(got.map(_._2).toSeq == Seq(2L, 1L, 3L, 0L))
   }
 
   test("span corruption: spans tile the budget inside disjoint segments") {

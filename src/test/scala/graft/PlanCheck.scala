@@ -192,6 +192,14 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("ss17_sq8_topk", Seq(
+      // stats pack into a 1-row broadcast; queries broadcast onto ONE
+      // code scan; top-k is the bounded-heap aggregator
+      "stats/queries ride broadcasts (no corpus re-shuffle)" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "per-dim stats / top-k partially aggregated" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("tp12_span_corruption", Seq(
       "pure map: no join anywhere (per-row manifest)" ->
         (p => !p.contains("Join")),
