@@ -122,6 +122,59 @@ object CurationPipeline {
         col("src_rank"))
   }
 
+  /** Per-source EXACT quality floor (cr2) — adaptive thresholds
+    * instead of one global cutoff: each source drops its own bottom
+    * `pctPpm`/10⁶ quality quantile, so a uniformly-mediocre source
+    * is trimmed as aggressively as a mostly-great one (a global
+    * floor would wipe out the former and never touch the latter).
+    * The threshold is the EXACT per-source quantile, not a sketch.
+    *
+    * Scale shape: grouped exact quantiles without any per-source
+    * sort — the q69 histogram discipline applied per group: docs
+    * bucket by `⌊quality·2²⁰⌋`, the per-(source, bucket) histogram
+    * cumsums to locate the ONE bucket per source containing the
+    * target rank (q69's overflow-safe split rank arithmetic), only
+    * that bucket's rows enter a window, and the ≤1-row-per-source
+    * threshold frame broadcasts back onto the corpus for the keep
+    * filter. The corpus never sorts, never shuffles beyond the
+    * histogram aggregation; a billion-doc source costs the same
+    * window work as a thousand-doc one.
+    *
+    * Output: kept documents `(doc_id, source, quality, thr)` with
+    * `thr` the source's floor (kept ⇔ quality ≥ thr). */
+  def qualityFloor(docs: DataFrame, pctPpm: Long = 250000L,
+      groupCol: String = "source"): DataFrame = {
+    require(pctPpm >= 0 && pctPpm < 1000000L, "pctPpm in [0, 1e6)")
+    val QScale = 1048576.0d
+    val scored = docs.select(col("doc_id"), col(groupCol),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("qk", floor(col("quality") * lit(QScale)).cast("long"))
+      .localCheckpoint(eager = false) // histogram + pick + keep filter
+    val histW = Window.partitionBy(groupCol).orderBy("qk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = scored.groupBy(groupCol, "qk").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(histW))
+      .withColumn("base", col("cum") - col("n"))
+    // q69's overflow-safe split: r = (n−1)·pct div 10⁶ without the
+    // intermediate product ever exceeding ~10¹² per term
+    val targets = scored.groupBy(groupCol).agg(count(lit(1)).as("n_grp"))
+      .withColumn("r", expr(s"(n_grp - 1) div 1000000 * $pctPpm" +
+        s" + ((n_grp - 1) % 1000000) * $pctPpm div 1000000"))
+    val picked = hist.join(broadcast(targets), groupCol.toString)
+      .filter(col("base") <= col("r") && col("r") < col("cum"))
+      .select(col(groupCol), col("qk"), col("base"), col("r"))
+    val wB = Window.partitionBy(groupCol, "qk")
+      .orderBy(col("quality").asc, col("doc_id"))
+    val thr = scored.join(broadcast(picked), Seq(groupCol, "qk"))
+      .withColumn("rn",
+        col("base") + row_number().over(wB).cast("long") - 1L)
+      .filter(col("rn") === col("r"))
+      .select(col(groupCol), col("quality").as("thr"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col(groupCol), col("quality"), col("thr"))
+  }
+
   def curate(docs: DataFrame, minQuality: Double = 0.0, minTokens: Int = 5,
       jaccardPct: Int = 90): DataFrame = {
     val annotated = docs.select(col("doc_id"), col("text"), col("lang"),

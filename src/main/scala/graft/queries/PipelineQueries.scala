@@ -836,6 +836,13 @@ object PipelineQueries {
       graft.operators.CurationPipeline.sourceCaps(documents(s, d),
         cap = 10L).orderBy("source", "src_rank")
     },
+    // adaptive per-source quality floors: each source drops its own
+    // bottom quartile by the EXACT grouped quantile (q69's histogram
+    // trick per group — no per-source sort)
+    "cr2_quality_floor" -> { (s, d) =>
+      graft.operators.CurationPipeline.qualityFloor(documents(s, d),
+        pctPpm = 250000L).orderBy("source", "doc_id")
+    },
     // incremental embedding dedup: every 10th vector is the incoming
     // batch, the rest the standing index; candidates only from
     // new×index bucket collisions (vector twin of dd9)
@@ -3743,6 +3750,24 @@ object PipelineQueries {
         FROM q)
       SELECT doc_id, source, quality, src_rank FROM r
       WHERE src_rank <= 10 ORDER BY source, src_rank""",
+    // naive per-source sort twin of the grouped-histogram engine
+    // plan; the target rank is the same q69 split arithmetic
+    "cr2_quality_floor" -> s"""
+      WITH q AS (SELECT doc_id, source, ${sqlQuality} AS quality
+        FROM documents),
+      n AS (SELECT source, count(*)::BIGINT AS n_grp FROM q GROUP BY 1),
+      r AS (SELECT source,
+          ((n_grp - 1) // 1000000 * 250000
+            + ((n_grp - 1) % 1000000) * 250000 // 1000000)::BIGINT AS r
+        FROM n),
+      s AS (SELECT doc_id, source, quality,
+          (row_number() OVER (PARTITION BY source
+            ORDER BY quality, doc_id) - 1)::BIGINT AS rn FROM q),
+      t AS (SELECT s.source, s.quality AS thr FROM s
+        JOIN r ON r.source = s.source AND s.rn = r.r)
+      SELECT q.doc_id, q.source, q.quality, t.thr
+      FROM q JOIN t ON t.source = q.source
+      WHERE q.quality >= t.thr ORDER BY q.source, q.doc_id""",
     "ss1_cosine_topk" -> s"""${sqlCosineTopK(10, 3)}
       ORDER BY query_id, rank""",
     "ss2_ann_lsh" -> s"""

@@ -2190,6 +2190,37 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       }
   }
 
+  test("quality floor: grouped histogram pick equals the naive per-source quantile") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 8 docs in "a" (distinct qualities), 3 in "b", 1 in "c"
+    val docs = (0L to 7L).map(i =>
+        (i, (1 to (3 + i.toInt)).map(j => s"w$j").mkString(" "), "a")) ++
+      Seq((10L, "x", "b"), (11L, "x y z w", "b"), (12L, "x y", "b"),
+        (13L, "solo", "c"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val got = graft.operators.CurationPipeline
+      .qualityFloor(df, pctPpm = 250000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    // naive twin: threshold = quality at 0-based rank (n-1)*0.25 (the
+    // q69 integer split) per source, keep quality >= thr
+    val q = df.select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    val naive = q.withColumn("rn", row_number().over(w).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") === expr(
+        "(n - 1) div 1000000 * 250000 + ((n - 1) % 1000000) * 250000 div 1000000"))
+      .select(col("source"), col("quality").as("thr"))
+    val expect = q.join(naive, "source")
+      .filter(col("quality") >= col("thr"))
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getDouble(3)))
+    assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
+    // the 1-doc source keeps its only doc; src a drops its bottom 25%
+    assert(got.exists(_._1 == 13L))
+    assert(got.count(_._2 == "a") == 7)
+  }
+
   test("sq8: codes stay in [0,255], max/min dims hit the rails") {
     import spark.implicits._
     val corpus = Seq(

@@ -192,6 +192,19 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("cr2_quality_floor", Seq(
+      // grouped exact quantile without a per-source sort: the only
+      // windows partition by (source[, bucket]) and the threshold
+      // frame broadcasts back onto the corpus
+      "pick window partitioned by (source, quality-bucket)" ->
+        (p => "hashpartitioning\\(source#\\d+, qk#".r
+          .findFirstIn(p).isDefined),
+      "thresholds broadcast onto the keep filter" ->
+        (_.contains("BroadcastHashJoin")),
+      "histogram aggregated map-side" -> (_.contains("partial_")),
+      "scored frame checkpoint-shared (one quality compute)" ->
+        (_.contains("Scan ExistingRDD")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ss17_sq8_topk", Seq(
       // stats pack into a 1-row broadcast; queries broadcast onto ONE
       // code scan; top-k is the bounded-heap aggregator
