@@ -1200,6 +1200,9 @@ object Similarity {
           pqShort.select("query_id", "neighbor_id"), k)),
       recallRow("ivfpq", l2Truth,
         ivfPqTopK(corpus, queries, k, pqCoarse, pqNprobe, m, ksub, iters)),
+      // ivfsq8 ranks by dequantized L2 — same truth as the PQ family
+      recallRow("ivfsq8", l2Truth,
+        ivfSq8TopK(corpus, queries, k, pqCoarse, iters, pqNprobe)),
       recallRow("mips", dotTruth,
         mipsTopK(corpus, queries, k, mipsBits, mipsTables)),
       // sq8 serves by inner product over dequantized codes — its
@@ -1309,24 +1312,35 @@ object Similarity {
     * top-k runs through the bounded [[TopKAggregator]] (no full sort
     * of the scored candidates). Output: `(query_id, rank,
     * neighbor_id, score)`, ties by neighbor id. */
-  def sq8TopK(corpus: DataFrame, queries: DataFrame,
-      k: Int = 10): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val packed = corpus
-      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("pos"), col("v").cast("double").as("v"))
-      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
-      .agg(expr("array_sort(collect_list(struct(pos, mn, mx)))").as("st"))
-      .select(expr("transform(st, s -> s.mn)").as("mns"),
-        expr("transform(st, s -> CASE WHEN s.mx > s.mn " +
-          "THEN s.mx - s.mn ELSE 0D END)").as("spans"))
-    val codes = corpus.crossJoin(broadcast(packed))
+  /** The packed 1-row per-dim (mins, spans) stats frame of the SQ8
+    * family — a d-row map-side-combinable aggregation folded into one
+    * broadcastable row. */
+  private def sq8Stats(corpus: DataFrame): DataFrame = corpus
+    .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+    .select(col("pos"), col("v").cast("double").as("v"))
+    .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    .agg(expr("array_sort(collect_list(struct(pos, mn, mx)))").as("st"))
+    .select(expr("transform(st, s -> s.mn)").as("mns"),
+      expr("transform(st, s -> CASE WHEN s.mx > s.mn " +
+        "THEN s.mx - s.mn ELSE 0D END)").as("spans"))
+
+  /** SQ8 encode: a pure map over the corpus given the packed stats —
+    * the materialize-once 4×-smaller code frame
+    * `(neighbor_id, codes)`. */
+  private def sq8Codes(corpus: DataFrame, packed: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(packed))
       .select(col("vec_id").as("neighbor_id"),
         expr("transform(embedding, (x, i) -> CASE WHEN spans[i] > 0D " +
           "THEN least(CAST(255 AS BIGINT), CAST(floor(" +
           "(CAST(x AS DOUBLE) - mns[i]) * 255.0D / spans[i]) AS BIGINT)) " +
           "ELSE CAST(0 AS BIGINT) END)").as("codes"))
+
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val packed = sq8Stats(corpus)
+    val codes = sq8Codes(corpus, packed)
     val qs = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(packed)) // stats ride the tiny side
@@ -1346,6 +1360,62 @@ object Similarity {
         tops.zipWithIndex.map { case ((s, nid), i) => (qid, i + 1, nid, s) }
       }
       .toDF("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** IVF-SQ8 top-k (ss18) — the FAISS-standard composite the family
+    * was missing: a TRAINED coarse quantizer (the ss6 Lloyd chain)
+    * routes each query to its `nprobe` nearest inverted lists, and
+    * candidates rank by the L2 distance between the full-precision
+    * query and their DEQUANTIZED SQ8 codes — so the serving scan
+    * touches `nprobe/numCentroids` of a code frame that is itself 4×
+    * smaller than the floats: the memory win of ss17 times the
+    * candidate-pruning win of ss6.
+    *
+    * Scale shape: training is the shared [[VectorStats
+    * .kmeansCentroids]] chain (centroids behind a lazy checkpoint,
+    * broadcast everywhere); encoding is a pure corpus map joined to
+    * the home-list assignment (both map-side, one exchange on the
+    * list id is the join with the probe side); queries probe in a
+    * ≤ queries×centroids broadcast frame; per-query ranking sees only
+    * probed-list candidates. Output:
+    * `(query_id, rank, neighbor_id, dist2)`, ascending distance. */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cents = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
+      .withColumn("cc", dotD(col("cemb"), col("cemb")))
+      .localCheckpoint(eager = false) // corpus assign + query probe
+    val asgn = VectorStats
+      .assignToCentroids(corpus, cents.select("cid", "cemb"))
+      .select(col("vec_id").as("neighbor_id"), col("cluster_id").as("cid"))
+    val packed = sq8Stats(corpus)
+    val c = sq8Codes(corpus, packed).join(asgn, "neighbor_id")
+    val qw = Window.partitionBy("query_id").orderBy(col("dist2"), col("cid"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("q_demb"))
+      .withColumn("xx", dotD(col("q_demb"), col("q_demb")))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("xx") - lit(2.0) * dotD(col("q_demb"), col("cemb")) + col("cc"))
+      .withColumn("rnk", row_number().over(qw))
+      .filter(col("rnk") <= nprobe)
+      .select("query_id", "cid", "q_demb")
+      .crossJoin(broadcast(packed)) // stats ride the tiny probe side
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist2").asc, col("neighbor_id"))
+    c.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist2",
+        expr("aggregate(zip_with(q_demb, transform(codes, (cd, i) -> " +
+          "mns[i] + CAST(cd AS DOUBLE) * spans[i] / 255.0D), " +
+          "(qv, dq) -> (qv - dq) * (qv - dq)), 0D, (a, x) -> a + x)"))
+      .select("query_id", "neighbor_id", "dist2")
+      .distinct() // a pair can match via several probed lists
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist2")
   }
 
   def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -964,6 +964,14 @@ object PipelineQueries {
       Similarity.sq8TopK(e, e.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     },
+    // IVF-SQ8 composite: trained coarse lists route the query, SQ8
+    // codes rank the probed candidates by dequantized L2
+    "ss18_ivfsq8_topk" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < 3), k = 5,
+        numCentroids = 8, iters = 2, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
     // IVF under a TRAINED quantizer: the ve3 k-means centroids serve
     // as the coarse index; probe metric = training metric (L2)
     "ss6_ivf_trained" -> { (s, d) =>
@@ -1533,6 +1541,53 @@ object PipelineQueries {
         SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY score DESC, neighbor_id) AS rank FROM sc)
       WHERE rank <= $k"""
+
+  /** Oracle twin of [[Similarity.ivfSq8TopK]] (self-contained WITH …
+    * SELECT, nestable in parens, no trailing ORDER BY): the trained
+    * Lloyd chain routes `vec_id < nq` queries to their top-`nprobe`
+    * lists; probed candidates rank by the fixed-order L2 fold against
+    * their dequantized SQ8 codes. */
+  private def sqlIvfSq8TopK(k: Int, numCentroids: Int, nprobe: Int,
+      nq: Int): String = {
+    val dq = "st.mns[i] + cd.codes[i]::DOUBLE * st.spans[i] / 255.0"
+    s"""
+      WITH ${sqlKmeansCtes(numCentroids)},
+      ${sqlKmAsg("c2", "a2")},
+      sx AS (SELECT u.pos, min(u.v) AS mn, max(u.v) AS mx FROM
+          (SELECT unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings) u
+        GROUP BY 1),
+      st AS (SELECT list(mn ORDER BY pos) AS mns,
+          list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY pos)
+            AS spans FROM sx),
+      cd AS (SELECT vec_id AS neighbor_id,
+          list_transform(range(1, len(embedding) + 1), i ->
+            CASE WHEN st.spans[i] > 0 THEN least(255,
+              floor((embedding[i]::DOUBLE - st.mns[i]) * 255.0
+                / st.spans[i])::BIGINT)
+            ELSE 0 END) AS codes
+        FROM embeddings, st),
+      qprobe AS (SELECT * FROM (
+          SELECT x.vec_id AS query_id, c.cid,
+            (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM ex x, c2 c WHERE x.vec_id < $nq)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= $nprobe),
+      cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+        FROM qprobe q JOIN a2 a USING (cid)
+        WHERE q.query_id <> a.vec_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+          ${sqlFold("list_transform(range(1, len(cd.codes) + 1), i -> " +
+            s"(xq.emb[i] - ($dq)) * (xq.emb[i] - ($dq)))")} AS dist2
+        FROM cand c
+        JOIN ex xq ON xq.vec_id = c.query_id
+        JOIN cd ON cd.neighbor_id = c.neighbor_id, st)
+      SELECT query_id, rank, neighbor_id, dist2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dist2 ASC, neighbor_id ASC) AS rank FROM scored)
+      WHERE rank <= $k"""
+  }
 
   /** Oracle twin of [[Similarity.knnGraph]] (self-contained WITH …
     * SELECT, nestable in parens): the trained Lloyd chain at
@@ -3076,6 +3131,8 @@ object PipelineQueries {
         FROM (${sqlIvfPqTopK(4, 16, 8, 5, 3, 2)})),
       mipsk AS (SELECT query_id, neighbor_id FROM ($sqlMipsTopKSql)),
       sq8k AS (SELECT query_id, neighbor_id FROM (${sqlSq8TopK(5, 3)})),
+      isq8k AS (SELECT query_id, neighbor_id
+        FROM (${sqlIvfSq8TopK(5, 8, 2, 3)})),
       knng AS (SELECT vec_id AS query_id, neighbor_id
         FROM (${sqlKnnGraph(5, 16, 2)}))
       SELECT method, n_truth, n_hits, n_hits * 1000 // n_truth AS recall_x1000
@@ -3093,6 +3150,8 @@ object PipelineQueries {
           (SELECT count(*) FROM l2t JOIN pqrk USING (query_id, neighbor_id))
         UNION ALL SELECT 'ivfpq', (SELECT count(*) FROM l2t),
           (SELECT count(*) FROM l2t JOIN ipqk USING (query_id, neighbor_id))
+        UNION ALL SELECT 'ivfsq8', (SELECT count(*) FROM l2t),
+          (SELECT count(*) FROM l2t JOIN isq8k USING (query_id, neighbor_id))
         UNION ALL SELECT 'mips', (SELECT count(*) FROM dott),
           (SELECT count(*) FROM dott JOIN mipsk
             USING (query_id, neighbor_id))
@@ -3791,6 +3850,9 @@ object PipelineQueries {
     "ss10_mips_topk" -> sqlMipsTopKSql,
     // per-dim affine codes + the fixed-order dequantized dot
     "ss17_sq8_topk" -> s"""SELECT * FROM (${sqlSq8TopK(5, 3)})
+      ORDER BY query_id, rank""",
+    // trained coarse routing + dequantized-L2 candidate ranking
+    "ss18_ivfsq8_topk" -> s"""SELECT * FROM (${sqlIvfSq8TopK(5, 8, 2, 3)})
       ORDER BY query_id, rank""",
     "ss3_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, embedding,

@@ -44,12 +44,17 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(4) <= 3))
   }
 
-  test("recall report covers all eight index families with sane values") {
+  test("recall report covers all nine index families with sane values") {
     val rows = Similarity.annRecallReportAll(embs,
       embs.filter(col("vec_id") < 3), k = 5).collect()
     assert(rows.map(_.getString(0)).toSeq ==
-      Seq("ivf", "ivfpq", "knn_graph", "lsh", "mips", "pq", "pq_rerank",
-        "sq8"))
+      Seq("ivf", "ivfpq", "ivfsq8", "knn_graph", "lsh", "mips", "pq",
+        "pq_rerank", "sq8"))
+    // within the same coarse quantizer and probe width, SQ8's 8-bit
+    // codes can only rank candidates BETTER than PQ's m-byte codes
+    val by = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(by("ivfsq8") >= by("ivfpq"),
+      s"ivfsq8 ${by("ivfsq8")} < ivfpq ${by("ivfpq")}")
     // 8-bit-per-dim codes barely perturb a dot ranking: sq8's recall
     // against the exact-dot truth must dominate the family floor
     assert(rows.find(_.getString(0) == "sq8").get.getLong(3) >= 800,

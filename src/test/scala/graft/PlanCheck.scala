@@ -192,6 +192,15 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("ss18_ivfsq8_topk", Seq(
+      "probe candidates join equi on the list id" ->
+        (p => !p.contains("CartesianProduct")),
+      "centroids/stats/probe frames ride broadcasts" ->
+        (_.contains("BroadcastHashJoin")),
+      "assignments/stats partially aggregated" ->
+        (_.contains("partial_")),
+      "trained centroids checkpoint-truncated (one Lloyd chain)" ->
+        (_.contains("Scan ExistingRDD"))))
     audit("cr2_quality_floor", Seq(
       // grouped exact quantile without a per-source sort: the only
       // windows partition by (source[, bucket]) and the threshold
