@@ -299,6 +299,54 @@ object Retrieval {
       .select("doc_id", "rank", "term", "score_ppm")
   }
 
+  /** The STANDING TF-IDF model (t28's train step): per-term document
+    * frequency plus the corpus census, frozen from a reference
+    * corpus — `(term, df, n_docs)`, vocabulary-sized, materialize
+    * once. Arriving documents are then tagged against it forever
+    * after without re-reading the reference corpus. */
+  def tfidfModel(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(array_distinct(
+        graft.operators.TextAnalysis.tokens(col("text")))).as("term"))
+    .groupBy("term").agg(count(lit(1)).as("df"))
+    .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+
+  /** Tag documents against a standing [[tfidfModel]] (t28) —
+    * STREAMING-LEGAL keyword tagging (the ds2/t25 standing-model
+    * discipline for the t26 keywords): each document's (term, tf)
+    * pairs are computed ENTIRELY in-row (tf counted inside the doc's
+    * own token array — the bm25Index trick), the df lookup is one
+    * stream-static equi-join on the term, and the keep decision is a
+    * per-row score floor — no aggregation, no window on the document
+    * side, so the SAME operator tags a LIVE crawl in append mode
+    * (proven in StreamingSpec). Terms absent from the model drop (an
+    * unseen term has no standing idf — the bm25 convention); scores
+    * are t26's exact integer surrogate, so on the model's own corpus
+    * the tag set equals t26's pre-rank rows identically.
+    *
+    * Output: `(doc_id, term, tf, score_ppm)` where
+    * `score_ppm ≥ floorPpm` — unranked by design: a per-doc top-k
+    * needs a stream-side aggregation, which is exactly what a
+    * standing tagger exists to avoid. */
+  def tfidfTagsAgainst(model: DataFrame, docs: DataFrame,
+      floorPpm: Long = 0L): DataFrame = {
+    docs
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(array_distinct(toks), t -> " +
+          "struct(t AS term, " +
+          "CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.term").as("term"),
+        col("p.tf").as("tf"))
+      .join(model, Seq("term"))
+      .withColumn("score_ppm", expr(
+        "tf * ((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))"))
+      .filter(col("score_ppm") >= floorPpm)
+      .select("doc_id", "term", "tf", "score_ppm")
+  }
+
   /** Reciprocal-rank fusion (t24) — the standard hybrid-retrieval
     * combiner over [[bm25TopK]]'s lexical ranking and a
     * [[Similarity]] vector ranking (or any number of rankings):

@@ -1119,6 +1119,18 @@ object PipelineQueries {
         k = 10, fbDocs = 5, fbTerms = 3)
         .orderBy("query_id", "rank")
     },
+    // standing TF-IDF tagger: the df model freezes on the 9/10
+    // reference split, every 10th doc arrives and is tagged in-row
+    // against it above a score floor (streaming-legal)
+    "t28_tfidf_standing" -> { (s, d) =>
+      val all = documents(s, d)
+      Retrieval.tfidfTagsAgainst(
+        Retrieval.tfidfModel(all.filter(col("doc_id") % 10 =!= 0))
+          .localCheckpoint(eager = false), // the standing model frame
+        all.filter(col("doc_id") % 10 === 0),
+        floorPpm = 1000000L)
+        .orderBy("doc_id", "term")
+    },
     // STANDING BM25 index: per-row postings (no cross-row state —
     // streaming-legal), a CDF batch folded in with one doc-keyed
     // anti-join + new-doc postings (the dd9 incremental discipline),
@@ -2226,6 +2238,24 @@ object PipelineQueries {
         SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY score_ppm DESC, doc_id) AS rank FROM sc2)
       WHERE rank <= 10 ORDER BY query_id, rank""",
+    // the frozen-df model replayed: df/n_docs from the reference
+    // split only, arriving docs' tf joined in, same integer idf
+    "t28_tfidf_standing" -> s"""
+      WITH m AS (SELECT term, count(*)::BIGINT AS df FROM (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(${sqlToks("text")}) AS term
+            FROM documents WHERE doc_id % 10 <> 0)) GROUP BY 1),
+      nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents
+        WHERE doc_id % 10 <> 0),
+      tfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+          SELECT doc_id, unnest(${sqlToks("text")}) AS term
+          FROM documents WHERE doc_id % 10 = 0) GROUP BY 1, 2),
+      sc AS (SELECT tfx.doc_id, tfx.term, tfx.tf,
+          tfx.tf * ((2*nn.n_docs - 2*m.df + 1) * 1000000
+            // (2*m.df + 1)) AS score_ppm
+        FROM tfx JOIN m USING (term), nn)
+      SELECT doc_id, term, tf, score_ppm FROM sc
+      WHERE score_ppm >= 1000000 ORDER BY doc_id, term""",
     // same tokenize → tf → df → integer idf trajectory per doc
     "t26_tfidf_keywords" -> s"""
       WITH tk AS (SELECT doc_id, unnest(${sqlToks("text")}) AS term

@@ -2195,6 +2195,32 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       }
   }
 
+  test("standing tfidf tags equal t26's pre-rank rows on the model corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "cat sat on the mat"), (1L, "dog sat on the log"),
+      (2L, "bird flew over the log log")).toDF("doc_id", "text")
+    val tags = graft.operators.Retrieval.tfidfTagsAgainst(
+        graft.operators.Retrieval.tfidfModel(corpus), corpus)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .toSet
+    // t26 at k ≥ max distinct terms/doc exposes every scored row
+    val t26 = graft.operators.Retrieval.tfidfKeywords(corpus, k = 100)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(tags == t26)
+    // tf is counted in-row: "log log" in doc 2 carries tf = 2
+    val log2 = graft.operators.Retrieval.tfidfTagsAgainst(
+        graft.operators.Retrieval.tfidfModel(corpus), corpus)
+      .filter(col("doc_id") === 2 && col("term") === "log")
+      .collect().head
+    assert(log2.getLong(2) == 2L)
+    // unseen terms drop: a doc with out-of-model vocabulary tags nothing
+    val alien = Seq((9L, "zz yy xx")).toDF("doc_id", "text")
+    assert(graft.operators.Retrieval.tfidfTagsAgainst(
+      graft.operators.Retrieval.tfidfModel(corpus), alien).count() == 0)
+  }
+
   test("quality floor: grouped histogram pick equals the naive per-source quantile") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

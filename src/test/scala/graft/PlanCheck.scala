@@ -192,6 +192,13 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("t28_tfidf_standing", Seq(
+      "standing model checkpoint-truncated (one train)" ->
+        (_.contains("Scan ExistingRDD")),
+      "arriving documents never exchange on doc_id" ->
+        (p => !p.contains("hashpartitioning(doc_id")),
+      "df lookup is an equi-join, no cartesian" ->
+        (p => !p.contains("CartesianProduct"))))
     audit("ss18_ivfsq8_topk", Seq(
       "probe candidates join equi on the list id" ->
         (p => !p.contains("CartesianProduct")),

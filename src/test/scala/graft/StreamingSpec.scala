@@ -121,6 +121,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dsir_out").count() > 0)
   }
 
+  test("tfidf tagging runs unchanged on a document stream") {
+    // t28's probe is per-row (tf counted inside the doc's own token
+    // array, df via a stream-static equi-join, a per-row score
+    // floor — no aggregation on the stream side), so the SAME
+    // operator tags a live crawl in append mode
+    val docsB = Tables.documents(spark, sf)
+    val model = operators.Retrieval.tfidfModel(docsB)
+      .localCheckpoint() // standing: trained once, eagerly
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    runToMemory(operators.Retrieval.tfidfTagsAgainst(model,
+      docStream.select("doc_id", "text"), floorPpm = 1000000L),
+      "tfidf_tags_out", "append")
+    val batch = operators.Retrieval.tfidfTagsAgainst(model,
+      docsB.select("doc_id", "text"), floorPpm = 1000000L)
+    assert(asSet(spark.table("tfidf_tags_out")) == asSet(batch))
+    assert(spark.table("tfidf_tags_out").count() > 0)
+  }
+
   test("stream-static join decontaminates a document stream") {
     // the eval gram set is a STATIC frame joined into a streaming
     // scan — Structured Streaming's stream-static join, the shape
