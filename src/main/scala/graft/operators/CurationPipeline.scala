@@ -94,7 +94,14 @@ object CurationPipeline {
     * histogram join is left unhinted: its pruned size is
     * Σ_source min(buckets, cap+1) rows — usually broadcastable, but
     * the optimizer (AQE) should make that call when the source
-    * universe is huge. */
+    * universe is huge.
+    *
+    * Tie caveat (shared with [[qualityFloor]]): quality-bucketing
+    * cannot split EXACT ties — a source with millions of
+    * identical-quality docs re-concentrates its tied bucket on one
+    * reducer. Mass exact ties mean byte-identical content in
+    * practice; run exact dedup (dd1) upstream, which is where the
+    * curation pipeline already puts it. */
   def sourceCaps(docs: DataFrame, cap: Long,
       groupCol: String = "source"): DataFrame = {
     require(cap > 0, "cap must be positive")
@@ -138,7 +145,8 @@ object CurationPipeline {
     * threshold frame broadcasts back onto the corpus for the keep
     * filter. The corpus never sorts, never shuffles beyond the
     * histogram aggregation; a billion-doc source costs the same
-    * window work as a thousand-doc one.
+    * window work as a thousand-doc one. (Exact-tie caveat: see
+    * [[sourceCaps]] — dedup upstream.)
     *
     * Output: kept documents `(doc_id, source, quality, thr)` with
     * `thr` the source's floor (kept ⇔ quality ≥ thr). */

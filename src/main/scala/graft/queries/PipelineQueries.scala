@@ -406,19 +406,22 @@ object PipelineQueries {
     // contamination suspects — what embedding probes (dc5) miss when
     // the leak is exact terminology, and n-gram overlap (dc1/dc4)
     // misses when it is scattered rather than contiguous
-    // eval split 1/100: the fixture vocabulary is deliberately tiny
-    // (31 terms, all common), so every query term matches most of the
-    // corpus — the worst-case density for lexical scoring; a real
-    // Zipfian corpus would instead engage `dfCapPpm` to drop
-    // stopword-grade terms (pinned in the unit test)
+    // eval split 1/500: the fixture vocabulary is deliberately tiny
+    // (31 terms, all common), so EVERY query term matches most of the
+    // corpus — the worst-case density for lexical scoring, where the
+    // probe cost is |eval|·|corpus| termScores rows; a real Zipfian
+    // corpus would instead engage `dfCapPpm` to drop stopword-grade
+    // terms (pinned in the unit test), which this fixture cannot
+    // (capping 31 universal terms zeroes the output), so the gate
+    // keeps the eval batch small instead
     "dc6_bm25_contamination" -> { (s, d) =>
       val all = documents(s, d)
       Retrieval.bm25TopKAgainst(
         // a STANDING index is materialized once — that is its
         // contract; df/totals/scoring all read the same frame
-        Retrieval.bm25Index(all.filter(col("doc_id") % 100 =!= 3))
+        Retrieval.bm25Index(all.filter(col("doc_id") % 500 =!= 3))
           .localCheckpoint(eager = false),
-        all.filter(col("doc_id") % 100 === 3)
+        all.filter(col("doc_id") % 500 === 3)
           .select(col("doc_id").as("query_id"), col("text")), k = 5)
         .filter(col("score_ppm") >= 5000000L)
         .orderBy("query_id", "rank")
@@ -2276,8 +2279,8 @@ object PipelineQueries {
     // the query set, floored at the contamination score
     "dc6_bm25_contamination" -> s"""
       SELECT * FROM (${sqlBm25TopK(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 3",
-        "SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 100 = 3",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 500 <> 3",
+        "SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 500 = 3",
         k = 5)})
       WHERE score_ppm >= 5000000
       ORDER BY query_id, rank""",
