@@ -984,16 +984,21 @@ object Similarity {
     * ranking bit-for-bit. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 8, nprobe: Int = 2, m: Int = 4,
-      ksub: Int = 8, iters: Int = 2): DataFrame = {
+      ksub: Int = 8, iters: Int = 2,
+      cents: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val d = corpus.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val len = d / m
-    val coarse = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
-      .withColumn("cc", dotD(col("cemb"), col("cemb")))
-      .localCheckpoint(eager = false) // corpus assign + query probe
+    // an already-trained coarse quantizer (cid, cemb, cc) can be
+    // shared across composites — the chain is deterministic, so
+    // results are identical to training in place
+    val coarse = cents.getOrElse(
+      VectorStats.kmeansCentroids(corpus, numCentroids, iters)
+        .withColumn("cc", dotD(col("cemb"), col("cemb")))
+        .localCheckpoint(eager = false)) // corpus assign + query probe
     val packedCoarse = coarse
       .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
         .as("cs"))
@@ -1183,6 +1188,15 @@ object Similarity {
     require(rerankShortlist >= k, "shortlist must cover k")
     val pqShort = pqTopK(corpus, queries, rerankShortlist, m, ksub, iters)
       .localCheckpoint(eager = false)
+    // ivfpq and ivfsq8 run at the same coarse params — train the
+    // quantizer ONCE and share it (deterministic chain → identical
+    // results to training in place)
+    val coarseShared = VectorStats
+      .kmeansCentroids(corpus, pqCoarse, iters)
+      .withColumn("cc", expr(
+        "aggregate(zip_with(cemb, cemb, (x, y) -> x * y), 0D, " +
+          "(acc, v) -> acc + v)"))
+      .localCheckpoint(eager = false)
     Seq(
       recallRow("lsh", cosTruth, lshTopK(corpus, queries, k, nBits)),
       recallRow("ivf", cosTruth,
@@ -1199,10 +1213,12 @@ object Similarity {
         rerankFromShortlist(corpus, queries,
           pqShort.select("query_id", "neighbor_id"), k)),
       recallRow("ivfpq", l2Truth,
-        ivfPqTopK(corpus, queries, k, pqCoarse, pqNprobe, m, ksub, iters)),
+        ivfPqTopK(corpus, queries, k, pqCoarse, pqNprobe, m, ksub, iters,
+          cents = Some(coarseShared))),
       // ivfsq8 ranks by dequantized L2 — same truth as the PQ family
       recallRow("ivfsq8", l2Truth,
-        ivfSq8TopK(corpus, queries, k, pqCoarse, iters, pqNprobe)),
+        ivfSq8TopK(corpus, queries, k, pqCoarse, iters, pqNprobe,
+          centsOpt = Some(coarseShared))),
       recallRow("mips", dotTruth,
         mipsTopK(corpus, queries, k, mipsBits, mipsTables)),
       // sq8 serves by inner product over dequantized codes — its
@@ -1380,13 +1396,16 @@ object Similarity {
     * probed-list candidates. Output:
     * `(query_id, rank, neighbor_id, dist2)`, ascending distance. */
   def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      centsOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val cents = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
-      .withColumn("cc", dotD(col("cemb"), col("cemb")))
-      .localCheckpoint(eager = false) // corpus assign + query probe
+    // shareable trained coarse quantizer — see ivfPqTopK
+    val cents = centsOpt.getOrElse(
+      VectorStats.kmeansCentroids(corpus, numCentroids, iters)
+        .withColumn("cc", dotD(col("cemb"), col("cemb")))
+        .localCheckpoint(eager = false)) // corpus assign + query probe
     val asgn = VectorStats
       .assignToCentroids(corpus, cents.select("cid", "cemb"))
       .select(col("vec_id").as("neighbor_id"), col("cluster_id").as("cid"))
