@@ -1307,6 +1307,56 @@ object Similarity {
     * with their table×bucket keys exploded; the candidate equi-join
     * never shuffles the corpus, and per-query ranking sees only
     * collision candidates. */
+  /** Contrastive hard-negative mining (ss19) — the training-pair
+    * generator for embedding-model finetuning (DPR / SimCSE /
+    * contrastive distillation): each vector gets its `kHard` nearest
+    * NON-identical neighbors from the [[knnGraph]] as HARD negatives
+    * (the pairs that actually move a contrastive loss) plus `kRand`
+    * deterministic RANDOM negatives (the easy pairs that keep the
+    * loss calibrated), all reproducible run-to-run — no RNG, so the
+    * same corpus always yields the same training pairs (resumable
+    * jobs, comparable ablations).
+    *
+    * Random negatives draw from a fixed hash-ordered POOL (the
+    * `poolSize` vectors with the smallest id-fingerprints — a
+    * per-partition top-k TakeOrdered, never a global sort), packed
+    * into one broadcast row; each (vector, j) picks
+    * `pool[fp(seed:id:j) mod |pool|]` in-row, stepping one slot on a
+    * self-collision. Hard negatives reuse the graph's bounded
+    * machinery (trained lists, capped candidates, TopKAggregator).
+    *
+    * Output: `(vec_id, kind, neg_rank, neg_id, score)` — `score` is
+    * the cosine for hard rows, NULL for random rows. */
+  def hardNegatives(corpus: DataFrame, kHard: Int = 3, kRand: Int = 2,
+      numCentroids: Int = 16, nprobe: Int = 2, poolSize: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val hard = knnGraph(corpus, kHard, numCentroids, nprobe)
+      .select(col("vec_id"), lit("hard").as("kind"),
+        col("rank").cast("long").as("neg_rank"),
+        col("neighbor_id").as("neg_id"), col("score"))
+    val pool = corpus
+      .select(col("vec_id"), graft.operators.TextAnalysis
+        .fingerprint(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(poolSize)
+      .agg(expr("transform(array_sort(collect_list(struct(h, vec_id)))," +
+        " s -> s.vec_id)").as("ids"))
+    val rand = corpus.select(col("vec_id"),
+        explode(sequence(lit(0L), lit(kRand - 1L))).as("j"))
+      .crossJoin(broadcast(pool))
+      .withColumn("idx", graft.operators.TextAnalysis.fingerprint(
+        concat_ws(":", lit(seed), col("vec_id"), col("j")))
+        % size(col("ids")))
+      .withColumn("pick",
+        expr("element_at(ids, CAST(idx + 1 AS INT))"))
+      .select(col("vec_id"), lit("random").as("kind"),
+        (col("j") + 1L).as("neg_rank"),
+        when(col("pick") === col("vec_id"),
+          expr("element_at(ids, CAST((idx + 1) % size(ids) + 1 AS INT))"))
+          .otherwise(col("pick")).as("neg_id"),
+        lit(null).cast("double").as("score"))
+    hard.unionByName(rand)
+  }
+
   /** SQ8 scalar-quantized top-k (ss17) — the int8 serving path that
     * completes the quantization family (LSH / IVF / PQ / IVF-PQ /
     * MRL): each dimension gets an affine [min, max] → [0, 255] code

@@ -967,6 +967,13 @@ object PipelineQueries {
       Similarity.sq8TopK(e, e.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     },
+    // contrastive training pairs: kNN-graph hard negatives + pool-
+    // drawn deterministic random negatives, reproducible end-to-end
+    "ss19_hard_negatives" -> { (s, d) =>
+      Similarity.hardNegatives(embeddings(s, d), kHard = 3, kRand = 2,
+        numCentroids = 16, nprobe = 2, poolSize = 64)
+        .orderBy("vec_id", "kind", "neg_rank")
+    },
     // IVF-SQ8 composite: trained coarse lists route the query, SQ8
     // codes rank the probed candidates by dequantized L2
     "ss18_ivfsq8_topk" -> { (s, d) =>
@@ -3887,6 +3894,29 @@ object PipelineQueries {
     // trained coarse routing + dequantized-L2 candidate ranking
     "ss18_ivfsq8_topk" -> s"""SELECT * FROM (${sqlIvfSq8TopK(5, 8, 2, 3)})
       ORDER BY query_id, rank""",
+    // hard rows replay the trained graph chain; random rows replay
+    // the hash-ordered pool draw with the self-collision step
+    "ss19_hard_negatives" -> s"""
+      WITH hard AS (SELECT vec_id, 'hard' AS kind,
+          rank::BIGINT AS neg_rank, neighbor_id AS neg_id, score
+        FROM (${sqlKnnGraph(3, 16, 2)})),
+      pool AS (SELECT list(vec_id ORDER BY h, vec_id) AS ids FROM (
+          SELECT vec_id, ${sqlFp("vec_id::VARCHAR")} AS h
+          FROM embeddings ORDER BY h, vec_id LIMIT 64)),
+      rj AS (SELECT e.vec_id, j,
+          ${sqlFp("concat(42, ':', e.vec_id, ':', j)")} % len(pool.ids)
+            AS idx
+        FROM (SELECT vec_id, unnest(range(0, 2)) AS j FROM embeddings) e,
+          pool),
+      rnd AS (SELECT rj.vec_id, 'random' AS kind,
+          (rj.j + 1)::BIGINT AS neg_rank,
+          CASE WHEN pool.ids[(rj.idx + 1)::INT] = rj.vec_id
+            THEN pool.ids[((rj.idx + 1) % len(pool.ids) + 1)::INT]
+            ELSE pool.ids[(rj.idx + 1)::INT] END AS neg_id,
+          NULL::DOUBLE AS score
+        FROM rj, pool)
+      SELECT * FROM (SELECT * FROM hard UNION ALL SELECT * FROM rnd)
+      ORDER BY vec_id, kind, neg_rank""",
     "ss3_ivf_topk" -> s"""
       WITH e AS (SELECT vec_id, embedding,
         sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),

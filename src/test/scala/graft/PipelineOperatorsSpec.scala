@@ -2195,6 +2195,34 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       }
   }
 
+  test("hard negatives: graph rows for hard, pool draws for random, no self-pairs") {
+    val rows = Similarity.hardNegatives(embs, kHard = 2, kRand = 2,
+      numCentroids = 4, nprobe = 2, poolSize = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // never a self-pair, in either kind
+    assert(!rows.exists(r => r._1 == r._4), "self-negative emitted")
+    // hard rows carry scores and equal the graph verbatim
+    val hard = rows.filter(_._2 == "hard")
+    assert(hard.forall(_._5.isDefined))
+    val graph = Similarity.knnGraph(embs, 2, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .toSet
+    assert(hard.map(r => (r._1, r._3, r._4)).toSet == graph)
+    // random rows: exactly kRand per vector, scoreless, drawn from
+    // the 8-member pool
+    val rand = rows.filter(_._2 == "random")
+    assert(rand.groupBy(_._1).values.forall(_.length == 2))
+    assert(rand.forall(_._5.isEmpty))
+    assert(rand.map(_._4).distinct.length <= 8)
+    // determinism: a second run yields the identical pair set
+    val again = Similarity.hardNegatives(embs, kHard = 2, kRand = 2,
+      numCentroids = 4, nprobe = 2, poolSize = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(again == rows.map(r => (r._1, r._2, r._3, r._4)).toSet)
+  }
+
   test("standing tfidf tags equal t26's pre-rank rows on the model corpus") {
     import spark.implicits._
     val corpus = Seq(

@@ -192,6 +192,13 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("ss19_hard_negatives", Seq(
+      "hard side reuses the bounded graph (no cartesian)" ->
+        (p => !p.contains("CartesianProduct")),
+      "random pool is a TakeOrdered, not a global sort" ->
+        (_.contains("TakeOrdered")),
+      "pool packs into a broadcast for the in-row draw" ->
+        (_.contains("BroadcastNestedLoopJoin"))))
     audit("t28_tfidf_standing", Seq(
       "standing model checkpoint-truncated (one train)" ->
         (_.contains("Scan ExistingRDD")),
