@@ -2327,6 +2327,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("span corruption stays legal at extreme rates (clamp engages)") {
+    import spark.implicits._
+    // rateMil = 900 makes spans longer than their segments; the
+    // least-clamp must keep every span inside its segment and the
+    // plan legal, trading the exact tiling identity for <=
+    val docs = Seq((0L, (1 to 50).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sp = graft.operators.Packing
+      .spanCorruptionPlan(docs, rateMil = 900, meanSpan = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._2)
+    val n = sp.head._1
+    val masked = n * 900 / 1000
+    val spans = math.max(1, masked / 3)
+    assert(sp.map(_._4).sum <= masked)
+    sp.foreach { case (_, i, start, len) =>
+      assert(len >= 1)
+      assert(start >= i * n / spans && start + len <= (i + 1) * n / spans)
+    }
+  }
+
   test("topic mixture: argmax-keyword topics, sqrt flatten over them") {
     import spark.implicits._
     // two "subjects": cat-docs dominate 4:2; every doc's top keyword
