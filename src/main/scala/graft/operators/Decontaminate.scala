@@ -34,6 +34,55 @@ object Decontaminate {
     *         where n_hits counts the doc's DISTINCT k-grams that also
     *         occur anywhere in the eval set.
     */
+  /** SURGICAL decontamination (dc7) — excise only the eval-matching
+    * SPANS instead of dropping whole documents: a long document that
+    * quotes one benchmark question loses those tokens, not its
+    * million clean ones. Every maximal run of consecutive
+    * eval-matching k-grams becomes one span (the dd16 gaps-and-islands
+    * rule), the span's token range `[start, end+k−1]` is cut from the
+    * normalized token stream, and the rewrite reports what left (the
+    * dd17 contract, applied to contamination).
+    *
+    * Scale shape: the eval gram set is tiny and broadcasts (the dc1
+    * discipline — unlike dd17's duplicate detector, NO corpus-wide
+    * gram aggregation exists here: the 100 TB side is a map-side
+    * posexplode + LEFT SEMI probe); matching gram positions are
+    * hit-sized, island windows partition per affected doc, spans
+    * aggregate to ONE bounded row per affected doc, and the corpus
+    * text crosses only the final rewrite join (broadcast when the
+    * affected set is small). The cut is a per-row indexed filter HOF.
+    *
+    * Output: `(doc_id, n_tokens, n_removed, clean_text)` for every
+    * non-eval doc (`n_removed = 0`, untouched tokens when clean). */
+  def stripEvalSpans(docs: DataFrame, isEval: Column,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.hashFunctions.gram_fps
+    val evalGrams = docs.filter(isEval)
+      .select(explode(array_distinct(gram_fps(col("text"), k))).as("h"))
+      .distinct()
+    val g = docs.filter(!isEval).select(col("doc_id"),
+      posexplode(gram_fps(col("text"), k)).as(Seq("pos", "h")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = g.join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s0"), max("pos").as("e0"))
+      .select(col("doc_id"), struct(col("s0").as("s"),
+        (col("e0") + lit(k - 1)).as("e")).as("sp"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("sp")).as("spans"))
+    docs.filter(!isEval)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        col("spans").isNull || !exists(col("spans"), sp =>
+          i >= sp.getField("s") && i <= sp.getField("e"))))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   def ngramOverlap(docs: DataFrame, isEval: Column, k: Int = 5): DataFrame = {
     val sh = docs.select(col("doc_id"), isEval.as("is_eval"),
       explode(Dedup.shingles(col("text"), k)).as("s"))

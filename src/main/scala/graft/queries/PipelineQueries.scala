@@ -357,6 +357,14 @@ object PipelineQueries {
         isEval = col("doc_id") % 50 === 0, k = 5)
         .orderBy("doc_id")
     },
+    // surgical decontamination: excise only the eval-matching spans
+    // (dd17's rewrite applied to dc1's broadcast gram probe) — a long
+    // clean doc that quotes one benchmark item keeps everything else
+    "dc7_strip_eval_spans" -> { (s, d) =>
+      Decontaminate.stripEvalSpans(documents(s, d),
+        isEval = col("doc_id") % 50 === 0, k = 5)
+        .orderBy("doc_id")
+    },
     // NEAR-DUP contamination (what exact 5-grams miss once the
     // benchmark item was paraphrased/truncated): dd9's eval-broadcast
     // banding + verify, one best-match row per flagged corpus doc
@@ -2282,6 +2290,39 @@ object PipelineQueries {
         SELECT *, row_number() OVER (PARTITION BY doc_id
           ORDER BY score_ppm DESC, term) AS rank FROM sc)
       WHERE rank <= 5 ORDER BY doc_id, rank""",
+    // dc1's broadcast eval-gram probe at gram POSITIONS, dd16's
+    // gaps-and-islands merge, dd17's rewrite tail — verbatim
+    "dc7_strip_eval_spans" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks
+        FROM documents WHERE doc_id % 50 <> 0),
+      ev AS (SELECT DISTINCT unnest(${sqlGrams(
+          s"(${sqlToks("text")})", 5)}) AS h
+        FROM documents WHERE doc_id % 50 = 0),
+      g AS (SELECT doc_id, CAST(x.pos AS INT) AS pos, x.h AS h FROM
+        (SELECT doc_id, unnest(list_transform(
+           range(0, greatest(len(toks)-5,0)+1),
+           i0 -> {'pos': i0,
+             'h': ${sqlFp("array_to_string((toks)[i0+1:i0+5], ' ')")}})) AS x
+         FROM t)),
+      m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM ev)),
+      sp AS (SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM m),
+      spx AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        FROM sp GROUP BY doc_id, grp),
+      spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+        FROM spx GROUP BY doc_id)
+      SELECT t.doc_id, len(t.toks)::INT AS n_tokens,
+        (len(t.toks) - len(CASE WHEN l.spans IS NULL THEN t.toks
+          ELSE list_filter(t.toks, (x0, i0) -> len(list_filter(l.spans,
+            sp0 -> i0-1 >= sp0.s AND i0-1 <= sp0.e)) = 0) END))::INT
+          AS n_removed,
+        coalesce(array_to_string(CASE WHEN l.spans IS NULL THEN t.toks
+          ELSE list_filter(t.toks, (x1, i1) -> len(list_filter(l.spans,
+            sp1 -> i1-1 >= sp1.s AND i1-1 <= sp1.e)) = 0) END, ' '), '')
+          AS clean_text
+      FROM t LEFT JOIN spl l USING (doc_id)
+      ORDER BY t.doc_id""",
     // the t22 chain with a train-only corpus and the eval split as
     // the query set, floored at the contamination score
     "dc6_bm25_contamination" -> s"""

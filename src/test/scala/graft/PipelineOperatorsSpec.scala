@@ -2223,6 +2223,26 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(again == rows.map(r => (r._1, r._2, r._3, r._4)).toSet)
   }
 
+  test("strip eval spans: only the quoted span leaves, clean docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "benchmark question alpha beta gamma", true), // the eval item
+      // quotes the eval item mid-document — only those tokens go
+      (1L, "intro words benchmark question alpha beta gamma outro text", false),
+      (2L, "totally unrelated clean document here", false),
+      // fully contaminated: the whole doc IS the eval item
+      (3L, "benchmark question alpha beta gamma", false))
+      .toDF("doc_id", "text", "is_eval")
+    val got = graft.operators.Decontaminate
+      .stripEvalSpans(docs, isEval = col("is_eval"), k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((9, 5, "intro words outro text")))
+    assert(got(2L) == ((5, 0, "totally unrelated clean document here")))
+    assert(got(3L) == ((5, 5, "")))
+    assert(!got.contains(0L), "eval rows stay out of the manifest")
+  }
+
   test("standing tfidf tags equal t26's pre-rank rows on the model corpus") {
     import spark.implicits._
     val corpus = Seq(

@@ -192,6 +192,14 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian (totals/max are 1-row broadcasts)" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("dc7_strip_eval_spans", Seq(
+      // the corpus gram stream is a map-side probe of the broadcast
+      // eval set — no corpus-wide gram aggregation exists
+      "eval grams broadcast onto the corpus gram stream" ->
+        (_.contains("BroadcastHashJoin")),
+      "island window partitioned per doc" ->
+        (_.contains("hashpartitioning(doc_id")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ss19_hard_negatives", Seq(
       "hard side reuses the bounded graph (no cartesian)" ->
         (p => !p.contains("CartesianProduct")),
