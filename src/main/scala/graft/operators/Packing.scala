@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -461,6 +461,58 @@ object Packing {
           % (col("seg_len") - col("mask_len") + 1))
       .select(col("doc_id"), col("n").as("n_tokens"), col("span_no"),
         col("start_tok"), col("mask_len"))
+  }
+
+  /** Fill-in-the-middle split manifest (tp13) — the FIM transform
+    * (Bavarian et al. 2022) as a deterministic manifest: a `fimMil`/
+    * 1000 hash-coin of documents is split at two seeded cut points
+    * into (prefix, middle, suffix) and tagged PSM or SPM (the
+    * prefix-suffix-middle / suffix-prefix-middle orders the loader
+    * assembles with its sentinel tokens); the rest pass through as
+    * `none`. The same document always splits the same way —
+    * resumable training, reproducible ablations (the tp12 contract).
+    *
+    * Cut points are `fp(seed:id:1|2) mod (n+1)` ordered, so empty
+    * prefixes/middles/suffixes are legal exactly as in the paper; the
+    * manifest carries each part's rolling fingerprint over the
+    * normalized token stream, so a loader (or the oracle) can verify
+    * the actual split CONTENT, not just indexes.
+    *
+    * Scale shape: pure per-row — tokenize, integer arithmetic, three
+    * slice fingerprints; zero shuffles, one corpus scan,
+    * streaming-legal by construction. Output: `(doc_id, n_tokens,
+    * cut1, cut2, mode, prefix_fp, middle_fp, suffix_fp)`. */
+  def fimSplit(docs: DataFrame, fimMil: Long = 500L,
+      seed: Long = 42L): DataFrame = {
+    require(fimMil >= 0 && fimMil <= 1000, "fimMil in [0, 1000]")
+    def fp(parts: Column*): Column =
+      TextAnalysis.fingerprint(concat_ws(":", parts: _*))
+    def sliceFp(from: Column, len: Column): Column =
+      TextAnalysis.fingerprint(
+        concat_ws(" ", slice(col("toks"), from, len)))
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("fim",
+        fp(lit(seed), col("doc_id"), lit(0)) % 1000L < fimMil)
+      .withColumn("c1",
+        when(col("fim"), fp(lit(seed), col("doc_id"), lit(1))
+          % (col("n") + 1L)).otherwise(col("n")))
+      .withColumn("c2",
+        when(col("fim"), fp(lit(seed), col("doc_id"), lit(2))
+          % (col("n") + 1L)).otherwise(col("n")))
+      .withColumn("cut1", least(col("c1"), col("c2")))
+      .withColumn("cut2", greatest(col("c1"), col("c2")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("cut1"), col("cut2"),
+        when(!col("fim"), lit("none"))
+          .when(fp(lit(seed), col("doc_id"), lit(3)) % 2L === 0L,
+            lit("psm")).otherwise(lit("spm")).as("mode"),
+        sliceFp(lit(1), col("cut1")).as("prefix_fp"),
+        sliceFp(col("cut1") + 1L, col("cut2") - col("cut1"))
+          .as("middle_fp"),
+        sliceFp(col("cut2") + 1L, col("n") - col("cut2"))
+          .as("suffix_fp"))
   }
 
   private[operators] def seededRankByKey(df: DataFrame, keyCol: String,

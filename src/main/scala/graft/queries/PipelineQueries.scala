@@ -566,6 +566,13 @@ object PipelineQueries {
       Packing.packMasks(documents(s, d), seqLen = 512)
         .orderBy("bucket", "pack", "slot")
     },
+    // FIM transform as a deterministic manifest: half the docs split
+    // at two seeded cuts into (prefix, middle, suffix) with per-part
+    // content fingerprints — pure per-row, zero shuffles
+    "tp13_fim_split" -> { (s, d) =>
+      Packing.fimSplit(documents(s, d), fimMil = 500L, seed = 42L)
+        .orderBy("doc_id")
+    },
     // T5/UL2 denoising as a deterministic manifest: 15% of each doc's
     // tokens in mean-3 spans, each span seeded-hash-placed inside its
     // own segment — pure per-row arithmetic, zero shuffles
@@ -2836,6 +2843,34 @@ object PipelineQueries {
           ORDER BY start, doc_id) - 1)::BIGINT AS slot,
         doc_id, start, len
       FROM sp ORDER BY bucket, pack, slot""",
+    // same coin/cuts/mode arithmetic; part fingerprints over the
+    // 1-based token slices (empty slice → '' → fp 0, coalesced)
+    "tp13_fim_split" -> s"""
+      WITH t AS (SELECT doc_id, ${sqlToks("text")} AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+          ${sqlFp("concat(42, ':', doc_id, ':', 0)")} % 1000 < 500 AS fim
+        FROM t),
+      c AS (SELECT *,
+          CASE WHEN fim THEN ${sqlFp(
+            "concat(42, ':', doc_id, ':', 1)")} % (n + 1) ELSE n END AS c1,
+          CASE WHEN fim THEN ${sqlFp(
+            "concat(42, ':', doc_id, ':', 2)")} % (n + 1) ELSE n END AS c2
+        FROM b),
+      d AS (SELECT doc_id, toks, n, fim,
+          least(c1, c2) AS cut1, greatest(c1, c2) AS cut2 FROM c)
+      SELECT doc_id, n AS n_tokens, cut1, cut2,
+        CASE WHEN NOT fim THEN 'none'
+          WHEN ${sqlFp("concat(42, ':', doc_id, ':', 3)")} % 2 = 0
+            THEN 'psm' ELSE 'spm' END AS mode,
+        ${sqlFp("coalesce(array_to_string(toks[1:cut1], ' '), '')")}
+          AS prefix_fp,
+        ${sqlFp(
+          "coalesce(array_to_string(toks[cut1+1:cut2], ' '), '')")}
+          AS middle_fp,
+        ${sqlFp("coalesce(array_to_string(toks[cut2+1:n], ' '), '')")}
+          AS suffix_fp
+      FROM d ORDER BY doc_id""",
     // same deterministic segment/length/offset arithmetic per doc
     "tp12_span_corruption" -> s"""
       WITH b AS (SELECT doc_id, len(${sqlToks("text")})::BIGINT AS n

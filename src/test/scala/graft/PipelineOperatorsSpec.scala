@@ -2318,6 +2318,36 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq == Seq(2L, 1L, 3L, 0L))
   }
 
+  test("fim split: cuts in range, part fingerprints match the slice content") {
+    import spark.implicits._
+    val docs = (0L to 39L).map(i =>
+      (i, (1 to 8).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val rows = graft.operators.Packing.fimSplit(docs, fimMil = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    rows.foreach { case (_, n, c1, c2, mode, _, _, _) =>
+      assert(0 <= c1 && c1 <= c2 && c2 <= n)
+      if (mode == "none") assert(c1 == n && c2 == n)
+    }
+    // pass-through docs: prefix is the whole doc, middle/suffix empty
+    val none = rows.filter(_._5 == "none")
+    assert(none.nonEmpty && rows.exists(_._5 != "none"),
+      "coin must split the population both ways")
+    assert(none.forall(r => r._7 == 0L && r._8 == 0L))
+    // part fingerprints equal fingerprints of the literal slice text,
+    // computed through the independent expression path
+    def fpOf(s: String): Long = docs.sparkSession.range(1)
+      .select(graft.operators.TextAnalysis.fingerprint(lit(s)))
+      .head().getLong(0)
+    val sample = rows.filter(_._5 != "none").head
+    val toks = (1 to 8).map(j => s"w${sample._1}_$j")
+    assert(sample._6 == fpOf(toks.take(sample._3.toInt).mkString(" ")))
+    assert(sample._7 == fpOf(
+      toks.slice(sample._3.toInt, sample._4.toInt).mkString(" ")))
+    assert(sample._8 == fpOf(toks.drop(sample._4.toInt).mkString(" ")))
+  }
+
   test("span corruption: spans tile the budget inside disjoint segments") {
     import spark.implicits._
     val docs = Seq(

@@ -244,6 +244,11 @@ object PlanCheck {
       "per-dim stats / top-k partially aggregated" ->
         (_.contains("partial_")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("tp13_fim_split", Seq(
+      "pure map: no join anywhere (per-row manifest)" ->
+        (p => !p.contains("Join")),
+      "single corpus scan" ->
+        (p => "Scan parquet".r.findAllIn(p).size == 1)))
     audit("tp12_span_corruption", Seq(
       "pure map: no join anywhere (per-row manifest)" ->
         (p => !p.contains("Join")),
