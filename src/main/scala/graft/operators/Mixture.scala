@@ -389,11 +389,16 @@ object Mixture {
   private def dsirModelFromBuckets(rawB: DataFrame, tgtB0: DataFrame,
       buckets: Int): DataFrame = {
     val tgtB = tgtB0.localCheckpoint(eager = false) // census + total
+    // totals coalesce to 0 on an EMPTY side (sum over zero rows is
+    // null): the weights then degrade to the pure add-one-smoothed
+    // uniform rate instead of nulling every score downstream
     rawB.sparkSession.range(buckets).select(col("id").as("b"))
       .join(rawB.groupBy("b").agg(sum("c").as("rc")), Seq("b"), "left")
       .join(tgtB.groupBy("b").agg(sum("c").as("tc")), Seq("b"), "left")
-      .crossJoin(broadcast(rawB.agg(sum("c").as("rtot"))))
-      .crossJoin(broadcast(tgtB.agg(sum("c").as("ttot"))))
+      .crossJoin(broadcast(
+        rawB.agg(coalesce(sum("c"), lit(0L)).as("rtot"))))
+      .crossJoin(broadcast(
+        tgtB.agg(coalesce(sum("c"), lit(0L)).as("ttot"))))
       .select(col("b"),
         expr(s"cast((coalesce(rc, 0) + 1) as decimal(38,0)) * 1000000000"
           + s" div (rtot + $buckets)").cast("long").as("r_ppb"),

@@ -411,4 +411,58 @@ class OperatorEdgeSpec extends AnyFunSuite {
       assert(n == 200L && s == expS && s1 == expS1, s"cell ($i,$j)")
     }
   }
+  test("dsir with an empty target degrades to uniform smoothing, never nulls") {
+    import spark.implicits._
+    val raw = Seq((0L, "alpha beta"), (1L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val empty = raw.filter(col("doc_id") < 0)
+    val rows = operators.Mixture.dsirSelect(raw, empty, buckets = 64)
+      .collect()
+    assert(rows.length == 2)
+    // every bucket's target rate is the same smoothed constant —
+    // scores still differ with the docs' own raw rates, but they are
+    // positive, non-null, and the arg-max doc is selected
+    assert(rows.forall(r => !r.isNullAt(2) && r.getLong(2) > 0))
+    val mx = rows.map(_.getLong(2)).max
+    assert(rows.filter(_.getLong(2) == mx).forall(_.getBoolean(3)))
+    // the standing probe degrades the same way
+    val model = operators.Mixture.dsirModel(raw, empty, buckets = 64)
+    val probe = operators.Mixture.dsirScoreAgainst(model, raw, buckets = 64)
+      .collect()
+    assert(probe.forall(r => !r.isNullAt(2)))
+  }
+
+  test("source caps and quality floor on empty/singleton frames") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(operators.CurationPipeline.sourceCaps(empty, cap = 3).count() == 0)
+    assert(operators.CurationPipeline.qualityFloor(empty).count() == 0)
+    val one = Seq((7L, "just one document here", "s")).toDF("doc_id", "text", "source")
+    val caps = operators.CurationPipeline.sourceCaps(one, cap = 3).collect()
+    assert(caps.length == 1 && caps.head.getLong(3) == 1L)
+    val floor = operators.CurationPipeline.qualityFloor(one).collect()
+    assert(floor.length == 1, "a singleton source keeps its only doc")
+  }
+
+  test("tfidf keywords / tags on an empty corpus are empty, no divide-by-zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(operators.Retrieval.tfidfKeywords(empty).count() == 0)
+    val model = operators.Retrieval.tfidfModel(empty)
+    assert(model.count() == 0)
+    val docs = Seq((1L, "some words")).toDF("doc_id", "text")
+    // tagging against an empty model drops every term (no standing idf)
+    assert(operators.Retrieval.tfidfTagsAgainst(model, docs).count() == 0)
+  }
+
+  test("fim split of empty text: all cuts zero, all part fps zero") {
+    import spark.implicits._
+    val docs = Seq((0L, "")).toDF("doc_id", "text")
+    val r = operators.Packing.fimSplit(docs, fimMil = 1000L).collect().head
+    assert(r.getLong(1) >= 0 && r.getLong(2) == 0 && r.getLong(3) == 0)
+    assert(r.getLong(5) == 0L || r.getLong(1) > 0)
+    assert(r.getLong(6) == 0L && r.getLong(7) == 0L)
+  }
+
 }
