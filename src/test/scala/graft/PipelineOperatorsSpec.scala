@@ -2440,6 +2440,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(probe == batch)
   }
 
+  test("source caps: prune boundary keeps the bucket holding rank == cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 6 docs, ~distinct qualities → ~one bucket each; cap = 3 means
+    // the bucket whose cumulative base == 2 still holds rank 3 and
+    // must survive the base < cap prune, while base == 3 is cut
+    val docs = (0L to 5L).map(i =>
+      (i, (1 to (4 + 3 * i.toInt)).map(j => s"w$j").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.CurationPipeline.sourceCaps(docs, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._2)
+    val naive = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("q").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._2)
+    assert(got.toSeq == naive.toSeq)
+    assert(got.length == 3 && got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("source caps: two-phase rank equals the naive per-source quality rank") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
