@@ -121,6 +121,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dsir_out").count() > 0)
   }
 
+  test("span-corruption and fim manifests run unchanged on a document stream") {
+    // tp12/tp13 are pure per-row manifests (token count + integer
+    // arithmetic + an explode/slice) — the scaladocs say
+    // streaming-legal by construction; this is the live proof
+    val docsB = Tables.documents(spark, sf)
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    runToMemory(operators.Packing.spanCorruptionPlan(
+      docStream.select("doc_id", "text")), "tp12_out", "append")
+    assert(asSet(spark.table("tp12_out")) ==
+      asSet(operators.Packing.spanCorruptionPlan(
+        docsB.select("doc_id", "text"))))
+    runToMemory(operators.Packing.fimSplit(
+      docStream.select("doc_id", "text")), "tp13_out", "append")
+    assert(asSet(spark.table("tp13_out")) ==
+      asSet(operators.Packing.fimSplit(docsB.select("doc_id", "text"))))
+    assert(spark.table("tp12_out").count() > 0)
+    assert(spark.table("tp13_out").count() > 0)
+  }
+
   test("tfidf tagging runs unchanged on a document stream") {
     // t28's probe is per-row (tf counted inside the doc's own token
     // array, df via a stream-static equi-join, a per-row score
