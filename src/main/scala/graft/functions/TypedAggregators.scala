@@ -83,6 +83,49 @@ object TypedAggregators {
   private val SAFE = Long.MaxValue / 2
   private val ADDEND_MAX = 4.0e18
 
+  /** Bounded-heap per-key top-k over EXACT integer scores — the
+    * [[graft.operators.Similarity.TopKAggregator]] discipline
+    * (sorted ≤ k buffer, one ordered insertion per row, partial-agg
+    * merge-safe) for score domains that must stay in the Long lane
+    * (BM25/TF-IDF ppm surrogates lose exactness above 2⁵³ in a
+    * Double). Input is `(id, score, payload)`; the buffer keeps
+    * `(score, id, payload)` sorted by (score desc, id asc) — the
+    * same total order the window it replaces used — and never
+    * exceeds `k` entries, so a corpus-sized candidate set reaches
+    * the per-key reducer as ≤ partitions·k buffered rows instead of
+    * every row (the round-13 BM25-tail weak). */
+  final class LongTopKAggregator(k: Int)
+    extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)],
+      Seq[(Long, Long, Long)]] {
+    private def before(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(b: Seq[(Long, Long, Long)],
+        e: (Long, Long, Long)): Seq[(Long, Long, Long)] = {
+      if (b.length >= k && !before(e, b.last)) b
+      else {
+        val idx = b.indexWhere(x => before(e, x)) match {
+          case -1 => b.length
+          case i => i
+        }
+        val grown = (b.take(idx) :+ e) ++ b.drop(idx)
+        if (grown.length > k) grown.take(k) else grown
+      }
+    }
+    override def zero: Seq[(Long, Long, Long)] = Seq.empty
+    override def reduce(b: Seq[(Long, Long, Long)],
+        a: (Long, Long, Long)): Seq[(Long, Long, Long)] =
+      insert(b, (a._2, a._1, a._3))
+    override def merge(x: Seq[(Long, Long, Long)],
+        y: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+      if (x.length >= y.length) y.foldLeft(x)(insert)
+      else x.foldLeft(y)(insert)
+    override def finish(r: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long, Long)]] =
+      bufferEncoder
+  }
+
   /** One-pass upper-triangle second+first moments of a vector column
     * (the [[graft.operators.VectorStats]] `moments` contract as a
     * typed `Aggregator`): per input row, fold all d(d+1)/2 products

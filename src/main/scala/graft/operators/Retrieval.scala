@@ -37,8 +37,10 @@ object Retrieval {
     * broadcast. The QUERY side (terms + their df) is tiny and
     * broadcasts onto the postings — the corpus-sized side never
     * re-shuffles for scoring; per-(query, doc) partial aggregation
-    * collapses before the exchange, and top-k is a per-query-key
-    * window over ≤ nq partitions' worth of matched docs.
+    * collapses before the exchange, and top-k runs through the
+    * bounded-heap aggregator (≤ k rows per query per partition reach
+    * the reducer — safe even when a stopword-grade term matches the
+    * whole corpus).
     *
     * Output: `(query_id, rank, doc_id, score_ppm, n_terms_hit)`,
     * rank ≤ k, ties by doc_id. */
@@ -85,7 +87,6 @@ object Retrieval {
       qfps: DataFrame, k: Int,
       dfCapPpm: Option[Long] = None,
       dfreqOpt: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // callers that score twice over one index (rm3) pass the
     // vocabulary-sized df aggregation in so it computes once
     val dfreq = dfreqOpt.getOrElse(
@@ -117,16 +118,35 @@ object Retrieval {
           "9 * CAST(len AS DECIMAL(38,0)) * n_docs)"))
       .withColumn("term_score",
         expr("CAST(idf_ppm AS DECIMAL(38,0)) * factor div 1000000"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_ppm").desc, col("doc_id"))
-    termScores
+    // per-(query, doc) partial aggregation collapses term hits before
+    // the exchange; the per-QUERY top-k then runs through the bounded-
+    // heap aggregator (NOT a row_number window): a stopword-grade term
+    // with no df cap matches ~every document, and a window would
+    // funnel that corpus-sized candidate set through one reducer key —
+    // the aggregator's map-side partials hand the reducer ≤
+    // partitions·k rows instead, the ss-family TopKAggregator
+    // discipline. Output order (score desc, doc_id asc) is identical.
+    val perDoc = termScores
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("term_score").cast(DecimalType(38, 0)))
           .cast("long").as("score_ppm"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "score_ppm", "n_terms_hit")
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TypedAggregators.LongTopKAggregator(k)
+    perDoc
+      .select(col("query_id"), col("doc_id"), col("score_ppm"),
+        col("n_terms_hit"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.iterator.zipWithIndex.map { case ((s, did, nh), i) =>
+          (qid, i + 1, did, s, nh)
+        }
+      }
+      .toDF("query_id", "rank", "doc_id", "score_ppm", "n_terms_hit")
   }
 
   /** STANDING BM25 index (t25): the per-document postings

@@ -415,6 +415,30 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(tight.subsetOf(unguarded), "the cap must never invent pairs")
   }
 
+  test("bm25 serving tail is window-free and survives a stopword-only query") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // adversarial corpus: ONE universal stopword in every doc, so the
+    // stopword query's candidate set is the entire corpus — exactly
+    // the shape that melted the row_number window onto one reducer
+    val n = 500
+    val corpus = (0L until n).map(i =>
+      (i, s"the filler$i body$i")).toDF("doc_id", "text")
+    val queries = Seq((0L, "the")).toDF("query_id", "text")
+    val top = Retrieval.bm25TopK(corpus, queries, k = 7)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "per-query top-k must be the bounded-heap aggregator, not a window")
+    val rows = top.orderBy("rank").collect()
+    // every doc matched, only k survive, ordering total (score ties →
+    // doc_id asc: all docs have identical len and tf for "the")
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == (0L until 7L))
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 7))
+    val scores = rows.map(_.getAs[Long]("score_ppm")).distinct
+    assert(scores.length == 1, "uniform stopword must tie every doc")
+  }
+
   test("exactQuantiles on a fractional [0,1) domain: correct AND spread") {
     import spark.implicits._
     // the round-11 floor(v) bucketing put ALL of [0,1) in one bucket,

@@ -156,7 +156,13 @@ object PlanCheck {
       "query terms broadcast onto the postings" ->
         (_.contains("BroadcastHashJoin")),
       "no cartesian (totals are a 1-row broadcast)" ->
-        (p => !p.contains("CartesianProduct"))))
+        (p => !p.contains("CartesianProduct")),
+      // the serving tail's per-query top-k is the bounded-heap
+      // aggregator, NOT a row_number window — a stopword-grade term
+      // must never funnel a corpus-sized candidate set through one
+      // reducer key (the round-13 weak)
+      "no Window on the serving tail (bounded-heap top-k)" ->
+        (p => !p.contains("Window"))))
     audit("t24_hybrid_rrf", Seq(
       "fusion aggregation combines map-side" -> (_.contains("partial_")),
       "no cartesian anywhere in the fused plan" ->
@@ -170,7 +176,9 @@ object PlanCheck {
         (_.contains("Scan ExistingRDD")),
       "query terms broadcast onto the standing postings" ->
         (_.contains("BroadcastHashJoin")),
-      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "no Window on the serving tail (bounded-heap top-k)" ->
+        (p => !p.contains("Window"))))
     audit("t27_rm3_expansion", Seq(
       // both passes read the SAME checkpointed index — the corpus is
       // tokenized zero times inside the plan
