@@ -400,10 +400,18 @@ object Mixture {
       .crossJoin(broadcast(
         tgtB.agg(coalesce(sum("c"), lit(0L)).as("ttot"))))
       .select(col("b"),
-        expr(s"cast((coalesce(rc, 0) + 1) as decimal(38,0)) * 1000000000"
-          + s" div (rtot + $buckets)").cast("long").as("r_ppb"),
-        expr(s"cast((coalesce(tc, 0) + 1) as decimal(38,0)) * 1000000000"
-          + s" div (ttot + $buckets)").cast("long").as("t_ppb"))
+        // clamp ppb rates to ≥ 1: past ~10⁹ total grams the integer
+        // div floors a rare bucket's rate to 0, which would let a
+        // document's rm sum to 0 and null its score — the add-one
+        // smoothing guarantee ("unseen never zeroes a doc out") must
+        // survive the 100 TB regime, not just the test scale where
+        // rates are always ≥ 1 anyway
+        expr(s"greatest(cast((coalesce(rc, 0) + 1) as decimal(38,0))"
+          + s" * 1000000000 div (rtot + $buckets), 1)")
+          .cast("long").as("r_ppb"),
+        expr(s"greatest(cast((coalesce(tc, 0) + 1) as decimal(38,0))"
+          + s" * 1000000000 div (ttot + $buckets), 1)")
+          .cast("long").as("t_ppb"))
   }
 
   /** The STANDING DSIR model (ds2's train step): the full-domain

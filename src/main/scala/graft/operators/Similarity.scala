@@ -1481,7 +1481,10 @@ object Similarity {
           "mns[i] + CAST(cd AS DOUBLE) * spans[i] / 255.0D), " +
           "(qv, dq) -> (qv - dq) * (qv - dq)), 0D, (a, x) -> a + x)"))
       .select("query_id", "neighbor_id", "dist2")
-      .distinct() // a pair can match via several probed lists
+      // NO distinct needed: assignToCentroids gives each neighbor
+      // exactly ONE home list, so a (query, neighbor) pair arises at
+      // most once even with nprobe > 1 — a dedup here would be a
+      // candidate-sized exchange for nothing
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "dist2")

@@ -1249,13 +1249,25 @@ object PipelineQueries {
     * training jobs. Training is deterministic, so the shared frame is
     * bit-identical to per-query training (each oracle still replays
     * the full Lloyd chain independently). */
-  private val kgCentsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // the TRAINED DATA (16 rows + schema) memoizes per sf-dir — plain
+  // Scala values, session-free like bpeRulesCache; the FRAME memoizes
+  // per (session, dir), because a localCheckpoint's blocks die with
+  // the session that made them and a frame reused across sessions
+  // (bench/test harness restarts in one JVM) would read dead blocks
+  private val kgCentsData = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.types.StructType,
+      java.util.List[org.apache.spark.sql.Row])]
+  private val kgCentsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
   private def kgCents(s: SparkSession, d: String): DataFrame =
-    kgCentsCache.getOrElseUpdate(d,
-      graft.operators.VectorStats
-        .kmeansCentroids(embeddings(s, d), 16, 2)
-        .localCheckpoint())
+    kgCentsCache.getOrElseUpdate((s, d), {
+      val (schema, rows) = kgCentsData.getOrElseUpdate(d, {
+        val trained = graft.operators.VectorStats
+          .kmeansCentroids(embeddings(s, d), 16, 2)
+        (trained.schema, java.util.Arrays.asList(trained.collect(): _*))
+      })
+      s.createDataFrame(rows, schema)
+    })
 
   private val bpeRulesCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
@@ -1611,7 +1623,10 @@ object PipelineQueries {
           FROM ex x, c2 c WHERE x.vec_id < $nq)
         QUALIFY row_number() OVER (PARTITION BY query_id
           ORDER BY dist2, cid) <= $nprobe),
-      cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+      -- no DISTINCT: a2 assigns each vector ONE home list, so a
+      -- (query, neighbor) pair arises at most once (mirrors the
+      -- engine dropping its no-op dedup exchange)
+      cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
         FROM qprobe q JOIN a2 a USING (cid)
         WHERE q.query_id <> a.vec_id),
       scored AS (SELECT c.query_id, c.neighbor_id,
@@ -3837,10 +3852,10 @@ object PipelineQueries {
       rt AS (SELECT sum(c)::BIGINT AS rtot FROM rb),
       tt AS (SELECT sum(c)::BIGINT AS ttot FROM tb),
       w AS (SELECT b,
-          (coalesce(rc, 0) + 1)::HUGEINT * 1000000000
-            // (rtot + 1024) AS r_ppb,
-          (coalesce(tc, 0) + 1)::HUGEINT * 1000000000
-            // (ttot + 1024) AS t_ppb
+          greatest((coalesce(rc, 0) + 1)::HUGEINT * 1000000000
+            // (rtot + 1024), 1) AS r_ppb,
+          greatest((coalesce(tc, 0) + 1)::HUGEINT * 1000000000
+            // (ttot + 1024), 1) AS t_ppb
         FROM rcen FULL OUTER JOIN tcen USING (b), rt, tt),
       sc AS (SELECT rb.doc_id, sum(rb.c)::BIGINT AS n_grams,
           sum(rb.c::HUGEINT * w.t_ppb) AS tm,
@@ -3898,10 +3913,10 @@ object PipelineQueries {
       tt AS (SELECT count(*)::BIGINT AS ttot FROM tg),
       dom AS (SELECT range::BIGINT AS b FROM range(0, 1024)),
       w AS (SELECT dom.b,
-          ((coalesce(rc, 0) + 1)::HUGEINT * 1000000000
-            // (rt.rtot + 1024))::BIGINT AS r_ppb,
-          ((coalesce(tc, 0) + 1)::HUGEINT * 1000000000
-            // (tt.ttot + 1024))::BIGINT AS t_ppb
+          greatest((coalesce(rc, 0) + 1)::HUGEINT * 1000000000
+            // (rt.rtot + 1024), 1)::BIGINT AS r_ppb,
+          greatest((coalesce(tc, 0) + 1)::HUGEINT * 1000000000
+            // (tt.ttot + 1024), 1)::BIGINT AS t_ppb
         FROM dom LEFT JOIN rcen ON rcen.b = dom.b
         LEFT JOIN tcen ON tcen.b = dom.b, rt, tt),
       ag AS (SELECT doc_id, fp % 1024 AS b FROM (SELECT doc_id,
