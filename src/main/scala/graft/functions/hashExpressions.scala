@@ -317,6 +317,47 @@ object HashOps {
     out
   }
 
+  /** Run-length `(value, count)` pairs over a long array: sort a
+    * copy, count runs in one pass — O(n log n) per row with tight
+    * primitive loops, replacing both the O(distinct × n)
+    * filter-per-distinct-term HOF and the staged sort/bounds HOF
+    * chain (whose inferred pushdown filters re-evaluated the chain
+    * per element). Output rows are `(value, count)` structs in sorted
+    * value order (callers explode; order is immaterial). */
+  def runLengthLong(arr: ArrayData): ArrayData = {
+    val a = arr.toLongArray()
+    java.util.Arrays.sort(a)
+    val n = a.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j) == a(i)) j += 1
+      out += InternalRow(a(i), (j - i).toLong)
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[runLengthLong]] for string arrays (UTF8String binary order —
+    * only run EQUALITY matters, the order never surfaces). */
+  def runLengthString(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val a = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j).equals(a(i))) j += 1
+      out += InternalRow(a(i), (j - i).toLong)
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def minhash(fps: Array[Long], numHashes: Int): Array[Long] = {
     val out = new Array[Long](numHashes)
     var i = 0
@@ -490,6 +531,39 @@ case class SortedLongIntersect(left: Expression, right: Expression)
 }
 
 /** Column-level API + SQL registration. */
+/** `run_length_longs(arr)` — `(fp, tf)` term-frequency pairs from a
+  * fingerprint array in one sorted pass (see
+  * [[HashOps.runLengthLong]]); the BM25 standing-index tf step. */
+case class RunLengthLongs(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashOps.runLengthLong(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.runLengthLong($c)")
+  override protected def withNewChildInternal(c: Expression): RunLengthLongs =
+    copy(c)
+}
+
+/** `run_length_strings(arr)` — `(term, tf)` pairs from a token array
+  * in one sorted pass; the standing TF-IDF tagger's tf step. */
+case class RunLengthStrings(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashOps.runLengthString(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.runLengthString($c)")
+  override protected def withNewChildInternal(c: Expression): RunLengthStrings =
+    copy(c)
+}
+
 object hashFunctions {
   import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
   def poly_hash(c: Column): Column = toCol(PolyHash(toExpr(c)))
@@ -505,6 +579,9 @@ object hashFunctions {
   def vec_dot(a: Column, b: Column): Column = toCol(VecDot(toExpr(a), toExpr(b)))
   def sorted_long_intersect(a: Column, b: Column): Column =
     toCol(SortedLongIntersect(toExpr(a), toExpr(b)))
+  def run_length_longs(c: Column): Column = toCol(RunLengthLongs(toExpr(c)))
+  def run_length_strings(c: Column): Column =
+    toCol(RunLengthStrings(toExpr(c)))
 
   /** Register `poly_hash`/`simhash30`/`vec_dot` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -10,6 +10,7 @@ import org.apache.spark.sql.types.DecimalType
   * paraphrase BM25 can't see).
   */
 object Retrieval {
+
 
   /** BM25 top-k document retrieval (t22): classic Okapi BM25 with
     * k₁ = 1.2, b = 0.75, in EXACT integer arithmetic.
@@ -151,8 +152,8 @@ object Retrieval {
 
   /** STANDING BM25 index (t25): the per-document postings
     * `(fp, doc_id, len, tf)` computed ENTIRELY per-row — tf comes
-    * from counting inside the document's own token array (a
-    * codegen'd HOF pair over ≤ len distinct terms), len is the array
+    * from a single run-length pass over the document's own sorted
+    * token array ([[runLengthCounts]]), len is the array
     * size, and NO cross-row state exists. Three consequences:
     *  - materialize-once: persist/bucket this frame by `fp` and every
     *    [[bm25TopKAgainst]] probe skips the corpus tokenize entirely
@@ -169,20 +170,22 @@ object Retrieval {
     * probe time, always consistent with the maintained rows (a stored
     * df would need its own delta bookkeeping and can drift). */
   def bm25Index(docs: DataFrame): DataFrame = {
-    import graft.functions.hashFunctions.gram_fps
+    import graft.functions.hashFunctions.{gram_fps, run_length_longs}
     docs
       .select(col("doc_id"), gram_fps(col("text"), 1).as("fps"))
-      // a token-less document keeps ONE null-fp sentinel row: it must
+      // tf via the native run-length expression: ONE sorted pass per
+      // row (the O(distinct × len) filter-per-distinct-term HOF and
+      // the staged sort/bounds HOF chain both lose — the latter
+      // because explode's inferred `size(...) > 0` pushdown filter
+      // re-inlines and re-evaluates the chain per element).
+      // A token-less document keeps ONE null-fp sentinel row: it must
       // still count in the probe-time n_docs census (bm25TopK's
-      // corpus scan counts it), and a bare explode would erase it
+      // corpus scan counts it), and a bare explode would erase it.
       .select(col("doc_id"), size(col("fps")).cast("long").as("len"),
         explode(when(size(col("fps")) === 0,
           array(struct(lit(null).cast("long").as("fp"),
             lit(0L).as("tf"))))
-          .otherwise(transform(array_distinct(col("fps")), f =>
-            struct(f.as("fp"),
-              size(filter(col("fps"), x => x === f)).cast("long")
-                .as("tf")))))
+          .otherwise(run_length_longs(col("fps"))))
           .as("p"))
       .select(col("p.fp").as("fp"), col("doc_id"), col("len"),
         col("p.tf").as("tf"))
@@ -350,14 +353,16 @@ object Retrieval {
     * standing tagger exists to avoid. */
   def tfidfTagsAgainst(model: DataFrame, docs: DataFrame,
       floorPpm: Long = 0L): DataFrame = {
+    import graft.functions.hashFunctions.run_length_strings
     docs
       .select(col("doc_id"),
         graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "transform(array_distinct(toks), t -> " +
-          "struct(t AS term, " +
-          "CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))"))
-        .as("p"))
+      // tf via the native run-length expression — one sorted pass per
+      // row (see bm25Index); a token-less doc's empty pair array
+      // simply explodes to nothing, which is correct here (no census
+      // needs it — the model froze n_docs at train time)
+      .select(col("doc_id"),
+        explode(run_length_strings(col("toks"))).as("p"))
       .select(col("doc_id"), col("p.term").as("term"),
         col("p.tf").as("tf"))
       .join(model, Seq("term"))

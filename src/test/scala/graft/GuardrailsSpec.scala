@@ -439,6 +439,41 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(scores.length == 1, "uniform stopword must tie every doc")
   }
 
+  test("native run-length tf pairs equal the distinct/filter HOF on the corpus") {
+    import graft.functions.hashFunctions.{gram_fps, run_length_longs, run_length_strings}
+    // long variant over the fingerprint arrays the BM25 index uses
+    val fps = docs.select(col("doc_id"), gram_fps(col("text"), 1).as("fps"))
+    val native = fps.select(col("doc_id"),
+      explode(run_length_longs(col("fps"))).as("p"))
+      .select(col("doc_id"), col("p.fp").as("fp"), col("p.tf").as("tf"))
+    val hof = fps.select(col("doc_id"),
+      explode(transform(array_distinct(col("fps")), f =>
+        struct(f.as("fp"),
+          size(filter(col("fps"), x => x === f)).cast("long").as("tf"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.fp").as("fp"), col("p.tf").as("tf"))
+    assert(native.exceptAll(hof).count() == 0 &&
+      hof.exceptAll(native).count() == 0)
+    // string variant over token arrays (the t28 tagger path) + edges
+    import spark.implicits._
+    val edge = (Seq("", "a", "a a a", "b a b a b", "  ", "x y z")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val toks = edge.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    val nat2 = toks.select(col("doc_id"),
+      explode(run_length_strings(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+    val hof2 = toks.select(col("doc_id"),
+      explode(transform(array_distinct(col("toks")), t =>
+        struct(t.as("term"),
+          size(filter(col("toks"), x => x === t)).cast("long").as("tf"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+    assert(nat2.exceptAll(hof2).count() == 0 &&
+      hof2.exceptAll(nat2).count() == 0)
+  }
+
   test("exactQuantiles on a fractional [0,1) domain: correct AND spread") {
     import spark.implicits._
     // the round-11 floor(v) bucketing put ALL of [0,1) in one bucket,
