@@ -372,6 +372,74 @@ object Retrieval {
       .select("doc_id", "term", "tf", "score_ppm")
   }
 
+  /** Retrieval quality report (t29): MRR, capped recall and an
+    * nDCG-style rank-quality score @`k` for a set of NAMED rankings
+    * against a `(query_id, doc_id)` relevance set — the ss12
+    * measured-recall discipline applied to the lexical/hybrid family,
+    * so "RM3/RRF improve retrieval" is a NUMBER on the fixture, not
+    * a claim.
+    *
+    * Integer-exact surrogates (the t09/t22 discipline — log2 is not
+    * cross-engine exact, integer `div` is):
+    *  - per-query reciprocal rank `1e6 div first_relevant_rank` (0 if
+    *    no hit); `mrr_ppm` = Σ over labeled queries div n_queries;
+    *  - `recall_ppm` = total relevant hits @k ·1e6 div
+    *    Σ_q min(|rel_q|, k) — the capped denominator a @k metric
+    *    needs (|rel_q| > k can never be fully retrieved);
+    *  - `ndcg_ppm`: gain `1e6 div (rank+1)` (a reciprocal discount —
+    *    steeper than log₂ but monotone in rank, so "better ranks
+    *    score higher" survives exactly), per query normalized by the
+    *    ideal prefix `Σ_{i≤min(|rel_q|,k)} 1e6 div (i+1)`, averaged.
+    *
+    * Scale shape: every ranking input is an already-bounded top-k
+    * frame (≤ k·|queries| rows) and qrels are label-sized, so the
+    * report is unions of TINY frames + label-keyed joins — the
+    * corpus-sized work stays inside the input rankings' own plans,
+    * exactly like [[rrfFuse]]. Queries labeled in qrels but absent
+    * from a ranking score 0 (the left join from the label side).
+    *
+    * Output: `(system, n_queries, mrr_ppm, recall_ppm, ndcg_ppm)`,
+    * one row per named system. */
+  def qualityReport(systems: Seq[(String, DataFrame)], qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(systems.nonEmpty, "qualityReport needs at least one system")
+    val labels = qrels.select("query_id", "doc_id")
+      .localCheckpoint(eager = false) // hits join + per-query census
+    val relCnt = labels.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+      // ideal gain prefix for the query's achievable best @k
+      .withColumn("ideal_ppm", expr(
+        s"aggregate(sequence(1L, least(n_rel, $k)), 0L, " +
+          "(a, i) -> a + 1000000 div (i + 1))"))
+      .localCheckpoint(eager = false) // reused per system
+    val nq = labels.select("query_id").distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    systems.map { case (name, ranking) =>
+      val perQ = ranking.filter(col("rank") <= k)
+        .join(labels, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id")
+        .agg(min("rank").as("first_rel"),
+          count(lit(1)).as("n_hits"),
+          sum(expr("1000000 div (CAST(rank AS BIGINT) + 1)"))
+            .as("dcg_ppm"))
+      relCnt.join(perQ, Seq("query_id"), "left")
+        .select(
+          coalesce(expr("1000000 div CAST(first_rel AS BIGINT)"), lit(0L))
+            .as("rr_ppm"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(expr("dcg_ppm * 1000000 div ideal_ppm"), lit(0L))
+            .as("ndcg_q_ppm"),
+          least(col("n_rel"), lit(k.toLong)).as("cap"))
+        .agg(sum("rr_ppm").as("srr"), sum("n_hits").as("sh"),
+          sum("ndcg_q_ppm").as("sn"), sum("cap").as("scap"))
+        .crossJoin(broadcast(nq))
+        .select(lit(name).as("system"), col("n_queries"),
+          expr("srr div n_queries").as("mrr_ppm"),
+          expr("sh * 1000000 div scap").as("recall_ppm"),
+          expr("sn div n_queries").as("ndcg_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Reciprocal-rank fusion (t24) — the standard hybrid-retrieval
     * combiner over [[bm25TopK]]'s lexical ranking and a
     * [[Similarity]] vector ranking (or any number of rankings):

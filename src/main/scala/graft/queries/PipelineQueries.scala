@@ -1194,6 +1194,42 @@ object PipelineQueries {
       Retrieval.rrfFuse(Seq(bm, ann), k = 10)
         .orderBy("query_id", "rank")
     },
+    // retrieval-quality scoreboard: BM25 / RM3 / RRF-hybrid ranked
+    // against semantic qrels (the brute cosine top-20 — vec_id ≡
+    // doc_id in the fixture id space), MRR + capped recall +
+    // reciprocal-discount nDCG in exact ppm integers; ONE truth scan
+    // feeds both the qrels and the RRF's ANN leg (rank ≤ 10 prefix)
+    "t29_retrieval_quality" -> { (s, d) =>
+      val all = documents(s, d)
+      val e = embeddings(s, d)
+      // 3-token STUBS of the query docs: a full document as its own
+      // query saturates BM25 and leaves expansion nothing to add;
+      // the stub is the vocabulary-mismatch regime RM3 exists for,
+      // and the report shows it (RM3 doubles MRR on the fixture)
+      val qdocs = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.operators.TextAnalysis.tokens(col("text")), 1, 3))
+            .as("text"))
+      val truth = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 3), k = 20)
+        .localCheckpoint(eager = false) // qrels + the ANN fusion leg
+      val qrels = truth
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      val bm = Retrieval.bm25TopK(all, qdocs, k = 10)
+        .localCheckpoint(eager = false) // scored on its own + inside rrf
+      val rm3 = Retrieval.rm3Expand(
+        Retrieval.bm25Index(all).localCheckpoint(eager = false),
+        qdocs, k = 10, fbDocs = 10, fbTerms = 5)
+      val ann = truth.filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      val rrf = Retrieval.rrfFuse(Seq(
+        bm.select("query_id", "doc_id", "rank"), ann), k = 10)
+      Retrieval.qualityReport(Seq(
+        "bm25" -> bm, "rm3" -> rm3, "rrf" -> rrf), qrels, k = 10)
+        .orderBy("system")
+    },
     "st7_click_attribution" -> { (s, d) =>
       EventStreams.clickToPurchaseBatch(events(s, d))
         .orderBy("user_id", "click_id", "purchase_id")
@@ -1539,6 +1575,88 @@ object PipelineQueries {
       SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY score_ppm DESC, doc_id) AS rank FROM sc)
+      WHERE rank <= $k"""
+
+
+  /** Oracle twin of [[Retrieval.rm3Expand]] over the standing index
+    * of the full `documents` corpus and the doc_id<3 query docs —
+    * self-contained WITH … SELECT, nestable in parens (shared by the
+    * t27 standalone oracle and the t29 quality report). The t22 chain
+    * run twice: pass-1 ranks pick the feedback docs, fw/ex mine the
+    * Σ tf·1e6 div len expansion terms, pass 2 scores the distinct
+    * original ∪ expansion term set. Emits
+    * `(query_id, rank, doc_id, score_ppm, n_terms_hit)`, no trailing
+    * ORDER BY. */
+  /** The t29 scoreboard's 3-token query stubs (twin of the Spark
+    * `concat_ws(" ", slice(tokens(text), 1, 3))` — both engines
+    * re-tokenize the stub, and a single-space join of tokens
+    * round-trips identically). */
+  private val sqlStubQueries: String =
+    s"SELECT doc_id AS query_id, " +
+      s"array_to_string((${sqlToks("text")})[1:3], ' ') AS text " +
+      "FROM documents WHERE doc_id < 3"
+
+  private def sqlRm3TopK(k: Int = 10, fbDocs: Int = 5,
+      fbTerms: Int = 3,
+      queries: String =
+        "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 3")
+      : String = s"""
+      WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+      gx AS (SELECT doc_id, len(t)::BIGINT AS len,
+          ${sqlGrams("t", 1)} AS fps FROM tk),
+      p AS (SELECT fp, doc_id, count(*)::BIGINT AS tf FROM
+          (SELECT doc_id, unnest(fps) AS fp FROM gx) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, len FROM gx),
+      nn AS (SELECT count(*)::BIGINT AS n_docs,
+          sum(len)::BIGINT AS total_len FROM dl),
+      dfq AS (SELECT fp, count(*)::BIGINT AS df FROM p GROUP BY 1),
+      q1 AS (SELECT query_id, unnest(list_distinct(fps)) AS fp FROM
+        (SELECT query_id,
+            ${sqlGrams(s"(${sqlToks("text")})", 1)} AS fps
+          FROM ($queries))),
+      qt1 AS (SELECT query_id, fp,
+          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
+            AS idf_ppm
+        FROM q1 JOIN dfq USING (fp), nn),
+      sc1 AS (SELECT qt1.query_id, p.doc_id,
+          sum(qt1.idf_ppm::HUGEINT *
+              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
+               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
+                + 9::HUGEINT * dl.len * nn.n_docs))
+              // 1000000)::BIGINT AS score_ppm
+        FROM qt1 JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
+        GROUP BY 1, 2),
+      fb AS (SELECT query_id, doc_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_ppm DESC, doc_id) AS r FROM sc1)
+        WHERE r <= $fbDocs),
+      fw AS (SELECT fb.query_id, p.fp,
+          sum(p.tf * 1000000 // dl.len)::BIGINT AS fb_w_ppm
+        FROM fb JOIN p ON p.doc_id = fb.doc_id
+        JOIN dl ON dl.doc_id = fb.doc_id GROUP BY 1, 2),
+      ex AS (SELECT query_id, fp FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY fb_w_ppm DESC, fp) AS er FROM fw)
+        WHERE er <= $fbTerms),
+      q2 AS (SELECT DISTINCT query_id, fp FROM (
+          SELECT query_id, fp FROM q1
+          UNION ALL SELECT query_id, fp FROM ex)),
+      qt2 AS (SELECT query_id, fp,
+          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
+            AS idf_ppm
+        FROM q2 JOIN dfq USING (fp), nn),
+      sc2 AS (SELECT qt2.query_id, p.doc_id,
+          count(*)::BIGINT AS n_terms_hit,
+          sum(qt2.idf_ppm::HUGEINT *
+              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
+               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
+                + 9::HUGEINT * dl.len * nn.n_docs))
+              // 1000000)::BIGINT AS score_ppm
+        FROM qt2 JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
+        GROUP BY 1, 2)
+      SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score_ppm DESC, doc_id) AS rank FROM sc2)
       WHERE rank <= $k"""
 
   /** Oracle twin of [[Similarity.bruteForceTopK]] over the vec_id<`nq`
@@ -2220,64 +2338,8 @@ object PipelineQueries {
     // the t22 chain run twice: pass-1 ranks pick the feedback docs,
     // fw/ex mine the Σ tf·1e6 div len expansion terms, pass 2 scores
     // the distinct original ∪ expansion term set
-    "t27_rm3_expansion" -> s"""
-      WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
-      gx AS (SELECT doc_id, len(t)::BIGINT AS len,
-          ${sqlGrams("t", 1)} AS fps FROM tk),
-      p AS (SELECT fp, doc_id, count(*)::BIGINT AS tf FROM
-          (SELECT doc_id, unnest(fps) AS fp FROM gx) GROUP BY 1, 2),
-      dl AS (SELECT doc_id, len FROM gx),
-      nn AS (SELECT count(*)::BIGINT AS n_docs,
-          sum(len)::BIGINT AS total_len FROM dl),
-      dfq AS (SELECT fp, count(*)::BIGINT AS df FROM p GROUP BY 1),
-      q1 AS (SELECT query_id, unnest(list_distinct(fps)) AS fp FROM
-        (SELECT doc_id AS query_id,
-            ${sqlGrams(s"(${sqlToks("text")})", 1)} AS fps
-          FROM documents WHERE doc_id < 3)),
-      qt1 AS (SELECT query_id, fp,
-          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
-            AS idf_ppm
-        FROM q1 JOIN dfq USING (fp), nn),
-      sc1 AS (SELECT qt1.query_id, p.doc_id,
-          sum(qt1.idf_ppm::HUGEINT *
-              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
-               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
-                + 9::HUGEINT * dl.len * nn.n_docs))
-              // 1000000)::BIGINT AS score_ppm
-        FROM qt1 JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
-        GROUP BY 1, 2),
-      fb AS (SELECT query_id, doc_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY score_ppm DESC, doc_id) AS r FROM sc1)
-        WHERE r <= 5),
-      fw AS (SELECT fb.query_id, p.fp,
-          sum(p.tf * 1000000 // dl.len)::BIGINT AS fb_w_ppm
-        FROM fb JOIN p ON p.doc_id = fb.doc_id
-        JOIN dl ON dl.doc_id = fb.doc_id GROUP BY 1, 2),
-      ex AS (SELECT query_id, fp FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY fb_w_ppm DESC, fp) AS er FROM fw)
-        WHERE er <= 3),
-      q2 AS (SELECT DISTINCT query_id, fp FROM (
-          SELECT query_id, fp FROM q1
-          UNION ALL SELECT query_id, fp FROM ex)),
-      qt2 AS (SELECT query_id, fp,
-          (2 * nn.n_docs - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)
-            AS idf_ppm
-        FROM q2 JOIN dfq USING (fp), nn),
-      sc2 AS (SELECT qt2.query_id, p.doc_id,
-          count(*)::BIGINT AS n_terms_hit,
-          sum(qt2.idf_ppm::HUGEINT *
-              (22::HUGEINT * nn.total_len * p.tf * 1000000 //
-               (10::HUGEINT * nn.total_len * p.tf + 3::HUGEINT * nn.total_len
-                + 9::HUGEINT * dl.len * nn.n_docs))
-              // 1000000)::BIGINT AS score_ppm
-        FROM qt2 JOIN p USING (fp) JOIN dl ON dl.doc_id = p.doc_id, nn
-        GROUP BY 1, 2)
-      SELECT query_id, rank, doc_id, score_ppm, n_terms_hit FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY score_ppm DESC, doc_id) AS rank FROM sc2)
-      WHERE rank <= 10 ORDER BY query_id, rank""",
+    "t27_rm3_expansion" -> s"""${sqlRm3TopK()}
+      ORDER BY query_id, rank""",
     // the frozen-df model replayed: df/n_docs from the reference
     // split only, arriving docs' tf joined in, same integer idf
     "t28_tfidf_standing" -> s"""
@@ -2378,6 +2440,60 @@ object PipelineQueries {
         SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY rrf_ppm DESC, doc_id) AS rank FROM f)
       WHERE rank <= 10 ORDER BY query_id, rank""",
+    // the three retrieval chains replayed as nested subqueries and
+    // scored against the cosine-top-20 qrels with the same integer
+    // MRR / capped-recall / reciprocal-discount-nDCG surrogates
+    "t29_retrieval_quality" -> s"""
+      WITH qr0 AS (SELECT query_id, neighbor_id AS doc_id, rank
+        FROM (${sqlCosineTopK(20, 3)})),
+      qr AS (SELECT query_id, doc_id FROM qr0),
+      rc AS (SELECT query_id, count(*)::BIGINT AS n_rel,
+          list_sum(list_transform(range(1, least(count(*), 10) + 1),
+            i -> 1000000 // (i + 1)))::BIGINT AS ideal_ppm
+        FROM qr GROUP BY 1),
+      nqx AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries
+        FROM qr),
+      rrf AS (
+        WITH u AS (SELECT query_id, doc_id, rank
+              FROM (${sqlBm25TopK(queries = sqlStubQueries)})
+            UNION ALL
+            SELECT query_id, doc_id, rank FROM qr0 WHERE rank <= 10),
+        f AS (SELECT query_id, doc_id,
+            sum(1000000 // (60 + rank))::BIGINT AS rrf_ppm
+          FROM u GROUP BY 1, 2)
+        SELECT query_id, doc_id, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_ppm DESC, doc_id) AS rank FROM f)
+        WHERE rank <= 10),
+      sys AS (
+        SELECT 'bm25' AS system, query_id, doc_id, rank
+          FROM (${sqlBm25TopK(queries = sqlStubQueries)})
+        UNION ALL
+        SELECT 'rm3' AS system, query_id, doc_id, rank
+          FROM (${sqlRm3TopK(10, 10, 5, sqlStubQueries)})
+        UNION ALL
+        SELECT 'rrf' AS system, query_id, doc_id, rank FROM rrf),
+      h AS (SELECT s.system, s.query_id, s.rank
+        FROM sys s JOIN qr USING (query_id, doc_id)),
+      pq AS (SELECT system, query_id, min(rank)::BIGINT AS first_rel,
+          count(*)::BIGINT AS n_hits,
+          sum(1000000 // (rank::BIGINT + 1))::BIGINT AS dcg_ppm
+        FROM h GROUP BY 1, 2),
+      base AS (SELECT sy.system, rc.query_id, rc.n_rel, rc.ideal_ppm
+        FROM rc, (SELECT DISTINCT system FROM sys) sy),
+      f2 AS (SELECT b.system,
+          coalesce(1000000 // pq.first_rel, 0)::BIGINT AS rr_ppm,
+          coalesce(pq.n_hits, 0)::BIGINT AS n_hits,
+          coalesce(pq.dcg_ppm * 1000000 // b.ideal_ppm, 0)::BIGINT
+            AS ndcg_q_ppm,
+          least(b.n_rel, 10)::BIGINT AS cap
+        FROM base b LEFT JOIN pq
+          ON pq.system = b.system AND pq.query_id = b.query_id)
+      SELECT system, nqx.n_queries,
+        (sum(rr_ppm) // nqx.n_queries)::BIGINT AS mrr_ppm,
+        (sum(n_hits) * 1000000 // sum(cap))::BIGINT AS recall_ppm,
+        (sum(ndcg_q_ppm) // nqx.n_queries)::BIGINT AS ndcg_ppm
+      FROM f2, nqx GROUP BY 1, 2 ORDER BY system""",
     "t20_source_overlap" -> s"""
       WITH g AS (SELECT DISTINCT source, fp FROM
           (SELECT source, unnest(${sqlShinglesK(toks, 5)}) AS fp

@@ -2662,6 +2662,28 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(fused.sortBy(_._2).map(_._3).toSeq == Seq(10L, 12L, 11L))
   }
 
+  test("qualityReport: hand-checked MRR / capped recall / ndcg integers") {
+    import spark.implicits._
+    // qrels: query 0 has 2 relevant docs, query 1 has 1
+    val qrels = Seq((0L, 10L), (0L, 11L), (1L, 20L))
+      .toDF("query_id", "doc_id")
+    // system a: q0 hits doc 10 at rank 1 (misses 11), q1 hits at rank 1
+    val a = Seq((0L, 1, 10L), (0L, 2, 99L), (1L, 1, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    // system b: zero relevant hits anywhere; q1 entirely absent
+    val b = Seq((0L, 1, 99L)).toDF("query_id", "rank", "doc_id")
+    val rep = graft.operators.Retrieval
+      .qualityReport(Seq("a" -> a, "b" -> b), qrels, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: rr = 1e6 + 1e6 → mrr (2e6 div 2); hits 2 of cap 3;
+    // q0 ndcg = (1e6 div 2)·1e6 div (1e6 div 2 + 1e6 div 3) = 600000,
+    // q1 ndcg = 1000000 → mean 800000
+    assert(rep("a") == ((2L, 1000000L, 666666L, 800000L)))
+    // b scores zeros on every metric but still reports all queries
+    assert(rep("b") == ((2L, 0L, 0L, 0L)))
+  }
+
   test("audio near-dup pairs equal brute-force fingerprint hamming") {
     val fp = Multimodal.audioFingerprint(spark, docs).collect()
       .map(r => (r.getLong(0), (r.getLong(1) << 32) | r.getLong(2)))

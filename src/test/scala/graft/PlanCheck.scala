@@ -163,6 +163,13 @@ object PlanCheck {
       // reducer key (the round-13 weak)
       "no Window on the serving tail (bounded-heap top-k)" ->
         (p => !p.contains("Window"))))
+    audit("t29_retrieval_quality", Seq(
+      "per-query metric aggs combine map-side" ->
+        (_.contains("partial_")),
+      "truth scan checkpoint-shared (qrels + the ANN fusion leg)" ->
+        (_.contains("Scan ExistingRDD")),
+      "no cartesian anywhere in the scoreboard" ->
+        (p => !p.contains("CartesianProduct"))))
     audit("t24_hybrid_rrf", Seq(
       "fusion aggregation combines map-side" -> (_.contains("partial_")),
       "no cartesian anywhere in the fused plan" ->
