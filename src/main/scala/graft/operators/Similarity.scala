@@ -826,6 +826,94 @@ object Similarity {
           .as("score"))
   }
 
+  /** Per-row HOME-list assignment of new vectors against the FROZEN
+    * trained centroids — [[knnCandidatesAgainst]]'s in-row argmin at
+    * probe depth 1 (an array_sort over ≤ numCentroids packed entries,
+    * zero exchanges on the arriving side), emitting rows in the
+    * standing home-list layout `(neighbor_id, cid, n_emb, n_nrm)`.
+    * The (dist², cid) order matches [[knnScoredHome]]'s `min_by`
+    * argmin bit-for-bit (same fixed-order double fold), so rows
+    * appended here equal what a from-scratch assignment under the
+    * same centroids would produce. */
+  private def homeRowsAgainst(newVecs: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
+    newVecs
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), v => v.cast("double")).as("demb"),
+        col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm"))
+      .withColumn("xx", dotD(col("demb"), col("demb")))
+      .crossJoin(broadcast(packed))
+      .withColumn("h", element_at(array_sort(
+        transform(col("cs"), c =>
+          struct((col("xx")
+            - lit(2.0) * dotD(col("demb"), c.getField("cemb"))
+            + c.getField("cc")).as("dist2"),
+            c.getField("cid").as("cid")))), 1))
+      .select(col("neighbor_id"), col("h.cid").as("cid"),
+        col("n_emb"), col("n_nrm"))
+  }
+
+  /** CDF maintenance for the standing [[knnIndex]] (ss20) — the
+    * [[graft.operators.Retrieval.bm25ApplyCdf]] contract applied to
+    * vectors: deleted / pre-image ids leave the home lists via ONE
+    * id-keyed anti-join, inserted / post-image vectors arrive as
+    * per-row [[homeRowsAgainst]] assignments against the FROZEN
+    * centroids (zero exchanges on the arriving side), and unknown
+    * change types fail loudly at task time rather than corrupt the
+    * index. Centroids do NOT retrain — retraining is a scheduled
+    * offline event (the ss6/ss16 discipline); the ss15 census is the
+    * drift monitor that schedules it, and arrivals append to their
+    * TRUE home list (the build-time mega-list cap is a guard, not a
+    * membership rule — a capped-out arrival would be silent recall
+    * loss the census could no longer see). Maintained rows are
+    * bit-identical to a from-scratch assignment of the modified
+    * membership under the same centroids (pinned in GuardrailsSpec).
+    * CDF rows: `(vec_id, embedding, _change_type)`. */
+  def knnApplyCdf(cents: DataFrame, home: DataFrame,
+      cdf: DataFrame): DataFrame = {
+    val known = Seq("insert", "delete", "update_preimage",
+      "update_postimage")
+    val validated = cdf.withColumn("_change_type",
+      when(col("_change_type").isin(known: _*), col("_change_type"))
+        .otherwise(raise_error(concat(
+          lit("knnApplyCdf: unknown CDF change type '"),
+          col("_change_type"), lit("'"))).cast("string")))
+      .localCheckpoint(eager = false) // feeds the leave + arrive legs
+    val gone = validated
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col("vec_id").as("neighbor_id"))
+    val arrived = validated
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("vec_id", "embedding")
+    home.join(gone, Seq("neighbor_id"), "left_anti")
+      .unionByName(homeRowsAgainst(arrived, cents))
+      .select("neighbor_id", "cid", "n_emb", "n_nrm") // stable layout
+  }
+
+  /** Top-`k` graph rows of a query batch against a standing
+    * (centroids, home-lists) index — [[knnCandidatesAgainst]] + the
+    * bounded [[TopKAggregator]] tail, exposed so maintained indexes
+    * ([[knnApplyCdf]]) serve without retraining. Output matches
+    * [[knnGraph]]'s row shape: `(vec_id, rank, neighbor_id, score)`. */
+  def knnTopKAgainst(newVecs: DataFrame, cents: DataFrame,
+      home: DataFrame, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val agg = new TopKAggregator(k)
+    knnCandidatesAgainst(newVecs, cents, home, nprobe)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(v => (v._2, v._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((sc, nid), i) => (qid, i + 1, nid, sc) }
+      }
+      .toDF("vec_id", "rank", "neighbor_id", "score")
+  }
+
   /** Incremental kNN-graph maintenance (ss16), batch tail: the
     * arriving batch's top-`k` graph rows against the standing corpus
     * — [[knnCandidatesAgainst]] + the bounded [[TopKAggregator]]
@@ -838,19 +926,8 @@ object Similarity {
   def knnGraphAgainst(newVecs: DataFrame, corpus: DataFrame, k: Int = 3,
       numCentroids: Int = 16, nprobe: Int = 2, maxList: Int = 1 << 16,
       iters: Int = 2): DataFrame = {
-    val spark = newVecs.sparkSession
-    import spark.implicits._
     val (cents, home) = knnIndex(corpus, numCentroids, maxList, iters)
-    val agg = new TopKAggregator(k)
-    knnCandidatesAgainst(newVecs, cents, home, nprobe)
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(v => (v._2, v._3))
-      .agg(agg.toColumn)
-      .flatMap { case (qid, tops) =>
-        tops.zipWithIndex.map { case ((sc, nid), i) => (qid, i + 1, nid, sc) }
-      }
-      .toDF("vec_id", "rank", "neighbor_id", "score")
+    knnTopKAgainst(newVecs, cents, home, k, nprobe)
   }
 
   /** SemDeDup over the kNN graph (dd20) — the composition the graph

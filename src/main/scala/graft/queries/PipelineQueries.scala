@@ -698,6 +698,27 @@ object PipelineQueries {
         e.filter(col("vec_id") % 10 =!= 0), k = 3, numCentroids = 16,
         nprobe = 2).orderBy("vec_id", "rank")
     },
+    // CDF maintenance of the standing kNN index (the bm25ApplyCdf
+    // contract for vectors): a delete + insert batch folds into the
+    // trained home lists — departures via one anti-join, arrivals by
+    // the in-row frozen-centroid argmin — then the maintained index
+    // SERVES a query batch without retraining
+    "ss20_knn_cdf" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val (cents, home) = Similarity.knnIndex(e, numCentroids = 16,
+        centsIn = Some(kgCents(s, d)))
+      val cdf = e.filter(col("vec_id") % 97 === 5)
+        .select(col("vec_id"), col("embedding"),
+          lit("delete").as("_change_type"))
+        .unionByName(e.filter(col("vec_id") % 31 === 7)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            col("embedding"), lit("insert").as("_change_type")))
+      val maintained = Similarity.knnApplyCdf(cents, home, cdf)
+        .localCheckpoint(eager = false) // the standing frame
+      Similarity.knnTopKAgainst(e.filter(col("vec_id") < 3),
+        cents, maintained, k = 3, nprobe = 2)
+        .orderBy("vec_id", "rank")
+    },
     // census of the graph's inverted lists at a deliberately tiny
     // maxList: the mega-list cap's cost as a NUMBER (which lists cap,
     // how many rows each would drop) — guard observability, not a
@@ -3437,6 +3458,40 @@ object PipelineQueries {
         FROM probes p JOIN homea h USING (cid)
         JOIN newx q ON q.vec_id = p.query_id
         JOIN ex x ON x.vec_id = h.vec_id
+        WHERE p.query_id <> h.vec_id)
+      SELECT vec_id, rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
+      WHERE rank <= 3 ORDER BY vec_id, rank""",
+    // the full-corpus Lloyd chain frozen, membership modified by the
+    // CDF (deletes filtered, inserts argmin-assigned under the SAME
+    // c2), queries probe top-2 lists and rank exact cosine
+    "ss20_knn_cdf" -> s"""
+      WITH ${sqlKmeansCtes(16)},
+      ${sqlKmAsg("c2", "homea")},
+      newv AS (SELECT vec_id + 100000 AS vec_id,
+          list_transform(embedding, xn -> xn::DOUBLE) AS emb
+        FROM embeddings WHERE vec_id % 31 = 7),
+      newx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM newv),
+      ${sqlKmAsg("c2", "newasg", "newx")},
+      kept AS (SELECT vec_id, cid FROM homea WHERE vec_id % 97 <> 5
+        UNION ALL SELECT vec_id, cid FROM newasg),
+      exu AS (SELECT vec_id, emb, xx FROM ex
+        UNION ALL SELECT vec_id, emb, xx FROM newx),
+      qx AS (SELECT vec_id, emb, xx FROM ex WHERE vec_id < 3),
+      probes AS (SELECT * FROM (
+          SELECT q.vec_id AS query_id, c.cid,
+            (q.xx - 2.0*${sqlDot("q.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM qx q, c2 c)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      kisc AS (SELECT p.query_id AS vec_id, h.vec_id AS neighbor_id,
+          ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx)) AS score
+        FROM probes p JOIN kept h USING (cid)
+        JOIN qx q ON q.vec_id = p.query_id
+        JOIN exu x ON x.vec_id = h.vec_id
         WHERE p.query_id <> h.vec_id)
       SELECT vec_id, rank, neighbor_id, score FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id

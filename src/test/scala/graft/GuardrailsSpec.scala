@@ -474,6 +474,52 @@ class GuardrailsSpec extends AnyFunSuite {
       hof2.exceptAll(nat2).count() == 0)
   }
 
+  test("knnApplyCdf equals a from-scratch rebuild under the frozen centroids") {
+    val e = embs
+    val (cents, home) = Similarity.knnIndex(e, numCentroids = 8)
+    // disjoint CDF legs: deletes, an update (pre+post with a negated
+    // embedding, same id), inserts under fresh ids
+    val upd = e.filter(col("vec_id") % 5 === 2 && col("vec_id") % 7 =!= 1)
+    val updNew = upd.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val ins = e.filter(col("vec_id") % 11 === 3)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val cdf = e.filter(col("vec_id") % 7 === 1)
+      .select(col("vec_id"), col("embedding"),
+        lit("delete").as("_change_type"))
+      .unionByName(upd.select(col("vec_id"), col("embedding"),
+        lit("update_preimage").as("_change_type")))
+      .unionByName(updNew.select(col("vec_id"), col("embedding"),
+        lit("update_postimage").as("_change_type")))
+      .unionByName(ins.select(col("vec_id"), col("embedding"),
+        lit("insert").as("_change_type")))
+    val maintained = Similarity.knnApplyCdf(cents, home, cdf)
+    // the modified membership, assigned from scratch under the SAME
+    // frozen centroids (no retraining — the operator's contract)
+    val modified = e
+      .filter(col("vec_id") % 7 =!= 1 &&
+        !(col("vec_id") % 5 === 2 && col("vec_id") % 7 =!= 1))
+      .select("vec_id", "embedding")
+      .unionByName(updNew).unionByName(ins)
+    val (_, scratch) = Similarity.knnIndex(modified, numCentroids = 8,
+      centsIn = Some(cents))
+    val cols = Seq("neighbor_id", "cid", "n_emb", "n_nrm")
+    assert(maintained.select(cols.map(col): _*)
+      .exceptAll(scratch.select(cols.map(col): _*)).count() == 0)
+    assert(scratch.select(cols.map(col): _*)
+      .exceptAll(maintained.select(cols.map(col): _*)).count() == 0)
+    // an unknown change type fails loudly instead of corrupting
+    import spark.implicits._
+    val bad = Seq((1L, "merge")).toDF("vec_id", "_change_type")
+      .withColumn("embedding", lit(null)
+        .cast(e.schema("embedding").dataType))
+      .select("vec_id", "embedding", "_change_type")
+    val ex = intercept[Exception] {
+      Similarity.knnApplyCdf(cents, home, bad).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("exactQuantiles on a fractional [0,1) domain: correct AND spread") {
     import spark.implicits._
     // the round-11 floor(v) bucketing put ALL of [0,1) in one bucket,

@@ -124,6 +124,16 @@ object PlanCheck {
         (_.contains("partial_")),
       "scored corpus frame is checkpoint-truncated (one compute)" ->
         (_.contains("Scan ExistingRDD"))))
+    audit("ss20_knn_cdf", Seq(
+      "probe-home candidate join is equi on the list id" ->
+        (p => !p.contains("CartesianProduct")),
+      "per-query top-k partially aggregated (bounded heap)" ->
+        (_.contains("partial_")),
+      // the CDF fold's LeftAnti shape is pinned in GuardrailsSpec on
+      // the raw knnApplyCdf frame; here the maintained frame must be
+      // checkpoint-truncated — folded ONCE, however often it serves
+      "maintained index checkpoint-truncated (one fold)" ->
+        (_.contains("Scan ExistingRDD"))))
     audit("m10_image_neardup", Seq(
       "media payload pruned before decode (id-only read)" ->
         (p => !p.contains("text")),
