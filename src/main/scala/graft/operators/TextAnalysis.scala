@@ -292,20 +292,130 @@ object TextAnalysis {
     * keep/drop by margin sign. */
   def classifierScore(docs: DataFrame, weights: DataFrame,
       dim: Int = 32, bias: Long = 0L): DataFrame = {
+    // a bucket −1 row (the [[classifierTrain]] bias lane) folds into
+    // the margin alongside the literal `bias` param — absent, it
+    // contributes 0, so synthetic weight tables score as before
     val packed = weights
-      .select(struct(col("bucket").cast("int").as("bucket"),
-        col("weight").cast("long").as("weight")).as("s"))
-      .agg(transform(array_sort(collect_list(col("s"))),
-        x => x.getField("weight")).as("w"))
+      .select(col("bucket").cast("int").as("bucket"),
+        col("weight").cast("long").as("weight"))
+      .agg(transform(array_sort(collect_list(
+          when(col("bucket") >= 0,
+            struct(col("bucket"), col("weight"))))),
+          x => x.getField("weight")).as("w"),
+        coalesce(sum(when(col("bucket") === -1, col("weight"))), lit(0L))
+          .as("wb"))
     docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
         graft.functions.hashFunctions.hashed_bow(col("text"), dim).as("bow"))
       .crossJoin(broadcast(packed))
       .select(col("doc_id"), col("n_tokens"),
         (aggregate(zip_with(col("bow"), col("w"),
-          (c, wt) => c.cast("long") * wt), lit(0L), _ + _) + lit(bias))
+          (c, wt) => c.cast("long") * wt), lit(0L), _ + _)
+          + col("wb") + lit(bias))
           .as("margin"))
       .withColumn("label",
         when(col("margin") >= 0, "keep").otherwise("drop"))
+  }
+
+  /** Distributed linear classifier TRAINING over the [[hashedBow]]
+    * features (t30) — full-batch perceptron in EXACT integers, the
+    * trainer that makes [[classifierScore]]'s weight table a TRAINED
+    * artifact instead of a synthetic stand-in.
+    *
+    * Why perceptron and not logistic: the logistic gradient needs
+    * `exp`, which is not cross-engine bit-exact (the t09/t22 ban on
+    * transcendental intermediates); the batch perceptron update
+    * `w += Σ_misclassified y·x`, `b += Σ y` is pure integer
+    * arithmetic over integer count features, so the whole
+    * TRAJECTORY — every round's weight vector — replays bit-for-bit
+    * in the DuckDB oracle as an unrolled CTE chain (the ve3/t18
+    * fixed-point discipline), and full-batch (not per-row SGD) makes
+    * it partition-order-free.
+    *
+    * Why POCKET: the η=1 full-batch update famously oscillates (a
+    * period-2 cycle between over- and under-shooting the separator —
+    * measured on the fixture: mis 150↔350 forever), so the trainer
+    * keeps the weight vector with the FEWEST misclassifications seen
+    * across all rounds (ties → earliest round) — Gallant's pocket
+    * algorithm, a pure integer argmin the oracle replays exactly. On
+    * separable data some round hits the separator and the pocket
+    * keeps it (pinned in GuardrailsSpec: 0 errors on a planted-token
+    * fixture by round 5).
+    *
+    * Scale shape per round: the featurized corpus (ONE tokenize+hash
+    * scan, checkpoint-shared across all rounds) is scored per-row
+    * against the round's weight vector folded in as a codegen
+    * LITERAL (zero corpus shuffle — the ve3 packed-constant shape);
+    * the misclassified gradient partial-aggregates map-side into
+    * ≤ dim+1 rows (bucket keys plus a constant-1 bias bucket whose
+    * row count doubles as the pocket's misclassification census), so
+    * each round is exactly ONE job whose exchange carries dim+1 rows
+    * per partition. Weights are 8·dim bytes of driver state (the BPE
+    * merge-rules discipline) — rounds+1 corpus passes total, the
+    * q58/ve3 fixed-point-iteration budget.
+    *
+    * `docs` must carry `doc_id`, `text` and an integer label `y`
+    * ∈ {+1, −1}. Output: the trained `(bucket, weight)` table —
+    * `dim` rows plus the bias as bucket −1 — ready for
+    * [[classifierScore]]. */
+  def classifierTrain(docs: DataFrame, dim: Int = 32,
+      rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = docs.select(col("doc_id"), col("y").cast("long").as("y"),
+        graft.functions.hashFunctions.hashed_bow(col("text"), dim)
+          .as("bow"))
+      .localCheckpoint(eager = false) // ONE featurize, every round reads it
+    // one corpus pass per round, ONE job: margins under the literal
+    // weight vector (codegen folds it into the scan), the
+    // misclassified filter, then a single map-side-combinable
+    // aggregation over dim+1 keys — buckets 0..dim−1 carry the
+    // weight gradient Σ y·c, the appended constant-1 "bias bucket"
+    // carries both the bias gradient Σ y and (via its row count) the
+    // pocket's misclassification count. The ≤ dim+1 result rows come
+    // back to the driver; the weights themselves are 8·dim bytes of
+    // driver state, like the BPE merge rules.
+    def roundPass(w: Array[Long], b: Long): (Long, Array[Long], Long) = {
+      val wLit = array(w.map(lit(_)): _*)
+      val rows = feats
+        .withColumn("margin",
+          aggregate(zip_with(col("bow"), wLit,
+            (c, wt) => c.cast("long") * wt), lit(0L), _ + _) + lit(b))
+        .filter(col("y") * col("margin") <= 0)
+        .select(col("y"),
+          posexplode(concat(col("bow"), array(lit(1L))))
+            .as(Seq("bucket", "c")))
+        .groupBy("bucket")
+        .agg(sum(col("y") * col("c")).as("g"), count(lit(1)).as("n"))
+        .collect()
+      val g = Array.fill(dim)(0L)
+      var gb = 0L
+      var nMis = 0L
+      rows.foreach { r =>
+        val bkt = r.getInt(0)
+        if (bkt == dim) { gb = r.getLong(1); nMis = r.getLong(2) }
+        else g(bkt) = r.getLong(1)
+      }
+      (nMis, g, gb)
+    }
+    var w = Array.fill(dim)(0L)
+    var b = 0L
+    var pocketW = w
+    var pocketB = b
+    var pocketMis = Long.MaxValue
+    for (_ <- 1 to rounds) {
+      val (nMis, g, gb) = roundPass(w, b)
+      // the pocket argmin: strictly-fewer wins, ties keep the EARLIER
+      // round — a deterministic integer criterion the oracle replays
+      if (nMis < pocketMis) { pocketMis = nMis; pocketW = w; pocketB = b }
+      w = w.zip(g).map { case (a, x) => a + x }
+      b = b + gb
+    }
+    // the post-update weights are the last pocket candidate
+    if (roundPass(w, b)._1 < pocketMis) { pocketW = w; pocketB = b }
+    import spark.implicits._
+    (pocketW.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) } :+
+      ((-1, pocketB)))
+      .toDF("bucket", "weight")
+      .select(col("bucket").cast("int").as("bucket"), col("weight"))
   }
 
   /** PII regexes — the common Java-regex/RE2 subset (both engines

@@ -236,6 +236,24 @@ object PipelineQueries {
       TextAnalysis.classifierScore(documents(s, d), weights,
         dim = 32, bias = -3L).orderBy("doc_id")
     },
+    // TRAINED classifier end-to-end: 8 full-batch POCKET-perceptron
+    // rounds over the t12 hashed BoW at dim 64 (labels = stopword
+    // count >= 4 — the quality-floor signal; lang is independent of
+    // text in this fixture, so it is unlearnable by construction),
+    // then the t15 scorer serves the pocket-best table — the oracle
+    // replays every round AND the pocket argmin as unrolled CTEs
+    "t30_classifier_train" -> { (s, d) =>
+      val all = documents(s, d)
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val model = TextAnalysis.classifierTrain(
+        all.withColumn("y",
+          when(size(filter(TextAnalysis.tokens(col("text")),
+            t => t.isin(stop: _*))) >= 4, 1L).otherwise(-1L)),
+        dim = 64, rounds = 8)
+        .localCheckpoint(eager = false) // trained once, scores the corpus
+      TextAnalysis.classifierScore(all, model, dim = 64)
+        .orderBy("doc_id")
+    },
     // overlapping chunk manifest (64-token chunks, 16 overlap) — the
     // pre-embedding/RAG split, with per-chunk fingerprints
     // intra-doc repeated-trigram runs — the localizer for t08's
@@ -1608,6 +1626,67 @@ object PipelineQueries {
     * original ∪ expansion term set. Emits
     * `(query_id, rank, doc_id, score_ppm, n_terms_hit)`, no trailing
     * ORDER BY. */
+  /** Oracle twin of [[TextAnalysis.classifierTrain]]'s POCKET
+    * perceptron trajectory over the t12 feature chain: `f` carries
+    * doc_id, y (the stopword-count >= 4 label), n_tokens, bow; one
+    * CTE trio per round — margins `m_r` under the previous weights,
+    * the misclassified bucket gradient `g_r` (full-domain list), the
+    * bias gradient `gb_r` — plus per-candidate misclassification
+    * counts `cnt_r` and the pocket argmin (`mis` asc, round asc)
+    * ending in `best(w, b)`. Pure integers; every round's weight
+    * vector and the pocket pick are bit-identical to Spark's. */
+  private def sqlPerceptronCtes(dim: Int, rounds: Int): String = {
+    val label = "CASE WHEN len(list_filter(" + sqlToks("text") +
+      ", t0 -> list_contains(['the','a','of','and','to','in','is'], t0)" +
+      ")) >= 4 THEN 1 ELSE -1 END"
+    val base = s"""
+      t AS (SELECT doc_id, ${sqlToks("text")} AS toks, $label AS y
+        FROM documents),
+      f AS MATERIALIZED (SELECT doc_id, y, len(toks)::BIGINT AS n_tokens,
+        list_transform(range(0, $dim), b0 ->
+          len(list_filter(list_transform(toks, t0 -> ${sqlFp("t0")} % $dim),
+            f0 -> f0 = b0))::BIGINT) AS bow FROM t),
+      w0 AS MATERIALIZED (SELECT list_transform(range(0, $dim), x -> 0::BIGINT) AS w,
+        0::BIGINT AS b)"""
+    val rds = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""
+      m$r AS MATERIALIZED (SELECT f.doc_id, f.y, f.bow,
+          (list_sum(list_transform(range(0, $dim), i0 ->
+            f.bow[i0+1] * w$p.w[i0+1])) + w$p.b)::BIGINT AS margin
+        FROM f, w$p),
+      g$r AS (SELECT list(g ORDER BY bucket) AS gl FROM (
+          SELECT t2.i0 AS bucket,
+            coalesce(sum(CASE WHEN m.y * m.margin <= 0
+              THEN m.y * m.bow[t2.i0+1] END), 0)::BIGINT AS g
+          FROM range(0, $dim) t2(i0) LEFT JOIN m$r m ON true
+          GROUP BY 1)),
+      gb$r AS (SELECT coalesce(sum(y), 0)::BIGINT AS gb FROM m$r
+        WHERE y * margin <= 0),
+      w$r AS MATERIALIZED (SELECT list_transform(range(0, $dim), i0 ->
+          w$p.w[i0+1] + g$r.gl[i0+1]) AS w, w$p.b + gb$r.gb AS b
+        FROM w$p, g$r, gb$r)"""
+    }.mkString(",")
+    // one extra margin pass under the final weights, then the pocket
+    val fin = rounds + 1
+    val p = rounds
+    val tail = s"""
+      m$fin AS MATERIALIZED (SELECT f.doc_id, f.y, f.bow,
+          (list_sum(list_transform(range(0, $dim), i0 ->
+            f.bow[i0+1] * w$p.w[i0+1])) + w$p.b)::BIGINT AS margin
+        FROM f, w$p),
+      ${(1 to fin).map(r =>
+        s"""cnt$r AS (SELECT count(*)::BIGINT AS c FROM m$r
+        WHERE y * margin <= 0)""").mkString(",\n      ")},
+      cand AS (${(0 to rounds).map(r =>
+        s"""SELECT $r AS rnd, cnt${r + 1}.c AS mis, w$r.w AS w, w$r.b AS b
+          FROM w$r, cnt${r + 1}""").mkString("\n        UNION ALL ")}),
+      best AS (SELECT w, b FROM (
+          SELECT *, row_number() OVER (ORDER BY mis, rnd) AS prn
+          FROM cand) WHERE prn = 1)"""
+    base + "," + rds + "," + tail
+  }
+
   /** The t29 scoreboard's 3-token query stubs (twin of the Spark
     * `concat_ws(" ", slice(tokens(text), 1, 3))` — both engines
     * re-tokenize the stub, and a single-space join of tokens
@@ -2301,6 +2380,17 @@ object PipelineQueries {
       SELECT doc_id, n_tokens, margin,
         CASE WHEN margin >= 0 THEN 'keep' ELSE 'drop' END AS label
       FROM m ORDER BY doc_id""",
+    // five unrolled perceptron rounds, then the t15 scorer under the
+    // final weights — the whole trained trajectory is the oracle
+    "t30_classifier_train" -> s"""
+      WITH ${sqlPerceptronCtes(64, 8)},
+      sc AS (SELECT f.doc_id, f.n_tokens,
+          (list_sum(list_transform(range(0, 64), i0 ->
+            f.bow[i0+1] * best.w[i0+1])) + best.b)::BIGINT AS margin
+        FROM f, best)
+      SELECT doc_id, n_tokens, margin,
+        CASE WHEN margin >= 0 THEN 'keep' ELSE 'drop' END AS label
+      FROM sc ORDER BY doc_id""",
     // within-doc gram multiplicity via a window, then the same
     // gaps-and-islands merge as dd16
     // seed:id polynomial hash -> shard; per-shard rank = position

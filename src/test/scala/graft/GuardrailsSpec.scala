@@ -520,6 +520,48 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("pocket perceptron learns: 0 errors on a separable planted-token fixture") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => TA}
+    // positives carry the token 'signal' 3-5x; negatives never do —
+    // linearly separable in bucket space, so some round hits the
+    // separator and the pocket keeps it (measured: round 5)
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast",
+      "table", "value", "part", "hash")
+    val docs = (0L until 300L).map { i =>
+      val filler = (0 until (10 + (i % 7)).toInt)
+        .map(j => words(((i * 13 + j * 7) % 10).toInt))
+      val pos = i % 3 == 0
+      val text = (if (pos) Seq.fill((3 + i % 3).toInt)("signal")
+                  else Seq.empty) ++ filler
+      (i, text.mkString(" "), if (pos) 1L else -1L)
+    }.toDF("doc_id", "text", "y")
+    val model = TA.classifierTrain(docs, dim = 32, rounds = 6)
+    val wrong = TA.classifierScore(docs, model, dim = 32)
+      .join(docs.select("doc_id", "y"), "doc_id")
+      .filter((col("margin") >= 0) =!= (col("y") === 1)).count()
+    assert(wrong == 0, s"pocket should separate the planted fixture, got $wrong errors")
+  }
+
+  test("trained classifier beats the random baseline on the corpus label") {
+    import graft.operators.{TextAnalysis => TA}
+    // the t30 fixture label (stopword count >= 4) on sf0.001: the
+    // hash-collided signal caps accuracy well below 1, but the pocket
+    // pick must beat a coin flip by a clear margin
+    val all = docs
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val labeled = all.withColumn("y",
+      when(size(filter(TA.tokens(col("text")), t => t.isin(stop: _*)))
+        >= 5, 1L).otherwise(-1L))
+    val model = TA.classifierTrain(labeled, dim = 64, rounds = 8)
+    val scored = TA.classifierScore(all, model, dim = 64)
+      .join(labeled.select("doc_id", "y"), "doc_id")
+    val n = scored.count().toDouble
+    val ok = scored
+      .filter((col("margin") >= 0) === (col("y") === 1)).count().toDouble
+    assert(ok / n > 0.55, s"accuracy ${ok / n} should beat random")
+  }
+
   test("exactQuantiles on a fractional [0,1) domain: correct AND spread") {
     import spark.implicits._
     // the round-11 floor(v) bucketing put ALL of [0,1) in one bucket,

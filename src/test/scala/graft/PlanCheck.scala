@@ -173,6 +173,13 @@ object PlanCheck {
       // reducer key (the round-13 weak)
       "no Window on the serving tail (bounded-heap top-k)" ->
         (p => !p.contains("Window"))))
+    audit("t30_classifier_train", Seq(
+      // the scoring pass: trained weights fold in as a broadcast-free
+      // constant; margins are one codegen'd per-row fold
+      "no cartesian in the scoring pass" ->
+        (p => !p.contains("CartesianProduct")),
+      "packed weights ride a broadcast onto the corpus scan" ->
+        (_.contains("Broadcast"))))
     audit("t29_retrieval_quality", Seq(
       "per-query metric aggs combine map-side" ->
         (_.contains("partial_")),
