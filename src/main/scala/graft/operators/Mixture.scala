@@ -369,6 +369,43 @@ object Mixture {
     rebalanceSqrt(topics, groupCol = "topic", mil = mil)
   }
 
+  /** DSIR bucket-collision census (ds3) — the ss15 guard-observability
+    * discipline applied to the hashed-gram feature space: ds1/ds2 fix
+    * `buckets` and hash collisions then merge unrelated n-grams into
+    * one importance weight SILENTLY, skewing scores with no visible
+    * cost. This report makes the bucket count a number you can size:
+    * vocabulary size, occupied buckets, the worst bucket's load, how
+    * many distinct grams share a bucket with another gram
+    * (`collided_grams`) and that as a ppm of the vocabulary
+    * (`collision_ppm`) — when collision_ppm is high, raise `buckets`
+    * and retrain the standing model (the ss15→retrain loop).
+    *
+    * Scale shape: ONE tokenize scan → a vocabulary-sized DISTINCT on
+    * the gram fingerprint (map-side combinable — corpus text never
+    * leaves the scan), a bucket-keyed count (≤ `buckets` groups) and
+    * a 1-row rollup. Output: one row `(n_grams, buckets, occupied,
+    * max_load, collided_grams, collision_ppm)`. */
+  def dsirBucketCensus(docs: DataFrame, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import graft.functions.hashFunctions.gram_fps
+    docs
+      .select(explode(concat(gram_fps(col("text"), 1),
+        gram_fps(col("text"), 2))).as("fp"))
+      .distinct()
+      .groupBy((col("fp") % buckets).as("b"))
+      .agg(count(lit(1)).as("load"))
+      .agg(coalesce(sum("load"), lit(0L)).as("n_grams"),
+        count(lit(1)).as("occupied"),
+        coalesce(max("load"), lit(0L)).as("max_load"),
+        coalesce(sum(when(col("load") > 1, col("load"))
+          .otherwise(0L)), lit(0L)).as("collided_grams"))
+      .select(col("n_grams"), lit(buckets.toLong).as("buckets"),
+        col("occupied"), col("max_load"), col("collided_grams"),
+        expr("CASE WHEN n_grams = 0 THEN 0L ELSE " +
+          "collided_grams * 1000000 div n_grams END")
+          .as("collision_ppm"))
+  }
+
   /** Per-(doc, hash-bucket) gram counts — the shared feature step of
     * the DSIR family: unigram+bigram fingerprints folded into
     * `buckets` buckets, multiplicities kept. */

@@ -870,6 +870,13 @@ object PipelineQueries {
     "mx9_topic_mixture" -> { (s, d) =>
       Mixture.topicMixture(documents(s, d)).orderBy("doc_id")
     },
+    // DSIR bucket-collision census at ds1's bucket count: the hash
+    // width's silent gram-merging cost as a NUMBER (occupancy, worst
+    // load, collided-gram ppm) — the ss15 discipline for feature
+    // hashing; high collision_ppm = raise buckets and retrain
+    "ds3_dsir_census" -> { (s, d) =>
+      Mixture.dsirBucketCensus(documents(s, d), buckets = 1024)
+    },
     // standing-model DSIR: the bucket weight table trains WITHOUT the
     // arriving batch (every 10th raw doc), which is then scored at
     // pure probe cost — per-row map lookups over a 1-row broadcast,
@@ -4097,6 +4104,24 @@ object PipelineQueries {
     // the DSIR trajectory: hashed unigram+bigram buckets, add-one
     // smoothed ppb rates, the log-free rational score surrogate, and
     // the ∝-weight hash coin — HUGEINT mirrors the decimal lane
+    // distinct gram fps, bucketed at ds1's width, rolled up to the
+    // one-row collision report
+    "ds3_dsir_census" -> s"""
+      WITH g AS (SELECT DISTINCT fp FROM (SELECT
+          unnest(${sqlGrams(toks, 1)} || ${sqlGrams(toks, 2)}) AS fp
+        FROM documents)),
+      pb AS (SELECT fp % 1024 AS b, count(*)::BIGINT AS load
+        FROM g GROUP BY 1)
+      SELECT coalesce(sum(load), 0)::BIGINT AS n_grams,
+        1024::BIGINT AS buckets,
+        count(*)::BIGINT AS occupied,
+        coalesce(max(load), 0)::BIGINT AS max_load,
+        coalesce(sum(CASE WHEN load > 1 THEN load ELSE 0 END), 0)::BIGINT
+          AS collided_grams,
+        (CASE WHEN coalesce(sum(load), 0) = 0 THEN 0
+          ELSE coalesce(sum(CASE WHEN load > 1 THEN load ELSE 0 END), 0)
+            * 1000000 // sum(load) END)::BIGINT AS collision_ppm
+      FROM pb""",
     "ds1_dsir_select" -> s"""
       WITH rg AS (SELECT doc_id,
           unnest(${sqlGrams(toks, 1)} || ${sqlGrams(toks, 2)}) AS fp

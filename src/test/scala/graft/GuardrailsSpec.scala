@@ -520,6 +520,31 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("dsir bucket census names the collision cost exactly") {
+    import spark.implicits._
+    import graft.operators.Mixture
+    // buckets = 1 forces EVERY gram to collide: the census must say so
+    val forced = Mixture.dsirBucketCensus(docs, buckets = 1).head()
+    val n = forced.getAs[Long]("n_grams")
+    assert(n >= 2)
+    assert(forced.getAs[Long]("occupied") == 1L)
+    assert(forced.getAs[Long]("max_load") == n)
+    assert(forced.getAs[Long]("collided_grams") == n)
+    assert(forced.getAs[Long]("collision_ppm") == 1000000L)
+    // a single-gram corpus cannot collide at any width
+    val one = Mixture.dsirBucketCensus(
+      Seq((0L, "solo")).toDF("doc_id", "text"), buckets = 4).head()
+    assert(one.getAs[Long]("n_grams") == 1L &&
+      one.getAs[Long]("collided_grams") == 0L &&
+      one.getAs[Long]("collision_ppm") == 0L)
+    // corpus census internal consistency at ds1's width
+    val c = Mixture.dsirBucketCensus(docs, buckets = 1024).head()
+    assert(c.getAs[Long]("occupied") <= 1024L)
+    assert(c.getAs[Long]("max_load") * c.getAs[Long]("occupied")
+      >= c.getAs[Long]("n_grams"))
+    assert(c.getAs[Long]("collided_grams") <= c.getAs[Long]("n_grams"))
+  }
+
   test("pocket perceptron learns: 0 errors on a separable planted-token fixture") {
     import spark.implicits._
     import graft.operators.{TextAnalysis => TA}
