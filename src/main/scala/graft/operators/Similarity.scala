@@ -705,22 +705,44 @@ object Similarity {
         struct(col("dist2"), col("cid"))).as("b"))
       .select(col("vec_id").as("neighbor_id"), col("b.cid").as("cid"),
         col("b.embedding").as("n_emb"), col("b.nrm").as("n_nrm"))
+      // materialized ONCE (lazy checkpoint): capHome reads it three
+      // times (census + healthy leg + capped leg) and the serving
+      // join reads it again — without this, the min_by agg recomputes
+      // per reader (AQE exchange reuse does not bridge the legs;
+      // measured 3-4× on ss12/dd20)
+      .localCheckpoint(eager = false)
     (cents, scored, home)
   }
 
   /** The mega-list cap [[knnGraph]] and [[knnGraphAgainst]] share:
     * pay-as-you-go census, deterministic neighbor_id-ordered prefix
-    * only on lists that actually exceed `maxList`. */
+    * only on lists that actually exceed `maxList` — decided INSIDE
+    * the plan, no eager driver job (the round-13 advice): the list
+    * census aggregates to ≤ numCentroids rows and the oversized ids
+    * broadcast onto the home rows; rows of healthy lists pass the
+    * anti-join untouched (the common path pays two broadcast probes
+    * and zero windows), rows of oversized lists — and ONLY those —
+    * route through the neighbor_id-ordered prefix window. Output rows
+    * are identical to the old eager variant; the census frame is the
+    * same aggregation ss15 reports, now fused into the serving plan
+    * instead of a separate synchronizing collect. Deliberately NO
+    * checkpoint anywhere here: under AQE even a LAZY checkpoint's
+    * toRdd materializes its shuffle stages at call time (measured),
+    * while the duplicated home/census subtrees below dedupe through
+    * AQE exchange reuse inside the one serving execution. */
   private def capHome(home: DataFrame, maxList: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxObserved = home.groupBy("cid").count()
-      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
-    if (maxObserved <= maxList) home
-    else home
+    val over = home.groupBy("cid").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxList)
+      .select("cid")
+    val healthy = home.join(broadcast(over), Seq("cid"), "left_anti")
+    val capped = home.join(broadcast(over), Seq("cid"), "left_semi")
       .withColumn("rn", row_number().over(
         Window.partitionBy("cid").orderBy("neighbor_id")))
       .filter(col("rn") <= maxList)
       .drop("rn")
+    healthy.unionByName(capped)
+      .select("neighbor_id", "cid", "n_emb", "n_nrm")
   }
 
   /** Per-list census of [[knnGraph]]'s inverted lists (ss15): the

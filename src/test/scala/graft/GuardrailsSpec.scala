@@ -633,6 +633,28 @@ class GuardrailsSpec extends AnyFunSuite {
       s"expected a window exchange hash-partitioned on l_orderkey:\n$plan")
   }
 
+  test("knnIndex is lazy: the mega-list cap runs no eager census job") {
+    val sc = spark.sparkContext
+    // Lloyd training is eager by design — pre-train so the measured
+    // window isolates the assignment + mega-list cap construction
+    val pre = graft.operators.VectorStats.kmeansCentroids(embs, 8, 2)
+      .localCheckpoint()
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val (cents, home) = Similarity.knnIndex(embs, numCentroids = 8,
+      centsIn = Some(pre))
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    // the scored and home lazy checkpoints still materialize their
+    // stages at call time (AQE runs a plan's stages inside toRdd);
+    // the budget is those TWO useful materializations — the old
+    // eager census head(), which materialized nothing reusable, is
+    // gone from the count
+    assert(after - before <= 2,
+      s"knnIndex launched ${after - before} jobs at call time — " +
+        "the cap census must be in-plan")
+    // and the capped frame still serves correctly
+    assert(cents.count() == 8 && home.limit(1).collect().nonEmpty)
+  }
+
   test("topTfidfTerm is lazy: building the frame runs no Spark job") {
     val sc = spark.sparkContext
     docs.count() // materialize the lazy vals / listing before measuring
