@@ -1544,10 +1544,13 @@ object Similarity {
     * ≤ queries×centroids broadcast frame; per-query ranking sees only
     * probed-list candidates. Output:
     * `(query_id, rank, neighbor_id, dist2)`, ascending distance. */
-  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      centsOpt: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The trained coarse quantizer + SQ8 stats + code/home frame the
+    * IVF-SQ8 family shares — `(cents, packed, codesWithCid)`;
+    * everything downstream of these three frames is [[ivfSq8Serve]].
+    */
+  private def ivfSq8Index(corpus: DataFrame, numCentroids: Int,
+      iters: Int, centsOpt: Option[DataFrame])
+    : (DataFrame, DataFrame, DataFrame) = {
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     // shareable trained coarse quantizer — see ivfPqTopK
@@ -1559,7 +1562,60 @@ object Similarity {
       .assignToCentroids(corpus, cents.select("cid", "cemb"))
       .select(col("vec_id").as("neighbor_id"), col("cluster_id").as("cid"))
     val packed = sq8Stats(corpus)
-    val c = sq8Codes(corpus, packed).join(asgn, "neighbor_id")
+    (cents, packed, sq8Codes(corpus, packed).join(asgn, "neighbor_id"))
+  }
+
+  /** Materialize the IVF-SQ8 STANDING index (ss21) — the layout
+    * writer behind [[ivfSq8TopK]]'s "materialize-once" claim: the
+    * code/home frame lands cid-PARTITIONED (each inverted list is a
+    * directory, so a probe reading `nprobe` lists prunes the rest at
+    * the FILE level — the q67 discipline for the quantized family),
+    * and the two tiny serving artifacts (the d-entry SQ8 stats row,
+    * the trained centroids with their self-dots) land beside it —
+    * serving then never touches the raw corpus at all. */
+  def sq8IndexWrite(corpus: DataFrame, outPath: String,
+      numCentroids: Int = 8, iters: Int = 2,
+      centsOpt: Option[DataFrame] = None): Unit = {
+    val (cents, packed, c) =
+      ivfSq8Index(corpus, numCentroids, iters, centsOpt)
+    c.repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(outPath)
+    packed.write.mode("overwrite").parquet(outPath + "_stats")
+    cents.write.mode("overwrite").parquet(outPath + "_cents")
+  }
+
+  /** Serve IVF-SQ8 top-k THROUGH a written [[sq8IndexWrite]] layout:
+    * reads the three artifacts back and runs the shared serving tail
+    * — results are bit-identical to [[ivfSq8TopK]] off the source
+    * (training is deterministic and doubles round-trip parquet
+    * exactly; pinned in GuardrailsSpec), but the corpus-sized input
+    * is now the pruned code directories: the probe joins on the
+    * PARTITION column, so only the probed lists' files are read. */
+  def ivfSq8TopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame =
+    ivfSq8Serve(spark.read.parquet(layoutPath),
+      spark.read.parquet(layoutPath + "_cents"),
+      spark.read.parquet(layoutPath + "_stats"),
+      queries, k, nprobe)
+
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      centsOpt: Option[DataFrame] = None): DataFrame = {
+    val (cents, packed, c) =
+      ivfSq8Index(corpus, numCentroids, iters, centsOpt)
+    ivfSq8Serve(c, cents, packed, queries, k, nprobe)
+  }
+
+  /** The shared IVF-SQ8 serving tail over a standing
+    * `(neighbor_id, codes, cid)` frame — in-memory or read back from
+    * the [[sq8IndexWrite]] layout. */
+  private def ivfSq8Serve(c: DataFrame, cents: DataFrame,
+      packed: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val qw = Window.partitionBy("query_id").orderBy(col("dist2"), col("cid"))
     val q = queries.select(col("vec_id").as("query_id"),
         transform(col("embedding"), _.cast("double")).as("q_demb"))

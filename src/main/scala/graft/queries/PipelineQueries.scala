@@ -1043,6 +1043,22 @@ object PipelineQueries {
         numCentroids = 8, iters = 2, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    // the WRITER behind ss17/ss18's materialize-once claim: persist
+    // the SQ8 code frame cid-PARTITIONED (one directory per inverted
+    // list) plus the tiny stats/centroid artifacts, then serve the
+    // SAME ivf-sq8 top-k THROUGH the layout — the probe joins on the
+    // partition column so only the probed lists' files are read
+    // (PlanCheck pins the pruning), and the result must equal
+    // serving straight off the source (same oracle as ss18)
+    "ss21_sq8_layout" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sq8_layout_${s.sparkContext.applicationId}").getPath
+      Similarity.sq8IndexWrite(e, out, numCentroids = 8, iters = 2)
+      Similarity.ivfSq8TopKFromLayout(s, out,
+        e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
     // IVF under a TRAINED quantizer: the ve3 k-means centroids serve
     // as the coarse index; probe metric = training metric (L2)
     "ss6_ivf_trained" -> { (s, d) =>
@@ -4270,6 +4286,10 @@ object PipelineQueries {
       ORDER BY query_id, rank""",
     // trained coarse routing + dequantized-L2 candidate ranking
     "ss18_ivfsq8_topk" -> s"""SELECT * FROM (${sqlIvfSq8TopK(5, 8, 2, 3)})
+      ORDER BY query_id, rank""",
+    // the layout round-trip must serve EXACTLY what direct ivf-sq8
+    // serving computes — one oracle states both semantics
+    "ss21_sq8_layout" -> s"""SELECT * FROM (${sqlIvfSq8TopK(5, 8, 2, 3)})
       ORDER BY query_id, rank""",
     // hard rows replay the trained graph chain; random rows replay
     // the hash-ordered pool draw with the self-collision step

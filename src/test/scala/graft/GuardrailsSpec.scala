@@ -520,6 +520,18 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("sq8 layout round-trip serves bit-identically to direct ivf-sq8") {
+    val direct = Similarity.ivfSq8TopK(embs, embs.filter(col("vec_id") < 3),
+      k = 5, numCentroids = 8, iters = 2, nprobe = 2)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq8_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.sq8IndexWrite(embs, out, numCentroids = 8, iters = 2)
+    val served = Similarity.ivfSq8TopKFromLayout(spark, out,
+      embs.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+    assert(direct.exceptAll(served).count() == 0 &&
+      served.exceptAll(direct).count() == 0)
+  }
+
   test("dsir bucket census names the collision cost exactly") {
     import spark.implicits._
     import graft.operators.Mixture

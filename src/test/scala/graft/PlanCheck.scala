@@ -61,6 +61,13 @@ object PlanCheck {
         (p => "HashAggregate".r.findAllIn(p).size >= 6),
       "no cartesian in the group-key joins" ->
         (p => !p.contains("CartesianProduct"))))
+    auditExecuted("ss21_sq8_layout", Seq(
+      // the probe joins the cid-partitioned code layout on its
+      // PARTITION column: dynamic partition pruning must inject a
+      // runtime filter so only the probed lists' directories are read
+      "probe prunes the code layout's partitions (DPP)" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     auditExecuted("q09_distinct_agg", Seq(
       // every distinct branch reads only its own 2-3 columns — the
       // pruning that makes the multi-scan shape cheap at scale
