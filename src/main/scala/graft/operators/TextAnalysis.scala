@@ -418,6 +418,62 @@ object TextAnalysis {
       .select(col("bucket").cast("int").as("bucket"), col("weight"))
   }
 
+  /** Classifier calibration sweep (t31) — choosing [[classifierScore]]'s
+    * keep/drop threshold is a MEASURED decision, not a default: sweep
+    * `gridN+1` evenly spaced integer thresholds across the corpus's
+    * observed margin range and report the confusion counts plus
+    * precision / recall / F1 (exact ppm surrogates, zero-guarded) at
+    * each — the report a data-quality pipeline reads before wiring a
+    * trained filter in front of 100 TB (pick the threshold whose
+    * precision clears the bar, read off the recall you paid).
+    *
+    * Scale shape: margins come from the [[classifierScore]] pass
+    * (one corpus scan, weights broadcast); the scored frame is
+    * checkpoint-shared between the 1-row min/max bounds aggregate
+    * and the sweep; the sweep explodes each row into `gridN+1`
+    * (threshold, outcome) pairs that partial-aggregate map-side into
+    * gridN+1 keys — no sort, no global window, no driver loop (a
+    * distinct-margin ROC would order the whole corpus through one
+    * reducer; the fixed grid is the scale-safe report).
+    *
+    * `docs` must carry the ±1 label `y` (the [[classifierTrain]]
+    * contract). Output: `(i, thr, tp, fp, fn, tn, precision_ppm,
+    * recall_ppm, f1_ppm)`, one row per grid point, `i` ascending. */
+  def classifierCalibration(docs: DataFrame, weights: DataFrame,
+      dim: Int = 32, gridN: Int = 20): DataFrame = {
+    val scored = classifierScore(docs, weights, dim)
+      .join(docs.select(col("doc_id"), col("y").cast("long").as("y")),
+        "doc_id")
+      .select("y", "margin")
+      .localCheckpoint(eager = false) // bounds agg + sweep share it
+    val bounds = scored.agg(min("margin").as("mn"), max("margin").as("mx"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("y"), col("margin"), col("mn"), col("mx"),
+        explode(sequence(lit(0L), lit(gridN.toLong))).as("i"))
+      .withColumn("thr",
+        expr(s"mn + i * (mx - mn) div $gridN"))
+      .groupBy("i", "thr")
+      .agg(
+        sum(when(col("y") === 1 && col("margin") >= col("thr"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("y") =!= 1 && col("margin") >= col("thr"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("margin") < col("thr"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("y") =!= 1 && col("margin") < col("thr"), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("i"), col("thr"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L " +
+          "ELSE tp * 1000000 div (tp + fp) END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L " +
+          "ELSE tp * 1000000 div (tp + fn) END").as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN precision_ppm + recall_ppm = 0 THEN 0L " +
+          "ELSE 2 * precision_ppm * recall_ppm div " +
+          "(precision_ppm + recall_ppm) END"))
+  }
+
   /** PII regexes — the common Java-regex/RE2 subset (both engines
     * compile these identically): RFC-loose emails, dotted-quad IPv4,
     * and NANP-style 3-4 digit phone fragments. Kept deliberately

@@ -236,6 +236,23 @@ object PipelineQueries {
       TextAnalysis.classifierScore(documents(s, d), weights,
         dim = 32, bias = -3L).orderBy("doc_id")
     },
+    // the trained filter's OPERATING POINT as a measured table: 21
+    // evenly spaced thresholds across the margin range, confusion
+    // counts + precision/recall/F1 ppm at each (map-side sweep, no
+    // global sort) — read the recall you pay for a precision bar
+    "t31_classifier_calibration" -> { (s, d) =>
+      val all = documents(s, d)
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val labeled = all.withColumn("y",
+        when(size(filter(TextAnalysis.tokens(col("text")),
+          t => t.isin(stop: _*))) >= 4, 1L).otherwise(-1L))
+      val model = TextAnalysis.classifierTrain(labeled,
+        dim = 64, rounds = 8)
+        .localCheckpoint(eager = false)
+      TextAnalysis.classifierCalibration(labeled, model,
+        dim = 64, gridN = 20)
+        .orderBy("i")
+    },
     // TRAINED classifier end-to-end: 8 full-batch POCKET-perceptron
     // rounds over the t12 hashed BoW at dim 64 (labels = stopword
     // count >= 4 — the quality-floor signal; lang is independent of
@@ -2403,6 +2420,41 @@ object PipelineQueries {
       SELECT doc_id, n_tokens, margin,
         CASE WHEN margin >= 0 THEN 'keep' ELSE 'drop' END AS label
       FROM m ORDER BY doc_id""",
+    // the same trained trajectory, margins under the pocket weights,
+    // then the fixed 21-point threshold grid and zero-guarded
+    // integer precision/recall/F1
+    "t31_classifier_calibration" -> s"""
+      WITH ${sqlPerceptronCtes(64, 8)},
+      sc AS (SELECT f.y,
+          (list_sum(list_transform(range(0, 64), i0 ->
+            f.bow[i0+1] * best.w[i0+1])) + best.b)::BIGINT AS margin
+        FROM f, best),
+      bd AS (SELECT min(margin)::BIGINT AS mn, max(margin)::BIGINT AS mx
+        FROM sc),
+      sw AS (SELECT s.y, s.margin, t.i0::BIGINT AS i,
+          (bd.mn + t.i0 * (bd.mx - bd.mn) // 20)::BIGINT AS thr
+        FROM sc s, bd, range(0, 21) t(i0)),
+      cf AS (SELECT i, thr,
+          sum(CASE WHEN y = 1 AND margin >= thr THEN 1 ELSE 0 END)::BIGINT
+            AS tp,
+          sum(CASE WHEN y <> 1 AND margin >= thr THEN 1 ELSE 0 END)::BIGINT
+            AS fp,
+          sum(CASE WHEN y = 1 AND margin < thr THEN 1 ELSE 0 END)::BIGINT
+            AS fn,
+          sum(CASE WHEN y <> 1 AND margin < thr THEN 1 ELSE 0 END)::BIGINT
+            AS tn
+        FROM sw GROUP BY 1, 2),
+      pr AS (SELECT i, thr, tp, fp, fn, tn,
+          (CASE WHEN tp + fp = 0 THEN 0
+            ELSE tp * 1000000 // (tp + fp) END)::BIGINT AS precision_ppm,
+          (CASE WHEN tp + fn = 0 THEN 0
+            ELSE tp * 1000000 // (tp + fn) END)::BIGINT AS recall_ppm
+        FROM cf)
+      SELECT i, thr, tp, fp, fn, tn, precision_ppm, recall_ppm,
+        (CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+          ELSE 2 * precision_ppm * recall_ppm //
+            (precision_ppm + recall_ppm) END)::BIGINT AS f1_ppm
+      FROM pr ORDER BY i""",
     // five unrolled perceptron rounds, then the t15 scorer under the
     // final weights — the whole trained trajectory is the oracle
     "t30_classifier_train" -> s"""

@@ -2684,6 +2684,40 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(rep("b") == ((2L, 0L, 0L, 0L)))
   }
 
+  test("classifierCalibration: grid endpoints and confusion totals are exact") {
+    import spark.implicits._
+    // margins are fully controlled: dim=2, weight 1 on the bucket of
+    // token 'k' only — margin = count('k') in the doc
+    val fp = TextAnalysis.fingerprint(lit("k"))
+    val bucket = docs.sparkSession.range(1)
+      .select((fp % 2).cast("int").as("b")).head().getInt(0)
+    val weights = Seq((bucket, 1L), (1 - bucket, 0L))
+      .toDF("bucket", "weight")
+    val labeled = Seq(
+      (0L, "k k k", 1L), (1L, "k z", 1L), (2L, "z z", -1L),
+      (3L, "k k z", -1L)).toDF("doc_id", "text", "y")
+    val rep = TextAnalysis
+      .classifierCalibration(labeled, weights, dim = 2, gridN = 2)
+      .orderBy("i").collect()
+    // margins: 3, 1, 0, 2 — grid thr ∈ {0, 1, 3} (mn=0, mx=3, step 3 div 2)
+    assert(rep.map(_.getAs[Long]("thr")).toSeq == Seq(0L, 1L, 3L))
+    // thr=0: all keep → tp=2 fp=2 fn=0 tn=0
+    assert((rep(0).getAs[Long]("tp"), rep(0).getAs[Long]("fp"),
+      rep(0).getAs[Long]("fn"), rep(0).getAs[Long]("tn")) == ((2L, 2L, 0L, 0L)))
+    // thr=1: margins {3,1,2} keep → tp=2 fp=1 fn=0 tn=1
+    assert((rep(1).getAs[Long]("tp"), rep(1).getAs[Long]("fp"),
+      rep(1).getAs[Long]("fn"), rep(1).getAs[Long]("tn")) == ((2L, 1L, 0L, 1L)))
+    assert(rep(1).getAs[Long]("precision_ppm") == 666666L &&
+      rep(1).getAs[Long]("recall_ppm") == 1000000L &&
+      rep(1).getAs[Long]("f1_ppm") == 799999L)
+    // thr=3: only margin 3 keeps → tp=1 fp=0 → precision 1e6
+    assert((rep(2).getAs[Long]("tp"), rep(2).getAs[Long]("fp")) == ((1L, 0L)))
+    assert(rep(2).getAs[Long]("precision_ppm") == 1000000L)
+    // every row partitions the corpus
+    assert(rep.forall(r => r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn") == 4L))
+  }
+
   test("audio near-dup pairs equal brute-force fingerprint hamming") {
     val fp = Multimodal.audioFingerprint(spark, docs).collect()
       .map(r => (r.getLong(0), (r.getLong(1) << 32) | r.getLong(2)))

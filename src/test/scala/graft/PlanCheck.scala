@@ -187,6 +187,15 @@ object PlanCheck {
         (p => !p.contains("CartesianProduct")),
       "packed weights ride a broadcast onto the corpus scan" ->
         (_.contains("Broadcast"))))
+    audit("t31_classifier_calibration", Seq(
+      "threshold sweep partial-aggregates map-side (no global sort)" ->
+        (_.contains("partial_")),
+      "no Sort over the corpus (fixed grid, not a distinct-margin ROC)" ->
+        (p => !p.contains("SortExec")),
+      "scored frame checkpoint-shared (bounds + sweep)" ->
+        (_.contains("Scan ExistingRDD")),
+      "no cartesian (bounds ride a 1-row broadcast)" ->
+        (p => !p.contains("CartesianProduct"))))
     audit("t29_retrieval_quality", Seq(
       "per-query metric aggs combine map-side" ->
         (_.contains("partial_")),
