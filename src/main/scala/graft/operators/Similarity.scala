@@ -856,8 +856,13 @@ object Similarity {
     * The (dist², cid) order matches [[knnScoredHome]]'s `min_by`
     * argmin bit-for-bit (same fixed-order double fold), so rows
     * appended here equal what a from-scratch assignment under the
-    * same centroids would produce. */
-  private def homeRowsAgainst(newVecs: DataFrame,
+    * same centroids would produce. PUBLIC because it is the standing
+    * index's STREAMING ingest surface: pure per-row (no window, no
+    * aggregation, no checkpoint on the arriving side), so the same
+    * operator maps a LIVE vector stream into home-list rows in
+    * append mode (proven in StreamingSpec) — deletions fold in batch
+    * via [[knnApplyCdf]]. */
+  def homeRowsAgainst(newVecs: DataFrame,
       cents: DataFrame): DataFrame = {
     val packed = cents
       .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))

@@ -83,6 +83,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("knn_inc_out").count() > 0)
   }
 
+  test("knn home-list ingest runs unchanged on a vector stream") {
+    // ss20's ARRIVE leg live: new vectors assign to their home list
+    // IN-ROW against the frozen centroid broadcast (no window, no
+    // aggregation on the stream side) — the standing index's
+    // streaming ingest surface; deletions fold in batch (knnApplyCdf)
+    val embsB = Tables.embeddings(spark, sf)
+    val (cents, _) = operators.Similarity.knnIndex(
+      embsB.filter(col("vec_id") % 10 =!= 0), numCentroids = 16)
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+      .filter(col("vec_id") % 10 === 0)
+    runToMemory(operators.Similarity.homeRowsAgainst(
+      newStream.select("vec_id", "embedding"), cents),
+      "knn_home_out", "append")
+    val batch = operators.Similarity.homeRowsAgainst(
+      embsB.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding"), cents)
+    assert(asSet(spark.table("knn_home_out")) == asSet(batch))
+    assert(spark.table("knn_home_out").count() > 0)
+  }
+
   test("standing bm25 index ingests a live document stream") {
     // t25's postings builder is per-row (tf counted inside the doc's
     // own token array — no Aggregate), so the SAME operator maps a
