@@ -1238,7 +1238,8 @@ object Similarity {
       m: Int = 4, ksub: Int = 8, iters: Int = 2,
       pqCoarse: Int = 8, pqNprobe: Int = 2,
       mipsBits: Int = 6, mipsTables: Int = 3,
-      rerankShortlist: Int = 20): DataFrame = {
+      rerankShortlist: Int = 20,
+      knnCents: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ids(df: DataFrame) = df.select("query_id", "neighbor_id")
     // all three exact-metric truths come from ONE corpus scan: cosine,
@@ -1310,7 +1311,10 @@ object Similarity {
       // exactly those), making the graph's probe/cap quality a
       // NUMBER alongside the serving families it feeds
       recallRow("knn_graph", cosTruth,
-        knnGraph(corpus, k, numCentroids, nprobe)
+        // the graph's coarse quantizer is an offline artifact — a
+        // caller holding the trained centroids (ss14's kgCents)
+        // passes them in; results are identical by kmeans determinism
+        knnGraph(corpus, k, numCentroids, nprobe, cents = knnCents)
           .withColumnRenamed("vec_id", "query_id")),
       recallRow("pq", l2Truth, pqShort.filter(col("rank") <= k)),
       recallRow("pq_rerank", l2Truth,

@@ -767,7 +767,8 @@ object PipelineQueries {
       Similarity.annRecallReportAll(e, e.filter(col("vec_id") < 3),
         k = 5, nBits = 4, numCentroids = 16, nprobe = 2,
         m = 4, ksub = 8, iters = 2, pqCoarse = 8, pqNprobe = 2,
-        mipsBits = 6, mipsTables = 3, rerankShortlist = 20)
+        mipsBits = 6, mipsTables = 3, rerankShortlist = 20,
+        knnCents = Some(kgCents(s, d)))
     },
     // JL random projection 64→16 dims (sparse Achlioptas planes) with
     // per-vector norm-preservation QA — the map-side dimension
