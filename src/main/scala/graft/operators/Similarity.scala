@@ -1086,11 +1086,13 @@ object Similarity {
     * [[VectorStats.kmeansCentroids]] — the oracle replays coarse
     * training, residuals, per-subspace books, and the probed ADC
     * ranking bit-for-bit. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      numCentroids: Int = 8, nprobe: Int = 2, m: Int = 4,
-      ksub: Int = 8, iters: Int = 2,
-      cents: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The trained IVF-PQ standing state — `(coarse, books, enc)`:
+    * the coarse quantizer with self-dots, the m per-subspace residual
+    * codebooks, and the encoded corpus `(vec_id, lcid, code_0..m-1)`.
+    * Everything downstream is [[ivfPqServe]]. */
+  private def ivfPqIndex(corpus: DataFrame, numCentroids: Int, m: Int,
+      ksub: Int, iters: Int, cents: Option[DataFrame])
+    : (DataFrame, Seq[DataFrame], DataFrame) = {
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val d = corpus.select(size(col("embedding"))).head.getInt(0)
@@ -1126,6 +1128,66 @@ object Similarity {
     val books = pqCodebooks(resid.select(col("vec_id"), col("embedding")),
       m, ksub, iters)
     val enc = pqEncode(resid, books)
+    (coarse, books, enc)
+  }
+
+  /** Materialize the IVF-PQ STANDING index — the [[sq8IndexWrite]]
+    * layout discipline for the residual-coded family (ss22): the
+    * encoded corpus lands lcid-PARTITIONED (one directory per
+    * inverted list, so a probe reading `nprobe` lists prunes the
+    * rest at the file level), the coarse quantizer and the m
+    * per-subspace codebooks (tagged by `sid`) land beside it —
+    * serving never touches the raw corpus. */
+  def pqIndexWrite(corpus: DataFrame, outPath: String,
+      numCentroids: Int = 8, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, centsOpt: Option[DataFrame] = None): Unit = {
+    val (coarse, books, enc) =
+      ivfPqIndex(corpus, numCentroids, m, ksub, iters, centsOpt)
+    enc.repartition(col("lcid"))
+      .write.partitionBy("lcid").mode("overwrite").parquet(outPath)
+    coarse.write.mode("overwrite").parquet(outPath + "_coarse")
+    books.zipWithIndex
+      .map { case (b, sid) => b.select(lit(sid).as("sid"), col("cid"),
+        col("cemb"), col("cc")) }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(outPath + "_books")
+  }
+
+  /** Serve IVF-PQ top-k THROUGH a written [[pqIndexWrite]] layout —
+    * bit-identical to [[ivfPqTopK]] off the source (deterministic
+    * training, doubles round-trip parquet exactly; pinned in
+    * GuardrailsSpec), with the corpus-sized input now the pruned code
+    * directories. */
+  def ivfPqTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, queries: DataFrame, k: Int,
+      nprobe: Int = 2, m: Int = 4): DataFrame = {
+    val booksAll = spark.read.parquet(layoutPath + "_books")
+    val books = (0 until m).map(sid =>
+      booksAll.filter(col("sid") === sid).select("cid", "cemb", "cc"))
+    ivfPqServe(spark.read.parquet(layoutPath),
+      spark.read.parquet(layoutPath + "_coarse"), books, queries,
+      k, nprobe, m)
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 8, nprobe: Int = 2, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2,
+      cents: Option[DataFrame] = None): DataFrame = {
+    val (coarse, books, enc) =
+      ivfPqIndex(corpus, numCentroids, m, ksub, iters, cents)
+    ivfPqServe(enc, coarse, books, queries, k, nprobe, m)
+  }
+
+  /** The shared IVF-PQ ADC serving tail over a standing
+    * `(vec_id, lcid, code_*)` frame — in-memory or read back from
+    * the [[pqIndexWrite]] layout. */
+  private def ivfPqServe(enc: DataFrame, coarse: DataFrame,
+      books: Seq[DataFrame], queries: DataFrame, k: Int,
+      nprobe: Int, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val len = books.head.select(size(col("cemb"))).head.getInt(0)
     // probe: nprobe nearest coarse lists per query by the training
     // metric (L2), ties to the smaller cid — as ss6
     val qw = Window.partitionBy("query_id").orderBy(col("pdist"), col("cid"))

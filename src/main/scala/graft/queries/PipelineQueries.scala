@@ -1077,6 +1077,20 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    // the same layout discipline for the residual-coded family: the
+    // encoded corpus persists lcid-partitioned with its coarse
+    // quantizer + codebooks beside it, and the ADC probe serves
+    // through the pruned directories — same oracle as ss9
+    "ss22_pq_layout" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_pq_layout_${s.sparkContext.applicationId}").getPath
+      Similarity.pqIndexWrite(e, out, numCentroids = 8, m = 4,
+        ksub = 8, iters = 2)
+      Similarity.ivfPqTopKFromLayout(s, out,
+        e.filter(col("vec_id") < 3), k = 5, nprobe = 2, m = 4)
+        .orderBy("query_id", "rank")
+    },
     // IVF under a TRAINED quantizer: the ve3 k-means centroids serve
     // as the coarse index; probe metric = training metric (L2)
     "ss6_ivf_trained" -> { (s, d) =>
@@ -3508,6 +3522,10 @@ object PipelineQueries {
     "ss13_pq_rerank" -> sqlPqRerank(m = 4, len = 16, ksub = 8,
       shortlist = 20, k = 5, nq = 3),
     "ss9_ivfpq_topk" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8, k = 5,
+      nq = 3, nprobe = 2),
+    // the layout round-trip must serve EXACTLY what direct ivf-pq
+    // serving computes — one oracle states both semantics
+    "ss22_pq_layout" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8, k = 5,
       nq = 3, nprobe = 2),
     "ve4_quant_error" -> s"""
       WITH s AS (SELECT vec_id,

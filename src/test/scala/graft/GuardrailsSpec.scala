@@ -532,6 +532,19 @@ class GuardrailsSpec extends AnyFunSuite {
       served.exceptAll(direct).count() == 0)
   }
 
+  test("pq layout round-trip serves bit-identically to direct ivf-pq") {
+    val direct = Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 3),
+      k = 5, numCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pq_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.pqIndexWrite(embs, out, numCentroids = 8, m = 4,
+      ksub = 8, iters = 2)
+    val served = Similarity.ivfPqTopKFromLayout(spark, out,
+      embs.filter(col("vec_id") < 3), k = 5, nprobe = 2, m = 4)
+    assert(direct.exceptAll(served).count() == 0 &&
+      served.exceptAll(direct).count() == 0)
+  }
+
   test("dsir bucket census names the collision cost exactly") {
     import spark.implicits._
     import graft.operators.Mixture

@@ -68,6 +68,10 @@ object PlanCheck {
       "probe prunes the code layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    auditExecuted("ss22_pq_layout", Seq(
+      "probe prunes the code layout's partitions (DPP)" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     auditExecuted("q09_distinct_agg", Seq(
       // every distinct branch reads only its own 2-3 columns — the
       // pruning that makes the multi-scan shape cheap at scale
