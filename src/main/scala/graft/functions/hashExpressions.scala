@@ -323,13 +323,22 @@ object HashOps {
     * filter-per-distinct-term HOF and the staged sort/bounds HOF
     * chain (whose inferred pushdown filters re-evaluated the chain
     * per element). Output rows are `(value, count)` structs in sorted
-    * value order (callers explode; order is immaterial). */
+    * value order (callers explode; order is immaterial). Null
+    * elements in the input are SKIPPED (they carry no term), keeping
+    * the declared `containsNull = false` output honest for any
+    * upstream tokenizer that emits nullable arrays. */
   def runLengthLong(arr: ArrayData): ArrayData = {
-    val a = arr.toLongArray()
-    java.util.Arrays.sort(a)
-    val n = a.length
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val n0 = arr.numElements()
+    val a = new Array[Long](n0)
+    var n = 0
     var i = 0
+    while (i < n0) {
+      if (!arr.isNullAt(i)) { a(n) = arr.getLong(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(a, 0, n)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
     while (i < n) {
       var j = i + 1
       while (j < n && a(j) == a(i)) j += 1
@@ -340,13 +349,18 @@ object HashOps {
   }
 
   /** [[runLengthLong]] for string arrays (UTF8String binary order —
-    * only run EQUALITY matters, the order never surfaces). */
+    * only run EQUALITY matters, the order never surfaces). Null
+    * elements are skipped, same contract as the long variant. */
   def runLengthString(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    val a = new Array[UTF8String](n)
+    val n0 = arr.numElements()
+    val a = new Array[UTF8String](n0)
+    var n = 0
     var i = 0
-    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
-    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+    while (i < n0) {
+      if (!arr.isNullAt(i)) { a(n) = arr.getUTF8String(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]], 0, n)
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     i = 0
     while (i < n) {

@@ -433,11 +433,16 @@ object Retrieval {
         .agg(sum("rr_ppm").as("srr"), sum("n_hits").as("sh"),
           sum("ndcg_q_ppm").as("sn"), sum("cap").as("scap"))
         .crossJoin(broadcast(nq))
+        // zero-guard the divisors (the t31 discipline): an empty
+        // qrels frame yields 0-metric rows, never nulls
         .select(lit(name).as("system"), col("n_queries"),
-          expr("srr div n_queries").as("mrr_ppm"),
-          expr("sh * 1000000 div scap").as("recall_ppm"),
-          expr("sn div n_queries").as("ndcg_ppm"))
-    }.reduce(_ unionAll _)
+          expr("CASE WHEN n_queries = 0 THEN 0L " +
+            "ELSE srr div n_queries END").as("mrr_ppm"),
+          expr("CASE WHEN scap = 0 THEN 0L " +
+            "ELSE sh * 1000000 div scap END").as("recall_ppm"),
+          expr("CASE WHEN n_queries = 0 THEN 0L " +
+            "ELSE sn div n_queries END").as("ndcg_ppm"))
+    }.reduce(_ union _)
   }
 
   /** Reciprocal-rank fusion (t24) — the standard hybrid-retrieval
@@ -467,7 +472,7 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     val u = rankings
       .map(_.select(col("query_id"), col("doc_id"), col("rank")))
-      .reduce(_ unionAll _)
+      .reduce(_ union _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf_ppm").desc, col("doc_id"))
     u.groupBy("query_id", "doc_id")

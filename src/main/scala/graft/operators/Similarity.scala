@@ -433,12 +433,14 @@ object Similarity {
       .drop("c_emb", "c_nrm", "c_score", "c_rank")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
+    // NO distinct needed: each neighbor lives in exactly ONE home
+    // list (the max_by argmax above), so a (query, neighbor) pair
+    // arises at most once across the probed lists
     c.join(broadcast(q), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .select("query_id", "neighbor_id", "score")
-      .distinct() // a pair can match via several probed lists
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
@@ -489,12 +491,13 @@ object Similarity {
       .select("query_id", "cid", "q_emb", "q_nrm")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
+    // NO distinct needed: assignToCentroids gives each neighbor ONE
+    // home cid, so a (query, neighbor) pair arises at most once
     c.join(broadcast(q), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .select("query_id", "neighbor_id", "score")
-      .distinct() // a pair can match via several probed lists
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
@@ -1269,7 +1272,7 @@ object Similarity {
           // empty query sample → 0 recall, not an ANSI divide-by-zero
           expr("CASE WHEN n_truth = 0 THEN 0L " +
             "ELSE n_hits * 1000 div n_truth END").as("recall_x1000"))
-    }.reduce(_ unionAll _).orderBy("method")
+    }.reduce(_ union _).orderBy("method")
   }
 
   /** Recall@k for EVERY serving index family vs its own exact-metric
@@ -1394,7 +1397,7 @@ object Similarity {
       // sq8 serves by inner product over dequantized codes — its
       // truth is the exact-dot rank, like mips
       recallRow("sq8", dotTruth, sq8TopK(corpus, queries, k)))
-      .reduce(_ unionAll _).orderBy("method")
+      .reduce(_ union _).orderBy("method")
   }
 
   /** Exact integer dot product of two int-code arrays (products fit

@@ -450,8 +450,12 @@ object TextAnalysis {
     scored.crossJoin(broadcast(bounds))
       .select(col("y"), col("margin"), col("mn"), col("mx"),
         explode(sequence(lit(0L), lit(gridN.toLong))).as("i"))
+      // grid arithmetic rides the decimal(38,0) lane: with extreme
+      // trained weights the Long product i * (mx - mn) could overflow
+      // before the div; decimal matches the oracle's HUGEINT headroom
       .withColumn("thr",
-        expr(s"mn + i * (mx - mn) div $gridN"))
+        expr(s"mn + CAST(i * CAST(mx - mn AS DECIMAL(38,0)) " +
+          s"div $gridN AS BIGINT)"))
       .groupBy("i", "thr")
       .agg(
         sum(when(col("y") === 1 && col("margin") >= col("thr"), 1L)

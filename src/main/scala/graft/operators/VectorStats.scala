@@ -639,6 +639,6 @@ object VectorStats {
         .select(lit(d.toLong).as("dims"), col("n_truth"), col("n_hits"),
           expr("CASE WHEN n_truth = 0 THEN 0L " +
             "ELSE n_hits * 1000 div n_truth END").as("recall_x1000"))
-    }.reduce(_ unionAll _).orderBy("dims")
+    }.reduce(_ union _).orderBy("dims")
   }
 }

@@ -324,7 +324,7 @@ object ShareQueries {
       } yield DeltaShare.listTables(s, sh, sc)
         .select(col("share").as("share_name"),
           col("schema").as("schema_name"), col("name").as("table_name"))
-      frames.reduce(_ unionAll _)
+      frames.reduce(_ union _)
         .orderBy("share_name", "schema_name", "table_name")
     }
   )

@@ -266,6 +266,21 @@ object PlanCheck {
         (p => !p.contains("hashpartitioning(doc_id")),
       "df lookup is an equi-join, no cartesian" ->
         (p => !p.contains("CartesianProduct"))))
+    audit("ss3_ivf_topk", Seq(
+      // the r13 ss18 fix, family-wide: each neighbor has ONE home
+      // list, so no Aggregate (distinct) sits between the candidate
+      // join and the rank — no query_id-keyed HashAggregate anywhere
+      "no distinct on the candidate tail (one home list per neighbor)" ->
+        (p => "HashAggregate\\(keys=\\[query_id".r.findFirstIn(p).isEmpty),
+      "corpus home-list argmax combines map-side" ->
+        (_.contains("partial_")),
+      "probe rides a broadcast" -> (_.contains("BroadcastHashJoin"))))
+    audit("ss6_ivf_trained", Seq(
+      "no distinct on the candidate tail (one home list per neighbor)" ->
+        (p => "HashAggregate\\(keys=\\[query_id".r.findFirstIn(p).isEmpty),
+      "probe rides a broadcast" -> (_.contains("BroadcastHashJoin")),
+      "trained centroids checkpoint-truncated (one Lloyd chain)" ->
+        (_.contains("Scan ExistingRDD"))))
     audit("ss18_ivfsq8_topk", Seq(
       "probe candidates join equi on the list id" ->
         (p => !p.contains("CartesianProduct")),
