@@ -944,6 +944,111 @@ object Similarity {
       .toDF("vec_id", "rank", "neighbor_id", "score")
   }
 
+  /** Materialize the standing kNN index (ss23) — the [[sq8IndexWrite]]
+    * layout discipline applied to the family that actually gets
+    * MAINTAINED: the capped home lists land cid-PARTITIONED (each
+    * inverted list is a directory, so a probe reading `nprobe` lists
+    * prunes the rest at the FILE level) and the trained centroids
+    * (with their self-dots) land beside them. This makes the
+    * maintained index durable across sessions instead of a per-JVM
+    * frame — serving ([[knnTopKFromLayout]]) and CDF maintenance
+    * ([[knnLayoutApplyCdf]]) then run against the layout alone and
+    * never touch the raw corpus. */
+  def knnIndexWrite(corpus: DataFrame, outPath: String,
+      numCentroids: Int = 16, maxList: Int = 1 << 16, iters: Int = 2,
+      centsIn: Option[DataFrame] = None): Unit = {
+    val (cents, home) = knnIndex(corpus, numCentroids, maxList, iters,
+      centsIn)
+    home.repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(outPath)
+    cents.write.mode("overwrite").parquet(outPath + "_cents")
+  }
+
+  /** Serve kNN top-k THROUGH a written [[knnIndexWrite]] layout:
+    * reads the two artifacts back and runs [[knnTopKAgainst]] —
+    * results are bit-identical to serving off the in-memory index
+    * (training is deterministic; floats and doubles round-trip
+    * parquet exactly; pinned in GuardrailsSpec), but the corpus-sized
+    * input is now the pruned home-list directories: the probe joins
+    * on the PARTITION column, so only the probed lists' files are
+    * read (dynamic partition pruning, pinned in PlanCheck). */
+  def knnTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, queries: DataFrame, k: Int = 3,
+      nprobe: Int = 2): DataFrame =
+    knnTopKAgainst(queries,
+      spark.read.parquet(layoutPath + "_cents"),
+      spark.read.parquet(layoutPath), k, nprobe)
+
+  /** CDF maintenance of a WRITTEN [[knnIndexWrite]] layout — the
+    * [[knnApplyCdf]] fold executed as a PARTITION-GRAIN rewrite:
+    * departures and arrivals touch only their home lists' `cid=`
+    * directories (dynamic partition overwrite), every untouched list
+    * keeps its files byte-for-byte. The maintained layout serves rows
+    * bit-identical to a from-scratch [[knnApplyCdf]] of the same CDF
+    * under the same frozen centroids (pinned in GuardrailsSpec).
+    *
+    * Scale shape: the CDF batch is batch-sized (broadcast onto the
+    * standing lists for the departure semi/anti probes; in-row
+    * frozen-centroid argmin for arrivals — zero exchanges on the
+    * arriving side); only the touched lists' rows are re-materialized
+    * (an eager checkpoint severs them from the files being
+    * overwritten) — cost is proportional to the touched lists, not
+    * the index. The driver holds only the touched cid SET (≤
+    * numCentroids entries — centroid counts are broadcastable by
+    * design); lists whose last row departs have their directory
+    * dropped explicitly (dynamic overwrite cannot delete a partition
+    * it writes no rows for). */
+  def knnLayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, cdf: DataFrame): Unit = {
+    val cents = spark.read.parquet(layoutPath + "_cents")
+    val home = spark.read.parquet(layoutPath)
+    val known = Seq("insert", "delete", "update_preimage",
+      "update_postimage")
+    val validated = cdf.withColumn("_change_type",
+      when(col("_change_type").isin(known: _*), col("_change_type"))
+        .otherwise(raise_error(concat(
+          lit("knnLayoutApplyCdf: unknown CDF change type '"),
+          col("_change_type"), lit("'"))).cast("string")))
+      .localCheckpoint(eager = false) // feeds the leave + arrive legs
+    val gone = validated
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col("vec_id").as("neighbor_id"))
+    val arrived = validated
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("vec_id", "embedding")
+    val arrivedRows = homeRowsAgainst(arrived, cents)
+      .localCheckpoint(eager = false) // touched-cid census + rewrite
+    // the touched lists: where departures live now + where arrivals go
+    val touched = home.join(broadcast(gone), Seq("neighbor_id"),
+        "left_semi").select("cid")
+      .union(arrivedRows.select("cid"))
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    if (touched.nonEmpty) {
+      val touchedLit = touched.toSeq.sorted.map(lit)
+      // maintained rows of the touched lists ONLY, severed from the
+      // files the overwrite is about to replace
+      val newRows = home.filter(col("cid").isin(touchedLit: _*))
+        .join(broadcast(gone), Seq("neighbor_id"), "left_anti")
+        .unionByName(arrivedRows.filter(
+          col("cid").isin(touchedLit: _*)))
+        .select("neighbor_id", "n_emb", "n_nrm", "cid")
+        .localCheckpoint(eager = true)
+      newRows.repartition(col("cid"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").mode("overwrite").parquet(layoutPath)
+      // lists emptied by the fold write no rows, so dynamic overwrite
+      // left their old files — drop those directories explicitly
+      val written = newRows.select("cid").distinct()
+        .collect().map(_.get(0).toString.toLong).toSet
+      val fs = new org.apache.hadoop.fs.Path(layoutPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched -- written).foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          layoutPath, s"cid=$cid"), true)
+      }
+    }
+  }
+
   /** Incremental kNN-graph maintenance (ss16), batch tail: the
     * arriving batch's top-`k` graph rows against the standing corpus
     * — [[knnCandidatesAgainst]] + the bounded [[TopKAggregator]]

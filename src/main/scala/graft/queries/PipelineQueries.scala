@@ -754,6 +754,28 @@ object PipelineQueries {
         cents, maintained, k = 3, nprobe = 2)
         .orderBy("vec_id", "rank")
     },
+    // the MAINTAINED index made durable (the ss21/ss22 discipline for
+    // the family that actually gets maintained): the home lists land
+    // cid-partitioned, the SAME CDF batch as ss20 folds in as a
+    // partition-grain rewrite (only touched cid= directories change),
+    // and the query batch serves through the pruned layout — rows
+    // must equal ss20's in-memory fold bit-for-bit (verbatim oracle)
+    "ss23_knn_layout" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "knn_layout") { p =>
+        Similarity.knnIndexWrite(e, p, numCentroids = 16,
+          centsIn = Some(kgCents(s, d)))
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding"), lit("insert").as("_change_type")))
+        Similarity.knnLayoutApplyCdf(s, p, cdf)
+      }
+      Similarity.knnTopKFromLayout(s, out, e.filter(col("vec_id") < 3),
+        k = 3, nprobe = 2).orderBy("vec_id", "rank")
+    },
     // census of the graph's inverted lists at a deliberately tiny
     // maxList: the mega-list cap's cost as a NUMBER (which lists cap,
     // how many rows each would drop) — guard observability, not a
@@ -2321,6 +2343,41 @@ object PipelineQueries {
       SELECT query_id, rank, neighbor_id, score FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** ss20's full train→assign→CDF-fold→probe→rank replay, shared
+    * verbatim with ss23: the written layout must serve the maintained
+    * index bit-identically to the in-memory fold. */
+  private lazy val sqlSs20KnnCdf: String = s"""
+      WITH ${sqlKmeansCtes(16)},
+      ${sqlKmAsg("c2", "homea")},
+      newv AS (SELECT vec_id + 100000 AS vec_id,
+          list_transform(embedding, xn -> xn::DOUBLE) AS emb
+        FROM embeddings WHERE vec_id % 31 = 7),
+      newx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM newv),
+      ${sqlKmAsg("c2", "newasg", "newx")},
+      kept AS (SELECT vec_id, cid FROM homea WHERE vec_id % 97 <> 5
+        UNION ALL SELECT vec_id, cid FROM newasg),
+      exu AS (SELECT vec_id, emb, xx FROM ex
+        UNION ALL SELECT vec_id, emb, xx FROM newx),
+      qx AS (SELECT vec_id, emb, xx FROM ex WHERE vec_id < 3),
+      probes AS (SELECT * FROM (
+          SELECT q.vec_id AS query_id, c.cid,
+            (q.xx - 2.0*${sqlDot("q.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM qx q, c2 c)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      kisc AS (SELECT p.query_id AS vec_id, h.vec_id AS neighbor_id,
+          ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx)) AS score
+        FROM probes p JOIN kept h USING (cid)
+        JOIN qx q ON q.vec_id = p.query_id
+        JOIN exu x ON x.vec_id = h.vec_id
+        WHERE p.query_id <> h.vec_id)
+      SELECT vec_id, rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
+      WHERE rank <= 3 ORDER BY vec_id, rank"""
+
   val oracle: Map[String, String] = Map(
     "dc3_eval_overlap" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
@@ -3681,37 +3738,10 @@ object PipelineQueries {
     // the full-corpus Lloyd chain frozen, membership modified by the
     // CDF (deletes filtered, inserts argmin-assigned under the SAME
     // c2), queries probe top-2 lists and rank exact cosine
-    "ss20_knn_cdf" -> s"""
-      WITH ${sqlKmeansCtes(16)},
-      ${sqlKmAsg("c2", "homea")},
-      newv AS (SELECT vec_id + 100000 AS vec_id,
-          list_transform(embedding, xn -> xn::DOUBLE) AS emb
-        FROM embeddings WHERE vec_id % 31 = 7),
-      newx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
-        FROM newv),
-      ${sqlKmAsg("c2", "newasg", "newx")},
-      kept AS (SELECT vec_id, cid FROM homea WHERE vec_id % 97 <> 5
-        UNION ALL SELECT vec_id, cid FROM newasg),
-      exu AS (SELECT vec_id, emb, xx FROM ex
-        UNION ALL SELECT vec_id, emb, xx FROM newx),
-      qx AS (SELECT vec_id, emb, xx FROM ex WHERE vec_id < 3),
-      probes AS (SELECT * FROM (
-          SELECT q.vec_id AS query_id, c.cid,
-            (q.xx - 2.0*${sqlDot("q.emb", "c.cemb")}
-              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
-          FROM qx q, c2 c)
-        QUALIFY row_number() OVER (PARTITION BY query_id
-          ORDER BY dist2, cid) <= 2),
-      kisc AS (SELECT p.query_id AS vec_id, h.vec_id AS neighbor_id,
-          ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx)) AS score
-        FROM probes p JOIN kept h USING (cid)
-        JOIN qx q ON q.vec_id = p.query_id
-        JOIN exu x ON x.vec_id = h.vec_id
-        WHERE p.query_id <> h.vec_id)
-      SELECT vec_id, rank, neighbor_id, score FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-          ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
-      WHERE rank <= 3 ORDER BY vec_id, rank""",
+    "ss20_knn_cdf" -> sqlSs20KnnCdf,
+    // the LAYOUT round-trip must serve the maintained index
+    // bit-identically, so ss23's oracle is ss20's VERBATIM
+    "ss23_knn_layout" -> sqlSs20KnnCdf,
     // the same trained home assignment, aggregated per list
     "ss15_knn_census" -> s"""
       WITH ${sqlKmeansCtes(16)},

@@ -532,6 +532,84 @@ class GuardrailsSpec extends AnyFunSuite {
       served.exceptAll(direct).count() == 0)
   }
 
+  test("knn layout round-trip: CDF rewrite touches only its cid dirs " +
+      "and serves bit-identically to the in-memory fold") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_knn_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.knnIndexWrite(embs, out, numCentroids = 8)
+    val (cents, home) = Similarity.knnIndex(embs, numCentroids = 8)
+    // a SPARSE batch (two deletes, one insert) so some of the 8
+    // lists are provably untouched by the rewrite
+    val cdf = embs.filter(col("vec_id").isin(4L, 17L))
+      .select(col("vec_id"), col("embedding"),
+        lit("delete").as("_change_type"))
+      .unionByName(embs.filter(col("vec_id") === 6L)
+        .select((col("vec_id") + 5000).as("vec_id"), col("embedding"),
+          lit("insert").as("_change_type")))
+    // which lists the CDF touches (from the in-memory fold's legs)
+    val touched = home
+      .join(cdf.filter(col("_change_type") === "delete")
+        .select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi").select("cid")
+      .union(Similarity.homeRowsAgainst(
+        cdf.filter(col("_change_type") === "insert")
+          .select("vec_id", "embedding"), cents).select("cid"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.nonEmpty && touched.size < 8,
+      s"fixture must leave some list untouched, touched=$touched")
+    // snapshot the untouched directories' file listings
+    def files(cid: Long): Set[(String, Long)] = {
+      val dir = new java.io.File(out, s"cid=$cid")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouchedCids = (0L until 8L).filterNot(touched).toSet
+    val before = untouchedCids.map(c => c -> files(c)).toMap
+    Similarity.knnLayoutApplyCdf(spark, out, cdf)
+    // untouched lists keep their files byte-for-byte (same names,
+    // same mtimes — dynamic overwrite never staged them)
+    untouchedCids.foreach { c =>
+      assert(files(c) == before(c), s"cid=$c was rewritten")
+    }
+    // and the layout serves the SAME rows as the in-memory fold
+    val maintained = Similarity.knnApplyCdf(cents, home, cdf)
+    val direct = Similarity.knnTopKAgainst(
+      embs.filter(col("vec_id") < 3), cents, maintained,
+      k = 3, nprobe = 2)
+    val served = Similarity.knnTopKFromLayout(spark, out,
+      embs.filter(col("vec_id") < 3), k = 3, nprobe = 2)
+    assert(direct.exceptAll(served).count() == 0 &&
+      served.exceptAll(direct).count() == 0)
+  }
+
+  test("knn layout CDF rewrite drops a list whose last row departs") {
+    import spark.implicits._
+    // 4 vectors in 2 far-apart clusters -> 2 centroids, 2 lists
+    val tiny = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (1L, Array(10.5f, 0f, 0f, 0f)),
+      (2L, Array(-10f, 0f, 0f, 0f)), (3L, Array(-10.5f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_knn_guard_empty_${spark.sparkContext.applicationId}").getPath
+    Similarity.knnIndexWrite(tiny, out, numCentroids = 2)
+    val homeDirs0 = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(homeDirs0.size == 2)
+    // delete BOTH members of one list: its directory must disappear
+    val (cents, home) = Similarity.knnIndex(tiny, numCentroids = 2)
+    val victims = home.filter(col("cid") === home
+        .groupBy("cid").count().orderBy("cid").head().getLong(0))
+      .select("neighbor_id").collect().map(_.getLong(0))
+    val cdf = tiny.filter(col("vec_id").isin(victims: _*))
+      .select(col("vec_id"), col("embedding"),
+        lit("delete").as("_change_type"))
+    Similarity.knnLayoutApplyCdf(spark, out, cdf)
+    val homeDirs1 = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(homeDirs1.size == 1, s"emptied list not dropped: $homeDirs1")
+  }
+
   test("pq layout round-trip serves bit-identically to direct ivf-pq") {
     val direct = Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 3),
       k = 5, numCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)

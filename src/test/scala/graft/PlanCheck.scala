@@ -72,6 +72,10 @@ object PlanCheck {
       "probe prunes the code layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    auditExecuted("ss23_knn_layout", Seq(
+      "probe prunes the home-list layout's partitions (DPP)" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     auditExecuted("q09_distinct_agg", Seq(
       // every distinct branch reads only its own 2-3 columns — the
       // pruning that makes the multi-scan shape cheap at scale
