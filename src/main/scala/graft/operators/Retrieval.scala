@@ -232,6 +232,170 @@ object Retrieval {
     bm25Score(index, totals, queries, k, dfCapPpm)
   }
 
+  /** The postings' term-hash bucket: a term's rows live wholly inside
+    * `fp mod buckets`; the token-less sentinel (null fp) gets its own
+    * reserved bucket `buckets`. */
+  private def bm25Bkt(fp: Column, buckets: Int): Column =
+    coalesce(pmod(fp, lit(buckets.toLong)), lit(buckets.toLong))
+
+  /** Materialize the standing BM25 postings (t32) — the lexical twin
+    * of [[graft.operators.Similarity.knnIndexWrite]]: postings land
+    * PARTITIONED by a term-hash bucket (`bkt = fp mod buckets`
+    * directories), so a probe reading only the query terms' buckets
+    * prunes the rest at the FILE level; the per-document `(doc_id,
+    * len)` census lands beside them partitioned by a doc-hash bucket
+    * (`dbkt`) so CDF maintenance rewrites it at the same partition
+    * grain, and a 1-row `_meta` records the bucket count. df is NOT
+    * stored: a term's postings live wholly inside its own bucket, so
+    * probe-time df derived from the PRUNED read is already the
+    * global df (the t25 no-drift discipline, kept for free). */
+  def bm25IndexWrite(docs: DataFrame, outPath: String,
+      buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idx = bm25Index(docs)
+      .withColumn("bkt", bm25Bkt(col("fp"), buckets))
+      .localCheckpoint(eager = false) // postings write + doc census
+    idx.repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(outPath)
+    idx.select("doc_id", "len").distinct()
+      .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
+      .repartition(col("dbkt"))
+      .write.partitionBy("dbkt").mode("overwrite")
+      .parquet(outPath + "_docs")
+    Seq(buckets.toLong).toDF("buckets")
+      .write.mode("overwrite").parquet(outPath + "_meta")
+  }
+
+  /** Probe a written [[bm25IndexWrite]] layout — identical scores to
+    * [[bm25TopKAgainst]] over the same postings (the shared scoring
+    * tail), but the corpus-sized read prunes to the query terms'
+    * buckets: the probe semi-joins the postings on the PARTITION
+    * column, so only those directories' files are read (dynamic
+    * partition pruning, pinned in PlanCheck). Totals come from the
+    * narrow `_docs` census; df derives from the pruned read (global
+    * by construction — see [[bm25IndexWrite]]). */
+  def bm25TopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, queries: DataFrame, k: Int = 10,
+      dfCapPpm: Option[Long] = None): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    val buckets = spark.read.parquet(layoutPath + "_meta")
+      .head().getLong(0).toInt
+    val totals = spark.read.parquet(layoutPath + "_docs")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    // NO checkpoint on the query side: DPP only plants a runtime
+    // partition filter when the pruning side shows a selective
+    // predicate, and a checkpointed LogicalRDD hides it — the tiny
+    // term frame recomputes cheaply instead
+    val qfps = queries.select(col("query_id"),
+        explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+    val qterms = qfps.select("fp").distinct()
+      .withColumn("bkt", bm25Bkt(col("fp"), buckets))
+    // semi-join on (bkt, fp): bkt is the PARTITION column, so DPP
+    // prunes to the query terms' directories; fp then keeps exactly
+    // the query terms' postings — their COMPLETE posting lists, so
+    // the df derived below is the global df
+    // NO checkpoint here either: the layout is already materialized
+    // on disk, so the df aggregation and the term join each re-read
+    // the PRUNED directories (cheap by construction) — a checkpoint
+    // would wrap the scan in a LogicalRDD and defeat the pruning
+    val pruned = spark.read.parquet(layoutPath)
+      .join(broadcast(qterms), Seq("bkt", "fp"), "left_semi")
+      .select("fp", "doc_id", "len", "tf")
+    val dfreq = pruned.groupBy("fp").agg(count(lit(1)).as("df"))
+    bm25ScoreFps(pruned, totals, qfps, k, dfCapPpm, Some(dfreq))
+  }
+
+  /** Fold a CDF batch into a WRITTEN [[bm25IndexWrite]] layout — the
+    * [[bm25ApplyCdf]] fold executed as a PARTITION-GRAIN rewrite:
+    * only the buckets containing the changed documents' terms are
+    * rewritten (dynamic partition overwrite; a bucket emptied by the
+    * fold has its directory dropped explicitly), every untouched
+    * bucket keeps its files byte-for-byte, and the `_docs` census
+    * rewrites at its own doc-bucket grain. The maintained layout
+    * serves rows bit-identical to the in-memory [[bm25ApplyCdf]]
+    * fold (pinned in GuardrailsSpec).
+    *
+    * CDF contract: delete / update_preimage rows must carry the
+    * document's `text` (the Delta CDF preimage always does) — the
+    * departed doc's buckets are located by re-tokenizing it, never by
+    * scanning the index. The driver holds only the touched bucket id
+    * sets (≤ buckets+1 entries — sized like the centroid count);
+    * re-materialized rows are bounded by the touched buckets. */
+  def bm25LayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, cdf: DataFrame): Unit = {
+    val buckets = spark.read.parquet(layoutPath + "_meta")
+      .head().getLong(0).toInt
+    val known = Seq("insert", "delete", "update_preimage",
+      "update_postimage")
+    val validated = cdf.withColumn("_change_type",
+      when(col("_change_type").isin(known: _*), col("_change_type"))
+        .otherwise(raise_error(concat(
+          lit("bm25LayoutApplyCdf: unknown CDF change type '"),
+          col("_change_type"), lit("'"))).cast("string")))
+      .localCheckpoint(eager = false) // feeds the leave + arrive legs
+    val gone = validated
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("doc_id", "text")
+    val arrived = validated
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("doc_id", "text")
+    val goneIdx = bm25Index(gone)
+      .withColumn("bkt", bm25Bkt(col("fp"), buckets))
+    val arrivedIdx = bm25Index(arrived)
+      .withColumn("bkt", bm25Bkt(col("fp"), buckets))
+      .localCheckpoint(eager = false) // touched census + rewrite
+    val goneIds = gone.select("doc_id")
+    val touched = goneIdx.select("bkt").union(arrivedIdx.select("bkt"))
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    val fs = new org.apache.hadoop.fs.Path(layoutPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (touched.nonEmpty) {
+      val touchedLit = touched.toSeq.sorted.map(lit)
+      val newRows = spark.read.parquet(layoutPath)
+        .filter(col("bkt").isin(touchedLit: _*))
+        .join(broadcast(goneIds), Seq("doc_id"), "left_anti")
+        .unionByName(arrivedIdx)
+        .select("fp", "doc_id", "len", "tf", "bkt")
+        .localCheckpoint(eager = true) // sever from the files below
+      newRows.repartition(col("bkt"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt").mode("overwrite").parquet(layoutPath)
+      val written = newRows.select("bkt").distinct()
+        .collect().map(_.get(0).toString.toLong).toSet
+      (touched -- written).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          layoutPath, s"bkt=$b"), true)
+      }
+    }
+    // the narrow (doc_id, len) census folds at its own dbkt grain
+    val arrivedDocs = arrivedIdx.select("doc_id", "len").distinct()
+      .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
+    val touchedD = goneIds
+      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dbkt"))
+      .union(arrivedDocs.select("dbkt"))
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    if (touchedD.nonEmpty) {
+      val touchedDLit = touchedD.toSeq.sorted.map(lit)
+      val newDocs = spark.read.parquet(layoutPath + "_docs")
+        .filter(col("dbkt").isin(touchedDLit: _*))
+        .join(broadcast(goneIds), Seq("doc_id"), "left_anti")
+        .unionByName(arrivedDocs)
+        .select("doc_id", "len", "dbkt")
+        .localCheckpoint(eager = true)
+      newDocs.repartition(col("dbkt"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbkt").mode("overwrite")
+        .parquet(layoutPath + "_docs")
+      val writtenD = newDocs.select("dbkt").distinct()
+        .collect().map(_.get(0).toString.toLong).toSet
+      (touchedD -- writtenD).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          layoutPath + "_docs", s"dbkt=$b"), true)
+      }
+    }
+  }
+
   /** RM3-style pseudo-relevance-feedback expansion (t27): run each
     * query against the index, mine expansion terms from its top
     * `fbDocs` feedback documents, and re-score with the expanded term

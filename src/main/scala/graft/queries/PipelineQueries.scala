@@ -1291,6 +1291,29 @@ object PipelineQueries {
           .select(col("doc_id").as("query_id"), col("text")), k = 10)
         .orderBy("query_id", "rank")
     },
+    // the standing postings made DURABLE (the ss23 discipline for the
+    // lexical index): postings land term-bucket-partitioned, the SAME
+    // CDF batch as t25 folds in as a partition-grain rewrite (only
+    // the changed docs' term buckets are rewritten), and the probe
+    // reads only the query terms' buckets (DPP-pinned) — rows must
+    // equal t25's in-memory fold bit-for-bit (verbatim oracle)
+    "t32_bm25_layout" -> { (s, d) =>
+      val all = documents(s, d)
+      val out = layoutDir(s, d, "bm25_layout") { p =>
+        Retrieval.bm25IndexWrite(all, p, buckets = 64)
+        val cdf = all.filter(col("doc_id") % 97 === 5)
+          .select(col("doc_id"), col("text"),
+            lit("delete").as("_change_type"))
+          .unionByName(all.filter(col("doc_id") % 31 === 7)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+              lit("insert").as("_change_type")))
+        Retrieval.bm25LayoutApplyCdf(s, p, cdf)
+      }
+      Retrieval.bm25TopKFromLayout(s, out,
+        all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")), k = 10)
+        .orderBy("query_id", "rank")
+    },
     // HYBRID retrieval: BM25 lexical top-10 and brute cosine top-10
     // for the same 3 query docs (doc_id ≡ vec_id in the fixture id
     // space), fused by reciprocal-rank — both input rankings reuse
@@ -2378,6 +2401,16 @@ object PipelineQueries {
           ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
       WHERE rank <= 3 ORDER BY vec_id, rank"""
 
+  /** t25's full CDF-modified-corpus BM25 replay, shared verbatim with
+    * t32: the written bucket layout must serve the maintained
+    * postings bit-identically to the in-memory fold. */
+  private lazy val sqlT25Bm25Standing: String = s"""${sqlBm25TopK(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 5
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents
+         WHERE doc_id % 31 = 7""")}
+      ORDER BY query_id, rank"""
+
   val oracle: Map[String, String] = Map(
     "dc3_eval_overlap" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
@@ -2707,12 +2740,10 @@ object PipelineQueries {
       ORDER BY query_id, rank""",
     // the t22 chain over the CDF-modified corpus — the maintained
     // index must score exactly as a fresh build over the same docs
-    "t25_bm25_standing" -> s"""${sqlBm25TopK(
-      """SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 5
-         UNION ALL
-         SELECT doc_id + 100000 AS doc_id, text FROM documents
-         WHERE doc_id % 31 = 7""")}
-      ORDER BY query_id, rank""",
+    "t25_bm25_standing" -> sqlT25Bm25Standing,
+    // the LAYOUT round-trip must serve the maintained postings
+    // bit-identically, so t32's oracle is t25's VERBATIM
+    "t32_bm25_layout" -> sqlT25Bm25Standing,
     // RRF hybrid fusion: the full t22 BM25 chain and the full ss1
     // cosine chain replayed as nested subqueries, fused by the same
     // integer 1e6 div (60+rank) contributions

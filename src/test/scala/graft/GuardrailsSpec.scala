@@ -610,6 +610,76 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(homeDirs1.size == 1, s"emptied list not dropped: $homeDirs1")
   }
 
+  test("bm25 layout round-trip: CDF rewrite touches only its term " +
+      "buckets and serves bit-identically to the in-memory fold") {
+    import graft.operators.Retrieval
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25_guard_${spark.sparkContext.applicationId}").getPath
+    val B = 64
+    Retrieval.bm25IndexWrite(docs, out, buckets = B)
+    // a SPARSE batch (one delete, one insert) touches only the
+    // buckets of those two docs' terms
+    val cdf = docs.filter(col("doc_id") === 4L)
+      .select(col("doc_id"), col("text"),
+        lit("delete").as("_change_type"))
+      .unionByName(docs.filter(col("doc_id") === 6L)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text"),
+          lit("insert").as("_change_type")))
+    import graft.functions.hashFunctions.gram_fps
+    val touched = docs.filter(col("doc_id").isin(4L, 6L))
+      .select(explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+      .select(pmod(col("fp"), lit(B.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.nonEmpty && touched.size < B,
+      s"fixture must leave some bucket untouched (${touched.size})")
+    def files(dir: String, part: String): Set[(String, Long)] = {
+      val d = new java.io.File(dir, part)
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouched = (0L to B.toLong).filterNot(touched).toSet
+    val before = untouched.map(b => b -> files(out, s"bkt=$b")).toMap
+    Retrieval.bm25LayoutApplyCdf(spark, out, cdf)
+    untouched.foreach { b =>
+      assert(files(out, s"bkt=$b") == before(b), s"bkt=$b was rewritten")
+    }
+    // the maintained layout serves the SAME rows as the in-memory fold
+    val folded = Retrieval.bm25ApplyCdf(Retrieval.bm25Index(docs), cdf)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val direct = Retrieval.bm25TopKAgainst(folded, queries, k = 10)
+    val served = Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10)
+    assert(direct.exceptAll(served).count() == 0 &&
+      served.exceptAll(direct).count() == 0)
+  }
+
+  test("bm25 layout CDF rewrite drops a bucket whose last posting departs") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // 2 docs with disjoint vocabularies -> disjoint bucket sets
+    val tiny = Seq((0L, "aardvark aardvark badger"),
+      (1L, "zebra yak walrus")).toDF("doc_id", "text")
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25_guard_empty_${spark.sparkContext.applicationId}").getPath
+    Retrieval.bm25IndexWrite(tiny, out, buckets = 8)
+    val dirs0 = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.getName).toSet
+    // delete doc 0: every bucket holding ONLY its terms must vanish
+    val cdf = tiny.filter(col("doc_id") === 0L)
+      .select(col("doc_id"), col("text"),
+        lit("delete").as("_change_type"))
+    Retrieval.bm25LayoutApplyCdf(spark, out, cdf)
+    val dirs1 = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.getName).toSet
+    assert(dirs1.subsetOf(dirs0) && dirs1.size < dirs0.size,
+      s"emptied buckets not dropped: before=$dirs0 after=$dirs1")
+    // and the remaining layout is exactly doc 1's postings
+    val left = spark.read.parquet(out).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L))
+  }
+
   test("pq layout round-trip serves bit-identically to direct ivf-pq") {
     val direct = Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 3),
       k = 5, numCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)

@@ -76,6 +76,12 @@ object PlanCheck {
       "probe prunes the home-list layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    auditExecuted("t32_bm25_layout", Seq(
+      "probe prunes the postings layout's term buckets (DPP)" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "per-query top-k through the bounded heap, not a window" ->
+        (p => !p.contains("Window"))))
     auditExecuted("q09_distinct_agg", Seq(
       // every distinct branch reads only its own 2-3 columns — the
       // pruning that makes the multi-scan shape cheap at scale
