@@ -74,6 +74,37 @@ object Similarity {
       bufferEncoder
   }
 
+  /** The shared per-query bounded-heap ranking tail: ranks candidate
+    * rows `(query_id, neighbor_id, <valueCol>)` by (`valueCol`
+    * desc|asc, neighbor_id asc) through [[TopKAggregator]] and emits
+    * `(query_id, rank, neighbor_id, <valueCol>)`, rank ≤ k — the
+    * exact rows a `row_number` window over the same order produces,
+    * WITHOUT the window's failure mode: a window sorts every
+    * candidate of a query inside one partition (at the default
+    * numCentroids the IVF families hand it n/nprobe-sized candidate
+    * sets per query), while the heap carries ≤ k entries per group on
+    * BOTH sides of the one narrow exchange. Ascending orders ride a
+    * sign flip (exact for IEEE doubles, restored on output). */
+  private def topKHeapTail(cands: DataFrame, k: Int,
+      valueCol: String, asc: Boolean): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val agg = new TopKAggregator(k)
+    val v = if (asc) -col(valueCol) else col(valueCol)
+    cands
+      .select(col("query_id"), col("neighbor_id"), v.as("v"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((s, nid), i) =>
+          (qid, i + 1, nid, if (asc) -s else s)
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id", valueCol)
+  }
+
   /** [[bruteForceTopK]] with the bounded-heap aggregator instead of a
     * window — identical output, no full sort of the candidate set;
     * the preferred shape when k << candidates-per-query. */
@@ -419,31 +450,33 @@ object Similarity {
           struct(col("c_score"), -col("cid"))).as("best"))
       .select(col("neighbor_id"), col("best.cid").as("cid"),
         col("best.n_emb").as("n_emb"), col("best.n_nrm").as("n_nrm"))
-    // query side is tiny and needs the top-nprobe lists → window
-    val qw = Window.partitionBy("query_id")
-      .orderBy(col("c_score").desc, col("cid"))
+    // top-nprobe lists picked IN-ROW over the packed centroid
+    // broadcast: (-c_score, cid) ascending is the window's
+    // (c_score desc, cid asc) total order, with zero exchanges and
+    // no Window on the query batch
+    val packedC = cents
+      .agg(collect_list(struct(col("cid"), col("c_emb"), col("c_nrm")))
+        .as("cs"))
     val q = queries
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_score",
-        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("c_rank", row_number().over(qw))
-      .filter(col("c_rank") <= nprobe)
-      .drop("c_emb", "c_nrm", "c_score", "c_rank")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .crossJoin(broadcast(packedC))
+      .withColumn("probe", explode(slice(array_sort(
+        transform(col("cs"), cc =>
+          struct((-dot(col("q_emb"), cc.getField("c_emb"))
+            / (col("q_nrm") * cc.getField("c_nrm"))).as("negs"),
+            cc.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("query_id"), col("probe.cid").as("cid"),
+        col("q_emb"), col("q_nrm"))
     // NO distinct needed: each neighbor lives in exactly ONE home
     // list (the max_by argmax above), so a (query, neighbor) pair
     // arises at most once across the probed lists
-    c.join(broadcast(q), "cid")
+    topKHeapTail(c.join(broadcast(q), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .select("query_id", "neighbor_id", "score")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .select("query_id", "neighbor_id", "score"),
+      k, "score", asc = false)
   }
 
   /** [[ivfTopK]] with a TRAINED coarse quantizer — the production IVF
@@ -478,29 +511,33 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm"))
       .join(asgn, "neighbor_id")
-    val qw = Window.partitionBy("query_id").orderBy(col("dist2"), col("cid"))
+    // top-nprobe lists picked IN-ROW over the packed centroid
+    // broadcast — same (dist2, cid) total order the window used,
+    // zero exchanges and no Window on the query batch
+    val packedC = cents
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
     val q = queries.select(col("vec_id").as("query_id"),
         transform(col("embedding"), _.cast("double")).as("q_demb"),
         col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
       .withColumn("xx", dotD(col("q_demb"), col("q_demb")))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist2",
-        col("xx") - lit(2.0) * dotD(col("q_demb"), col("cemb")) + col("cc"))
-      .withColumn("rnk", row_number().over(qw))
-      .filter(col("rnk") <= nprobe)
-      .select("query_id", "cid", "q_emb", "q_nrm")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .crossJoin(broadcast(packedC))
+      .withColumn("probe", explode(slice(array_sort(
+        transform(col("cs"), cc =>
+          struct((col("xx")
+            - lit(2.0) * dotD(col("q_demb"), cc.getField("cemb"))
+            + cc.getField("cc")).as("dist2"),
+            cc.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("query_id"), col("probe.cid").as("cid"),
+        col("q_emb"), col("q_nrm"))
     // NO distinct needed: assignToCentroids gives each neighbor ONE
     // home cid, so a (query, neighbor) pair arises at most once
-    c.join(broadcast(q), "cid")
+    topKHeapTail(c.join(broadcast(q), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .select("query_id", "neighbor_id", "score")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .select("query_id", "neighbor_id", "score"),
+      k, "score", asc = false)
   }
 
   /** PRODUCT-QUANTIZED top-k (ss8) — the memory-compressed ANN
@@ -565,19 +602,15 @@ object Similarity {
     val adist = (0 until m).foldLeft(lit(0.0): Column) { (acc, s) =>
       acc + element_at(element_at(col("q.smap"), lit(s)), col(s"code_$s"))
     }
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist"), col("neighbor_id"))
-    enc.crossJoin(broadcast(packedQ))
+    topKHeapTail(enc.crossJoin(broadcast(packedQ))
       .select((col("vec_id").as("neighbor_id") +:
         explode(col("qarr")).as("q") +:
         (0 until m).map(s => col(s"code_$s"))): _*)
       .withColumn("adist", adist)
       .filter(col("q.query_id") =!= col("neighbor_id"))
       .select(col("q.query_id").as("query_id"), col("neighbor_id"),
-        col("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adist")
+        col("adist")),
+      k, "adist", asc = true)
   }
 
   /** Two-stage ANN serving (ss13): ADC SHORTLIST → EXACT re-rank —
@@ -1297,19 +1330,28 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val len = books.head.select(size(col("cemb"))).head.getInt(0)
     // probe: nprobe nearest coarse lists per query by the training
-    // metric (L2), ties to the smaller cid — as ss6
-    val qw = Window.partitionBy("query_id").orderBy(col("pdist"), col("cid"))
+    // metric (L2), ties to the smaller cid — as ss6, picked IN-ROW
+    // over the packed centroid broadcast (no per-query window; the
+    // struct sorts by (pdist, cid), cemb rides along for the
+    // residual and never decides the order — cid is unique)
+    val packedC = coarse
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
     val probed = queries
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"), v => v.cast("double")).as("qd"))
       .withColumn("qxx", dotD(col("qd"), col("qd")))
-      .crossJoin(broadcast(coarse))
-      .withColumn("pdist",
-        col("qxx") - lit(2.0) * dotD(col("qd"), col("cemb")) + col("cc"))
-      .withColumn("rnk", row_number().over(qw))
-      .filter(col("rnk") <= nprobe)
-      .withColumn("qr", zip_with(col("qd"), col("cemb"), (x, c) => x - c))
-      .select(col("query_id"), col("cid").as("lcid"), col("qr"))
+      .crossJoin(broadcast(packedC))
+      .withColumn("probe", explode(slice(array_sort(
+        transform(col("cs"), cc =>
+          struct((col("qxx")
+            - lit(2.0) * dotD(col("qd"), cc.getField("cemb"))
+            + cc.getField("cc")).as("pdist"),
+            cc.getField("cid").as("cid"),
+            cc.getField("cemb").as("cemb")))), 1, nprobe)))
+      .withColumn("qr",
+        zip_with(col("qd"), col("probe.cemb"), (x, cv) => x - cv))
+      .select(col("query_id"), col("probe.cid").as("lcid"), col("qr"))
     // per-(query, probed list) ADC tables over the query residual
     val qt = (0 until m).map { s =>
       probed
@@ -1333,16 +1375,12 @@ object Similarity {
     val adist = (0 until m).foldLeft(lit(0.0): Column) { (acc, s) =>
       acc + element_at(element_at(col("smap"), lit(s)), col(s"code_$s"))
     }
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist"), col("neighbor_id"))
-    enc.join(broadcast(qmaps), Seq("lcid"))
+    topKHeapTail(enc.join(broadcast(qmaps), Seq("lcid"))
       .withColumn("adist", adist)
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adist")
+        col("adist")),
+      k, "adist", asc = true)
   }
 
   /** Recall@k report of the ANN paths against exact brute force —
@@ -1792,36 +1830,40 @@ object Similarity {
   private def ivfSq8Serve(c: DataFrame, cents: DataFrame,
       packed: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val qw = Window.partitionBy("query_id").orderBy(col("dist2"), col("cid"))
+    // top-nprobe lists picked IN-ROW over the packed centroid
+    // broadcast (the knnCandidatesAgainst trick): same (dist2, cid)
+    // total order the old per-query window used, zero exchanges on
+    // the query batch — the serving plan carries no Window at all
+    val packedC = cents
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
     val q = queries.select(col("vec_id").as("query_id"),
         transform(col("embedding"), _.cast("double")).as("q_demb"))
       .withColumn("xx", dotD(col("q_demb"), col("q_demb")))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist2",
-        col("xx") - lit(2.0) * dotD(col("q_demb"), col("cemb")) + col("cc"))
-      .withColumn("rnk", row_number().over(qw))
-      .filter(col("rnk") <= nprobe)
-      .select("query_id", "cid", "q_demb")
+      .crossJoin(broadcast(packedC))
+      .withColumn("probe", explode(slice(array_sort(
+        transform(col("cs"), cc =>
+          struct((col("xx")
+            - lit(2.0) * dotD(col("q_demb"), cc.getField("cemb"))
+            + cc.getField("cc")).as("dist2"),
+            cc.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("query_id"), col("probe.cid").as("cid"),
+        col("q_demb"))
       .crossJoin(broadcast(packed)) // stats ride the tiny probe side
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dist2").asc, col("neighbor_id"))
-    c.join(broadcast(q), "cid")
+    // NO distinct needed: assignToCentroids gives each neighbor
+    // exactly ONE home list, so a (query, neighbor) pair arises at
+    // most once even with nprobe > 1 — a dedup here would be a
+    // candidate-sized exchange for nothing
+    topKHeapTail(c.join(broadcast(q), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dist2",
         expr("aggregate(zip_with(q_demb, transform(codes, (cd, i) -> " +
           "mns[i] + CAST(cd AS DOUBLE) * spans[i] / 255.0D), " +
           "(qv, dq) -> (qv - dq) * (qv - dq)), 0D, (a, x) -> a + x)"))
-      .select("query_id", "neighbor_id", "dist2")
-      // NO distinct needed: assignToCentroids gives each neighbor
-      // exactly ONE home list, so a (query, neighbor) pair arises at
-      // most once even with nprobe > 1 — a dedup here would be a
-      // candidate-sized exchange for nothing
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "dist2")
+      .select("query_id", "neighbor_id", "dist2"),
+      k, "dist2", asc = true)
   }
 
   def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -67,11 +67,17 @@ object PlanCheck {
       // runtime filter so only the probed lists' directories are read
       "probe prunes the code layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
-      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      // probe pick is in-row, rank is the bounded heap — a window
+      // here would sort n/nprobe candidates per query in one task
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     auditExecuted("ss22_pq_layout", Seq(
       "probe prunes the code layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
-      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     auditExecuted("ss23_knn_layout", Seq(
       "probe prunes the home-list layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
@@ -284,13 +290,17 @@ object PlanCheck {
         (p => "HashAggregate\\(keys=\\[query_id".r.findFirstIn(p).isEmpty),
       "corpus home-list argmax combines map-side" ->
         (_.contains("partial_")),
-      "probe rides a broadcast" -> (_.contains("BroadcastHashJoin"))))
+      "probe rides a broadcast" -> (_.contains("BroadcastHashJoin")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     audit("ss6_ivf_trained", Seq(
       "no distinct on the candidate tail (one home list per neighbor)" ->
         (p => "HashAggregate\\(keys=\\[query_id".r.findFirstIn(p).isEmpty),
       "probe rides a broadcast" -> (_.contains("BroadcastHashJoin")),
       "trained centroids checkpoint-truncated (one Lloyd chain)" ->
-        (_.contains("Scan ExistingRDD"))))
+        (_.contains("Scan ExistingRDD")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     audit("ss18_ivfsq8_topk", Seq(
       "probe candidates join equi on the list id" ->
         (p => !p.contains("CartesianProduct")),
@@ -299,7 +309,9 @@ object PlanCheck {
       "assignments/stats partially aggregated" ->
         (_.contains("partial_")),
       "trained centroids checkpoint-truncated (one Lloyd chain)" ->
-        (_.contains("Scan ExistingRDD"))))
+        (_.contains("Scan ExistingRDD")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     audit("cr2_quality_floor", Seq(
       // grouped exact quantile without a per-source sort: the only
       // windows partition by (source[, bucket]) and the threshold
@@ -320,7 +332,9 @@ object PlanCheck {
         (_.contains("BroadcastNestedLoopJoin")),
       "per-dim stats / top-k partially aggregated" ->
         (_.contains("partial_")),
-      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free ranking (bounded heap)" ->
+        (p => !p.contains("Window"))))
     audit("tp13_fim_split", Seq(
       "pure map: no join anywhere (per-row manifest)" ->
         (p => !p.contains("Join")),
