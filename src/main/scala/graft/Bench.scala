@@ -55,6 +55,25 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split("\\s+")(0)
       catch { case _: Exception => "-1" }
+    // machine-state canary: a FIXED deterministic CPU+shuffle
+    // micro-task timed right before the query loop. Round 14 measured
+    // a near-uniform 1.43x inflation across the whole common surface
+    // with ZERO plan changes (hypervisor contention) — dividing
+    // per-query times by calib_s lets a cross-round comparison
+    // separate machine drift from real regressions. Two runs, min.
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8L * 1000 * 1000, 1L, 32)
+        .selectExpr("id % 97 AS k",
+          "id * 2654435761 % 1000000007 AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibS = math.min(calib(), calib())
     val loadBefore = loadavg
     val p1 = pass()
     val loadMid = loadavg // per-PASS load: which pass a spike hit matters
@@ -91,7 +110,7 @@ object Bench {
       }.mkString("{", ",", "}")
     // scalar-only total line first (head-clippable without data loss —
     // the same scalars repeat in the summary line that follows)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadMid,$loadAfter],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib_s":$calibS,"load1m":[$loadBefore,$loadMid,$loadAfter],"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","query_unit":"cs","queries":$qsByFam}""")
     val qsFull = results.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }
@@ -99,13 +118,13 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
-      (s"""{"metric":"total","value":$total,"unit":"sec","load1m":[$loadBefore,$loadMid,$loadAfter],"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calibS,"load1m":[$loadBefore,$loadMid,$loadAfter],"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: Exception => () }
     // short standalone summary LAST: always survives tail truncation.
     // Distinct metric name so a consumer aggregating by metric never
     // double-counts the total.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"load1m":[$loadBefore,$loadMid,$loadAfter],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"calib_s":$calibS,"load1m":[$loadBefore,$loadMid,$loadAfter],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
