@@ -443,9 +443,20 @@ object Dedup {
     * the corpus pass is a left join + per-row compare — quality is
     * computed per-row in the same scan, never shuffled. */
   def keepBestPerCluster(docs: DataFrame, k: Int = 3,
-      pct: Int = 80): DataFrame = {
-    val clusters = resolveClusters(minhashPairs(docs, k = k, pct = pct))
-      .select(col("doc_id"), col("cluster_id"))
+      pct: Int = 80): DataFrame =
+    keepBestByQuality(docs,
+      resolveClusters(minhashPairs(docs, k = k, pct = pct))
+        .select(col("doc_id"), col("cluster_id")))
+
+  /** The dd14 survivor rule over an EXPLICIT `(doc_id, cluster_id)`
+    * label frame — split out so compositions with a different
+    * cluster source (m13's image×caption union) reuse the exact same
+    * policy: highest [[TextAnalysis.qualityScore]] survives, ties to
+    * the LOWER id; unpaired docs self-cluster via the left join.
+    * Labels are near-dup-sized and ride broadcasts; the corpus is
+    * scanned once for quality. */
+  private[graft] def keepBestByQuality(docs: DataFrame,
+      clusters: DataFrame): DataFrame = {
     val scored = docs.select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
       .join(broadcast(clusters), Seq("doc_id"), "left")

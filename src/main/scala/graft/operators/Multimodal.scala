@@ -424,6 +424,41 @@ object Multimodal {
       .select(col("new_id"), col("index_id"), col("dist"))
   }
 
+  /** LAION-style (image, caption) pair curation (m13) — the
+    * composition a multimodal training corpus actually needs: a pair
+    * is a duplicate of another when EITHER modality says so — its
+    * image is a dHash near-dup ([[imageNearDup]], Hamming ≤ `maxDist`
+    * over real PNG decodes) OR its caption is a MinHash near-dup
+    * ([[Dedup.minhashPairs]], Jaccard ≥ `pct`%) — the edge sets
+    * union, transitive clusters resolve by min-label propagation, and
+    * ONE (image, caption) survivor keeps per cluster under the dd14
+    * quality rule (highest caption [[TextAnalysis.qualityScore]],
+    * ties to the lower id). Catches both re-encoded images carrying
+    * paraphrased captions and stock images recycled under new text.
+    *
+    * Scale shape: every piece keeps its own contract — media bytes
+    * never reach an exchange (decode+hash is the payload-pruned
+    * `mapPartitions` pass; only (id, hash) rows move), caption pairs
+    * come from the banded MinHash shuffle (never all-pairs), the
+    * union is pair-sized, closure runs O(diameter) rounds on the
+    * pair-sized edge frame, and the survivor rule broadcasts
+    * near-dup-sized labels over one corpus quality scan.
+    *
+    * Output: [[Dedup.keepBestPerCluster]]'s shape —
+    * `(doc_id, cluster_id, keep_id, keep, quality)`, one row per
+    * pair. */
+  def pairCuration(spark: SparkSession, docs: DataFrame,
+      maxDist: Int = 3, k: Int = 3, pct: Int = 80): DataFrame = {
+    val imgPairs = imageNearDup(spark, docs, maxDist)
+      .select(col("a_id"), col("b_id"))
+    val capPairs = Dedup.minhashPairs(docs, k = k, pct = pct)
+      .select(col("a_id"), col("b_id"))
+    val clusters = Dedup.resolveClusters(
+      imgPairs.unionByName(capPairs))
+      .select(col("doc_id"), col("cluster_id"))
+    Dedup.keepBestByQuality(docs, clusters)
+  }
+
   /** Energy-delta audio fingerprint (m12's hash stage): synthesize a
     * deterministic PCM16 clip per document, round-trip it through the
     * REAL `javax.sound.sampled` WAV codec (the m6 contract — a real

@@ -1177,6 +1177,15 @@ object PipelineQueries {
       Multimodal.audioNearDup(s, documents(s, d))
         .orderBy("a_id", "b_id")
     },
+    // LAION-style pair curation: image dHash near-dups ∪ caption
+    // MinHash near-dups → transitive clusters → ONE (image, caption)
+    // survivor per cluster under the dd14 quality rule; media bytes
+    // never reach an exchange (the m10 contract), captions ride the
+    // banded MinHash shuffle (the dd3 contract)
+    "m13_pair_curation" -> { (s, d) =>
+      Multimodal.pairCuration(s, documents(s, d))
+        .orderBy("doc_id")
+    },
     "m1_multimodal_features" -> { (s, d) =>
       Multimodal.features(s, documents(s, d)).orderBy("media_id")
     },
@@ -4585,6 +4594,41 @@ object PipelineQueries {
       FROM h a JOIN h b2 ON a.media_id < b2.media_id
       WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3
       ORDER BY a_id, b_id""",
+    // the union of the m10 image pairs and the dd3 caption pairs,
+    // closed transitively, survivor = dd14's (quality desc, id asc)
+    "m13_pair_curation" -> s"""
+      WITH RECURSIVE $sqlMinhashCtes,
+      $sqlDHashCtes,
+      ipairs AS (SELECT a.media_id AS a_id, b2.media_id AS b_id
+        FROM h a JOIN h b2 ON a.media_id < b2.media_id
+        WHERE bit_count(xor(a.hi, b2.hi))
+          + bit_count(xor(a.lo, b2.lo)) <= 3),
+      cpairs AS (SELECT a_id, b_id FROM verified
+        WHERE common * 100 >= union_size * 80),
+      pairs AS (SELECT a_id, b_id FROM ipairs
+        UNION SELECT a_id, b_id FROM cpairs),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      q AS (SELECT doc_id,
+        ${sqlQuality} AS quality
+        FROM documents),
+      cl AS (SELECT q.doc_id, q.quality,
+          coalesce(l.cluster_id, q.doc_id) AS cluster_id
+        FROM q LEFT JOIN labels l ON l.id = q.doc_id),
+      best AS (SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cluster_id, doc_id, row_number() OVER (
+          PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+        FROM cl) WHERE rn = 1)
+      SELECT c.doc_id, c.cluster_id, bb.keep_id,
+        c.doc_id = bb.keep_id AS keep, c.quality
+      FROM cl c JOIN best bb USING (cluster_id)
+      ORDER BY c.doc_id""",
     // the same closed-form dHashes split new (even) vs index (odd),
     // then the plain all-pairs cross-boundary Hamming join — the
     // guarded probe path must equal it

@@ -22,7 +22,7 @@ object GenQueriesDoc {
       ("Graph analytics", "q58|q60|q62"),
       ("Similarity search", "ss1|ss2|ss3|ss4|ss5|ss6|ss7|ss8|ss9|ss10|ss11|ss12|ss13|ss14|ss15|ss16|ss17|ss18|ss19|ss20|ss21|ss22|ss23"),
       ("Embedding analytics", "ve1|ve2|ve3|ve4|ve5|ve6|ve7|ve8|ve9|ve10|ve11|ve12"),
-      ("Multimodal", "m10|m11|m12|m1|m2|m3|m4|m5|m6|m7|m8|m9"),
+      ("Multimodal", "m10|m11|m12|m13|m1|m2|m3|m4|m5|m6|m7|m8|m9"),
       ("Streaming batch twins", "st1|st2|st3|st4|st7|st8|st9"))
     val all = SparkEntry.queries.keySet
     val oracle = SparkEntry.oracleSql.keySet

@@ -2899,4 +2899,30 @@ class PipelineOperatorsSpec extends AnyFunSuite {
         assert(pos == audit(key), s"span total != audited tokens at $key")
     }
   }
+
+  test("m13 pair curation merges clusters across modalities") {
+    import spark.implicits._
+    // (101, 102): an IMAGE variant pair (the planted dHash perturb at
+    // id % 101 == 1) under UNRELATED captions; (5, 9): identical
+    // captions under unrelated images; 7 is a singleton
+    val tiny = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "completely different caption about mountains and rivers"),
+      (5L, "a red bicycle leaning against a brick wall outside"),
+      (9L, "a red bicycle leaning against a brick wall outside"),
+      (7L, "nothing here resembles anything else in this fixture"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.pairCuration(spark, tiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // the image edge merges 101/102 despite disjoint captions
+    assert(out(101L)._1 == out(102L)._1, "image edge must cluster")
+    assert(Seq(out(101L), out(102L)).count(_._2) == 1,
+      "exactly one survivor in the image cluster")
+    // the caption edge merges 5/9 despite unrelated images
+    assert(out(5L)._1 == out(9L)._1, "caption edge must cluster")
+    assert(Seq(out(5L), out(9L)).count(_._2) == 1)
+    // the two clusters stay separate; the singleton survives
+    assert(out(101L)._1 != out(5L)._1)
+    assert(out(7L) == ((7L, true)))
+  }
 }

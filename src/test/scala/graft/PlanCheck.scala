@@ -166,6 +166,16 @@ object PlanCheck {
         (p => !p.contains("text")),
       "block join is equi, not cartesian" ->
         (p => !p.contains("Cartesian"))))
+    audit("m13_pair_curation", Seq(
+      // the image leg keeps m10's contract (id-only decode input) —
+      // text appears ONLY on the caption/quality side; no leg goes
+      // quadratic and the label frames broadcast
+      "no cartesian anywhere (banded minhash + pigeonhole blocks)" ->
+        (p => !p.contains("Cartesian")),
+      "closure rounds checkpoint-truncated" ->
+        (_.contains("Scan ExistingRDD")),
+      "labels/survivors ride broadcasts" ->
+        (_.contains("BroadcastHashJoin"))))
     audit("m11_image_incremental", Seq(
       "media payload pruned before decode (id-only read)" ->
         (p => !p.contains("text")),
