@@ -212,4 +212,178 @@ object Tokenizer {
       }
       .toDF("doc_id", "n_words", "n_tokens", "enc_fp")
   }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer (t33) —
+    * Viterbi-EM ("hard EM", the Kudo 2018 trainer's E-step collapsed
+    * to the best segmentation) over a substring candidate vocabulary,
+    * under a LOG-FREE integer objective so the whole trajectory
+    * replays bit-for-bit in the SQL oracle (the t14/t30 discipline:
+    * real unigram likelihoods are products of floats — not
+    * cross-engine exact; this surrogate is):
+    *
+    *  - candidate vocabulary: every substring (length ≤ `maxPiece`)
+    *    of every distinct word, counted over ALL positions weighted
+    *    by word frequency; candidates below `minCount` prune upfront,
+    *    single characters always survive (coverage guarantee);
+    *  - E-step (per round): each distinct word takes its optimal
+    *    segmentation under the TOTAL ORDER (fewest pieces, then
+    *    highest summed piece count, then segmentation string
+    *    ascending) — a per-word linear DP; the order has optimal
+    *    substructure (piece count and score are additive; candidates
+    *    sharing a first piece compare by their suffixes), so the DP
+    *    argmin equals the argmin over ALL segmentations, which is
+    *    exactly what the oracle's recursive enumeration computes;
+    *  - M-step: piece counts re-estimate from the best segmentations
+    *    (weighted by word frequency); pieces below `minCount` prune,
+    *    characters absent from any segmentation stay at count 0.
+    *
+    * Scale shape (the bpeTrain contract): the corpus contributes ONE
+    * tokenize scan into the word-frequency table; every round after
+    * that touches only vocabulary-sized frames — the span candidates
+    * are Σ |w|·maxPiece rows over DISTINCT words, the piece join is
+    * equi on the piece text, the DP runs per word inside a typed map
+    * (state = |w|+1 entries), and counts partial-aggregate map-side.
+    * Vocabulary state is checkpointed per round (the t18 discipline).
+    *
+    * Output: the trained vocabulary — `(piece, cnt)`, cnt = the final
+    * round's usage count (0 for coverage-only characters). */
+  def unigramTrain(docs: DataFrame, rounds: Int = 2, maxPiece: Int = 4,
+      minCount: Long = 2, maxWordLen: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordFreq(docs, maxWordLen)
+      .localCheckpoint(eager = false) // candidates + every E-step
+    val subs = words.as[(String, Long)]
+      .flatMap { case (w, f) =>
+        for {
+          st <- 0 until w.length
+          l <- 1 to math.min(maxPiece, w.length - st)
+        } yield (w.substring(st, st + l), f)
+      }
+      .toDF("piece", "f")
+      .groupBy("piece").agg(sum("f").as("cnt"))
+      .localCheckpoint(eager = false) // v0 filter + char coverage set
+    val chars = subs.filter(length(col("piece")) === 1).select("piece")
+    var vocab = subs
+      .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+      .localCheckpoint(eager = false)
+    var r = 0
+    while (r < rounds) {
+      val counts = bestSegs(words, vocab, maxPiece)
+        .select(col("freq"), explode(split(col("seg"), " ")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      val kept = counts.filter(col("cnt") >= minCount ||
+        length(col("piece")) === 1)
+        .localCheckpoint(eager = false) // coverage anti-join + union
+      vocab = chars.join(kept, Seq("piece"), "left_anti")
+        .withColumn("cnt", lit(0L))
+        .unionByName(kept)
+        .localCheckpoint(eager = false) // next round / output
+      r += 1
+    }
+    vocab.select("piece", "cnt")
+  }
+
+  /** Encode the corpus under a trained [[unigramTrain]] vocabulary
+    * (t34) — the inference half, [[bpeEncode]]'s output contract:
+    * alpha words in the trainable range segment by the SAME
+    * (fewest pieces, highest count, seg string) DP; everything else —
+    * non-alpha, overlong, single-char words, and the (corpus-mismatch
+    * only) uncoverable word — passes through as ONE opaque token.
+    * Distinct words segment once (vocabulary-sized work); the corpus
+    * pays one tokenize scan plus a word-keyed join of the tiny
+    * mapping. Output: `(doc_id, n_words, n_tokens, enc_fp)` — the
+    * fingerprint moves if any piece of any word changes. */
+  def unigramEncode(docs: DataFrame, vocab: DataFrame,
+      maxPiece: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    val segs = bestSegs(
+      wordFreq(docs, maxWordLen).select(col("w"), lit(1L).as("freq")),
+      vocab, maxPiece)
+      .select(col("w"), col("seg"),
+        size(split(col("seg"), " ")).cast("long").as("np"))
+    docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+      .join(segs, Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("seg"), col("w")).as("seg"),
+        coalesce(col("np"), lit(1L)).as("np"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("np").as("n_tokens"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("seg")))), x => x.getField("seg")),
+          " ").as("encstr"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        TextAnalysis.fingerprint(col("encstr")).as("enc_fp"))
+  }
+
+  /** The distinct-word frequency table both unigram halves share —
+    * [[bpeTrain]]'s normalization: lower-cased whitespace tokens,
+    * `[a-z]+` only, length 2..maxWordLen. */
+  private def wordFreq(docs: DataFrame, maxWordLen: Int): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") &&
+        length(col("w")).between(2, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** E-step: the optimal segmentation per distinct word under the
+    * current vocabulary — span candidates join the vocabulary equi on
+    * the piece text (never all-pairs), then a per-word linear DP in a
+    * typed map. Words with an uncoverable position (possible only
+    * when encoding a corpus the vocab was not trained on) fall back
+    * to the identity segmentation. */
+  private def bestSegs(words: DataFrame, vocab: DataFrame,
+      maxPiece: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.as[(String, Long)]
+      .flatMap { case (w, f) =>
+        for {
+          st <- 0 until w.length
+          l <- 1 to math.min(maxPiece, w.length - st)
+        } yield (w, f, st, w.substring(st, st + l))
+      }
+      .toDF("w", "freq", "st", "piece")
+      .join(vocab.select(col("piece"), col("cnt")), "piece")
+      .groupBy("w", "freq")
+      .agg(collect_list(struct(col("st"), col("piece"), col("cnt")))
+        .as("sp"))
+      .as[(String, Long, Seq[(Int, String, Long)])]
+      .map { case (w, f, sp) => (w, f, viterbiSeg(w, sp).getOrElse(w)) }
+      .toDF("w", "freq", "seg")
+  }
+
+  /** The per-word DP: argmin over all segmentations of `w` into vocab
+    * pieces by (piece count asc, summed count desc, segmentation
+    * string asc) — right-to-left, one best state per position (the
+    * total order is suffix-decomposable; see [[unigramTrain]]).
+    * None when some position is uncoverable. */
+  private[graft] def viterbiSeg(w: String,
+      spans: Seq[(Int, String, Long)]): Option[String] = {
+    val n = w.length
+    val byStart = Array.fill(n)(List.empty[(String, Long)])
+    spans.foreach { case (st, p, c) => byStart(st) = (p, c) :: byStart(st) }
+    val INF = Int.MaxValue / 2
+    val bn = Array.fill(n + 1)(INF)
+    val bs = new Array[Long](n + 1)
+    val bstr = new Array[String](n + 1)
+    bn(n) = 0; bs(n) = 0L; bstr(n) = ""
+    var pos = n - 1
+    while (pos >= 0) {
+      byStart(pos).foreach { case (p, c) =>
+        val e = pos + p.length
+        if (e <= n && bn(e) < INF) {
+          val cn = bn(e) + 1
+          val cs = bs(e) + c
+          val cstr = if (bstr(e).isEmpty) p else p + " " + bstr(e)
+          if (cn < bn(pos) || (cn == bn(pos) && (cs > bs(pos) ||
+              (cs == bs(pos) && cstr < bstr(pos)))))
+            { bn(pos) = cn; bs(pos) = cs; bstr(pos) = cstr }
+        }
+      }
+      pos -= 1
+    }
+    if (bn(0) >= INF) None else Some(bstr(0))
+  }
 }

@@ -322,6 +322,28 @@ object PipelineQueries {
       graft.operators.Tokenizer
         .bpeEncode(documents(s, d), bpeRules(s, d)).orderBy("doc_id")
     },
+    // unigram-LM (SentencePiece-style) trainer: substring candidates,
+    // 2 Viterbi-EM rounds under the log-free integer objective
+    // (fewest pieces, then highest summed count, then seg string) —
+    // the oracle enumerates ALL segmentations recursively and picks
+    // the same total-order argmin, replaying the trajectory exactly
+    "t33_unigram_train" -> { (s, d) =>
+      graft.operators.Tokenizer
+        .unigramTrain(documents(s, d), rounds = 2, maxPiece = 4,
+          minCount = 2, maxWordLen = 12)
+        .orderBy("piece")
+    },
+    // the trained unigram vocab applied back to every document: the
+    // same DP segments each distinct word once, docs roll up real
+    // token counts + the fingerprint of the exact piece stream
+    "t34_unigram_encode" -> { (s, d) =>
+      val v = graft.operators.Tokenizer
+        .unigramTrain(documents(s, d), rounds = 2, maxPiece = 4,
+          minCount = 2, maxWordLen = 12)
+        .localCheckpoint(eager = false) // the standing model frame
+      graft.operators.Tokenizer.unigramEncode(documents(s, d), v)
+        .orderBy("doc_id")
+    },
     "dd18_soft_dedup" -> { (s, d) =>
       Dedup.softDedupWeights(documents(s, d)).orderBy("doc_id")
     },
@@ -1651,6 +1673,64 @@ object PipelineQueries {
       FROM enc ORDER BY doc_id"""
   }
 
+  /** Unigram-LM trainer replay (twin of [[graft.operators.Tokenizer
+    * .unigramTrain]]): substring candidates from the word table, then
+    * per EM round a RECURSIVE enumeration of every segmentation of
+    * every distinct word under the round's vocabulary, the
+    * (n, s DESC, seg) total-order argmin per word — exactly the
+    * engine DP's objective, so both pick identical segmentations —
+    * counts, prune, coverage union. Ends at `uv{rounds}`; `best{r}`
+    * exposes the round-r segmentations (t34 reuses the final one).
+    * MATERIALIZED on every multiply-referenced CTE (the t30 lesson:
+    * inlined unrolled chains blow up exponentially). */
+  private def sqlUnigramCtes(rounds: Int = 2, maxPiece: Int = 4,
+      minCount: Long = 2, maxWordLen: Int = 12): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""useg$r AS (
+        SELECT w, freq, 0::BIGINT AS pos, 0 AS n, 0::BIGINT AS s,
+          '' AS seg FROM w0
+        UNION ALL
+        SELECT g.w, g.freq, g.pos + t.l, g.n + 1, g.s + v.cnt,
+          CASE WHEN g.seg = '' THEN v.piece
+            ELSE g.seg || ' ' || v.piece END
+        FROM useg$r g, unnest(range(1, $maxPiece + 1)) AS t(l),
+          uv${r - 1} v
+        WHERE g.pos + t.l <= length(g.w)
+          AND length(v.piece) = t.l
+          AND v.piece = substring(g.w, (g.pos + 1)::INT, t.l::INT)),
+      ubest$r AS MATERIALIZED (
+        SELECT w, freq, seg FROM useg$r WHERE pos = length(w)
+        QUALIFY row_number() OVER (PARTITION BY w
+          ORDER BY n, s DESC, seg) = 1),
+      ucnt$r AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+          SELECT freq, unnest(string_split(seg, ' ')) AS piece
+          FROM ubest$r) GROUP BY piece),
+      ukeep$r AS MATERIALIZED (SELECT piece, cnt FROM ucnt$r
+        WHERE cnt >= $minCount OR length(piece) = 1),
+      uv$r AS MATERIALIZED (
+        SELECT c.piece, 0::BIGINT AS cnt FROM uchars c
+        WHERE c.piece NOT IN (SELECT piece FROM ukeep$r)
+        UNION ALL SELECT piece, cnt FROM ukeep$r)"""
+    }.mkString(",\n      ")
+    s"""w0 AS MATERIALIZED (SELECT t.w AS w, count(*)::BIGINT AS freq
+        FROM (SELECT unnest($toks) AS w FROM documents) t
+      WHERE regexp_matches(t.w, '^[a-z]+$$')
+        AND len(t.w) BETWEEN 2 AND $maxWordLen
+      GROUP BY t.w),
+      usubs AS MATERIALIZED (
+        SELECT substring(w, st.s1::INT, l.l1::INT) AS piece,
+          sum(freq)::BIGINT AS cnt
+        FROM w0, unnest(range(1, $maxWordLen + 1)) AS st(s1),
+          unnest(range(1, $maxPiece + 1)) AS l(l1)
+        WHERE st.s1 + l.l1 - 1 <= length(w)
+        GROUP BY 1),
+      uchars AS MATERIALIZED (SELECT piece FROM usubs
+        WHERE length(piece) = 1),
+      uv0 AS MATERIALIZED (SELECT piece, cnt FROM usubs
+        WHERE cnt >= $minCount OR length(piece) = 1),
+      $roundCtes"""
+  }
+
   /** Shared MinHash-LSH pair pipeline (twin of [[Dedup.minhashPairs]]
     * with k=3, 16 hashes, 4 bands) as a CTE chain ending in
     * `verified(a_id, b_id, common, union_size)` — used by the dd3
@@ -2658,6 +2738,27 @@ object PipelineQueries {
       ORDER BY slot""",
     "t18_bpe_merges" -> sqlBpe(8),
     "t23_bpe_encode" -> sqlBpeEncode(8),
+    // the full 2-round Viterbi-EM trajectory replayed by recursive
+    // enumeration — final vocabulary with coverage-zero chars
+    "t33_unigram_train" -> s"""
+      WITH RECURSIVE ${sqlUnigramCtes(2)}
+      SELECT piece, cnt FROM uv2 ORDER BY piece""",
+    // one more enumeration under the FINAL vocabulary segments every
+    // distinct word; docs roll up counts + the ordered piece stream
+    "t34_unigram_encode" -> s"""
+      WITH RECURSIVE ${sqlUnigramCtes(3)},
+      tl AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM documents),
+      tokpos AS (SELECT doc_id, t.p AS pos, tk[t.p] AS tok
+        FROM tl, unnest(range(1, len(tk) + 1)) AS t(p)),
+      encp AS (SELECT doc_id, pos,
+          coalesce(b.seg, tok) AS seg,
+          coalesce(len(string_split(b.seg, ' '))::BIGINT, 1::BIGINT)
+            AS np
+        FROM tokpos LEFT JOIN ubest3 b ON b.w = tok)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+        sum(np)::BIGINT AS n_tokens,
+        ${sqlFp("string_agg(seg, ' ' ORDER BY pos)")} AS enc_fp
+      FROM encp GROUP BY doc_id ORDER BY doc_id""",
     // distinct (source, 5-gram-fp) pairs, self-joined per gram (the
     // source dimension is dozens-sized, so the per-gram fanout is
     // bounded), then the double-floor containment ppm

@@ -2925,4 +2925,43 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(out(101L)._1 != out(5L)._1)
     assert(out(7L) == ((7L, true)))
   }
+
+  test("t33 unigram DP: fewest pieces, then count, then seg string; coverage holds") {
+    import graft.operators.Tokenizer
+    // "abcd": one 4-char piece beats any split regardless of counts
+    assert(Tokenizer.viterbiSeg("abcd", Seq(
+      (0, "abcd", 1L), (0, "ab", 99L), (2, "cd", 99L),
+      (0, "a", 9L), (1, "b", 9L), (2, "c", 9L), (3, "d", 9L)))
+      .contains("abcd"))
+    // equal piece count: higher summed count wins
+    assert(Tokenizer.viterbiSeg("abcd", Seq(
+      (0, "ab", 5L), (2, "cd", 5L), (0, "abc", 1L), (3, "d", 1L)))
+      .contains("ab cd"))
+    // full tie on (n, s): lexicographically smaller seg string wins
+    assert(Tokenizer.viterbiSeg("abcd", Seq(
+      (0, "ab", 5L), (2, "cd", 5L), (0, "abc", 4L), (3, "d", 6L)))
+      .contains("ab cd"))
+    // uncoverable position -> None (the encode identity fallback)
+    assert(Tokenizer.viterbiSeg("abcd", Seq(
+      (0, "ab", 5L), (3, "d", 5L))).isEmpty)
+  }
+
+  test("t33/t34 unigram round-trip: trained pieces reconstruct every word") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    val tiny = Seq((1L, "banana band bandana banana band"),
+      (2L, "ana band banana bandana ana")).toDF("doc_id", "text")
+    val vocab = Tokenizer.unigramTrain(tiny, rounds = 2, maxPiece = 4,
+      minCount = 2, maxWordLen = 12)
+    val pieces = vocab.collect().map(_.getString(0)).toSet
+    // coverage: every char of the corpus words is in the vocab
+    assert(Seq("b", "a", "n", "d").forall(pieces.contains))
+    val enc = Tokenizer.unigramEncode(tiny, vocab).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(1L)._1 == 5 && enc(2L)._1 == 5) // n_words
+    // segmentation compresses: fewer tokens than characters
+    assert(enc(1L)._2 < "banana band bandana banana band"
+      .replace(" ", "").length)
+    assert(enc(1L)._2 >= 5) // at least one piece per word
+  }
 }

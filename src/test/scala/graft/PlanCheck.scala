@@ -166,6 +166,19 @@ object PlanCheck {
         (p => !p.contains("text")),
       "block join is equi, not cartesian" ->
         (p => !p.contains("Cartesian"))))
+    audit("t33_unigram_train", Seq(
+      // one corpus tokenize into the word table; every EM round
+      // touches only vocabulary-sized frames behind checkpoints (the
+      // final visible plan is just the coverage union over them)
+      "rounds checkpoint-truncated (one corpus scan)" ->
+        (_.contains("Scan ExistingRDD")),
+      "span-vocab join is equi, not cartesian" ->
+        (p => !p.contains("CartesianProduct"))))
+    audit("t34_unigram_encode", Seq(
+      "word-seg mapping joins equi, no cartesian" ->
+        (p => !p.contains("CartesianProduct")),
+      "model frame checkpoint-truncated" ->
+        (_.contains("Scan ExistingRDD"))))
     audit("m13_pair_curation", Seq(
       // the image leg keeps m10's contract (id-only decode input) —
       // text appears ONLY on the caption/quality side; no leg goes
