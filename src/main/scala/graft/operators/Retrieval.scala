@@ -248,16 +248,28 @@ object Retrieval {
     * grain, and a 1-row `_meta` records the bucket count. df is NOT
     * stored: a term's postings live wholly inside its own bucket, so
     * probe-time df derived from the PRUNED read is already the
-    * global df (the t25 no-drift discipline, kept for free). */
+    * global df (the t25 no-drift discipline, kept for free).
+    *
+    * A FORWARD index (`_fwd`) — the same posting rows partitioned by
+    * the doc-hash bucket — lands beside the postings: doc-major
+    * access (RM3 feedback-term mining reads the feedback DOCS' rows)
+    * would otherwise scan every term bucket; the forward copy serves
+    * it through `dbkt` pruning instead, the docvecs artifact every
+    * production lexical index keeps. */
   def bm25IndexWrite(docs: DataFrame, outPath: String,
       buckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val idx = bm25Index(docs)
       .withColumn("bkt", bm25Bkt(col("fp"), buckets))
-      .localCheckpoint(eager = false) // postings write + doc census
+      .localCheckpoint(eager = false) // postings + fwd + doc census
     idx.repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(outPath)
+    idx.select("fp", "doc_id", "len", "tf")
+      .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
+      .repartition(col("dbkt"))
+      .write.partitionBy("dbkt").mode("overwrite")
+      .parquet(outPath + "_fwd")
     idx.select("doc_id", "len").distinct()
       .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
       .repartition(col("dbkt"))
@@ -368,7 +380,10 @@ object Retrieval {
           layoutPath, s"bkt=$b"), true)
       }
     }
-    // the narrow (doc_id, len) census folds at its own dbkt grain
+    // the doc-bucketed artifacts (_fwd rows, _docs census) fold at
+    // their own dbkt grain — both share the same touched set
+    val arrivedFwd = arrivedIdx.select("fp", "doc_id", "len", "tf")
+      .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
     val arrivedDocs = arrivedIdx.select("doc_id", "len").distinct()
       .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
     val touchedD = goneIds
@@ -377,23 +392,80 @@ object Retrieval {
       .distinct().collect().map(_.get(0).toString.toLong).toSet
     if (touchedD.nonEmpty) {
       val touchedDLit = touchedD.toSeq.sorted.map(lit)
-      val newDocs = spark.read.parquet(layoutPath + "_docs")
-        .filter(col("dbkt").isin(touchedDLit: _*))
-        .join(broadcast(goneIds), Seq("doc_id"), "left_anti")
-        .unionByName(arrivedDocs)
-        .select("doc_id", "len", "dbkt")
-        .localCheckpoint(eager = true)
-      newDocs.repartition(col("dbkt"))
-        .write.option("partitionOverwriteMode", "dynamic")
-        .partitionBy("dbkt").mode("overwrite")
-        .parquet(layoutPath + "_docs")
-      val writtenD = newDocs.select("dbkt").distinct()
-        .collect().map(_.get(0).toString.toLong).toSet
-      (touchedD -- writtenD).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          layoutPath + "_docs", s"dbkt=$b"), true)
+      def rewriteD(suffix: String, arrived: DataFrame,
+          cols: Seq[String]): Unit = {
+        val fresh = spark.read.parquet(layoutPath + suffix)
+          .filter(col("dbkt").isin(touchedDLit: _*))
+          .join(broadcast(goneIds), Seq("doc_id"), "left_anti")
+          .unionByName(arrived)
+          .select((cols :+ "dbkt").map(col): _*)
+          .localCheckpoint(eager = true) // sever from the files below
+        fresh.repartition(col("dbkt"))
+          .write.option("partitionOverwriteMode", "dynamic")
+          .partitionBy("dbkt").mode("overwrite")
+          .parquet(layoutPath + suffix)
+        val written = fresh.select("dbkt").distinct()
+          .collect().map(_.get(0).toString.toLong).toSet
+        (touchedD -- written).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            layoutPath + suffix, s"dbkt=$b"), true)
+        }
       }
+      rewriteD("_fwd", arrivedFwd, Seq("fp", "doc_id", "len", "tf"))
+      rewriteD("_docs", arrivedDocs, Seq("doc_id", "len"))
     }
+  }
+
+  /** RM3 pseudo-relevance expansion served THROUGH a written
+    * [[bm25IndexWrite]] layout — identical rows to [[rm3Expand]] over
+    * the same postings (shared scoring tail, same feedback-weight
+    * estimate), with every corpus-sized read PRUNED: both scoring
+    * passes semi-join the postings on (bkt, fp) so only the active
+    * terms' directories load (pass 2 adds the expansion terms'
+    * buckets), and the feedback-term mining — doc-major access a
+    * term-partitioned layout cannot prune — reads the `_fwd` forward
+    * copy through its doc-bucket column instead. df derives per pass
+    * from the pruned reads (global by construction); totals come from
+    * the `_docs` census. */
+  def rm3TopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, queries: DataFrame, k: Int = 10,
+      fbDocs: Int = 5, fbTerms: Int = 3): DataFrame = {
+    import graft.functions.hashFunctions.gram_fps
+    import org.apache.spark.sql.expressions.Window
+    val buckets = spark.read.parquet(layoutPath + "_meta")
+      .head().getLong(0).toInt
+    val totals = spark.read.parquet(layoutPath + "_docs")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    val orig = queries.select(col("query_id"),
+      explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+    def prunedFor(terms: DataFrame): DataFrame =
+      spark.read.parquet(layoutPath)
+        .join(broadcast(terms.select("fp").distinct()
+          .withColumn("bkt", bm25Bkt(col("fp"), buckets))),
+          Seq("bkt", "fp"), "left_semi")
+        .select("fp", "doc_id", "len", "tf")
+    val pruned1 = prunedFor(orig)
+    val dfreq1 = pruned1.groupBy("fp").agg(count(lit(1)).as("df"))
+    val feedback = bm25ScoreFps(pruned1, totals, orig, fbDocs,
+        dfreqOpt = Some(dfreq1))
+      .select("query_id", "doc_id")
+    val fbWeights = feedback
+      .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
+      .join(spark.read.parquet(layoutPath + "_fwd"),
+        Seq("dbkt", "doc_id"))
+      .filter(col("fp").isNotNull)
+      .groupBy("query_id", "fp")
+      .agg(sum(expr("tf * 1000000 div len")).as("fb_w_ppm"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("fb_w_ppm").desc, col("fp"))
+    val expansion = fbWeights
+      .withColumn("erank", row_number().over(wE))
+      .filter(col("erank") <= fbTerms)
+      .select("query_id", "fp")
+    val allTerms = orig.unionByName(expansion).distinct()
+    val pruned2 = prunedFor(allTerms)
+    val dfreq2 = pruned2.groupBy("fp").agg(count(lit(1)).as("df"))
+    bm25ScoreFps(pruned2, totals, allTerms, k, dfreqOpt = Some(dfreq2))
   }
 
   /** RM3-style pseudo-relevance-feedback expansion (t27): run each

@@ -1291,6 +1291,23 @@ object PipelineQueries {
         k = 10, fbDocs = 5, fbTerms = 3)
         .orderBy("query_id", "rank")
     },
+    // the FULL retrieval stack through the written layout: both RM3
+    // scoring passes prune to the active terms' buckets (DPP) and the
+    // feedback-term mining reads the doc-bucketed _fwd forward copy —
+    // doc-major access a term-partitioned layout cannot serve — so no
+    // leg ever scans the whole index; rows must equal t27's in-memory
+    // chain bit-for-bit (verbatim oracle)
+    "t35_rm3_layout" -> { (s, d) =>
+      val all = documents(s, d)
+      val out = layoutDir(s, d, "bm25p_layout") { p =>
+        Retrieval.bm25IndexWrite(all, p, buckets = 64)
+      }
+      Retrieval.rm3TopKFromLayout(s, out,
+        all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")),
+        k = 10, fbDocs = 5, fbTerms = 3)
+        .orderBy("query_id", "rank")
+    },
     // standing TF-IDF tagger: the df model freezes on the 9/10
     // reference split, every 10th doc arrives and is tagged in-row
     // against it above a score floor (streaming-legal)
@@ -2490,6 +2507,11 @@ object PipelineQueries {
           ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
       WHERE rank <= 3 ORDER BY vec_id, rank"""
 
+  /** t27's full two-pass RM3 replay, shared verbatim with t35: the
+    * layout-served expansion must equal the in-memory chain. */
+  private lazy val sqlT27Rm3: String = s"""${sqlRm3TopK()}
+      ORDER BY query_id, rank"""
+
   /** t25's full CDF-modified-corpus BM25 replay, shared verbatim with
     * t32: the written bucket layout must serve the maintained
     * postings bit-identically to the in-memory fold. */
@@ -2770,8 +2792,10 @@ object PipelineQueries {
     // the t22 chain run twice: pass-1 ranks pick the feedback docs,
     // fw/ex mine the Σ tf·1e6 div len expansion terms, pass 2 scores
     // the distinct original ∪ expansion term set
-    "t27_rm3_expansion" -> s"""${sqlRm3TopK()}
-      ORDER BY query_id, rank""",
+    "t27_rm3_expansion" -> sqlT27Rm3,
+    // the LAYOUT-served RM3 must match the in-memory two-pass chain
+    // bit-for-bit, so t35's oracle is t27's VERBATIM
+    "t35_rm3_layout" -> sqlT27Rm3,
     // the frozen-df model replayed: df/n_docs from the reference
     // split only, arriving docs' tf joined in, same integer idf
     "t28_tfidf_standing" -> s"""

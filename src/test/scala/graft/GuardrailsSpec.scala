@@ -654,6 +654,39 @@ class GuardrailsSpec extends AnyFunSuite {
       served.exceptAll(direct).count() == 0)
   }
 
+  test("rm3 through the layout serves bit-identically, before and " +
+      "after a CDF fold") {
+    import graft.operators.Retrieval
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_rm3_guard_${spark.sparkContext.applicationId}").getPath
+    Retrieval.bm25IndexWrite(docs, out, buckets = 64)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val direct = Retrieval.rm3Expand(Retrieval.bm25Index(docs),
+      queries, k = 10, fbDocs = 5, fbTerms = 3)
+    val served = Retrieval.rm3TopKFromLayout(spark, out, queries,
+      k = 10, fbDocs = 5, fbTerms = 3)
+    assert(direct.exceptAll(served).count() == 0 &&
+      served.exceptAll(direct).count() == 0)
+    // fold a CDF batch; the maintained layout (incl. the _fwd forward
+    // copy the feedback mining reads) must serve the folded corpus
+    val cdf = docs.filter(col("doc_id").isin(4L, 17L))
+      .select(col("doc_id"), col("text"),
+        lit("delete").as("_change_type"))
+      .unionByName(docs.filter(col("doc_id") === 6L)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text"),
+          lit("insert").as("_change_type")))
+    Retrieval.bm25LayoutApplyCdf(spark, out, cdf)
+    val folded = Retrieval.bm25ApplyCdf(Retrieval.bm25Index(docs), cdf)
+      .localCheckpoint(eager = false)
+    val direct2 = Retrieval.rm3Expand(folded, queries,
+      k = 10, fbDocs = 5, fbTerms = 3)
+    val served2 = Retrieval.rm3TopKFromLayout(spark, out, queries,
+      k = 10, fbDocs = 5, fbTerms = 3)
+    assert(direct2.exceptAll(served2).count() == 0 &&
+      served2.exceptAll(direct2).count() == 0)
+  }
+
   test("bm25 layout CDF rewrite drops a bucket whose last posting departs") {
     import spark.implicits._
     import graft.operators.Retrieval

@@ -82,6 +82,12 @@ object PlanCheck {
       "probe prunes the home-list layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    auditExecuted("t35_rm3_layout", Seq(
+      // both scoring passes prune the postings buckets; feedback-term
+      // mining prunes the doc-bucketed forward copy
+      "all layout reads prune via DPP" ->
+        (p => "dynamicpruning".r.findAllIn(p).size >= 3),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     auditExecuted("t32_bm25_layout", Seq(
       "probe prunes the postings layout's term buckets (DPP)" ->
         (_.contains("dynamicpruning")),
