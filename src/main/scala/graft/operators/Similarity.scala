@@ -1801,6 +1801,72 @@ object Similarity {
     cents.write.mode("overwrite").parquet(outPath + "_cents")
   }
 
+  /** CDF maintenance of a WRITTEN [[sq8IndexWrite]] layout — the
+    * [[knnLayoutApplyCdf]] partition-grain rewrite applied to the
+    * quantized family: departures leave their home `cid=` directory
+    * via one id-keyed anti-join, arrivals ENCODE UNDER THE FROZEN
+    * STATS (mns/spans never re-estimate inline — re-quantizing on
+    * every batch would silently shift every stored code; stats
+    * refresh is a scheduled offline event, the ss20 centroid
+    * discipline applied to the quantizer grid) and assign under the
+    * frozen centroids, and only the touched lists' directories
+    * rewrite (dynamic partition overwrite; emptied lists' directories
+    * drop explicitly). The maintained layout serves rows
+    * bit-identical to a from-scratch encode of the modified
+    * membership under the same frozen stats + centroids (pinned in
+    * GuardrailsSpec). CDF rows: `(vec_id, embedding, _change_type)`. */
+  def sq8LayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, cdf: DataFrame): Unit = {
+    val cents = spark.read.parquet(layoutPath + "_cents")
+    val packed = spark.read.parquet(layoutPath + "_stats")
+    val home = spark.read.parquet(layoutPath)
+    val known = Seq("insert", "delete", "update_preimage",
+      "update_postimage")
+    val validated = cdf.withColumn("_change_type",
+      when(col("_change_type").isin(known: _*), col("_change_type"))
+        .otherwise(raise_error(concat(
+          lit("sq8LayoutApplyCdf: unknown CDF change type '"),
+          col("_change_type"), lit("'"))).cast("string")))
+      .localCheckpoint(eager = false) // feeds the leave + arrive legs
+    val gone = validated
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col("vec_id").as("neighbor_id"))
+    val arrived = validated
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("vec_id", "embedding")
+    val arrivedRows = sq8Codes(arrived, packed)
+      .join(VectorStats
+        .assignToCentroids(arrived, cents.select("cid", "cemb"))
+        .select(col("vec_id").as("neighbor_id"),
+          col("cluster_id").as("cid")),
+        "neighbor_id")
+      .localCheckpoint(eager = false) // touched-cid census + rewrite
+    val touched = home.join(broadcast(gone), Seq("neighbor_id"),
+        "left_semi").select("cid")
+      .union(arrivedRows.select("cid"))
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    if (touched.nonEmpty) {
+      val touchedLit = touched.toSeq.sorted.map(lit)
+      val newRows = home.filter(col("cid").isin(touchedLit: _*))
+        .join(broadcast(gone), Seq("neighbor_id"), "left_anti")
+        .unionByName(arrivedRows.filter(
+          col("cid").isin(touchedLit: _*)))
+        .select("neighbor_id", "codes", "cid")
+        .localCheckpoint(eager = true) // sever from the files below
+      newRows.repartition(col("cid"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").mode("overwrite").parquet(layoutPath)
+      val written = newRows.select("cid").distinct()
+        .collect().map(_.get(0).toString.toLong).toSet
+      val fs = new org.apache.hadoop.fs.Path(layoutPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched -- written).foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          layoutPath, s"cid=$cid"), true)
+      }
+    }
+  }
+
   /** Serve IVF-SQ8 top-k THROUGH a written [[sq8IndexWrite]] layout:
     * reads the three artifacts back and runs the shared serving tail
     * — results are bit-identical to [[ivfSq8TopK]] off the source

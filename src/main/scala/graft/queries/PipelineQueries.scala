@@ -1121,6 +1121,29 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    // CDF maintenance of the WRITTEN quantized index: the ss20 batch
+    // folds into the sq8 layout as a partition-grain rewrite —
+    // departures leave their cid= directory, arrivals encode under
+    // the FROZEN stats and assign under the frozen centroids — then
+    // the maintained layout serves; the oracle re-derives stats +
+    // training from the ORIGINAL corpus and encodes the modified
+    // membership under them
+    "ss24_sq8_layout_cdf" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "sq8cdf_layout") { p =>
+        Similarity.sq8IndexWrite(e, p, numCentroids = 8, iters = 2)
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding"), lit("insert").as("_change_type")))
+        Similarity.sq8LayoutApplyCdf(s, p, cdf)
+      }
+      Similarity.ivfSq8TopKFromLayout(s, out,
+        e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
     // the same layout discipline for the residual-coded family: the
     // encoded corpus persists lcid-partitioned with its coarse
     // quantizer + codebooks beside it, and the ADC probe serves
@@ -4588,6 +4611,68 @@ object PipelineQueries {
       ORDER BY query_id, rank""",
     // the layout round-trip must serve EXACTLY what direct ivf-sq8
     // serving computes — one oracle states both semantics
+    // frozen stats + frozen centroids from the ORIGINAL corpus, the
+    // CDF-modified membership encoded and served under them — the
+    // layout rewrite must equal this from-scratch replay
+    "ss24_sq8_layout_cdf" -> {
+      val dq = "st.mns[i] + cd.codes[i]::DOUBLE * st.spans[i] / 255.0"
+      s"""
+      WITH ${sqlKmeansCtes(8)},
+      ${sqlKmAsg("c2", "a2")},
+      sx AS (SELECT u.pos, min(u.v) AS mn, max(u.v) AS mx FROM
+          (SELECT unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS pos FROM embeddings) u
+        GROUP BY 1),
+      st AS (SELECT list(mn ORDER BY pos) AS mns,
+          list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY pos)
+            AS spans FROM sx),
+      ocd AS (SELECT vec_id AS neighbor_id,
+          list_transform(range(1, len(embedding) + 1), i ->
+            CASE WHEN st.spans[i] > 0 THEN least(255,
+              floor((embedding[i]::DOUBLE - st.mns[i]) * 255.0
+                / st.spans[i])::BIGINT)
+            ELSE 0 END) AS codes
+        FROM embeddings, st),
+      newv AS (SELECT vec_id + 100000 AS vec_id,
+          list_transform(embedding, xn -> xn::DOUBLE) AS emb
+        FROM embeddings WHERE vec_id % 31 = 7),
+      newx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM newv),
+      ${sqlKmAsg("c2", "newasg", "newx")},
+      newcd AS (SELECT vec_id AS neighbor_id,
+          list_transform(range(1, len(emb) + 1), i ->
+            CASE WHEN st.spans[i] > 0 THEN least(255,
+              floor((emb[i] - st.mns[i]) * 255.0
+                / st.spans[i])::BIGINT)
+            ELSE 0 END) AS codes
+        FROM newv, st),
+      kept AS (SELECT vec_id AS neighbor_id, cid FROM a2
+          WHERE vec_id % 97 <> 5
+        UNION ALL SELECT vec_id, cid FROM newasg),
+      cda AS (SELECT neighbor_id, codes FROM ocd
+          WHERE neighbor_id % 97 <> 5
+        UNION ALL SELECT neighbor_id, codes FROM newcd),
+      qprobe AS (SELECT * FROM (
+          SELECT x.vec_id AS query_id, c.cid,
+            (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM ex x, c2 c WHERE x.vec_id < 3)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      cand AS (SELECT q.query_id, k2.neighbor_id
+        FROM qprobe q JOIN kept k2 USING (cid)
+        WHERE q.query_id <> k2.neighbor_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+          ${sqlFold("list_transform(range(1, len(cd.codes) + 1), i -> " +
+            s"(xq.emb[i] - ($dq)) * (xq.emb[i] - ($dq)))")} AS dist2
+        FROM cand c
+        JOIN ex xq ON xq.vec_id = c.query_id
+        JOIN cda cd ON cd.neighbor_id = c.neighbor_id, st)
+      SELECT query_id, rank, neighbor_id, dist2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dist2 ASC, neighbor_id ASC) AS rank FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     "ss21_sq8_layout" -> s"""SELECT * FROM (${sqlIvfSq8TopK(5, 8, 2, 3)})
       ORDER BY query_id, rank""",
     // hard rows replay the trained graph chain; random rows replay

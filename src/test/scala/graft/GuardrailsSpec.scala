@@ -713,6 +713,48 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(left == Set(1L))
   }
 
+  test("sq8 layout CDF rewrite: frozen-stats arrivals, touched dirs only") {
+    import graft.operators.VectorStats
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq8cdf_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.sq8IndexWrite(embs, out, numCentroids = 8, iters = 2)
+    val cents = spark.read.parquet(out + "_cents")
+    val ins = embs.filter(col("vec_id") === 6L)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val cdf = embs.filter(col("vec_id").isin(4L, 17L))
+      .select(col("vec_id"), col("embedding"),
+        lit("delete").as("_change_type"))
+      .unionByName(ins.select(col("vec_id"), col("embedding"),
+        lit("insert").as("_change_type")))
+    // touched lists: homes of the two departures + the arrival's
+    val touched = spark.read.parquet(out)
+      .filter(col("neighbor_id").isin(4L, 17L)).select("cid")
+      .union(VectorStats.assignToCentroids(ins,
+        cents.select("cid", "cemb")).select(col("cluster_id").as("cid")))
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    assert(touched.nonEmpty && touched.size < 8)
+    def files(cid: Long): Set[(String, Long)] = {
+      val dir = new java.io.File(out, s"cid=$cid")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouched = (0L until 8L).filterNot(touched).toSet
+    val before = untouched.map(c => c -> files(c)).toMap
+    Similarity.sq8LayoutApplyCdf(spark, out, cdf)
+    untouched.foreach(c => assert(files(c) == before(c),
+      s"cid=$c was rewritten"))
+    // membership folded: departures gone, the arrival sits in its
+    // frozen-centroid home list
+    val after = spark.read.parquet(out)
+      .select("neighbor_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    assert(!after.contains(4L) && !after.contains(17L))
+    val expCid = VectorStats.assignToCentroids(ins,
+      cents.select("cid", "cemb")).head().getLong(1)
+    assert(after(5006L) == expCid)
+  }
+
   test("pq layout round-trip serves bit-identically to direct ivf-pq") {
     val direct = Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 3),
       k = 5, numCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)
