@@ -1294,6 +1294,88 @@ object Similarity {
       .write.mode("overwrite").parquet(outPath + "_books")
   }
 
+  /** CDF maintenance of a WRITTEN [[pqIndexWrite]] layout — the
+    * [[sq8LayoutApplyCdf]] discipline for the residual-coded family:
+    * departures leave their `lcid=` directory via one id-keyed
+    * anti-join; arrivals assign to their coarse list and RESIDUAL-
+    * ENCODE UNDER THE FROZEN CODEBOOKS (re-training either quantizer
+    * inline would silently shift every stored code — both refresh as
+    * scheduled offline events); only the touched lists' directories
+    * rewrite (dynamic partition overwrite, emptied directories
+    * dropped). Maintained rows are bit-identical to a from-scratch
+    * encode of the modified membership under the same frozen coarse
+    * quantizer + codebooks (the ss25 oracle replays exactly that).
+    * CDF rows: `(vec_id, embedding, _change_type)`. */
+  def pqLayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, cdf: DataFrame, m: Int = 4): Unit = {
+    val coarse = spark.read.parquet(layoutPath + "_coarse")
+    val booksAll = spark.read.parquet(layoutPath + "_books")
+    val books = (0 until m).map(sid =>
+      booksAll.filter(col("sid") === sid).select("cid", "cemb", "cc"))
+    val enc = spark.read.parquet(layoutPath)
+    val known = Seq("insert", "delete", "update_preimage",
+      "update_postimage")
+    val validated = cdf.withColumn("_change_type",
+      when(col("_change_type").isin(known: _*), col("_change_type"))
+        .otherwise(raise_error(concat(
+          lit("pqLayoutApplyCdf: unknown CDF change type '"),
+          col("_change_type"), lit("'"))).cast("string")))
+      .localCheckpoint(eager = false) // feeds the leave + arrive legs
+    val gone = validated
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("vec_id")
+    val arrived = validated
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("vec_id", "embedding")
+    // coarse-assign + residual in one in-row pass (the ivfPqIndex
+    // shape), then PQ-encode under the FROZEN books
+    val packedCoarse = coarse
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
+    val resid = arrived
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .crossJoin(broadcast(packedCoarse))
+      .withColumn("xx", dotD(col("xd"), col("xd")))
+      .withColumn("lcid",
+        VectorStats.nearestIn(col("cs"), col("xd"), col("xx"))
+          .getField("cid"))
+      .withColumn("cvec",
+        element_at(filter(col("cs"),
+          c => c.getField("cid") === col("lcid")), 1).getField("cemb"))
+      .withColumn("embedding",
+        zip_with(col("xd"), col("cvec"), (x, c) => x - c))
+      .select(col("vec_id"), col("lcid"), col("embedding"))
+    val arrivedRows = pqEncode(resid, books)
+      .localCheckpoint(eager = false) // touched-lcid census + rewrite
+    val touched = enc.join(broadcast(gone), Seq("vec_id"), "left_semi")
+      .select("lcid")
+      .union(arrivedRows.select("lcid"))
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    if (touched.nonEmpty) {
+      val touchedLit = touched.toSeq.sorted.map(lit)
+      val cols = Seq("vec_id") ++ (0 until m).map(s => s"code_$s") ++
+        Seq("lcid")
+      val newRows = enc.filter(col("lcid").isin(touchedLit: _*))
+        .join(broadcast(gone), Seq("vec_id"), "left_anti")
+        .unionByName(arrivedRows.filter(
+          col("lcid").isin(touchedLit: _*)))
+        .select(cols.map(col): _*)
+        .localCheckpoint(eager = true) // sever from the files below
+      newRows.repartition(col("lcid"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lcid").mode("overwrite").parquet(layoutPath)
+      val written = newRows.select("lcid").distinct()
+        .collect().map(_.get(0).toString.toLong).toSet
+      val fs = new org.apache.hadoop.fs.Path(layoutPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched -- written).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          layoutPath, s"lcid=$c"), true)
+      }
+    }
+  }
+
   /** Serve IVF-PQ top-k THROUGH a written [[pqIndexWrite]] layout —
     * bit-identical to [[ivfPqTopK]] off the source (deterministic
     * training, doubles round-trip parquet exactly; pinned in

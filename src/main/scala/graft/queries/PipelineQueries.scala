@@ -1144,6 +1144,27 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    // CDF maintenance of the WRITTEN residual-coded index: the ss20
+    // batch folds into the pq layout as a partition-grain rewrite —
+    // arrivals residual-encode under the FROZEN coarse quantizer and
+    // codebooks — then the maintained layout serves
+    "ss25_pq_layout_cdf" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "pqcdf_layout") { p =>
+        Similarity.pqIndexWrite(e, p, numCentroids = 8, m = 4,
+          ksub = 8, iters = 2)
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding"), lit("insert").as("_change_type")))
+        Similarity.pqLayoutApplyCdf(s, p, cdf, m = 4)
+      }
+      Similarity.ivfPqTopKFromLayout(s, out,
+        e.filter(col("vec_id") < 3), k = 5, nprobe = 2, m = 4)
+        .orderBy("query_id", "rank")
+    },
     // the same layout discipline for the residual-coded family: the
     // encoded corpus persists lcid-partitioned with its coarse
     // quantizer + codebooks beside it, and the ADC probe serves
@@ -2276,9 +2297,15 @@ object PipelineQueries {
     * arithmetic over residual slices), and probed ADC ranking — the
     * full IVF-PQ trajectory replayed bit-for-bit. */
   private def sqlIvfPqTopK(m: Int, len: Int, ksub: Int, k: Int,
-      nq: Int, nprobe: Int): String = {
+      nq: Int, nprobe: Int, cdfMod: Boolean = false): String = {
     def sub(s: Int): String = {
       val off = s * len
+      val newAsg = if (!cdfMod) "" else s""",
+      nre$s AS (SELECT vec_id, r[${off + 1}:${off + len}] AS emb
+        FROM newresid),
+      nrex$s AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM nre$s),
+      ${sqlKmAsg(s"rc2$s", s"nasg$s", s"nrex$s")}"""
       s"""re$s AS (SELECT vec_id, r[${off + 1}:${off + len}] AS emb
         FROM resid),
       rex$s AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
@@ -2289,7 +2316,7 @@ object PipelineQueries {
       ${sqlKmUpd(s"ra0$s", s"rc1$s", s"re$s")},
       ${sqlKmAsg(s"rc1$s", s"ra1$s", s"rex$s")},
       ${sqlKmUpd(s"ra1$s", s"rc2$s", s"re$s")},
-      ${sqlKmAsg(s"rc2$s", s"rasg$s", s"rex$s")}"""
+      ${sqlKmAsg(s"rc2$s", s"rasg$s", s"rex$s")}$newAsg"""
     }
     def qts(s: Int): String = {
       val off = s * len
@@ -2300,10 +2327,28 @@ object PipelineQueries {
         FROM qr q, rc2$s b)"""
     }
     val subs = (0 until m).map(sub).mkString(",\n      ")
-    val codes = (0 until m).map(s =>
+    // with cdfMod: original rows minus the fixture's deletes, plus
+    // the arrivals' codes (frozen coarse quantizer + frozen books)
+    val origFilter = if (cdfMod) " WHERE a.vec_id % 97 <> 5" else ""
+    val codes = ((0 until m).map(s =>
       s"SELECT a.vec_id, rd.lcid, $s AS sid, a.cid AS bcid " +
-        s"FROM rasg$s a JOIN resid rd USING (vec_id)")
+        s"FROM rasg$s a JOIN resid rd USING (vec_id)$origFilter") ++
+      (if (!cdfMod) Seq.empty else (0 until m).map(s =>
+        s"SELECT a.vec_id, nd.lcid, $s AS sid, a.cid AS bcid " +
+          s"FROM nasg$s a JOIN newresid nd USING (vec_id)")))
       .mkString(" UNION ALL ")
+    val newCtes = if (!cdfMod) "" else s"""
+      newv AS (SELECT vec_id + 100000 AS vec_id,
+          list_transform(embedding, xn -> xn::DOUBLE) AS emb
+        FROM embeddings WHERE vec_id % 31 = 7),
+      newx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM newv),
+      ${sqlKmAsg("c2", "newasg", "newx")},
+      newresid AS (SELECT a.vec_id, a.cid AS lcid,
+          list_transform(list_zip(n.emb, c.cemb), z7 -> z7[1] - z7[2])
+            AS r
+        FROM newasg a JOIN newv n USING (vec_id)
+        JOIN c2 c ON c.cid = a.cid),"""
     val qtAll = (0 until m).map(s => s"SELECT * FROM qt$s")
       .mkString(" UNION ALL ")
     s"""
@@ -2311,7 +2356,7 @@ object PipelineQueries {
       ${sqlKmAsg("c2", "casg")},
       resid AS (SELECT a.vec_id, a.cid AS lcid,
           list_transform(list_zip(e.emb, c.cemb), z9 -> z9[1] - z9[2]) AS r
-        FROM casg a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cid),
+        FROM casg a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cid),$newCtes
       $subs,
       codes AS ($codes),
       qpb AS (SELECT * FROM (SELECT x.vec_id AS query_id, c.cid AS lcid,
@@ -3803,6 +3848,11 @@ object PipelineQueries {
     // serving computes — one oracle states both semantics
     "ss22_pq_layout" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8, k = 5,
       nq = 3, nprobe = 2),
+    // frozen coarse quantizer + frozen books from the ORIGINAL
+    // corpus, the CDF-modified membership residual-encoded and served
+    // under them — the layout rewrite must equal this replay
+    "ss25_pq_layout_cdf" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8,
+      k = 5, nq = 3, nprobe = 2, cdfMod = true),
     "ve4_quant_error" -> s"""
       WITH s AS (SELECT vec_id,
         list_transform(embedding, v0 -> v0::DOUBLE) AS emb,

@@ -755,6 +755,47 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(after(5006L) == expCid)
   }
 
+  test("pq layout CDF rewrite: frozen-book arrivals, touched dirs only") {
+    import graft.operators.VectorStats
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqcdf_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.pqIndexWrite(embs, out, numCentroids = 8, m = 4,
+      ksub = 8, iters = 2)
+    val coarse = spark.read.parquet(out + "_coarse")
+    val ins = embs.filter(col("vec_id") === 6L)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val cdf = embs.filter(col("vec_id").isin(4L, 17L))
+      .select(col("vec_id"), col("embedding"),
+        lit("delete").as("_change_type"))
+      .unionByName(ins.select(col("vec_id"), col("embedding"),
+        lit("insert").as("_change_type")))
+    val touched = spark.read.parquet(out)
+      .filter(col("vec_id").isin(4L, 17L)).select("lcid")
+      .union(VectorStats.assignToCentroids(ins,
+        coarse.select("cid", "cemb"))
+        .select(col("cluster_id").as("lcid")))
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    assert(touched.nonEmpty && touched.size < 8)
+    def files(c: Long): Set[(String, Long)] = {
+      val dir = new java.io.File(out, s"lcid=$c")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouched = (0L until 8L).filterNot(touched).toSet
+    val before = untouched.map(c => c -> files(c)).toMap
+    Similarity.pqLayoutApplyCdf(spark, out, cdf, m = 4)
+    untouched.foreach(c => assert(files(c) == before(c),
+      s"lcid=$c was rewritten"))
+    val after = spark.read.parquet(out)
+      .select("vec_id", "lcid").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    assert(!after.contains(4L) && !after.contains(17L))
+    val expL = VectorStats.assignToCentroids(ins,
+      coarse.select("cid", "cemb")).head().getLong(1)
+    assert(after(5006L) == expL)
+  }
+
   test("pq layout round-trip serves bit-identically to direct ivf-pq") {
     val direct = Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 3),
       k = 5, numCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)

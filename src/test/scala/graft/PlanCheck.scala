@@ -84,6 +84,12 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "Window-free serving (in-row probe + bounded-heap rank)" ->
         (p => !p.contains("Window"))))
+    auditExecuted("ss25_pq_layout_cdf", Seq(
+      "maintained layout still serves under DPP" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     auditExecuted("ss23_knn_layout", Seq(
       "probe prunes the home-list layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
