@@ -1779,7 +1779,7 @@ object Similarity {
   /** The packed 1-row per-dim (mins, spans) stats frame of the SQ8
     * family — a d-row map-side-combinable aggregation folded into one
     * broadcastable row. */
-  private def sq8Stats(corpus: DataFrame): DataFrame = corpus
+  def sq8Stats(corpus: DataFrame): DataFrame = corpus
     .select(posexplode(col("embedding")).as(Seq("pos", "v")))
     .select(col("pos"), col("v").cast("double").as("v"))
     .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
@@ -1790,14 +1790,61 @@ object Similarity {
 
   /** SQ8 encode: a pure map over the corpus given the packed stats —
     * the materialize-once 4×-smaller code frame
-    * `(neighbor_id, codes)`. */
-  private def sq8Codes(corpus: DataFrame, packed: DataFrame): DataFrame =
+    * `(neighbor_id, codes)`. Codes clamp to [0, 255] on BOTH sides:
+    * the training corpus is in-grid by construction, but an ARRIVAL
+    * encoded under frozen stats ([[sq8LayoutApplyCdf]]) can fall
+    * below a dimension's min — without the low clamp its code goes
+    * negative, which serves consistently at toy scale but corrupts
+    * the moment codes land in a real uint8 store. [[sq8DriftCensus]]
+    * is the monitor that counts such out-of-grid arrivals. */
+  private[graft] def sq8Codes(corpus: DataFrame, packed: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(packed))
       .select(col("vec_id").as("neighbor_id"),
         expr("transform(embedding, (x, i) -> CASE WHEN spans[i] > 0D " +
-          "THEN least(CAST(255 AS BIGINT), CAST(floor(" +
-          "(CAST(x AS DOUBLE) - mns[i]) * 255.0D / spans[i]) AS BIGINT)) " +
-          "ELSE CAST(0 AS BIGINT) END)").as("codes"))
+          "THEN greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT), " +
+          "CAST(floor(" +
+          "(CAST(x AS DOUBLE) - mns[i]) * 255.0D / spans[i]) AS BIGINT)" +
+          ")) ELSE CAST(0 AS BIGINT) END)").as("codes"))
+
+  /** Quantizer drift census (ss26) — the ss15/ds3 guard-observability
+    * discipline applied to the FROZEN SQ8 grid: [[sq8LayoutApplyCdf]]
+    * encodes arrivals under write-time stats (re-quantizing inline
+    * would shift every stored code), which silently degrades once the
+    * data distribution moves — values outside the frozen [min, max]
+    * clamp to the grid edge and their distances flatten. This makes
+    * that cost a NUMBER per dimension: the frozen bounds, the
+    * arriving batch's observed bounds, and the below/above counts —
+    * high `oog_ppm` is the trigger for the scheduled offline stats
+    * refresh (re-encode, the ss15→retrain contract).
+    *
+    * Scale shape: one batch scan into a d-key map-side-combinable
+    * aggregation (the [[sq8Stats]] shape) joined to the d-row frozen
+    * stats — output is d rows regardless of batch size.
+    *
+    * Output: `(pos, mn_frozen, span_frozen, mn_new, mx_new, n_below,
+    * n_above, oog_ppm)`, one row per dimension, pos ascending. */
+  def sq8DriftCensus(statsFrozen: DataFrame, batch: DataFrame): DataFrame = {
+    val frozen = statsFrozen
+      .select(posexplode(arrays_zip(col("mns"), col("spans")))
+        .as(Seq("pos", "z")))
+      .select(col("pos"), col("z.mns").as("mn_frozen"),
+        col("z.spans").as("span_frozen"))
+    batch
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), col("v").cast("double").as("v"))
+      .join(broadcast(frozen), "pos")
+      .groupBy("pos", "mn_frozen", "span_frozen")
+      .agg(min("v").as("mn_new"), max("v").as("mx_new"),
+        sum(when(col("v") < col("mn_frozen"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("v") > col("mn_frozen") + col("span_frozen"), 1L)
+          .otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n"))
+      .select(col("pos").cast("long").as("pos"), col("mn_frozen"),
+        col("span_frozen"), col("mn_new"), col("mx_new"),
+        col("n_below"), col("n_above"),
+        expr("(n_below + n_above) * 1000000 div n").as("oog_ppm"))
+  }
 
   def sq8TopK(corpus: DataFrame, queries: DataFrame,
       k: Int = 10): DataFrame = {

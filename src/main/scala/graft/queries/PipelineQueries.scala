@@ -1165,6 +1165,18 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5, nprobe = 2, m = 4)
         .orderBy("query_id", "rank")
     },
+    // quantizer DRIFT census: the frozen SQ8 grid probed by a
+    // deterministically drifted batch — per-dim frozen vs observed
+    // bounds plus the out-of-grid counts that trigger the scheduled
+    // stats refresh (the guard behind ss24's frozen-stats arrivals)
+    "ss26_sq8_drift_census" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val batch = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(1.25) + lit(0.1)).as("embedding"))
+      Similarity.sq8DriftCensus(Similarity.sq8Stats(e), batch)
+        .orderBy("pos")
+    },
     // the same layout discipline for the residual-coded family: the
     // encoded corpus persists lcid-partitioned with its coarse
     // quantizer + codebooks beside it, and the ADC probe serves
@@ -2110,9 +2122,9 @@ object PipelineQueries {
             AS spans FROM sx),
       cd AS (SELECT vec_id AS neighbor_id,
           list_transform(range(1, len(embedding) + 1), i ->
-            CASE WHEN st.spans[i] > 0 THEN least(255,
+            CASE WHEN st.spans[i] > 0 THEN greatest(0, least(255,
               floor((embedding[i]::DOUBLE - st.mns[i]) * 255.0
-                / st.spans[i])::BIGINT)
+                / st.spans[i])::BIGINT))
             ELSE 0 END) AS codes
         FROM embeddings, st),
       qprobe AS (SELECT * FROM (
@@ -4661,6 +4673,30 @@ object PipelineQueries {
       ORDER BY query_id, rank""",
     // the layout round-trip must serve EXACTLY what direct ivf-sq8
     // serving computes — one oracle states both semantics
+    // the frozen grid replayed per dim, probed by the drifted batch
+    "ss26_sq8_drift_census" -> s"""
+      WITH sx AS (SELECT u.pos - 1 AS pos, min(u.v) AS mn, max(u.v) AS mx
+        FROM (SELECT unnest(embedding)::DOUBLE AS v,
+            generate_subscripts(embedding, 1) AS pos FROM embeddings) u
+        GROUP BY 1),
+      fr AS (SELECT pos, mn AS mn_frozen,
+          CASE WHEN mx > mn THEN mx - mn ELSE 0 END AS span_frozen
+        FROM sx),
+      b AS (SELECT u.pos - 1 AS pos, u.v * 1.25 + 0.1 AS v
+        FROM (SELECT unnest(embedding)::DOUBLE AS v,
+            generate_subscripts(embedding, 1) AS pos FROM embeddings) u)
+      SELECT f.pos::BIGINT AS pos, f.mn_frozen, f.span_frozen,
+        min(b.v) AS mn_new, max(b.v) AS mx_new,
+        sum(CASE WHEN b.v < f.mn_frozen THEN 1 ELSE 0 END)::BIGINT
+          AS n_below,
+        sum(CASE WHEN b.v > f.mn_frozen + f.span_frozen
+          THEN 1 ELSE 0 END)::BIGINT AS n_above,
+        ((sum(CASE WHEN b.v < f.mn_frozen THEN 1 ELSE 0 END)
+          + sum(CASE WHEN b.v > f.mn_frozen + f.span_frozen
+              THEN 1 ELSE 0 END)) * 1000000 // count(*))::BIGINT
+          AS oog_ppm
+      FROM b JOIN fr f USING (pos)
+      GROUP BY 1, 2, 3 ORDER BY pos""",
     // frozen stats + frozen centroids from the ORIGINAL corpus, the
     // CDF-modified membership encoded and served under them — the
     // layout rewrite must equal this from-scratch replay
@@ -4678,9 +4714,9 @@ object PipelineQueries {
             AS spans FROM sx),
       ocd AS (SELECT vec_id AS neighbor_id,
           list_transform(range(1, len(embedding) + 1), i ->
-            CASE WHEN st.spans[i] > 0 THEN least(255,
+            CASE WHEN st.spans[i] > 0 THEN greatest(0, least(255,
               floor((embedding[i]::DOUBLE - st.mns[i]) * 255.0
-                / st.spans[i])::BIGINT)
+                / st.spans[i])::BIGINT))
             ELSE 0 END) AS codes
         FROM embeddings, st),
       newv AS (SELECT vec_id + 100000 AS vec_id,
@@ -4691,9 +4727,9 @@ object PipelineQueries {
       ${sqlKmAsg("c2", "newasg", "newx")},
       newcd AS (SELECT vec_id AS neighbor_id,
           list_transform(range(1, len(emb) + 1), i ->
-            CASE WHEN st.spans[i] > 0 THEN least(255,
+            CASE WHEN st.spans[i] > 0 THEN greatest(0, least(255,
               floor((emb[i] - st.mns[i]) * 255.0
-                / st.spans[i])::BIGINT)
+                / st.spans[i])::BIGINT))
             ELSE 0 END) AS codes
         FROM newv, st),
       kept AS (SELECT vec_id AS neighbor_id, cid FROM a2

@@ -796,6 +796,31 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(after(5006L) == expL)
   }
 
+  test("sq8 arrivals clamp to the frozen grid on BOTH sides") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq8clamp_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.sq8IndexWrite(embs, out, numCentroids = 8, iters = 2)
+    // an arrival far OUTSIDE the frozen grid (scaled by -10): without
+    // the low clamp its codes go negative — unstorable in a uint8
+    val wild = embs.filter(col("vec_id") === 6L)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(-10.0f)).as("embedding"))
+    val cdf = wild.select(col("vec_id"), col("embedding"),
+      lit("insert").as("_change_type"))
+    Similarity.sq8LayoutApplyCdf(spark, out, cdf)
+    val codes = spark.read.parquet(out)
+      .filter(col("neighbor_id") === 9006L)
+      .select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(codes.getLong(0) >= 0L && codes.getLong(1) <= 255L,
+      s"codes out of [0,255]: $codes")
+    // and the census NAMES the drift: the wild batch is out-of-grid
+    val oog = Similarity.sq8DriftCensus(
+      Similarity.sq8Stats(embs), wild)
+      .agg(max("oog_ppm")).head().getLong(0)
+    assert(oog > 0L, "out-of-grid arrival must register in the census")
+  }
+
   test("pq layout round-trip serves bit-identically to direct ivf-pq") {
     val direct = Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 3),
       k = 5, numCentroids = 8, nprobe = 2, m = 4, ksub = 8, iters = 2)

@@ -84,6 +84,11 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "Window-free serving (in-row probe + bounded-heap rank)" ->
         (p => !p.contains("Window"))))
+    audit("ss26_sq8_drift_census", Seq(
+      "per-dim census combines map-side" -> (_.contains("partial_")),
+      "frozen stats ride a broadcast" ->
+        (_.contains("BroadcastHashJoin")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     auditExecuted("ss25_pq_layout_cdf", Seq(
       "maintained layout still serves under DPP" ->
         (_.contains("dynamicpruning")),
