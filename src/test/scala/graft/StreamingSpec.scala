@@ -105,6 +105,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("knn_home_out").count() > 0)
   }
 
+  test("vector stream appends into the WRITTEN knn layout and serves") {
+    // ss23's layout is not just durable — it GROWS from a live
+    // stream: homeRowsAgainst maps arriving vectors to home-list rows
+    // and foreachBatch appends them into their cid= directories (the
+    // production append pattern — the parquet STREAMING sink would
+    // plant _spark_metadata and hide the batch-written files from
+    // readers); the grown layout then serves through the same pruned
+    // probe, identically to the in-memory maintained frame
+    val embsB = Tables.embeddings(spark, sf)
+    val index = embsB.filter(col("vec_id") % 10 =!= 0)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_knn_stream_${spark.sparkContext.applicationId}").getPath
+    operators.Similarity.knnIndexWrite(index, out, numCentroids = 16)
+    val cents = spark.read.parquet(out + "_cents")
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+      .filter(col("vec_id") % 10 === 0)
+    val q = operators.Similarity.homeRowsAgainst(
+        newStream.select("vec_id", "embedding"), cents)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("cid").parquet(out)
+      }
+      .option("checkpointLocation", out + "_chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val (cB, hB) = operators.Similarity.knnIndex(index, numCentroids = 16)
+    val maintained = hB.unionByName(operators.Similarity.homeRowsAgainst(
+      embsB.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding"), cB))
+    val direct = operators.Similarity.knnTopKAgainst(
+      embsB.filter(col("vec_id") < 3), cB, maintained, k = 3, nprobe = 2)
+    val served = operators.Similarity.knnTopKFromLayout(spark, out,
+      embsB.filter(col("vec_id") < 3), k = 3, nprobe = 2)
+    assert(direct.exceptAll(served).count() == 0 &&
+      served.exceptAll(direct).count() == 0)
+  }
+
   test("standing bm25 index ingests a live document stream") {
     // t25's postings builder is per-row (tf counted inside the doc's
     // own token array — no Aggregate), so the SAME operator maps a
