@@ -317,6 +317,54 @@ object Tokenizer {
         TextAnalysis.fingerprint(col("encstr")).as("enc_fp"))
   }
 
+  /** Tokenizer coverage census (t36) — the "evaluate your tokenizer
+    * before you ship it" report every production stack runs after
+    * [[unigramTrain]] (or any vocab): per SOURCE, the corpus-level
+    * fertility (tokens per word), the whole-word rate (words the
+    * vocab encodes as ONE piece — the single best proxy for
+    * vocabulary fit), and the compression (characters per token), in
+    * exact ppm integers. A source whose fertility is far above the
+    * corpus mean is under-served by the vocabulary — the signal that
+    * schedules a retrain with more of that source in the training
+    * mix (the ss26/ss15 census-drives-retraining discipline).
+    *
+    * Tokens follow [[unigramEncode]]'s convention exactly: alpha
+    * words in the trainable range segment by the shared DP,
+    * everything else passes through as ONE opaque token (and counts
+    * as a whole word). Scale shape: distinct words segment once
+    * (vocabulary-sized); the corpus pays one tokenize scan, a
+    * word-keyed join of the tiny mapping, and a per-source map-side
+    * aggregation — output is |sources| rows.
+    *
+    * Output: `(source, n_docs, n_words, n_tokens, fertility_ppm,
+    * whole_word_ppm, chars_per_token_ppm)`. */
+  def tokenizerCoverage(docs: DataFrame, vocab: DataFrame,
+      maxPiece: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    val segs = bestSegs(
+      wordFreq(docs, maxWordLen).select(col("w"), lit(1L).as("freq")),
+      vocab, maxPiece)
+      .select(col("w"),
+        size(split(col("seg"), " ")).cast("long").as("np"))
+    docs.select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .join(segs, Seq("w"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("np"), lit(1L)).as("np"),
+        length(col("w")).cast("long").as("nc"))
+      .groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum("np").as("n_tokens"),
+        sum(when(col("np") === 1L, 1L).otherwise(0L)).as("n_whole"),
+        sum("nc").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_whole * 1000000 div n_words").as("whole_word_ppm"),
+        expr("n_chars * 1000000 div n_tokens")
+          .as("chars_per_token_ppm"))
+  }
+
   /** The distinct-word frequency table both unigram halves share —
     * [[bpeTrain]]'s normalization: lower-cased whitespace tokens,
     * `[a-z]+` only, length 2..maxWordLen. */

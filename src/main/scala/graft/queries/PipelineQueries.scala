@@ -333,6 +333,18 @@ object PipelineQueries {
           minCount = 2, maxWordLen = 12)
         .orderBy("piece")
     },
+    // tokenizer-fit census over the trained unigram vocab: per-source
+    // fertility / whole-word rate / compression in exact ppm — the
+    // under-served source is the one to retrain with
+    "t36_tokenizer_coverage" -> { (s, d) =>
+      val all = documents(s, d)
+      val v = graft.operators.Tokenizer
+        .unigramTrain(all, rounds = 2, maxPiece = 4,
+          minCount = 2, maxWordLen = 12)
+        .localCheckpoint(eager = false) // the standing model frame
+      graft.operators.Tokenizer.tokenizerCoverage(all, v)
+        .orderBy("source")
+    },
     // the trained unigram vocab applied back to every document: the
     // same DP segments each distinct word once, docs roll up real
     // token counts + the fingerprint of the exact piece stream
@@ -2845,6 +2857,26 @@ object PipelineQueries {
     "t33_unigram_train" -> s"""
       WITH RECURSIVE ${sqlUnigramCtes(2)}
       SELECT piece, cnt FROM uv2 ORDER BY piece""",
+    // the trained-vocab segmentations rolled up per source
+    "t36_tokenizer_coverage" -> s"""
+      WITH RECURSIVE ${sqlUnigramCtes(3)},
+      tl AS MATERIALIZED (SELECT doc_id, source, $toks AS tk
+        FROM documents),
+      tokpos AS (SELECT doc_id, source, t.p AS pos, tk[t.p] AS tok
+        FROM tl, unnest(range(1, len(tk) + 1)) AS t(p)),
+      encp AS (SELECT doc_id, source,
+          coalesce(len(string_split(b.seg, ' '))::BIGINT, 1::BIGINT)
+            AS np,
+          length(tok)::BIGINT AS nc
+        FROM tokpos LEFT JOIN ubest3 b ON b.w = tok)
+      SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        count(*)::BIGINT AS n_words,
+        sum(np)::BIGINT AS n_tokens,
+        (sum(np) * 1000000 // count(*))::BIGINT AS fertility_ppm,
+        (sum(CASE WHEN np = 1 THEN 1 ELSE 0 END) * 1000000
+          // count(*))::BIGINT AS whole_word_ppm,
+        (sum(nc) * 1000000 // sum(np))::BIGINT AS chars_per_token_ppm
+      FROM encp GROUP BY source ORDER BY source""",
     // one more enumeration under the FINAL vocabulary segments every
     // distinct word; docs roll up counts + the ordered piece stream
     "t34_unigram_encode" -> s"""

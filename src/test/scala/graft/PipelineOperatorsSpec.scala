@@ -2964,4 +2964,29 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       .replace(" ", "").length)
     assert(enc(1L)._2 >= 5) // at least one piece per word
   }
+
+  test("t36 tokenizer coverage: whole-word vocab drives fertility to 1") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    val tiny = Seq(
+      (1L, "alpha", "banana band banana band banana band"),
+      (2L, "beta", "bandana banana bandana banana"))
+      .toDF("doc_id", "source", "text")
+    // every distinct word appears >= 2 times and is <= 7 chars, so at
+    // maxPiece = 8 each full word is itself a surviving candidate and
+    // the DP picks it whole: fertility exactly 1e6, whole-word 1e6
+    val v = Tokenizer.unigramTrain(tiny, rounds = 2, maxPiece = 8,
+      minCount = 2, maxWordLen = 12)
+    val cov = Tokenizer.tokenizerCoverage(tiny, v, maxPiece = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(cov("alpha") == ((6L, 6L, 1000000L, 1000000L)))
+    assert(cov("beta") == ((4L, 4L, 1000000L, 1000000L)))
+    // a cramped vocab (maxPiece = 2) must raise fertility above 1
+    val v2 = Tokenizer.unigramTrain(tiny, rounds = 2, maxPiece = 2,
+      minCount = 2, maxWordLen = 12)
+    val cov2 = Tokenizer.tokenizerCoverage(tiny, v2, maxPiece = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(cov2("alpha") > 1000000L && cov2("beta") > 1000000L)
+  }
 }

@@ -202,6 +202,12 @@ object PlanCheck {
         (p => !p.contains("CartesianProduct")),
       "model frame checkpoint-truncated" ->
         (_.contains("Scan ExistingRDD"))))
+    audit("t36_tokenizer_coverage", Seq(
+      "per-source rollup combines map-side" -> (_.contains("partial_")),
+      "word-seg mapping joins equi, no cartesian" ->
+        (p => !p.contains("CartesianProduct")),
+      "model frame checkpoint-truncated" ->
+        (_.contains("Scan ExistingRDD"))))
     audit("m13_pair_curation", Seq(
       // the image leg keeps m10's contract (id-only decode input) —
       // text appears ONLY on the caption/quality side; no leg goes
