@@ -437,40 +437,86 @@ object Dedup {
     * survivor, and the cluster's surviving doc — the manifest a
     * delete/rewrite job consumes.
     *
-    * Scale shape: clusters exist only for PAIRED docs (near-dup-sized
-    * frame, broadcast at sane dup rates); the survivor argmax is one
-    * map-side-combinable `max_by` per cluster over (quality, -id);
-    * the corpus pass is a left join + per-row compare — quality is
-    * computed per-row in the same scan, never shuffled. */
+    * Scale shape: clusters exist only for PAIRED docs (a
+    * near-dup-sized frame, broadcast only below
+    * [[MaxBroadcastLabels]] — see [[keepBestBy]]); the survivor
+    * argmax is one map-side-combinable `max_by` per PAIRED cluster
+    * over (quality, -id); the corpus pass is a left join + per-row
+    * compare — quality is computed per-row in the same scan, never
+    * shuffled. */
   def keepBestPerCluster(docs: DataFrame, k: Int = 3,
       pct: Int = 80): DataFrame =
     keepBestByQuality(docs,
       resolveClusters(minhashPairs(docs, k = k, pct = pct))
         .select(col("doc_id"), col("cluster_id")))
 
+  /** Default ceiling on broadcast-joined label frames (rows). Mirrors
+    * [[Graph.BroadcastNodeLimit]]'s role: survivor-policy label maps
+    * are PAIRED-doc-sized, which at sane dup rates is orders of
+    * magnitude below the corpus — but at production near-dup rates
+    * (30–50% of a web crawl is paired) the frame is corpus-scale and
+    * a forced `broadcast()` hint dies at the broadcast limit / driver
+    * OOM. 50M (id, id) rows ≈ 800 MB serialized — comfortably inside
+    * an executor, the right handoff point to the shuffle shape. */
+  private[graft] val MaxBroadcastLabels: Long = 50L * 1000 * 1000
+
+  /** Shared survivor-selection engine behind dd14/dd15/dd20/m13: over
+    * a corpus `scored0 = (idCol, scoreCol)` frame and a PAIRED-only
+    * label frame `labels0 = (idCol, cluster_id)`, each cluster keeps
+    * its highest-score member (ties → LOWER id); unlabeled rows
+    * self-cluster and self-keep map-side.
+    *
+    * Scale shape: the label frame is checkpointed and COUNTED once
+    * (lazy-checkpoint leaves carry no stats for AQE), and everything
+    * label-keyed — the labels themselves, the per-cluster argmax, the
+    * label+keep map — rides broadcasts only while the count stays
+    * under `maxBroadcastLabels`; above it every join falls back to
+    * the key-equi shuffle shape, which spills and scales unbounded
+    * (the dd18 / [[Graph.BroadcastNodeLimit]] discipline). The
+    * survivor argmax aggregates over the PAIRED subset only (one
+    * corpus-probe join + a map-side-combinable `max_by` per paired
+    * cluster), never over one-row singleton groups, so the `best`
+    * frame is paired-cluster-sized — NOT corpus-sized the way a
+    * groupBy over coalesced self-clusters would be. The corpus is
+    * scanned once for scores (checkpointed) and probed twice. */
+  private[graft] def keepBestBy(scored0: DataFrame, idCol: String,
+      scoreCol: String, labels0: DataFrame,
+      maxBroadcastLabels: Long = MaxBroadcastLabels): DataFrame = {
+    val scored = scored0
+      .localCheckpoint(eager = false) // survivor agg + final join
+    val labels = labels0.select(col(idCol), col("cluster_id"))
+      .localCheckpoint(eager = false) // count + argmax join + keep map
+    val small = labels.count() <= maxBroadcastLabels
+    def mside(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // argmax by (score, then LOWER id), over paired clusters only
+    val best = scored.join(mside(labels), idCol)
+      .groupBy("cluster_id")
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), -col(idCol))).as("keep_id"))
+    val labeled = labels.join(mside(best), "cluster_id")
+    scored.join(mside(labeled), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("keep_id"), col(idCol)).as("keep_id"),
+        (col(idCol) === coalesce(col("keep_id"), col(idCol))).as("keep"),
+        col(scoreCol))
+  }
+
   /** The dd14 survivor rule over an EXPLICIT `(doc_id, cluster_id)`
     * label frame — split out so compositions with a different
     * cluster source (m13's image×caption union) reuse the exact same
     * policy: highest [[TextAnalysis.qualityScore]] survives, ties to
     * the LOWER id; unpaired docs self-cluster via the left join.
-    * Labels are near-dup-sized and ride broadcasts; the corpus is
-    * scanned once for quality. */
+    * Size-guarded via [[keepBestBy]]: labels broadcast only below
+    * [[MaxBroadcastLabels]]; the corpus is scanned once for
+    * quality. */
   private[graft] def keepBestByQuality(docs: DataFrame,
-      clusters: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
-      .join(broadcast(clusters), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("quality"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .localCheckpoint(eager = false) // survivor agg + final join
-    // argmax by (quality, then LOWER id): max_by over (quality, -id)
-    val best = scored.groupBy("cluster_id")
-      .agg(max_by(col("doc_id"),
-        struct(col("quality"), -col("doc_id"))).as("keep_id"))
-    scored.join(broadcast(best), "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
-        (col("doc_id") === col("keep_id")).as("keep"), col("quality"))
-  }
+      clusters: DataFrame,
+      maxBroadcastLabels: Long = MaxBroadcastLabels): DataFrame =
+    keepBestBy(
+      docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      "doc_id", "quality", clusters, maxBroadcastLabels)
 
   /** SOFT dedup (dd18): instead of dropping duplicates, keep every
     * document and DOWN-WEIGHT it by its near-dup multiplicity —
@@ -500,7 +546,7 @@ object Dedup {
     * Output: one row per document —
     * `(doc_id, cluster_id, n_copies, weight_ppm)`. */
   def softDedupWeights(docs: DataFrame, k: Int = 3,
-      pct: Int = 80, maxBroadcastLabels: Long = 50L * 1000 * 1000): DataFrame = {
+      pct: Int = 80, maxBroadcastLabels: Long = MaxBroadcastLabels): DataFrame = {
     val clusters = resolveClusters(minhashPairs(docs, k = k, pct = pct))
       .select(col("doc_id"), col("cluster_id"))
       .localCheckpoint(eager = false) // size agg + corpus join + count

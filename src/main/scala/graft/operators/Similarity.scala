@@ -228,34 +228,29 @@ object Similarity {
     * verify scores, so the argmax is cross-engine exact.
     *
     * Scale shape mirrors [[Dedup.keepBestPerCluster]]: clusters exist
-    * only for PAIRED vectors (a near-dup-sized frame, broadcast at
-    * sane dup rates); the survivor argmax is one map-side-combinable
-    * `max_by` per cluster; the corpus pass is a left probe of the
-    * broadcast cluster map — embeddings never shuffle beyond the
-    * narrow (id, table, bucket) LSH exchanges inside the pair
-    * detector.
+    * only for PAIRED vectors (a near-dup-sized frame); the survivor
+    * argmax is one map-side-combinable `max_by` per PAIRED cluster;
+    * the corpus pass is a left probe of the cluster map — embeddings
+    * never shuffle beyond the narrow (id, table, bucket) LSH
+    * exchanges inside the pair detector. Label-keyed frames ride
+    * broadcasts only below [[Dedup.MaxBroadcastLabels]] (counted once
+    * off the checkpoint); above it the joins fall back to the
+    * key-equi shuffle shape ([[Dedup.keepBestBy]]).
     *
     * Output: `(vec_id, cluster_id, keep_id, keep)` for every vector
     * (singletons form their own cluster). */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
       nBits: Int = 12, tables: Int = 8,
-      maxBucket: Int = 1 << 16): DataFrame = {
+      maxBucket: Int = 1 << 16,
+      maxBroadcastLabels: Long = Dedup.MaxBroadcastLabels): DataFrame = {
     val pairs = lshCosinePairs(embeddings, threshold, nBits, tables, maxBucket)
       .select("a_id", "b_id")
     val clusters = graft.operators.Dedup.resolveClusters(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    val scored = embeddings
-      .select(col("vec_id"), norm(col("embedding")).as("nrm"))
-      .join(broadcast(clusters), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("nrm"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-      .localCheckpoint(eager = false) // feeds survivor agg + final join
-    val best = scored.groupBy("cluster_id")
-      .agg(max_by(col("vec_id"),
-        struct(col("nrm"), -col("vec_id"))).as("keep_id"))
-    scored.join(broadcast(best), "cluster_id")
-      .select(col("vec_id"), col("cluster_id"), col("keep_id"),
-        (col("vec_id") === col("keep_id")).as("keep"))
+    Dedup.keepBestBy(
+      embeddings.select(col("vec_id"), norm(col("embedding")).as("nrm")),
+      "vec_id", "nrm", clusters, maxBroadcastLabels)
+      .select("vec_id", "cluster_id", "keep_id", "keep")
   }
 
   /** (id, table, bucket, sub) rows for `tables` independent
@@ -1118,34 +1113,30 @@ object Similarity {
     * Scale shape: the graph's own plan (trained broadcast centroids,
     * one probe↔home equi-join, bounded top-k state); thresholded
     * edges are a near-dup-sized frame; cluster maps are node-keyed
-    * and broadcast below the graph limit; the corpus pass is one left
-    * probe + one map-side `max_by` per cluster — embeddings never
-    * shuffle outside the graph's own exchanges.
+    * and ride broadcasts only below [[Dedup.MaxBroadcastLabels]]
+    * (counted once off the checkpoint; above it the joins fall back
+    * to the key-equi shuffle shape — [[Dedup.keepBestBy]]); the
+    * corpus pass is one left probe + one map-side `max_by` per PAIRED
+    * cluster — embeddings never shuffle outside the graph's own
+    * exchanges.
     *
     * Output (dd15 contract): `(vec_id, cluster_id, keep_id, keep)`
     * for every vector. */
   def semDeDupGraph(embeddings: DataFrame, threshold: Double,
       k: Int = 3, numCentroids: Int = 16, nprobe: Int = 2,
       maxList: Int = 1 << 16, iters: Int = 2,
-      cents: Option[DataFrame] = None): DataFrame = {
+      cents: Option[DataFrame] = None,
+      maxBroadcastLabels: Long = Dedup.MaxBroadcastLabels): DataFrame = {
     val edges = knnGraph(embeddings, k, numCentroids, nprobe, maxList,
       iters, cents)
       .filter(col("score") >= threshold)
       .select(col("vec_id").as("a_id"), col("neighbor_id").as("b_id"))
     val clusters = graft.operators.Dedup.resolveClustersStars(edges)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    val scored = embeddings
-      .select(col("vec_id"), norm(col("embedding")).as("nrm"))
-      .join(broadcast(clusters), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("nrm"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-      .localCheckpoint(eager = false) // feeds survivor agg + final join
-    val best = scored.groupBy("cluster_id")
-      .agg(max_by(col("vec_id"),
-        struct(col("nrm"), -col("vec_id"))).as("keep_id"))
-    scored.join(broadcast(best), "cluster_id")
-      .select(col("vec_id"), col("cluster_id"), col("keep_id"),
-        (col("vec_id") === col("keep_id")).as("keep"))
+    Dedup.keepBestBy(
+      embeddings.select(col("vec_id"), norm(col("embedding")).as("nrm")),
+      "vec_id", "nrm", clusters, maxBroadcastLabels)
+      .select("vec_id", "cluster_id", "keep_id", "keep")
   }
 
   /** The `m` per-subspace PQ codebooks (each `(cid, cemb, cc)` with

@@ -95,6 +95,33 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
   }
 
+  test("survivor policies are identical through the shuffle fallback") {
+    // the dd18 guard threaded through every survivor-policy tail
+    // (dd14/dd15/dd20/m13 all route here): maxBroadcastLabels = 0
+    // forces the key-equi shuffle joins the operators fall back to
+    // when the label frame outgrows a broadcast — the plan changes,
+    // the output must not
+    def snap(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val clusters = Dedup.resolveClusters(
+      Dedup.minhashPairs(docs, k = 3, pct = 80))
+      .select(col("doc_id"), col("cluster_id"))
+    val viaB = snap(Dedup.keepBestByQuality(docs, clusters))
+    val viaS = snap(Dedup.keepBestByQuality(docs, clusters,
+      maxBroadcastLabels = 0))
+    assert(viaB == viaS && viaB.nonEmpty)
+    val sdB = snap(Similarity.semanticDedup(embs, threshold = 0.4,
+      nBits = 6, tables = 3))
+    val sdS = snap(Similarity.semanticDedup(embs, threshold = 0.4,
+      nBits = 6, tables = 3, maxBroadcastLabels = 0))
+    assert(sdB == sdS && sdB.nonEmpty)
+    val sgB = snap(Similarity.semDeDupGraph(embs, threshold = 0.4,
+      k = 3, numCentroids = 16, nprobe = 2))
+    val sgS = snap(Similarity.semDeDupGraph(embs, threshold = 0.4,
+      k = 3, numCentroids = 16, nprobe = 2, maxBroadcastLabels = 0))
+    assert(sgB == sgS && sgB.nonEmpty)
+  }
+
   test("jl projection preserves norms within the JL band; zero vector exact") {
     import spark.implicits._
     val rows = graft.operators.VectorStats.jlProject(embs, outDims = 16)
