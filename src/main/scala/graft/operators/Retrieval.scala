@@ -329,11 +329,19 @@ object Retrieval {
     * fold (pinned in GuardrailsSpec).
     *
     * CDF contract: delete / update_preimage rows must carry the
-    * document's `text` (the Delta CDF preimage always does) — the
-    * departed doc's buckets are located by re-tokenizing it, never by
-    * scanning the index. The driver holds only the touched bucket id
-    * sets (≤ buckets+1 entries — sized like the centroid count);
-    * re-materialized rows are bounded by the touched buckets. */
+    * document's EXACT indexed `text` (the Delta CDF preimage always
+    * does) — the departed doc's buckets are located by re-tokenizing
+    * it, never by scanning the index, so a drifted preimage would
+    * leave stale postings alive in buckets outside the touched set.
+    * That exact-preimage requirement is a HARD, CHECKED invariant:
+    * before any rewrite, every departed doc's re-tokenized postings
+    * are compared against its stored `_fwd` rows (a dbkt-pruned,
+    * departure-sized read — the forward copy exists precisely for
+    * doc-major access) and any mismatch — drifted text, or a
+    * departure for a doc the index never held — fails loudly. The
+    * driver holds only the touched bucket id sets (≤ buckets+1
+    * entries — sized like the centroid count); re-materialized rows
+    * are bounded by the touched buckets. */
   def bm25LayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, cdf: DataFrame): Unit = {
     val buckets = spark.read.parquet(layoutPath + "_meta")
@@ -358,6 +366,33 @@ object Retrieval {
       .withColumn("bkt", bm25Bkt(col("fp"), buckets))
       .localCheckpoint(eager = false) // touched census + rewrite
     val goneIds = gone.select("doc_id")
+      .localCheckpoint(eager = false) // invariant check + anti-joins
+    // exact-preimage invariant: the stored _fwd rows of every departed
+    // doc must EQUAL its re-tokenized postings — otherwise the touched
+    // bucket set below is incomplete and stale postings would survive
+    // the rewrite silently. Signed multiset compare over the
+    // departure-sized, dbkt-pruned forward read; one tiny job.
+    val goneDbkts = goneIds
+      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("dbkt"))
+      .distinct().collect().map(_.get(0).toString.toLong)
+    if (goneDbkts.nonEmpty) {
+      val stored = spark.read.parquet(layoutPath + "_fwd")
+        .filter(col("dbkt").isin(goneDbkts.sorted.map(lit): _*))
+        .join(broadcast(goneIds), Seq("doc_id"), "left_semi")
+        .select("doc_id", "fp", "len", "tf")
+      val drifted = stored.withColumn("sgn", lit(1L))
+        .unionByName(goneIdx.select("doc_id", "fp", "len", "tf")
+          .withColumn("sgn", lit(-1L)))
+        .groupBy("doc_id", "fp", "len", "tf").agg(sum("sgn").as("d"))
+        .filter(col("d") =!= 0)
+        .select("doc_id").distinct().sort("doc_id").limit(5)
+        .collect().map(_.getLong(0))
+      require(drifted.isEmpty,
+        s"bm25LayoutApplyCdf: departure preimage text does not match " +
+          s"the indexed postings for doc_id(s) ${drifted.mkString(",")}" +
+          " — the CDF preimage must carry the exact indexed text, and" +
+          " departures must reference indexed documents")
+    }
     val touched = goneIdx.select("bkt").union(arrivedIdx.select("bkt"))
       .distinct().collect().map(_.get(0).toString.toLong).toSet
     val fs = new org.apache.hadoop.fs.Path(layoutPath)

@@ -448,7 +448,14 @@ object Similarity {
     // top-nprobe lists picked IN-ROW over the packed centroid
     // broadcast: (-c_score, cid) ascending is the window's
     // (c_score desc, cid asc) total order, with zero exchanges and
-    // no Window on the query batch
+    // no Window on the query batch. NaN semantics (degenerate
+    // zero-norm centroid or query only — finite inputs cannot NaN a
+    // cosine otherwise): array_sort orders NaN LAST, so a
+    // NaN-scoring centroid is never probed — deliberate (its cosine
+    // is undefined; the replaced row_number-over-DESC window probed
+    // it FIRST only because Spark sorts NaN greatest). The trained
+    // variants (ivfTopKTrained/ivfSq8Serve/knn probes) rank by L2
+    // dist², which is never NaN for finite inputs.
     val packedC = cents
       .agg(collect_list(struct(col("cid"), col("c_emb"), col("c_nrm")))
         .as("cs"))

@@ -331,10 +331,15 @@ object Tokenizer {
     * Tokens follow [[unigramEncode]]'s convention exactly: alpha
     * words in the trainable range segment by the shared DP,
     * everything else passes through as ONE opaque token (and counts
-    * as a whole word). Scale shape: distinct words segment once
+    * as a whole word). EVERY source emits a row — `n_docs` is the
+    * per-source document census (one extra map-side agg over the same
+    * scan), so a source whose docs produce zero words reports
+    * `(n_docs, 0, 0, 0, 0, 0)` instead of vanishing at the explode:
+    * the most under-served source is exactly the one the census
+    * exists to flag. Scale shape: distinct words segment once
     * (vocabulary-sized); the corpus pays one tokenize scan, a
-    * word-keyed join of the tiny mapping, and a per-source map-side
-    * aggregation — output is |sources| rows.
+    * word-keyed join of the tiny mapping, and per-source map-side
+    * aggregations — output is |sources| rows.
     *
     * Output: `(source, n_docs, n_words, n_tokens, fertility_ppm,
     * whole_word_ppm, chars_per_token_ppm)`. */
@@ -345,23 +350,33 @@ object Tokenizer {
       vocab, maxPiece)
       .select(col("w"),
         size(split(col("seg"), " ")).cast("long").as("np"))
-    docs.select(col("doc_id"), col("source"),
+    val census = docs.groupBy("source")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    val agg = docs.select(col("doc_id"), col("source"),
         explode(TextAnalysis.tokens(col("text"))).as("w"))
       .join(segs, Seq("w"), "left")
-      .select(col("doc_id"), col("source"),
+      .select(col("source"),
         coalesce(col("np"), lit(1L)).as("np"),
         length(col("w")).cast("long").as("nc"))
       .groupBy("source")
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_words"),
+      .agg(count(lit(1)).as("n_words"),
         sum("np").as("n_tokens"),
         sum(when(col("np") === 1L, 1L).otherwise(0L)).as("n_whole"),
         sum("nc").as("n_chars"))
+    census.join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_whole"), lit(0L)).as("n_whole"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
       .select(col("source"), col("n_docs"), col("n_words"),
         col("n_tokens"),
-        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
-        expr("n_whole * 1000000 div n_words").as("whole_word_ppm"),
-        expr("n_chars * 1000000 div n_tokens")
+        expr("CASE WHEN n_words = 0 THEN 0 ELSE " +
+          "n_tokens * 1000000 div n_words END").as("fertility_ppm"),
+        expr("CASE WHEN n_words = 0 THEN 0 ELSE " +
+          "n_whole * 1000000 div n_words END").as("whole_word_ppm"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 ELSE " +
+          "n_chars * 1000000 div n_tokens END")
           .as("chars_per_token_ppm"))
   }
 

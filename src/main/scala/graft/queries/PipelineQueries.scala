@@ -2868,15 +2868,27 @@ object PipelineQueries {
           coalesce(len(string_split(b.seg, ' '))::BIGINT, 1::BIGINT)
             AS np,
           length(tok)::BIGINT AS nc
-        FROM tokpos LEFT JOIN ubest3 b ON b.w = tok)
-      SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
-        count(*)::BIGINT AS n_words,
-        sum(np)::BIGINT AS n_tokens,
-        (sum(np) * 1000000 // count(*))::BIGINT AS fertility_ppm,
-        (sum(CASE WHEN np = 1 THEN 1 ELSE 0 END) * 1000000
-          // count(*))::BIGINT AS whole_word_ppm,
-        (sum(nc) * 1000000 // sum(np))::BIGINT AS chars_per_token_ppm
-      FROM encp GROUP BY source ORDER BY source""",
+        FROM tokpos LEFT JOIN ubest3 b ON b.w = tok),
+      wagg AS (SELECT source, count(*)::BIGINT AS n_words,
+          sum(np)::BIGINT AS n_tokens,
+          sum(CASE WHEN np = 1 THEN 1 ELSE 0 END)::BIGINT AS n_whole,
+          sum(nc)::BIGINT AS n_chars
+        FROM encp GROUP BY source),
+      census AS (SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM documents GROUP BY source)
+      SELECT source, n_docs,
+        coalesce(n_words, 0)::BIGINT AS n_words,
+        coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        (CASE WHEN coalesce(n_words, 0) = 0 THEN 0
+          ELSE n_tokens * 1000000 // n_words END)::BIGINT
+          AS fertility_ppm,
+        (CASE WHEN coalesce(n_words, 0) = 0 THEN 0
+          ELSE n_whole * 1000000 // n_words END)::BIGINT
+          AS whole_word_ppm,
+        (CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+          ELSE n_chars * 1000000 // n_tokens END)::BIGINT
+          AS chars_per_token_ppm
+      FROM census LEFT JOIN wagg USING (source) ORDER BY source""",
     // one more enumeration under the FINAL vocabulary segments every
     // distinct word; docs roll up counts + the ordered piece stream
     "t34_unigram_encode" -> s"""

@@ -713,6 +713,44 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(left == Set(1L))
   }
 
+  test("bm25 layout CDF fold rejects a drifted departure preimage") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val tiny = Seq((0L, "aardvark aardvark badger"),
+      (1L, "zebra yak walrus")).toDF("doc_id", "text")
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25_guard_drift_${spark.sparkContext.applicationId}").getPath
+    Retrieval.bm25IndexWrite(tiny, out, buckets = 8)
+    def foldFails(cdf: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception] {
+        Retrieval.bm25LayoutApplyCdf(spark, out, cdf)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("preimage")), e.getMessage)
+    }
+    // preimage text drifted from what was indexed: the touched bucket
+    // set would be incomplete -> hard error, nothing rewritten
+    foldFails(Seq((0L, "aardvark badger EXTRA"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        lit("delete").as("_change_type")))
+    // departure for a doc the index never held -> same invariant
+    foldFails(Seq((99L, "gnu gnu"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        lit("delete").as("_change_type")))
+    // the layout is untouched: doc 0's true preimage still folds
+    Retrieval.bm25LayoutApplyCdf(spark, out,
+      tiny.filter(col("doc_id") === 0L)
+        .select(col("doc_id"), col("text"),
+          lit("delete").as("_change_type")))
+    val left = spark.read.parquet(out).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L))
+  }
+
   test("sq8 layout CDF rewrite: frozen-stats arrivals, touched dirs only") {
     import graft.operators.VectorStats
     val out = new java.io.File(sys.props("java.io.tmpdir"),

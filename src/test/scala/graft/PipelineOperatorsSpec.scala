@@ -3015,5 +3015,17 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     val cov2 = Tokenizer.tokenizerCoverage(tiny, v2, maxPiece = 2)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(cov2("alpha") > 1000000L && cov2("beta") > 1000000L)
+    // a source whose docs produce ZERO words must still emit a row —
+    // it is the most under-served source the census exists to flag
+    val withEmpty = tiny.union(Seq(
+      (3L, "gamma", "   "), (4L, "gamma", ""))
+      .toDF("doc_id", "source", "text"))
+    val cov3 = Tokenizer.tokenizerCoverage(withEmpty, v, maxPiece = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(cov3.keySet == Set("alpha", "beta", "gamma"))
+    assert(cov3("gamma") == ((2L, 0L, 0L, 0L, 0L, 0L)))
+    assert(cov3("alpha")._1 == 1L && cov3("alpha")._3 == 6L)
   }
 }
