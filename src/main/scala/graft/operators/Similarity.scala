@@ -1994,6 +1994,70 @@ object Similarity {
     }
   }
 
+  /** The scheduled OFFLINE stats refresh (ss27) every frozen-artifact
+    * doc in the family points at: [[sq8LayoutApplyCdf]] encodes
+    * arrivals under write-time stats and [[sq8DriftCensus]] names the
+    * degradation per dimension (out-of-grid values clamp to the grid
+    * edge); when `oog_ppm` crosses the operator's tolerance, THIS is
+    * the event that runs — re-derive the per-dim (min, max) grid from
+    * the CURRENT membership's raw vectors, re-encode every member
+    * under the new grid, and rewrite the layout in place. The coarse
+    * CENTROIDS stay frozen (every member keeps its home list — the
+    * stats grid and the coarse quantizer drift on independent clocks;
+    * [[knnCentroidRetrain]] is the centroid-side refresh), so the
+    * rewrite is a per-list re-encode with zero membership movement.
+    *
+    * `corpus` must be EXACTLY the layout's current membership
+    * `(vec_id, embedding)` — the raw vectors of the maintained source
+    * table. That is a HARD, CHECKED invariant (id anti-joins both
+    * ways): refreshing from a drifted membership would silently
+    * produce a grid for a different corpus. The codes themselves
+    * cannot seed the refresh — they carry quantization error by
+    * construction; production stats refreshes always re-read the raw
+    * vectors.
+    *
+    * After the refresh, serving through the layout is bit-identical
+    * to a from-scratch [[sq8IndexWrite]] of the same membership under
+    * the same frozen centroids, and [[sq8DriftCensus]] of the new
+    * stats against the membership reports `oog_ppm = 0` on every
+    * dimension (both pinned in GuardrailsSpec).
+    *
+    * Scale shape: one d-row stats aggregation (map-side combinable,
+    * 1-row broadcast back), one pure-map re-encode scan joined to the
+    * frozen-centroid assignment (map-side argmin), one partitioned
+    * write. Every `cid=` directory rewrites — unavoidable (every code
+    * changes under a new grid) and the point of it being a SCHEDULED
+    * event rather than an inline fold. */
+  def sq8StatsRefresh(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, corpus: DataFrame): Unit = {
+    val ids = corpus.select(col("vec_id").as("neighbor_id"))
+      .localCheckpoint(eager = false) // two anti-joins
+    val home = spark.read.parquet(layoutPath).select("neighbor_id")
+    val missing = ids.join(home, Seq("neighbor_id"), "left_anti")
+      .count()
+    val extra = home.join(ids, Seq("neighbor_id"), "left_anti").count()
+    require(missing == 0 && extra == 0,
+      s"sq8StatsRefresh: corpus is not the layout membership " +
+        s"($missing corpus ids absent from the layout, $extra layout " +
+        "ids absent from the corpus) — refresh must run over exactly " +
+        "the maintained members' raw vectors")
+    val cents = spark.read.parquet(layoutPath + "_cents")
+      .localCheckpoint(eager = true) // read before overwriting beside it
+    val packed = sq8Stats(corpus)
+      .localCheckpoint(eager = false) // re-encode + stats overwrite
+    val rows = sq8Codes(corpus, packed)
+      .join(VectorStats
+        .assignToCentroids(corpus, cents.select("cid", "cemb"))
+        .select(col("vec_id").as("neighbor_id"),
+          col("cluster_id").as("cid")),
+        "neighbor_id")
+      .select("neighbor_id", "codes", "cid")
+      .localCheckpoint(eager = true) // sever from the files below
+    rows.repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(layoutPath)
+    packed.write.mode("overwrite").parquet(layoutPath + "_stats")
+  }
+
   /** Serve IVF-SQ8 top-k THROUGH a written [[sq8IndexWrite]] layout:
     * reads the three artifacts back and runs the shared serving tail
     * — results are bit-identical to [[ivfSq8TopK]] off the source

@@ -1156,6 +1156,39 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    // the scheduled OFFLINE stats refresh the frozen-grid docs point
+    // at: a DRIFTED batch folds in under the frozen stats (clamped,
+    // ss26's trigger condition), then sq8StatsRefresh re-derives the
+    // grid from the CURRENT membership's raw vectors, re-encodes
+    // every member under it (homes frozen), rewrites the layout, and
+    // serving goes through the refreshed artifacts — the oracle
+    // derives stats from the MODIFIED membership and training from
+    // the ORIGINAL corpus
+    "ss27_sq8_stats_refresh" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val drifted = e.filter(col("vec_id") % 31 === 7)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"),
+            x => x.cast("double") * lit(1.25) + lit(0.1)).as("embedding"))
+      val out = layoutDir(s, d, "sq8refresh_layout") { p =>
+        Similarity.sq8IndexWrite(e, p, numCentroids = 8, iters = 2)
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(drifted.select(col("vec_id"), col("embedding"),
+            lit("insert").as("_change_type")))
+        Similarity.sq8LayoutApplyCdf(s, p, cdf)
+        val membership = e.filter(col("vec_id") % 97 =!= 5)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("embedding"))
+          .unionByName(drifted)
+        Similarity.sq8StatsRefresh(s, p, membership)
+      }
+      Similarity.ivfSq8TopKFromLayout(s, out,
+        e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
     // CDF maintenance of the WRITTEN residual-coded index: the ss20
     // batch folds into the pq layout as a partition-grain rewrite —
     // arrivals residual-encode under the FROZEN coarse quantizer and
@@ -4805,6 +4838,63 @@ object PipelineQueries {
     },
     "ss21_sq8_layout" -> s"""SELECT * FROM (${sqlIvfSq8TopK(5, 8, 2, 3)})
       ORDER BY query_id, rank""",
+    // the refreshed grid derives from the MODIFIED membership (kept
+    // originals + drifted arrivals); training stays on the ORIGINAL
+    // corpus (frozen centroids); every member re-encodes in-grid
+    "ss27_sq8_stats_refresh" -> {
+      val dq = "st.mns[i] + cd.codes[i]::DOUBLE * st.spans[i] / 255.0"
+      s"""
+      WITH ${sqlKmeansCtes(8)},
+      ${sqlKmAsg("c2", "a2")},
+      newv AS (SELECT vec_id + 100000 AS vec_id,
+          list_transform(embedding, xn -> xn::DOUBLE * 1.25 + 0.1)
+            AS emb
+        FROM embeddings WHERE vec_id % 31 = 7),
+      mem AS (SELECT vec_id,
+          list_transform(embedding, xn -> xn::DOUBLE) AS emb
+          FROM embeddings WHERE vec_id % 97 <> 5
+        UNION ALL SELECT vec_id, emb FROM newv),
+      sx AS (SELECT u.pos, min(u.v) AS mn, max(u.v) AS mx FROM
+          (SELECT unnest(emb) AS v,
+             generate_subscripts(emb, 1) AS pos FROM mem) u
+        GROUP BY 1),
+      st AS (SELECT list(mn ORDER BY pos) AS mns,
+          list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END ORDER BY pos)
+            AS spans FROM sx),
+      cda AS (SELECT vec_id AS neighbor_id,
+          list_transform(range(1, len(emb) + 1), i ->
+            CASE WHEN st.spans[i] > 0 THEN greatest(0, least(255,
+              floor((emb[i] - st.mns[i]) * 255.0
+                / st.spans[i])::BIGINT))
+            ELSE 0 END) AS codes
+        FROM mem, st),
+      newx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM newv),
+      ${sqlKmAsg("c2", "newasg", "newx")},
+      kept AS (SELECT vec_id AS neighbor_id, cid FROM a2
+          WHERE vec_id % 97 <> 5
+        UNION ALL SELECT vec_id, cid FROM newasg),
+      qprobe AS (SELECT * FROM (
+          SELECT x.vec_id AS query_id, c.cid,
+            (x.xx - 2.0*${sqlDot("x.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM ex x, c2 c WHERE x.vec_id < 3)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      cand AS (SELECT q.query_id, k2.neighbor_id
+        FROM qprobe q JOIN kept k2 USING (cid)
+        WHERE q.query_id <> k2.neighbor_id),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+          ${sqlFold("list_transform(range(1, len(cd.codes) + 1), i -> " +
+            s"(xq.emb[i] - ($dq)) * (xq.emb[i] - ($dq)))")} AS dist2
+        FROM cand c
+        JOIN ex xq ON xq.vec_id = c.query_id
+        JOIN cda cd ON cd.neighbor_id = c.neighbor_id, st)
+      SELECT query_id, rank, neighbor_id, dist2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dist2 ASC, neighbor_id ASC) AS rank FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     // hard rows replay the trained graph chain; random rows replay
     // the hash-ordered pool draw with the self-collision step
     "ss19_hard_negatives" -> s"""

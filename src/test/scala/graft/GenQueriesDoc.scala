@@ -20,7 +20,7 @@ object GenQueriesDoc {
       ("Deduplication", "dd10|dd11|dd12|dd13|dd14|dd18|dd19|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dd15|dd20|dd16|dd17|dc1|dc2|dc3|dc4|dc5|dc6|dc7"),
       ("Data layout & skew diagnostics", "q52|q54|q57|q59|q67|q68"),
       ("Graph analytics", "q58|q60|q62"),
-      ("Similarity search", "ss1|ss2|ss3|ss4|ss5|ss6|ss7|ss8|ss9|ss10|ss11|ss12|ss13|ss14|ss15|ss16|ss17|ss18|ss19|ss20|ss21|ss22|ss23|ss24|ss25|ss26"),
+      ("Similarity search", "ss1|ss2|ss3|ss4|ss5|ss6|ss7|ss8|ss9|ss10|ss11|ss12|ss13|ss14|ss15|ss16|ss17|ss18|ss19|ss20|ss21|ss22|ss23|ss24|ss25|ss26|ss27|ss28"),
       ("Embedding analytics", "ve1|ve2|ve3|ve4|ve5|ve6|ve7|ve8|ve9|ve10|ve11|ve12"),
       ("Multimodal", "m10|m11|m12|m13|m1|m2|m3|m4|m5|m6|m7|m8|m9"),
       ("Streaming batch twins", "st1|st2|st3|st4|st7|st8|st9"))

@@ -793,6 +793,59 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(after(5006L) == expCid)
   }
 
+  test("sq8 stats refresh: oog drops to zero, serving equals a " +
+      "from-scratch build, membership mismatch rejected") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq8refresh_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.sq8IndexWrite(embs, out, numCentroids = 8, iters = 2)
+    val cents = spark.read.parquet(out + "_cents")
+      .localCheckpoint(eager = true)
+    // a deliberately DRIFTED batch folds in under the frozen grid:
+    // the census must register out-of-grid arrivals (the refresh
+    // trigger condition)
+    val drifted = embs.filter(col("vec_id") % 31 === 7)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(1.25) + lit(0.1)).as("embedding"))
+      .localCheckpoint(eager = true)
+    Similarity.sq8LayoutApplyCdf(spark, out,
+      drifted.select(col("vec_id"), col("embedding"),
+        lit("insert").as("_change_type")))
+    val membership = embs
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .unionByName(drifted)
+      .localCheckpoint(eager = true)
+    val oogBefore = Similarity.sq8DriftCensus(
+      spark.read.parquet(out + "_stats"), membership)
+      .agg(max("oog_ppm")).head().getLong(0)
+    assert(oogBefore > 0, "fixture drift must leave the frozen grid")
+    // a stale membership (missing the arrivals) must be rejected
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sq8StatsRefresh(spark, out, embs)
+    }
+    assert(e.getMessage.contains("membership"))
+    Similarity.sq8StatsRefresh(spark, out, membership)
+    // the refreshed grid covers the membership exactly
+    val oogAfter = Similarity.sq8DriftCensus(
+      spark.read.parquet(out + "_stats"), membership)
+      .agg(max("oog_ppm")).head().getLong(0)
+    assert(oogAfter == 0, s"post-refresh oog_ppm $oogAfter")
+    // and serving equals a from-scratch build of the same membership
+    // under the same frozen centroids
+    val out2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq8refresh_guard2_${spark.sparkContext.applicationId}").getPath
+    Similarity.sq8IndexWrite(membership, out2, numCentroids = 8,
+      iters = 2, centsOpt = Some(cents))
+    val queries = embs.filter(col("vec_id") < 3)
+    val served = Similarity.ivfSq8TopKFromLayout(spark, out,
+      queries, k = 10, nprobe = 2)
+    val scratch = Similarity.ivfSq8TopKFromLayout(spark, out2,
+      queries, k = 10, nprobe = 2)
+    assert(served.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(served).count() == 0)
+  }
+
   test("pq layout CDF rewrite: frozen-book arrivals, touched dirs only") {
     import graft.operators.VectorStats
     val out = new java.io.File(sys.props("java.io.tmpdir"),

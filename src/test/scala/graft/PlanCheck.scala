@@ -84,6 +84,12 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "Window-free serving (in-row probe + bounded-heap rank)" ->
         (p => !p.contains("Window"))))
+    auditExecuted("ss27_sq8_stats_refresh", Seq(
+      "refreshed layout still serves under DPP" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     audit("ss26_sq8_drift_census", Seq(
       "per-dim census combines map-side" -> (_.contains("partial_")),
       "frozen stats ride a broadcast" ->
