@@ -1463,6 +1463,32 @@ object PipelineQueries {
           .select(col("doc_id").as("query_id"), col("text")), k = 10)
         .orderBy("query_id", "rank")
     },
+    // the SERVING-ERA hybrid: both RRF legs come THROUGH written
+    // layouts — BM25 reads only the query terms' bkt= directories,
+    // the vector leg reads only the probed cid= home lists (both
+    // DPP-pinned) — so the fusion never touches a corpus-sized scan;
+    // fusion itself stays ≤ k·|queries| rows per leg
+    "t37_hybrid_layout" -> { (s, d) =>
+      val all = documents(s, d)
+      val e = embeddings(s, d)
+      val bmOut = layoutDir(s, d, "bm25p_layout") { p =>
+        Retrieval.bm25IndexWrite(all, p, buckets = 64)
+      }
+      val knnOut = layoutDir(s, d, "knnp_layout") { p =>
+        Similarity.knnIndexWrite(e, p, numCentroids = 16,
+          centsIn = Some(kgCents(s, d)))
+      }
+      val queries = all.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val bm = Retrieval.bm25TopKFromLayout(s, bmOut, queries, k = 10)
+        .select("query_id", "doc_id", "rank")
+      val ann = Similarity.knnTopKFromLayout(s, knnOut,
+        e.filter(col("vec_id") < 3), k = 10, nprobe = 2)
+        .select(col("vec_id").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, ann), k = 10)
+        .orderBy("query_id", "rank")
+    },
     // HYBRID retrieval: BM25 lexical top-10 and brute cosine top-10
     // for the same 3 query docs (doc_id ≡ vec_id in the fixture id
     // space), fused by reciprocal-rank — both input rankings reuse
@@ -3038,6 +3064,43 @@ object PipelineQueries {
     // RRF hybrid fusion: the full t22 BM25 chain and the full ss1
     // cosine chain replayed as nested subqueries, fused by the same
     // integer 1e6 div (60+rank) contributions
+    // the layout-served legs replayed: the lexical leg is t22's BM25
+    // chain (the clean layout serves the plain postings), the vector
+    // leg is the trained kNN probe (the ss20 serving shape, k = 10,
+    // no CDF), fused by the same per-term integer reciprocal ranks
+    "t37_hybrid_layout" -> s"""
+      WITH bm AS (SELECT query_id, doc_id, rank FROM (${sqlBm25TopK()})),
+      ann AS (SELECT query_id, doc_id, rank FROM (
+        WITH ${sqlKmeansCtes(16)},
+        ${sqlKmAsg("c2", "homea")},
+        qx AS (SELECT vec_id, emb, xx FROM ex WHERE vec_id < 3),
+        probes AS (SELECT * FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+              (q.xx - 2.0*${sqlDot("q.emb", "c.cemb")}
+                + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+            FROM qx q, c2 c)
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY dist2, cid) <= 2),
+        kisc AS (SELECT p.query_id, h.vec_id AS doc_id,
+            ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx))
+              AS score
+          FROM probes p JOIN homea h USING (cid)
+          JOIN qx q ON q.vec_id = p.query_id
+          JOIN ex x ON x.vec_id = h.vec_id
+          WHERE p.query_id <> h.vec_id)
+        SELECT query_id, doc_id, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rank FROM kisc)
+        WHERE rank <= 10)),
+      u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann),
+      f AS (SELECT query_id, doc_id,
+          sum(1000000 // (60 + rank))::BIGINT AS rrf_ppm,
+          count(*)::BIGINT AS n_lists
+        FROM u GROUP BY 1, 2)
+      SELECT query_id, rank, doc_id, rrf_ppm, n_lists FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_ppm DESC, doc_id) AS rank FROM f)
+      WHERE rank <= 10 ORDER BY query_id, rank""",
     "t24_hybrid_rrf" -> s"""
       WITH bm AS (SELECT query_id, doc_id, rank FROM (${sqlBm25TopK()})),
       ann AS (SELECT query_id, neighbor_id AS doc_id, rank

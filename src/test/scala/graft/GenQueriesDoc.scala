@@ -15,7 +15,7 @@ object GenQueriesDoc {
       ("Sort / top-k / set ops", "q16|q17|q30"),
       ("Scalar functions", "q18|q19|q20|q21|q28|q29|q31|q33|q40|q44|q45|q51"),
       ("Sampling", "st6|q49"),
-      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09|t10|t11|t12|t13|t14|t15|t16|t17|t18|t19|t20|t22|t23|t24|t25|t26|t27|t28|t29|t30|t31|t32|t33|t34|t35|t36"),
+      ("Text analysis", "t01|t02|t03|t04|t05|t06|t07|t08|t09|t10|t11|t12|t13|t14|t15|t16|t17|t18|t19|t20|t22|t23|t24|t25|t26|t27|t28|t29|t30|t31|t32|t33|t34|t35|t36|t37"),
       ("Training-mix, splits & packing", "cr1|cr2|ds1|ds2|ds3|mx1|mx2|mx3|mx4|mx5|mx6|mx7|mx8|mx9|tp10|tp11|tp12|tp13|tp1|tp2|tp3|tp4|tp5|tp6|tp7|tp8|tp9"),
       ("Deduplication", "dd10|dd11|dd12|dd13|dd14|dd18|dd19|dd1|dd2|dd3|dd4|dd5|dd6|dd7|dd8|dd9|dd15|dd20|dd16|dd17|dc1|dc2|dc3|dc4|dc5|dc6|dc7"),
       ("Data layout & skew diagnostics", "q52|q54|q57|q59|q67|q68"),

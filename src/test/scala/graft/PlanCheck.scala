@@ -84,6 +84,13 @@ object PlanCheck {
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "Window-free serving (in-row probe + bounded-heap rank)" ->
         (p => !p.contains("Window"))))
+    auditExecuted("t37_hybrid_layout", Seq(
+      // BOTH serving legs prune their layouts at runtime: the BM25
+      // leg's (bkt, fp) semi-join and the kNN leg's probe cid join
+      // must each plant a dynamic partition filter
+      "both layout legs prune under DPP" ->
+        (p => "dynamicpruning".r.findAllIn(p).size >= 2),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     auditExecuted("ss27_sq8_stats_refresh", Seq(
       "refreshed layout still serves under DPP" ->
         (_.contains("dynamicpruning")),
