@@ -1084,6 +1084,74 @@ object Similarity {
     }
   }
 
+  /** Per-list census of a WRITTEN [[knnIndexWrite]] layout — the
+    * [[knnGraphCensus]] (ss15) report computed from the layout alone
+    * (no retraining, no raw corpus): one `cid`-grouped count over the
+    * partitioned home lists, ≤ numCentroids output rows. This is the
+    * drift monitor that SCHEDULES [[knnCentroidRetrain]]: CDF folds
+    * append arrivals to their true home list with no cap
+    * ([[knnLayoutApplyCdf]]'s membership rule), so a drifting
+    * ingest distribution shows up here as growing `capped` /
+    * `rows_dropped` numbers long before serving cost does. */
+  def knnLayoutCensus(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, maxList: Int = 1 << 16): DataFrame =
+    spark.read.parquet(layoutPath)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("list_size"))
+      .select(col("cid"), col("list_size"),
+        (col("list_size") > maxList).as("capped"),
+        greatest(col("list_size") - lit(maxList.toLong), lit(0L))
+          .as("rows_dropped"))
+
+  /** The scheduled OFFLINE centroid retrain (ss28) — the coarse-
+    * quantizer twin of [[sq8StatsRefresh]]'s grid refresh: CDF folds
+    * keep the centroids FROZEN ([[knnLayoutApplyCdf]] assigns
+    * arrivals under the write-time quantizer), so a drifting ingest
+    * distribution slowly concentrates members into mega-lists — the
+    * [[knnLayoutCensus]] numbers that trigger THIS event. The retrain
+    * re-runs the full Lloyd chain over the layout's CURRENT
+    * membership (the home lists carry the raw vectors, so no external
+    * corpus is needed — and none is accepted: a caller-supplied frame
+    * could drift from the maintained membership, the exact failure
+    * [[sq8StatsRefresh]]'s anti-join invariant guards against),
+    * reassigns every member to its new home by the same in-row argmin
+    * serving uses, re-applies the mega-list cap, and rewrites the
+    * layout in place. Unlike the CDF folds' partition-grain rewrites,
+    * EVERY `cid=` directory changes — unavoidable (the partition keys
+    * themselves are retrained) and the point of it being a SCHEDULED
+    * event rather than an inline fold.
+    *
+    * After the retrain, serving through the layout is bit-identical
+    * to a from-scratch [[knnIndexWrite]] of the same membership
+    * (Lloyd training is deterministic — k lowest-id seeds, fixed-
+    * point update means — and floats round-trip parquet exactly;
+    * pinned in GuardrailsSpec along with the census' mega-list count
+    * dropping on a skewed fixture).
+    *
+    * Scale shape: `iters` Lloyd rounds (each ONE corpus-sized narrow
+    * (cid, dim) partial-agg exchange, the [[VectorStats
+    * .kmeansCentroids]] shape), one pure-map reassignment scan
+    * (packed-broadcast in-row argmin, zero exchanges), the shared
+    * census-gated cap, one partitioned write. */
+  def knnCentroidRetrain(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, numCentroids: Int = 16, iters: Int = 2,
+      maxList: Int = 1 << 16): Unit = {
+    // the CURRENT membership's raw vectors, read from the layout and
+    // severed (eagerly) from the files the rewrite replaces
+    val membership = spark.read.parquet(layoutPath)
+      .select(col("neighbor_id").as("vec_id"),
+        col("n_emb").as("embedding"))
+      .localCheckpoint(eager = true)
+    val cents = VectorStats
+      .kmeansCentroids(membership, numCentroids, iters)
+      .withColumn("cc", dotD(col("cemb"), col("cemb")))
+      .localCheckpoint(eager = true) // read before overwriting beside it
+    val rows = capHome(homeRowsAgainst(membership, cents), maxList)
+    rows.repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(layoutPath)
+    cents.write.mode("overwrite").parquet(layoutPath + "_cents")
+  }
+
   /** Incremental kNN-graph maintenance (ss16), batch tail: the
     * arriving batch's top-`k` graph rows against the standing corpus
     * — [[knnCandidatesAgainst]] + the bounded [[TopKAggregator]]

@@ -1189,6 +1189,32 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     },
+    // the scheduled OFFLINE centroid retrain the list-census docs
+    // point at (the coarse-quantizer twin of ss27's grid refresh):
+    // the ss23 CDF batch folds into the written kNN layout under the
+    // FROZEN centroids, then knnCentroidRetrain re-runs Lloyd over
+    // the layout's current membership, reassigns every member, and
+    // rewrites the layout — the oracle replays the retrain chain over
+    // the MODIFIED membership from scratch (the original training
+    // never matters: retrain derives everything from membership)
+    "ss28_knn_centroid_retrain" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "knnretrain_layout") { p =>
+        Similarity.knnIndexWrite(e, p, numCentroids = 16,
+          centsIn = Some(kgCents(s, d)))
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding"), lit("insert").as("_change_type")))
+        Similarity.knnLayoutApplyCdf(s, p, cdf)
+        Similarity.knnCentroidRetrain(s, p, numCentroids = 16,
+          iters = 2)
+      }
+      Similarity.knnTopKFromLayout(s, out, e.filter(col("vec_id") < 3),
+        k = 3, nprobe = 2).orderBy("vec_id", "rank")
+    },
     // CDF maintenance of the WRITTEN residual-coded index: the ss20
     // batch folds into the pq layout as a partition-grain rewrite —
     // arrivals residual-encode under the FROZEN coarse quantizer and
@@ -2657,6 +2683,40 @@ object PipelineQueries {
         SELECT *, row_number() OVER (PARTITION BY vec_id
           ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
       WHERE rank <= 3 ORDER BY vec_id, rank"""
+
+  /** ss28's retrain replay: the CDF-modified membership trained from
+    * SCRATCH — the retrain derives centroids, homes and probes
+    * entirely from the current membership, so the original write-time
+    * quantizer never enters the oracle — then the probe→rank serving
+    * tail of [[sqlSs20KnnCdf]]. */
+  private lazy val sqlSs28Retrain: String = {
+    val memb = """(SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 97 <> 5
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id % 31 = 7)"""
+    s"""
+      WITH ${sqlKmeansCtes(16, memb)},
+      ${sqlKmAsg("c2", "rhome")},
+      qx AS (SELECT vec_id, emb, xx FROM ex WHERE vec_id < 3),
+      probes AS (SELECT * FROM (
+          SELECT q.vec_id AS query_id, c.cid,
+            (q.xx - 2.0*${sqlDot("q.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM qx q, c2 c)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      kisc AS (SELECT p.query_id AS vec_id, h.vec_id AS neighbor_id,
+          ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx)) AS score
+        FROM probes p JOIN rhome h USING (cid)
+        JOIN qx q ON q.vec_id = p.query_id
+        JOIN ex x ON x.vec_id = h.vec_id
+        WHERE p.query_id <> h.vec_id)
+      SELECT vec_id, rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
+      WHERE rank <= 3 ORDER BY vec_id, rank"""
+  }
 
   /** t27's full two-pass RM3 replay, shared verbatim with t35: the
     * layout-served expansion must equal the in-memory chain. */
@@ -4132,6 +4192,7 @@ object PipelineQueries {
     // the LAYOUT round-trip must serve the maintained index
     // bit-identically, so ss23's oracle is ss20's VERBATIM
     "ss23_knn_layout" -> sqlSs20KnnCdf,
+    "ss28_knn_centroid_retrain" -> sqlSs28Retrain,
     // the same trained home assignment, aggregated per list
     "ss15_knn_census" -> s"""
       WITH ${sqlKmeansCtes(16)},

@@ -846,6 +846,62 @@ class GuardrailsSpec extends AnyFunSuite {
       scratch.exceptAll(served).count() == 0)
   }
 
+  test("knn centroid retrain: mega-list census drops on a skewed " +
+      "fixture, serving equals a from-scratch build") {
+    import graft.operators.VectorStats
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_knnretrain_guard_${spark.sparkContext.applicationId}").getPath
+    // a deliberately BAD quantizer: one centroid at the corpus mean
+    // plus three far outside the data — every vector homes to the
+    // mean list, the exact mega-list shape a drifting ingest leaves
+    // behind under frozen centroids
+    val bad = VectorStats.kmeansCentroids(embs, 1, 1)
+      .unionByName(embs.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000).as("cid"),
+          transform(col("embedding"),
+            x => x.cast("double") * lit(1000.0)).as("cemb")))
+    Similarity.knnIndexWrite(embs, out, numCentroids = 4,
+      centsIn = Some(bad))
+    // fold a CDF batch first: the retrain must run over the layout's
+    // CURRENT membership, not the build-time corpus
+    val ins = embs.filter(col("vec_id") === 6L)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    Similarity.knnLayoutApplyCdf(spark, out,
+      embs.filter(col("vec_id").isin(4L, 17L))
+        .select(col("vec_id"), col("embedding"),
+          lit("delete").as("_change_type"))
+        .unionByName(ins.select(col("vec_id"), col("embedding"),
+          lit("insert").as("_change_type"))))
+    val before = Similarity.knnLayoutCensus(spark, out, maxList = 8)
+      .agg(sum(when(col("capped"), 1L).otherwise(0L)),
+        max("list_size"), sum("rows_dropped")).head()
+    assert(before.getLong(0) >= 1 && before.getLong(2) > 0,
+      s"fixture must start with a mega-list, got $before")
+    Similarity.knnCentroidRetrain(spark, out, numCentroids = 8,
+      iters = 2)
+    val after = Similarity.knnLayoutCensus(spark, out, maxList = 8)
+      .agg(sum(when(col("capped"), 1L).otherwise(0L)),
+        max("list_size"), sum("rows_dropped")).head()
+    assert(after.getLong(1) < before.getLong(1),
+      s"retrain must shrink the largest list: $before -> $after")
+    assert(after.getLong(2) < before.getLong(2),
+      s"retrain must shed cap-dropped rows: $before -> $after")
+    // and serving equals a from-scratch build of the same membership
+    val membership = embs.select("vec_id", "embedding")
+      .filter(!col("vec_id").isin(4L, 17L)).unionByName(ins)
+    val out2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_knnretrain_guard2_${spark.sparkContext.applicationId}").getPath
+    Similarity.knnIndexWrite(membership, out2, numCentroids = 8,
+      iters = 2)
+    val queries = embs.filter(col("vec_id") < 3)
+    val served = Similarity.knnTopKFromLayout(spark, out, queries,
+      k = 5, nprobe = 2)
+    val scratch = Similarity.knnTopKFromLayout(spark, out2, queries,
+      k = 5, nprobe = 2)
+    assert(served.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(served).count() == 0)
+  }
+
   test("pq layout CDF rewrite: frozen-book arrivals, touched dirs only") {
     import graft.operators.VectorStats
     val out = new java.io.File(sys.props("java.io.tmpdir"),

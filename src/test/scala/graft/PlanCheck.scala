@@ -112,6 +112,12 @@ object PlanCheck {
       "probe prunes the home-list layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    auditExecuted("ss28_knn_centroid_retrain", Seq(
+      "probe prunes the RETRAINED layout's partitions (DPP)" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     auditExecuted("t35_rm3_layout", Seq(
       // both scoring passes prune the postings buckets; feedback-term
       // mining prunes the doc-bucketed forward copy
