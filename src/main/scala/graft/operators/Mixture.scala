@@ -503,6 +503,88 @@ object Mixture {
           .as("score_ppm"))
   }
 
+  /** DoReMi-style mixture reweighting (mx10): multiplicative
+    * per-source weight updates from a frozen proxy-loss table —
+    * the published Group-DRO recipe (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * Algorithm 1) under the t30 integer discipline so the full
+    * trajectory replays bit-for-bit as unrolled DuckDB CTEs.
+    *
+    * The proxy loss here is the per-source chars-per-token rate in
+    * ppm — a deterministic hardness surrogate computable from the
+    * corpus itself (production runs swap in a real proxy-model loss
+    * column; the trajectory arithmetic is loss-agnostic). Each round:
+    *
+    *   1. `mean = Σ α·L / S` — the current mixture's expected loss
+    *      (the reference the excess is measured against; with a
+    *      FROZEN loss table this coupling through α is what makes
+    *      the rounds a genuine dynamical system, standing in for
+    *      DoReMi's per-step proxy re-evaluation),
+    *   2. `excess_i = max(0, L_i − mean)` (DoReMi's clipped excess),
+    *   3. `λ_i ← λ_i · (S + η·excess_i/S) / S` — the linearized
+    *      exponentiated-gradient update (the classic multiplicative-
+    *      weights `(1 + η·ℓ)` form; `exp` is not cross-engine exact,
+    *      the linearization is),
+    *   4. renormalize `λ` to sum S, then smooth toward uniform:
+    *      `α_i = ((S−c)·λ_i + c·⌊S/k⌋) / S` (DoReMi's uniform
+    *      smoothing keeps every domain sampled).
+    *
+    * All floor divisions on non-negative longs — DuckDB's `//`
+    * replays each round exactly. Sources above the current mixture's
+    * mean loss gain weight; as weight shifts the mean shifts, and the
+    * trajectory converges toward the hardest domain with the
+    * smoothing floor keeping the mixture interior.
+    *
+    * Scale shape: ONE corpus job (the per-source (chars, tokens)
+    * aggregation — map-side combinable into ≤ |sources| rows); every
+    * round is pure driver arithmetic on the ≤ |sources|-entry weight
+    * table (the t30 weights-as-driver-state contract — bounded like
+    * the dim+1 gradient rows), and the emitted trajectory is
+    * rounds·|sources| rows built driver-side. At 100 TB the corpus
+    * pays exactly one scan regardless of round count. Long overflow
+    * headroom: per-source `chars·1e6` caps at ~9e18, so beyond ~10 TB
+    * of text per source the loss aggregation lifts to decimal — the
+    * round arithmetic itself never exceeds ~4e12. */
+  def doremiWeights(docs: DataFrame, rounds: Int = 8,
+      etaPpm: Long = 500000L, smoothPpm: Long = 100000L,
+      sourceCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val S = 1000000L
+    val stats = docs.select(col(sourceCol).as("source"),
+        length(col("text")).cast("long").as("nc"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(sum("nc").as("nc"), sum("nt").as("nt"))
+      .select(col("source"),
+        expr(s"(nc * ${S}L) DIV greatest(nt, 1L)").as("loss_ppm"))
+      .orderBy("source")
+      .collect() // bounded: one row per source
+    val srcs = stats.map(_.getString(0))
+    val loss = stats.map(_.getLong(1))
+    val k = srcs.length.toLong
+    require(k > 0, "doremiWeights: no sources")
+    val uniform = S / k
+    val lam = Array.fill(srcs.length)(S)
+    var alpha = Array.fill(srcs.length)(uniform)
+    val traj = Array.newBuilder[(Long, String, Long, Long, Long)]
+    for (t <- 1 to rounds) {
+      val mean = lam.indices.map(i => alpha(i) * loss(i)).sum / S
+      val excess = loss.map(l => math.max(0L, l - mean))
+      lam.indices.foreach { i =>
+        lam(i) = lam(i) * (S + (etaPpm * excess(i)) / S) / S
+      }
+      val slam = lam.sum
+      lam.indices.foreach(i => lam(i) = lam(i) * S / slam)
+      alpha = lam.map(l => ((S - smoothPpm) * l + smoothPpm * uniform) / S)
+      lam.indices.foreach { i =>
+        traj += ((t.toLong, srcs(i), loss(i), excess(i), alpha(i)))
+      }
+    }
+    traj.result().toSeq
+      .toDF("round", "source", "loss_ppm", "excess_ppm", "alpha_ppm")
+  }
+
   def exactStratifiedSplit(docs: DataFrame, seed: Long,
       stratumCol: String = "lang", pctTrain: Int = 80,
       pctVal: Int = 10): DataFrame = {

@@ -1242,6 +1242,38 @@ object Similarity {
     * StreamingSpec). Output: the input columns (minus `embedding`) +
     * `code_0 … code_{m-1}` — extra columns such as [[ivfPqTopK]]'s
     * coarse list id ride through untouched. */
+  /** Per-row IVF-PQ ingest surface: frozen-coarse home assignment,
+    * residual against the home centroid (looked up INSIDE the same
+    * packed broadcast array — no join back), and PQ-encode under the
+    * FROZEN books — the [[homeRowsAgainst]] contract for the
+    * residual-coded index. STREAMING-LEGAL: every stage is a per-row
+    * projection against a broadcast artifact (no window, no
+    * aggregation, no arriving-side join), so the same operator maps a
+    * LIVE vector stream into `(vec_id, lcid, code_0..m-1)` rows in
+    * append mode (proven in StreamingSpec); it is also the batch
+    * arrival leg of [[pqLayoutApplyCdf]]. */
+  def pqRowsAgainst(newVecs: DataFrame, coarse: DataFrame,
+      books: Seq[DataFrame]): DataFrame = {
+    val packedCoarse = coarse
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
+    val resid = newVecs
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .crossJoin(broadcast(packedCoarse))
+      .withColumn("xx", dotD(col("xd"), col("xd")))
+      .withColumn("lcid",
+        VectorStats.nearestIn(col("cs"), col("xd"), col("xx"))
+          .getField("cid"))
+      .withColumn("cvec",
+        element_at(filter(col("cs"),
+          c => c.getField("cid") === col("lcid")), 1).getField("cemb"))
+      .withColumn("embedding",
+        zip_with(col("xd"), col("cvec"), (x, c) => x - c))
+      .select(col("vec_id"), col("lcid"), col("embedding"))
+    pqEncode(resid, books)
+  }
+
   def pqEncode(vecs: DataFrame, books: Seq[DataFrame]): DataFrame = {
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -1393,26 +1425,7 @@ object Similarity {
     val arrived = validated
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select("vec_id", "embedding")
-    // coarse-assign + residual in one in-row pass (the ivfPqIndex
-    // shape), then PQ-encode under the FROZEN books
-    val packedCoarse = coarse
-      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
-        .as("cs"))
-    val resid = arrived
-      .select(col("vec_id"),
-        transform(col("embedding"), v => v.cast("double")).as("xd"))
-      .crossJoin(broadcast(packedCoarse))
-      .withColumn("xx", dotD(col("xd"), col("xd")))
-      .withColumn("lcid",
-        VectorStats.nearestIn(col("cs"), col("xd"), col("xx"))
-          .getField("cid"))
-      .withColumn("cvec",
-        element_at(filter(col("cs"),
-          c => c.getField("cid") === col("lcid")), 1).getField("cemb"))
-      .withColumn("embedding",
-        zip_with(col("xd"), col("cvec"), (x, c) => x - c))
-      .select(col("vec_id"), col("lcid"), col("embedding"))
-    val arrivedRows = pqEncode(resid, books)
+    val arrivedRows = pqRowsAgainst(arrived, coarse, books)
       .localCheckpoint(eager = false) // touched-lcid census + rewrite
     val touched = enc.join(broadcast(gone), Seq("vec_id"), "left_semi")
       .select("lcid")
@@ -1854,6 +1867,17 @@ object Similarity {
       expr("transform(st, s -> CASE WHEN s.mx > s.mn " +
         "THEN s.mx - s.mn ELSE 0D END)").as("spans"))
 
+  /** The SQ8 code transform over an `embedding` column with the
+    * packed `mns`/`spans` stats in scope — ONE definition feeds
+    * [[sq8Codes]] and [[sq8RowsAgainst]] so the two encode paths
+    * cannot drift. */
+  private val Sq8CodesSql: String =
+    "transform(embedding, (x, i) -> CASE WHEN spans[i] > 0D " +
+      "THEN greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT), " +
+      "CAST(floor(" +
+      "(CAST(x AS DOUBLE) - mns[i]) * 255.0D / spans[i]) AS BIGINT)" +
+      ")) ELSE CAST(0 AS BIGINT) END)"
+
   /** SQ8 encode: a pure map over the corpus given the packed stats —
     * the materialize-once 4×-smaller code frame
     * `(neighbor_id, codes)`. Codes clamp to [0, 255] on BOTH sides:
@@ -1866,11 +1890,36 @@ object Similarity {
   private[graft] def sq8Codes(corpus: DataFrame, packed: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(packed))
       .select(col("vec_id").as("neighbor_id"),
-        expr("transform(embedding, (x, i) -> CASE WHEN spans[i] > 0D " +
-          "THEN greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT), " +
-          "CAST(floor(" +
-          "(CAST(x AS DOUBLE) - mns[i]) * 255.0D / spans[i]) AS BIGINT)" +
-          ")) ELSE CAST(0 AS BIGINT) END)").as("codes"))
+        expr(Sq8CodesSql).as("codes"))
+
+  /** Per-row SQ8 ingest surface: frozen-grid encode + frozen-centroid
+    * home assignment in ONE per-row projection against the two
+    * broadcast artifacts — the [[homeRowsAgainst]] contract for the
+    * quantized index. STREAMING-LEGAL: no window, no aggregation, no
+    * join keyed on the arriving side (the batch fold's codes⋈assign
+    * id-join would be a stream-stream join), so the same operator
+    * maps a LIVE vector stream into `(neighbor_id, codes, cid)` rows
+    * in append mode (proven in StreamingSpec); it is also the batch
+    * arrival leg of [[sq8LayoutApplyCdf]] and [[sq8StatsRefresh]] —
+    * rows are identical to the joined form (same code transform, same
+    * `nearestIn` argmin) with one exchange fewer. */
+  def sq8RowsAgainst(newVecs: DataFrame, cents: DataFrame,
+      packed: DataFrame): DataFrame = {
+    val packedC = cents
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
+    newVecs
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), v => v.cast("double")).as("demb"))
+      .withColumn("xx", dotD(col("demb"), col("demb")))
+      .crossJoin(broadcast(packedC))
+      .withColumn("cid",
+        VectorStats.nearestIn(col("cs"), col("demb"), col("xx"))
+          .getField("cid"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id").as("neighbor_id"),
+        expr(Sq8CodesSql).as("codes"), col("cid"))
+  }
 
   /** Quantizer drift census (ss26) — the ss15/ds3 guard-observability
     * discipline applied to the FROZEN SQ8 grid: [[sq8LayoutApplyCdf]]
@@ -2029,12 +2078,7 @@ object Similarity {
     val arrived = validated
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select("vec_id", "embedding")
-    val arrivedRows = sq8Codes(arrived, packed)
-      .join(VectorStats
-        .assignToCentroids(arrived, cents.select("cid", "cemb"))
-        .select(col("vec_id").as("neighbor_id"),
-          col("cluster_id").as("cid")),
-        "neighbor_id")
+    val arrivedRows = sq8RowsAgainst(arrived, cents, packed)
       .localCheckpoint(eager = false) // touched-cid census + rewrite
     val touched = home.join(broadcast(gone), Seq("neighbor_id"),
         "left_semi").select("cid")
@@ -2113,13 +2157,7 @@ object Similarity {
       .localCheckpoint(eager = true) // read before overwriting beside it
     val packed = sq8Stats(corpus)
       .localCheckpoint(eager = false) // re-encode + stats overwrite
-    val rows = sq8Codes(corpus, packed)
-      .join(VectorStats
-        .assignToCentroids(corpus, cents.select("cid", "cemb"))
-        .select(col("vec_id").as("neighbor_id"),
-          col("cluster_id").as("cid")),
-        "neighbor_id")
-      .select("neighbor_id", "codes", "cid")
+    val rows = sq8RowsAgainst(corpus, cents, packed)
       .localCheckpoint(eager = true) // sever from the files below
     rows.repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(layoutPath)

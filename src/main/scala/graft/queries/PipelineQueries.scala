@@ -970,6 +970,15 @@ object PipelineQueries {
     // docs, keeping its highest-quality ones — the C4/RefinedWeb
     // anti-domination rule, ranked skew-safely (two-phase
     // quality-bucket cumsum, never one reducer per hot domain)
+    // DoReMi-style mixture reweighting: Group-DRO multiplicative
+    // per-source weight updates from the frozen chars-per-token proxy
+    // loss — integer rounds, the whole trajectory replayed by the
+    // oracle as unrolled CTEs
+    "mx10_doremi_reweight" -> { (s, d) =>
+      Mixture.doremiWeights(documents(s, d), rounds = Mx10Rounds,
+        etaPpm = Mx10EtaPpm, smoothPpm = Mx10SmoothPpm)
+        .orderBy("round", "source")
+    },
     "cr1_source_caps" -> { (s, d) =>
       graft.operators.CurationPipeline.sourceCaps(documents(s, d),
         cap = 10L).orderBy("source", "src_rank")
@@ -1612,6 +1621,56 @@ object PipelineQueries {
 
   /** mx7's training token budget — one definition for query + oracle. */
   private val Mx7TargetTokens = 10L * 1000 * 1000
+
+  /** mx10's DoReMi round count / step / smoothing — one definition
+    * drives the query AND the unrolled-CTE oracle. */
+  private val Mx10Rounds = 8
+  private val Mx10EtaPpm = 500000L
+  private val Mx10SmoothPpm = 100000L
+
+  /** Oracle twin of [[Mixture.doremiWeights]]: the per-source frozen
+    * proxy loss, then `Mx10Rounds` UNROLLED multiplicative-weights
+    * rounds — every division a `//` floor on non-negative BIGINTs, so
+    * the trajectory replays the Scala driver loop bit-for-bit. */
+  private lazy val sqlMx10Doremi: String = {
+    val S = 1000000L
+    val eta = Mx10EtaPpm
+    val c = Mx10SmoothPpm
+    // every CTE MATERIALIZED: the rounds reference their predecessors
+    // several times, and DuckDB's default CTE inlining would expand
+    // the 8-round chain into an exponential tree of document scans
+    val roundCtes = (1 to Mx10Rounds).map { t =>
+      val p = s"a${t - 1}"
+      s"""m$t AS MATERIALIZED (SELECT
+          (sum(alpha * loss_ppm) // $S)::BIGINT AS mean FROM $p),
+      u$t AS MATERIALIZED (SELECT source, loss_ppm,
+          greatest(loss_ppm - (SELECT mean FROM m$t), 0)::BIGINT AS excess,
+          ((lam * ($S + ($eta *
+            greatest(loss_ppm - (SELECT mean FROM m$t), 0)) // $S)) // $S)
+            ::BIGINT AS lamu
+        FROM $p),
+      a$t AS MATERIALIZED (SELECT source, loss_ppm, excess,
+          ((lamu * $S) // (SELECT sum(lamu) FROM u$t))::BIGINT AS lam,
+          (((${S - c} * ((lamu * $S) // (SELECT sum(lamu) FROM u$t)))
+            + $c * (SELECT uk FROM kk)) // $S)::BIGINT AS alpha
+        FROM u$t)"""
+    }.mkString(",\n      ")
+    val unions = (1 to Mx10Rounds).map { t =>
+      s"SELECT $t::BIGINT AS round, source, loss_ppm," +
+        s" excess AS excess_ppm, alpha AS alpha_ppm FROM a$t"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH src AS MATERIALIZED (SELECT source,
+          ((sum(length(text))::BIGINT * $S)
+            // greatest(sum(len($toks))::BIGINT, 1))::BIGINT AS loss_ppm
+        FROM documents GROUP BY source),
+      kk AS MATERIALIZED (SELECT ($S // count(*))::BIGINT AS uk FROM src),
+      a0 AS MATERIALIZED (SELECT source, loss_ppm, 0::BIGINT AS excess,
+          ${S}::BIGINT AS lam, (SELECT uk FROM kk) AS alpha FROM src),
+      $roundCtes
+      $unions
+      ORDER BY round, source"""
+  }
 
   /** t23's merge model, memoized per sf-dir: the encode query's input
     * is the TRAINED rule list (t18 gates the training itself), so
@@ -4757,6 +4816,9 @@ object PipelineQueries {
       FROM s2, mx ORDER BY doc_id""",
     // t26's chain at rank 1 labels the topics; mx5's sqrt flatten
     // replays over them
+    // eight unrolled Group-DRO rounds over the frozen per-source
+    // proxy loss — the whole reweighting trajectory is the oracle
+    "mx10_doremi_reweight" -> sqlMx10Doremi,
     "mx9_topic_mixture" -> s"""
       WITH tk AS (SELECT doc_id, unnest(${sqlToks("text")}) AS term
         FROM documents),

@@ -159,6 +159,46 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       "epochs_ppm must be non-increasing in source size")
   }
 
+  test("doremi reweighting: hard source gains monotonically, " +
+      "smoothing floor holds, uniform losses stay uniform") {
+    import spark.implicits._
+    val S = 1000000L
+    // two sources with very different chars-per-token hardness
+    val mixed = Seq(
+      (1L, "hard", "supercalifragilistic antidisestablishmentarian"),
+      (2L, "hard", "electroencephalographically uncharacteristically"),
+      (3L, "easy", "a b c d e f g h i j k l m n o p"),
+      (4L, "easy", "x y z w v u t s r q p o n m l k"))
+      .toDF("doc_id", "source", "text")
+    val traj = graft.operators.Mixture
+      .doremiWeights(mixed, rounds = 6).collect()
+    assert(traj.length == 12) // 6 rounds x 2 sources
+    // per round, alpha is a floor-partition of 1e6
+    traj.groupBy(_.getLong(0)).foreach { case (rnd, rows) =>
+      val a = rows.map(_.getLong(4)).sum
+      assert(a <= S && a > S - 8, s"round $rnd alphas sum $a")
+    }
+    val hard = traj.filter(_.getString(1) == "hard").sortBy(_.getLong(0))
+      .map(_.getLong(4)).toSeq
+    val easy = traj.filter(_.getString(1) == "easy").sortBy(_.getLong(0))
+      .map(_.getLong(4)).toSeq
+    assert(hard.zip(hard.drop(1)).forall { case (a, b) => b >= a },
+      s"hard-source weight must be non-decreasing: $hard")
+    assert(hard.last > S / 2 && easy.last < S / 2,
+      s"hard source must end above uniform: $hard / $easy")
+    // DoReMi smoothing keeps every domain sampled: alpha never drops
+    // below c * uniform / S
+    assert(easy.forall(_ >= 100000L * (S / 2) / S),
+      s"smoothing floor violated: $easy")
+    // equal losses: excess is 0 every round, weights stay uniform
+    val flat = Seq((1L, "s1", "same text here"), (2L, "s2", "same text here"))
+      .toDF("doc_id", "source", "text")
+    val ftraj = graft.operators.Mixture.doremiWeights(flat, rounds = 4)
+      .collect()
+    assert(ftraj.forall(r => r.getLong(3) == 0L && r.getLong(4) == S / 2),
+      "uniform losses must keep the uniform mixture")
+  }
+
   test("cosine topk ranks by exact cosine, ties by id") {
     val rows = Similarity.bruteForceTopK(embs,
       embs.filter(col("vec_id") === 0), k = 5).collect()

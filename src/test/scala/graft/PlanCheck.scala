@@ -517,6 +517,12 @@ object PlanCheck {
         (_.contains("partial_")),
       "1-row total rides a broadcast" ->
         (_.contains("BroadcastNestedLoopJoin"))))
+    audit("mx10_doremi_reweight", Seq(
+      // the corpus paid ONE loss-aggregation job at build time; every
+      // DRO round is driver arithmetic on the <=|sources| weight
+      // table, so the emitted trajectory is a local relation
+      "trajectory is a driver-built local relation" ->
+        (p => p.contains("LocalTableScan") || p.contains("LocalRelation"))))
     audit("q13_window_rank", Seq(
       "single window exchange" ->
         (p => "Exchange".r.findAllIn(p).size <= 2)))

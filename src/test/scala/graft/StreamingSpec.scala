@@ -144,6 +144,100 @@ class StreamingSpec extends AnyFunSuite {
       served.exceptAll(direct).count() == 0)
   }
 
+  test("vector stream appends into the WRITTEN sq8 layout and serves") {
+    // ss24's arrival leg live: arriving vectors encode under the
+    // FROZEN grid and assign under the frozen centroids in ONE
+    // per-row projection (sq8RowsAgainst — the batch fold's
+    // codes-join-assignment would be a stream-stream join), and
+    // foreachBatch appends them into their cid= directories; the
+    // grown layout must serve identically to the batch CDF fold of
+    // the same arrivals
+    val embsB = Tables.embeddings(spark, sf)
+    val index = embsB.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = embsB.filter(col("vec_id") % 10 === 0)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq8_stream_${spark.sparkContext.applicationId}").getPath
+    operators.Similarity.sq8IndexWrite(index, out, numCentroids = 8,
+      iters = 2)
+    val cents = spark.read.parquet(out + "_cents")
+    val packed = spark.read.parquet(out + "_stats")
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+      .filter(col("vec_id") % 10 === 0)
+    val q = operators.Similarity.sq8RowsAgainst(
+        newStream.select("vec_id", "embedding"), cents, packed)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("cid").parquet(out)
+      }
+      .option("checkpointLocation", out + "_chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // batch twin: the same base layout maintained by the CDF fold
+    val out2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq8_stream2_${spark.sparkContext.applicationId}").getPath
+    operators.Similarity.sq8IndexWrite(index, out2, numCentroids = 8,
+      iters = 2)
+    operators.Similarity.sq8LayoutApplyCdf(spark, out2,
+      arrivals.select(col("vec_id"), col("embedding"),
+        lit("insert").as("_change_type")))
+    val queries = embsB.filter(col("vec_id") < 3)
+    val grown = operators.Similarity.ivfSq8TopKFromLayout(spark, out,
+      queries, k = 5, nprobe = 2)
+    val folded = operators.Similarity.ivfSq8TopKFromLayout(spark, out2,
+      queries, k = 5, nprobe = 2)
+    assert(grown.exceptAll(folded).count() == 0 &&
+      folded.exceptAll(grown).count() == 0)
+    assert(grown.count() > 0)
+  }
+
+  test("vector stream appends into the WRITTEN pq layout and serves") {
+    // ss25's arrival leg live: frozen-coarse assignment, residual
+    // against the home centroid, and PQ-encode under the frozen books
+    // are all per-row projections (pqRowsAgainst), so the residual-
+    // coded layout grows from a live stream too
+    val embsB = Tables.embeddings(spark, sf)
+    val index = embsB.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = embsB.filter(col("vec_id") % 10 === 0)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pq_stream_${spark.sparkContext.applicationId}").getPath
+    operators.Similarity.pqIndexWrite(index, out, numCentroids = 8,
+      m = 4, ksub = 8, iters = 2)
+    val coarse = spark.read.parquet(out + "_coarse")
+    val booksAll = spark.read.parquet(out + "_books")
+    val books = (0 until 4).map(sid =>
+      booksAll.filter(col("sid") === sid).select("cid", "cemb", "cc"))
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+      .filter(col("vec_id") % 10 === 0)
+    val q = operators.Similarity.pqRowsAgainst(
+        newStream.select("vec_id", "embedding"), coarse, books)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("lcid").parquet(out)
+      }
+      .option("checkpointLocation", out + "_chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pq_stream2_${spark.sparkContext.applicationId}").getPath
+    operators.Similarity.pqIndexWrite(index, out2, numCentroids = 8,
+      m = 4, ksub = 8, iters = 2)
+    operators.Similarity.pqLayoutApplyCdf(spark, out2,
+      arrivals.select(col("vec_id"), col("embedding"),
+        lit("insert").as("_change_type")), m = 4)
+    val queries = embsB.filter(col("vec_id") < 3)
+    val grown = operators.Similarity.ivfPqTopKFromLayout(spark, out,
+      queries, k = 5, nprobe = 2, m = 4)
+    val folded = operators.Similarity.ivfPqTopKFromLayout(spark, out2,
+      queries, k = 5, nprobe = 2, m = 4)
+    assert(grown.exceptAll(folded).count() == 0 &&
+      folded.exceptAll(grown).count() == 0)
+    assert(grown.count() > 0)
+  }
+
   test("standing bm25 index ingests a live document stream") {
     // t25's postings builder is per-row (tf counted inside the doc's
     // own token array — no Aggregate), so the SAME operator maps a
