@@ -284,37 +284,221 @@ object Tokenizer {
     vocab.select("piece", "cnt")
   }
 
+  /** Soft-count unigram-LM trainer (t38) — the "real EM" upgrade of
+    * [[unigramTrain]]'s Viterbi-EM: instead of crediting only the
+    * single best segmentation, every segmentation of a word
+    * contributes to each of its pieces' counts in proportion to its
+    * POSTERIOR weight. True unigram EM is float (piece probabilities
+    * multiply and normalize — not cross-engine exact), so the weights
+    * here are a FIXED-POINT ppm surrogate with every rounding pinned:
+    *
+    *   - piece score `p = (max(cnt,1) · 1e6) // maxCnt` ∈ [0, 1e6]
+    *     (max-normalized, not sum-normalized: posteriors divide by
+    *     the per-word total anyway, and max-normalizing keeps typical
+    *     weights large so fewer segmentations floor to zero; a piece
+    *     rarer than maxCnt/1e6 floors to score 0),
+    *   - segmentation weight: left-to-right fold `wt ← (wt·p) // 1e6`
+    *     from `wt₀ = 1e6` — the fixed fold order pins every floor,
+    *   - per-word posterior credit for a piece occurring in a
+    *     segmentation: `(Σ_seg wt·occurrences · 1e6) // Z_w`, with
+    *     `Z_w = Σ_seg wt`,
+    *   - corpus count: `cnt(p) = Σ_w (freq_w · credit) // 1e6`.
+    *
+    * Deep low-probability segmentations floor to weight 0 — the
+    * surrogate's documented truncation (they carry ~0 posterior mass
+    * in real EM too). A word whose EVERY segmentation floors to zero
+    * (Z_w = 0) falls back to its full Viterbi-order credit — the t33
+    * rule, so the soft trainer degrades to the hard one exactly where
+    * fixed-point precision runs out. Keep/coverage rules are
+    * [[unigramTrain]]'s verbatim.
+    *
+    * Scale shape: identical to [[unigramTrain]] — one corpus tokenize
+    * into the word table, then vocabulary-sized rounds (span-piece
+    * equi join, per-word enumeration inside a typed map — ≤ 1,490
+    * compositions at maxWordLen 12 / maxPiece 4, arithmetic on ≤ 48
+    * span entries), counts partial-aggregated map-side; plus one
+    * 1-row max-count action per round (the pqEncode len contract).
+    * The oracle replays every round: the same recursive segmentation
+    * enumeration as t33's, extended with the running fixed-point
+    * weight column. */
+  def unigramTrainSoft(docs: DataFrame, rounds: Int = 2,
+      maxPiece: Int = 4, minCount: Long = 2,
+      maxWordLen: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordFreq(docs, maxWordLen)
+      .localCheckpoint(eager = false) // candidates + every E-step
+    val subs = words.as[(String, Long)]
+      .flatMap { case (w, f) =>
+        for {
+          st <- 0 until w.length
+          l <- 1 to math.min(maxPiece, w.length - st)
+        } yield (w.substring(st, st + l), f)
+      }
+      .toDF("piece", "f")
+      .groupBy("piece").agg(sum("f").as("cnt"))
+      .localCheckpoint(eager = false) // v0 filter + char coverage set
+    val chars = subs.filter(length(col("piece")) === 1).select("piece")
+    var vocab = subs
+      .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+      .localCheckpoint(eager = false)
+    var r = 0
+    while (r < rounds) {
+      val mx = vocab.agg(max(greatest(col("cnt"), lit(1L))))
+        .head().getLong(0)
+      val counts = words.as[(String, Long)]
+        .flatMap { case (w, f) =>
+          for {
+            st <- 0 until w.length
+            l <- 1 to math.min(maxPiece, w.length - st)
+          } yield (w, f, st, w.substring(st, st + l))
+        }
+        .toDF("w", "freq", "st", "piece")
+        .join(vocab.select(col("piece"), col("cnt")), "piece")
+        .groupBy("w", "freq")
+        .agg(collect_list(struct(col("st"), col("piece"), col("cnt")))
+          .as("sp"))
+        .as[(String, Long, Seq[(Int, String, Long)])]
+        .flatMap { case (w, f, sp) => softCredits(w, f, sp, mx) }
+        .toDF("piece", "c")
+        .groupBy("piece").agg(sum("c").as("cnt"))
+      val kept = counts.filter(col("cnt") >= minCount ||
+        length(col("piece")) === 1)
+        .localCheckpoint(eager = false) // coverage anti-join + union
+      vocab = chars.join(kept, Seq("piece"), "left_anti")
+        .withColumn("cnt", lit(0L))
+        .unionByName(kept)
+        .localCheckpoint(eager = false) // next round / output
+      r += 1
+    }
+    vocab.select("piece", "cnt")
+  }
+
+  /** One word's soft E-step: enumerate EVERY segmentation of `w` into
+    * vocab pieces, weight each by the fixed-point left-to-right fold,
+    * and emit `(piece, (freq · posterior-credit) // 1e6)` rows — the
+    * [[unigramTrainSoft]] arithmetic, one definition for the typed
+    * map. Falls back to Viterbi-order hard credit when every weight
+    * floors to zero. */
+  private[graft] def softCredits(w: String, freq: Long,
+      spans: Seq[(Int, String, Long)], maxCnt: Long)
+    : Seq[(String, Long)] = {
+    val S = 1000000L
+    val n = w.length
+    val byStart = Array.fill(n)(List.empty[(String, Long)])
+    spans.foreach { case (st, p, c) =>
+      byStart(st) = (p, (math.max(c, 1L) * S) / maxCnt) :: byStart(st)
+    }
+    // (segString, wt, nPieces, summedRawCnt) per completed path
+    val segs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Int, Long)]
+    val rawCnt = spans.map { case (st, p, c) => (st, p) -> c }.toMap
+    def rec(pos: Int, acc: List[String], wt: Long, np: Int,
+        s: Long): Unit =
+      if (pos == n) segs += ((acc.reverse.mkString(" "), wt, np, s))
+      else byStart(pos).foreach { case (p, pfix) =>
+        rec(pos + p.length, p :: acc, wt * pfix / S, np + 1,
+          s + rawCnt((pos, p)))
+      }
+    rec(0, Nil, S, 0, 0L)
+    if (segs.isEmpty) return Seq.empty // uncoverable (encode-only case)
+    val z = segs.iterator.map(_._2).sum
+    if (z > 0) {
+      val credit = scala.collection.mutable.HashMap.empty[String, Long]
+      segs.foreach { case (seg, wt, _, _) =>
+        if (wt > 0) seg.split(" ").foreach { p =>
+          credit(p) = credit.getOrElse(p, 0L) + wt
+        }
+      }
+      credit.iterator
+        .map { case (p, c) => (p, freq * ((c * S) / z) / S) }
+        .filter(_._2 > 0).toSeq
+    } else {
+      // every segmentation floored to zero: the t33 hard credit
+      val best = segs.minBy { case (seg, _, np, s) => (np, -s, seg) }
+      best._1.split(" ").groupBy(identity).iterator
+        .map { case (p, occ) => (p, freq * occ.length) }.toSeq
+    }
+  }
+
   /** Encode the corpus under a trained [[unigramTrain]] vocabulary
     * (t34) — the inference half, [[bpeEncode]]'s output contract:
     * alpha words in the trainable range segment by the SAME
     * (fewest pieces, highest count, seg string) DP; everything else —
     * non-alpha, overlong, single-char words, and the (corpus-mismatch
     * only) uncoverable word — passes through as ONE opaque token.
-    * Distinct words segment once (vocabulary-sized work); the corpus
-    * pays one tokenize scan plus a word-keyed join of the tiny
-    * mapping. Output: `(doc_id, n_words, n_tokens, enc_fp)` — the
-    * fingerprint moves if any piece of any word changes. */
+    *
+    * Execution is [[bpeEncode]]'s rolling-fingerprint-in-one-map: the
+    * trained vocabulary is BOUNDED driver state (the BPE-rules / PQ-
+    * books contract — production vocabularies are ≤ a few hundred
+    * thousand pieces) broadcast to executors, each document's word
+    * stream is already in-row, and the encoded fingerprint folds left
+    * to right inside one typed map — ZERO exchanges, no per-group
+    * aggregation state (the previous explode→join→`collect_list`
+    * rollup materialized the whole encoded document as one
+    * aggregation buffer — the heaviest per-group state in the repo).
+    * Distinct words still segment once per PARTITION (a size-capped
+    * memo stands in for the old word-keyed join's global dedup).
+    * Output rows (and the hash gate) are unchanged:
+    * `(doc_id, n_words, n_tokens, enc_fp)` — the fingerprint moves if
+    * any piece of any word changes; token-less documents are absent
+    * (the old explode's contract). */
   def unigramEncode(docs: DataFrame, vocab: DataFrame,
       maxPiece: Int = 4, maxWordLen: Int = 12): DataFrame = {
-    val segs = bestSegs(
-      wordFreq(docs, maxWordLen).select(col("w"), lit(1L).as("freq")),
-      vocab, maxPiece)
-      .select(col("w"), col("seg"),
-        size(split(col("seg"), " ")).cast("long").as("np"))
-    docs.select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
-      .join(segs, Seq("w"), "left")
-      .select(col("doc_id"), col("pos"),
-        coalesce(col("seg"), col("w")).as("seg"),
-        coalesce(col("np"), lit(1L)).as("np"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum("np").as("n_tokens"),
-        array_join(transform(array_sort(collect_list(
-          struct(col("pos"), col("seg")))), x => x.getField("seg")),
-          " ").as("encstr"))
-      .select(col("doc_id"), col("n_words"), col("n_tokens"),
-        TextAnalysis.fingerprint(col("encstr")).as("enc_fp"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vmap: Map[String, Long] = vocab.select("piece", "cnt")
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val vm = bc.value
+        val memo = new java.util.HashMap[String, (String, Long)]()
+        def isLowerAlpha(s: String): Boolean = {
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (c < 'a' || c > 'z') return false
+            i += 1
+          }
+          s.length > 0
+        }
+        def segOf(w: String): (String, Long) =
+          if (w.length < 2 || w.length > maxWordLen || !isLowerAlpha(w))
+            (w, 1L) // outside the trainable range: one opaque token
+          else {
+            var r = memo.get(w)
+            if (r == null) {
+              val spans = for {
+                st <- 0 until w.length
+                l <- 1 to math.min(maxPiece, w.length - st)
+                p = w.substring(st, st + l)
+                c <- vm.get(p)
+              } yield (st, p, c)
+              val s = viterbiSeg(w, spans).getOrElse(w)
+              r = (s, (s.count(_ == ' ') + 1).toLong)
+              if (memo.size < (1 << 20)) memo.put(w, r)
+            }
+            r
+          }
+        it.map { case (id, toks) =>
+          var nTokens = 0L
+          val sb = new StringBuilder
+          toks.foreach { w =>
+            val (s, np) = segOf(w)
+            nTokens += np
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(s)
+          }
+          (id, toks.length.toLong, nTokens,
+            graft.functions.HashOps.polyHash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                sb.toString)))
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "enc_fp")
   }
 
   /** Tokenizer coverage census (t36) — the "evaluate your tokenizer

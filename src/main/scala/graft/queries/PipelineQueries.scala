@@ -345,6 +345,16 @@ object PipelineQueries {
       graft.operators.Tokenizer.tokenizerCoverage(all, v)
         .orderBy("source")
     },
+    // soft-count EM upgrade of t33: every segmentation credits its
+    // pieces by fixed-point ppm posterior weight (left-to-right
+    // floored folds, Z=0 Viterbi fallback) — the oracle replays the
+    // weighted enumeration and both EM rounds exactly
+    "t38_unigram_soft" -> { (s, d) =>
+      graft.operators.Tokenizer
+        .unigramTrainSoft(documents(s, d), rounds = 2, maxPiece = 4,
+          minCount = 2, maxWordLen = 12)
+        .orderBy("piece")
+    },
     // the trained unigram vocab applied back to every document: the
     // same DP segments each distinct word once, docs roll up real
     // token counts + the fingerprint of the exact piece stream
@@ -1960,6 +1970,79 @@ object PipelineQueries {
       $roundCtes"""
   }
 
+  /** Oracle twin of [[graft.operators.Tokenizer.unigramTrainSoft]]
+    * (t38): t33's recursive segmentation enumeration extended with
+    * the running fixed-point weight `wt ← (wt·p) // 1e6` (p = the
+    * max-normalized piece score), per-word posterior credits with the
+    * Z=0 Viterbi fallback, and the shared keep/coverage tail — every
+    * floor division on the same operands in the same order as the
+    * Scala round. */
+  private def sqlUnigramSoftCtes(rounds: Int = 2, maxPiece: Int = 4,
+      minCount: Long = 2, maxWordLen: Int = 12): String = {
+    val S = 1000000L
+    val roundCtes = (1 to rounds).map { r =>
+      s"""mxS$r AS MATERIALIZED (
+        SELECT max(greatest(cnt, 1))::BIGINT AS mx FROM uvS${r - 1}),
+      usegS$r AS (
+        SELECT w, freq, 0::BIGINT AS pos, 0 AS n, 0::BIGINT AS s,
+          '' AS seg, ${S}::BIGINT AS wt FROM w0
+        UNION ALL
+        SELECT g.w, g.freq, g.pos + t.l, g.n + 1, g.s + v.cnt,
+          CASE WHEN g.seg = '' THEN v.piece
+            ELSE g.seg || ' ' || v.piece END,
+          (g.wt * ((greatest(v.cnt, 1) * $S)
+            // (SELECT mx FROM mxS$r))) // $S
+        FROM usegS$r g, unnest(range(1, $maxPiece + 1)) AS t(l),
+          uvS${r - 1} v
+        WHERE g.pos + t.l <= length(g.w)
+          AND length(v.piece) = t.l
+          AND v.piece = substring(g.w, (g.pos + 1)::INT, t.l::INT)),
+      udoneS$r AS MATERIALIZED (
+        SELECT w, freq, n, s, seg, wt FROM usegS$r
+        WHERE pos = length(w)),
+      uzS$r AS MATERIALIZED (
+        SELECT w, freq, sum(wt) AS z FROM udoneS$r GROUP BY w, freq),
+      ucntS$r AS (SELECT piece, sum(c)::BIGINT AS cnt FROM (
+          SELECT e.piece,
+            (z.freq * ((e.contrib * $S) // z.z)) // $S AS c
+          FROM (SELECT w, piece, sum(wt) AS contrib FROM (
+              SELECT w, wt, unnest(string_split(seg, ' ')) AS piece
+              FROM udoneS$r) GROUP BY w, piece) e
+          JOIN uzS$r z USING (w) WHERE z.z > 0
+          UNION ALL
+          SELECT t.piece, t.freq AS c FROM (
+            SELECT b.freq, unnest(string_split(b.seg, ' ')) AS piece
+            FROM (SELECT w, freq, seg FROM udoneS$r
+              QUALIFY row_number() OVER (PARTITION BY w
+                ORDER BY n, s DESC, seg) = 1) b
+            JOIN uzS$r z USING (w) WHERE z.z = 0) t)
+        GROUP BY piece),
+      ukeepS$r AS MATERIALIZED (SELECT piece, cnt FROM ucntS$r
+        WHERE cnt >= $minCount OR length(piece) = 1),
+      uvS$r AS MATERIALIZED (
+        SELECT c.piece, 0::BIGINT AS cnt FROM uchars c
+        WHERE c.piece NOT IN (SELECT piece FROM ukeepS$r)
+        UNION ALL SELECT piece, cnt FROM ukeepS$r)"""
+    }.mkString(",\n      ")
+    s"""w0 AS MATERIALIZED (SELECT t.w AS w, count(*)::BIGINT AS freq
+        FROM (SELECT unnest($toks) AS w FROM documents) t
+      WHERE regexp_matches(t.w, '^[a-z]+$$')
+        AND len(t.w) BETWEEN 2 AND $maxWordLen
+      GROUP BY t.w),
+      usubs AS MATERIALIZED (
+        SELECT substring(w, st.s1::INT, l.l1::INT) AS piece,
+          sum(freq)::BIGINT AS cnt
+        FROM w0, unnest(range(1, $maxWordLen + 1)) AS st(s1),
+          unnest(range(1, $maxPiece + 1)) AS l(l1)
+        WHERE st.s1 + l.l1 - 1 <= length(w)
+        GROUP BY 1),
+      uchars AS MATERIALIZED (SELECT piece FROM usubs
+        WHERE length(piece) = 1),
+      uvS0 AS MATERIALIZED (SELECT piece, cnt FROM usubs
+        WHERE cnt >= $minCount OR length(piece) = 1),
+      $roundCtes"""
+  }
+
   /** Shared MinHash-LSH pair pipeline (twin of [[Dedup.minhashPairs]]
     * with k=3, 16 hashes, 4 bands) as a CTE chain ending in
     * `verified(a_id, b_id, common, union_size)` — used by the dd3
@@ -3035,6 +3118,10 @@ object PipelineQueries {
     "t33_unigram_train" -> s"""
       WITH RECURSIVE ${sqlUnigramCtes(2)}
       SELECT piece, cnt FROM uv2 ORDER BY piece""",
+    // the weighted enumeration of every segmentation, two EM rounds
+    "t38_unigram_soft" -> s"""
+      WITH RECURSIVE ${sqlUnigramSoftCtes(2)}
+      SELECT piece, cnt FROM uvS2 ORDER BY piece""",
     // the trained-vocab segmentations rolled up per source
     "t36_tokenizer_coverage" -> s"""
       WITH RECURSIVE ${sqlUnigramCtes(3)},

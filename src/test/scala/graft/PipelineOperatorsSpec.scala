@@ -3032,6 +3032,38 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(enc(1L)._2 >= 5) // at least one piece per word
   }
 
+  test("t38 soft EM: posterior mass spreads beyond the Viterbi path, " +
+      "coverage holds, hard fallback when weights floor out") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    val tiny = Seq((1L, "banana band bandana banana band"),
+      (2L, "ana band banana bandana ana")).toDF("doc_id", "text")
+    val hard = Tokenizer.unigramTrain(tiny, rounds = 2, maxPiece = 4,
+      minCount = 2, maxWordLen = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val soft = Tokenizer.unigramTrainSoft(tiny, rounds = 2,
+      maxPiece = 4, minCount = 2, maxWordLen = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // coverage chars survive in both
+    assert(Seq("b", "a", "n", "d").forall(soft.contains))
+    // genuinely SOFT: the count vector differs from Viterbi's — some
+    // piece carries posterior mass the single best path never credits
+    assert(soft != hard, s"soft EM degenerated to Viterbi: $soft")
+    // soft credits are per-word floor-bounded by the hard credit's
+    // scale: no piece count explodes past total word mass
+    val totalWords = 10L
+    assert(soft.values.forall(c => c >= 0 && c <= totalWords * 12),
+      s"implausible soft counts: $soft")
+    // the one-word fixture where every multi-piece segmentation
+    // floors to zero relative to the dominant whole... the fallback
+    // path: a vocabulary whose maxCnt dwarfs every piece drives all
+    // weights to 0 and the word must still train (hard credit)
+    val seq = Tokenizer.softCredits("ab", 3L,
+      Seq((0, "a", 1L), (1, "b", 1L)), maxCnt = 10000000L)
+    assert(seq.toMap == Map("a" -> 3L, "b" -> 3L),
+      s"Z=0 fallback must emit the Viterbi hard credit: $seq")
+  }
+
   test("t36 tokenizer coverage: whole-word vocab drives fertility to 1") {
     import spark.implicits._
     import graft.operators.Tokenizer
