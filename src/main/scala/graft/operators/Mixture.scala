@@ -550,18 +550,38 @@ object Mixture {
       sourceCol: String = "source"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val S = 1000000L
-    val stats = docs.select(col(sourceCol).as("source"),
+    val stats = doremiStats(docs, sourceCol)
+    doremiTrajectory(stats.map(r => (r.getString(0), r.getLong(1))),
+      rounds, etaPpm, smoothPpm)
+      .toDF("round", "source", "loss_ppm", "excess_ppm", "alpha_ppm")
+  }
+
+  /** The one corpus job [[doremiWeights]] and [[doremiEpochPlan]]
+    * share: per-source `(source, loss_ppm, n_docs, n_tokens)`, rows
+    * collected source-ascending (bounded: one row per source). */
+  private def doremiStats(docs: DataFrame, sourceCol: String)
+    : Array[org.apache.spark.sql.Row] =
+    docs.select(col(sourceCol).as("source"),
         length(col("text")).cast("long").as("nc"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
       .groupBy("source")
-      .agg(sum("nc").as("nc"), sum("nt").as("nt"))
+      .agg(sum("nc").as("nc"), sum("nt").as("nt"),
+        count(lit(1)).as("n_docs"))
       .select(col("source"),
-        expr(s"(nc * ${S}L) DIV greatest(nt, 1L)").as("loss_ppm"))
+        expr("(nc * 1000000L) DIV greatest(nt, 1L)").as("loss_ppm"),
+        col("n_docs"), col("nt").as("n_tokens"))
       .orderBy("source")
-      .collect() // bounded: one row per source
-    val srcs = stats.map(_.getString(0))
-    val loss = stats.map(_.getLong(1))
+      .collect()
+
+  /** The integer Group-DRO round loop — pure driver arithmetic on the
+    * ≤|sources| weight table, one definition for both mx10's
+    * trajectory and mx11's plan tail. */
+  private def doremiTrajectory(stats: Array[(String, Long)],
+      rounds: Int, etaPpm: Long, smoothPpm: Long)
+    : Seq[(Long, String, Long, Long, Long)] = {
+    val S = 1000000L
+    val srcs = stats.map(_._1)
+    val loss = stats.map(_._2)
     val k = srcs.length.toLong
     require(k > 0, "doremiWeights: no sources")
     val uniform = S / k
@@ -582,7 +602,42 @@ object Mixture {
       }
     }
     traj.result().toSeq
-      .toDF("round", "source", "loss_ppm", "excess_ppm", "alpha_ppm")
+  }
+
+  /** DoReMi weights driving the training plan (mx11) — the
+    * composition the reweighting exists for: [[doremiWeights]]' final
+    * round α replaces [[epochPlan]]'s √-temperature share, and the
+    * fixed token budget splits by it: `target_tokens =
+    * (budget · α) // 1e6`, `epochs_ppm = (target · 1e6) // n_tokens`
+    * (0 for a token-less source) — epochs_ppm > 1e6 marks the
+    * sources DRO asks to repeat (the data-constrained regime made
+    * visible, exactly where the hardest domains are).
+    *
+    * Scale shape: the SAME single corpus job as mx10 (the per-source
+    * loss agg also carries n_docs/n_tokens); rounds and the plan tail
+    * are driver arithmetic on the ≤|sources| table. */
+  def doremiEpochPlan(docs: DataFrame, targetTokens: Long,
+      rounds: Int = 8, etaPpm: Long = 500000L,
+      smoothPpm: Long = 100000L,
+      sourceCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val S = 1000000L
+    val stats = doremiStats(docs, sourceCol)
+    val traj = doremiTrajectory(
+      stats.map(r => (r.getString(0), r.getLong(1))),
+      rounds, etaPpm, smoothPpm)
+    val alphaF = traj.filter(_._1 == rounds.toLong)
+      .map(t => t._2 -> t._5).toMap
+    stats.toSeq.map { r =>
+      val (src, lossPpm, nDocs, nTok) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val a = alphaF(src)
+      val target = targetTokens * a / S
+      val epochs = if (nTok == 0) 0L else target * S / nTok
+      (src, nDocs, nTok, lossPpm, a, target, epochs)
+    }.toDF("source", "n_docs", "n_tokens", "loss_ppm", "alpha_ppm",
+      "target_tokens", "epochs_ppm")
   }
 
   def exactStratifiedSplit(docs: DataFrame, seed: Long,

@@ -279,6 +279,41 @@ object Retrieval {
       .write.mode("overwrite").parquet(outPath + "_meta")
   }
 
+  /** Append-only ingest of a document batch into a WRITTEN
+    * [[bm25IndexWrite]] layout — the lexical twin of the
+    * [[graft.operators.Similarity.homeRowsAgainst]] foreachBatch
+    * pattern: [[bm25Index]] is per-row (tf counted inside the doc's
+    * own token array — no Aggregate), so the SAME rows a live
+    * document stream produces append into their `bkt=` postings
+    * directories, the `_fwd` doc-bucket copy, and the `_docs` census
+    * (proven in StreamingSpec: the grown layout serves bit-identical
+    * to the batch CDF fold of the same arrivals). Deletes go through
+    * [[bm25LayoutApplyCdf]] — this surface is insert-only by design,
+    * the streaming half of the maintenance contract. Small per-batch
+    * files accumulate per bucket; compaction is the usual scheduled
+    * offline event (a partition-grain rewrite, the
+    * [[bm25LayoutApplyCdf]] machinery with an empty CDF). */
+  def bm25LayoutAppend(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, docs: DataFrame): Unit = {
+    val buckets = spark.read.parquet(layoutPath + "_meta")
+      .head().getLong(0).toInt
+    val idx = bm25Index(docs)
+      .withColumn("bkt", bm25Bkt(col("fp"), buckets))
+      .localCheckpoint(eager = false) // postings + fwd + doc census
+    idx.repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("append").parquet(layoutPath)
+    idx.select("fp", "doc_id", "len", "tf")
+      .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
+      .repartition(col("dbkt"))
+      .write.partitionBy("dbkt").mode("append")
+      .parquet(layoutPath + "_fwd")
+    idx.select("doc_id", "len").distinct()
+      .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
+      .repartition(col("dbkt"))
+      .write.partitionBy("dbkt").mode("append")
+      .parquet(layoutPath + "_docs")
+  }
+
   /** Probe a written [[bm25IndexWrite]] layout — identical scores to
     * [[bm25TopKAgainst]] over the same postings (the shared scoring
     * tail), but the corpus-sized read prunes to the query terms'

@@ -989,6 +989,16 @@ object PipelineQueries {
         etaPpm = Mx10EtaPpm, smoothPpm = Mx10SmoothPpm)
         .orderBy("round", "source")
     },
+    // the composition the reweighting exists for: mx10's final-round
+    // alpha splits the fixed token budget (mx7's plan under DRO
+    // weights instead of sqrt-temperature) — epochs_ppm > 1e6 marks
+    // the sources DRO asks to repeat
+    "mx11_doremi_plan" -> { (s, d) =>
+      Mixture.doremiEpochPlan(documents(s, d),
+        targetTokens = Mx7TargetTokens, rounds = Mx10Rounds,
+        etaPpm = Mx10EtaPpm, smoothPpm = Mx10SmoothPpm)
+        .orderBy("source")
+    },
     "cr1_source_caps" -> { (s, d) =>
       graft.operators.CurationPipeline.sourceCaps(documents(s, d),
         cap = 10L).orderBy("source", "src_rank")
@@ -1233,6 +1243,27 @@ object PipelineQueries {
       }
       Similarity.knnTopKFromLayout(s, out, e.filter(col("vec_id") < 3),
         k = 3, nprobe = 2).orderBy("vec_id", "rank")
+    },
+    // the drift monitor that SCHEDULES the ss28 retrain, as a
+    // declared query: per-list sizes + cap report computed from the
+    // written layout alone (no retraining, no raw corpus) — shares
+    // ss28's memoized layout build
+    "ss29_knn_layout_census" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "knnretrain_layout") { p =>
+        Similarity.knnIndexWrite(e, p, numCentroids = 16,
+          centsIn = Some(kgCents(s, d)))
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding"), lit("insert").as("_change_type")))
+        Similarity.knnLayoutApplyCdf(s, p, cdf)
+        Similarity.knnCentroidRetrain(s, p, numCentroids = 16,
+          iters = 2)
+      }
+      Similarity.knnLayoutCensus(s, out, maxList = 32).orderBy("cid")
     },
     // CDF maintenance of the WRITTEN residual-coded index: the ss20
     // batch folds into the pq layout as a partition-grain rewrite —
@@ -1638,17 +1669,18 @@ object PipelineQueries {
   private val Mx10EtaPpm = 500000L
   private val Mx10SmoothPpm = 100000L
 
-  /** Oracle twin of [[Mixture.doremiWeights]]: the per-source frozen
-    * proxy loss, then `Mx10Rounds` UNROLLED multiplicative-weights
-    * rounds — every division a `//` floor on non-negative BIGINTs, so
-    * the trajectory replays the Scala driver loop bit-for-bit. */
-  private lazy val sqlMx10Doremi: String = {
+  /** The shared mx10/mx11 CTE chain: the per-source frozen proxy loss
+    * (plus the doc/token census mx11's plan tail reads), then
+    * `Mx10Rounds` UNROLLED multiplicative-weights rounds — every
+    * division a `//` floor on non-negative BIGINTs, so the trajectory
+    * replays the Scala driver loop bit-for-bit. Every CTE
+    * MATERIALIZED: the rounds reference their predecessors several
+    * times, and DuckDB's default CTE inlining would expand the
+    * 8-round chain into an exponential tree of document scans. */
+  private lazy val sqlDoremiCtes: String = {
     val S = 1000000L
     val eta = Mx10EtaPpm
     val c = Mx10SmoothPpm
-    // every CTE MATERIALIZED: the rounds reference their predecessors
-    // several times, and DuckDB's default CTE inlining would expand
-    // the 8-round chain into an exponential tree of document scans
     val roundCtes = (1 to Mx10Rounds).map { t =>
       val p = s"a${t - 1}"
       s"""m$t AS MATERIALIZED (SELECT
@@ -1665,22 +1697,43 @@ object PipelineQueries {
             + $c * (SELECT uk FROM kk)) // $S)::BIGINT AS alpha
         FROM u$t)"""
     }.mkString(",\n      ")
+    s"""src AS MATERIALIZED (SELECT source,
+          ((sum(length(text))::BIGINT * $S)
+            // greatest(sum(len($toks))::BIGINT, 1))::BIGINT AS loss_ppm,
+          count(*)::BIGINT AS n_docs,
+          sum(len($toks))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+      kk AS MATERIALIZED (SELECT ($S // count(*))::BIGINT AS uk FROM src),
+      a0 AS MATERIALIZED (SELECT source, loss_ppm, 0::BIGINT AS excess,
+          ${S}::BIGINT AS lam, (SELECT uk FROM kk) AS alpha FROM src),
+      $roundCtes"""
+  }
+
+  /** Oracle twin of [[Mixture.doremiWeights]] (mx10). */
+  private lazy val sqlMx10Doremi: String = {
     val unions = (1 to Mx10Rounds).map { t =>
       s"SELECT $t::BIGINT AS round, source, loss_ppm," +
         s" excess AS excess_ppm, alpha AS alpha_ppm FROM a$t"
     }.mkString("\n      UNION ALL ")
     s"""
-      WITH src AS MATERIALIZED (SELECT source,
-          ((sum(length(text))::BIGINT * $S)
-            // greatest(sum(len($toks))::BIGINT, 1))::BIGINT AS loss_ppm
-        FROM documents GROUP BY source),
-      kk AS MATERIALIZED (SELECT ($S // count(*))::BIGINT AS uk FROM src),
-      a0 AS MATERIALIZED (SELECT source, loss_ppm, 0::BIGINT AS excess,
-          ${S}::BIGINT AS lam, (SELECT uk FROM kk) AS alpha FROM src),
-      $roundCtes
+      WITH $sqlDoremiCtes
       $unions
       ORDER BY round, source"""
   }
+
+  /** Oracle twin of [[Mixture.doremiEpochPlan]] (mx11): the final
+    * round's α splits the fixed token budget. */
+  private lazy val sqlMx11DoremiPlan: String = s"""
+      WITH $sqlDoremiCtes
+      SELECT s.source, s.n_docs, s.n_tokens, s.loss_ppm,
+        a.alpha AS alpha_ppm,
+        (($Mx7TargetTokens * a.alpha) // 1000000)::BIGINT
+          AS target_tokens,
+        (CASE WHEN s.n_tokens = 0 THEN 0
+          ELSE ((($Mx7TargetTokens * a.alpha) // 1000000) * 1000000)
+            // s.n_tokens END)::BIGINT AS epochs_ppm
+      FROM a${Mx10Rounds} a JOIN src s USING (source)
+      ORDER BY s.source"""
 
   /** t23's merge model, memoized per sf-dir: the encode query's input
     * is the TRAINED rule list (t18 gates the training itself), so
@@ -2831,15 +2884,21 @@ object PipelineQueries {
     * entirely from the current membership, so the original write-time
     * quantizer never enters the oracle — then the probe→rank serving
     * tail of [[sqlSs20KnnCdf]]. */
-  private lazy val sqlSs28Retrain: String = {
+  /** The shared ss28/ss29 retrain CTEs: the CDF-modified membership
+    * trained from scratch, assignments in `rhome`. */
+  private lazy val sqlSs28Ctes: String = {
     val memb = """(SELECT vec_id, embedding FROM embeddings
         WHERE vec_id % 97 <> 5
         UNION ALL
         SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
         WHERE vec_id % 31 = 7)"""
+    s"""${sqlKmeansCtes(16, memb)},
+      ${sqlKmAsg("c2", "rhome")}"""
+  }
+
+  private lazy val sqlSs28Retrain: String = {
     s"""
-      WITH ${sqlKmeansCtes(16, memb)},
-      ${sqlKmAsg("c2", "rhome")},
+      WITH $sqlSs28Ctes,
       qx AS (SELECT vec_id, emb, xx FROM ex WHERE vec_id < 3),
       probes AS (SELECT * FROM (
           SELECT q.vec_id AS query_id, c.cid,
@@ -4339,6 +4398,14 @@ object PipelineQueries {
     // bit-identically, so ss23's oracle is ss20's VERBATIM
     "ss23_knn_layout" -> sqlSs20KnnCdf,
     "ss28_knn_centroid_retrain" -> sqlSs28Retrain,
+    // the same retrained assignment, aggregated per list with the
+    // cap report columns
+    "ss29_knn_layout_census" -> s"""
+      WITH $sqlSs28Ctes
+      SELECT cid, count(*)::BIGINT AS list_size,
+        count(*) > 32 AS capped,
+        greatest(count(*) - 32, 0)::BIGINT AS rows_dropped
+      FROM rhome GROUP BY cid ORDER BY cid""",
     // the same trained home assignment, aggregated per list
     "ss15_knn_census" -> s"""
       WITH ${sqlKmeansCtes(16)},
@@ -4906,6 +4973,8 @@ object PipelineQueries {
     // eight unrolled Group-DRO rounds over the frozen per-source
     // proxy loss — the whole reweighting trajectory is the oracle
     "mx10_doremi_reweight" -> sqlMx10Doremi,
+    // the same rounds, final alpha splitting the fixed token budget
+    "mx11_doremi_plan" -> sqlMx11DoremiPlan,
     "mx9_topic_mixture" -> s"""
       WITH tk AS (SELECT doc_id, unnest(${sqlToks("text")}) AS term
         FROM documents),

@@ -217,10 +217,15 @@ object PlanCheck {
       "span-vocab join is equi, not cartesian" ->
         (p => !p.contains("CartesianProduct"))))
     audit("t34_unigram_encode", Seq(
-      "word-seg mapping joins equi, no cartesian" ->
-        (p => !p.contains("CartesianProduct")),
-      "model frame checkpoint-truncated" ->
-        (_.contains("Scan ExistingRDD"))))
+      // the rolling-fingerprint-in-one-map shape: the vocab is
+      // broadcast driver state, the doc rolls up inside ONE typed
+      // map — no join, no aggregation, no exchange anywhere
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "one exchange only (the declared query's final ORDER BY)" ->
+        (p => "Exchange".r.findAllIn(p).size <= 1),
+      "no per-doc aggregation state (Window/Aggregate-free)" ->
+        (p => !p.contains("Window") && !p.contains("HashAggregate") &&
+          !p.contains("SortAggregate") && !p.contains("ObjectHashAggregate"))))
     audit("t36_tokenizer_coverage", Seq(
       "per-source rollup combines map-side" -> (_.contains("partial_")),
       "word-seg mapping joins equi, no cartesian" ->
@@ -517,6 +522,15 @@ object PlanCheck {
         (_.contains("partial_")),
       "1-row total rides a broadcast" ->
         (_.contains("BroadcastNestedLoopJoin"))))
+    audit("ss29_knn_layout_census", Seq(
+      "per-list count partial-aggregates map-side" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "census never reads the raw corpus (layout scan only)" ->
+        (p => !p.contains("embeddings.parquet"))))
+    audit("mx11_doremi_plan", Seq(
+      "plan is a driver-built local relation" ->
+        (p => p.contains("LocalTableScan") || p.contains("LocalRelation"))))
     audit("mx10_doremi_reweight", Seq(
       // the corpus paid ONE loss-aggregation job at build time; every
       // DRO round is driver arithmetic on the <=|sources| weight

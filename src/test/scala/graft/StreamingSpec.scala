@@ -238,6 +238,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(grown.count() > 0)
   }
 
+  test("document stream appends into the WRITTEN bm25 layout and serves") {
+    // t32's layout grows from a live crawl: the per-row bm25Index
+    // postings of arriving docs foreachBatch-append into their bkt=
+    // directories plus the _fwd/_docs artifacts (bm25LayoutAppend);
+    // the grown layout must serve identically to the batch CDF fold
+    // of the same arrivals
+    val docsB = Tables.documents(spark, sf).select("doc_id", "text")
+    val index = docsB.filter(col("doc_id") % 10 =!= 0)
+    val arrivals = docsB.filter(col("doc_id") % 10 === 0)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25_stream_${spark.sparkContext.applicationId}").getPath
+    operators.Retrieval.bm25IndexWrite(index, out, buckets = 64)
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val q = docStream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.Retrieval.bm25LayoutAppend(spark, out, b)
+      }
+      .option("checkpointLocation", out + "_chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25_stream2_${spark.sparkContext.applicationId}").getPath
+    operators.Retrieval.bm25IndexWrite(index, out2, buckets = 64)
+    operators.Retrieval.bm25LayoutApplyCdf(spark, out2,
+      arrivals.select(col("doc_id"), col("text"),
+        lit("insert").as("_change_type")))
+    val queries = docsB.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val grown = operators.Retrieval.bm25TopKFromLayout(spark, out,
+      queries, k = 10)
+    val folded = operators.Retrieval.bm25TopKFromLayout(spark, out2,
+      queries, k = 10)
+    assert(grown.exceptAll(folded).count() == 0 &&
+      folded.exceptAll(grown).count() == 0)
+    assert(grown.count() > 0)
+  }
+
   test("standing bm25 index ingests a live document stream") {
     // t25's postings builder is per-row (tf counted inside the doc's
     // own token array — no Aggregate), so the SAME operator maps a
