@@ -1244,6 +1244,29 @@ object PipelineQueries {
       Similarity.knnTopKFromLayout(s, out, e.filter(col("vec_id") < 3),
         k = 3, nprobe = 2).orderBy("vec_id", "rank")
     },
+    // small-file compaction of the streamed-into kNN layout: three
+    // frozen-centroid append batches fragment the cid= directories,
+    // compact rewrites only the fragmented lists to one file each,
+    // and serving equals the full-corpus probe under the same trained
+    // quantizer
+    "ss30_knn_compact" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "knncompact_layout") { p =>
+        Similarity.knnIndexWrite(e.filter(col("vec_id") % 10 =!= 0), p,
+          numCentroids = 16, centsIn = Some(kgCents(s, d)))
+        val cents = s.read.parquet(p + "_cents")
+        (0L until 3L).foreach { i =>
+          Similarity.homeRowsAgainst(
+            e.filter(col("vec_id") % 10 === 0 &&
+              pmod(col("vec_id") / 10, lit(3)) === i)
+              .select("vec_id", "embedding"), cents)
+            .write.mode("append").partitionBy("cid").parquet(p)
+        }
+        graft.operators.LayoutMaintenance.compact(s, p, "cid")
+      }
+      Similarity.knnTopKFromLayout(s, out, e.filter(col("vec_id") < 3),
+        k = 3, nprobe = 2).orderBy("vec_id", "rank")
+    },
     // the drift monitor that SCHEDULES the ss28 retrain, as a
     // declared query: per-list sizes + cap report computed from the
     // written layout alone (no retraining, no raw corpus) — shares
@@ -1446,6 +1469,29 @@ object PipelineQueries {
       val all = documents(s, d)
       Retrieval.bm25TopK(all,
         all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")), k = 10)
+        .orderBy("query_id", "rank")
+    },
+    // small-file COMPACTION of the streamed-into postings layout (the
+    // third scheduled maintenance executor): three append batches
+    // fragment the bucket directories, compactBm25 rewrites only the
+    // fragmented partitions to one file each, and serving through the
+    // compacted layout equals the plain full-corpus BM25 — the t39
+    // oracle IS t22's verbatim
+    "t39_bm25_compact" -> { (s, d) =>
+      val all = documents(s, d).select("doc_id", "text")
+      val out = layoutDir(s, d, "bm25compact_layout") { p =>
+        Retrieval.bm25IndexWrite(all.filter(col("doc_id") % 10 =!= 0),
+          p, buckets = 64)
+        (0L until 3L).foreach { i =>
+          Retrieval.bm25LayoutAppend(s, p,
+            all.filter(col("doc_id") % 10 === 0 &&
+              pmod(col("doc_id") / 10, lit(3)) === i))
+        }
+        graft.operators.LayoutMaintenance.compactBm25(s, p)
+      }
+      Retrieval.bm25TopKFromLayout(s, out,
+        documents(s, d).filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"), col("text")), k = 10)
         .orderBy("query_id", "rank")
     },
@@ -3237,6 +3283,10 @@ object PipelineQueries {
     // surrogates (HUGEINT casts mirror the Spark DECIMAL(38,0) lane)
     "t22_bm25_topk" -> s"""${sqlBm25TopK()}
       ORDER BY query_id, rank""",
+    // compaction moves bytes between files, never rows between
+    // partitions — serving must equal the plain full-corpus BM25
+    "t39_bm25_compact" -> s"""${sqlBm25TopK()}
+      ORDER BY query_id, rank""",
     // the t22 chain run twice: pass-1 ranks pick the feedback docs,
     // fw/ex mine the Σ tf·1e6 div len expansion terms, pass 2 scores
     // the distinct original ∪ expansion term set
@@ -4398,6 +4448,30 @@ object PipelineQueries {
     // bit-identically, so ss23's oracle is ss20's VERBATIM
     "ss23_knn_layout" -> sqlSs20KnnCdf,
     "ss28_knn_centroid_retrain" -> sqlSs28Retrain,
+    // compaction preserves rows exactly: the compacted streamed-into
+    // layout serves the full corpus under the shared trained
+    // quantizer — train, assign, probe, rank with no CDF leg
+    "ss30_knn_compact" -> s"""
+      WITH ${sqlKmeansCtes(16)},
+      ${sqlKmAsg("c2", "home")},
+      qx AS (SELECT vec_id, emb, xx FROM ex WHERE vec_id < 3),
+      probes AS (SELECT * FROM (
+          SELECT q.vec_id AS query_id, c.cid,
+            (q.xx - 2.0*${sqlDot("q.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM qx q, c2 c)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      kisc AS (SELECT p.query_id AS vec_id, h.vec_id AS neighbor_id,
+          ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx)) AS score
+        FROM probes p JOIN home h USING (cid)
+        JOIN qx q ON q.vec_id = p.query_id
+        JOIN ex x ON x.vec_id = h.vec_id
+        WHERE p.query_id <> h.vec_id)
+      SELECT vec_id, rank, neighbor_id, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, neighbor_id) AS rank FROM kisc)
+      WHERE rank <= 3 ORDER BY vec_id, rank""",
     // the same retrained assignment, aggregated per list with the
     // cap report columns
     "ss29_knn_layout_census" -> s"""

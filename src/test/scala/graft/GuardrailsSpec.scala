@@ -846,6 +846,57 @@ class GuardrailsSpec extends AnyFunSuite {
       scratch.exceptAll(served).count() == 0)
   }
 
+  test("layout compaction: only fragmented partitions rewrite, rows " +
+      "and serving unchanged") {
+    import graft.operators.LayoutMaintenance
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_compact_guard_${spark.sparkContext.applicationId}").getPath
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+      .select("vec_id", "embedding")
+    Similarity.knnIndexWrite(base, out, numCentroids = 4)
+    val cents = spark.read.parquet(out + "_cents")
+    // two append batches fragment SOME cid= dirs (each batch only
+    // touches the lists its vectors home to)
+    Seq(0L, 1L).foreach { i =>
+      Similarity.homeRowsAgainst(
+        embs.filter(col("vec_id") % 5 === 0 &&
+          pmod(col("vec_id") / 5, lit(2)) === i)
+          .select("vec_id", "embedding"), cents)
+        .write.mode("append").partitionBy("cid").parquet(out)
+    }
+    val censusBefore = LayoutMaintenance.fileCensus(spark, out, "cid")
+    assert(censusBefore.exists(_._2 > 1),
+      s"fixture must be fragmented: $censusBefore")
+    val healthy = censusBefore.collect { case (v, 1) => v }.toSet
+    def files(cid: Long): Set[(String, Long)] = {
+      val dir = new java.io.File(out, s"cid=$cid")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val healthyBefore = healthy.map(c => c -> files(c)).toMap
+    val rowsBefore = spark.read.parquet(out).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val servedBefore = Similarity.knnTopKFromLayout(spark, out,
+      embs.filter(col("vec_id") < 3), k = 5, nprobe = 2).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    LayoutMaintenance.compact(spark, out, "cid")
+    // fragmented dirs are now one file; healthy dirs byte-for-byte
+    val censusAfter = LayoutMaintenance.fileCensus(spark, out, "cid")
+    assert(censusAfter.forall(_._2 == 1),
+      s"compaction left fragments: $censusAfter")
+    healthy.foreach(c => assert(files(c) == healthyBefore(c),
+      s"healthy cid=$c was rewritten"))
+    // rows and serving are unchanged
+    val rowsAfter = spark.read.parquet(out).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    val servedAfter = Similarity.knnTopKFromLayout(spark, out,
+      embs.filter(col("vec_id") < 3), k = 5, nprobe = 2).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(servedAfter == servedBefore)
+  }
+
   test("knn centroid retrain: mega-list census drops on a skewed " +
       "fixture, serving equals a from-scratch build") {
     import graft.operators.VectorStats

@@ -112,6 +112,16 @@ object PlanCheck {
       "probe prunes the home-list layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    auditExecuted("ss30_knn_compact", Seq(
+      "probe prunes the COMPACTED layout's partitions (DPP)" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
+    auditExecuted("t39_bm25_compact", Seq(
+      "probe prunes the COMPACTED buckets (DPP)" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     auditExecuted("ss28_knn_centroid_retrain", Seq(
       "probe prunes the RETRAINED layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
