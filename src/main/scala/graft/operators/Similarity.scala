@@ -1834,6 +1834,72 @@ object Similarity {
     hard.unionByName(rand)
   }
 
+  /** Margin-based bitext pair mining (ss31) — the published
+    * max-margin criterion for cross-lingual training-pair curation
+    * (Artetxe & Schwenk 2019, the CCMatrix/LASER recipe): a raw
+    * cosine threshold over-selects hub vectors (points that are
+    * close to EVERYTHING), so each candidate pair (a, b) scores by
+    * its cosine RELATIVE to both endpoints' neighborhoods —
+    * `margin = 2·cos(a,b) / (avgTopK(a) + avgTopK(b))` — and only
+    * pairs whose margin clears the bar survive; a `mutual` flag marks
+    * pairs present in BOTH directions' top-k (the strictest published
+    * variant).
+    *
+    * Both directions ride the trained kNN machinery: side B gets a
+    * coarse quantizer trained on B alone, side A probes it
+    * ([[knnTopKAgainst]] — in-row probe pick, list-id equi-join,
+    * bounded [[TopKAggregator]]), and vice versa — never an A×B
+    * cross product. The per-endpoint neighborhood average folds the
+    * top-k scores IN RANK ORDER (an `array_sort` over ≤ k collected
+    * entries — per-group state bounded by k; a bare SUM would add
+    * doubles in partition order and break cross-engine exactness),
+    * and every remaining step is IEEE double arithmetic the oracle
+    * replays bit-for-bit; the emitted `margin_ppm` is the floored
+    * fixed-point margin.
+    *
+    * Scale shape: two trained-index builds + two probe joins (each
+    * the [[knnGraph]] shape), margin/mutual tails are joins on
+    * already-bounded k·|side| frames. Output:
+    * `(src_id, tgt_id, rank, score, margin_ppm, mutual)` — forward
+    * (A→B) pairs above `marginPpmMin`. */
+  def bitextMarginMine(a: DataFrame, b: DataFrame, k: Int = 4,
+      numCentroids: Int = 8, nprobe: Int = 2,
+      marginPpmMin: Long = 1000000L): DataFrame = {
+    val (centsB, homeB) = knnIndex(b, numCentroids)
+    val (centsA, homeA) = knnIndex(a, numCentroids)
+    val fwd = knnTopKAgainst(a, centsB, homeB, k, nprobe)
+      .localCheckpoint(eager = false) // margin + avg legs
+    val bwd = knnTopKAgainst(b, centsA, homeA, k, nprobe)
+      .localCheckpoint(eager = false) // avg + mutual legs
+    // rank-ordered fold of the top-k scores: deterministic double sum
+    def avgK(t: DataFrame): DataFrame = t
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("rank"), col("score"))).as("rs"))
+      .select(col("vec_id"),
+        (aggregate(transform(array_sort(col("rs")),
+          x => x.getField("score")), lit(0.0), (acc, x) => acc + x)
+          / size(col("rs")).cast("double")).as("avg_k"))
+    val avgA = avgK(fwd)
+    val avgB = avgK(bwd)
+    fwd
+      .join(avgA.select(col("vec_id"), col("avg_k").as("avg_src")),
+        "vec_id")
+      .join(avgB.select(col("vec_id").as("neighbor_id"),
+        col("avg_k").as("avg_tgt")), "neighbor_id")
+      .withColumn("margin_ppm",
+        floor(col("score") * lit(2.0) / (col("avg_src") + col("avg_tgt"))
+          * lit(1000000.0)).cast("long"))
+      .filter(col("margin_ppm") >= marginPpmMin)
+      .join(bwd.select(col("neighbor_id").as("mv"), col("vec_id").as("mn"))
+          .withColumn("mutual0", lit(true)),
+        col("vec_id") === col("mv") && col("neighbor_id") === col("mn"),
+        "left")
+      .select(col("vec_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("rank"), col("score"),
+        col("margin_ppm"),
+        coalesce(col("mutual0"), lit(false)).as("mutual"))
+  }
+
   /** SQ8 scalar-quantized top-k (ss17) — the int8 serving path that
     * completes the quantization family (LSH / IVF / PQ / IVF-PQ /
     * MRL): each dimension gets an affine [min, max] → [0, 255] code

@@ -1244,6 +1244,19 @@ object PipelineQueries {
       Similarity.knnTopKFromLayout(s, out, e.filter(col("vec_id") < 3),
         k = 3, nprobe = 2).orderBy("vec_id", "rank")
     },
+    // margin-based bitext mining (the CCMatrix/LASER max-margin
+    // criterion): label-1 vectors probe a quantizer trained on
+    // label-2 and vice versa; pairs score by cosine relative to both
+    // endpoints' top-k neighborhood averages, mutual pairs flagged
+    "ss31_bitext_margin" -> { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.bitextMarginMine(
+        e.filter(col("label") === 1).select("vec_id", "embedding"),
+        e.filter(col("label") === 2).select("vec_id", "embedding"),
+        k = 4, numCentroids = 8, nprobe = 2,
+        marginPpmMin = 1000000L)
+        .orderBy("src_id", "rank")
+    },
     // small-file compaction of the streamed-into kNN layout: three
     // frozen-centroid append batches fragment the cid= directories,
     // compact rewrites only the fragmented lists to one file each,
@@ -2526,15 +2539,17 @@ object PipelineQueries {
     * exists once. Also exposes `e` (double embeddings) and `ex`
     * (embeddings + self-dot). */
   private def sqlKmeansCtes(k: Int = 8,
-      src: String = "embeddings"): String = s"""e AS (SELECT vec_id,
+      src: String = "embeddings", sfx: String = ""): String =
+    s"""e$sfx AS (SELECT vec_id,
           list_transform(embedding, x0 -> x0::DOUBLE) AS emb FROM $src),
-      ex AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx FROM e),
-      c0 AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e
+      ex$sfx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM e$sfx),
+      c0$sfx AS (SELECT vec_id::BIGINT AS cid, emb AS cemb FROM e$sfx
         ORDER BY vec_id LIMIT $k),
-      ${sqlKmAsg("c0", "a0")},
-      ${sqlKmUpd("a0", "c1")},
-      ${sqlKmAsg("c1", "a1")},
-      ${sqlKmUpd("a1", "c2")}"""
+      ${sqlKmAsg(s"c0$sfx", s"a0$sfx", s"ex$sfx")},
+      ${sqlKmUpd(s"a0$sfx", s"c1$sfx", s"e$sfx")},
+      ${sqlKmAsg(s"c1$sfx", s"a1$sfx", s"ex$sfx")},
+      ${sqlKmUpd(s"a1$sfx", s"c2$sfx", s"e$sfx")}"""
 
   /** Shared duplicate-span pipeline (twin of [[Dedup.duplicateSpans]]
     * at k = 5) ending in `sp(doc_id, pos, grp)` — the gaps-and-islands
@@ -4448,6 +4463,62 @@ object PipelineQueries {
     // bit-identically, so ss23's oracle is ss20's VERBATIM
     "ss23_knn_layout" -> sqlSs20KnnCdf,
     "ss28_knn_centroid_retrain" -> sqlSs28Retrain,
+    // both directions' trained probes, rank-ordered neighborhood
+    // averages, the max-margin filter, and the mutual flag — the
+    // full CCMatrix-style mining chain replayed
+    "ss31_bitext_margin" -> {
+      val srcA = "(SELECT vec_id, embedding FROM embeddings WHERE label = 1)"
+      val srcB = "(SELECT vec_id, embedding FROM embeddings WHERE label = 2)"
+      def leg(qx: String, cs: String, home: String, ex: String,
+          out: String): String = s"""
+      ${out}p AS (SELECT * FROM (
+          SELECT q.vec_id AS query_id, c.cid,
+            (q.xx - 2.0*${sqlDot("q.emb", "c.cemb")}
+              + ${sqlDot("c.cemb", "c.cemb")}) AS dist2
+          FROM $qx q, $cs c)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY dist2, cid) <= 2),
+      ${out}c AS (SELECT p.query_id AS vec_id, h.vec_id AS neighbor_id,
+          ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx)) AS score
+        FROM ${out}p p JOIN $home h USING (cid)
+        JOIN $qx q ON q.vec_id = p.query_id
+        JOIN $ex x ON x.vec_id = h.vec_id
+        WHERE p.query_id <> h.vec_id),
+      $out AS (SELECT vec_id, neighbor_id, score, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY score DESC, neighbor_id) AS rank FROM ${out}c)
+        WHERE rank <= 4)"""
+      s"""
+      WITH ${sqlKmeansCtes(8, srcB, "B")},
+      ${sqlKmAsg("c2B", "homeB", "exB")},
+      ${sqlKmeansCtes(8, srcA, "A")},
+      ${sqlKmAsg("c2A", "homeA", "exA")},
+      ${leg("exA", "c2B", "homeB", "exB", "fwd")},
+      ${leg("exB", "c2A", "homeA", "exA", "bwd")},
+      avga AS (SELECT vec_id,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(score ORDER BY rank)), (a1, x1) -> a1 + x1)
+            / count(*)::DOUBLE AS avg_src
+        FROM fwd GROUP BY vec_id),
+      avgb AS (SELECT vec_id,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(score ORDER BY rank)), (a1, x1) -> a1 + x1)
+            / count(*)::DOUBLE AS avg_tgt
+        FROM bwd GROUP BY vec_id),
+      m AS (SELECT f.vec_id AS src_id, f.neighbor_id AS tgt_id,
+          f.rank, f.score,
+          floor(f.score * 2.0 / (a.avg_src + b.avg_tgt)
+            * 1000000.0)::BIGINT AS margin_ppm
+        FROM fwd f JOIN avga a USING (vec_id)
+        JOIN avgb b ON b.vec_id = f.neighbor_id)
+      SELECT m.src_id, m.tgt_id, m.rank, m.score, m.margin_ppm,
+        coalesce(mu.mutual0, false) AS mutual
+      FROM m LEFT JOIN (SELECT neighbor_id AS src_id,
+          vec_id AS tgt_id, true AS mutual0 FROM bwd) mu
+        USING (src_id, tgt_id)
+      WHERE m.margin_ppm >= 1000000
+      ORDER BY m.src_id, m.rank"""
+    },
     // compaction preserves rows exactly: the compacted streamed-into
     // layout serves the full corpus under the shared trained
     // quantizer — train, assign, probe, rank with no CDF leg

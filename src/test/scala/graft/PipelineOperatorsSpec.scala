@@ -199,6 +199,40 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       "uniform losses must keep the uniform mixture")
   }
 
+  test("bitext margin mining: true pairs survive mutual, the hub " +
+      "vector is filtered despite a positive cosine") {
+    import spark.implicits._
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    val a = (0 until 6).map(i => (i.toLong + 1, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    // side B: the true twins plus a HUB (all-ones) that has a
+    // positive cosine with EVERY source — the exact failure mode a
+    // raw-cosine threshold over-selects and the margin criterion
+    // exists to reject
+    val b = ((0 until 6).map(i => (i.toLong + 101, oneHot(i))) :+
+      (200L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val mined = graft.operators.Similarity.bitextMarginMine(a, b,
+      k = 4, numCentroids = 2, nprobe = 2, marginPpmMin = 1200000L)
+      .collect()
+    val pairs = mined.map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(pairs == (1 to 6).map(i => i.toLong -> (i + 100L)).toSet,
+      s"expected exactly the six true pairs, got $pairs")
+    assert(mined.forall(_.getBoolean(5)),
+      "every surviving true pair must be mutual")
+    assert(mined.forall(_.getLong(4) > 2000000L),
+      "true-pair margins must dominate the threshold")
+    // at a RAW-cosine-permissive threshold the hub would appear; the
+    // margin keeps it barely above 1.0 — visible but flagged low
+    val loose = graft.operators.Similarity.bitextMarginMine(a, b,
+      k = 4, numCentroids = 2, nprobe = 2, marginPpmMin = 1000000L)
+      .collect()
+    val hubRows = loose.filter(_.getLong(1) == 200L)
+    assert(hubRows.nonEmpty && hubRows.forall(_.getLong(4) < 1200000L),
+      "hub pairs sit in the [1.0, 1.2) margin band")
+  }
+
   test("cosine topk ranks by exact cosine, ties by id") {
     val rows = Similarity.bruteForceTopK(embs,
       embs.filter(col("vec_id") === 0), k = 5).collect()

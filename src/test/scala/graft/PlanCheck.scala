@@ -112,6 +112,13 @@ object PlanCheck {
       "probe prunes the home-list layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("ss31_bitext_margin", Seq(
+      "probe joins are equi on the list id, never A-cross-B" ->
+        (p => !p.contains("CartesianProduct")),
+      "bounded-heap rank (no corpus-frame Window)" ->
+        (p => !p.contains("Window")),
+      "neighborhood averages partial-aggregate map-side" ->
+        (_.contains("partial_"))))
     auditExecuted("ss30_knn_compact", Seq(
       "probe prunes the COMPACTED layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
