@@ -182,6 +182,62 @@ object Graph {
     degrees(e)
   }
 
+  /** Synchronous label propagation (q70) — community detection, the
+    * fourth graph primitive: [[Dedup.resolveClusters]] answers "which
+    * nodes are CONNECTED" (components — every path counts),
+    * [[pageRank]] answers "which nodes matter"; LPA answers "which
+    * nodes cluster DENSELY" — a bridge edge between two tight
+    * communities keeps them one component but LPA splits them,
+    * which is the right grain for topic-bucketing a co-occurrence
+    * graph. The classic algorithm (Raghavan et al. 2007) made
+    * deterministic: every node starts as its own label, and each
+    * synchronous round adopts the label most frequent among its
+    * neighbors, ties to the SMALLEST label (the published random
+    * tie-break is replaced by the total order, so every round — not
+    * just the fixpoint — replays bit-for-bit as unrolled oracle
+    * CTEs; synchronous LPA can oscillate on bipartite structure,
+    * which fixed rounds + the exact trajectory gate make visible
+    * instead of hiding).
+    *
+    * Per round: one key-equi join of the directed neighbor list with
+    * the 16-byte label table, a (node, label) partial-agg count, and
+    * a per-node `min_by((-count, label))` argmax — two narrow
+    * shuffles, no corpus-sized window. Below [[BroadcastNodeLimit]]
+    * nodes the label table rides a broadcast into the message join
+    * (decided by ONE count of the materialized edge list — lazy
+    * checkpoint leaves carry no stats for AQE); labels checkpoint per
+    * round (the [[Dedup.resolveClusters]] pattern — lineage stays one
+    * round deep). Output: `(node, lbl)` after `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val dir = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    val small = und.count() * 2 <= BroadcastNodeLimit
+    var labels = dir.select("node").distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var it = 0
+    while (it < rounds) {
+      val lbls0 = labels.withColumnRenamed("node", "nbr")
+      val lbls = if (small) broadcast(lbls0) else lbls0
+      labels = dir.join(lbls, Seq("nbr"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"),
+          col("lbl").as("tl"))).as("lbl"))
+        .localCheckpoint()
+      it += 1
+    }
+    labels.select("node", "lbl")
+  }
+
   /** Per-node triangle counts via degree-oriented wedge counting —
     * the clustering-structure primitive next to [[pageRank]]
     * (importance) and [[Dedup.resolveClusters]] (membership): on a

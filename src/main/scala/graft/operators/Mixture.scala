@@ -556,6 +556,25 @@ object Mixture {
       .toDF("round", "source", "loss_ppm", "excess_ppm", "alpha_ppm")
   }
 
+  /** [[doremiWeights]] over a caller-supplied per-source loss table
+    * `(source, loss_ppm)` — the production entry point the
+    * chars-per-token surrogate stands in for: evaluate a real proxy /
+    * reference model offline, land its per-source excess-loss ppm in
+    * a table, and run the same integer trajectory over it. Same
+    * output schema and arithmetic as [[doremiWeights]]. */
+  def doremiWeightsFromLosses(losses: DataFrame, rounds: Int = 8,
+      etaPpm: Long = 500000L, smoothPpm: Long = 100000L): DataFrame = {
+    val spark = losses.sparkSession
+    import spark.implicits._
+    val stats = losses.select(col("source"),
+        col("loss_ppm").cast("long").as("loss_ppm"))
+      .orderBy("source")
+      .collect() // bounded: one row per source
+      .map(r => (r.getString(0), r.getLong(1)))
+    doremiTrajectory(stats, rounds, etaPpm, smoothPpm)
+      .toDF("round", "source", "loss_ppm", "excess_ppm", "alpha_ppm")
+  }
+
   /** The one corpus job [[doremiWeights]] and [[doremiEpochPlan]]
     * share: per-source `(source, loss_ppm, n_docs, n_tokens)`, rows
     * collected source-ascending (bounded: one row per source). */

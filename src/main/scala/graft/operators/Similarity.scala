@@ -1142,6 +1142,11 @@ object Similarity {
       .select(col("neighbor_id").as("vec_id"),
         col("n_emb").as("embedding"))
       .localCheckpoint(eager = true)
+    // a fully-departed layout has nothing to train on — retraining it
+    // would seed zero centroids and write null-cid rows; fail loudly
+    // instead (cheap: limit-1 probe of the eager checkpoint)
+    require(!membership.isEmpty,
+      "knnCentroidRetrain: layout has no members — nothing to retrain")
     val cents = VectorStats
       .kmeansCentroids(membership, numCentroids, iters)
       .withColumn("cc", dotD(col("cemb"), col("cemb")))

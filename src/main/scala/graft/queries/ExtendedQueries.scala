@@ -391,6 +391,19 @@ object ExtendedQueries {
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.operators.Graph.kCore(edges, k = 80, rounds = 6).orderBy("node")
     },
+    // community detection on the part co-purchase graph: synchronous
+    // deterministic LPA (most-frequent neighbor label, ties to the
+    // smallest) — the dense-cluster grain components can't see; the
+    // oracle replays all 4 rounds as unrolled CTEs
+    "q70_label_propagation" -> { (s, d) =>
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x").join(li.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, rounds = 4)
+        .orderBy("node")
+    },
     "q36_moments" -> { (s, d) =>
       // ALL-INTEGER moments in cents. The previous double formulation
       // broke at sf0.1: DuckDB's DECIMAL→DOUBLE cast double-rounds
@@ -789,6 +802,30 @@ object ExtendedQueries {
       GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
     "q58_pagerank" -> sqlPageRank(8),
     "q62_kcore" -> sqlKCore(80, 6),
+    // 4 unrolled synchronous LPA rounds: mode of neighbor labels,
+    // ties to the smallest — every round's argmax replayed exactly
+    "q70_label_propagation" -> {
+      val roundCtes = (1 to 4).map { r =>
+        s"""c$r AS (SELECT d.node, l.lbl, count(*)::BIGINT AS c
+          FROM dir d JOIN l${r - 1} l ON l.node = d.nbr
+          GROUP BY 1, 2),
+        l$r AS MATERIALIZED (SELECT node, lbl FROM c$r
+          QUALIFY row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, lbl) = 1)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem),
+        und AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a,
+            greatest(x.pk, y.pk) AS b
+          FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk),
+        dir AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+          UNION ALL SELECT b AS node, a AS nbr FROM und),
+        l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl
+          FROM dir),
+        $roundCtes
+      SELECT node, lbl FROM l4 ORDER BY node"""
+    },
     // same single window spec; nth_value over the running frame,
     // the same dependent running-window chain: step i's earliest
     // completion = min(ts | type_i ∧ ts strictly after step i−1);

@@ -1480,6 +1480,33 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       Seq((7L, 7L)).toDF("src", "dst")).collect().isEmpty)
   }
 
+  test("label propagation: bridge-joined triangles split into two " +
+      "communities a components pass cannot separate") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the single bridge
+    // 3-4: ONE connected component, but LPA's density grain should
+    // split them — the reason the operator exists next to
+    // resolveClusters
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val lbl = operators.Graph.labelPropagation(g, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.keySet == (1L to 6L).toSet)
+    val left = Set(1L, 2L, 3L).map(lbl)
+    val right = Set(4L, 5L, 6L).map(lbl)
+    assert(left.size == 1 && right.size == 1 && left != right,
+      s"expected two communities, got $lbl")
+    // deterministic trajectory: the exact labels are pinned (mode of
+    // neighbor labels, ties to the smallest — hand-replayed)
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"trajectory drifted: $lbl")
+    // components for contrast: one cluster
+    val comp = operators.Dedup.resolveClusters(
+      g.select(col("src").as("a_id"), col("dst").as("b_id")))
+      .select("cluster_id").distinct().count()
+    assert(comp == 1L)
+  }
+
   test("kCore: cascade peel, clique survival, and bounded-rounds contract") {
     import spark.implicits._
     // K5 (nodes 1-5) with a pendant path 5-6-7: peeling at k=2 drops

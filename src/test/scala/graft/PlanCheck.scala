@@ -112,6 +112,13 @@ object PlanCheck {
       "probe prunes the home-list layout's partitions (DPP)" ->
         (_.contains("dynamicpruning")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("q70_label_propagation", Seq(
+      // rounds executed at construction behind per-round checkpoints
+      // (the resolveClusters pattern) — the declared plan is the
+      // final label frame's checkpoint leaf plus the ORDER BY
+      "rounds checkpoint-truncated (ExistingRDD leaf)" ->
+        (_.contains("Scan ExistingRDD")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct"))))
     audit("ss31_bitext_margin", Seq(
       "probe joins are equi on the list id, never A-cross-B" ->
         (p => !p.contains("CartesianProduct")),
