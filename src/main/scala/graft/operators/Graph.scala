@@ -219,9 +219,15 @@ object Graph {
     val dir = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint()
-    val small = und.count() * 2 <= BroadcastNodeLimit
-    var labels = dir.select("node").distinct()
-      .withColumn("lbl", col("node"))
+    // the label-table broadcast decision uses the EXACT node count,
+    // not kCore's nodes ≤ 2·edges bound: the node frame is needed for
+    // label init anyway, and on a dense co-occurrence graph the bound
+    // is loose by the average degree — measured 11× slower at 10×
+    // data when 200k nodes fell off the broadcast path because 5M
+    // edges tripped the bound
+    val nodes = dir.select("node").distinct().localCheckpoint()
+    val small = nodes.count() <= BroadcastNodeLimit
+    var labels = nodes.withColumn("lbl", col("node"))
       .localCheckpoint()
     var it = 0
     while (it < rounds) {
