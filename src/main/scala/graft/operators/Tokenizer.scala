@@ -344,8 +344,11 @@ object Tokenizer {
       .localCheckpoint(eager = false)
     var r = 0
     while (r < rounds) {
-      val mx = vocab.agg(max(greatest(col("cnt"), lit(1L))))
-        .head().getLong(0)
+      // max over an EMPTY vocab (a corpus with no trainable words) is
+      // null — degrade to the hard trainer's empty result instead of
+      // an NPE; 1 keeps the piece-score division well-defined
+      val mxRow = vocab.agg(max(greatest(col("cnt"), lit(1L)))).head()
+      val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
       val counts = words.as[(String, Long)]
         .flatMap { case (w, f) =>
           for {

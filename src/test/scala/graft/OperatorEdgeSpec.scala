@@ -465,4 +465,57 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(r.getLong(6) == 0L && r.getLong(7) == 0L)
   }
 
+  test("label propagation edges: empty graph, zero rounds, messy input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(operators.Graph.labelPropagation(empty, rounds = 3)
+      .collect().isEmpty)
+    // zero rounds: every node keeps itself
+    val g = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r0 = operators.Graph.labelPropagation(g, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // duplicates, reversed direction, and self-loops normalize away
+    val messy = Seq((2L, 1L), (1L, 2L), (1L, 2L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val clean = operators.Graph.labelPropagation(messy, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clean.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("doremi weights: single source stays uniform; empty corpus " +
+      "fails loudly") {
+    import spark.implicits._
+    val one = Seq((1L, "solo", "some text here"), (2L, "solo", "more"))
+      .toDF("doc_id", "source", "text")
+    val traj = operators.Mixture.doremiWeights(one, rounds = 3).collect()
+    assert(traj.length == 3)
+    assert(traj.forall(r => r.getLong(3) == 0L && r.getLong(4) == 1000000L),
+      "one source owns the whole mixture with zero excess")
+    val none = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      operators.Mixture.doremiWeights(none)
+    }
+    assert(e.getMessage.contains("no sources"))
+  }
+
+  test("soft unigram trainer on an untrainable corpus is empty, no NPE") {
+    import spark.implicits._
+    // digits only: wordFreq's [a-z]+ filter leaves nothing to train
+    val nums = Seq((1L, "123 456 789"), (2L, "000 42")).toDF("doc_id", "text")
+    assert(operators.Tokenizer.unigramTrainSoft(nums, rounds = 2)
+      .collect().isEmpty)
+    assert(operators.Tokenizer.unigramTrain(nums, rounds = 2)
+      .collect().isEmpty) // the hard twin's existing contract
+  }
+
+  test("layout compaction on a missing or healthy path is a no-op") {
+    import graft.operators.LayoutMaintenance
+    val ghost = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ghost_${System.nanoTime()}").getPath
+    assert(LayoutMaintenance.fileCensus(spark, ghost, "cid").isEmpty)
+    LayoutMaintenance.compact(spark, ghost, "cid") // must not throw
+  }
+
 }
