@@ -13,28 +13,45 @@ import org.apache.spark.sql.functions._
   * micro-batch by design; left alone, a long-lived layout's listing
   * and open-file cost grows with ingest batches, not data. Compaction
   * rewrites ONLY the fragmented partitions (file count above
-  * `maxFiles`) back to one file each — the partition-grain rewrite
-  * discipline of the CDF folds, applied to file geometry instead of
-  * membership. Untouched partitions keep their files byte-for-byte;
-  * rows are unchanged, so serving through the compacted layout is
-  * bit-identical (both pinned in GuardrailsSpec).
+  * `maxFiles` — the TRIGGER) down to `⌈bytes/targetBytes⌉` files each
+  * (the TARGET) — the partition-grain rewrite discipline of the CDF
+  * folds, applied to file geometry instead of membership. A partition
+  * never collapses to one unbounded file: a hot `bkt=` postings
+  * partition at 100 TB is ~corpus/buckets bytes, and a single-file
+  * target would hand one straggler task a multi-GB write and leave
+  * one unsplittable row-group-heavy file to serve from — the same
+  * `targetBytes` discipline as [[Layout.compact]]'s bin plan, here
+  * derived from on-disk partition bytes because an in-place layout
+  * rewrite has no per-row size column. Untouched partitions keep
+  * their files byte-for-byte; rows are unchanged, so serving through
+  * the compacted layout is bit-identical (both pinned in
+  * GuardrailsSpec).
   *
-  * Scale shape: the driver holds one (partition value, file count)
-  * pair per partition directory (≤ numCentroids / buckets+1 entries —
-  * broadcastable by the same argument as the CDF folds' touched
-  * sets); only the fragmented partitions' rows re-materialize (an
-  * eager checkpoint severs them from the files being replaced), one
-  * narrow repartition-by-key lands each partition in exactly one
-  * task → one output file.
+  * Scale shape: the driver holds one (partition value, file count,
+  * bytes) triple per partition directory (≤ numCentroids / buckets+1
+  * entries — broadcastable by the same argument as the CDF folds'
+  * touched sets); only the fragmented partitions' rows re-materialize
+  * (an eager checkpoint severs them from the files being replaced);
+  * a deterministic per-partition salt spreads each fragmented
+  * partition over `⌈bytes/target⌉` writer tasks (parallel, no
+  * single-partition straggler), with `maxRecordsPerFile` as the hard
+  * size backstop when salt groups collide in one task.
   */
 object LayoutMaintenance {
 
+  /** Hive's directory name for a null partition value — kept as an
+    * opaque STRING in the census (partition directory names are
+    * strings; parsing them to a numeric type made the utility throw
+    * on any string-partitioned or null-valued layout). */
+  val NullPartitionDir = "__HIVE_DEFAULT_PARTITION__"
+
   /** Per-partition file census of a partitioned layout directory:
-    * `(partition value, parquet file count)` — the fragmentation
-    * monitor that schedules [[compact]], driver-side because the
-    * listing is ≤ one entry per partition directory. */
+    * `(partition value as the directory spells it, parquet file
+    * count, total parquet bytes)` — the fragmentation monitor that
+    * schedules [[compact]], driver-side because the listing is ≤ one
+    * entry per partition directory. */
   def fileCensus(spark: SparkSession, path: String,
-      partCol: String): Seq[(Long, Int)] = {
+      partCol: String): Seq[(String, Int, Long)] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -43,42 +60,87 @@ object LayoutMaintenance {
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(partCol + "="))
       .map { d =>
-        val v = d.getPath.getName.drop(partCol.length + 1).toLong
-        val n = fs.listStatus(d.getPath)
-          .count(f => f.getPath.getName.endsWith(".parquet"))
-        (v, n)
+        val v = d.getPath.getName.drop(partCol.length + 1)
+        val parts = fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        (v, parts.length, parts.map(_.getLen).sum)
       }
       .sortBy(_._1)
   }
 
   /** Compact every partition of `path` whose parquet-file count
-    * exceeds `maxFiles` down to one file, leaving the rest untouched.
-    * Rows are preserved exactly — this moves bytes between files,
-    * never between partitions. */
+    * exceeds `maxFiles` down to `⌈bytes/targetBytes⌉` size-bounded
+    * files, leaving the rest untouched. Rows are preserved exactly —
+    * this moves bytes between files, never between partitions.
+    * Partitions already at or below their byte-derived target count
+    * are skipped even when fragmented by `maxFiles` (rewriting them
+    * could not reduce their file count). */
   def compact(spark: SparkSession, path: String, partCol: String,
-      maxFiles: Int = 1): Unit = {
-    val frag = fileCensus(spark, path, partCol)
-      .collect { case (v, n) if n > maxFiles => v }
+      maxFiles: Int = 1,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    import spark.implicits._
+    // trigger: file count above maxFiles; target: ceil(bytes/target)
+    // files. A partition whose bytes demand >= its current file count
+    // is left alone — a rewrite cannot improve its geometry.
+    val census = fileCensus(spark, path, partCol)
+    val frag = census
+      .map { case (v, n, b) =>
+        (v, n, b, math.max(1L, (b + targetBytes - 1) / targetBytes))
+      }
+      .collect { case (v, n, b, need) if n > maxFiles && need < n =>
+        (v, need.toInt, b)
+      }
     if (frag.nonEmpty) {
-      val fragLit = frag.sorted.map(lit)
+      val layout = spark.read.parquet(path)
+      val dt = layout.schema(partCol).dataType
+      val (nullFrag, typedFrag) = frag.partition(_._1 == NullPartitionDir)
+      val typedLits = typedFrag.map(v => lit(v._1).cast(dt))
+      val pred0 =
+        if (typedLits.nonEmpty) col(partCol).isin(typedLits: _*)
+        else lit(false)
+      val pred =
+        if (nullFrag.nonEmpty) pred0 || col(partCol).isNull else pred0
       // the fragmented partitions' rows ONLY, severed (eagerly) from
       // the files the dynamic overwrite is about to replace
-      val rows = spark.read.parquet(path)
-        .filter(col(partCol).isin(fragLit: _*))
-        .localCheckpoint(eager = true)
-      rows.repartition(col(partCol))
+      val rows = layout.filter(pred).localCheckpoint(eager = true)
+      // deterministic per-partition fan-out: each fragmented
+      // partition's rows salt over its OWN target file count (a tiny
+      // broadcast map — one row per fragmented partition), so a hot
+      // partition writes in parallel while a small one still lands in
+      // one file. maxRecordsPerFile (from the frag-wide average row
+      // size) is the hard byte backstop if salt groups share a task.
+      val needDf = frag.map(f => (f._1, f._2)).toDF("__pv", "__need")
+      val dataCols = rows.columns.filter(_ != partCol).map(col)
+      val salted = rows
+        .withColumn("__pv",
+          coalesce(col(partCol).cast("string"), lit(NullPartitionDir)))
+        .join(broadcast(needDf), Seq("__pv"))
+        .withColumn("__salt",
+          pmod(hash(dataCols: _*), col("__need")))
+      val totalBytes = frag.map(_._3).sum
+      val totalRows = rows.count()
+      val recsPerFile =
+        if (totalRows == 0L || totalBytes == 0L) Long.MaxValue
+        else math.max(1L, targetBytes * totalRows / totalBytes)
+      salted
+        .repartition(col(partCol), col("__salt"))
+        .select(rows.columns.map(col): _*)
         .write.option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", recsPerFile)
         .partitionBy(partCol).mode("overwrite").parquet(path)
     }
   }
 
   /** Compact a full [[Retrieval.bm25IndexWrite]] layout: the `bkt=`
     * postings, the `_fwd` doc-bucket copy, and the `_docs` census
-    * each at their own partition grain. */
+    * each at their own partition grain (the 1-row `_meta` census is
+    * untouched — compaction moves bytes, never rows). */
   def compactBm25(spark: SparkSession, layoutPath: String,
-      maxFiles: Int = 1): Unit = {
-    compact(spark, layoutPath, "bkt", maxFiles)
-    compact(spark, layoutPath + "_fwd", "dbkt", maxFiles)
-    compact(spark, layoutPath + "_docs", "dbkt", maxFiles)
+      maxFiles: Int = 1,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    compact(spark, layoutPath, "bkt", maxFiles, targetBytes)
+    compact(spark, layoutPath + "_fwd", "dbkt", maxFiles, targetBytes)
+    compact(spark, layoutPath + "_docs", "dbkt", maxFiles, targetBytes)
   }
 }

@@ -238,6 +238,58 @@ object Retrieval {
   private def bm25Bkt(fp: Column, buckets: Int): Column =
     coalesce(pmod(fp, lit(buckets.toLong)), lit(buckets.toLong))
 
+  /** The written layout's collection statistics: bucket count plus the
+    * corpus census `(n_docs, total_len)` BM25's idf/length terms need.
+    * Kept in the 1-row `_meta` and maintained INCREMENTALLY by every
+    * fold ([[bm25LayoutAppend]], [[bm25LayoutApplyCdf]]) so a probe
+    * reads two scalars from one tiny file instead of re-aggregating
+    * the one-row-per-document `_docs` artifact — at 1B+ docs that
+    * census is a multi-GB scan per probe batch for two numbers that
+    * only change when the corpus does. `_docs` stays on disk as the
+    * preimage/recovery source: [[bm25MetaRebuild]] re-derives `_meta`
+    * from it after a crash between a data fold and its meta write. */
+  private case class Bm25Meta(buckets: Int, nDocs: Long, totalLen: Long)
+
+  private def readBm25Meta(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String): Bm25Meta = {
+    val r = spark.read.parquet(layoutPath + "_meta").head()
+    Bm25Meta(r.getLong(r.fieldIndex("buckets")).toInt,
+      r.getLong(r.fieldIndex("n_docs")),
+      r.getLong(r.fieldIndex("total_len")))
+  }
+
+  private def writeBm25Meta(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, m: Bm25Meta): Unit = {
+    import spark.implicits._
+    Seq((m.buckets.toLong, m.nDocs, m.totalLen))
+      .toDF("buckets", "n_docs", "total_len")
+      .write.mode("overwrite").parquet(layoutPath + "_meta")
+  }
+
+  /** The 1-row `(n_docs, total_len)` census of a per-doc frame
+    * `(doc_id, len)` — collected (bounded: one row) so the folds can
+    * do meta arithmetic driver-side. */
+  private def docCensus(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum("len"), lit(0L)).as("l")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Rebuild `_meta` from the `_docs` preimage — the recovery path for
+    * a layout whose last data fold landed but whose meta write did not
+    * (or a layout written before `_meta` carried the census). One scan
+    * of the narrow per-doc artifact; every maintained fold keeps the
+    * two in lockstep so this is an operational tool, not a serving
+    * dependency. */
+  def bm25MetaRebuild(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String): Unit = {
+    val buckets = spark.read.parquet(layoutPath + "_meta")
+      .head().getLong(0).toInt
+    val (n, l) = docCensus(
+      spark.read.parquet(layoutPath + "_docs").select("doc_id", "len"))
+    writeBm25Meta(spark, layoutPath, Bm25Meta(buckets, n, l))
+  }
+
   /** Materialize the standing BM25 postings (t32) — the lexical twin
     * of [[graft.operators.Similarity.knnIndexWrite]]: postings land
     * PARTITIONED by a term-hash bucket (`bkt = fp mod buckets`
@@ -259,7 +311,6 @@ object Retrieval {
   def bm25IndexWrite(docs: DataFrame, outPath: String,
       buckets: Int = 64): Unit = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val idx = bm25Index(docs)
       .withColumn("bkt", bm25Bkt(col("fp"), buckets))
       .localCheckpoint(eager = false) // postings + fwd + doc census
@@ -270,13 +321,17 @@ object Retrieval {
       .repartition(col("dbkt"))
       .write.partitionBy("dbkt").mode("overwrite")
       .parquet(outPath + "_fwd")
-    idx.select("doc_id", "len").distinct()
+    val docsCensus = idx.select("doc_id", "len").distinct()
       .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
-      .repartition(col("dbkt"))
+      .localCheckpoint(eager = false) // _docs write + meta census
+    docsCensus.repartition(col("dbkt"))
       .write.partitionBy("dbkt").mode("overwrite")
       .parquet(outPath + "_docs")
-    Seq(buckets.toLong).toDF("buckets")
-      .write.mode("overwrite").parquet(outPath + "_meta")
+    // the collection census (n_docs, total_len) lands IN _meta and is
+    // maintained incrementally by every fold — probes read two scalars
+    // from one tiny file, never the corpus-sized _docs artifact
+    val (n, l) = docCensus(docsCensus.select("doc_id", "len"))
+    writeBm25Meta(spark, outPath, Bm25Meta(buckets, n, l))
   }
 
   /** Append-only ingest of a document batch into a WRITTEN
@@ -295,8 +350,8 @@ object Retrieval {
     * [[bm25LayoutApplyCdf]] machinery with an empty CDF). */
   def bm25LayoutAppend(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, docs: DataFrame): Unit = {
-    val buckets = spark.read.parquet(layoutPath + "_meta")
-      .head().getLong(0).toInt
+    val meta = readBm25Meta(spark, layoutPath)
+    val buckets = meta.buckets
     val idx = bm25Index(docs)
       .withColumn("bkt", bm25Bkt(col("fp"), buckets))
       .localCheckpoint(eager = false) // postings + fwd + doc census
@@ -307,11 +362,18 @@ object Retrieval {
       .repartition(col("dbkt"))
       .write.partitionBy("dbkt").mode("append")
       .parquet(layoutPath + "_fwd")
-    idx.select("doc_id", "len").distinct()
+    val docsCensus = idx.select("doc_id", "len").distinct()
       .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
-      .repartition(col("dbkt"))
+      .localCheckpoint(eager = false) // _docs write + meta delta
+    docsCensus.repartition(col("dbkt"))
       .write.partitionBy("dbkt").mode("append")
       .parquet(layoutPath + "_docs")
+    // meta census delta: batch-sized arithmetic, written LAST so a
+    // crash leaves data complete and meta stale — bm25MetaRebuild
+    // recovers it from the _docs preimage
+    val (dn, dl) = docCensus(docsCensus.select("doc_id", "len"))
+    writeBm25Meta(spark, layoutPath,
+      meta.copy(nDocs = meta.nDocs + dn, totalLen = meta.totalLen + dl))
   }
 
   /** Probe a written [[bm25IndexWrite]] layout — identical scores to
@@ -319,17 +381,20 @@ object Retrieval {
     * tail), but the corpus-sized read prunes to the query terms'
     * buckets: the probe semi-joins the postings on the PARTITION
     * column, so only those directories' files are read (dynamic
-    * partition pruning, pinned in PlanCheck). Totals come from the
-    * narrow `_docs` census; df derives from the pruned read (global
-    * by construction — see [[bm25IndexWrite]]). */
+    * partition pruning, pinned in PlanCheck). Totals are the two
+    * scalars the maintained `_meta` census carries (the `_docs`
+    * artifact is the fold preimage, never a probe-time scan); df
+    * derives from the pruned read (global by construction — see
+    * [[bm25IndexWrite]]). */
   def bm25TopKFromLayout(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, queries: DataFrame, k: Int = 10,
       dfCapPpm: Option[Long] = None): DataFrame = {
     import graft.functions.hashFunctions.gram_fps
-    val buckets = spark.read.parquet(layoutPath + "_meta")
-      .head().getLong(0).toInt
-    val totals = spark.read.parquet(layoutPath + "_docs")
-      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    import spark.implicits._
+    val meta = readBm25Meta(spark, layoutPath)
+    val buckets = meta.buckets
+    val totals = Seq((meta.nDocs, meta.totalLen))
+      .toDF("n_docs", "total_len")
     // NO checkpoint on the query side: DPP only plants a runtime
     // partition filter when the pruning side shows a selective
     // predicate, and a checkpointed LogicalRDD hides it — the tiny
@@ -379,8 +444,8 @@ object Retrieval {
     * are bounded by the touched buckets. */
   def bm25LayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, cdf: DataFrame): Unit = {
-    val buckets = spark.read.parquet(layoutPath + "_meta")
-      .head().getLong(0).toInt
+    val meta = readBm25Meta(spark, layoutPath)
+    val buckets = meta.buckets
     val known = Seq("insert", "delete", "update_preimage",
       "update_postimage")
     val validated = cdf.withColumn("_change_type",
@@ -484,6 +549,17 @@ object Retrieval {
       rewriteD("_fwd", arrivedFwd, Seq("fp", "doc_id", "len", "tf"))
       rewriteD("_docs", arrivedDocs, Seq("doc_id", "len"))
     }
+    // meta census delta — departures leave (their lens come from the
+    // preimage-verified re-tokenize), arrivals enter; written LAST so
+    // a crash leaves data complete and meta stale (bm25MetaRebuild
+    // recovers from the _docs preimage). Batch-sized arithmetic.
+    val (gn, gl) = docCensus(
+      goneIdx.select("doc_id", "len").distinct())
+    val (an, al) = docCensus(
+      arrivedIdx.select("doc_id", "len").distinct())
+    writeBm25Meta(spark, layoutPath, meta.copy(
+      nDocs = meta.nDocs - gn + an,
+      totalLen = meta.totalLen - gl + al))
   }
 
   /** RM3 pseudo-relevance expansion served THROUGH a written
@@ -495,17 +571,28 @@ object Retrieval {
     * buckets), and the feedback-term mining — doc-major access a
     * term-partitioned layout cannot prune — reads the `_fwd` forward
     * copy through its doc-bucket column instead. df derives per pass
-    * from the pruned reads (global by construction); totals come from
-    * the `_docs` census. */
+    * from the pruned reads (global by construction); totals are the
+    * `_meta` census scalars (see [[bm25TopKFromLayout]]).
+    *
+    * Why `_fwd` is LOAD-BEARING (the feedback mining cannot ride the
+    * pass-1 pruned postings instead): the pass-1 pruned read holds
+    * exactly the ORIGINAL query terms' posting lists, but RM3's value
+    * is terms the query does NOT contain — expansion candidates are,
+    * by definition, outside the pruned term set, so mining from those
+    * buckets could only re-rank terms already in the query and the
+    * expansion would be a no-op. Serving the feedback docs' FULL term
+    * vectors needs doc-major access, which is exactly what the
+    * doc-bucketed forward copy prunes to feedback-sized reads. */
   def rm3TopKFromLayout(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, queries: DataFrame, k: Int = 10,
       fbDocs: Int = 5, fbTerms: Int = 3): DataFrame = {
     import graft.functions.hashFunctions.gram_fps
     import org.apache.spark.sql.expressions.Window
-    val buckets = spark.read.parquet(layoutPath + "_meta")
-      .head().getLong(0).toInt
-    val totals = spark.read.parquet(layoutPath + "_docs")
-      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    import spark.implicits._
+    val meta = readBm25Meta(spark, layoutPath)
+    val buckets = meta.buckets
+    val totals = Seq((meta.nDocs, meta.totalLen))
+      .toDF("n_docs", "total_len")
     val orig = queries.select(col("query_id"),
       explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
     def prunedFor(terms: DataFrame): DataFrame =

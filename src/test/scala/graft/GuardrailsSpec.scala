@@ -654,6 +654,51 @@ class GuardrailsSpec extends AnyFunSuite {
       served.exceptAll(direct).count() == 0)
   }
 
+  test("layout-served probes read the _meta census, never _docs — " +
+      "and the maintained _meta tracks every fold exactly") {
+    import graft.operators.Retrieval
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25_meta_guard_${spark.sparkContext.applicationId}").getPath
+    Retrieval.bm25IndexWrite(docs, out, buckets = 64)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    // the probe plan's input files: postings buckets (and for rm3 the
+    // load-bearing _fwd forward copy) — the per-document _docs census
+    // must NOT appear; its two scalars live in _meta
+    def noDocsRead(df: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = df.inputFiles.filter(_.contains("_docs"))
+      assert(bad.isEmpty, s"probe reads _docs files: ${bad.take(3).toSeq}")
+    }
+    noDocsRead(Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10))
+    noDocsRead(Retrieval.rm3TopKFromLayout(spark, out, queries, k = 10))
+    // _meta stays exact through append + CDF folds: equal to the
+    // census a full _docs re-aggregation would produce
+    def metaEqualsCensus(): Unit = {
+      val m = spark.read.parquet(out + "_meta").head()
+      val c = spark.read.parquet(out + "_docs")
+        .agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
+      assert(m.getLong(m.fieldIndex("n_docs")) == c.getLong(0) &&
+        m.getLong(m.fieldIndex("total_len")) == c.getLong(1),
+        s"meta drifted from the _docs census: $m vs $c")
+    }
+    metaEqualsCensus()
+    Retrieval.bm25LayoutAppend(spark, out,
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+    metaEqualsCensus()
+    Retrieval.bm25LayoutApplyCdf(spark, out,
+      docs.filter(col("doc_id") === 4L)
+        .select(col("doc_id"), col("text"),
+          lit("delete").as("_change_type")))
+    metaEqualsCensus()
+    // recovery path: a clobbered meta census rebuilds from _docs
+    import spark.implicits._
+    Seq((64L, 0L, 0L)).toDF("buckets", "n_docs", "total_len")
+      .write.mode("overwrite").parquet(out + "_meta")
+    Retrieval.bm25MetaRebuild(spark, out)
+    metaEqualsCensus()
+  }
+
   test("rm3 through the layout serves bit-identically, before and " +
       "after a CDF fold") {
     import graft.operators.Retrieval
@@ -867,8 +912,8 @@ class GuardrailsSpec extends AnyFunSuite {
     val censusBefore = LayoutMaintenance.fileCensus(spark, out, "cid")
     assert(censusBefore.exists(_._2 > 1),
       s"fixture must be fragmented: $censusBefore")
-    val healthy = censusBefore.collect { case (v, 1) => v }.toSet
-    def files(cid: Long): Set[(String, Long)] = {
+    val healthy = censusBefore.collect { case (v, 1, _) => v }.toSet
+    def files(cid: String): Set[(String, Long)] = {
       val dir = new java.io.File(out, s"cid=$cid")
       if (!dir.exists()) Set.empty
       else dir.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -895,6 +940,44 @@ class GuardrailsSpec extends AnyFunSuite {
       embs.filter(col("vec_id") < 3), k = 5, nprobe = 2).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(servedAfter == servedBefore)
+  }
+
+  test("layout compaction is size-bounded: a hot partition compacts " +
+      "to several bounded files, never one unbounded straggler file") {
+    import graft.operators.LayoutMaintenance
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_compact_bound_${spark.sparkContext.applicationId}").getPath
+    // one HOT partition (cid=0 holds ~all rows) written as many small
+    // files, one cold partition with one file
+    val hot = embs.select(col("vec_id"), col("embedding"),
+      (col("vec_id") % 2 * 0).as("cid")) // all cid=0
+    hot.repartition(8).write.partitionBy("cid").mode("overwrite")
+      .parquet(out)
+    embs.limit(2).select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"), lit(1L).as("cid"))
+      .coalesce(1).write.partitionBy("cid").mode("append").parquet(out)
+    val before = LayoutMaintenance.fileCensus(spark, out, "cid")
+    val hotBytes = before.find(_._1 == "0").get._3
+    assert(before.find(_._1 == "0").get._2 > 4, s"fixture: $before")
+    // target ~1/3 of the hot partition's bytes -> expect ~3 files,
+    // and definitely MORE than one (the unbounded-straggler bug) but
+    // FEWER than before (compaction actually compacted)
+    val target = math.max(1L, hotBytes / 3)
+    val rowsBefore = spark.read.parquet(out).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    LayoutMaintenance.compact(spark, out, "cid", maxFiles = 1,
+      targetBytes = target)
+    val after = LayoutMaintenance.fileCensus(spark, out, "cid")
+    val hotAfter = after.find(_._1 == "0").get
+    assert(hotAfter._2 > 1,
+      s"hot partition collapsed to one unbounded file: $after")
+    assert(hotAfter._2 < before.find(_._1 == "0").get._2,
+      s"hot partition not compacted: before=$before after=$after")
+    // rows preserved exactly; the cold partition untouched
+    val rowsAfter = spark.read.parquet(out).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    assert(after.find(_._1 == "1").get._2 == 1)
   }
 
   test("knn centroid retrain: mega-list census drops on a skewed " +
