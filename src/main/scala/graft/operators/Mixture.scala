@@ -592,6 +592,15 @@ object Mixture {
       .orderBy("source")
       .collect()
 
+  /** Upper bound on a per-source `loss_ppm` the round arithmetic
+    * accepts: at 1e10 (a loss of 10,000 in ppm units — far above any
+    * real LM loss or chars-per-token surrogate), `alpha·loss` stays
+    * ≤ 1e16 per source (Long-safe summed over hundreds of sources)
+    * and `etaPpm·excess` ≤ ~5e15 at the default η. Beyond it the
+    * products silently wrap Long and the trajectory is garbage —
+    * [[doremiTrajectory]] fails loudly instead. */
+  val MaxLossPpm: Long = 10000000000L
+
   /** The integer Group-DRO round loop — pure driver arithmetic on the
     * ≤|sources| weight table, one definition for both mx10's
     * trajectory and mx11's plan tail. */
@@ -603,6 +612,16 @@ object Mixture {
     val loss = stats.map(_._2)
     val k = srcs.length.toLong
     require(k > 0, "doremiWeights: no sources")
+    // loss bounds: negative loss_ppm breaks the floor-division
+    // identity the oracle replay relies on; loss above MaxLossPpm
+    // overflows alpha·loss / etaPpm·excess — both fail loudly here
+    // rather than producing a silently wrong trajectory
+    stats.foreach { case (src, l) =>
+      require(l >= 0L && l <= MaxLossPpm,
+        s"doremiTrajectory: loss_ppm for source '$src' is $l — must " +
+          s"be in [0, $MaxLossPpm] (ppm units) for the integer round " +
+          "arithmetic to stay exact")
+    }
     val uniform = S / k
     val lam = Array.fill(srcs.length)(S)
     var alpha = Array.fill(srcs.length)(uniform)
@@ -646,8 +665,14 @@ object Mixture {
     val traj = doremiTrajectory(
       stats.map(r => (r.getString(0), r.getLong(1))),
       rounds, etaPpm, smoothPpm)
-    val alphaF = traj.filter(_._1 == rounds.toLong)
-      .map(t => t._2 -> t._5).toMap
+    // rounds = 0 degrades to the uniform round-0 alpha (the same
+    // no-reweighting degrade doremiWeights' empty frame implies) —
+    // without this seed the empty trajectory made alphaF(src) throw
+    val uniform = S / stats.length
+    val alphaF =
+      if (traj.isEmpty) stats.map(r => r.getString(0) -> uniform).toMap
+      else traj.filter(_._1 == rounds.toLong)
+        .map(t => t._2 -> t._5).toMap
     stats.toSeq.map { r =>
       val (src, lossPpm, nDocs, nTok) =
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -859,9 +859,18 @@ object Similarity {
     * k) array_sort over ≤ numCentroids entries, zero exchanges) — and
     * candidates are one stream-static equi-join on the list id.
     * Output: `(query_id, neighbor_id, score)` exact cosine, each pair
-    * at most once (a neighbor has ONE home list). */
+    * at most once (a neighbor has ONE home list).
+    *
+    * `excludeSelf` drops pairs whose query and neighbor ids are EQUAL
+    * — correct for intra-corpus kNN (a vector is trivially its own
+    * nearest neighbor) and the default, but WRONG when the probe
+    * batch and the index come from two DIFFERENT corpora whose id
+    * spaces overlap (parallel corpora aligned by shared line numbers:
+    * the true pair (i, i) must be minable) — cross-corpus callers
+    * ([[bitextMarginMine]]) pass `excludeSelf = false`. */
   def knnCandidatesAgainst(newVecs: DataFrame, cents: DataFrame,
-      home: DataFrame, nprobe: Int = 2): DataFrame = {
+      home: DataFrame, nprobe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
     val packed = cents
       .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
         .as("cs"))
@@ -880,7 +889,8 @@ object Similarity {
       .select(col("query_id"), col("probe.cid").as("cid"),
         col("q_emb"), col("q_nrm"))
       .join(home, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
           .as("score"))
@@ -964,11 +974,12 @@ object Similarity {
     * ([[knnApplyCdf]]) serve without retraining. Output matches
     * [[knnGraph]]'s row shape: `(vec_id, rank, neighbor_id, score)`. */
   def knnTopKAgainst(newVecs: DataFrame, cents: DataFrame,
-      home: DataFrame, k: Int = 3, nprobe: Int = 2): DataFrame = {
+      home: DataFrame, k: Int = 3, nprobe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = newVecs.sparkSession
     import spark.implicits._
     val agg = new TopKAggregator(k)
-    knnCandidatesAgainst(newVecs, cents, home, nprobe)
+    knnCandidatesAgainst(newVecs, cents, home, nprobe, excludeSelf)
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(v => (v._2, v._3))
@@ -1872,9 +1883,15 @@ object Similarity {
       marginPpmMin: Long = 1000000L): DataFrame = {
     val (centsB, homeB) = knnIndex(b, numCentroids)
     val (centsA, homeA) = knnIndex(a, numCentroids)
-    val fwd = knnTopKAgainst(a, centsB, homeB, k, nprobe)
+    // excludeSelf = false: A and B are DIFFERENT corpora, so equal
+    // ids are not self-pairs — parallel corpora aligned by shared
+    // line-number ids make (i, i) the very pair mining must find;
+    // the intra-corpus self-exclusion would silently drop it
+    val fwd = knnTopKAgainst(a, centsB, homeB, k, nprobe,
+        excludeSelf = false)
       .localCheckpoint(eager = false) // margin + avg legs
-    val bwd = knnTopKAgainst(b, centsA, homeA, k, nprobe)
+    val bwd = knnTopKAgainst(b, centsA, homeA, k, nprobe,
+        excludeSelf = false)
       .localCheckpoint(eager = false) // avg + mutual legs
     // rank-ordered fold of the top-k scores: deterministic double sum
     def avgK(t: DataFrame): DataFrame = t

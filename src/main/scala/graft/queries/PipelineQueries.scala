@@ -4482,8 +4482,7 @@ object PipelineQueries {
           ${sqlDot("q.emb", "x.emb")} / (sqrt(q.xx) * sqrt(x.xx)) AS score
         FROM ${out}p p JOIN $home h USING (cid)
         JOIN $qx q ON q.vec_id = p.query_id
-        JOIN $ex x ON x.vec_id = h.vec_id
-        WHERE p.query_id <> h.vec_id),
+        JOIN $ex x ON x.vec_id = h.vec_id),
       $out AS (SELECT vec_id, neighbor_id, score, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY score DESC, neighbor_id) AS rank FROM ${out}c)

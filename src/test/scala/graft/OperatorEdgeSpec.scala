@@ -500,6 +500,32 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no sources"))
   }
 
+  test("doremi loss-table entry point: out-of-range losses fail " +
+      "loudly; epoch plan at rounds = 0 degrades to uniform") {
+    import spark.implicits._
+    // a negative loss breaks the floor-division identity; one above
+    // MaxLossPpm would wrap Long mid-product — both must throw
+    Seq(-1L, operators.Mixture.MaxLossPpm + 1).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        operators.Mixture.doremiWeightsFromLosses(
+          Seq(("a", 5000000L), ("b", bad)).toDF("source", "loss_ppm"))
+          .collect()
+      }
+      assert(e.getMessage.contains("loss_ppm"), e.getMessage)
+    }
+    // rounds = 0: the epoch plan seeds the uniform round-0 alpha
+    // instead of throwing on the empty trajectory (the same
+    // no-reweighting degrade doremiWeights' empty frame implies)
+    val docs = Seq((1L, "a", "aa bb cc"), (2L, "b", "dd"))
+      .toDF("doc_id", "source", "text")
+    val plan = operators.Mixture
+      .doremiEpochPlan(docs, targetTokens = 1000L, rounds = 0)
+      .orderBy("source").collect()
+    assert(plan.length == 2 &&
+      plan.forall(_.getLong(4) == 500000L),
+      s"rounds=0 must yield the uniform alpha: ${plan.toSeq}")
+  }
+
   test("soft unigram trainer on an untrainable corpus is empty, no NPE") {
     import spark.implicits._
     // digits only: wordFreq's [a-z]+ filter leaves nothing to train

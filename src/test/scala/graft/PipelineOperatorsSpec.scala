@@ -233,6 +233,27 @@ class PipelineOperatorsSpec extends AnyFunSuite {
       "hub pairs sit in the [1.0, 1.2) margin band")
   }
 
+  test("bitext mining with SHARED id spaces: the aligned pair (i, i) " +
+      "is minable — cross-corpus probes must not self-exclude") {
+    import spark.implicits._
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    // parallel corpora aligned by LINE NUMBER: side A line i and side
+    // B line i are translations — both sides use ids 1..6
+    val a = (0 until 6).map(i => (i.toLong + 1, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val b = (0 until 6).map(i => (i.toLong + 1, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val mined = graft.operators.Similarity.bitextMarginMine(a, b,
+      k = 4, numCentroids = 2, nprobe = 2, marginPpmMin = 1200000L)
+      .collect()
+    val pairs = mined.map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(pairs == (1 to 6).map(i => i.toLong -> i.toLong).toSet,
+      s"the aligned (i, i) pairs must be mined, got $pairs")
+    assert(mined.forall(_.getBoolean(5)),
+      "aligned identical pairs must be mutual")
+  }
+
   test("cosine topk ranks by exact cosine, ties by id") {
     val rows = Similarity.bruteForceTopK(embs,
       embs.filter(col("vec_id") === 0), k = 5).collect()
