@@ -244,6 +244,66 @@ object Graph {
     labels.select("node", "lbl")
   }
 
+  /** Incremental community membership against a STANDING
+    * [[labelPropagation]] label table (q71) — the graph family's
+    * `*Against` member (the dd9/ss20/t25 standing-model discipline):
+    * every index family serves arrivals at batch cost against a
+    * frozen artifact, and before this the graph ops were the
+    * exception — an arriving edge batch forced a full multi-round
+    * re-run. Here each NEW node (present in the edge batch, absent
+    * from the frozen table) adopts the most frequent FROZEN label
+    * among its neighbors, ties to the smallest label (exactly one
+    * synchronous LPA round against frozen state — the same vote rule
+    * as [[labelPropagation]]); a new node with no labeled neighbor
+    * keeps itself as its own label (the LPA init), surfacing as a
+    * new singleton community until the next scheduled full re-run
+    * (the ss28 retrain discipline — incremental assignment serves
+    * arrivals, the full algorithm remains the scheduled offline
+    * event that absorbs drift).
+    *
+    * Scale shape: the arriving batch normalizes and directs its own
+    * edges (batch-sized), one anti-join against the frozen table
+    * finds the new nodes, one key-equi join attaches frozen labels
+    * to their neighbors, and the vote is a (node, label) partial agg
+    * + `min_by` argmax — the 100 TB label table is probed by key,
+    * never re-shuffled, and the corpus that derived the standing
+    * labels is not touched at all. Votes between two NEW nodes
+    * contribute nothing (neither side has a frozen label) — the
+    * frozen table is the only authority, which is what makes the
+    * assignment deterministic and oracle-replayable regardless of
+    * batch arrival order. Streaming-legal in `foreachBatch` (proven
+    * live in StreamingSpec).
+    *
+    * Output: `(node, lbl, n_votes)` for the NEW nodes only —
+    * `n_votes` is the winning label's neighbor count (0 for a
+    * singleton), the confidence signal a router thresholds on. */
+  def labelPropagationAgainst(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = newEdges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = false) // nodes + both directed legs
+    val dir = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val fresh = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+      .join(labels.select("node"), Seq("node"), "left_anti")
+    val votes = dir
+      .join(fresh, Seq("node"), "left_semi")
+      .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+      .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      .groupBy("node")
+      .agg(min_by(struct(col("lbl"), col("c")),
+        struct((-col("c")).as("nc"), col("lbl").as("tl"))).as("w"))
+      .select(col("node"), col("w.lbl").as("lbl"),
+        col("w.c").as("n_votes"))
+    fresh.join(votes, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("lbl"), col("node")).as("lbl"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"))
+  }
+
   /** Per-node triangle counts via degree-oriented wedge counting —
     * the clustering-structure primitive next to [[pageRank]]
     * (importance) and [[Dedup.resolveClusters]] (membership): on a

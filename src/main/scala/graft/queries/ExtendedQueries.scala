@@ -404,6 +404,28 @@ object ExtendedQueries {
       graft.operators.Graph.labelPropagation(edges, rounds = 4)
         .orderBy("node")
     },
+    // the graph family's INCREMENTAL member: labels freeze on the
+    // co-purchase graph among established parts (q70's 4 LPA
+    // rounds), the edges touching NEW parts (pk ≡ 0 mod 5 — absent
+    // from the frozen graph) arrive as a batch, and each new node
+    // adopts the frozen-majority label (ties smallest) at batch
+    // cost — no multi-round re-run; singletons keep their own id
+    // with 0 votes
+    "q71_lpa_incremental" -> { (s, d) =>
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x").join(li.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .localCheckpoint(eager = false) // frozen + arrival legs
+      val frozen = graft.operators.Graph.labelPropagation(
+        edges.where(col("src") % 5 =!= 0 && col("dst") % 5 =!= 0),
+        rounds = 4)
+        .localCheckpoint(eager = false) // anti-join + vote legs
+      graft.operators.Graph.labelPropagationAgainst(frozen,
+        edges.where(col("src") % 5 === 0 || col("dst") % 5 === 0))
+        .orderBy("node")
+    },
     "q36_moments" -> { (s, d) =>
       // ALL-INTEGER moments in cents. The previous double formulation
       // broke at sf0.1: DuckDB's DECIMAL→DOUBLE cast double-rounds
@@ -825,6 +847,49 @@ object ExtendedQueries {
           FROM dir),
         $roundCtes
       SELECT node, lbl FROM l4 ORDER BY node"""
+    },
+    // the frozen 9/10 table replayed round for round (q70's CTEs on
+    // the filtered edge set), then ONE vote pass for the held-out
+    // arrivals: frozen-majority label, ties smallest, singletons
+    // keep their own id with 0 votes
+    "q71_lpa_incremental" -> {
+      val roundCtes = (1 to 4).map { r =>
+        s"""c$r AS (SELECT d.node, l.lbl, count(*)::BIGINT AS c
+          FROM dir d JOIN l${r - 1} l ON l.node = d.nbr
+          GROUP BY 1, 2),
+        l$r AS MATERIALIZED (SELECT node, lbl FROM c$r
+          QUALIFY row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, lbl) = 1)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem),
+        e AS MATERIALIZED (SELECT x.pk AS src, y.pk AS dst
+          FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk),
+        und AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b
+          FROM e WHERE src % 5 <> 0 AND dst % 5 <> 0),
+        dir AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+          UNION ALL SELECT b AS node, a AS nbr FROM und),
+        l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl
+          FROM dir),
+        $roundCtes,
+        undN AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b
+          FROM e WHERE src % 5 = 0 OR dst % 5 = 0),
+        dirN AS MATERIALIZED (SELECT a AS node, b AS nbr FROM undN
+          UNION ALL SELECT b AS node, a AS nbr FROM undN),
+        freshN AS (SELECT DISTINCT node FROM dirN
+          WHERE node NOT IN (SELECT node FROM l4)),
+        votes AS (SELECT d.node, l.lbl, count(*)::BIGINT AS c
+          FROM dirN d JOIN l4 l ON l.node = d.nbr
+          WHERE d.node IN (SELECT node FROM freshN)
+          GROUP BY 1, 2),
+        win AS (SELECT node, lbl, c FROM votes
+          QUALIFY row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, lbl) = 1)
+      SELECT f.node, coalesce(w.lbl, f.node) AS lbl,
+        coalesce(w.c, 0)::BIGINT AS n_votes
+      FROM freshN f LEFT JOIN win w USING (node)
+      ORDER BY f.node"""
     },
     // same single window spec; nth_value over the running frame,
     // the same dependent running-window chain: step i's earliest

@@ -202,6 +202,17 @@ object ShareQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
     },
+    // TopN pushdown: ORDER BY l_orderkey LIMIT 20 over the 4-file
+    // range layout — the per-file min/max stats prove 3 of the 4
+    // files cannot intersect the top-20 boundary, so they never open
+    // (the pruning count is asserted in DeltaShareConnectorSpec; the
+    // gate checks the surviving rows are exactly the true top 20)
+    "share_topn" -> { (s, d) =>
+      sharedTable(s, d, "lineitem4")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(20)
+    },
     // stats-only aggregate: COUNT(*)/MIN/MAX answered on the driver
     // from the per-file stats — the plan is a LocalTableScan, zero
     // parquet bytes read (PlanCheck asserts the shape)
@@ -362,6 +373,13 @@ object ShareQueries {
       FROM lineitem
       WHERE l_orderkey % 7 <> 0 AND l_quantity >= 25
       ORDER BY l_orderkey, l_linenumber""",
+    // lineitem4 holds the SAME rows as lineitem; (l_orderkey,
+    // l_linenumber) is a key, so the top 20 is a total order
+    "share_topn" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+      LIMIT 20""",
     "share_agg_count" -> """
       SELECT count(*)::BIGINT AS n_rows, min(l_orderkey) AS min_key,
         max(l_orderkey) AS max_key

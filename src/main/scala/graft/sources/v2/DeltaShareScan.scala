@@ -50,6 +50,7 @@ class DeltaShareScanBuilder(
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
+  with SupportsPushDownTopN
   with SupportsPushDownAggregates {
 
   private val partitionCols =
@@ -105,6 +106,52 @@ class DeltaShareScanBuilder(
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
+
+  // ---- SupportsPushDownTopN ----------------------------------------
+  //
+  // Sort + limit over the scan: PARTIAL pushdown (Spark keeps the
+  // final sort+limit; `isPartiallyPushed` above covers both limit and
+  // topN) used purely for FILE PRUNING from per-file min/max stats —
+  // a file whose best possible row is provably outside the top-N
+  // boundary of the first sort key never opens. Completes the
+  // pushdown matrix (filters / columns / limit / aggregates / topN).
+  // The protocol `limitHint` is NOT set for topN: limitHint tells the
+  // server "any N rows satisfy this scan", which is true for a plain
+  // limit but wrong for a sorted one.
+  private var topN: Option[TopNSpec] = None
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    import org.apache.spark.sql.types._
+    // sound only when every filter is fully applied by file pruning:
+    // the prune guarantee counts rows of OTHER files, and a residual
+    // filter could remove exactly those rows after the scan
+    if (dataFilters.nonEmpty ||
+        !partitionFilters.forall(PartitionValues.isExact(_, partitionSchema)))
+      return false
+    if (orders.isEmpty || n <= 0) return false
+    // only the FIRST sort key prunes — a strict bound on the primary
+    // key is sound regardless of tie-breaking by later keys. Integral
+    // and date DATA columns only: float/double stats are NaN/-0.0
+    // hazards (the statSafe rule) and string stats may be truncated.
+    val field = orders.head.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        dataSchema.fields.find(_.name == r.fieldNames.head) match {
+          case Some(f) if f.dataType == ByteType || f.dataType == ShortType ||
+              f.dataType == IntegerType || f.dataType == LongType ||
+              f.dataType == DateType => f
+          case _ => return false
+        }
+      case _ => return false
+    }
+    topN = Some(TopNSpec(field,
+      asc = orders.head.direction() == SortDirection.ASCENDING,
+      nullsFirst = orders.head.nullOrdering() == NullOrdering.NULLS_FIRST,
+      n = n))
+    true
+  }
 
   // ---- SupportsPushDownAggregates ----------------------------------
   //
@@ -310,7 +357,98 @@ class DeltaShareScanBuilder(
       spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
       partitionFilters, dataFilters, limit, hadoopConf,
       streamStartingVersion, streamIgnoreDeletes,
-      streamMaxVersionsPerTrigger)
+      streamMaxVersionsPerTrigger, topN)
+  }
+}
+
+/** A pushed top-N: the first sort key's field, direction, null
+  * placement, and the row count — everything the stats-based file
+  * prune needs ([[TopNFilePrune]]). */
+final case class TopNSpec(
+    field: org.apache.spark.sql.types.StructField,
+    asc: Boolean,
+    nullsFirst: Boolean,
+    n: Int)
+
+/** Top-N file pruning: drop every file whose BEST possible row for
+  * the pushed sort provably cannot reach the top `n` — there exist
+  * `≥ n` rows in OTHER files that sort STRICTLY before anything this
+  * file holds. The guarantee counts, per other file `g` with complete
+  * stats, its surviving non-null rows when `g`'s worst value strictly
+  * beats this file's best (`g.max < f.min` for ASC, `g.min > f.max`
+  * for DESC), plus — under NULLS FIRST — every file's surviving null
+  * rows (nulls sort before all values; a file is then only prunable
+  * when provably null-free, since pruning would drop its own leading
+  * nulls). DV-bearing files subtract their cardinality from BOTH
+  * terms (the deleted rows might be any of them); files with missing
+  * stats contribute nothing to guarantees and are never pruned.
+  * Strict inequality keeps boundary ties candidates, so the final
+  * sort + limit Spark runs above (partial pushdown) sees every row
+  * that could appear in ANY correct answer (soundness fuzzed in
+  * ScanStatsSpec).
+  *
+  * Driver cost: one sort of the per-file bound table + a binary
+  * search per file — O(F log F) on the already-listed file set. */
+private[graft] object TopNFilePrune {
+  def prune(files: Seq[graft.sources.FileAction],
+      spec: TopNSpec): Seq[graft.sources.FileAction] = {
+    import org.apache.spark.sql.types._
+    def longOf(n: com.fasterxml.jackson.databind.JsonNode): Option[Long] =
+      spec.field.dataType match {
+        case DateType =>
+          try Some(java.time.LocalDate.parse(n.asText()).toEpochDay)
+          catch { case _: Exception => None }
+        case _ =>
+          if (n.isIntegralNumber) Some(n.asLong()) else None
+      }
+    case class Info(nr: Option[Long], nulls: Option[Long],
+        mn: Option[Long], mx: Option[Long], dvc: Long)
+    val infos = files.map { f =>
+      val st = f.stats.flatMap(FileStats.parse)
+      Info(
+        nr = st.flatMap(_.numRecords),
+        nulls = st.flatMap(_.nullCount.get(spec.field.name)),
+        mn = st.flatMap(_.minValues.get(spec.field.name)).flatMap(longOf),
+        mx = st.flatMap(_.maxValues.get(spec.field.name)).flatMap(longOf),
+        dvc = f.deletionVector.map(_.cardinality).getOrElse(0L))
+    }
+    // (worst value for the sort, surviving non-null rows) per file
+    // with complete stats — the sorted prefix-sum table the strict
+    // binary search below runs against
+    val contrib = infos.flatMap { i =>
+      for {
+        nr <- i.nr; nulls <- i.nulls
+        worst <- if (spec.asc) i.mx else i.mn
+      } yield (worst, math.max(0L, nr - nulls - i.dvc))
+    }.sortBy(t => if (spec.asc) t._1 else -t._1)
+    val prefix = contrib.scanLeft(0L)(_ + _._2)
+    val totalNullSurv = infos.flatMap(i =>
+      i.nulls.map(n => math.max(0L, n - i.dvc))).sum
+    // strictly-better count for a best-value b: rows of files whose
+    // worst value beats b (ASC: worst < b; DESC: worst > b)
+    def strictlyBetter(b: Long): Long = {
+      var lo = 0
+      var hi = contrib.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val beats =
+          if (spec.asc) contrib(mid)._1 < b else contrib(mid)._1 > b
+        if (beats) lo = mid + 1 else hi = mid
+      }
+      prefix(lo)
+    }
+    files.zip(infos).collect {
+      case (f, i) if {
+        val best = if (spec.asc) i.mn else i.mx
+        best match {
+          case None => true // no stats -> never pruned
+          case Some(b) =>
+            val nullTerm = if (spec.nullsFirst) totalNullSurv else 0L
+            val ownNullsOk = !spec.nullsFirst || i.nulls.contains(0L)
+            !(ownNullsOk && strictlyBetter(b) + nullTerm >= spec.n)
+        }
+      } => f
+    }
   }
 }
 
@@ -348,7 +486,8 @@ class DeltaShareScan(
     hadoopConf: Configuration,
     streamStartingVersion: Option[Long] = None,
     streamIgnoreDeletes: Boolean = false,
-    streamMaxVersionsPerTrigger: Option[Long] = None) extends Scan with Batch
+    streamMaxVersionsPerTrigger: Option[Long] = None,
+    topN: Option[TopNSpec] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val partitionColNames = partitionSchema.fieldNames.toSet
@@ -383,7 +522,9 @@ class DeltaShareScan(
   override def description(): String =
     s"DeltaShareScan ${addr.share}.${addr.schema}.${addr.table} " +
       s"[files pruned by ${partitionFilters.length} partition filter(s), " +
-      s"hints from ${dataFilters.length} data filter(s), limit=$limit]"
+      s"hints from ${dataFilters.length} data filter(s), limit=$limit" +
+      topN.map(t => s", pushedTopN=${t.field.name} " +
+        s"${if (t.asc) "ASC" else "DESC"} n=${t.n}").getOrElse("") + "]"
 
   private lazy val jsonHints: Option[String] = PredicateHints.buildHints(
     (partitionFilters ++ dataFilters).toSeq,
@@ -454,6 +595,14 @@ class DeltaShareScan(
       }
     }
 
+  /** Pushed-top-N file pruning ([[TopNFilePrune]]): files whose best
+    * possible row provably cannot reach the top-n boundary of the
+    * first sort key never open. */
+  private def topNPrunedFiles: Seq[graft.sources.FileAction] = topN match {
+    case None => statsPrunedFiles
+    case Some(spec) => TopNFilePrune.prune(statsPrunedFiles, spec)
+  }
+
   // ---- SupportsRuntimeFiltering (dynamic partition pruning) --------
 
   override def filterAttributes(): Array[NamedReference] =
@@ -470,7 +619,7 @@ class DeltaShareScan(
     * `stats.numRecords` the server sends (when present on all kept
     * files). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val files = statsPrunedFiles
+    private val files = topNPrunedFiles
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(files.map(_.size).sum)
     override def numRows(): OptionalLong = {
@@ -494,7 +643,7 @@ class DeltaShareScan(
     } catch { case _: Exception => None }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    statsPrunedFiles.map { f =>
+    topNPrunedFiles.map { f =>
       val presigned =
         f.url.startsWith("http://") || f.url.startsWith("https://")
       val path =

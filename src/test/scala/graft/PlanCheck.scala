@@ -1015,6 +1015,15 @@ object PlanCheck {
       "grouped aggregate answered from stats (LocalTableScan)" ->
         (_.contains("LocalTableScan")),
       "no parquet scan planned" -> (p => !p.contains("BatchScan"))))
+    audit("share_topn", Seq(
+      // sort+limit pushed to the scan as a partial TopN: the scan
+      // description carries the pushed spec (file pruning asserted in
+      // DeltaShareConnectorSpec) and Spark keeps the authoritative
+      // TakeOrdered above it
+      "topN pushed to the scan" ->
+        (_.contains("pushedTopN=l_orderkey ASC n=20")),
+      "final TakeOrdered stays above (partial pushdown)" ->
+        (_.contains("TakeOrderedAndProject"))))
     audit("share_stats_prune", Seq(
       // data skipping keeps the filters residual (correctness never
       // depends on pruning) while the scan plans fewer files — the

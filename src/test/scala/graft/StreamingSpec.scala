@@ -278,6 +278,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(grown.count() > 0)
   }
 
+  test("live edges adopt frozen LPA labels at batch cost") {
+    // q71's incremental member runs in foreachBatch: arriving
+    // co-purchase edges vote against the STANDING label table (one
+    // round, frozen-majority, ties smallest) — no multi-round re-run
+    // on the live path; the accumulated stream output must equal the
+    // one-shot batch assignment of the same arrivals
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    def copurchase(side: org.apache.spark.sql.DataFrame) =
+      side.as("x").join(side.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    // frozen graph: edges among ESTABLISHED parts (pk % 5 != 0);
+    // arrivals: edges touching the new parts
+    val frozen = operators.Graph.labelPropagation(
+      copurchase(li)
+        .where(col("src") % 5 =!= 0 && col("dst") % 5 =!= 0),
+      rounds = 2)
+      .localCheckpoint()
+    def arrivalEdges(side: org.apache.spark.sql.DataFrame) =
+      copurchase(side)
+        .where(col("src") % 5 === 0 || col("dst") % 5 === 0)
+    val schema = spark.read.parquet(s"$sf/lineitem.parquet").schema
+    val liStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = liStream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= operators.Graph
+          .labelPropagationAgainst(frozen, arrivalEdges(b))
+          .collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = operators.Graph.labelPropagationAgainst(frozen,
+      arrivalEdges(li))
+    assert(got.nonEmpty && got.toSet == asSet(batch))
+  }
+
   test("standing bm25 index ingests a live document stream") {
     // t25's postings builder is per-row (tf counted inside the doc's
     // own token array — no Aggregate), so the SAME operator maps a

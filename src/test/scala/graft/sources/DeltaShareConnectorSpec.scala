@@ -369,6 +369,45 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally st.stop()
   }
 
+  test("TopN pushdown prunes files outside the top-k boundary, " +
+      "rows stay exactly the true top-k") {
+    val (st, total, mid, loCount) = statsFixture()
+    try {
+      val df = readFrom(st, "orders2")
+      def scanFiles(d: org.apache.spark.sql.DataFrame): Int = {
+        d.write.format("noop").mode("overwrite").save()
+        d.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.partitions.flatten.size
+        }.sum
+      }
+      // ASC top-5: the lo file's rows guarantee the hi file out
+      val asc = df.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").limit(5)
+      assert(scanFiles(asc) == 1, "ASC top-5 must open only the lo file")
+      assert(asc.queryExecution.executedPlan.toString
+        .contains("pushedTopN=o_orderkey ASC n=5"))
+      val direct = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(5)
+      assert(asc.collect().toSeq == direct.collect().toSeq)
+      // DESC: only the hi file
+      val desc = df.select("o_orderkey").orderBy(col("o_orderkey").desc)
+        .limit(5)
+      assert(scanFiles(desc) == 1, "DESC top-5 must open only the hi file")
+      // n larger than the lo file's rows: both files must open
+      val wide = df.select("o_orderkey").orderBy("o_orderkey")
+        .limit(loCount.toInt + 5)
+      assert(scanFiles(wide) == 2)
+      assert(wide.count() == loCount + 5)
+      // a residual data filter refuses the topN prune (both files):
+      // the guarantee would count rows the filter removes
+      val filtered = df.filter(col("o_totalprice") > 0)
+        .select("o_orderkey").orderBy("o_orderkey").limit(5)
+      assert(scanFiles(filtered) == 2,
+        "topN prune must refuse under a residual data filter")
+    } finally st.stop()
+  }
+
   test("COUNT/MIN/MAX answer from stats as a LocalTableScan, zero reads") {
     val (st, total, mid, _) = statsFixture()
     try {

@@ -20,6 +20,13 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: StubSharingServer = _
   private var fileSize: Long = 0
 
+  /** Deterministic property driver over seeded ScalaCheck samples. */
+  private def forAll[T](gen: Gen[T], n: Int = 300)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
   override def beforeAll(): Unit = {
     server = new StubSharingServer(expectedToken = "tok").start()
     val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
@@ -56,6 +63,113 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
     assert(joined.count() == 25)
+  }
+
+  test("TopN pushdown prunes files outside the top-k boundary") {
+    import graft.sources.v2.{TopNFilePrune, TopNSpec}
+    def fa(url: String, stats: Option[String]) =
+      FileAction(url, url, Map.empty, 1L, stats, None, None, None)
+    def st(n: Long, mn: Long, mx: Long, nulls: Long = 0L) = Some(
+      s"""{"numRecords":$n,"minValues":{"k":$mn},"maxValues":{"k":$mx},
+          "nullCount":{"k":$nulls}}""")
+    val field = StructField("k", LongType)
+    val files = Seq(
+      fa("f0", st(100, 0, 99)), fa("f1", st(100, 100, 199)),
+      fa("f2", st(100, 200, 299)), fa("f3", st(100, 300, 399)))
+    // ASC top-20: f0's 100 rows guarantee f1..f3 out
+    assert(TopNFilePrune.prune(files,
+      TopNSpec(field, asc = true, nullsFirst = true, n = 20))
+      .map(_.url) == Seq("f0"))
+    // DESC top-20: only f3 survives
+    assert(TopNFilePrune.prune(files,
+      TopNSpec(field, asc = false, nullsFirst = false, n = 20))
+      .map(_.url) == Seq("f3"))
+    // ASC top-150: needs f0 AND f1 (f1's best could land in the top)
+    assert(TopNFilePrune.prune(files,
+      TopNSpec(field, asc = true, nullsFirst = true, n = 150))
+      .map(_.url) == Seq("f0", "f1"))
+    // overlapping ranges at the boundary are kept (strict inequality)
+    val overlap = files :+ fa("f4", st(100, 99, 150))
+    assert(TopNFilePrune.prune(overlap,
+      TopNSpec(field, asc = true, nullsFirst = true, n = 20))
+      .map(_.url).toSet == Set("f0", "f4"))
+    // a stats-less file is never pruned and never helps prune others
+    val noStats = Seq(fa("g0", st(100, 0, 99)), fa("g1", None))
+    assert(TopNFilePrune.prune(noStats,
+      TopNSpec(field, asc = true, nullsFirst = true, n = 20))
+      .map(_.url).toSet == Set("g0", "g1"))
+    // NULLS FIRST: a file with nulls cannot be pruned (its null rows
+    // sort ahead of everything), and other files' nulls count toward
+    // the guarantee
+    val withNulls = Seq(
+      fa("h0", st(100, 0, 99, nulls = 30)), fa("h1", st(100, 100, 199)))
+    assert(TopNFilePrune.prune(withNulls,
+      TopNSpec(field, asc = false, nullsFirst = true, n = 20))
+      .map(_.url) == Seq("h0"),
+      "h0's 30 leading nulls fill a DESC NULLS FIRST top-20 alone")
+    assert(TopNFilePrune.prune(withNulls,
+      TopNSpec(field, asc = false, nullsFirst = true, n = 40))
+      .map(_.url).toSet == Set("h0", "h1"),
+      "at n=40 the 30 nulls are not enough — h1's high values compete")
+    assert(TopNFilePrune.prune(withNulls,
+      TopNSpec(field, asc = true, nullsFirst = true, n = 20))
+      .map(_.url) == Seq("h0"),
+      "h0's 30 nulls + 70 low values guarantee h1 out at n=20")
+    // and h0 itself is never prunable under NULLS FIRST: its null
+    // rows sort ahead of every value any other file could hold
+    assert(TopNFilePrune.prune(
+      withNulls :+ fa("h2", st(1000, -500, -400)),
+      TopNSpec(field, asc = true, nullsFirst = true, n = 20))
+      .map(_.url).contains("h0"),
+      "a file with nulls survives NULLS FIRST regardless of guarantees")
+  }
+
+  test("TopN prune soundness fuzz: pruning never changes the top-N " +
+      "value multiset") {
+    import graft.sources.v2.{TopNFilePrune, TopNSpec}
+    val field = StructField("k", LongType)
+    val genFile: Gen[Seq[Option[Long]]] = Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n,
+        Gen.oneOf(Gen.const(None), Gen.choose(-4L, 4L).map(Some(_)))))
+    val genCase = for {
+      nFiles <- Gen.choose(1, 5)
+      files <- Gen.listOfN(nFiles, genFile)
+      asc <- Gen.oneOf(true, false)
+      nullsFirst <- Gen.oneOf(true, false)
+      n <- Gen.choose(1, 8)
+      statless <- Gen.choose(0, nFiles - 1) // one file may lack stats
+      dropStats <- Gen.oneOf(true, false)
+    } yield (files, asc, nullsFirst, n, statless, dropStats)
+    forAll(genCase, n = 2000) {
+      case (rowSets, asc, nullsFirst, n, statless, dropStats) =>
+        val files = rowSets.zipWithIndex.map { case (rows, i) =>
+          val present = rows.flatten
+          val stats =
+            if (dropStats && i == statless) None
+            else Some(s"""{"numRecords":${rows.length},""" +
+              (if (present.nonEmpty)
+                s""""minValues":{"k":${present.min}},""" +
+                  s""""maxValues":{"k":${present.max}},"""
+              else "") +
+              s""""nullCount":{"k":${rows.count(_.isEmpty)}}}""")
+          FileAction(s"f$i", s"f$i", Map.empty, 1L, stats, None, None, None)
+        }
+        val spec = TopNSpec(field, asc, nullsFirst, n)
+        val kept = TopNFilePrune.prune(files, spec).map(_.url).toSet
+        // row ordering under (asc, nullsFirst): nulls get an infinite
+        // sentinel on the correct side
+        def key(v: Option[Long]): Long = v match {
+          case Some(x) => if (asc) x else -x
+          case None => if (nullsFirst) Long.MinValue else Long.MaxValue
+        }
+        def topVals(sets: Seq[(Seq[Option[Long]], Int)]): Seq[Long] =
+          sets.flatMap(_._1).map(key).sorted.take(n)
+        val all = rowSets.zipWithIndex
+        val surviving = all.filter { case (_, i) => kept.contains(s"f$i") }
+        assert(topVals(all) == topVals(surviving),
+          s"pruning changed the top-$n: files=$rowSets asc=$asc " +
+            s"nullsFirst=$nullsFirst kept=$kept")
+    }
   }
 
   test("FileStats.canSkip decides exactly the provably-matchless cases") {
