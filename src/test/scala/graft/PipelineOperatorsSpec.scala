@@ -2207,6 +2207,48 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain near-dup images")
   }
 
+  test("cross-codec near-dup: planted PNG/JPEG pairs surface with " +
+      "small distances, nothing spurious, JPEG magic dispatches") {
+    // JPEG magic dispatch joins PNG/BMP in the codec gate
+    assert(Multimodal.ImageCodec.matches(
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)))
+    assert(!Multimodal.ImageCodec.matches(
+      Array(0xff.toByte, 0xd9.toByte, 0xff.toByte)))
+    val media = Multimodal.mixedCodecMedia(spark, docs)
+    // the fixture really is mixed-codec: every planted variant is
+    // JPEG, everything else PNG, and the payload magics agree
+    val codecs = media.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2)))
+    assert(codecs.exists(_._3 == "jpeg") && codecs.exists(_._3 == "png"))
+    codecs.foreach { case (id, payload, codec) =>
+      assert(Multimodal.ImageCodec.matches(payload), s"magic missing: $id")
+      val isJpeg = (payload(0) & 0xff) == 0xff
+      assert(isJpeg == (codec == "jpeg"), s"codec/magic mismatch: $id")
+    }
+    // every planted pair survives the codec boundary; nothing else
+    val got = Multimodal.imageNearDupAcrossCodecs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = codecs.map(_._1).filter(id => id % 101 == 1 && id >= 101)
+      .filter(id => codecs.exists(_._1 == id - 1))
+      .map(id => (id - 1, id)).toSet
+    assert(got == planted, s"got=$got planted=$planted")
+    assert(got.nonEmpty, "fixture must contain planted cross-codec pairs")
+    // distances: planted pairs sit well under the radius even with
+    // JPEG noise; unrelated hashes sit far above it (the margin that
+    // makes the pair set codec-stable)
+    val dh = Multimodal.imageDHashFromBytes(spark, media).collect()
+      .map(r => (r.getLong(0), (r.getLong(3) << 32) | r.getLong(4))).toMap
+    planted.foreach { case (a, b) =>
+      val dist = java.lang.Long.bitCount(dh(a) ^ dh(b))
+      assert(dist <= 3, s"planted pair ($a,$b) at dist $dist")
+    }
+    val unrelated = (for {
+      (a, ha) <- dh.take(60); (b, hb) <- dh.take(60)
+      if a < b && !planted.contains((a, b))
+    } yield java.lang.Long.bitCount(ha ^ hb)).min
+    assert(unrelated > 8, s"unrelated floor $unrelated too close to radius")
+  }
+
   test("incremental image near-dup equals the full run's cross-boundary pairs") {
     val full = Multimodal.imageNearDup(spark, docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
