@@ -112,8 +112,14 @@ object Bench {
     // the same scalars repeat in the summary line that follows)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib_s":$calibS,"load1m":[$loadBefore,$loadMid,$loadAfter],"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","query_unit":"cs","queries":$qsByFam}""")
+    // BENCH_FULL carries BOTH raw passes next to the min: a
+    // cross-round comparison can then tell machine noise (passes
+    // disagree, min stable) from a real regression (both passes
+    // moved) without re-running — the round-16 adjudication problem
     val qsFull = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => f""""$k":$v%.3f""" }
+      .map { case (k, v) =>
+        f""""$k":{"min":$v%.3f,"runs":[${p1(k)}%.3f,${p2(k)}%.3f]}"""
+      }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(

@@ -36,6 +36,23 @@ import org.apache.spark.sql.functions._
   * partition over `⌈bytes/target⌉` writer tasks (parallel, no
   * single-partition straggler), with `maxRecordsPerFile` as the hard
   * size backstop when salt groups collide in one task.
+  *
+  * Why this stays a SIBLING of [[Layout.compact]] rather than one
+  * primitive (the considered-and-rejected unification): the two share
+  * the `targetBytes` sizing discipline but serve different contracts.
+  * [[Layout.compact]] materializes a NEW layout from rows that carry
+  * a per-row size column and a meaningful order — its
+  * `binAssignments` cumsum makes every output file RANGE-CONTIGUOUS
+  * in the order column, which is the point (per-file min/max stats
+  * prune like a sorted table, q57/q68). This operator heals an
+  * EXISTING hash-partitioned layout in place, where rows carry no
+  * size column (sizes come from the file listing) and within-bucket
+  * order carries no pruning value (bucket contents are hash-grouped
+  * by construction) — imposing the bin plan here would force a
+  * window sort per partition (a single-reducer straggler on exactly
+  * the hot partitions being healed) to produce an ordering nothing
+  * reads. One primitive would carry the weaker half of each
+  * contract; the shared discipline is the byte target, not the code.
   */
 object LayoutMaintenance {
 
@@ -142,5 +159,8 @@ object LayoutMaintenance {
     compact(spark, layoutPath, "bkt", maxFiles, targetBytes)
     compact(spark, layoutPath + "_fwd", "dbkt", maxFiles, targetBytes)
     compact(spark, layoutPath + "_docs", "dbkt", maxFiles, targetBytes)
+    // the df delta log compacts at its bucket grain too (rows are
+    // preserved — the signed SUM is file-geometry-invariant)
+    compact(spark, layoutPath + "_df", "bkt", maxFiles, targetBytes)
   }
 }

@@ -290,6 +290,36 @@ object Retrieval {
     writeBm25Meta(spark, layoutPath, Bm25Meta(buckets, n, l))
   }
 
+  /** Per-term document-frequency DELTA rows for a postings frame —
+    * the `_df` dictionary artifact's unit of maintenance: `(fp, ddf,
+    * bkt)` with `ddf = ±` the number of docs carrying the term in
+    * this batch. Stored as an append-only signed log partitioned by
+    * the term bucket, so EVERY fold (initial write +, append +, CDF
+    * arrival + / departure −) is one append and the true df of a
+    * term is `SUM(ddf)` over its bucket — no rewrite, naturally
+    * crash-ordered after its data fold ([[bm25DfRebuild]] recovers a
+    * missing tail from the postings). The null-fp sentinel is
+    * excluded: it is a document-existence marker, not a term. */
+  private def dfDeltas(idx: DataFrame, buckets: Int,
+      sign: Int): DataFrame =
+    idx.filter(col("fp").isNotNull)
+      .groupBy("fp").agg((count(lit(1)) * sign).as("ddf"))
+      .withColumn("bkt", bm25Bkt(col("fp"), buckets))
+
+  /** Rebuild `_df` from the postings — recovery for a layout whose
+    * data fold landed but whose df append did not. One vocabulary-
+    * sized aggregation over the postings. */
+  def bm25DfRebuild(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String): Unit = {
+    val buckets = spark.read.parquet(layoutPath + "_meta")
+      .head().getLong(0).toInt
+    dfDeltas(spark.read.parquet(layoutPath)
+        .select("fp", "doc_id", "len", "tf"), buckets, 1)
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(layoutPath + "_df")
+  }
+
   /** Materialize the standing BM25 postings (t32) — the lexical twin
     * of [[graft.operators.Similarity.knnIndexWrite]]: postings land
     * PARTITIONED by a term-hash bucket (`bkt = fp mod buckets`
@@ -327,6 +357,13 @@ object Retrieval {
     docsCensus.repartition(col("dbkt"))
       .write.partitionBy("dbkt").mode("overwrite")
       .parquet(outPath + "_docs")
+    // the per-term df dictionary (`_df`, bucket-partitioned signed
+    // delta log): a capped probe reads query-term df from it FIRST
+    // and never opens the postings buckets of capped-out terms
+    dfDeltas(idx, buckets, 1)
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(outPath + "_df")
     // the collection census (n_docs, total_len) lands IN _meta and is
     // maintained incrementally by every fold — probes read two scalars
     // from one tiny file, never the corpus-sized _docs artifact
@@ -368,6 +405,11 @@ object Retrieval {
     docsCensus.repartition(col("dbkt"))
       .write.partitionBy("dbkt").mode("append")
       .parquet(layoutPath + "_docs")
+    // df dictionary delta: one appended batch of +counts per term
+    dfDeltas(idx, buckets, 1)
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("append")
+      .parquet(layoutPath + "_df")
     // meta census delta: batch-sized arithmetic, written LAST so a
     // crash leaves data complete and meta stale — bm25MetaRebuild
     // recovers it from the _docs preimage
@@ -383,9 +425,19 @@ object Retrieval {
     * column, so only those directories' files are read (dynamic
     * partition pruning, pinned in PlanCheck). Totals are the two
     * scalars the maintained `_meta` census carries (the `_docs`
-    * artifact is the fold preimage, never a probe-time scan); df
-    * derives from the pruned read (global by construction — see
-    * [[bm25IndexWrite]]). */
+    * artifact is the fold preimage, never a probe-time scan).
+    *
+    * df: the UNCAPPED probe derives it from the pruned read (global
+    * by construction — see [[bm25IndexWrite]]). A CAPPED probe
+    * (`dfCapPpm`) instead reads the query terms' df from the `_df`
+    * dictionary FIRST (a bucket-pruned, vocabulary-sized read) and
+    * drops stopword-grade terms BEFORE the postings pruning — their
+    * buckets never open, which is what keeps capped serving flat at
+    * 10× data (a stopword's posting list is df-sized ~ corpus-sized
+    * by definition; deriving its df from the postings would read the
+    * very list the cap exists to skip). Stored df equals derived df
+    * by the fold maintenance invariant (GuardrailsSpec pins it), so
+    * capped scores are bit-identical either way. */
   def bm25TopKFromLayout(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, queries: DataFrame, k: Int = 10,
       dfCapPpm: Option[Long] = None): DataFrame = {
@@ -411,11 +463,29 @@ object Retrieval {
     // on disk, so the df aggregation and the term join each re-read
     // the PRUNED directories (cheap by construction) — a checkpoint
     // would wrap the scan in a LogicalRDD and defeat the pruning
-    val pruned = spark.read.parquet(layoutPath)
-      .join(broadcast(qterms), Seq("bkt", "fp"), "left_semi")
-      .select("fp", "doc_id", "len", "tf")
-    val dfreq = pruned.groupBy("fp").agg(count(lit(1)).as("df"))
-    bm25ScoreFps(pruned, totals, qfps, k, dfCapPpm, Some(dfreq))
+    def prunedBy(terms: DataFrame): DataFrame =
+      spark.read.parquet(layoutPath)
+        .join(broadcast(terms), Seq("bkt", "fp"), "left_semi")
+        .select("fp", "doc_id", "len", "tf")
+    dfCapPpm match {
+      case None =>
+        val pruned = prunedBy(qterms)
+        val dfreq = pruned.groupBy("fp").agg(count(lit(1)).as("df"))
+        bm25ScoreFps(pruned, totals, qfps, k, None, Some(dfreq))
+      case Some(cap) =>
+        // df from the dictionary (bucket-pruned delta-log SUM), the
+        // cap applied BEFORE any postings read: surviving terms only
+        val dfq = spark.read.parquet(layoutPath + "_df")
+          .join(broadcast(qterms), Seq("bkt", "fp"), "left_semi")
+          .groupBy("fp").agg(sum("ddf").as("df"))
+          .filter(col("df") > 0 &&
+            col("df") * lit(1000000L) <= lit(cap) * lit(meta.nDocs))
+        val surviving = dfq.select("fp")
+          .withColumn("bkt", bm25Bkt(col("fp"), buckets))
+        // cap already applied — the scoring tail sees only survivors
+        bm25ScoreFps(prunedBy(surviving), totals, qfps, k, None,
+          Some(dfq))
+    }
   }
 
   /** Fold a CDF batch into a WRITTEN [[bm25IndexWrite]] layout — the
@@ -549,6 +619,14 @@ object Retrieval {
       rewriteD("_fwd", arrivedFwd, Seq("fp", "doc_id", "len", "tf"))
       rewriteD("_docs", arrivedDocs, Seq("doc_id", "len"))
     }
+    // df dictionary deltas: departures append −counts (exact by the
+    // verified preimage), arrivals +counts — the signed log keeps
+    // SUM(ddf) equal to the true per-term df with no rewrite
+    dfDeltas(goneIdx, buckets, -1)
+      .unionByName(dfDeltas(arrivedIdx, buckets, 1))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("append")
+      .parquet(layoutPath + "_df")
     // meta census delta — departures leave (their lens come from the
     // preimage-verified re-tokenize), arrivals enter; written LAST so
     // a crash leaves data complete and meta stale (bm25MetaRebuild

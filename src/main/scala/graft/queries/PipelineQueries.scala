@@ -1592,6 +1592,27 @@ object PipelineQueries {
     // the changed docs' term buckets are rewritten), and the probe
     // reads only the query terms' buckets (DPP-pinned) — rows must
     // equal t25's in-memory fold bit-for-bit (verbatim oracle)
+    // df-CAPPED serving through the written layout: query-term df
+    // comes from the _df dictionary (bucket-pruned, vocabulary-sized)
+    // and stopword-grade terms drop BEFORE the postings pruning —
+    // their corpus-sized posting buckets never open, the serving
+    // shape that stays flat at 10x data (GuardrailsSpec pins the
+    // bytes skipped; stored df == derived df by the fold maintenance
+    // invariant). Cap = 78% of docs: the synthetic fixture draws from
+    // a small word pool, so every term is common — the cap sits
+    // inside the fixture's df band to exercise both branches at
+    // every scale factor
+    "t40_bm25_layout_dfcap" -> { (s, d) =>
+      val all = documents(s, d)
+      val out = layoutDir(s, d, "bm25p_layout") { p =>
+        Retrieval.bm25IndexWrite(all, p, buckets = 64)
+      }
+      Retrieval.bm25TopKFromLayout(s, out,
+        all.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")),
+        k = 10, dfCapPpm = Some(780000L))
+        .orderBy("query_id", "rank")
+    },
     "t32_bm25_layout" -> { (s, d) =>
       val all = documents(s, d)
       val out = layoutDir(s, d, "bm25_layout") { p =>
@@ -3402,6 +3423,12 @@ object PipelineQueries {
     // the LAYOUT round-trip must serve the maintained postings
     // bit-identically, so t32's oracle is t25's VERBATIM
     "t32_bm25_layout" -> sqlT25Bm25Standing,
+    // the capped layout serve must equal the t22 chain with the SAME
+    // df cap computed corpus-wide — stored dictionary df and derived
+    // df are interchangeable by the maintenance invariant
+    "t40_bm25_layout_dfcap" -> s"""${sqlBm25TopK(
+      dfCapPpm = Some(780000L))}
+      ORDER BY query_id, rank""",
     // RRF hybrid fusion: the full t22 BM25 chain and the full ss1
     // cosine chain replayed as nested subqueries, fused by the same
     // integer 1e6 div (60+rank) contributions

@@ -699,6 +699,107 @@ class GuardrailsSpec extends AnyFunSuite {
     metaEqualsCensus()
   }
 
+  test("df-capped layout probe skips capped terms' buckets entirely " +
+      "and the _df dictionary tracks every fold exactly") {
+    import graft.operators.Retrieval
+    import graft.functions.hashFunctions.gram_fps
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25_dfcap_guard_${spark.sparkContext.applicationId}").getPath
+    val B = 64
+    Retrieval.bm25IndexWrite(docs, out, buckets = B)
+    // stored df (SUM of the delta log) must equal df derived from
+    // the postings — initially and after append + CDF folds
+    def dfAgree(): Unit = {
+      val stored = spark.read.parquet(out + "_df")
+        .groupBy("fp").agg(sum("ddf").as("df"))
+        .filter(col("df") =!= 0)
+      val derived = spark.read.parquet(out)
+        .filter(col("fp").isNotNull)
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+      assert(stored.exceptAll(derived).count() == 0 &&
+        derived.exceptAll(stored).count() == 0,
+        "_df delta log drifted from the postings")
+    }
+    dfAgree()
+    Retrieval.bm25LayoutAppend(spark, out,
+      docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 7000).as("doc_id"), col("text")))
+    dfAgree()
+    Retrieval.bm25LayoutApplyCdf(spark, out,
+      docs.filter(col("doc_id") === 4L)
+        .select(col("doc_id"), col("text"),
+          lit("delete").as("_change_type")))
+    dfAgree()
+    // capped probe: stopword-grade terms (df > cap) drop BEFORE the
+    // postings pruning, so their buckets never open
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val cap = 200000L
+    val meta = spark.read.parquet(out + "_meta").head()
+    val nDocs = meta.getLong(meta.fieldIndex("n_docs"))
+    val qfps = queries
+      .select(explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+      .distinct()
+    val dfAll = spark.read.parquet(out)
+      .join(qfps, Seq("fp"), "left_semi")
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+    val surviving = dfAll
+      .filter(col("df") * 1000000L <= cap * nDocs)
+      .select(pmod(col("fp"), lit(B.toLong)).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    val allQ = dfAll.select(pmod(col("fp"), lit(B.toLong)).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(surviving.size < allQ.size,
+      s"fixture must have stopword-only buckets (${allQ.size} vs " +
+        s"${surviving.size}) for the skip to be observable")
+    // RUNTIME bytes-read (inputFiles is the static listing and AQE
+    // final-plan metric objects are re-instantiated copies — neither
+    // reflects what execution actually opened): a TaskEnd listener
+    // totals inputMetrics.bytesRead per probe, flushed through the
+    // async bus before reading. The capped probe pays the tiny _df
+    // dictionary read but skips the capped-out terms' posting
+    // buckets, so it must read strictly fewer bytes overall.
+    def bytesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        org.apache.spark.GraftTestBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    val cappedBytes = bytesRead(
+      Retrieval.bm25TopKFromLayout(spark, out, queries,
+        k = 10, dfCapPpm = Some(cap)))
+    val uncappedBytes = bytesRead(
+      Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10))
+    assert(cappedBytes < uncappedBytes,
+      s"cap skipped nothing: capped=$cappedBytes uncapped=$uncappedBytes")
+    val capped = Retrieval.bm25TopKFromLayout(spark, out, queries,
+      k = 10, dfCapPpm = Some(cap))
+    // and the capped layout serve equals the in-memory capped probe
+    val direct = Retrieval.bm25TopKAgainst(
+      Retrieval.bm25ApplyCdf(
+        Retrieval.bm25Index(docs.select("doc_id", "text")
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 7000).as("doc_id"), col("text")))),
+        docs.filter(col("doc_id") === 4L)
+          .select(col("doc_id"), col("text"),
+            lit("delete").as("_change_type"))),
+      queries, k = 10, dfCapPpm = Some(cap))
+    assert(capped.count() > 0,
+      "capped probe must still rank through the surviving terms")
+    assert(direct.exceptAll(capped).count() == 0 &&
+      capped.exceptAll(direct).count() == 0)
+  }
+
   test("rm3 through the layout serves bit-identically, before and " +
       "after a CDF fold") {
     import graft.operators.Retrieval
