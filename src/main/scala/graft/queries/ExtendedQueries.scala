@@ -13,6 +13,32 @@ import graft.operators.{AsOfJoin, SkewJoin}
   */
 object ExtendedQueries {
 
+  /** The part co-purchase edge list (two parts adjacent iff they
+    * share an order), NORMALIZED (src < dst, distinct) and memoized
+    * per (session, sf-dir) — the kgCents/layoutDir standing-artifact
+    * discipline applied to the graph family: q60/q62/q70/q71 all
+    * consume this same frame, and at 100 TB the fact-table self-join
+    * that derives a graph is exactly the artifact you materialize
+    * once, not per analytics query. Eagerly checkpointed so every
+    * consumer starts from executor storage; stopped sessions evict
+    * on access. */
+  private val copurchaseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    copurchaseCache.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(copurchaseCache.remove)
+    copurchaseCache.getOrElseUpdate((s, d), {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("x").join(li.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .distinct()
+        .localCheckpoint()
+    })
+  }
+
   /** Recursive month spine + revenue fill — IDENTICAL SQL text runs
     * on both engines (Spark 4 and DuckDB both speak WITH RECURSIVE;
     * the only dialect-sensitive pieces — integer month indexes,
@@ -371,38 +397,27 @@ object ExtendedQueries {
     // counting — O(√m)-bounded out-neighborhoods regardless of hub
     // skew, each triangle found once at its degree-least vertex
     "q60_triangles" -> { (s, d) =>
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      // per-order pair blowup is bounded by order size (≤7 lines)
-      val edges = li.as("x").join(li.as("y"), "ok")
-        .where(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      graft.operators.Graph.triangles(edges).orderBy("node")
+      // per-order pair blowup is bounded by order size (≤7 lines);
+      // the derived edge list is the memoized standing artifact all
+      // graph queries share (copurchaseEdges)
+      graft.operators.Graph.triangles(copurchaseEdges(s, d))
+        .orderBy("node")
     },
     // dense nucleus of the part co-purchase graph: synchronous k-core
     // peeling, k=80 — the sf0.01/sf0.1 graphs shed a real multi-round
     // cascade (measured: 5 peel rounds to the fixpoint) while the
     // unrolled depth of 6 covers convergence at every test scale
     "q62_kcore" -> { (s, d) =>
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("x").join(li.as("y"), "ok")
-        .where(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      graft.operators.Graph.kCore(edges, k = 80, rounds = 6).orderBy("node")
+      graft.operators.Graph.kCore(copurchaseEdges(s, d), k = 80,
+        rounds = 6).orderBy("node")
     },
     // community detection on the part co-purchase graph: synchronous
     // deterministic LPA (most-frequent neighbor label, ties to the
     // smallest) — the dense-cluster grain components can't see; the
     // oracle replays all 4 rounds as unrolled CTEs
     "q70_label_propagation" -> { (s, d) =>
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("x").join(li.as("y"), "ok")
-        .where(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      graft.operators.Graph.labelPropagation(edges, rounds = 4)
-        .orderBy("node")
+      graft.operators.Graph.labelPropagation(copurchaseEdges(s, d),
+        rounds = 4).orderBy("node")
     },
     // the graph family's INCREMENTAL member: labels freeze on the
     // co-purchase graph among established parts (q70's 4 LPA
@@ -412,12 +427,7 @@ object ExtendedQueries {
     // cost — no multi-round re-run; singletons keep their own id
     // with 0 votes
     "q71_lpa_incremental" -> { (s, d) =>
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("x").join(li.as("y"), "ok")
-        .where(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-        .localCheckpoint(eager = false) // frozen + arrival legs
+      val edges = copurchaseEdges(s, d)
       val frozen = graft.operators.Graph.labelPropagation(
         edges.where(col("src") % 5 =!= 0 && col("dst") % 5 =!= 0),
         rounds = 4)
