@@ -544,4 +544,72 @@ class OperatorEdgeSpec extends AnyFunSuite {
     LayoutMaintenance.compact(spark, ghost, "cid") // must not throw
   }
 
+  test("file census tolerates string and null partition values") {
+    import spark.implicits._
+    import graft.operators.LayoutMaintenance
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_strpart_${System.nanoTime()}").getPath
+    Seq((1L, "alpha"), (2L, "beta"), (3L, null: String))
+      .toDF("id", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(out)
+    val census = LayoutMaintenance.fileCensus(spark, out, "part")
+    assert(census.map(_._1).toSet ==
+      Set("alpha", "beta", LayoutMaintenance.NullPartitionDir),
+      s"census must keep directory spellings: $census")
+    // compaction over a string/null-partitioned layout must not
+    // throw and must preserve rows (nothing fragmented -> no-op)
+    LayoutMaintenance.compact(spark, out, "part")
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("incremental LPA: empty label table, empty batch, all-frozen batch") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "lbl")
+    // empty arriving batch -> empty assignment, no NPE
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.labelPropagationAgainst(labels, noEdges).collect().isEmpty)
+    // batch touching only frozen nodes -> nothing new to assign
+    val frozenOnly = Seq((1L, 2L)).toDF("src", "dst")
+    assert(Graph.labelPropagationAgainst(labels, frozenOnly)
+      .collect().isEmpty)
+    // empty FROZEN table: every arriving node is a singleton keeping
+    // its own id with zero votes (the LPA init)
+    val empty = Seq.empty[(Long, Long)].toDF("node", "lbl")
+    val got = Graph.labelPropagationAgainst(empty,
+      Seq((10L, 11L)).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 10L, 0L), (11L, 11L, 0L)))
+    // majority vote with tie: node 9 borders lbl-1 (x2 via nodes 1,2)
+    // and lbl-3 (x1) -> adopts 1; node 8 borders 1 and 3 once each
+    // -> tie to the SMALLEST label
+    val votes = Graph.labelPropagationAgainst(labels,
+      Seq((9L, 1L), (9L, 2L), (9L, 3L), (8L, 2L), (8L, 3L))
+        .toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(votes == Set((9L, 1L, 2L), (8L, 1L, 1L)), s"got $votes")
+  }
+
+  test("byte-fed dHash rejects payloads that do not tile the 9x8 grid") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val img = new java.awt.image.BufferedImage(
+      10, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, bos.toByteArray)).toDF("media_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.imageDHashFromBytes(spark, media).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("tile")), e.getMessage)
+    // garbage bytes fail loudly as undecodable, not silently empty
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val e2 = intercept[Exception] {
+      Multimodal.imageDHashFromBytes(spark, junk).collect()
+    }
+    assert(msgs(e2).exists(_.contains("undecodable")), e2.getMessage)
+  }
+
 }
