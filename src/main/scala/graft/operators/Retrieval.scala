@@ -467,22 +467,27 @@ object Retrieval {
       spark.read.parquet(layoutPath)
         .join(broadcast(terms), Seq("bkt", "fp"), "left_semi")
         .select("fp", "doc_id", "len", "tf")
+    // df ALWAYS comes from the dictionary (bucket-pruned delta-log
+    // SUM — stored ≡ derived by the fold maintenance invariant):
+    // deriving it from the pruned postings would scan the pruned
+    // directories a second time just to count rows the scoring pass
+    // is about to read anyway
+    def dfFromDict(extra: Column): DataFrame =
+      spark.read.parquet(layoutPath + "_df")
+        .join(broadcast(qterms), Seq("bkt", "fp"), "left_semi")
+        .groupBy("fp").agg(sum("ddf").as("df"))
+        .filter(col("df") > 0 && extra)
     dfCapPpm match {
       case None =>
-        val pruned = prunedBy(qterms)
-        val dfreq = pruned.groupBy("fp").agg(count(lit(1)).as("df"))
-        bm25ScoreFps(pruned, totals, qfps, k, None, Some(dfreq))
+        bm25ScoreFps(prunedBy(qterms), totals, qfps, k, None,
+          Some(dfFromDict(lit(true))))
       case Some(cap) =>
-        // df from the dictionary (bucket-pruned delta-log SUM), the
-        // cap applied BEFORE any postings read: surviving terms only
-        val dfq = spark.read.parquet(layoutPath + "_df")
-          .join(broadcast(qterms), Seq("bkt", "fp"), "left_semi")
-          .groupBy("fp").agg(sum("ddf").as("df"))
-          .filter(col("df") > 0 &&
-            col("df") * lit(1000000L) <= lit(cap) * lit(meta.nDocs))
+        // the cap applies BEFORE any postings read: capped-out terms'
+        // buckets never open — the scoring tail sees only survivors
+        val dfq = dfFromDict(
+          col("df") * lit(1000000L) <= lit(cap) * lit(meta.nDocs))
         val surviving = dfq.select("fp")
           .withColumn("bkt", bm25Bkt(col("fp"), buckets))
-        // cap already applied — the scoring tail sees only survivors
         bm25ScoreFps(prunedBy(surviving), totals, qfps, k, None,
           Some(dfq))
     }
@@ -679,10 +684,19 @@ object Retrieval {
           .withColumn("bkt", bm25Bkt(col("fp"), buckets))),
           Seq("bkt", "fp"), "left_semi")
         .select("fp", "doc_id", "len", "tf")
+    // df from the `_df` dictionary for BOTH passes (stored ≡ derived
+    // by the fold maintenance invariant) — deriving it from the
+    // pruned postings would scan each pass's directories twice
+    def dfFor(terms: DataFrame): DataFrame =
+      spark.read.parquet(layoutPath + "_df")
+        .join(broadcast(terms.select("fp").distinct()
+          .withColumn("bkt", bm25Bkt(col("fp"), buckets))),
+          Seq("bkt", "fp"), "left_semi")
+        .groupBy("fp").agg(sum("ddf").as("df"))
+        .filter(col("df") > 0)
     val pruned1 = prunedFor(orig)
-    val dfreq1 = pruned1.groupBy("fp").agg(count(lit(1)).as("df"))
     val feedback = bm25ScoreFps(pruned1, totals, orig, fbDocs,
-        dfreqOpt = Some(dfreq1))
+        dfreqOpt = Some(dfFor(orig)))
       .select("query_id", "doc_id")
     val fbWeights = feedback
       .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
@@ -698,9 +712,8 @@ object Retrieval {
       .filter(col("erank") <= fbTerms)
       .select("query_id", "fp")
     val allTerms = orig.unionByName(expansion).distinct()
-    val pruned2 = prunedFor(allTerms)
-    val dfreq2 = pruned2.groupBy("fp").agg(count(lit(1)).as("df"))
-    bm25ScoreFps(pruned2, totals, allTerms, k, dfreqOpt = Some(dfreq2))
+    bm25ScoreFps(prunedFor(allTerms), totals, allTerms, k,
+      dfreqOpt = Some(dfFor(allTerms)))
   }
 
   /** RM3-style pseudo-relevance-feedback expansion (t27): run each
