@@ -77,7 +77,17 @@ object LayoutMaintenance {
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(partCol + "="))
       .map { d =>
-        val v = d.getPath.getName.drop(partCol.length + 1)
+        val raw = d.getPath.getName.drop(partCol.length + 1)
+        // Hive %XX-escapes special chars in directory spellings
+        // (spaces, colons in timestamps, '%' itself); the census must
+        // report the VALUE, not the spelling — compact() casts and
+        // re-joins on it, and an escaped spelling would never match
+        // (those partitions were silently never compacted). The null
+        // marker is a reserved literal, kept verbatim.
+        val v =
+          if (raw == NullPartitionDir) raw
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(raw)
         val parts = fs.listStatus(d.getPath)
           .filter(_.getPath.getName.endsWith(".parquet"))
         (v, parts.length, parts.map(_.getLen).sum)
@@ -137,9 +147,13 @@ object LayoutMaintenance {
           pmod(hash(dataCols: _*), col("__need")))
       val totalBytes = frag.map(_._3).sum
       val totalRows = rows.count()
+      // BigInt before dividing: targetBytes * totalRows overflows a
+      // Long at ~7e10 fragmented rows under the default 128 MiB target
+      // — maxRecordsPerFile would go negative and the write would throw
       val recsPerFile =
         if (totalRows == 0L || totalBytes == 0L) Long.MaxValue
-        else math.max(1L, targetBytes * totalRows / totalBytes)
+        else (BigInt(targetBytes) * totalRows / totalBytes)
+          .max(BigInt(1)).min(BigInt(Long.MaxValue)).toLong
       salted
         .repartition(col(partCol), col("__salt"))
         .select(rows.columns.map(col): _*)
@@ -152,15 +166,60 @@ object LayoutMaintenance {
   /** Compact a full [[Retrieval.bm25IndexWrite]] layout: the `bkt=`
     * postings, the `_fwd` doc-bucket copy, and the `_docs` census
     * each at their own partition grain (the 1-row `_meta` census is
-    * untouched — compaction moves bytes, never rows). */
+    * untouched — compaction moves bytes, never rows), PLUS the `_df`
+    * delta-log collapse ([[collapseBm25Df]]) — the one sub-artifact
+    * where compaction must also collapse ROWS: the signed log grows
+    * one row per (term, fold) forever, so under streaming ingest
+    * (one append per micro-batch) a year of 1-minute batches leaves
+    * ~0.5M delta rows per COMMON term, and the df-capped probe that
+    * exists to keep stopword queries flat then pays
+    * fold-count-proportional work in exactly the hot buckets. The
+    * collapse runs FIRST so the file-geometry pass sizes the
+    * already-collapsed bytes. */
   def compactBm25(spark: SparkSession, layoutPath: String,
       maxFiles: Int = 1,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    collapseBm25Df(spark, layoutPath)
     compact(spark, layoutPath, "bkt", maxFiles, targetBytes)
     compact(spark, layoutPath + "_fwd", "dbkt", maxFiles, targetBytes)
     compact(spark, layoutPath + "_docs", "dbkt", maxFiles, targetBytes)
-    // the df delta log compacts at its bucket grain too (rows are
-    // preserved — the signed SUM is file-geometry-invariant)
     compact(spark, layoutPath + "_df", "bkt", maxFiles, targetBytes)
+  }
+
+  /** Collapse the `_df` signed delta log of a [[Retrieval
+    * .bm25IndexWrite]] layout to ONE row per (term, bucket), dropping
+    * zero-sum terms (fully departed — their postings are gone, so a
+    * surviving 0-row would only cost probe reads). Serving is
+    * invariant BY CONSTRUCTION: every probe takes a term's df as
+    * `SUM(ddf)` over its bucket, and the collapse replaces each
+    * bucket's rows with their per-term sums — so t32/t35/t37/t40
+    * serve bit-identically across it (pinned in GuardrailsSpec),
+    * while a probe's per-term read drops from fold-count rows to one.
+    *
+    * Crash discipline: the rewrite is the CDF folds' partition-grain
+    * dynamic overwrite over an eagerly-checkpointed frame (severed
+    * from the files being replaced); buckets left with no surviving
+    * term drop explicitly. A crash before the job commit leaves the
+    * log untouched; the collapse changes no SUM, so it neither needs
+    * nor bumps the layout's fold-sequence stamp. */
+  def collapseBm25Df(spark: SparkSession, layoutPath: String): Unit = {
+    val dfPath = layoutPath + "_df"
+    val existing = fileCensus(spark, dfPath, "bkt").map(_._1)
+    if (existing.isEmpty) return
+    val collapsed = spark.read.parquet(dfPath)
+      .groupBy("bkt", "fp").agg(sum("ddf").as("ddf"))
+      .filter(col("ddf") =!= 0)
+      .select("fp", "ddf", "bkt")
+      .localCheckpoint(eager = true) // sever from the files replaced
+    collapsed.repartition(col("bkt"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bkt").mode("overwrite").parquet(dfPath)
+    val written = collapsed.select("bkt").distinct()
+      .collect().map(_.get(0).toString).toSet
+    val fs = new org.apache.hadoop.fs.Path(dfPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    existing.filterNot(written).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(dfPath, s"bkt=$b"), true)
+    }
   }
 }

@@ -239,31 +239,132 @@ object Retrieval {
     coalesce(pmod(fp, lit(buckets.toLong)), lit(buckets.toLong))
 
   /** The written layout's collection statistics: bucket count plus the
-    * corpus census `(n_docs, total_len)` BM25's idf/length terms need.
-    * Kept in the 1-row `_meta` and maintained INCREMENTALLY by every
-    * fold ([[bm25LayoutAppend]], [[bm25LayoutApplyCdf]]) so a probe
-    * reads two scalars from one tiny file instead of re-aggregating
+    * corpus census `(n_docs, total_len)` BM25's idf/length terms need,
+    * plus the fold-sequence stamp `fold_seq` (crash-consistency —
+    * below). Kept in the 1-row `_meta` and maintained INCREMENTALLY by
+    * every fold ([[bm25LayoutAppend]], [[bm25LayoutApplyCdf]]) so a
+    * probe reads scalars from one tiny file instead of re-aggregating
     * the one-row-per-document `_docs` artifact — at 1B+ docs that
     * census is a multi-GB scan per probe batch for two numbers that
     * only change when the corpus does. `_docs` stays on disk as the
     * preimage/recovery source: [[bm25MetaRebuild]] re-derives `_meta`
-    * from it after a crash between a data fold and its meta write. */
-  private case class Bm25Meta(buckets: Int, nDocs: Long, totalLen: Long)
+    * from it after a crash between a data fold and its meta write.
+    *
+    * CRASH-CONSISTENCY CONTRACT: a fold writes several non-atomic
+    * parquet commits (postings, `_fwd`, `_docs`, `_df`, `_meta`), so a
+    * crash mid-fold would otherwise leave derived artifacts silently
+    * stale — every probe takes df from `_df` and totals from `_meta`,
+    * and would serve WRONG scores until an operator happened to run
+    * the rebuilds. Every fold therefore brackets itself with a
+    * monotone fold id: the 1-row `_fold_intent` marker is the fold's
+    * FIRST write (`fold_seq = meta.fold_seq + 1`) and `_meta` (now
+    * carrying the same `fold_seq`) is its LAST — a crash anywhere in
+    * between leaves `intent ≠ meta`, which [[readBm25Meta]] (the entry
+    * of every probe AND every fold) detects and fails LOUDLY on,
+    * naming [[bm25LayoutFsck]] as the recovery. A crash before the
+    * intent write changed nothing (the layout is intact at the prior
+    * fold; the batch is simply lost and the caller re-submits). */
+  private[graft] case class Bm25Meta(buckets: Int, nDocs: Long,
+      totalLen: Long, foldSeq: Long)
 
-  private def readBm25Meta(spark: org.apache.spark.sql.SparkSession,
+  private def readBm25MetaRow(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String): Bm25Meta = {
     val r = spark.read.parquet(layoutPath + "_meta").head()
     Bm25Meta(r.getLong(r.fieldIndex("buckets")).toInt,
       r.getLong(r.fieldIndex("n_docs")),
-      r.getLong(r.fieldIndex("total_len")))
+      r.getLong(r.fieldIndex("total_len")),
+      r.getLong(r.fieldIndex("fold_seq")))
+  }
+
+  private def readBm25Meta(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String): Bm25Meta = {
+    val m = readBm25MetaRow(spark, layoutPath)
+    val intent = readFoldIntent(spark, layoutPath)
+    if (intent != Some(m.foldSeq))
+      throw new IllegalStateException(
+        s"bm25 layout $layoutPath is mid-fold or crashed mid-fold: " +
+          s"_fold_intent=${intent.getOrElse("unreadable")} but " +
+          s"_meta.fold_seq=${m.foldSeq} — a fold began and did not " +
+          "complete, so the derived df/census artifacts may be stale. " +
+          "Run Retrieval.bm25LayoutFsck(spark, path, heal = true) to " +
+          "rebuild them from the postings, then re-submit the lost batch.")
+    m
   }
 
   private def writeBm25Meta(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, m: Bm25Meta): Unit = {
     import spark.implicits._
-    Seq((m.buckets.toLong, m.nDocs, m.totalLen))
-      .toDF("buckets", "n_docs", "total_len")
+    Seq((m.buckets.toLong, m.nDocs, m.totalLen, m.foldSeq))
+      .toDF("buckets", "n_docs", "total_len", "fold_seq")
       .write.mode("overwrite").parquet(layoutPath + "_meta")
+  }
+
+  /** The fold-intent marker: a 1-row `(fold_seq)` parquet written as
+    * the FIRST commit of every fold (see [[Bm25Meta]]'s contract).
+    * None = the marker exists but is unreadable (a crash during the
+    * intent write itself) — treated as stale by [[readBm25Meta]]. */
+  private def readFoldIntent(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String): Option[Long] =
+    try Some(spark.read.parquet(layoutPath + "_fold_intent")
+      .head().getLong(0))
+    catch { case _: Exception => None }
+
+  private def writeFoldIntent(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, seq: Long): Unit = {
+    import spark.implicits._
+    Seq(seq).toDF("fold_seq")
+      .write.mode("overwrite").parquet(layoutPath + "_fold_intent")
+  }
+
+  /** Staleness check + self-heal for a written [[bm25IndexWrite]]
+    * layout (the operational recovery [[readBm25Meta]]'s loud failure
+    * points at). Returns true when the layout was already consistent
+    * (`_fold_intent == _meta.fold_seq`). On a mid-fold crash signature
+    * with `heal = true`, rebuilds EVERY derived artifact from the
+    * postings — `_fwd` (the same rows re-partitioned by doc bucket),
+    * `_docs` (the per-doc census, including null-fp sentinel docs),
+    * `_df` (the per-term df), and `_meta` (census + the recovered fold
+    * id) — because the postings are the one artifact everything else
+    * is a function of. The healed layout is consistent at WHATEVER
+    * prefix of the crashed fold landed (possibly the pre-fold state);
+    * the interrupted batch itself is lost and must be re-submitted —
+    * recovering it would need the batch, which a layout cannot hold.
+    * Corpus-sized (one postings scan) by design: this is the rare
+    * recovery event, not a serving path. */
+  def bm25LayoutFsck(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, heal: Boolean = false): Boolean = {
+    val m = readBm25MetaRow(spark, layoutPath)
+    val intent = readFoldIntent(spark, layoutPath)
+    if (intent == Some(m.foldSeq)) return true
+    require(heal,
+      s"bm25 layout $layoutPath crashed mid-fold " +
+        s"(intent=${intent.getOrElse("unreadable")}, " +
+        s"meta=${m.foldSeq}); pass heal = true to rebuild")
+    val target = math.max(intent.getOrElse(m.foldSeq), m.foldSeq)
+    val buckets = m.buckets
+    // re-stamp the intent first (also repairs an unreadable marker):
+    // a crash during the heal itself then re-presents as mid-fold
+    writeFoldIntent(spark, layoutPath, target)
+    val idx = spark.read.parquet(layoutPath)
+      .select("fp", "doc_id", "len", "tf")
+      .localCheckpoint(eager = true) // sever from files being replaced
+    idx.withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
+      .repartition(col("dbkt"))
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("dbkt").mode("overwrite").parquet(layoutPath + "_fwd")
+    val docsCensus = idx.select("doc_id", "len").distinct()
+      .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
+      .localCheckpoint(eager = false) // _docs write + meta census
+    docsCensus.repartition(col("dbkt"))
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("dbkt").mode("overwrite").parquet(layoutPath + "_docs")
+    dfDeltas(idx, buckets, 1)
+      .repartition(col("bkt"))
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("bkt").mode("overwrite").parquet(layoutPath + "_df")
+    val (n, l) = docCensus(docsCensus.select("doc_id", "len"))
+    writeBm25Meta(spark, layoutPath, Bm25Meta(buckets, n, l, target))
+    false
   }
 
   /** The 1-row `(n_docs, total_len)` census of a per-doc frame
@@ -275,19 +376,22 @@ object Retrieval {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Rebuild `_meta` from the `_docs` preimage — the recovery path for
-    * a layout whose last data fold landed but whose meta write did not
-    * (or a layout written before `_meta` carried the census). One scan
-    * of the narrow per-doc artifact; every maintained fold keeps the
-    * two in lockstep so this is an operational tool, not a serving
-    * dependency. */
+  /** Rebuild `_meta` from the `_docs` preimage — the NARROW recovery
+    * for a crash known to sit between the `_df` append and the meta
+    * write (every earlier artifact landed; only the census is stale).
+    * One scan of the narrow per-doc artifact. Stamps `fold_seq` up to
+    * the intent marker, so it CLEARS the staleness check — when the
+    * crash point is unknown, run [[bm25LayoutFsck]] instead (it
+    * rebuilds every derived artifact from the postings and assumes
+    * nothing about where the fold stopped). */
   def bm25MetaRebuild(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String): Unit = {
-    val buckets = spark.read.parquet(layoutPath + "_meta")
-      .head().getLong(0).toInt
+    val m = readBm25MetaRow(spark, layoutPath)
+    val seq = math.max(
+      readFoldIntent(spark, layoutPath).getOrElse(m.foldSeq), m.foldSeq)
     val (n, l) = docCensus(
       spark.read.parquet(layoutPath + "_docs").select("doc_id", "len"))
-    writeBm25Meta(spark, layoutPath, Bm25Meta(buckets, n, l))
+    writeBm25Meta(spark, layoutPath, Bm25Meta(m.buckets, n, l, seq))
   }
 
   /** Per-term document-frequency DELTA rows for a postings frame —
@@ -311,12 +415,17 @@ object Retrieval {
     * sized aggregation over the postings. */
   def bm25DfRebuild(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String): Unit = {
-    val buckets = spark.read.parquet(layoutPath + "_meta")
-      .head().getLong(0).toInt
+    val buckets = readBm25MetaRow(spark, layoutPath).buckets
+    // static overwrite pinned: under a session-configured DYNAMIC
+    // partitionOverwriteMode, buckets whose every term vanished would
+    // keep their stale delta files and the recovery itself would
+    // leave wrong df (recovery semantics must not depend on session
+    // config)
     dfDeltas(spark.read.parquet(layoutPath)
         .select("fp", "doc_id", "len", "tf"), buckets, 1)
       .repartition(col("bkt"))
-      .write.partitionBy("bkt").mode("overwrite")
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("bkt").mode("overwrite")
       .parquet(layoutPath + "_df")
   }
 
@@ -341,34 +450,45 @@ object Retrieval {
   def bm25IndexWrite(docs: DataFrame, outPath: String,
       buckets: Int = 64): Unit = {
     val spark = docs.sparkSession
+    // fold 0's intent bracket (see Bm25Meta's crash contract): the
+    // initial build is itself a fold — a crash mid-build leaves
+    // intent=0 without a matching _meta, so probes refuse the
+    // half-written layout instead of serving it. Overwrite modes are
+    // pinned STATIC so a rebuild over an existing path cannot leave
+    // stale partitions under a session-configured dynamic mode.
+    writeFoldIntent(spark, outPath, 0L)
     val idx = bm25Index(docs)
       .withColumn("bkt", bm25Bkt(col("fp"), buckets))
       .localCheckpoint(eager = false) // postings + fwd + doc census
     idx.repartition(col("bkt"))
-      .write.partitionBy("bkt").mode("overwrite").parquet(outPath)
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("bkt").mode("overwrite").parquet(outPath)
     idx.select("fp", "doc_id", "len", "tf")
       .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
       .repartition(col("dbkt"))
-      .write.partitionBy("dbkt").mode("overwrite")
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("dbkt").mode("overwrite")
       .parquet(outPath + "_fwd")
     val docsCensus = idx.select("doc_id", "len").distinct()
       .withColumn("dbkt", pmod(col("doc_id"), lit(buckets.toLong)))
       .localCheckpoint(eager = false) // _docs write + meta census
     docsCensus.repartition(col("dbkt"))
-      .write.partitionBy("dbkt").mode("overwrite")
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("dbkt").mode("overwrite")
       .parquet(outPath + "_docs")
     // the per-term df dictionary (`_df`, bucket-partitioned signed
     // delta log): a capped probe reads query-term df from it FIRST
     // and never opens the postings buckets of capped-out terms
     dfDeltas(idx, buckets, 1)
       .repartition(col("bkt"))
-      .write.partitionBy("bkt").mode("overwrite")
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("bkt").mode("overwrite")
       .parquet(outPath + "_df")
     // the collection census (n_docs, total_len) lands IN _meta and is
     // maintained incrementally by every fold — probes read two scalars
     // from one tiny file, never the corpus-sized _docs artifact
     val (n, l) = docCensus(docsCensus.select("doc_id", "len"))
-    writeBm25Meta(spark, outPath, Bm25Meta(buckets, n, l))
+    writeBm25Meta(spark, outPath, Bm25Meta(buckets, n, l, 0L))
   }
 
   /** Append-only ingest of a document batch into a WRITTEN
@@ -387,8 +507,11 @@ object Retrieval {
     * [[bm25LayoutApplyCdf]] machinery with an empty CDF). */
   def bm25LayoutAppend(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, docs: DataFrame): Unit = {
-    val meta = readBm25Meta(spark, layoutPath)
+    val meta = readBm25Meta(spark, layoutPath) // refuses a stale layout
     val buckets = meta.buckets
+    // intent bracket FIRST (see Bm25Meta's crash contract): a crash
+    // anywhere below leaves intent ≠ meta and probes fail loudly
+    writeFoldIntent(spark, layoutPath, meta.foldSeq + 1)
     val idx = bm25Index(docs)
       .withColumn("bkt", bm25Bkt(col("fp"), buckets))
       .localCheckpoint(eager = false) // postings + fwd + doc census
@@ -410,12 +533,12 @@ object Retrieval {
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("append")
       .parquet(layoutPath + "_df")
-    // meta census delta: batch-sized arithmetic, written LAST so a
-    // crash leaves data complete and meta stale — bm25MetaRebuild
-    // recovers it from the _docs preimage
+    // meta census delta: batch-sized arithmetic, written LAST with the
+    // intent's fold id — this commit is what marks the fold complete
     val (dn, dl) = docCensus(docsCensus.select("doc_id", "len"))
     writeBm25Meta(spark, layoutPath,
-      meta.copy(nDocs = meta.nDocs + dn, totalLen = meta.totalLen + dl))
+      meta.copy(nDocs = meta.nDocs + dn, totalLen = meta.totalLen + dl,
+        foldSeq = meta.foldSeq + 1))
   }
 
   /** Probe a written [[bm25IndexWrite]] layout — identical scores to
@@ -519,7 +642,7 @@ object Retrieval {
     * are bounded by the touched buckets. */
   def bm25LayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, cdf: DataFrame): Unit = {
-    val meta = readBm25Meta(spark, layoutPath)
+    val meta = readBm25Meta(spark, layoutPath) // refuses a stale layout
     val buckets = meta.buckets
     val known = Seq("insert", "delete", "update_preimage",
       "update_postimage")
@@ -570,6 +693,11 @@ object Retrieval {
     }
     val touched = goneIdx.select("bkt").union(arrivedIdx.select("bkt"))
       .distinct().collect().map(_.get(0).toString.toLong).toSet
+    // intent bracket (see Bm25Meta's crash contract): written AFTER
+    // every validation action above (change-type guard, preimage
+    // check — a REJECTED fold mutates nothing and must not flag the
+    // layout) and before the first mutation below
+    writeFoldIntent(spark, layoutPath, meta.foldSeq + 1)
     val fs = new org.apache.hadoop.fs.Path(layoutPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (touched.nonEmpty) {
@@ -633,16 +761,17 @@ object Retrieval {
       .write.partitionBy("bkt").mode("append")
       .parquet(layoutPath + "_df")
     // meta census delta — departures leave (their lens come from the
-    // preimage-verified re-tokenize), arrivals enter; written LAST so
-    // a crash leaves data complete and meta stale (bm25MetaRebuild
-    // recovers from the _docs preimage). Batch-sized arithmetic.
+    // preimage-verified re-tokenize), arrivals enter; written LAST
+    // with the intent's fold id — this commit marks the fold complete.
+    // Batch-sized arithmetic.
     val (gn, gl) = docCensus(
       goneIdx.select("doc_id", "len").distinct())
     val (an, al) = docCensus(
       arrivedIdx.select("doc_id", "len").distinct())
     writeBm25Meta(spark, layoutPath, meta.copy(
       nDocs = meta.nDocs - gn + an,
-      totalLen = meta.totalLen - gl + al))
+      totalLen = meta.totalLen - gl + al,
+      foldSeq = meta.foldSeq + 1))
   }
 
   /** RM3 pseudo-relevance expansion served THROUGH a written

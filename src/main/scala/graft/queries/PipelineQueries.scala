@@ -1889,6 +1889,32 @@ object PipelineQueries {
     })
   }
 
+  /** Force-build every memoized standing artifact this pack keys on
+    * (session, sf-dir): the trained kg centroids, the BPE merge rules,
+    * and every written layout ([[layoutDir]] kind). The bench calls
+    * this in WARMUP so each timed pass measures steady SERVING —
+    * without it, whichever query first touches a memoized layout pays
+    * its build, and per-query numbers become order/state-dependent
+    * accidents of one JVM's hash-map ordering (two consecutive rounds
+    * mis-graded t37 by ~10× exactly this way). Layout builds are side
+    * effects of query CONSTRUCTION (layoutDir writes before
+    * returning), so invoking each builder query's function once — no
+    * action needed on the returned frame — is sufficient. The name
+    * list is every query whose closure calls layoutDir; a new layout
+    * kind must be added here (the bench's steadiness, not
+    * correctness, is what drifts if it is forgotten). */
+  def prewarm(s: SparkSession, d: String): Unit = {
+    kgCents(s, d)
+    bpeRules(s, d)
+    Seq("ss21_sq8_layout", "ss22_pq_layout", "ss23_knn_layout",
+      "ss24_sq8_layout_cdf", "ss25_pq_layout_cdf",
+      "ss27_sq8_stats_refresh", "ss28_knn_centroid_retrain",
+      "ss29_knn_layout_census", "ss30_knn_compact",
+      "t32_bm25_layout", "t35_rm3_layout", "t37_hybrid_layout",
+      "t39_bm25_compact", "t40_bm25_layout_dfcap")
+      .foreach(n => queries(n)(s, d))
+  }
+
   private val bpeRulesCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
   private def bpeRules(s: SparkSession, d: String): Seq[(String, String)] =

@@ -692,8 +692,11 @@ class GuardrailsSpec extends AnyFunSuite {
           lit("delete").as("_change_type")))
     metaEqualsCensus()
     // recovery path: a clobbered meta census rebuilds from _docs
+    // (fold_seq kept at the intent's value so the layout stays
+    // probe-consistent after the rebuild)
     import spark.implicits._
-    Seq((64L, 0L, 0L)).toDF("buckets", "n_docs", "total_len")
+    Seq((64L, 0L, 0L, 2L))
+      .toDF("buckets", "n_docs", "total_len", "fold_seq")
       .write.mode("overwrite").parquet(out + "_meta")
     Retrieval.bm25MetaRebuild(spark, out)
     metaEqualsCensus()
@@ -1530,5 +1533,132 @@ class GuardrailsSpec extends AnyFunSuite {
       s"Spark ${org.apache.spark.SPARK_VERSION} no longer matches the " +
         s"bridge's pinned ${org.apache.spark.sql.GraftBridge.TargetSparkVersionPrefix}.x " +
         "— re-audit GraftBridge's private[sql] usage before bumping the pin")
+  }
+
+  test("_df collapse: appends + CDF folds leave one row per (term, " +
+      "bucket), zero-sum terms drop, and serving is bit-identical") {
+    import graft.operators.{LayoutMaintenance, Retrieval}
+    import spark.implicits._
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dfcollapse_guard_${spark.sparkContext.applicationId}").getPath
+    val B = 16
+    Retrieval.bm25IndexWrite(docs, out, buckets = B)
+    // three streaming-shaped appends + one departure fold: the delta
+    // log now holds several signed rows per common term
+    (1 to 3).foreach { i =>
+      Retrieval.bm25LayoutAppend(spark, out,
+        docs.filter(col("doc_id") % 13 === i.toLong)
+          .select((col("doc_id") + i * 10000L).as("doc_id"), col("text")))
+    }
+    Retrieval.bm25LayoutApplyCdf(spark, out,
+      docs.filter(col("doc_id") === 2L)
+        .select(col("doc_id"), col("text"),
+          lit("delete").as("_change_type")))
+    val preRows = spark.read.parquet(out + "_df").count()
+    val multi = spark.read.parquet(out + "_df")
+      .groupBy("bkt", "fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(multi > 0, "fixture must accumulate multi-row terms for " +
+      "the collapse to be observable")
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val before = Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10)
+      .collect().toSet
+    val beforeCapped = Retrieval.bm25TopKFromLayout(spark, out, queries,
+      k = 10, dfCapPpm = Some(400000L)).collect().toSet
+    LayoutMaintenance.collapseBm25Df(spark, out)
+    // row pin: N folds followed by a collapse leave ≤ 1 row per
+    // (term, bucket), and strictly fewer rows than before
+    val dfAfter = spark.read.parquet(out + "_df")
+    assert(dfAfter.groupBy("bkt", "fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count() == 0,
+      "collapse left multi-row terms")
+    assert(dfAfter.count() < preRows,
+      s"collapse did not shrink the log ($preRows rows before)")
+    assert(dfAfter.filter(col("ddf") <= 0).count() == 0,
+      "zero/negative-sum terms must drop at collapse")
+    // stored df ≡ postings-derived df, and serving unchanged (both
+    // capped and uncapped probes)
+    val stored = dfAfter.groupBy("fp").agg(sum("ddf").as("df"))
+    val derived = spark.read.parquet(out)
+      .filter(col("fp").isNotNull)
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+    assert(stored.exceptAll(derived).count() == 0 &&
+      derived.exceptAll(stored).count() == 0,
+      "collapsed _df drifted from the postings")
+    assert(Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10)
+      .collect().toSet == before, "uncapped serving changed")
+    assert(Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10,
+      dfCapPpm = Some(400000L)).collect().toSet == beforeCapped,
+      "capped serving changed")
+    // the maintenance contract survives the collapse: a further
+    // append keeps stored ≡ derived
+    Retrieval.bm25LayoutAppend(spark, out,
+      docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("text")))
+    val stored2 = spark.read.parquet(out + "_df")
+      .groupBy("fp").agg(sum("ddf").as("df")).filter(col("df") =!= 0)
+    val derived2 = spark.read.parquet(out)
+      .filter(col("fp").isNotNull)
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+    assert(stored2.exceptAll(derived2).count() == 0 &&
+      derived2.exceptAll(stored2).count() == 0,
+      "_df drifted after a post-collapse append")
+  }
+
+  test("fold-sequence stamp: a fold killed between its data and meta " +
+      "writes is detected at probe time and fsck heals it") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_foldseq_guard_${spark.sparkContext.applicationId}").getPath
+    Retrieval.bm25IndexWrite(docs, out, buckets = 16)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    assert(Retrieval.bm25LayoutFsck(spark, out),
+      "a freshly written layout must be fold-consistent")
+    // write-order injection: capture the pre-fold _meta row, run a
+    // real append (postings/_fwd/_docs/_df/intent all land), then
+    // restore the OLD meta — byte-for-byte the on-disk state of a
+    // fold killed between its last data write and its meta commit
+    val preMeta = spark.read.parquet(out + "_meta").collect().head
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    Retrieval.bm25LayoutAppend(spark, out, batch)
+    Seq((preMeta.getLong(0), preMeta.getLong(1), preMeta.getLong(2),
+        preMeta.getLong(3)))
+      .toDF("buckets", "n_docs", "total_len", "fold_seq")
+      .write.mode("overwrite").parquet(out + "_meta")
+    // every probe and every further fold must now refuse loudly
+    val e = intercept[IllegalStateException] {
+      Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10)
+    }
+    assert(e.getMessage.contains("bm25LayoutFsck"),
+      s"staleness error must name the recovery: ${e.getMessage}")
+    intercept[IllegalStateException] {
+      Retrieval.bm25LayoutAppend(spark, out, batch)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25LayoutFsck(spark, out) // heal = false refuses
+    }
+    // heal: every derived artifact rebuilds from the postings (which
+    // DID land), so the healed layout serves exactly like a
+    // from-scratch build over docs + batch
+    assert(!Retrieval.bm25LayoutFsck(spark, out, heal = true))
+    val healed = Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10)
+      .collect().toSet
+    val freshOut = out + "_fresh"
+    Retrieval.bm25IndexWrite(docs.select("doc_id", "text")
+      .unionByName(batch), freshOut, buckets = 16)
+    val fresh = Retrieval.bm25TopKFromLayout(spark, freshOut, queries,
+      k = 10).collect().toSet
+    assert(healed == fresh, "healed layout serves differently from a " +
+      "from-scratch build over the same corpus")
+    // and the layout is fold-consistent again: further folds work
+    Retrieval.bm25LayoutApplyCdf(spark, out,
+      docs.filter(col("doc_id") === 4L)
+        .select(col("doc_id"), col("text"),
+          lit("delete").as("_change_type")))
+    assert(Retrieval.bm25LayoutFsck(spark, out))
   }
 }
