@@ -304,6 +304,100 @@ object Graph {
         coalesce(col("n_votes"), lit(0L)).as("n_votes"))
   }
 
+  /** Drift census for a STANDING [[labelPropagation]] label table
+    * (q72) — the guard-observability discipline the other standing
+    * models already have (ss26's out-of-grid ppm schedules ss27's
+    * stats refresh) applied to the graph family's newest artifact:
+    * [[labelPropagationAgainst]] BY DESIGN ignores edges arriving
+    * between two frozen nodes — communities never merge until the
+    * scheduled full re-run — and before this nothing MEASURED that
+    * drift, so the re-run had no number to trigger on.
+    *
+    * One row of scheduler-grade counters over the edges accumulated
+    * since the freeze:
+    *  - `n_edges` — normalized arriving edges;
+    *  - `n_cross_edges` / `n_cross_pairs` — edges whose endpoints are
+    *    BOTH frozen with DIFFERENT labels, and how many distinct
+    *    community pairs they bridge: the frozen table cannot absorb
+    *    these (they are invisible to the incremental vote), so this
+    *    is THE number that schedules the full [[labelPropagation]]
+    *    re-run;
+    *  - `n_intra_edges` — both-frozen same-label arrivals (absorbed
+    *    drift: density grows, membership doesn't);
+    *  - `n_new_nodes` / `n_new_singletons` — arrivals the incremental
+    *    vote CAN serve, and the subset it can only self-label (no
+    *    frozen neighbor): a rising singleton share means whole new
+    *    communities are forming outside the frozen table.
+    *
+    * Scale shape: the batch normalizes itself (batch-sized); the
+    * frozen table is probed by TWO key-equi joins (endpoint
+    * annotation) and one semi-join (voted-neighbor check) — probed by
+    * key, never re-shuffled in full; every aggregate is a partial-agg
+    * collapse to one row. Streaming-legal in `foreachBatch`. */
+  def lpaDriftCensus(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val ann = annotateDrift(labels, newEdges, srcCol, dstCol)
+    val edgeCensus = ann.agg(
+      count(lit(1)).as("n_edges"),
+      coalesce(sum(when(col("la").isNotNull && col("lb").isNotNull &&
+        col("la") === col("lb"), 1L).otherwise(0L)), lit(0L))
+        .as("n_intra_edges"))
+    val pairCensus = lpaDriftPairs(labels, newEdges, srcCol, dstCol)
+      .agg(coalesce(sum("n_edges"), lit(0L)).as("n_cross_edges"),
+        count(lit(1)).as("n_cross_pairs"))
+    // new-node leg: arrivals absent from the frozen table, split by
+    // whether any neighbor carries a frozen label (the vote the
+    // incremental assignment would get)
+    val und = ann.select("a", "b")
+    val dir = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val fresh = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+      .join(labels.select("node"), Seq("node"), "left_anti")
+    val voted = dir.join(fresh, Seq("node"), "left_semi")
+      .join(labels.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+      .select("node").distinct().withColumn("has_vote", lit(1L))
+    val newCensus = fresh.join(voted, Seq("node"), "left")
+      .agg(count(lit(1)).as("n_new_nodes"),
+        coalesce(sum(when(col("has_vote").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_new_singletons"))
+    edgeCensus.crossJoin(broadcast(pairCensus))
+      .crossJoin(broadcast(newCensus))
+      .select("n_edges", "n_cross_edges", "n_cross_pairs",
+        "n_intra_edges", "n_new_nodes", "n_new_singletons")
+  }
+
+  /** Per-community-pair detail behind [[lpaDriftCensus]]: how many
+    * since-freeze edges bridge each pair of frozen communities —
+    * `(lbl_a, lbl_b, n_edges)`, lbl_a < lbl_b. The triage view an
+    * operator reads when the census's `n_cross_edges` trips: two
+    * heavily-bridged communities are a merge the next full re-run
+    * will perform; many lightly-bridged pairs are noise. */
+  def lpaDriftPairs(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    annotateDrift(labels, newEdges, srcCol, dstCol)
+      .filter(col("la").isNotNull && col("lb").isNotNull &&
+        col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("lbl_a"),
+        greatest(col("la"), col("lb")).as("lbl_b"))
+      .groupBy("lbl_a", "lbl_b").agg(count(lit(1)).as("n_edges"))
+
+  /** Normalized arriving edges with both endpoints' frozen labels
+    * attached (null = not frozen) — shared by the census and the
+    * per-pair detail. */
+  private def annotateDrift(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val und = newEdges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    und
+      .join(labels.select(col("node").as("a"), col("lbl").as("la")),
+        Seq("a"), "left")
+      .join(labels.select(col("node").as("b"), col("lbl").as("lb")),
+        Seq("b"), "left")
+  }
+
   /** Per-node triangle counts via degree-oriented wedge counting —
     * the clustering-structure primitive next to [[pageRank]]
     * (importance) and [[Dedup.resolveClusters]] (membership): on a

@@ -446,6 +446,31 @@ object ExtendedQueries {
         edges.where(col("src") % 5 === 0 || col("dst") % 5 === 0))
         .orderBy("node")
     },
+    // drift census over the standing q70 labels: communities freeze
+    // on a subgraph (edges off the held-out slice), the held-out
+    // edges "arrive since the freeze", and the census counts what the
+    // incremental q71 vote CANNOT absorb — both-frozen cross-label
+    // bridges (the full-re-run scheduler number), intra-community
+    // density growth, and the new-node/singleton split. The freeze
+    // keeps only WITHIN-residue-class edges (src ≡ dst mod 3, %5
+    // nodes held out entirely), so the frozen table carries ≥ 3
+    // genuinely separate communities and the arriving cross-residue
+    // edges exercise the cross-community counters nonzero (a freeze
+    // over the full dense graph converges to one label and the
+    // census's headline number would be trivially 0); a same-residue
+    // (src+dst) % 7 = 3 slice is additionally held out so the
+    // intra-community counter exercises nonzero too.
+    "q72_lpa_drift" -> { (s, d) =>
+      val edges = copurchaseEdges(s, d)
+      val freezeCut = col("src") % 3 === col("dst") % 3 &&
+        col("src") % 5 =!= 0 && col("dst") % 5 =!= 0 &&
+        pmod(col("src") + col("dst"), lit(7)) =!= 3
+      val frozen = graft.operators.Graph.labelPropagation(
+        edges.where(freezeCut), rounds = 4)
+        .localCheckpoint(eager = false) // annotate + vote legs
+      graft.operators.Graph.lpaDriftCensus(frozen,
+        edges.where(!freezeCut))
+    },
     "q36_moments" -> { (s, d) =>
       // ALL-INTEGER moments in cents. The previous double formulation
       // broke at sf0.1: DuckDB's DECIMAL→DOUBLE cast double-rounds
@@ -910,6 +935,61 @@ object ExtendedQueries {
         coalesce(w.c, 0)::BIGINT AS n_votes
       FROM freshN f LEFT JOIN win w USING (node)
       ORDER BY f.node"""
+    },
+    // the q70 CTE chain on the FROZEN slice, then the drift counters
+    // over the held-out edges: both-frozen cross/intra label splits,
+    // distinct bridged pairs, and the new-node/singleton census
+    "q72_lpa_drift" -> {
+      val roundCtes = (1 to 4).map { r =>
+        s"""c$r AS (SELECT d.node, l.lbl, count(*)::BIGINT AS c
+          FROM dir d JOIN l${r - 1} l ON l.node = d.nbr
+          GROUP BY 1, 2),
+        l$r AS MATERIALIZED (SELECT node, lbl FROM c$r
+          QUALIFY row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, lbl) = 1)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem),
+        e AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a,
+            greatest(x.pk, y.pk) AS b
+          FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk),
+        und AS MATERIALIZED (SELECT a, b FROM e
+          WHERE a % 3 = b % 3 AND a % 5 <> 0 AND b % 5 <> 0
+            AND (a + b) % 7 <> 3),
+        dir AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+          UNION ALL SELECT b AS node, a AS nbr FROM und),
+        l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl
+          FROM dir),
+        $roundCtes,
+        arr AS MATERIALIZED (SELECT a, b FROM e
+          WHERE NOT (a % 3 = b % 3 AND a % 5 <> 0 AND b % 5 <> 0
+            AND (a + b) % 7 <> 3)),
+        ann AS MATERIALIZED (SELECT u.a, u.b, la.lbl AS la, lb.lbl AS lb
+          FROM arr u LEFT JOIN l4 la ON la.node = u.a
+                     LEFT JOIN l4 lb ON lb.node = u.b),
+        crossp AS (SELECT least(la, lb) AS x, greatest(la, lb) AS y,
+            count(*)::BIGINT AS c
+          FROM ann WHERE la IS NOT NULL AND lb IS NOT NULL AND la <> lb
+          GROUP BY 1, 2),
+        dirA AS (SELECT a AS node, b AS nbr FROM arr
+          UNION ALL SELECT b AS node, a AS nbr FROM arr),
+        fresh AS (SELECT DISTINCT node FROM dirA
+          WHERE node NOT IN (SELECT node FROM l4)),
+        voted AS (SELECT DISTINCT d.node FROM dirA d
+          JOIN l4 l ON l.node = d.nbr
+          WHERE d.node IN (SELECT node FROM fresh))
+      SELECT
+        (SELECT count(*) FROM ann)::BIGINT AS n_edges,
+        coalesce((SELECT sum(c) FROM crossp), 0)::BIGINT AS n_cross_edges,
+        (SELECT count(*) FROM crossp)::BIGINT AS n_cross_pairs,
+        (SELECT count(*) FROM ann
+         WHERE la IS NOT NULL AND lb IS NOT NULL AND la = lb)::BIGINT
+          AS n_intra_edges,
+        (SELECT count(*) FROM fresh)::BIGINT AS n_new_nodes,
+        (SELECT count(*) FROM fresh
+         WHERE node NOT IN (SELECT node FROM voted))::BIGINT
+          AS n_new_singletons"""
     },
     // same single window spec; nth_value over the running frame,
     // the same dependent running-window chain: step i's earliest

@@ -590,6 +590,43 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(votes == Set((9L, 1L, 2L), (8L, 1L, 1L)), s"got $votes")
   }
 
+  test("LPA drift census: a planted bridge between two frozen " +
+      "communities registers, singletons and intra edges count") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two frozen triangles {1,2,3} (label 1) and {10,11,12} (label 10)
+    val frozenEdges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(frozenEdges, rounds = 3)
+    // since-freeze arrivals: ONE bridge between the frozen
+    // communities (invisible to the incremental vote — the census's
+    // reason to exist), one intra-community edge, one new node
+    // attached to a frozen one (votable), and an isolated new pair
+    // (two singletons)
+    val arrivals = Seq(
+      (3L, 10L),   // cross-community bridge
+      (2L, 1L),    // intra (normalizes onto the existing 1-2)
+      (13L, 12L),  // new node 13 with a frozen neighbor
+      (20L, 21L)). // two new nodes, no frozen neighbor
+      toDF("src", "dst")
+    val census = Graph.lpaDriftCensus(labels, arrivals).collect().head
+    assert(census.getAs[Long]("n_edges") == 4L)
+    assert(census.getAs[Long]("n_cross_edges") == 1L,
+      "the planted bridge must register as a cross-community edge")
+    assert(census.getAs[Long]("n_cross_pairs") == 1L)
+    assert(census.getAs[Long]("n_intra_edges") == 1L)
+    assert(census.getAs[Long]("n_new_nodes") == 3L)
+    assert(census.getAs[Long]("n_new_singletons") == 2L)
+    // per-pair detail: exactly the (1, 10) bridge, once
+    val pairs = Graph.lpaDriftPairs(labels, arrivals)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 10L, 1L)), s"got ${pairs.toSeq}")
+    // empty arrivals: all-zero census, no NPE
+    val z = Graph.lpaDriftCensus(labels,
+      Seq.empty[(Long, Long)].toDF("src", "dst")).collect().head
+    assert((0 until 6).forall(z.getLong(_) == 0L), s"got $z")
+  }
+
   test("byte-fed dHash rejects payloads that do not tile the 9x8 grid") {
     import spark.implicits._
     import graft.operators.Multimodal
