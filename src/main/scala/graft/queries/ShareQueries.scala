@@ -213,6 +213,23 @@ object ShareQueries {
         .orderBy("l_orderkey", "l_linenumber")
         .limit(20)
     },
+    // OFFSET pushdown: the Offset operator leaves the plan entirely
+    // (complete pushdown) and the scan applies an exact listed-order
+    // prefix skip — the offset is sized to lineitem4's first TWO
+    // range files, so both are skipped at the FILE level (never
+    // opened; ConnectorSpec pins the partition count) and the result
+    // is deterministically the other two files' key ranges, which the
+    // oracle recomputes from the base table
+    "share_offset" -> { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+      val bound = maxKey / 4 + 1
+      val off = li.filter(col("l_orderkey") < 2 * bound).count().toInt
+      sharedTable(s, d, "lineitem4")
+        .offset(off)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     // stats-only aggregate: COUNT(*)/MIN/MAX answered on the driver
     // from the per-file stats — the plan is a LocalTableScan, zero
     // parquet bytes read (PlanCheck asserts the shape)
@@ -380,6 +397,15 @@ object ShareQueries {
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber
       LIMIT 20""",
+    // the pushed offset skips exactly lineitem4's first two key-range
+    // files (offset = their row count), so the survivors are the
+    // upper two ranges of the base table
+    "share_offset" -> """
+      WITH b AS (SELECT max(l_orderkey) // 4 + 1 AS bound FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem, b
+      WHERE l_orderkey >= 2 * bound
+      ORDER BY l_orderkey, l_linenumber""",
     "share_agg_count" -> """
       SELECT count(*)::BIGINT AS n_rows, min(l_orderkey) AS min_key,
         max(l_orderkey) AS max_key

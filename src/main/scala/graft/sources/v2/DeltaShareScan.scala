@@ -51,6 +51,7 @@ class DeltaShareScanBuilder(
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownTopN
+  with SupportsPushDownOffset
   with SupportsPushDownAggregates {
 
   private val partitionCols =
@@ -107,6 +108,57 @@ class DeltaShareScanBuilder(
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
+  // ---- SupportsPushDownOffset ---------------------------------------
+  //
+  // COMPLETE pushdown (Spark removes the Offset operator), applied as
+  // an EXACT row skip over the listed files in server order: files
+  // wholly inside the offset never open (their partitions are not even
+  // planned), the boundary file's reader drops its leading surviving
+  // rows, everything after reads normally. Sound because OFFSET over
+  // an unordered scan may skip ANY n rows — this implementation's
+  // choice (listed-order prefix) is one valid execution. Accepted only
+  // when the skip can be proven exact at plan time:
+  //  - no residual data filters and client-exact partition filters
+  //    (offset applies AFTER filters; a residual re-applied above the
+  //    scan would make any pre-filter skip wrong);
+  //  - no pushed topN (offset must apply after the sort Spark keeps)
+  //    and no already-pushed limit (that pattern applies the limit
+  //    BEFORE the offset);
+  //  - every surviving file carries stats.numRecords, so whole-file
+  //    skip counts are exact (DV cardinalities subtract exactly; the
+  //    boundary file's partial skip runs AFTER the reader's DV
+  //    anti-filter, so it drops surviving rows). Probed with one
+  //    plan-time /query POST — the aggregate path's precedent.
+  // A limit pushed AFTER the offset composes: the scan skips first,
+  // Spark re-applies the limit above (limitHint covers offset+limit).
+  private var offset: Option[Int] = None
+
+  override def pushOffset(n: Int): Boolean = {
+    if (n <= 0) return false
+    if (dataFilters.nonEmpty || topN.isDefined || limit.isDefined ||
+        !partitionFilters.forall(PartitionValues.isExact(_, partitionSchema)))
+      return false
+    val hints = PredicateHints.buildHints(partitionFilters.toSeq,
+      StructType(dataSchema.fields ++ partitionSchema.fields))._1
+    val legacy = PredicateHints.legacyHints(partitionFilters.toSeq,
+      partitionSchema)
+    val files =
+      try {
+        new DeltaSharingClient(addr.profile)
+          .queryTable(addr.share, addr.schema, addr.table,
+            jsonPredicateHints = hints, predicateHints = legacy,
+            version = addr.versionAsOf,
+            timestamp = addr.timestampAsOf).files
+          .filter(f => partitionFilters.forall(
+            PartitionValues.evalFilter(_, f.partitionValues, partitionSchema)))
+      } catch { case _: Exception => return false }
+    if (!files.forall(_.stats.flatMap(FileStats.parse)
+        .exists(_.numRecords.isDefined)))
+      return false
+    offset = Some(n)
+    true
+  }
+
   // ---- SupportsPushDownTopN ----------------------------------------
   //
   // Sort + limit over the scan: PARTIAL pushdown (Spark keeps the
@@ -128,7 +180,7 @@ class DeltaShareScanBuilder(
     // sound only when every filter is fully applied by file pruning:
     // the prune guarantee counts rows of OTHER files, and a residual
     // filter could remove exactly those rows after the scan
-    if (dataFilters.nonEmpty ||
+    if (dataFilters.nonEmpty || offset.isDefined ||
         !partitionFilters.forall(PartitionValues.isExact(_, partitionSchema)))
       return false
     if (orders.isEmpty || n <= 0) return false
@@ -190,7 +242,7 @@ class DeltaShareScanBuilder(
     : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (dataFilters.nonEmpty || limit.isDefined ||
+    if (dataFilters.nonEmpty || limit.isDefined || offset.isDefined ||
         !partitionFilters.forall(PartitionValues.isExact(_, partitionSchema)))
       return None
     // GROUP BY only on partition columns: each file belongs to exactly
@@ -357,7 +409,7 @@ class DeltaShareScanBuilder(
       spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
       partitionFilters, dataFilters, limit, hadoopConf,
       streamStartingVersion, streamIgnoreDeletes,
-      streamMaxVersionsPerTrigger, topN)
+      streamMaxVersionsPerTrigger, topN, offset)
   }
 }
 
@@ -487,7 +539,8 @@ class DeltaShareScan(
     streamStartingVersion: Option[Long] = None,
     streamIgnoreDeletes: Boolean = false,
     streamMaxVersionsPerTrigger: Option[Long] = None,
-    topN: Option[TopNSpec] = None) extends Scan with Batch
+    topN: Option[TopNSpec] = None,
+    offset: Option[Int] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val partitionColNames = partitionSchema.fieldNames.toSet
@@ -524,7 +577,8 @@ class DeltaShareScan(
       s"[files pruned by ${partitionFilters.length} partition filter(s), " +
       s"hints from ${dataFilters.length} data filter(s), limit=$limit" +
       topN.map(t => s", pushedTopN=${t.field.name} " +
-        s"${if (t.asc) "ASC" else "DESC"} n=${t.n}").getOrElse("") + "]"
+        s"${if (t.asc) "ASC" else "DESC"} n=${t.n}").getOrElse("") +
+      offset.map(o => s", pushedOffset=$o").getOrElse("") + "]"
 
   private lazy val jsonHints: Option[String] = PredicateHints.buildHints(
     (partitionFilters ++ dataFilters).toSeq,
@@ -536,11 +590,16 @@ class DeltaShareScan(
   private lazy val legacyHints: Seq[String] = PredicateHints.legacyHints(
     partitionFilters.toSeq, partitionSchema)
 
+  /** The protocol `limitHint`: with a pushed offset the server must
+    * keep enough rows for the skip AND the limit above it. */
+  private def limitHint: Option[Long] =
+    limit.map(l => l.toLong + offset.getOrElse(0).toLong)
+
   /** Everything an executor needs to re-issue this scan's `/query`
     * when a presigned URL expires mid-task. */
   private def refreshSpec = PresignedUrlCache.RefreshSpec(
     addr.profile, addr.share, addr.schema, addr.table,
-    jsonHints, legacyHints, limit.map(_.toLong), addr.versionAsOf,
+    jsonHints, legacyHints, limitHint, addr.versionAsOf,
     timestamp = addr.timestampAsOf)
 
   /** One `/query` POST per scan, memoized — statistics estimation and
@@ -549,7 +608,7 @@ class DeltaShareScan(
     val client = new DeltaSharingClient(addr.profile)
     val resp = client.queryTable(addr.share, addr.schema, addr.table,
       jsonPredicateHints = jsonHints, predicateHints = legacyHints,
-      limitHint = limit.map(_.toLong), version = addr.versionAsOf,
+      limitHint = limitHint, version = addr.versionAsOf,
       timestamp = addr.timestampAsOf)
     // Time travel: the plan's schema came from head-version metadata;
     // if the requested version's metaData line disagrees, reading its
@@ -606,7 +665,12 @@ class DeltaShareScan(
   // ---- SupportsRuntimeFiltering (dynamic partition pruning) --------
 
   override def filterAttributes(): Array[NamedReference] =
-    partitionSchema.fieldNames.map(Expressions.column)
+    // a pushed offset disables runtime filtering: the Offset operator
+    // is GONE from the plan, so the skip's row accounting is part of
+    // this scan's result contract — a DPP filter arriving after
+    // planning would change the file set out from under it
+    if (offset.isDefined) Array.empty
+    else partitionSchema.fieldNames.map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(
@@ -643,7 +707,7 @@ class DeltaShareScan(
     } catch { case _: Exception => None }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    topNPrunedFiles.map { f =>
+    def mk(f: graft.sources.FileAction, rowSkip: Long): DeltaShareInputPartition = {
       val presigned =
         f.url.startsWith("http://") || f.url.startsWith("https://")
       val path =
@@ -653,8 +717,35 @@ class DeltaShareScan(
       DeltaShareInputPartition(path, f.size, f.partitionValues,
         fileId = if (presigned) PresignedUrlCache.fileId(f) else "",
         url = if (presigned) f.url else "",
-        dv = f.deletionVector)
-    }.toArray
+        dv = f.deletionVector,
+        rowSkip = rowSkip)
+    }
+    offset match {
+      case None => topNPrunedFiles.map(mk(_, 0L)).toArray
+      case Some(off) =>
+        // exact prefix skip in listed order: files wholly inside the
+        // offset are never planned (never open); the boundary file's
+        // reader drops its leading SURVIVING rows (after the DV
+        // anti-filter). pushOffset proved every file carries
+        // numRecords at plan time — if the server's answer changed in
+        // between, refuse loudly rather than skip inexactly.
+        var remaining = off.toLong
+        topNPrunedFiles.flatMap { f =>
+          if (remaining == 0L) Some(mk(f, 0L))
+          else {
+            val nr = f.stats.flatMap(FileStats.parse)
+              .flatMap(_.numRecords).getOrElse(
+                throw new DeltaSharingException(0,
+                  s"offset pushdown was accepted but file ${f.url} no " +
+                    "longer carries numRecords stats — cannot skip " +
+                    "exactly, refusing to serve wrong rows"))
+            val surv = math.max(0L,
+              nr - f.deletionVector.map(_.cardinality).getOrElse(0L))
+            if (surv <= remaining) { remaining -= surv; None }
+            else { val r = remaining; remaining = 0L; Some(mk(f, r)) }
+          }
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -712,7 +803,10 @@ final case class DeltaShareInputPartition(
     /** Deletion-vector descriptor for THIS file, when present: the
       * reader fetches + decodes it task-side and anti-filters by
       * physical row index. */
-    dv: Option[graft.sources.DeletionVectors.Descriptor] = None)
+    dv: Option[graft.sources.DeletionVectors.Descriptor] = None,
+    /** Pushed-offset boundary file: drop this many leading SURVIVING
+      * rows (applied after the DV anti-filter); 0 everywhere else. */
+    rowSkip: Long = 0L)
   extends InputPartition
 
 final case class DeltaSharePartitionReaderFactory(
@@ -753,7 +847,7 @@ final case class DeltaSharePartitionReaderFactory(
     // read in physical order with no parquet-level skipping, so the
     // iterator position IS the file row index — a merge-walk against
     // the decoded ascending positions drops exactly the deleted rows
-    val rows: Iterator[InternalRow] = p.dv match {
+    val surviving: Iterator[InternalRow] = p.dv match {
       case None => raw
       case Some(dv) =>
         val deleted = graft.sources.DeletionVectors.positions(dv)
@@ -765,6 +859,13 @@ final case class DeltaSharePartitionReaderFactory(
           !(di < deleted.length && deleted(di) == pos)
         }
     }
+    // pushed-offset boundary skip: leading surviving rows of THIS file
+    // fall inside the global offset (whole-file skips never reach here
+    // — their partitions are not planned)
+    val rows: Iterator[InternalRow] =
+      if (p.rowSkip == 0L) surviving
+      else surviving.drop(
+        math.min(p.rowSkip, Int.MaxValue.toLong).toInt)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -1024,6 +1024,15 @@ object PlanCheck {
         (_.contains("pushedTopN=l_orderkey ASC n=20")),
       "final TakeOrdered stays above (partial pushdown)" ->
         (_.contains("TakeOrderedAndProject"))))
+    audit("share_offset", Seq(
+      // complete offset pushdown: the scan description carries the
+      // pushed offset and the Offset operator is GONE from the plan
+      // (whole-file skip + boundary-row accounting asserted in
+      // DeltaShareConnectorSpec)
+      "offset pushed to the scan" -> (_.contains("pushedOffset=")),
+      "Offset operator removed (complete pushdown)" ->
+        (p => !p.contains("GlobalLimitAndOffset") &&
+          !p.contains("Offset ("))))
     audit("share_stats_prune", Seq(
       // data skipping keeps the filters residual (correctness never
       // depends on pruning) while the scan plans fewer files — the

@@ -408,6 +408,69 @@ class DeltaShareConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally st.stop()
   }
 
+  test("offset pushdown skips whole files at the file level, partial " +
+      "skips are exact, and residual filters refuse the pushdown") {
+    val (st, total, mid, loCount) = statsFixture()
+    try {
+      val df = readFrom(st, "orders2")
+      def scanFiles(d: org.apache.spark.sql.DataFrame): Int = {
+        d.write.format("noop").mode("overwrite").save()
+        d.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.partitions.flatten.size
+        }.sum
+      }
+      val direct = spark.read
+        .parquet("/root/testdata/sf0.001/orders.parquet")
+      // whole-file skip: offset = the lo file's exact row count — the
+      // lo file is never planned, the Offset operator is gone, and
+      // the rows are exactly the hi file's
+      val whole = df.offset(loCount.toInt).select("o_orderkey")
+      assert(scanFiles(whole) == 1,
+        "offset equal to the lo file must plan only the hi file")
+      val wplan = whole.queryExecution.executedPlan.toString
+      assert(wplan.contains(s"pushedOffset=$loCount"),
+        s"offset not pushed:\n$wplan")
+      assert(!wplan.contains("GlobalLimitAndOffset") &&
+        !wplan.contains("Offset ("), "Offset operator survived a " +
+        s"complete pushdown:\n$wplan")
+      assert(whole.collect().map(_.getLong(0)).sorted.toSeq ==
+        direct.filter(col("o_orderkey") >= mid)
+          .collect().map(_.getLong(0)).sorted.toSeq)
+      // partial skip: the boundary file's reader drops its leading
+      // rows IN FILE ORDER — result = lo file minus its first 3 rows,
+      // plus all of hi
+      val loUrl = st.tables("orders2")._3.head._1
+      val loInOrder = spark.read.parquet(loUrl)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      val part = df.offset(3).select("o_orderkey")
+      assert(scanFiles(part) == 2)
+      assert(part.queryExecution.executedPlan.toString
+        .contains("pushedOffset=3"))
+      val expect = (loInOrder.drop(3) ++
+        direct.filter(col("o_orderkey") >= mid)
+          .collect().map(_.getLong(0)).toSeq).sorted
+      assert(part.collect().map(_.getLong(0)).sorted.toSeq == expect)
+      // offset past the table: zero planned files, zero rows
+      val past = df.offset(total.toInt + 10).select("o_orderkey")
+      assert(scanFiles(past) == 0)
+      assert(past.collect().isEmpty)
+      // a residual data filter refuses the pushdown (offset applies
+      // AFTER filters): Spark keeps the Offset and rows stay right
+      val filtered = df.filter(col("o_totalprice") > 0)
+        .offset(5).select("o_orderkey")
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("pushedOffset"),
+        "offset must refuse under a residual data filter")
+      assert(filtered.count() == total - 5)
+      // offset composes with a limit pushed above it: the scan skips,
+      // Spark re-applies the limit (limitHint covers offset+limit)
+      val both = df.offset(loCount.toInt).limit(5).select("o_orderkey")
+      assert(both.count() == 5)
+      assert(both.collect().map(_.getLong(0)).forall(_ >= mid))
+    } finally st.stop()
+  }
+
   test("COUNT/MIN/MAX answer from stats as a LocalTableScan, zero reads") {
     val (st, total, mid, _) = statsFixture()
     try {
