@@ -23,6 +23,39 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
 
+  /** The codepoint-class segmentation the mixed-script tier uses:
+    * lower-case Latin RUNS, digit RUNS, and one token PER CODEPOINT
+    * for the no-whitespace scripts (CJK Unified, hiragana, katakana,
+    * hangul syllables, Thai — the ranges are literal characters so
+    * the same pattern is valid in both java.util.regex and DuckDB's
+    * RE2). Everything else (punctuation, whitespace, symbols) is a
+    * delimiter. */
+  val ScriptTokenPattern: String =
+    "[a-z]+|[0-9]+|[一-鿿぀-ゟ゠-ヿ가-힣ก-๛]"
+
+  /** Mixed-script tokenization tier: [[tokens]] is a lower-cased
+    * whitespace split, which is correct for the Latin-script fixture
+    * corpora but tokenizes a CJK/Thai document — scripts that write
+    * WITHOUT spaces — to whole-sentence single tokens, and a
+    * tokenizer trained on that learns an empty vocabulary (t33's own
+    * edge test pins the degrade). This tier segments by codepoint
+    * class instead ([[ScriptTokenPattern]]): Latin runs and digit
+    * runs behave like words, no-whitespace scripts emit one token per
+    * codepoint (the standard character-grain fallback BPE/unigram
+    * trainers start from), punctuation delimits. Deterministic, one
+    * codegen'd regexp per row (no shuffle, no UDF), and
+    * SQL-replayable — the oracle runs the identical pattern through
+    * DuckDB's regexp_extract_all.
+    *
+    * Deliberately a SIBLING of [[tokens]], not a replacement: the
+    * whitespace tier keeps punctuation attached ("word," is a token)
+    * and every t-family oracle pins that behavior; a multilingual
+    * corpus opts into this tier (and can feed its output to the
+    * trainers as pre-tokenized arrays). Gated by t41's per-script
+    * fertility census. */
+  def tokensScript(text: Column): Column =
+    regexp_extract_all(lower(text), lit(ScriptTokenPattern), lit(0))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -175,7 +175,51 @@ object PipelineQueries {
 
   // ---- queries -----------------------------------------------------
 
+  /** The mixed-script fixture's codepoint table (CJK + kana + hangul +
+    * Thai), shared literal-for-literal by the t41 Spark query and its
+    * DuckDB oracle — the fixture synthesizes no-whitespace-script text
+    * deterministically from doc_id because the parquet corpus is
+    * Latin-only. */
+  private val MixedScriptChars: Seq[String] = Seq(
+    "一", "二", "三", "四", "五", "六", "七", "八", "九", "十",
+    "大", "小", "中", "山", "川", "日", "月", "水", "火", "木",
+    "の", "き", "す", "ア", "カ", "タ", "가", "나", "다", "ก",
+    "ข", "ไ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // mixed-script tokenization census: a third of the corpus keeps
+    // its Latin text, a third becomes pure CJK/kana/hangul/Thai
+    // (no-whitespace scripts), a third mixes both — the whitespace
+    // tier tokenizes the pure-CJK class to ONE token per document
+    // (fertility 1.0) while the codepoint-class tier emits one token
+    // per codepoint; the per-class fertility ratio is the census that
+    // shows non-Latin sources tokenize sanely
+    "t41_mixed_script_tokens" -> { (s, d) =>
+      val cjArr = array(MixedScriptChars.map(lit): _*)
+      def cjRun(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat_ws("",
+        transform(sequence(lit(0L), n - 1),
+          i => element_at(cjArr,
+            (pmod(col("doc_id") * 7 + i, lit(32L)) + 1).cast("int"))))
+      documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("cls", pmod(col("doc_id"), lit(3L)))
+        .withColumn("mtext",
+          when(col("cls") === 0, col("text"))
+            .when(col("cls") === 1,
+              cjRun(pmod(col("doc_id"), lit(20L)) + 5))
+            .otherwise(concat(lit("alpha "), cjRun(lit(5L)),
+              lit(" 42 beta"))))
+        .select(col("cls"),
+          size(TextAnalysis.tokensScript(col("mtext"))).cast("long")
+            .as("nts"),
+          size(TextAnalysis.tokens(col("mtext"))).cast("long").as("ntw"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nts").as("n_tok_script"),
+          sum("ntw").as("n_tok_ws"),
+          expr("sum(nts) * 1000000 div sum(ntw)").as("fertility_ppm"))
+        .orderBy("cls")
+    },
     "t01_token_count" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -3054,6 +3098,35 @@ object PipelineQueries {
       ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
+    // the same codepoint table, fixture synthesis, and segmentation
+    // pattern (literal char ranges are valid RE2 as well as
+    // java.util.regex) replayed in DuckDB
+    "t41_mixed_script_tokens" -> s"""
+      WITH cj AS (SELECT [${MixedScriptChars
+        .map(c => s"'$c'").mkString(", ")}] AS a),
+      m AS (SELECT doc_id, doc_id % 3 AS cls,
+        CASE doc_id % 3
+          WHEN 0 THEN text
+          WHEN 1 THEN array_to_string(list_transform(
+            range(0, doc_id % 20 + 5),
+            i -> a[CAST((doc_id * 7 + i) % 32 + 1 AS INT)]), '')
+          ELSE 'alpha ' || array_to_string(list_transform(range(0, 5),
+            i -> a[CAST((doc_id * 7 + i) % 32 + 1 AS INT)]), '')
+            || ' 42 beta'
+        END AS mtext
+        FROM documents, cj),
+      tok AS (SELECT cls,
+        len(regexp_extract_all(lower(mtext),
+          '${graft.operators.TextAnalysis.ScriptTokenPattern}', 0))::BIGINT
+          AS nts,
+        len(${sqlToks("mtext")})::BIGINT AS ntw
+        FROM m)
+      SELECT cls, count(*)::BIGINT AS n_docs,
+        sum(nts)::BIGINT AS n_tok_script,
+        sum(ntw)::BIGINT AS n_tok_ws,
+        (sum(nts)::BIGINT * 1000000 // sum(ntw)::BIGINT)::BIGINT
+          AS fertility_ppm
+      FROM tok GROUP BY cls ORDER BY cls""",
     "dc3_eval_overlap" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
         FROM documents),

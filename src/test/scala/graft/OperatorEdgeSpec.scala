@@ -590,6 +590,32 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(votes == Set((9L, 1L, 2L), (8L, 1L, 1L)), s"got $votes")
   }
 
+  test("mixed-script tokenizer: Latin/digit runs, CJK per codepoint, " +
+      "punctuation delimits, degenerate strings tokenize empty") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def toks(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.tokensScript(col("text")).as("t"))
+        .collect().head.getSeq[String](0)
+    assert(toks("Hello, World 42!") == Seq("hello", "world", "42"))
+    assert(toks("日本語です") == Seq("日", "本", "語", "で", "す"))
+    // script boundaries split WITHOUT whitespace — the case the
+    // whitespace tier collapses to one token
+    assert(toks("foo日本bar2000") ==
+      Seq("foo", "日", "本", "bar", "2000"))
+    assert(toks("한국어 텍스트") ==
+      Seq("한", "국", "어", "텍", "스", "트"))
+    assert(toks("") == Seq.empty)
+    assert(toks("...!!! \t ") == Seq.empty)
+    // the whitespace tier's degrade this tier exists to fix: one
+    // token for a whole unsegmented sentence
+    val ws = Seq("日本語です").toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(ws.length == 1 && toks("日本語です").length == 5)
+  }
+
   test("LPA drift census: a planted bridge between two frozen " +
       "communities registers, singletons and intra edges count") {
     import spark.implicits._
