@@ -651,8 +651,6 @@ object Multimodal {
     val n = frames * frameLen
     docs.select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
-        val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, 1, true, false) // 8 kHz signed PCM16, mono, LE
         // BATCH clips into one WAV container per 256 docs:
         // AudioSystem serializes every write/parse behind a global
         // provider lock (measured: 65 µs/clip EFFECTIVE at 32 threads
@@ -664,71 +662,176 @@ object Multimodal {
         // byte-exact, so per-doc slices of the decoded batch equal
         // per-doc round-trips bit-for-bit.
         ids.grouped(256).flatMap { batch =>
-          val pcm = new Array[Byte](batch.length * n * 2)
-          batch.zipWithIndex.foreach { case (id, b) =>
-            val variant = id % 103 == 1 && id >= 103
-            val eff = if (variant) id - 1 else id
-            val e = (eff * 2654435761L + 54321L) % 2147483647L
-            val base = b * n * 2
-            var f = 0
-            while (f < frames) {
-              var sf = e * DHashPlanes(f) % 2147483647L
-              if (variant && f == (eff % frames).toInt)
-                sf = (sf + 999L) % 2147483647L
-              var j = 0
-              while (j < frameLen) {
-                val s = ((sf * (2 * j + 1) + j * 977L) % 2147483647L
-                  % 65536L - 32768L).toInt
-                val k = base + (f * frameLen + j) * 2
-                pcm(k) = (s & 0xff).toByte
-                pcm(k + 1) = ((s >> 8) & 0xff).toByte
-                j += 1
-              }
-              f += 1
-            }
-          }
-          val total = batch.length.toLong * n
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            new javax.sound.sampled.AudioInputStream(
-              new java.io.ByteArrayInputStream(pcm), fmt, total),
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bos.toByteArray))
-          val back = in.readAllBytes()
-          if (back.length != total * 2)
-            sys.error(s"WAV round-trip size ${back.length} for batch " +
-              s"of ${batch.length}")
+          val back = audioRoundTrip(batch, frames, frameLen,
+            bigEndian = false,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE)
           batch.zipWithIndex.map { case (id, b) =>
-            val base = b * n * 2
-            val energies = new Array[Long](frames)
-            var f = 0
-            while (f < frames) {
-              var en = 0L
-              var j = 0
-              while (j < frameLen) {
-                val k = base + (f * frameLen + j) * 2
-                val s = (back(k + 1).toInt << 8) | (back(k) & 0xff)
-                en += s.toLong * s
-                j += 1
-              }
-              energies(f) = en
-              f += 1
-            }
-            var hi = 0L
-            var lo = 0L
-            f = 0
-            while (f < frames - 1) {
-              if (energies(f + 1) > energies(f)) {
-                if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
-              }
-              f += 1
-            }
+            val (hi, lo) = audioFpFromDecoded(back, b, frames, frameLen,
+              bigEndian = false)
             (id, hi, lo)
           }
         }
       }
       .toDF("media_id", "hash_hi", "hash_lo")
+  }
+
+  /** Shared m12/m15 container round-trip: pack the batch's
+    * closed-form PCM16 samples in the CONTAINER's byte order, write
+    * one real container through `AudioSystem`, parse it back, and
+    * return the decoded bytes (in the decoded stream's own format —
+    * callers read them with the matching endianness). PCM16 is
+    * lossless in both WAV (little-endian) and AIFF (big-endian), so
+    * the decoded samples equal the closed form either way. */
+  private def audioRoundTrip(batch: Seq[Long], frames: Int,
+      frameLen: Int, bigEndian: Boolean,
+      ftype: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val n = frames * frameLen
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true, bigEndian) // 8 kHz signed PCM16, mono
+    val pcm = new Array[Byte](batch.length * n * 2)
+    batch.zipWithIndex.foreach { case (id, b) =>
+      val variant = id % 103 == 1 && id >= 103
+      val eff = if (variant) id - 1 else id
+      val e = (eff * 2654435761L + 54321L) % 2147483647L
+      val base = b * n * 2
+      var f = 0
+      while (f < frames) {
+        var sf = e * DHashPlanes(f) % 2147483647L
+        if (variant && f == (eff % frames).toInt)
+          sf = (sf + 999L) % 2147483647L
+        var j = 0
+        while (j < frameLen) {
+          val s = ((sf * (2 * j + 1) + j * 977L) % 2147483647L
+            % 65536L - 32768L).toInt
+          val k = base + (f * frameLen + j) * 2
+          if (bigEndian) {
+            pcm(k) = ((s >> 8) & 0xff).toByte
+            pcm(k + 1) = (s & 0xff).toByte
+          } else {
+            pcm(k) = (s & 0xff).toByte
+            pcm(k + 1) = ((s >> 8) & 0xff).toByte
+          }
+          j += 1
+        }
+        f += 1
+      }
+    }
+    val total = batch.length.toLong * n
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, total), ftype, bos)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val decFmt = in.getFormat
+    if (decFmt.getSampleSizeInBits != 16 ||
+        decFmt.isBigEndian != bigEndian)
+      sys.error(s"${ftype.getExtension} decode format drifted: $decFmt")
+    val back = in.readAllBytes()
+    if (back.length != total * 2)
+      sys.error(s"${ftype.getExtension} round-trip size ${back.length} " +
+        s"for batch of ${batch.length}")
+    back
+  }
+
+  /** The energy-delta fingerprint of doc `idx`'s slice of a decoded
+    * batch — frame energies from the DECODED bytes (read in the
+    * decoded stream's endianness), bit `f` set iff
+    * `energy(f+1) > energy(f)`. */
+  private def audioFpFromDecoded(back: Array[Byte], idx: Int,
+      frames: Int, frameLen: Int, bigEndian: Boolean): (Long, Long) = {
+    val n = frames * frameLen
+    val base = idx * n * 2
+    val energies = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      var en = 0L
+      var j = 0
+      while (j < frameLen) {
+        val k = base + (f * frameLen + j) * 2
+        val s =
+          if (bigEndian) (back(k).toInt << 8) | (back(k + 1) & 0xff)
+          else (back(k + 1).toInt << 8) | (back(k) & 0xff)
+        en += s.toLong * s
+        j += 1
+      }
+      energies(f) = en
+      f += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    f = 0
+    while (f < frames - 1) {
+      if (energies(f + 1) > energies(f)) {
+        if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+      }
+      f += 1
+    }
+    (hi, lo)
+  }
+
+  /** Cross-codec audio fingerprints (m15's hash stage — the m14
+    * PNG/JPEG discipline applied to the audio family): even-id clips
+    * render into REAL WAV containers (RIFF, little-endian PCM16),
+    * odd-id clips into REAL AIFF containers (IFF, big-endian PCM16),
+    * both written and parsed by the platform `javax.sound` stack —
+    * and since m12's planted near-dup pairs (id−1, id) are ADJACENT,
+    * every planted pair crosses the codec boundary by construction.
+    * PCM16 is lossless in both containers, so the decoded energies
+    * equal the closed form and the fingerprints are bit-identical to
+    * [[audioFingerprint]]'s — which is exactly the claim: the
+    * energy-delta family survives the container/endianness boundary,
+    * distances included (unlike m14's JPEG leg, the SQL oracle
+    * replays these distances EXACTLY).
+    *
+    * Scale shape: per-row compute in `mapPartitions`, one container
+    * per (batch, codec) — audio bytes never reach an exchange.
+    * Output: `(media_id, hash_hi, hash_lo, codec)`. */
+  def audioFingerprintAcrossCodecs(spark: SparkSession, docs: DataFrame,
+      frames: Int = 65, frameLen: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(frames <= DHashPlanes.length,
+      s"$frames frames exceed the ${DHashPlanes.length}-entry plane table")
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(256).flatMap { chunk =>
+          Seq(false, true).flatMap { odd =>
+            val batch = chunk.filter(id => (id % 2 != 0) == odd)
+            if (batch.isEmpty) Seq.empty
+            else {
+              val back = audioRoundTrip(batch, frames, frameLen,
+                bigEndian = odd,
+                if (odd) javax.sound.sampled.AudioFileFormat.Type.AIFF
+                else javax.sound.sampled.AudioFileFormat.Type.WAVE)
+              batch.zipWithIndex.map { case (id, b) =>
+                val (hi, lo) = audioFpFromDecoded(back, b, frames,
+                  frameLen, bigEndian = odd)
+                (id, hi, lo, if (odd) "aiff" else "wav")
+              }
+            }
+          }
+        }
+      }
+      .toDF("media_id", "hash_hi", "hash_lo", "codec")
+  }
+
+  /** Cross-codec audio near-dup (m15): [[audioFingerprintAcrossCodecs]]
+    * over the mixed WAV/AIFF corpus, paired by the same guarded
+    * pigeonhole as m12 — every planted pair surfaces ACROSS the codec
+    * boundary (`a_codec ≠ b_codec` on every planted row, carried in
+    * the output so the gate sees it), and because PCM16 is lossless
+    * in both containers the distances are exact and fully
+    * oracle-replayable. Output: `(a_id, b_id, dist, a_codec,
+    * b_codec)`, a_id < b_id. */
+  def audioNearDupAcrossCodecs(spark: SparkSession, docs: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame = {
+    val fps = audioFingerprintAcrossCodecs(spark, docs)
+      .select(col("media_id").as("doc_id"),
+        shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo")).as("sh"))
+    Dedup.hammingPairs(fps, maxDist, maxBucket, blocks = 4, bits = 16)
+      .select(col("a_id"), col("b_id"), col("dist"),
+        when(col("a_id") % 2 === 0, "wav").otherwise("aiff").as("a_codec"),
+        when(col("b_id") % 2 === 0, "wav").otherwise("aiff").as("b_codec"))
   }
 
   /** Near-duplicate AUDIO detection (m12): pairs of media whose

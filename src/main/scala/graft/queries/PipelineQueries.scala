@@ -1467,6 +1467,15 @@ object PipelineQueries {
       Multimodal.audioNearDup(s, documents(s, d))
         .orderBy("a_id", "b_id")
     },
+    // cross-codec audio near-dup: even ids render real WAV (RIFF,
+    // LE), odd ids real AIFF (IFF, BE) — m12's planted pairs are
+    // adjacent, so every pair crosses the codec boundary; PCM16 is
+    // lossless in both, so the oracle replays the closed form
+    // EXACTLY, distances included (stronger than m14's JPEG leg)
+    "m15_audio_codec_neardup" -> { (s, d) =>
+      Multimodal.audioNearDupAcrossCodecs(s, documents(s, d))
+        .orderBy("a_id", "b_id")
+    },
     // LAION-style pair curation: image dHash near-dups ∪ caption
     // MinHash near-dups → transitive clusters → ONE (image, caption)
     // survivor per cluster under the dd14 quality rule; media bytes
@@ -3096,6 +3105,40 @@ object PipelineQueries {
          SELECT doc_id + 100000 AS doc_id, text FROM documents
          WHERE doc_id % 31 = 7""")}
       ORDER BY query_id, rank"""
+
+  /** Shared m12/m15 oracle CTEs: the energy-delta fingerprint closed
+    * form (per-doc Lehmer frame seeds → per-frame energies → 64
+    * energy-trend bits), ending in `h(media_id, hi, lo)`. */
+  private lazy val sqlAudioFpCtes: String = s"""pl AS (SELECT [${
+      graft.operators.Multimodal.DHashPlanes.take(65).mkString(", ")
+    }] AS planes),
+      base AS (SELECT d.doc_id AS media_id,
+          CASE WHEN d.doc_id % 103 = 1 AND d.doc_id >= 103
+            THEN d.doc_id - 1 ELSE d.doc_id END AS eff,
+          CASE WHEN d.doc_id % 103 = 1 AND d.doc_id >= 103
+            THEN 1 ELSE 0 END AS isv
+        FROM documents d),
+      sfr AS (SELECT media_id, t.f AS f,
+          (((eff*2654435761 + 54321) % 2147483647)
+             * (SELECT planes[t.f::INT + 1] FROM pl) % 2147483647
+           + CASE WHEN isv = 1 AND t.f = eff % 65 THEN 999 ELSE 0 END)
+          % 2147483647 AS sd
+        FROM base, unnest(range(0, 65)) AS t(f)),
+      en AS (SELECT media_id, f,
+          sum(((sd*(2*j.j+1) + j.j*977) % 2147483647 % 65536 - 32768)
+            * ((sd*(2*j.j+1) + j.j*977) % 2147483647 % 65536 - 32768))
+            ::BIGINT AS e
+        FROM sfr, unnest(range(0, 16)) AS j(j) GROUP BY 1, 2),
+      bb AS (SELECT a.media_id, a.f AS i,
+          CASE WHEN b2.e > a.e THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM en a JOIN en b2
+          ON b2.media_id = a.media_id AND b2.f = a.f + 1
+        WHERE a.f < 64),
+      h AS (SELECT media_id,
+          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
+            AS hi,
+          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+        FROM bb GROUP BY media_id)"""
 
   val oracle: Map[String, String] = Map(
     // the same codepoint table, fixture synthesis, and segmentation
@@ -5596,38 +5639,25 @@ object PipelineQueries {
     // shared plane table, 16 linear samples per frame) then the plain
     // all-pairs Hamming join — the guarded block join must equal it
     "m12_audio_neardup" -> s"""
-      WITH pl AS (SELECT [${graft.operators.Multimodal.DHashPlanes
-        .take(65).mkString(", ")}] AS planes),
-      base AS (SELECT d.doc_id AS media_id,
-          CASE WHEN d.doc_id % 103 = 1 AND d.doc_id >= 103
-            THEN d.doc_id - 1 ELSE d.doc_id END AS eff,
-          CASE WHEN d.doc_id % 103 = 1 AND d.doc_id >= 103
-            THEN 1 ELSE 0 END AS isv
-        FROM documents d),
-      sfr AS (SELECT media_id, t.f AS f,
-          (((eff*2654435761 + 54321) % 2147483647)
-             * (SELECT planes[t.f::INT + 1] FROM pl) % 2147483647
-           + CASE WHEN isv = 1 AND t.f = eff % 65 THEN 999 ELSE 0 END)
-          % 2147483647 AS sd
-        FROM base, unnest(range(0, 65)) AS t(f)),
-      en AS (SELECT media_id, f,
-          sum(((sd*(2*j.j+1) + j.j*977) % 2147483647 % 65536 - 32768)
-            * ((sd*(2*j.j+1) + j.j*977) % 2147483647 % 65536 - 32768))
-            ::BIGINT AS e
-        FROM sfr, unnest(range(0, 16)) AS j(j) GROUP BY 1, 2),
-      bb AS (SELECT a.media_id, a.f AS i,
-          CASE WHEN b2.e > a.e THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        FROM en a JOIN en b2
-          ON b2.media_id = a.media_id AND b2.f = a.f + 1
-        WHERE a.f < 64),
-      h AS (SELECT media_id,
-          sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT
-            AS hi,
-          sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
-        FROM bb GROUP BY media_id)
+      WITH $sqlAudioFpCtes
       SELECT a.media_id AS a_id, b2.media_id AS b_id,
         (bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)))::INT
           AS dist
+      FROM h a JOIN h b2 ON a.media_id < b2.media_id
+      WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3
+      ORDER BY a_id, b_id""",
+    // the m12 closed form verbatim (PCM16 is lossless through BOTH
+    // containers, so even the distances replay) with each side's
+    // codec attached by the id-parity rule the fixture renders with
+    "m15_audio_codec_neardup" -> s"""
+      WITH $sqlAudioFpCtes
+      SELECT a.media_id AS a_id, b2.media_id AS b_id,
+        (bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)))::INT
+          AS dist,
+        CASE WHEN a.media_id % 2 = 0 THEN 'wav' ELSE 'aiff' END
+          AS a_codec,
+        CASE WHEN b2.media_id % 2 = 0 THEN 'wav' ELSE 'aiff' END
+          AS b_codec
       FROM h a JOIN h b2 ON a.media_id < b2.media_id
       WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3
       ORDER BY a_id, b_id""",
