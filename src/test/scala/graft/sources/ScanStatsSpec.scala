@@ -125,12 +125,19 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("TopN prune soundness fuzz: pruning never changes the top-N " +
-      "value multiset") {
+      "value multiset (deletion vectors included)") {
     import graft.sources.v2.{TopNFilePrune, TopNSpec}
     val field = StructField("k", LongType)
-    val genFile: Gen[Seq[Option[Long]]] = Gen.choose(0, 5).flatMap(n =>
-      Gen.listOfN(n,
-        Gen.oneOf(Gen.const(None), Gen.choose(-4L, 4L).map(Some(_)))))
+    // per row: (value-or-null, dvDeleted) — stats describe the FULL
+    // physical rows (Delta semantics: numRecords/min/max/nullCount
+    // count DV-deleted rows too), the expected top-N counts only the
+    // SURVIVORS, and the prune may only use the DV's cardinality
+    val genFile: Gen[Seq[(Option[Long], Boolean)]] =
+      Gen.choose(0, 5).flatMap(n => Gen.listOfN(n,
+        for {
+          v <- Gen.oneOf(Gen.const(None), Gen.choose(-4L, 4L).map(Some(_)))
+          del <- Gen.frequency(3 -> false, 1 -> true)
+        } yield (v, del)))
     val genCase = for {
       nFiles <- Gen.choose(1, 5)
       files <- Gen.listOfN(nFiles, genFile)
@@ -143,7 +150,7 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     forAll(genCase, n = 2000) {
       case (rowSets, asc, nullsFirst, n, statless, dropStats) =>
         val files = rowSets.zipWithIndex.map { case (rows, i) =>
-          val present = rows.flatten
+          val present = rows.map(_._1).flatten
           val stats =
             if (dropStats && i == statless) None
             else Some(s"""{"numRecords":${rows.length},""" +
@@ -151,8 +158,14 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
                 s""""minValues":{"k":${present.min}},""" +
                   s""""maxValues":{"k":${present.max}},"""
               else "") +
-              s""""nullCount":{"k":${rows.count(_.isEmpty)}}}""")
-          FileAction(s"f$i", s"f$i", Map.empty, 1L, stats, None, None, None)
+              s""""nullCount":{"k":${rows.count(_._1.isEmpty)}}}""")
+          val dvc = rows.count(_._2)
+          val dv =
+            if (dvc == 0) None
+            else Some(graft.sources.DeletionVectors.Descriptor(
+              "i", "", 0L, 0L, dvc.toLong))
+          FileAction(s"f$i", s"f$i", Map.empty, 1L, stats, None, None,
+            None, deletionVector = dv)
         }
         val spec = TopNSpec(field, asc, nullsFirst, n)
         val kept = TopNFilePrune.prune(files, spec).map(_.url).toSet
@@ -162,8 +175,9 @@ class ScanStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
           case Some(x) => if (asc) x else -x
           case None => if (nullsFirst) Long.MinValue else Long.MaxValue
         }
-        def topVals(sets: Seq[(Seq[Option[Long]], Int)]): Seq[Long] =
-          sets.flatMap(_._1).map(key).sorted.take(n)
+        def topVals(sets: Seq[(Seq[(Option[Long], Boolean)], Int)]): Seq[Long] =
+          sets.flatMap(_._1).filterNot(_._2).map(r => key(r._1))
+            .sorted.take(n)
         val all = rowSets.zipWithIndex
         val surviving = all.filter { case (_, i) => kept.contains(s"f$i") }
         assert(topVals(all) == topVals(surviving),
