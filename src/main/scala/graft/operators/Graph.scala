@@ -336,13 +336,17 @@ object Graph {
     * collapse to one row. Streaming-legal in `foreachBatch`. */
   def lpaDriftCensus(labels: DataFrame, newEdges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // ONE annotation pass feeds the edge census, the pair census, and
+    // the new-node leg — the frozen table is probed exactly twice
+    // (endpoint labels) + once (voted check), never per-counter
     val ann = annotateDrift(labels, newEdges, srcCol, dstCol)
+      .localCheckpoint(eager = false)
     val edgeCensus = ann.agg(
       count(lit(1)).as("n_edges"),
       coalesce(sum(when(col("la").isNotNull && col("lb").isNotNull &&
         col("la") === col("lb"), 1L).otherwise(0L)), lit(0L))
         .as("n_intra_edges"))
-    val pairCensus = lpaDriftPairs(labels, newEdges, srcCol, dstCol)
+    val pairCensus = driftPairsOf(ann)
       .agg(coalesce(sum("n_edges"), lit(0L)).as("n_cross_edges"),
         count(lit(1)).as("n_cross_pairs"))
     // new-node leg: arrivals absent from the frozen table, split by
@@ -375,8 +379,10 @@ object Graph {
     * will perform; many lightly-bridged pairs are noise. */
   def lpaDriftPairs(labels: DataFrame, newEdges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame =
-    annotateDrift(labels, newEdges, srcCol, dstCol)
-      .filter(col("la").isNotNull && col("lb").isNotNull &&
+    driftPairsOf(annotateDrift(labels, newEdges, srcCol, dstCol))
+
+  private def driftPairsOf(ann: DataFrame): DataFrame =
+    ann.filter(col("la").isNotNull && col("lb").isNotNull &&
         col("la") =!= col("lb"))
       .select(least(col("la"), col("lb")).as("lbl_a"),
         greatest(col("la"), col("lb")).as("lbl_b"))

@@ -1003,11 +1003,18 @@ object Similarity {
   def knnIndexWrite(corpus: DataFrame, outPath: String,
       numCentroids: Int = 16, maxList: Int = 1 << 16, iters: Int = 2,
       centsIn: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
     val (cents, home) = knnIndex(corpus, numCentroids, maxList, iters,
       centsIn)
+    // two non-atomic commits (home lists + _cents) → fold-stamp
+    // bracket so a crash in between is detected, never served; a
+    // from-scratch write is itself the rebuild recovery, so it enters
+    // without the consistency check
+    val seq = FoldStamp.beginRebuild(spark, outPath)
     home.repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(outPath)
     cents.write.mode("overwrite").parquet(outPath + "_cents")
+    FoldStamp.commit(spark, outPath, seq)
   }
 
   /** Serve kNN top-k THROUGH a written [[knnIndexWrite]] layout:
@@ -1020,10 +1027,12 @@ object Similarity {
     * read (dynamic partition pruning, pinned in PlanCheck). */
   def knnTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, queries: DataFrame, k: Int = 3,
-      nprobe: Int = 2): DataFrame =
+      nprobe: Int = 2): DataFrame = {
+    FoldStamp.check(spark, layoutPath, "knn") // refuse a mid-fold layout
     knnTopKAgainst(queries,
       spark.read.parquet(layoutPath + "_cents"),
       spark.read.parquet(layoutPath), k, nprobe)
+  }
 
   /** CDF maintenance of a WRITTEN [[knnIndexWrite]] layout — the
     * [[knnApplyCdf]] fold executed as a PARTITION-GRAIN rewrite:
@@ -1045,7 +1054,8 @@ object Similarity {
     * dropped explicitly (dynamic overwrite cannot delete a partition
     * it writes no rows for). */
   def knnLayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
-      layoutPath: String, cdf: DataFrame): Unit = {
+      layoutPath: String, cdf: DataFrame,
+      resumeCrashed: Boolean = false): Unit = {
     val cents = spark.read.parquet(layoutPath + "_cents")
     val home = spark.read.parquet(layoutPath)
     val known = Seq("insert", "delete", "update_preimage",
@@ -1064,17 +1074,31 @@ object Similarity {
       .select("vec_id", "embedding")
     val arrivedRows = homeRowsAgainst(arrived, cents)
       .localCheckpoint(eager = false) // touched-cid census + rewrite
-    // the touched lists: where departures live now + where arrivals go
-    val touched = home.join(broadcast(gone), Seq("neighbor_id"),
+    // UPSERT anti-set: departures AND arrival ids leave before the
+    // arrivals' rows land — re-applying the same batch (the crash
+    // recovery) converges instead of duplicating arrivals, and an
+    // insert of an existing id replaces it wherever it lived
+    val departing = gone
+      .unionByName(arrived.select(col("vec_id").as("neighbor_id")))
+      .distinct()
+      .localCheckpoint(eager = false) // touched census + anti-join
+    // the touched lists: where departures/replaced ids live now +
+    // where arrivals go
+    val touched = home.join(broadcast(departing), Seq("neighbor_id"),
         "left_semi").select("cid")
       .union(arrivedRows.select("cid"))
       .distinct().collect().map(_.get(0).toString.toLong).toSet
+    // fold-stamp bracket AFTER every validation action above (the
+    // change-type guard raises during the census collects) and before
+    // the first mutation; resumeCrashed acknowledges a re-run of a
+    // crashed fold (the upsert anti-set makes re-application converge)
+    val seq = FoldStamp.enter(spark, layoutPath, "knn", resumeCrashed)
     if (touched.nonEmpty) {
       val touchedLit = touched.toSeq.sorted.map(lit)
       // maintained rows of the touched lists ONLY, severed from the
       // files the overwrite is about to replace
       val newRows = home.filter(col("cid").isin(touchedLit: _*))
-        .join(broadcast(gone), Seq("neighbor_id"), "left_anti")
+        .join(broadcast(departing), Seq("neighbor_id"), "left_anti")
         .unionByName(arrivedRows.filter(
           col("cid").isin(touchedLit: _*)))
         .select("neighbor_id", "n_emb", "n_nrm", "cid")
@@ -1093,6 +1117,7 @@ object Similarity {
           layoutPath, s"cid=$cid"), true)
       }
     }
+    FoldStamp.commit(spark, layoutPath, seq)
   }
 
   /** Per-list census of a WRITTEN [[knnIndexWrite]] layout — the
@@ -1146,7 +1171,7 @@ object Similarity {
     * census-gated cap, one partitioned write. */
   def knnCentroidRetrain(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, numCentroids: Int = 16, iters: Int = 2,
-      maxList: Int = 1 << 16): Unit = {
+      maxList: Int = 1 << 16, resumeCrashed: Boolean = false): Unit = {
     // the CURRENT membership's raw vectors, read from the layout and
     // severed (eagerly) from the files the rewrite replaces
     val membership = spark.read.parquet(layoutPath)
@@ -1163,9 +1188,17 @@ object Similarity {
       .withColumn("cc", dotD(col("cemb"), col("cemb")))
       .localCheckpoint(eager = true) // read before overwriting beside it
     val rows = capHome(homeRowsAgainst(membership, cents), maxList)
+    // data + _cents are two non-atomic commits: a crash in between
+    // would serve rows assigned under centroids that were never
+    // persisted — the fold stamp makes that LOUD, and re-running the
+    // retrain with resumeCrashed = true (deterministic Lloyd over the
+    // membership's raw vectors, which survive any crash point) is the
+    // recovery
+    val seq = FoldStamp.enter(spark, layoutPath, "knn", resumeCrashed)
     rows.repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(layoutPath)
     cents.write.mode("overwrite").parquet(layoutPath + "_cents")
+    FoldStamp.commit(spark, layoutPath, seq)
   }
 
   /** Incremental kNN-graph maintenance (ss16), batch tail: the
@@ -1398,6 +1431,11 @@ object Similarity {
       iters: Int = 2, centsOpt: Option[DataFrame] = None): Unit = {
     val (coarse, books, enc) =
       ivfPqIndex(corpus, numCentroids, m, ksub, iters, centsOpt)
+    // THREE non-atomic commits (codes + _coarse + _books) →
+    // fold-stamp bracket; a from-scratch write is itself the rebuild
+    // recovery, so it enters without the consistency check
+    val spark = corpus.sparkSession
+    val seq = FoldStamp.beginRebuild(spark, outPath)
     enc.repartition(col("lcid"))
       .write.partitionBy("lcid").mode("overwrite").parquet(outPath)
     coarse.write.mode("overwrite").parquet(outPath + "_coarse")
@@ -1406,6 +1444,7 @@ object Similarity {
         col("cemb"), col("cc")) }
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(outPath + "_books")
+    FoldStamp.commit(spark, outPath, seq)
   }
 
   /** CDF maintenance of a WRITTEN [[pqIndexWrite]] layout — the
@@ -1421,7 +1460,8 @@ object Similarity {
     * quantizer + codebooks (the ss25 oracle replays exactly that).
     * CDF rows: `(vec_id, embedding, _change_type)`. */
   def pqLayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
-      layoutPath: String, cdf: DataFrame, m: Int = 4): Unit = {
+      layoutPath: String, cdf: DataFrame, m: Int = 4,
+      resumeCrashed: Boolean = false): Unit = {
     val coarse = spark.read.parquet(layoutPath + "_coarse")
     val booksAll = spark.read.parquet(layoutPath + "_books")
     val books = (0 until m).map(sid =>
@@ -1443,16 +1483,29 @@ object Similarity {
       .select("vec_id", "embedding")
     val arrivedRows = pqRowsAgainst(arrived, coarse, books)
       .localCheckpoint(eager = false) // touched-lcid census + rewrite
-    val touched = enc.join(broadcast(gone), Seq("vec_id"), "left_semi")
+    // UPSERT anti-set (see knnLayoutApplyCdf): departures AND arrival
+    // ids leave before the arrivals' rows land, so re-applying the
+    // same batch (the crash recovery) converges instead of
+    // duplicating arrivals
+    val departing = gone
+      .unionByName(arrived.select("vec_id"))
+      .distinct()
+      .localCheckpoint(eager = false) // touched census + anti-join
+    val touched = enc.join(broadcast(departing), Seq("vec_id"),
+        "left_semi")
       .select("lcid")
       .union(arrivedRows.select("lcid"))
       .distinct().collect().map(_.get(0).toString.toLong).toSet
+    // fold-stamp bracket AFTER the change-type validation collects,
+    // before the first mutation; resumeCrashed acknowledges a re-run
+    // of a crashed fold
+    val seq = FoldStamp.enter(spark, layoutPath, "pq", resumeCrashed)
     if (touched.nonEmpty) {
       val touchedLit = touched.toSeq.sorted.map(lit)
       val cols = Seq("vec_id") ++ (0 until m).map(s => s"code_$s") ++
         Seq("lcid")
       val newRows = enc.filter(col("lcid").isin(touchedLit: _*))
-        .join(broadcast(gone), Seq("vec_id"), "left_anti")
+        .join(broadcast(departing), Seq("vec_id"), "left_anti")
         .unionByName(arrivedRows.filter(
           col("lcid").isin(touchedLit: _*)))
         .select(cols.map(col): _*)
@@ -1469,6 +1522,7 @@ object Similarity {
           layoutPath, s"lcid=$c"), true)
       }
     }
+    FoldStamp.commit(spark, layoutPath, seq)
   }
 
   /** Serve IVF-PQ top-k THROUGH a written [[pqIndexWrite]] layout —
@@ -1479,6 +1533,7 @@ object Similarity {
   def ivfPqTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, queries: DataFrame, k: Int,
       nprobe: Int = 2, m: Int = 4): DataFrame = {
+    FoldStamp.check(spark, layoutPath, "pq") // refuse a mid-fold layout
     val booksAll = spark.read.parquet(layoutPath + "_books")
     val books = (0 until m).map(sid =>
       booksAll.filter(col("sid") === sid).select("cid", "cemb", "cc"))
@@ -2127,10 +2182,17 @@ object Similarity {
       centsOpt: Option[DataFrame] = None): Unit = {
     val (cents, packed, c) =
       ivfSq8Index(corpus, numCentroids, iters, centsOpt)
+    // THREE non-atomic commits (codes + _stats + _cents) → fold-stamp
+    // bracket so a crash between any two is detected, never served; a
+    // from-scratch write is itself the rebuild recovery, so it enters
+    // without the consistency check
+    val spark = corpus.sparkSession
+    val seq = FoldStamp.beginRebuild(spark, outPath)
     c.repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(outPath)
     packed.write.mode("overwrite").parquet(outPath + "_stats")
     cents.write.mode("overwrite").parquet(outPath + "_cents")
+    FoldStamp.commit(spark, outPath, seq)
   }
 
   /** CDF maintenance of a WRITTEN [[sq8IndexWrite]] layout — the
@@ -2148,7 +2210,8 @@ object Similarity {
     * membership under the same frozen stats + centroids (pinned in
     * GuardrailsSpec). CDF rows: `(vec_id, embedding, _change_type)`. */
   def sq8LayoutApplyCdf(spark: org.apache.spark.sql.SparkSession,
-      layoutPath: String, cdf: DataFrame): Unit = {
+      layoutPath: String, cdf: DataFrame,
+      resumeCrashed: Boolean = false): Unit = {
     val cents = spark.read.parquet(layoutPath + "_cents")
     val packed = spark.read.parquet(layoutPath + "_stats")
     val home = spark.read.parquet(layoutPath)
@@ -2168,14 +2231,26 @@ object Similarity {
       .select("vec_id", "embedding")
     val arrivedRows = sq8RowsAgainst(arrived, cents, packed)
       .localCheckpoint(eager = false) // touched-cid census + rewrite
-    val touched = home.join(broadcast(gone), Seq("neighbor_id"),
+    // UPSERT anti-set (see knnLayoutApplyCdf): departures AND arrival
+    // ids leave before the arrivals' rows land, so re-applying the
+    // same batch (the crash recovery) converges instead of
+    // duplicating arrivals
+    val departing = gone
+      .unionByName(arrived.select(col("vec_id").as("neighbor_id")))
+      .distinct()
+      .localCheckpoint(eager = false) // touched census + anti-join
+    val touched = home.join(broadcast(departing), Seq("neighbor_id"),
         "left_semi").select("cid")
       .union(arrivedRows.select("cid"))
       .distinct().collect().map(_.get(0).toString.toLong).toSet
+    // fold-stamp bracket AFTER the change-type validation collects,
+    // before the first mutation; resumeCrashed acknowledges a re-run
+    // of a crashed fold (the upsert anti-set makes it converge)
+    val seq = FoldStamp.enter(spark, layoutPath, "sq8", resumeCrashed)
     if (touched.nonEmpty) {
       val touchedLit = touched.toSeq.sorted.map(lit)
       val newRows = home.filter(col("cid").isin(touchedLit: _*))
-        .join(broadcast(gone), Seq("neighbor_id"), "left_anti")
+        .join(broadcast(departing), Seq("neighbor_id"), "left_anti")
         .unionByName(arrivedRows.filter(
           col("cid").isin(touchedLit: _*)))
         .select("neighbor_id", "codes", "cid")
@@ -2192,6 +2267,7 @@ object Similarity {
           layoutPath, s"cid=$cid"), true)
       }
     }
+    FoldStamp.commit(spark, layoutPath, seq)
   }
 
   /** The scheduled OFFLINE stats refresh (ss27) every frozen-artifact
@@ -2229,7 +2305,8 @@ object Similarity {
     * changes under a new grid) and the point of it being a SCHEDULED
     * event rather than an inline fold. */
   def sq8StatsRefresh(spark: org.apache.spark.sql.SparkSession,
-      layoutPath: String, corpus: DataFrame): Unit = {
+      layoutPath: String, corpus: DataFrame,
+      resumeCrashed: Boolean = false): Unit = {
     val ids = corpus.select(col("vec_id").as("neighbor_id"))
       .localCheckpoint(eager = false) // two anti-joins
     val home = spark.read.parquet(layoutPath).select("neighbor_id")
@@ -2247,9 +2324,16 @@ object Similarity {
       .localCheckpoint(eager = false) // re-encode + stats overwrite
     val rows = sq8RowsAgainst(corpus, cents, packed)
       .localCheckpoint(eager = true) // sever from the files below
+    // re-encode + _stats are two non-atomic commits: a crash in
+    // between dequantizes every code against the wrong grid — the
+    // fold stamp makes that LOUD; re-running the refresh with
+    // resumeCrashed = true (derived from the raw vectors, which
+    // survive any crash point) recovers
+    val seq = FoldStamp.enter(spark, layoutPath, "sq8", resumeCrashed)
     rows.repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(layoutPath)
     packed.write.mode("overwrite").parquet(layoutPath + "_stats")
+    FoldStamp.commit(spark, layoutPath, seq)
   }
 
   /** Serve IVF-SQ8 top-k THROUGH a written [[sq8IndexWrite]] layout:
@@ -2261,11 +2345,13 @@ object Similarity {
     * PARTITION column, so only the probed lists' files are read. */
   def ivfSq8TopKFromLayout(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, queries: DataFrame, k: Int,
-      nprobe: Int = 2): DataFrame =
+      nprobe: Int = 2): DataFrame = {
+    FoldStamp.check(spark, layoutPath, "sq8") // refuse a mid-fold layout
     ivfSq8Serve(spark.read.parquet(layoutPath),
       spark.read.parquet(layoutPath + "_cents"),
       spark.read.parquet(layoutPath + "_stats"),
       queries, k, nprobe)
+  }
 
   def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,

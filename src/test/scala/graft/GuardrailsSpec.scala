@@ -1661,4 +1661,157 @@ class GuardrailsSpec extends AnyFunSuite {
           lit("delete").as("_change_type")))
     assert(Retrieval.bm25LayoutFsck(spark, out))
   }
+
+  test("vector-layout fold stamp: a crashed fold is refused at probe " +
+      "time, an acknowledged re-run converges, a rebuild always enters") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_knnfold_guard_${spark.sparkContext.applicationId}").getPath
+    val base = embs.select("vec_id", "embedding")
+      .localCheckpoint(eager = true)
+    Similarity.knnIndexWrite(base, out, numCentroids = 4)
+    val cents = spark.read.parquet(out + "_cents")
+      .localCheckpoint(eager = true)
+    val queries = embs.filter(col("vec_id") < 3)
+    Similarity.knnTopKFromLayout(spark, out, queries, k = 5).collect()
+    // write-order injection: capture the pre-fold _fold_done, run a
+    // real CDF fold (every artifact lands), then restore the OLD
+    // done-marker — byte-for-byte the on-disk state of a fold killed
+    // between its last artifact write and its done-commit
+    val preDone = spark.read.parquet(out + "_fold_done")
+      .localCheckpoint(eager = true)
+    val cdf = embs.filter(col("vec_id").isin(4L, 17L))
+      .select(col("vec_id"), col("embedding"),
+        lit("delete").as("_change_type"))
+      .unionByName(embs.filter(col("vec_id") === 6L)
+        .select((col("vec_id") + 5000).as("vec_id"), col("embedding"),
+          lit("insert").as("_change_type")))
+      .localCheckpoint(eager = true)
+    Similarity.knnLayoutApplyCdf(spark, out, cdf)
+    preDone.write.mode("overwrite").parquet(out + "_fold_done")
+    // every probe and every unacknowledged fold must refuse loudly
+    val e = intercept[IllegalStateException] {
+      Similarity.knnTopKFromLayout(spark, out, queries, k = 5)
+    }
+    assert(e.getMessage.contains("mid-fold"),
+      s"staleness error must name the condition: ${e.getMessage}")
+    intercept[IllegalStateException] {
+      Similarity.knnLayoutApplyCdf(spark, out, cdf)
+    }
+    intercept[IllegalStateException] {
+      Similarity.knnCentroidRetrain(spark, out, numCentroids = 4)
+    }
+    // acknowledged re-run of the SAME batch converges: the upsert
+    // anti-set replaces the already-landed arrival instead of
+    // duplicating it, and the done-commit restores consistency
+    Similarity.knnLayoutApplyCdf(spark, out, cdf, resumeCrashed = true)
+    val members = spark.read.parquet(out).select("neighbor_id")
+    assert(members.count() == members.distinct().count(),
+      "re-applied fold duplicated an arrival")
+    val served = Similarity.knnTopKFromLayout(spark, out, queries,
+      k = 5).collect().toSet
+    // the recovered layout serves exactly like a from-scratch build
+    // of the folded membership under the same frozen centroids
+    val out2 = out + "_fresh"
+    Similarity.knnIndexWrite(base.filter(!col("vec_id").isin(4L, 17L))
+      .unionByName(embs.filter(col("vec_id") === 6L)
+        .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))),
+      out2, numCentroids = 4, centsIn = Some(cents))
+    val fresh = Similarity.knnTopKFromLayout(spark, out2, queries,
+      k = 5).collect().toSet
+    assert(served == fresh, "recovered layout serves differently " +
+      "from a from-scratch build over the folded membership")
+    // a full index write is itself the rebuild recovery: it must
+    // enter WITHOUT the acknowledgment even on a crashed layout
+    preDone.write.mode("overwrite").parquet(out + "_fold_done")
+    Similarity.knnIndexWrite(base, out, numCentroids = 4)
+    Similarity.knnTopKFromLayout(spark, out, queries, k = 5).collect()
+  }
+
+  test("sq8 fold stamp: crashed stats refresh refused at probe time, " +
+      "acknowledged re-run restores grid-consistent serving") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq8fold_guard_${spark.sparkContext.applicationId}").getPath
+    val membership = embs
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .localCheckpoint(eager = true)
+    Similarity.sq8IndexWrite(membership, out, numCentroids = 8)
+    val queries = embs.filter(col("vec_id") < 3)
+    // inject the refresh crash signature: a real refresh lands, then
+    // the OLD _stats and _fold_done return — codes encoded under a
+    // grid that was never persisted, exactly what a kill between the
+    // re-encode and the _stats write leaves behind
+    val preStats = spark.read.parquet(out + "_stats")
+      .localCheckpoint(eager = true)
+    val preDone = spark.read.parquet(out + "_fold_done")
+      .localCheckpoint(eager = true)
+    Similarity.sq8StatsRefresh(spark, out, membership)
+    preStats.write.mode("overwrite").parquet(out + "_stats")
+    preDone.write.mode("overwrite").parquet(out + "_fold_done")
+    intercept[IllegalStateException] {
+      Similarity.ivfSq8TopKFromLayout(spark, out, queries, k = 10)
+    }
+    intercept[IllegalStateException] {
+      Similarity.sq8StatsRefresh(spark, out, membership)
+    }
+    // acknowledged re-run re-derives grid + codes from raw vectors
+    Similarity.sq8StatsRefresh(spark, out, membership,
+      resumeCrashed = true)
+    val served = Similarity.ivfSq8TopKFromLayout(spark, out, queries,
+      k = 10, nprobe = 2)
+    val out2 = out + "_fresh"
+    Similarity.sq8IndexWrite(membership, out2, numCentroids = 8,
+      centsOpt = Some(spark.read.parquet(out + "_cents")
+        .localCheckpoint(eager = true)))
+    val scratch = Similarity.ivfSq8TopKFromLayout(spark, out2, queries,
+      k = 10, nprobe = 2)
+    assert(served.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(served).count() == 0,
+      "recovered sq8 layout serves differently from a from-scratch " +
+        "build of the same membership")
+  }
+
+  test("pq fold stamp: crashed CDF fold refused at probe time, " +
+      "acknowledged re-run equals an uncrashed fold of the same batch") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqfold_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.pqIndexWrite(embs, out, numCentroids = 8, m = 4)
+    val queries = embs.filter(col("vec_id") < 3)
+    val cdf = embs.filter(col("vec_id").isin(4L, 17L))
+      .select(col("vec_id"), col("embedding"),
+        lit("delete").as("_change_type"))
+      .unionByName(embs.filter(col("vec_id") === 6L)
+        .select((col("vec_id") + 5000).as("vec_id"), col("embedding"),
+          lit("insert").as("_change_type")))
+      .localCheckpoint(eager = true)
+    // crash signature: the fold lands, then the OLD done-marker returns
+    val preDone = spark.read.parquet(out + "_fold_done")
+      .localCheckpoint(eager = true)
+    Similarity.pqLayoutApplyCdf(spark, out, cdf, m = 4)
+    preDone.write.mode("overwrite").parquet(out + "_fold_done")
+    intercept[IllegalStateException] {
+      Similarity.ivfPqTopKFromLayout(spark, out, queries, k = 10, m = 4)
+    }
+    intercept[IllegalStateException] {
+      Similarity.pqLayoutApplyCdf(spark, out, cdf, m = 4)
+    }
+    // acknowledged re-run converges (upsert anti-set) and serves
+    // exactly like an UNCRASHED fold of the same batch on a twin
+    // layout (training is deterministic, so the twins start identical)
+    Similarity.pqLayoutApplyCdf(spark, out, cdf, m = 4,
+      resumeCrashed = true)
+    val members = spark.read.parquet(out).select("vec_id")
+    assert(members.count() == members.distinct().count(),
+      "re-applied pq fold duplicated an arrival")
+    val out2 = out + "_twin"
+    Similarity.pqIndexWrite(embs, out2, numCentroids = 8, m = 4)
+    Similarity.pqLayoutApplyCdf(spark, out2, cdf, m = 4)
+    val served = Similarity.ivfPqTopKFromLayout(spark, out, queries,
+      k = 10, m = 4)
+    val twin = Similarity.ivfPqTopKFromLayout(spark, out2, queries,
+      k = 10, m = 4)
+    assert(served.exceptAll(twin).count() == 0 &&
+      twin.exceptAll(served).count() == 0,
+      "recovered pq layout serves differently from an uncrashed fold")
+  }
 }
