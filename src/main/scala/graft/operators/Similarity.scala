@@ -1000,6 +1000,17 @@ object Similarity {
     * frame — serving ([[knnTopKFromLayout]]) and CDF maintenance
     * ([[knnLayoutApplyCdf]]) then run against the layout alone and
     * never touch the raw corpus. */
+  /** Read a layout's data artifact, treating a fully-DRAINED
+    * directory (every partition dropped by CDF folds, only commit
+    * markers left, so parquet schema inference fails) as the absent
+    * membership it is — the maintenance executors' own loud
+    * "no members" / membership-mismatch degrades then fire instead
+    * of a bare schema-inference error. */
+  private def readLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   def knnIndexWrite(corpus: DataFrame, outPath: String,
       numCentroids: Int = 16, maxList: Int = 1 << 16, iters: Int = 2,
       centsIn: Option[DataFrame] = None): Unit = {
@@ -1174,15 +1185,17 @@ object Similarity {
       maxList: Int = 1 << 16, resumeCrashed: Boolean = false): Unit = {
     // the CURRENT membership's raw vectors, read from the layout and
     // severed (eagerly) from the files the rewrite replaces
-    val membership = spark.read.parquet(layoutPath)
-      .select(col("neighbor_id").as("vec_id"),
-        col("n_emb").as("embedding"))
-      .localCheckpoint(eager = true)
-    // a fully-departed layout has nothing to train on — retraining it
-    // would seed zero centroids and write null-cid rows; fail loudly
-    // instead (cheap: limit-1 probe of the eager checkpoint)
-    require(!membership.isEmpty,
+    val membershipOpt = readLayout(spark, layoutPath)
+      .map(_.select(col("neighbor_id").as("vec_id"),
+          col("n_emb").as("embedding"))
+        .localCheckpoint(eager = true))
+    // a fully-departed layout (zero rows OR fully drained on disk)
+    // has nothing to train on — retraining it would seed zero
+    // centroids and write null-cid rows; fail loudly instead (cheap:
+    // limit-1 probe of the eager checkpoint)
+    require(membershipOpt.exists(!_.isEmpty),
       "knnCentroidRetrain: layout has no members — nothing to retrain")
+    val membership = membershipOpt.get
     val cents = VectorStats
       .kmeansCentroids(membership, numCentroids, iters)
       .withColumn("cc", dotD(col("cemb"), col("cemb")))
@@ -1522,6 +1535,146 @@ object Similarity {
           layoutPath, s"lcid=$c"), true)
       }
     }
+    FoldStamp.commit(spark, layoutPath, seq)
+  }
+
+  /** Residual-distortion drift census for a FROZEN IVF-PQ index
+    * (ss32) — the [[sq8DriftCensus]] guard-observability discipline
+    * for the residual-coded family: [[pqLayoutApplyCdf]] encodes
+    * every arrival under write-time codebooks, so as the corpus
+    * drifts the frozen codewords sit ever farther from the residuals
+    * they quantize and ADC scores silently degrade. This census makes
+    * that degradation a NUMBER per subspace: each batch vector
+    * assigns to its coarse list, its residual slices score against
+    * the frozen codebooks, and the per-subspace nearest-codeword
+    * distance aggregates to `(n_rows, avg_dist2_fp, max_dist2_fp)` —
+    * when the average distortion grows past the operator's tolerance
+    * vs the write-time census, [[pqCodebookRetrain]] is the scheduled
+    * event that runs (exactly as ss26's `oog_ppm` schedules ss27).
+    *
+    * Scale shape: ONE batch scan — coarse assignment, residual, and
+    * all m per-subspace argmin folds are chained projections against
+    * broadcast artifacts (the [[pqRowsAgainst]] shape), the m
+    * per-row distances explode to m rows, and the census is an
+    * m-key partial agg. Zero joins on the batch side; streaming-legal
+    * in `foreachBatch`.
+    *
+    * Cross-engine exactness: per-row dist2 is the shared
+    * `(x·x − 2·x·c) + c·c` fixed-association fold; the aggregate
+    * totals fixed-point `floor(dist2 · 2^20)` units through a
+    * DECIMAL(38,0) sum (order-independent, overflow-safe at any
+    * corpus size) with an integral-divide mean. */
+  def pqDriftCensus(coarse: DataFrame, books: Seq[DataFrame],
+      batch: DataFrame): DataFrame = {
+    val m = books.size
+    val len = books.head.select(size(col("cemb"))).head.getInt(0)
+    val packedCoarse = coarse
+      .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+        .as("cs"))
+    var r = batch
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("xd"))
+      .crossJoin(broadcast(packedCoarse))
+      .withColumn("xx", dotD(col("xd"), col("xd")))
+      .withColumn("lcid",
+        VectorStats.nearestIn(col("cs"), col("xd"), col("xx"))
+          .getField("cid"))
+      .withColumn("cvec",
+        element_at(filter(col("cs"),
+          c => c.getField("cid") === col("lcid")), 1).getField("cemb"))
+      .withColumn("remb",
+        zip_with(col("xd"), col("cvec"), (x, c) => x - c))
+      .select(col("vec_id"), col("remb"))
+    (0 until m).foreach { s =>
+      val packed = books(s)
+        .agg(collect_list(struct(col("cid"), col("cemb"), col("cc")))
+          .as("cs"))
+      r = r.crossJoin(broadcast(packed))
+        .withColumn("sub", slice(col("remb"), s * len + 1, len))
+        .withColumn("sxx", dotD(col("sub"), col("sub")))
+        .withColumn(s"d_$s",
+          VectorStats.nearestIn(col("cs"), col("sub"), col("sxx"))
+            .getField("dist2"))
+        .drop("cs", "sub", "sxx")
+    }
+    r.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("sid"),
+          floor(col(s"d_$s") * lit(1048576.0)).cast("long").as("fp")))
+        : _*)).as("sd"))
+      .select(col("sd.sid").as("sid"), col("sd.fp").as("fp"))
+      .groupBy("sid")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("fp").cast(org.apache.spark.sql.types
+          .DecimalType(38, 0))).as("sfp"),
+        max(col("fp")).as("max_dist2_fp"))
+      .select(col("sid"), col("n_rows"),
+        expr("CAST(sfp div n_rows AS BIGINT)").as("avg_dist2_fp"),
+        col("max_dist2_fp"))
+  }
+
+  /** The scheduled OFFLINE codebook retrain for a written IVF-PQ
+    * layout (ss33) — completing the maintenance trilogy for the
+    * residual-coded family ([[sq8StatsRefresh]] refreshes the SQ8
+    * grid, [[knnCentroidRetrain]] the kNN coarse quantizer; this is
+    * the PQ codebook member both of those docs point at): when
+    * [[pqDriftCensus]] reports per-subspace distortion past
+    * tolerance, re-train the m per-subspace codebooks over the
+    * CURRENT membership's residuals and re-encode every member. The
+    * COARSE quantizer stays frozen (every member keeps its home
+    * list — codebooks and coarse lists drift on independent clocks),
+    * so the rewrite changes codes, never membership placement.
+    *
+    * `corpus` must be EXACTLY the layout's current membership
+    * `(vec_id, embedding)` — a HARD, CHECKED invariant (id anti-joins
+    * both ways): the stored codes cannot seed the retrain (they carry
+    * quantization error by construction), so the raw vectors must
+    * come from the maintained source table.
+    *
+    * After the retrain, serving through the layout is bit-identical
+    * to a from-scratch [[pqIndexWrite]] of the same membership under
+    * the same frozen coarse quantizer (pinned in GuardrailsSpec).
+    *
+    * Scale shape: one membership scan for residuals (coarse
+    * assignment is a broadcast fold), the m×ksub Lloyd trainings over
+    * residual slices (each round one (cid, dim) partial agg), one
+    * pure-map re-encode, one partitioned write. Every `lcid=`
+    * directory rewrites — unavoidable (every code changes under new
+    * books) and the point of it being a SCHEDULED event. Data +
+    * `_books` are two non-atomic commits → [[FoldStamp]] bracket. */
+  def pqCodebookRetrain(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, corpus: DataFrame, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2,
+      resumeCrashed: Boolean = false): Unit = {
+    val ids = corpus.select(col("vec_id"))
+      .localCheckpoint(eager = false) // two anti-joins
+    val home = readLayout(spark, layoutPath)
+      .map(_.select("vec_id")).getOrElse(ids.limit(0))
+    val missing = ids.join(home, Seq("vec_id"), "left_anti").count()
+    val extra = home.join(ids, Seq("vec_id"), "left_anti").count()
+    require(missing == 0 && extra == 0,
+      s"pqCodebookRetrain: corpus is not the layout membership " +
+        s"($missing corpus ids absent from the layout, $extra layout " +
+        "ids absent from the corpus) — retrain must run over exactly " +
+        "the maintained members' raw vectors")
+    // a fully-departed layout has nothing to train on — retraining it
+    // would seed zero codewords; fail loudly instead (the
+    // knnCentroidRetrain degrade)
+    require(!corpus.isEmpty,
+      "pqCodebookRetrain: layout has no members — nothing to retrain")
+    val coarse = spark.read.parquet(layoutPath + "_coarse")
+      .localCheckpoint(eager = true) // read before overwriting beside it
+    val (_, books, enc) =
+      ivfPqIndex(corpus, coarse.count().toInt, m, ksub, iters,
+        Some(coarse))
+    val encC = enc.localCheckpoint(eager = true) // sever from the files
+    val seq = FoldStamp.enter(spark, layoutPath, "pq", resumeCrashed)
+    encC.repartition(col("lcid"))
+      .write.partitionBy("lcid").mode("overwrite").parquet(layoutPath)
+    books.zipWithIndex
+      .map { case (b, sid) => b.select(lit(sid).as("sid"), col("cid"),
+        col("cemb"), col("cc")) }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(layoutPath + "_books")
     FoldStamp.commit(spark, layoutPath, seq)
   }
 
@@ -2309,7 +2462,8 @@ object Similarity {
       resumeCrashed: Boolean = false): Unit = {
     val ids = corpus.select(col("vec_id").as("neighbor_id"))
       .localCheckpoint(eager = false) // two anti-joins
-    val home = spark.read.parquet(layoutPath).select("neighbor_id")
+    val home = readLayout(spark, layoutPath)
+      .map(_.select("neighbor_id")).getOrElse(ids.limit(0))
     val missing = ids.join(home, Seq("neighbor_id"), "left_anti")
       .count()
     val extra = home.join(ids, Seq("neighbor_id"), "left_anti").count()
@@ -2318,6 +2472,10 @@ object Similarity {
         s"($missing corpus ids absent from the layout, $extra layout " +
         "ids absent from the corpus) — refresh must run over exactly " +
         "the maintained members' raw vectors")
+    // a fully-departed layout has no grid to refresh — fail loudly
+    // (the knnCentroidRetrain degrade)
+    require(!corpus.isEmpty,
+      "sq8StatsRefresh: layout has no members — nothing to refresh")
     val cents = spark.read.parquet(layoutPath + "_cents")
       .localCheckpoint(eager = true) // read before overwriting beside it
     val packed = sq8Stats(corpus)

@@ -1366,6 +1366,61 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5, nprobe = 2, m = 4)
         .orderBy("query_id", "rank")
     },
+    // residual-distortion DRIFT census for the frozen IVF-PQ index
+    // (the ss26 discipline for the residual-coded family): a
+    // deterministically drifted batch assigns to its frozen coarse
+    // lists and its residual slices score against the frozen
+    // codebooks — the per-subspace nearest-codeword distortion is the
+    // number that schedules the ss33 codebook retrain; runs off the
+    // WRITTEN ss22 artifacts alone (no raw-corpus read, no retraining)
+    "ss32_pq_drift_census" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "pq_layout") { p =>
+        Similarity.pqIndexWrite(e, p, numCentroids = 8, m = 4,
+          ksub = 8, iters = 2)
+      }
+      val booksAll = s.read.parquet(out + "_books")
+      val batch = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(1.25) + lit(0.1)).as("embedding"))
+      Similarity.pqDriftCensus(s.read.parquet(out + "_coarse"),
+        (0 until 4).map(sid => booksAll.filter(col("sid") === sid)
+          .select("cid", "cemb", "cc")),
+        batch).orderBy("sid")
+    },
+    // the scheduled OFFLINE codebook retrain ss32's census points at
+    // (completing the maintenance trilogy: ss27 refreshes the SQ8
+    // grid, ss28 the kNN coarse quantizer, ss33 the PQ codebooks):
+    // the ss25 CDF batch folds in under FROZEN books, then
+    // pqCodebookRetrain re-trains the m per-subspace codebooks over
+    // the CURRENT membership's residuals (coarse quantizer frozen —
+    // every member keeps its home list) and re-encodes every member;
+    // the oracle replays coarse training on the ORIGINAL corpus and
+    // codebook training + codes on the MODIFIED membership
+    "ss33_pq_codebook_retrain" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "pqretrain_layout") { p =>
+        Similarity.pqIndexWrite(e, p, numCentroids = 8, m = 4,
+          ksub = 8, iters = 2)
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding"), lit("insert").as("_change_type")))
+        Similarity.pqLayoutApplyCdf(s, p, cdf, m = 4)
+        val membership = e.filter(col("vec_id") % 97 =!= 5)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding")))
+        Similarity.pqCodebookRetrain(s, p, membership, m = 4,
+          ksub = 8, iters = 2)
+      }
+      Similarity.ivfPqTopKFromLayout(s, out,
+        e.filter(col("vec_id") < 3), k = 5, nprobe = 2, m = 4)
+        .orderBy("query_id", "rank")
+    },
     // quantizer DRIFT census: the frozen SQ8 grid probed by a
     // deterministically drifted batch — per-dim frozen vs observed
     // bounds plus the out-of-grid counts that trigger the scheduled
@@ -1963,6 +2018,7 @@ object PipelineQueries {
       "ss24_sq8_layout_cdf", "ss25_pq_layout_cdf",
       "ss27_sq8_stats_refresh", "ss28_knn_centroid_retrain",
       "ss29_knn_layout_census", "ss30_knn_compact",
+      "ss33_pq_codebook_retrain",
       "t32_bm25_layout", "t35_rm3_layout", "t37_hybrid_layout",
       "t39_bm25_compact", "t40_bm25_layout_dfcap")
       .foreach(n => queries(n)(s, d))
@@ -2772,17 +2828,13 @@ object PipelineQueries {
     * centroid, per-subspace residual codebooks (the same Lloyd
     * arithmetic over residual slices), and probed ADC ranking — the
     * full IVF-PQ trajectory replayed bit-for-bit. */
-  private def sqlIvfPqTopK(m: Int, len: Int, ksub: Int, k: Int,
-      nq: Int, nprobe: Int, cdfMod: Boolean = false): String = {
-    def sub(s: Int): String = {
-      val off = s * len
-      val newAsg = if (!cdfMod) "" else s""",
-      nre$s AS (SELECT vec_id, r[${off + 1}:${off + len}] AS emb
-        FROM newresid),
-      nrex$s AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
-        FROM nre$s),
-      ${sqlKmAsg(s"rc2$s", s"nasg$s", s"nrex$s")}"""
-      s"""re$s AS (SELECT vec_id, r[${off + 1}:${off + len}] AS emb
+  /** The per-subspace codebook-training CTE chain (`re$s` … `rc2$s`,
+    * the 2-round Lloyd of [[Similarity.pqCodebooks]] over slices of
+    * the `resid` CTE) — shared by the IVF-PQ serving oracles and the
+    * ss32 distortion census. */
+  private def sqlPqBookTrain(s: Int, len: Int, ksub: Int): String = {
+    val off = s * len
+    s"""re$s AS (SELECT vec_id, r[${off + 1}:${off + len}] AS emb
         FROM resid),
       rex$s AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
         FROM re$s),
@@ -2791,7 +2843,32 @@ object PipelineQueries {
       ${sqlKmAsg(s"rc0$s", s"ra0$s", s"rex$s")},
       ${sqlKmUpd(s"ra0$s", s"rc1$s", s"re$s")},
       ${sqlKmAsg(s"rc1$s", s"ra1$s", s"rex$s")},
-      ${sqlKmUpd(s"ra1$s", s"rc2$s", s"re$s")},
+      ${sqlKmUpd(s"ra1$s", s"rc2$s", s"re$s")}"""
+  }
+
+  /** The CDF-modified membership every maintenance oracle folds —
+    * deletes at `vec_id % 97 = 5`, offset arrivals at
+    * `vec_id % 31 = 7` (shared with [[sqlSs28Ctes]]). */
+  private val sqlCdfMembership: String =
+    """(SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 97 <> 5
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id % 31 = 7)"""
+
+  private def sqlIvfPqTopK(m: Int, len: Int, ksub: Int, k: Int,
+      nq: Int, nprobe: Int, cdfMod: Boolean = false,
+      retrainMod: Boolean = false): String = {
+    require(!(cdfMod && retrainMod))
+    def sub(s: Int): String = {
+      val off = s * len
+      val newAsg = if (!cdfMod) "" else s""",
+      nre$s AS (SELECT vec_id, r[${off + 1}:${off + len}] AS emb
+        FROM newresid),
+      nrex$s AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM nre$s),
+      ${sqlKmAsg(s"rc2$s", s"nasg$s", s"nrex$s")}"""
+      s"""${sqlPqBookTrain(s, len, ksub)},
       ${sqlKmAsg(s"rc2$s", s"rasg$s", s"rex$s")}$newAsg"""
     }
     def qts(s: Int): String = {
@@ -2827,12 +2904,29 @@ object PipelineQueries {
         JOIN c2 c ON c.cid = a.cid),"""
     val qtAll = (0 until m).map(s => s"SELECT * FROM qt$s")
       .mkString(" UNION ALL ")
-    s"""
-      WITH ${sqlKmeansCtes()},
-      ${sqlKmAsg("c2", "casg")},
+    // coarse quantizer ALWAYS trains on the original corpus (frozen
+    // under every maintenance event); with retrainMod the codebooks
+    // train on — and the codes cover — the CDF-modified membership's
+    // residuals instead (the ss33 retrain replay)
+    val residCtes = if (!retrainMod)
+      s"""${sqlKmAsg("c2", "casg")},
       resid AS (SELECT a.vec_id, a.cid AS lcid,
           list_transform(list_zip(e.emb, c.cemb), z9 -> z9[1] - z9[2]) AS r
-        FROM casg a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cid),$newCtes
+        FROM casg a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cid)"""
+    else
+      s"""em AS (SELECT vec_id,
+          list_transform(embedding, x0 -> x0::DOUBLE) AS emb
+        FROM $sqlCdfMembership),
+      exm AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM em),
+      ${sqlKmAsg("c2", "masgm", "exm")},
+      resid AS (SELECT a.vec_id, a.cid AS lcid,
+          list_transform(list_zip(em.emb, c.cemb), z9 -> z9[1] - z9[2])
+            AS r
+        FROM masgm a JOIN em USING (vec_id) JOIN c2 c ON c.cid = a.cid)"""
+    s"""
+      WITH ${sqlKmeansCtes()},
+      $residCtes,$newCtes
       $subs,
       codes AS ($codes),
       qpb AS (SELECT * FROM (SELECT x.vec_id AS query_id, c.cid AS lcid,
@@ -2860,6 +2954,50 @@ object PipelineQueries {
             ORDER BY adist, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Oracle twin of [[Similarity.pqDriftCensus]] (ss32): coarse
+    * quantizer + per-subspace codebooks replayed from the ORIGINAL
+    * corpus (the frozen write-time artifacts), the drifted batch
+    * assigned to its coarse list, and each residual slice's
+    * nearest-codeword distance aggregated per subspace in fixed-point
+    * `floor(dist2 · 2^20)` units (HUGEINT-exact sums, integral-divide
+    * mean — the decimal arithmetic of the engine's census). */
+  private def sqlPqDriftCensus(m: Int, len: Int, ksub: Int): String = {
+    val subs = (0 until m).map(sqlPqBookTrain(_, len, ksub))
+      .mkString(",\n      ")
+    def bsub(s: Int): String = {
+      val off = s * len
+      s"""bs$s AS (SELECT vec_id, r[${off + 1}:${off + len}] AS emb
+        FROM bres),
+      bsx$s AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM bs$s),
+      ${sqlKmAsg(s"rc2$s", s"bd$s", s"bsx$s")}"""
+    }
+    val all = (0 until m).map(s =>
+      s"SELECT $s AS sid, dist2 FROM bd$s").mkString(" UNION ALL ")
+    s"""
+      WITH ${sqlKmeansCtes()},
+      ${sqlKmAsg("c2", "casg")},
+      resid AS (SELECT a.vec_id, a.cid AS lcid,
+          list_transform(list_zip(e.emb, c.cemb), z9 -> z9[1] - z9[2]) AS r
+        FROM casg a JOIN e USING (vec_id) JOIN c2 c ON c.cid = a.cid),
+      $subs,
+      bv AS (SELECT vec_id,
+          list_transform(embedding, x0 -> x0::DOUBLE * 1.25 + 0.1) AS emb
+        FROM embeddings),
+      bx AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx FROM bv),
+      ${sqlKmAsg("c2", "basg", "bx")},
+      bres AS (SELECT a.vec_id,
+          list_transform(list_zip(b.emb, c.cemb), z9 -> z9[1] - z9[2]) AS r
+        FROM basg a JOIN bv b USING (vec_id) JOIN c2 c ON c.cid = a.cid),
+      ${(0 until m).map(bsub).mkString(",\n      ")},
+      alld AS ($all)
+      SELECT sid::INT AS sid, count(*) AS n_rows,
+        (sum(floor(dist2 * 1048576.0)::BIGINT) // count(*))::BIGINT
+          AS avg_dist2_fp,
+        max(floor(dist2 * 1048576.0)::BIGINT) AS max_dist2_fp
+      FROM alld GROUP BY sid ORDER BY sid"""
   }
 
   /** Shared SimHash pair pipeline (twin of [[Dedup.simhashPairs]]
@@ -4515,6 +4653,16 @@ object PipelineQueries {
     // under them — the layout rewrite must equal this replay
     "ss25_pq_layout_cdf" -> sqlIvfPqTopK(m = 4, len = 16, ksub = 8,
       k = 5, nq = 3, nprobe = 2, cdfMod = true),
+    // frozen coarse + frozen books probed by the drifted batch — the
+    // per-subspace residual distortion that schedules the ss33 retrain
+    "ss32_pq_drift_census" -> sqlPqDriftCensus(m = 4, len = 16,
+      ksub = 8),
+    // coarse quantizer frozen from the ORIGINAL corpus, codebooks
+    // RE-TRAINED on the CDF-modified membership's residuals and every
+    // member re-encoded under them — the layout retrain must equal
+    // this replay
+    "ss33_pq_codebook_retrain" -> sqlIvfPqTopK(m = 4, len = 16,
+      ksub = 8, k = 5, nq = 3, nprobe = 2, retrainMod = true),
     "ve4_quant_error" -> s"""
       WITH s AS (SELECT vec_id,
         list_transform(embedding, v0 -> v0::DOUBLE) AS emb,

@@ -1814,4 +1814,65 @@ class GuardrailsSpec extends AnyFunSuite {
       twin.exceptAll(served).count() == 0,
       "recovered pq layout serves differently from an uncrashed fold")
   }
+
+  test("pq codebook retrain: membership invariant enforced, distortion " +
+      "census drops, serving equals a from-scratch build under the " +
+      "frozen coarse quantizer") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqretrain_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.pqIndexWrite(embs, out, numCentroids = 8, m = 4)
+    val coarse = spark.read.parquet(out + "_coarse")
+      .localCheckpoint(eager = true)
+    def books(p: String): Seq[org.apache.spark.sql.DataFrame] = {
+      val ba = spark.read.parquet(p + "_books")
+        .localCheckpoint(eager = true)
+      (0 until 4).map(s => ba.filter(col("sid") === s)
+        .select("cid", "cemb", "cc"))
+    }
+    val oldBooks = books(out)
+    // drifted arrivals fold in under the FROZEN books — exactly the
+    // regime the census exists to flag
+    val drifted = embs.filter(col("vec_id") % 31 === 7)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(1.25) + lit(0.1)).as("embedding"))
+      .localCheckpoint(eager = true)
+    Similarity.pqLayoutApplyCdf(spark, out,
+      drifted.select(col("vec_id"), col("embedding"),
+        lit("insert").as("_change_type")), m = 4)
+    val membership = embs
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .unionByName(drifted)
+      .localCheckpoint(eager = true)
+    def totalAvg(bs: Seq[org.apache.spark.sql.DataFrame]): Long =
+      Similarity.pqDriftCensus(coarse, bs, membership)
+        .agg(sum("avg_dist2_fp")).head().getLong(0)
+    val before = totalAvg(oldBooks)
+    // a stale membership (missing the arrivals) must be rejected
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodebookRetrain(spark, out, embs)
+    }
+    assert(e.getMessage.contains("membership"))
+    Similarity.pqCodebookRetrain(spark, out, membership, m = 4)
+    // the retrained books cover the drifted membership strictly better
+    val after = totalAvg(books(out))
+    assert(after < before,
+      s"post-retrain distortion $after did not drop from $before")
+    // serving equals a from-scratch build of the same membership
+    // under the same frozen coarse quantizer
+    val out2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqretrain_guard2_${spark.sparkContext.applicationId}").getPath
+    Similarity.pqIndexWrite(membership, out2, numCentroids = 8, m = 4,
+      centsOpt = Some(coarse))
+    val queries = embs.filter(col("vec_id") < 3)
+    val served = Similarity.ivfPqTopKFromLayout(spark, out, queries,
+      k = 10, nprobe = 2, m = 4)
+    val scratch = Similarity.ivfPqTopKFromLayout(spark, out2, queries,
+      k = 10, nprobe = 2, m = 4)
+    assert(served.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(served).count() == 0,
+      "retrained pq layout serves differently from a from-scratch " +
+        "build of the same membership under the frozen coarse")
+  }
 }

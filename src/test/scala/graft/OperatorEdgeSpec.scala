@@ -675,4 +675,36 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(msgs(e2).exists(_.contains("undecodable")), e2.getMessage)
   }
 
+  test("pq census/retrain edges: empty batch censuses to zero rows, " +
+      "a fully-departed layout refuses to retrain") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqedge_${spark.sparkContext.applicationId}").getPath
+    Similarity.pqIndexWrite(embs, out, numCentroids = 4, m = 4)
+    val booksAll = spark.read.parquet(out + "_books")
+    val books = (0 until 4).map(s => booksAll.filter(col("sid") === s)
+      .select("cid", "cemb", "cc"))
+    val coarse = spark.read.parquet(out + "_coarse")
+    // an empty batch is a legal no-signal census, not an error
+    val empty = embs.filter(lit(false)).select("vec_id", "embedding")
+    assert(Similarity.pqDriftCensus(coarse, books, empty).count() == 0)
+    // drain the layout (every cid= directory drops), then retrain
+    // must refuse with the no-members degrade — not a bare
+    // schema-inference error from the empty directory
+    Similarity.pqLayoutApplyCdf(spark, out,
+      embs.select(col("vec_id"), col("embedding"),
+        lit("delete").as("_change_type")), m = 4)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodebookRetrain(spark, out, empty)
+    }
+    assert(e.getMessage.contains("no members"), e.getMessage)
+    // a non-empty corpus against the drained layout names the
+    // mismatch instead
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqCodebookRetrain(spark, out, embs)
+    }
+    assert(e2.getMessage.contains("membership"), e2.getMessage)
+  }
 }
