@@ -1039,6 +1039,34 @@ object PlanCheck {
       // file-count assertion lives in DeltaShareConnectorSpec
       "residual filter above the scan" -> (_.contains("Filter")),
       "no cartesian" -> (p => !p.contains("CartesianProduct"))))
+    audit("q72_lpa_drift", Seq(
+      // scheduler counters over the frozen label table: key-equi
+      // probes only, every census aggregate collapses map-side, and
+      // nothing sorts — the batch never re-shuffles the frozen table
+      "census aggregates combine map-side" -> (_.contains("partial_")),
+      "frozen table probed by equi joins, no cartesian" ->
+        (p => !p.contains("CartesianProduct")),
+      "Window-free (counters, not ranks)" ->
+        (p => !p.contains("Window"))))
+    audit("ss32_pq_drift_census", Seq(
+      // ONE batch scan: coarse assignment, residual, and all m
+      // per-subspace argmin folds are chained projections against
+      // 1-row broadcast artifacts (BroadcastNestedLoopJoin on a
+      // packed single row, never a cartesian of data tables)
+      "frozen artifacts ride 1-row broadcasts" ->
+        (_.contains("BroadcastNestedLoopJoin")),
+      "census combines map-side before the m-key exchange" ->
+        (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free" -> (p => !p.contains("Window"))))
+    auditExecuted("ss33_pq_codebook_retrain", Seq(
+      // serving through the RETRAINED layout keeps the ss22 shape:
+      // the probe still prunes the code directories at runtime
+      "retrained layout still serves under DPP" ->
+        (_.contains("dynamicpruning")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free serving (in-row probe + bounded-heap rank)" ->
+        (p => !p.contains("Window"))))
     audit("dd13_dedup_editdist", Seq(
       // banding proposes, bounded-prefix Levenshtein verifies — the
       // band join must be equi and the DP must stay in codegen
