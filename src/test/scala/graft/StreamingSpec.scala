@@ -144,6 +144,46 @@ class StreamingSpec extends AnyFunSuite {
       served.exceptAll(direct).count() == 0)
   }
 
+  test("pq distortion census runs in foreachBatch on a vector stream") {
+    // ss32's census is chained broadcast projections + an m-key
+    // partial agg — the per-ingest-batch drift monitor runs inside
+    // foreachBatch against the frozen written artifacts and must
+    // equal the batch census of the same arrivals
+    val embsB = Tables.embeddings(spark, sf)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pqcensus_stream_${spark.sparkContext.applicationId}").getPath
+    operators.Similarity.pqIndexWrite(
+      embsB.filter(col("vec_id") % 10 =!= 0), out,
+      numCentroids = 4, m = 4)
+    val coarse = spark.read.parquet(out + "_coarse")
+      .localCheckpoint(eager = true)
+    val booksAll = spark.read.parquet(out + "_books")
+      .localCheckpoint(eager = true)
+    val books = (0 until 4).map(s => booksAll.filter(col("sid") === s)
+      .select("cid", "cemb", "cc"))
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val newStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+      .filter(col("vec_id") % 10 === 0)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val q = newStream.select("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= operators.Similarity.pqDriftCensus(coarse, books, b)
+          .collect()
+        ()
+      }
+      .option("checkpointLocation", out + "_chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = operators.Similarity.pqDriftCensus(coarse, books,
+      embsB.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")).collect()
+    assert(got.map(_.toSeq.map(String.valueOf).mkString("|")).toSet ==
+      batch.map(_.toSeq.map(String.valueOf).mkString("|")).toSet)
+    assert(got.nonEmpty)
+  }
+
   test("vector stream appends into the WRITTEN sq8 layout and serves") {
     // ss24's arrival leg live: arriving vectors encode under the
     // FROZEN grid and assign under the frozen centroids in ONE
