@@ -1538,6 +1538,37 @@ object Similarity {
     FoldStamp.commit(spark, layoutPath, seq)
   }
 
+  /** Per-list size census of a WRITTEN quantized layout (ss34 sq8 /
+    * ss35 pq) — the [[knnLayoutCensus]] skew monitor for the families
+    * whose coarse lists also concentrate under frozen-centroid CDF
+    * ingest: one `listCol`-grouped count over the partitioned
+    * directories (≤ numCentroids output rows, no retraining, no
+    * raw-corpus read) plus each list's exact share in ppm. A list
+    * share drifting toward 1e6 means probes read an ever-larger
+    * fraction of the corpus per query — the number that schedules the
+    * coarse-side refresh (for kNN that is [[knnCentroidRetrain]];
+    * for the quantized families the scheduled event is the
+    * frozen-books/stats REBUILD with a fresh coarse quantizer
+    * ([[sq8IndexWrite]]/[[pqIndexWrite]] with `centsOpt = None`),
+    * since new centroids re-home every member (sq8) or re-encode
+    * every residual (pq) — the same full-rewrite cost either way).
+    * Lists whose directory dropped (fully departed) do not appear —
+    * the census reports the lists probes can touch.
+    *
+    * Exactness: pure integers; `n · 1e6` stays far inside Long at any
+    * plausible corpus (1e12 rows · 1e6 < 2^63). */
+  def vecListCensus(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, listCol: String): DataFrame = {
+    val sizes = spark.read.parquet(layoutPath)
+      .groupBy(col(listCol).cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = sizes.agg(sum("n_rows").as("t"))
+    sizes.crossJoin(broadcast(total))
+      .select(col("list_id"), col("n_rows"),
+        expr("CAST((n_rows * 1000000L) div t AS BIGINT)")
+          .as("share_ppm"))
+  }
+
   /** Residual-distortion drift census for a FROZEN IVF-PQ index
     * (ss32) — the [[sq8DriftCensus]] guard-observability discipline
     * for the residual-coded family: [[pqLayoutApplyCdf]] encodes

@@ -1366,6 +1366,43 @@ object PipelineQueries {
         e.filter(col("vec_id") < 3), k = 5, nprobe = 2, m = 4)
         .orderBy("query_id", "rank")
     },
+    // per-list size census of the WRITTEN (and CDF-maintained) sq8
+    // layout — the ss29 skew monitor for the quantized family: a list
+    // share drifting toward 1e6 means probes read an ever-larger
+    // corpus fraction; the scheduled event it points at is the
+    // fresh-coarse rebuild (new centroids re-home every member)
+    "ss34_sq8_list_census" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "sq8cdf_layout") { p =>
+        Similarity.sq8IndexWrite(e, p, numCentroids = 8, iters = 2)
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding"), lit("insert").as("_change_type")))
+        Similarity.sq8LayoutApplyCdf(s, p, cdf)
+      }
+      Similarity.vecListCensus(s, out, "cid").orderBy("list_id")
+    },
+    // the same monitor over the WRITTEN pq layout (lcid lists); for
+    // the residual-coded family a coarse refresh re-encodes every
+    // residual, so here too the scheduled event is the rebuild
+    "ss35_pq_list_census" -> { (s, d) =>
+      val e = embeddings(s, d)
+      val out = layoutDir(s, d, "pqcdf_layout") { p =>
+        Similarity.pqIndexWrite(e, p, numCentroids = 8, m = 4,
+          ksub = 8, iters = 2)
+        val cdf = e.filter(col("vec_id") % 97 === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("_change_type"))
+          .unionByName(e.filter(col("vec_id") % 31 === 7)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              col("embedding"), lit("insert").as("_change_type")))
+        Similarity.pqLayoutApplyCdf(s, p, cdf, m = 4)
+      }
+      Similarity.vecListCensus(s, out, "lcid").orderBy("list_id")
+    },
     // residual-distortion DRIFT census for the frozen IVF-PQ index
     // (the ss26 discipline for the residual-coded family): a
     // deterministically drifted batch assigns to its frozen coarse
@@ -2999,6 +3036,29 @@ object PipelineQueries {
         max(floor(dist2 * 1048576.0)::BIGINT) AS max_dist2_fp
       FROM alld GROUP BY sid ORDER BY sid"""
   }
+
+  /** Oracle twin of [[Similarity.vecListCensus]] over the maintained
+    * sq8/pq layouts (ss34/ss35): every member's home list is its raw
+    * vector's assignment under the coarse quantizer trained on the
+    * ORIGINAL corpus (write-time members at write time, CDF arrivals
+    * under the same frozen centroids — identical by construction), so
+    * the census replays as one assignment of the CDF-modified
+    * membership, counted per list with exact ppm shares. Both
+    * fixtures train k=8 coarse quantizers on the same corpus, so the
+    * two layouts' censuses share this replay verbatim. */
+  private lazy val sqlVecListCensus: String = s"""
+      WITH ${sqlKmeansCtes()},
+      em AS (SELECT vec_id,
+          list_transform(embedding, x0 -> x0::DOUBLE) AS emb
+        FROM $sqlCdfMembership),
+      exm AS (SELECT vec_id, emb, ${sqlDot("emb", "emb")} AS xx
+        FROM em),
+      ${sqlKmAsg("c2", "masgm", "exm")},
+      tot AS (SELECT count(*) AS t FROM masgm)
+      SELECT cid::BIGINT AS list_id, count(*) AS n_rows,
+        ((count(*) * 1000000) // (SELECT t FROM tot))::BIGINT
+          AS share_ppm
+      FROM masgm GROUP BY cid ORDER BY list_id"""
 
   /** Shared SimHash pair pipeline (twin of [[Dedup.simhashPairs]]
     * with four 15-bit blocks of the 60-bit hash) as a CTE chain
@@ -4657,6 +4717,10 @@ object PipelineQueries {
     // per-subspace residual distortion that schedules the ss33 retrain
     "ss32_pq_drift_census" -> sqlPqDriftCensus(m = 4, len = 16,
       ksub = 8),
+    // maintained-layout list sizes ≡ one assignment replay of the
+    // modified membership under the frozen coarse quantizer
+    "ss34_sq8_list_census" -> sqlVecListCensus,
+    "ss35_pq_list_census" -> sqlVecListCensus,
     // coarse quantizer frozen from the ORIGINAL corpus, codebooks
     // RE-TRAINED on the CDF-modified membership's residuals and every
     // member re-encoded under them — the layout retrain must equal

@@ -1815,6 +1815,20 @@ class GuardrailsSpec extends AnyFunSuite {
       "recovered pq layout serves differently from an uncrashed fold")
   }
 
+  test("vec list census: row totals equal the layout membership and " +
+      "ppm shares tile to one") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_veccensus_guard_${spark.sparkContext.applicationId}").getPath
+    Similarity.sq8IndexWrite(embs, out, numCentroids = 8)
+    val census = Similarity.vecListCensus(spark, out, "cid").collect()
+    val members = spark.read.parquet(out).count()
+    assert(census.map(_.getLong(1)).sum == members,
+      "census rows do not cover the membership")
+    val shareSum = census.map(_.getLong(2)).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - census.length,
+      s"ppm shares sum to $shareSum over ${census.length} lists")
+  }
+
   test("pq codebook retrain: membership invariant enforced, distortion " +
       "census drops, serving equals a from-scratch build under the " +
       "frozen coarse quantizer") {

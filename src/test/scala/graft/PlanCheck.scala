@@ -1059,6 +1059,12 @@ object PlanCheck {
         (_.contains("partial_")),
       "no cartesian" -> (p => !p.contains("CartesianProduct")),
       "Window-free" -> (p => !p.contains("Window"))))
+    audit("ss34_sq8_list_census", Seq(
+      // one list-grouped count over the partitioned layout: combines
+      // map-side, the 1-row total rides a broadcast, nothing sorts
+      "list counts combine map-side" -> (_.contains("partial_")),
+      "no cartesian" -> (p => !p.contains("CartesianProduct")),
+      "Window-free" -> (p => !p.contains("Window"))))
     auditExecuted("ss33_pq_codebook_retrain", Seq(
       // serving through the RETRAINED layout keeps the ss22 shape:
       // the probe still prunes the code directories at runtime
