@@ -23,15 +23,53 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
 
+  /** The letter-RUN character classes of the script tier — one class
+    * per alphabetic script family, each written as explicit literal
+    * char ranges (class subtraction / `\p{...}` properties are NOT
+    * portable between java.util.regex and DuckDB's RE2; literal
+    * ranges are). After `lower()`:
+    *
+    *   - `a-z`     Latin
+    *   - `а-ӿ`     Cyrillic U+0430–U+04FF (all lowercase incl. ё and
+    *               the Ukrainian/Serbian/extended letters; the
+    *               uppercase halves of the historic U+0460+ pairs are
+    *               unreachable post-lower and harmless)
+    *   - `ΐ-ώ`     Greek U+0390–U+03CE (every lowercase letter incl.
+    *               accents, diaeresis and final sigma ς)
+    *   - `א-ת`     Hebrew U+05D0–U+05EA (letters incl. final forms)
+    *   - `ء-ٟ` + `ٮ-ۿ`  Arabic U+0621–U+065F (letters + harakat so
+    *               vocalized words stay whole) and U+066E–U+06FF
+    *               (Persian/Urdu extensions); the Arabic-Indic digit
+    *               and punctuation stripe U+0660–U+066D delimits
+    *   - `ऀ-ॣ` + `ॱ-ॿ`  Devanagari U+0900–U+0963 (consonants,
+    *               matras, virama — combining marks must stay IN the
+    *               run or every conjunct shatters) and U+0971–U+097F;
+    *               danda punctuation + digits U+0964–U+0970 delimit
+    */
+  val ScriptLetterRuns: Seq[String] =
+    Seq("a-z", "а-ӿ", "ΐ-ώ", "א-ת", "ء-ٟٮ-ۿ", "ऀ-ॣॱ-ॿ")
+
   /** The codepoint-class segmentation the mixed-script tier uses:
-    * lower-case Latin RUNS, digit RUNS, and one token PER CODEPOINT
-    * for the no-whitespace scripts (CJK Unified, hiragana, katakana,
-    * hangul syllables, Thai — the ranges are literal characters so
-    * the same pattern is valid in both java.util.regex and DuckDB's
-    * RE2). Everything else (punctuation, whitespace, symbols) is a
-    * delimiter. */
+    * letter RUNS for every alphabetic script ([[ScriptLetterRuns]] —
+    * Latin, Cyrillic, Greek, Hebrew, Arabic, Devanagari), digit RUNS,
+    * and one token PER CODEPOINT for the no-whitespace scripts (CJK
+    * Unified incl. Extension A, hiragana, katakana, hangul syllables,
+    * Thai — the ranges are literal characters so the same pattern is
+    * valid in both java.util.regex and DuckDB's RE2). Everything else
+    * (punctuation, whitespace, symbols) is a delimiter. */
   val ScriptTokenPattern: String =
-    "[a-z]+|[0-9]+|[一-鿿぀-ゟ゠-ヿ가-힣ก-๛]"
+    ScriptLetterRuns.map(r => s"[$r]+").mkString("|") +
+      "|[0-9]+|[一-鿿㐀-䶿぀-ゟ゠-ヿ가-힣ก-๛]"
+
+  /** Anchored word gate for the tokenizer TRAINERS in script-tier
+    * mode: a trainable word is one letter run of ONE alphabetic
+    * script (digit runs and single CJK/Thai codepoints are not
+    * vocabulary — CJK enters char-grain via the encode fallback).
+    * Replaces the Latin-only `^[a-z]+$` gate that made alphabetic
+    * non-Latin corpora train EMPTY vocabularies. `(?:…)` groups are
+    * valid in both java.util.regex and RE2. */
+  val ScriptWordGate: String =
+    "^(?:" + ScriptLetterRuns.map(r => s"[$r]+").mkString("|") + ")$"
 
   /** Mixed-script tokenization tier: [[tokens]] is a lower-cased
     * whitespace split, which is correct for the Latin-script fixture

@@ -51,7 +51,15 @@ object Tokenizer {
     * Words are restricted to `[a-z]+` after lower-casing (length
     * `2..maxWordLen`): tokenizer training normalizes its alphabet
     * anyway, and the restriction keeps the per-word pair fan-out
-    * bounded.
+    * bounded. `scriptTier = true` lifts that Latin-only gate (which
+    * trained an EMPTY vocabulary on Cyrillic/Greek/Arabic/Hebrew/
+    * Devanagari corpora): words then come from
+    * [[TextAnalysis.tokensScript]] and the gate is
+    * [[TextAnalysis.ScriptWordGate]] — any single-script letter run
+    * trains; the merge machinery downstream is script-agnostic
+    * (char splits and pair rewrites operate per codepoint in BOTH
+    * engines). Gated by the t42 oracle over a transliterated
+    * multi-script fixture.
     *
     * Output: one row per learned merge —
     * `(rnd, pair, merged, cnt)`, `rnd` 1-based in learning order.
@@ -62,11 +70,18 @@ object Tokenizer {
     * the empty frame.
     */
   def bpeTrain(docs: DataFrame, merges: Int = 8,
-      maxWordLen: Int = 20): DataFrame = {
+      maxWordLen: Int = 20, scriptTier: Boolean = false): DataFrame = {
     require(merges >= 1, "at least one merge round")
+    val (tokCol, gate) =
+      if (scriptTier)
+        (TextAnalysis.tokensScript(col("text")),
+          TextAnalysis.ScriptWordGate)
+      else
+        (filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= ""),
+          "^[a-z]+$")
     val words = docs
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$") &&
+      .select(explode(tokCol).as("w"))
+      .filter(col("w").rlike(gate) &&
         length(col("w")).between(2, maxWordLen))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     // initial symbols: one character each, space-separated
@@ -147,8 +162,16 @@ object Tokenizer {
     * the full encoded symbol stream — any divergence in any symbol
     * of any word moves the hash).
     *
-    * Output: `(doc_id, n_words, n_tokens, enc_fp)`. */
-  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    * Output: `(doc_id, n_words, n_tokens, enc_fp)`.
+    *
+    * `scriptTier = true` mirrors [[bpeTrain]]'s multilingual mode:
+    * tokens come from [[TextAnalysis.tokensScript]] and any
+    * single-script letter run ([[TextAnalysis.ScriptWordGate]],
+    * compiled ONCE per executor task) char-splits — so merges trained
+    * on a Cyrillic/Arabic/… corpus actually apply to it instead of
+    * passing every non-Latin word through as one opaque symbol. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      scriptTier: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rules: Array[(String, String, String)] = merges.map {
@@ -168,15 +191,28 @@ object Tokenizer {
       }
       s.length > 0
     }
+    // script tier: the gate regex is compiled once here and the
+    // Pattern (Serializable) ships in the task closure — still no
+    // per-token compilation
+    val scriptGate: java.util.regex.Pattern =
+      if (scriptTier)
+        java.util.regex.Pattern.compile(TextAnalysis.ScriptWordGate)
+      else null
+    val tokCol =
+      if (scriptTier) TextAnalysis.tokensScript(col("text"))
+      else TextAnalysis.tokens(col("text"))
     docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), tokCol.as("t"))
       .as[(Long, Seq[String])]
       .map { case (id, toks) =>
         var nTokens = 0L
         val sb = new StringBuilder
         toks.foreach { tok =>
+          val splittable =
+            if (scriptGate ne null) scriptGate.matcher(tok).matches()
+            else isLowerAlpha(tok)
           var cur: Array[String] =
-            if (isLowerAlpha(tok)) tok.toCharArray.map(_.toString)
+            if (splittable) tok.toCharArray.map(_.toString)
             else Array(tok)
           var r = 0
           while (r < rules.length) {
@@ -248,10 +284,11 @@ object Tokenizer {
     * Output: the trained vocabulary — `(piece, cnt)`, cnt = the final
     * round's usage count (0 for coverage-only characters). */
   def unigramTrain(docs: DataFrame, rounds: Int = 2, maxPiece: Int = 4,
-      minCount: Long = 2, maxWordLen: Int = 12): DataFrame = {
+      minCount: Long = 2, maxWordLen: Int = 12,
+      scriptTier: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordFreq(docs, maxWordLen)
+    val words = wordFreq(docs, maxWordLen, scriptTier)
       .localCheckpoint(eager = false) // candidates + every E-step
     val subs = words.as[(String, Long)]
       .flatMap { case (w, f) =>
@@ -323,10 +360,10 @@ object Tokenizer {
     * weight column. */
   def unigramTrainSoft(docs: DataFrame, rounds: Int = 2,
       maxPiece: Int = 4, minCount: Long = 2,
-      maxWordLen: Int = 12): DataFrame = {
+      maxWordLen: Int = 12, scriptTier: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordFreq(docs, maxWordLen)
+    val words = wordFreq(docs, maxWordLen, scriptTier)
       .localCheckpoint(eager = false) // candidates + every E-step
     val subs = words.as[(String, Long)]
       .flatMap { case (w, f) =>
@@ -531,16 +568,21 @@ object Tokenizer {
     * Output: `(source, n_docs, n_words, n_tokens, fertility_ppm,
     * whole_word_ppm, chars_per_token_ppm)`. */
   def tokenizerCoverage(docs: DataFrame, vocab: DataFrame,
-      maxPiece: Int = 4, maxWordLen: Int = 12): DataFrame = {
+      maxPiece: Int = 4, maxWordLen: Int = 12,
+      scriptTier: Boolean = false): DataFrame = {
     val segs = bestSegs(
-      wordFreq(docs, maxWordLen).select(col("w"), lit(1L).as("freq")),
+      wordFreq(docs, maxWordLen, scriptTier)
+        .select(col("w"), lit(1L).as("freq")),
       vocab, maxPiece)
       .select(col("w"),
         size(split(col("seg"), " ")).cast("long").as("np"))
     val census = docs.groupBy("source")
       .agg(count_distinct(col("doc_id")).as("n_docs"))
+    val tokCol =
+      if (scriptTier) TextAnalysis.tokensScript(col("text"))
+      else TextAnalysis.tokens(col("text"))
     val agg = docs.select(col("doc_id"), col("source"),
-        explode(TextAnalysis.tokens(col("text"))).as("w"))
+        explode(tokCol).as("w"))
       .join(segs, Seq("w"), "left")
       .select(col("source"),
         coalesce(col("np"), lit(1L)).as("np"),
@@ -569,13 +611,23 @@ object Tokenizer {
 
   /** The distinct-word frequency table both unigram halves share —
     * [[bpeTrain]]'s normalization: lower-cased whitespace tokens,
-    * `[a-z]+` only, length 2..maxWordLen. */
-  private def wordFreq(docs: DataFrame, maxWordLen: Int): DataFrame =
+    * `[a-z]+` only, length 2..maxWordLen. `scriptTier = true`
+    * switches to the [[TextAnalysis.tokensScript]] stream gated by
+    * [[TextAnalysis.ScriptWordGate]] (any single-script letter run —
+    * the multilingual trainers' word source). */
+  private def wordFreq(docs: DataFrame, maxWordLen: Int,
+      scriptTier: Boolean = false): DataFrame = {
+    val (tokCol, gate) =
+      if (scriptTier)
+        (TextAnalysis.tokensScript(col("text")),
+          TextAnalysis.ScriptWordGate)
+      else (TextAnalysis.tokens(col("text")), "^[a-z]+$")
     docs
-      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .filter(col("w").rlike("^[a-z]+$") &&
+      .select(explode(tokCol).as("w"))
+      .filter(col("w").rlike(gate) &&
         length(col("w")).between(2, maxWordLen))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+  }
 
   /** E-step: the optimal segmentation per distinct word under the
     * current vocabulary — span candidates join the vocabulary equi on

@@ -186,6 +186,57 @@ object PipelineQueries {
     "の", "き", "す", "ア", "カ", "タ", "가", "나", "다", "ก",
     "ข", "ไ")
 
+  /** 26-letter lower-case Cyrillic / Arabic target alphabets for the
+    * t42/t43 transliteration fixture — the parquet corpus is
+    * Latin-only, so alphabetic non-Latin sources are synthesized by a
+    * letter-for-letter `translate` of the Latin text: word structure
+    * (and therefore the merge/vocabulary structure the trainers must
+    * learn) is preserved EXACTLY, making "the Cyrillic source trains
+    * the transliterated image of the Latin vocabulary" a checkable
+    * property rather than a hope. Both `translate`s are
+    * codepoint-for-codepoint in Spark and DuckDB alike. */
+  private val CyrAlphabet: String = "абвгдеёжзийклмнопрстуфхцчш"
+  private val AraAlphabet: String = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+  require(CyrAlphabet.length == 26 && AraAlphabet.length == 26,
+    "transliteration alphabets must map all 26 Latin letters")
+
+  /** The t42/t43 fixture: thirds of the corpus by doc_id — Latin
+    * kept, Cyrillic-transliterated, Arabic-transliterated — with the
+    * class as the `source` column the coverage census groups by. */
+  private def scriptFixture(docs: DataFrame): DataFrame = {
+    val cls = pmod(col("doc_id"), lit(3L))
+    docs.select(col("doc_id"),
+      when(cls === 0, lower(col("text")))
+        .when(cls === 1, translate(lower(col("text")),
+          "abcdefghijklmnopqrstuvwxyz", CyrAlphabet))
+        .otherwise(translate(lower(col("text")),
+          "abcdefghijklmnopqrstuvwxyz", AraAlphabet))
+        .as("text"),
+      when(cls === 0, lit("lat")).when(cls === 1, lit("cyr"))
+        .otherwise(lit("ara")).as("source"))
+  }
+
+  /** DuckDB twin of [[scriptFixture]] (a CTE named `fix`). */
+  private def sqlScriptFixCte: String = s"""
+      fix AS (SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN lower(text)
+          WHEN 1 THEN translate(lower(text),
+            'abcdefghijklmnopqrstuvwxyz', '$CyrAlphabet')
+          ELSE translate(lower(text),
+            'abcdefghijklmnopqrstuvwxyz', '$AraAlphabet')
+        END AS text,
+        CASE doc_id % 3 WHEN 0 THEN 'lat' WHEN 1 THEN 'cyr'
+          ELSE 'ara' END AS source
+        FROM documents)"""
+
+  /** Script-tier tokens of `e` — the oracle-side twin of
+    * [[TextAnalysis.tokensScript]] (the literal-range pattern is
+    * valid RE2). */
+  private def sqlToksScript(e: String): String =
+    s"regexp_extract_all(lower($e), " +
+      s"'${graft.operators.TextAnalysis.ScriptTokenPattern}', 0)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // mixed-script tokenization census: a third of the corpus keeps
     // its Latin text, a third becomes pure CJK/kana/hangul/Thai
@@ -219,6 +270,32 @@ object PipelineQueries {
           sum("ntw").as("n_tok_ws"),
           expr("sum(nts) * 1000000 div sum(ntw)").as("fertility_ppm"))
         .orderBy("cls")
+    },
+    // script-tier BPE training (round 19): the trainers' Latin-only
+    // ^[a-z]+$ word gate trained an EMPTY vocabulary on alphabetic
+    // non-Latin corpora — scriptTier lifts it to "any single-script
+    // letter run" over the tokensScript stream; the fixture
+    // transliterates thirds of the corpus into Cyrillic and Arabic
+    // letter-for-letter, so the learned merge list must contain the
+    // transliterated images of the Latin merges (same counts, mapped
+    // pairs) — the oracle replays the full trajectory
+    "t42_script_bpe_train" -> { (s, d) =>
+      graft.operators.Tokenizer.bpeTrain(scriptFixture(documents(s, d)),
+        merges = 8, scriptTier = true)
+    },
+    // script-tier unigram training + per-script coverage census
+    // (round 19): unigram trains over the same multilingual fixture,
+    // then the t36 census — grouped by script class — proves the
+    // Cyrillic/Arabic sources get a NON-EMPTY vocabulary (fertility
+    // and whole-word rate in the same sane band as the Latin class,
+    // not the all-opaque 1e6/1e6 degrade the old gate produced)
+    "t43_script_coverage" -> { (s, d) =>
+      val fix = scriptFixture(documents(s, d))
+      val v = graft.operators.Tokenizer.unigramTrain(fix, rounds = 2,
+        maxPiece = 4, minCount = 2, maxWordLen = 12, scriptTier = true)
+        .localCheckpoint(eager = false) // census segmentations reuse it
+      graft.operators.Tokenizer.tokenizerCoverage(fix, v,
+        scriptTier = true).orderBy("source")
     },
     "t01_token_count" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -2169,9 +2246,12 @@ object PipelineQueries {
   }
 
   /** The t18 training CTE chain alone (w, v0, p_r/b_r/v_r rounds) —
-    * shared by the t18 merge-list oracle and the t23 encode oracle
-    * (which applies the b_r merges back to every document). */
-  private def sqlBpeCtes(merges: Int): String = {
+    * shared by the t18 merge-list oracle, the t23 encode oracle
+    * (which applies the b_r merges back to every document), and —
+    * parameterized over (corpus CTE, token expression, word gate) —
+    * the t42 script-tier trainer oracle. */
+  private def sqlBpeCtes(merges: Int, corpus: String = "documents",
+      wordsOf: String = toks, gate: String = "^[a-z]+$"): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS (SELECT list_extract(l, i) || ' ' || list_extract(l, i+1)
             AS pair, CAST(sum(freq) AS BIGINT) AS cnt
@@ -2189,8 +2269,8 @@ object PipelineQueries {
           FROM v${r - 1} v, b$r b)"""
     }.mkString(",\n      ")
     s"""w AS (SELECT t.w AS w, count(*)::BIGINT AS freq FROM (
-          SELECT unnest($toks) AS w FROM documents) t
-        WHERE regexp_matches(t.w, '^[a-z]+$$')
+          SELECT unnest($wordsOf) AS w FROM $corpus) t
+        WHERE regexp_matches(t.w, '$gate')
           AND len(t.w) BETWEEN 2 AND 20
         GROUP BY t.w),
       v0 AS (SELECT freq,
@@ -2239,7 +2319,9 @@ object PipelineQueries {
     * MATERIALIZED on every multiply-referenced CTE (the t30 lesson:
     * inlined unrolled chains blow up exponentially). */
   private def sqlUnigramCtes(rounds: Int = 2, maxPiece: Int = 4,
-      minCount: Long = 2, maxWordLen: Int = 12): String = {
+      minCount: Long = 2, maxWordLen: Int = 12,
+      corpus: String = "documents", wordsOf: String = toks,
+      gate: String = "^[a-z]+$"): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""useg$r AS (
         SELECT w, freq, 0::BIGINT AS pos, 0 AS n, 0::BIGINT AS s,
@@ -2268,8 +2350,8 @@ object PipelineQueries {
         UNION ALL SELECT piece, cnt FROM ukeep$r)"""
     }.mkString(",\n      ")
     s"""w0 AS MATERIALIZED (SELECT t.w AS w, count(*)::BIGINT AS freq
-        FROM (SELECT unnest($toks) AS w FROM documents) t
-      WHERE regexp_matches(t.w, '^[a-z]+$$')
+        FROM (SELECT unnest($wordsOf) AS w FROM $corpus) t
+      WHERE regexp_matches(t.w, '$gate')
         AND len(t.w) BETWEEN 2 AND $maxWordLen
       GROUP BY t.w),
       usubs AS MATERIALIZED (
@@ -2294,7 +2376,9 @@ object PipelineQueries {
     * floor division on the same operands in the same order as the
     * Scala round. */
   private def sqlUnigramSoftCtes(rounds: Int = 2, maxPiece: Int = 4,
-      minCount: Long = 2, maxWordLen: Int = 12): String = {
+      minCount: Long = 2, maxWordLen: Int = 12,
+      corpus: String = "documents", wordsOf: String = toks,
+      gate: String = "^[a-z]+$"): String = {
     val S = 1000000L
     val roundCtes = (1 to rounds).map { r =>
       s"""mxS$r AS MATERIALIZED (
@@ -2341,8 +2425,8 @@ object PipelineQueries {
         UNION ALL SELECT piece, cnt FROM ukeepS$r)"""
     }.mkString(",\n      ")
     s"""w0 AS MATERIALIZED (SELECT t.w AS w, count(*)::BIGINT AS freq
-        FROM (SELECT unnest($toks) AS w FROM documents) t
-      WHERE regexp_matches(t.w, '^[a-z]+$$')
+        FROM (SELECT unnest($wordsOf) AS w FROM $corpus) t
+      WHERE regexp_matches(t.w, '$gate')
         AND len(t.w) BETWEEN 2 AND $maxWordLen
       GROUP BY t.w),
       usubs AS MATERIALIZED (
@@ -3368,6 +3452,55 @@ object PipelineQueries {
         (sum(nts)::BIGINT * 1000000 // sum(ntw)::BIGINT)::BIGINT
           AS fertility_ppm
       FROM tok GROUP BY cls ORDER BY cls""",
+    // the t18 trajectory replay, parameterized over the
+    // transliterated fixture + script-tier word source/gate
+    "t42_script_bpe_train" -> {
+      val sel = (1 to 8)
+        .map(r => s"SELECT rnd, pair, merged, cnt FROM b$r")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH $sqlScriptFixCte,
+      ${sqlBpeCtes(8, corpus = "fix", wordsOf = sqlToksScript("text"),
+          gate = graft.operators.TextAnalysis.ScriptWordGate)}
+      $sel ORDER BY rnd"""
+    },
+    // the t36 coverage replay over the fixture: 2 training rounds +
+    // the census E-step, tokens/gate from the script tier, grouped by
+    // the fixture's script class
+    "t43_script_coverage" -> s"""
+      WITH RECURSIVE $sqlScriptFixCte,
+      ${sqlUnigramCtes(3, corpus = "fix",
+          wordsOf = sqlToksScript("text"),
+          gate = graft.operators.TextAnalysis.ScriptWordGate)},
+      tl AS MATERIALIZED (SELECT doc_id, source,
+        ${sqlToksScript("text")} AS tk FROM fix),
+      tokpos AS (SELECT doc_id, source, t.p AS pos, tk[t.p] AS tok
+        FROM tl, unnest(range(1, len(tk) + 1)) AS t(p)),
+      encp AS (SELECT doc_id, source,
+          coalesce(len(string_split(b.seg, ' '))::BIGINT, 1::BIGINT)
+            AS np,
+          length(tok)::BIGINT AS nc
+        FROM tokpos LEFT JOIN ubest3 b ON b.w = tok),
+      wagg AS (SELECT source, count(*)::BIGINT AS n_words,
+          sum(np)::BIGINT AS n_tokens,
+          sum(CASE WHEN np = 1 THEN 1 ELSE 0 END)::BIGINT AS n_whole,
+          sum(nc)::BIGINT AS n_chars
+        FROM encp GROUP BY source),
+      census AS (SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM fix GROUP BY source)
+      SELECT source, n_docs,
+        coalesce(n_words, 0)::BIGINT AS n_words,
+        coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        (CASE WHEN coalesce(n_words, 0) = 0 THEN 0
+          ELSE n_tokens * 1000000 // n_words END)::BIGINT
+          AS fertility_ppm,
+        (CASE WHEN coalesce(n_words, 0) = 0 THEN 0
+          ELSE n_whole * 1000000 // n_words END)::BIGINT
+          AS whole_word_ppm,
+        (CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+          ELSE n_chars * 1000000 // n_tokens END)::BIGINT
+          AS chars_per_token_ppm
+      FROM census LEFT JOIN wagg USING (source) ORDER BY source""",
     "dc3_eval_overlap" -> s"""
       WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(toks, 5)}) AS s
         FROM documents),

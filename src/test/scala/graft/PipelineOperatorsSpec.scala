@@ -83,6 +83,63 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(rows.head.getString(1) == "a b" && rows.head.getString(2) == "ab")
   }
 
+  test("t42/t43 script tier: alphabetic non-Latin corpora train real " +
+      "vocabularies (the old Latin gate's pinned degrade is lifted)") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    val cyr = Seq((1L, "привет мир привет банан банан привет"),
+      (2L, "мир банан банан привет мир")).toDF("doc_id", "text")
+    // the Latin-only gate still degrades to empty — that contract is
+    // unchanged; scriptTier is the opt-in that lifts it
+    assert(Tokenizer.bpeTrain(cyr, merges = 4).isEmpty)
+    assert(Tokenizer.unigramTrain(cyr, rounds = 2).isEmpty)
+    val m = Tokenizer.bpeTrain(cyr, merges = 4, scriptTier = true)
+      .collect()
+    assert(m.nonEmpty, "script tier must learn merges from Cyrillic")
+    assert(m.forall(_.getString(2).matches("^[\\u0430-\\u04FF]+$")),
+      "every learned merge is a Cyrillic letter run")
+    val v = Tokenizer.unigramTrain(cyr, rounds = 2, maxPiece = 4,
+      minCount = 2, maxWordLen = 12, scriptTier = true)
+      .localCheckpoint()
+    val pieces = v.collect().map(_.getString(0))
+    assert(pieces.nonEmpty && pieces.exists(_.length > 1),
+      "unigram vocabulary must hold real multi-char Cyrillic pieces")
+    // coverage census over the trained vocab: the Cyrillic source
+    // reports sane fertility (segmented words, NOT the all-opaque
+    // np=1 passthrough) and a positive whole-word rate
+    val cov = Tokenizer.tokenizerCoverage(
+      cyr.withColumn("source", lit("cyr")), v, scriptTier = true)
+      .collect()
+    assert(cov.length == 1)
+    val (nWords, fert, whole) =
+      (cov(0).getLong(2), cov(0).getLong(4), cov(0).getLong(5))
+    assert(nWords == 11L, s"11 script-tier words, got $nWords")
+    assert(fert >= 1000000L && fert <= 4000000L,
+      s"fertility_ppm in the sane 1x-4x band, got $fert")
+    assert(whole > 0L, "some words encode as one piece")
+    // the trained merges APPLY under scriptTier encode: tokens
+    // compress below character count (merges fired) and the encode
+    // differs from the opaque-passthrough of the Latin-gate encode
+    val rules = m.sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Tokenizer.bpeEncode(cyr, rules, scriptTier = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(enc(1L)._1 == 6 && enc(1L)._2 > 6 &&
+      enc(1L)._2 < "приветмирприветбананбананпривет".length,
+      s"merges must fire on the Cyrillic corpus: ${enc(1L)}")
+    // Arabic and Greek/Hebrew/Devanagari letter runs pass the gate
+    val ara = Seq((1L, "كتب كتاب مكتبة كتب كتاب مكتبة كتب"))
+      .toDF("doc_id", "text")
+    assert(Tokenizer.bpeTrain(ara, merges = 2, scriptTier = true)
+      .count() > 0, "Arabic trains a real merge list")
+    val gate = graft.operators.TextAnalysis.ScriptWordGate
+    Seq("κόσμος", "שלום", "नमस्ते", "привет", "hello").foreach(w =>
+      assert(w.matches(gate), s"$w must pass the script word gate"))
+    Seq("42", "一", "a1b", "")
+      .foreach(w => assert(!w.matches(gate), s"$w must NOT pass"))
+  }
+
   test("soft dedup weights are identical through the shuffle fallback") {
     val viaBroadcast = Dedup.softDedupWeights(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

@@ -21,7 +21,8 @@ object VerifyOne {
       case c => c.toString
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      s"""{"$name.parquet": "$sql"}""".getBytes)
+      s"""{"$name.parquet": "$sql"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

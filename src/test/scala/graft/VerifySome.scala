@@ -31,7 +31,8 @@ object VerifySome {
       graft.SparkEntry.oracleSql.get(n).map(sql => s""""$n": "${esc(sql)}""""))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      entries.mkString("{", ",\n", "}").getBytes)
+      entries.mkString("{", ",\n", "}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
