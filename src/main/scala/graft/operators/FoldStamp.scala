@@ -39,19 +39,37 @@ import org.apache.spark.sql.SparkSession
   * postings instead. */
 private[graft] object FoldStamp {
 
-  /** Some(seq) when the 1-row marker exists and parses; None when the
-    * path is absent OR unreadable (a crash during the marker write
-    * itself) — callers treat the two identically, which is safe: an
-    * unreadable intent with a readable done is a mismatch, and a
-    * layout with NEITHER marker predates stamping (legacy) and is
-    * accepted as-is. */
-  private def read(spark: SparkSession, path: String): Option[Long] =
-    try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None // legacy layout / first fold — not an error
-      else Some(spark.read.parquet(path).head().getLong(0))
-    } catch { case _: Exception => None }
+  /** Marker state — ABSENT and CORRUPT are deliberately distinct
+    * (the round-18 finding): mapping "present but unparsable" to
+    * absence made a crash DURING a marker write — which can corrupt
+    * both markers at once — read as a legacy unstamped layout and
+    * silently pass [[check]]. Now:
+    *   - absence (`fs.exists` false) is the only state that reads as
+    *     "no marker" (legacy layout / first fold),
+    *   - a present-but-unparsable marker is CORRUPT and always fails
+    *     [[check]] loudly,
+    *   - filesystem/environment errors (from `getFileSystem`/`exists`)
+    *     PROPAGATE — a flaky FS must not make the guard fail open. */
+  private sealed trait Marker
+  private case object Absent extends Marker
+  private final case class Present(seq: Long) extends Marker
+  private case object Corrupt extends Marker
+
+  private def read(spark: SparkSession, path: String): Marker = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    // environmental failures here rethrow: fail closed, not open
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Absent // legacy layout / first fold — not an error
+    else
+      try Present(spark.read.parquet(path).head().getLong(0))
+      catch { case scala.util.control.NonFatal(_) => Corrupt }
+  }
+
+  private def show(m: Marker): String = m match {
+    case Present(s) => s.toString
+    case Absent => "absent"
+    case Corrupt => "corrupt"
+  }
 
   private def write(spark: SparkSession, path: String, seq: Long): Unit = {
     import spark.implicits._
@@ -63,11 +81,16 @@ private[graft] object FoldStamp {
   def check(spark: SparkSession, layoutPath: String, op: String): Unit = {
     val intent = read(spark, layoutPath + "_fold_intent")
     val done = read(spark, layoutPath + "_fold_done")
-    if (intent != done)
+    val ok = (intent, done) match {
+      case (Present(a), Present(b)) => a == b
+      case (Absent, Absent) => true // predates stamping — accepted
+      case _ => false // mismatch, or ANY corrupt marker: loud
+    }
+    if (!ok)
       throw new IllegalStateException(
         s"$op layout $layoutPath is mid-fold or crashed mid-fold: " +
-          s"_fold_intent=${intent.getOrElse("unreadable")} but " +
-          s"_fold_done=${done.getOrElse("unreadable")} — a maintenance " +
+          s"_fold_intent=${show(intent)} but " +
+          s"_fold_done=${show(done)} — a maintenance " +
           "event began and did not complete, so the layout's artifacts " +
           "may be mutually stale. Re-run the interrupted event (the " +
           "folds are idempotent: retrain/refresh re-derive from current " +
@@ -89,10 +112,14 @@ private[graft] object FoldStamp {
     * a from-scratch rewrite over a crashed layout IS the rebuild
     * recovery, so refusing it would make a mid-fold crash
     * unrecoverable by the one event that always heals it. Seq resumes
-    * past BOTH markers so the ids stay monotone across the crash. */
+    * past BOTH markers so the ids stay monotone across the crash; a
+    * CORRUPT marker contributes no seq (its value is unrecoverable) —
+    * a possibly-reused id is harmless here because the rebuild
+    * overwrites every artifact and re-stamps both markers. */
   def beginRebuild(spark: SparkSession, layoutPath: String): Long = {
-    val seq = (read(spark, layoutPath + "_fold_done").toSeq ++
-      read(spark, layoutPath + "_fold_intent").toSeq)
+    val seq = Seq(read(spark, layoutPath + "_fold_done"),
+      read(spark, layoutPath + "_fold_intent"))
+      .collect { case Present(s) => s }
       .foldLeft(-1L)(math.max).+(1L)
     write(spark, layoutPath + "_fold_intent", seq)
     seq

@@ -287,7 +287,12 @@ object Retrieval {
           s"_meta.fold_seq=${m.foldSeq} — a fold began and did not " +
           "complete, so the derived df/census artifacts may be stale. " +
           "Run Retrieval.bm25LayoutFsck(spark, path, heal = true) to " +
-          "rebuild them from the postings, then re-submit the lost batch.")
+          "rebuild them from the postings, then re-submit the " +
+          "interrupted batch with bm25LayoutAppend(resubmit = true) — " +
+          "the heal keeps WHATEVER prefix of the fold landed, so a " +
+          "blind re-append would double-count a batch whose data " +
+          "writes completed; resubmit anti-joins already-present doc " +
+          "ids and converges either way.")
     m
   }
 
@@ -327,10 +332,16 @@ object Retrieval {
     * id) — because the postings are the one artifact everything else
     * is a function of. The healed layout is consistent at WHATEVER
     * prefix of the crashed fold landed (possibly the pre-fold state);
-    * the interrupted batch itself is lost and must be re-submitted —
-    * recovering it would need the batch, which a layout cannot hold.
-    * Corpus-sized (one postings scan) by design: this is the rare
-    * recovery event, not a serving path. */
+    * whether the interrupted batch's data landed is NOT something the
+    * fsck can know (it has no copy of the batch), so re-submission
+    * must go through [[bm25LayoutAppend]]'s `resubmit = true` mode,
+    * which anti-joins already-present doc ids — a batch that fully
+    * landed folds as a zero-delta no-op, a lost batch re-applies in
+    * full, and a partially-landed batch (impossible for the append
+    * fold, whose postings commit is atomic per batch, but cheap to
+    * cover) applies exactly its missing docs. Corpus-sized (one
+    * postings scan) by design: this is the rare recovery event, not a
+    * serving path. */
   def bm25LayoutFsck(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, heal: Boolean = false): Boolean = {
     val m = readBm25MetaRow(spark, layoutPath)
@@ -380,15 +391,42 @@ object Retrieval {
     * for a crash known to sit between the `_df` append and the meta
     * write (every earlier artifact landed; only the census is stale).
     * One scan of the narrow per-doc artifact. Stamps `fold_seq` up to
-    * the intent marker, so it CLEARS the staleness check — when the
-    * crash point is unknown, run [[bm25LayoutFsck]] instead (it
-    * rebuilds every derived artifact from the postings and assumes
-    * nothing about where the fold stopped). */
+    * the intent marker, so it CLEARS the staleness check — and
+    * because clearing the check over a layout whose `_df` append
+    * never landed would silently un-flag WRONG df, the tool first
+    * VERIFIES its own precondition on sampled term buckets: stored
+    * `SUM(ddf)` per term must equal the postings-derived df inside
+    * the sampled buckets (both reads bucket-pruned — this stays a
+    * few-directories check, not a corpus scan). A mismatch fails
+    * loudly naming [[bm25LayoutFsck]], which rebuilds every derived
+    * artifact and assumes nothing about where the fold stopped. */
   def bm25MetaRebuild(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String): Unit = {
     val m = readBm25MetaRow(spark, layoutPath)
     val seq = math.max(
       readFoldIntent(spark, layoutPath).getOrElse(m.foldSeq), m.foldSeq)
+    // precondition probe: the narrow recovery is only sound when the
+    // crash sat AFTER the _df append — sample a spread of term
+    // buckets and require stored ≡ derived df inside them
+    val sample = Seq(0L, (m.buckets / 2).toLong, (m.buckets - 1).toLong)
+      .distinct
+    val stored = spark.read.parquet(layoutPath + "_df")
+      .filter(col("bkt").isin(sample: _*))
+      .groupBy("fp").agg(sum("ddf").as("df"))
+      .filter(col("df") =!= 0)
+    val derived = spark.read.parquet(layoutPath)
+      .filter(col("bkt").isin(sample: _*) && col("fp").isNotNull)
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+    val drift = stored.exceptAll(derived).limit(1).count() +
+      derived.exceptAll(stored).limit(1).count()
+    if (drift != 0)
+      throw new IllegalStateException(
+        s"bm25 layout $layoutPath: _df disagrees with the postings in " +
+          s"sampled buckets $sample — the crash did NOT sit between " +
+          "the _df append and the meta write, so rebuilding only the " +
+          "census would un-flag a layout whose derived df is wrong. " +
+          "Run Retrieval.bm25LayoutFsck(spark, path, heal = true) " +
+          "instead.")
     val (n, l) = docCensus(
       spark.read.parquet(layoutPath + "_docs").select("doc_id", "len"))
     writeBm25Meta(spark, layoutPath, Bm25Meta(m.buckets, n, l, seq))
@@ -504,15 +542,36 @@ object Retrieval {
     * the streaming half of the maintenance contract. Small per-batch
     * files accumulate per bucket; compaction is the usual scheduled
     * offline event (a partition-grain rewrite, the
-    * [[bm25LayoutApplyCdf]] machinery with an empty CDF). */
+    * [[bm25LayoutApplyCdf]] machinery with an empty CDF).
+    *
+    * `resubmit = true` is the POST-CRASH re-application mode (the
+    * vector folds' upsert discipline brought to the append path):
+    * after [[bm25LayoutFsck]] heals a mid-fold crash, the layout
+    * holds whatever prefix of the interrupted fold landed — for the
+    * append fold that is all-or-nothing per artifact, and the
+    * operator cannot see which. Resubmit anti-joins the batch's doc
+    * ids against the `_docs` census first, so docs whose fold
+    * completed are skipped and blind re-application CONVERGES instead
+    * of double-counting postings/_df/_docs/_meta. The `_docs` read is
+    * recovery-path-only cost — the normal streaming append stays one
+    * write per artifact with no corpus-sized read. */
   def bm25LayoutAppend(spark: org.apache.spark.sql.SparkSession,
-      layoutPath: String, docs: DataFrame): Unit = {
+      layoutPath: String, docs: DataFrame,
+      resubmit: Boolean = false): Unit = {
     val meta = readBm25Meta(spark, layoutPath) // refuses a stale layout
     val buckets = meta.buckets
+    val batch =
+      if (!resubmit) docs
+      else docs.join(
+        spark.read.parquet(layoutPath + "_docs").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+        // eager: membership is pinned BEFORE the fold below mutates
+        // the _docs artifact the anti-join reads
+        .localCheckpoint(eager = true)
     // intent bracket FIRST (see Bm25Meta's crash contract): a crash
     // anywhere below leaves intent ≠ meta and probes fail loudly
     writeFoldIntent(spark, layoutPath, meta.foldSeq + 1)
-    val idx = bm25Index(docs)
+    val idx = bm25Index(batch)
       .withColumn("bkt", bm25Bkt(col("fp"), buckets))
       .localCheckpoint(eager = false) // postings + fwd + doc census
     idx.repartition(col("bkt"))

@@ -1559,6 +1559,11 @@ object Similarity {
     * plausible corpus (1e12 rows · 1e6 < 2^63). */
   def vecListCensus(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String, listCol: String): DataFrame = {
+    // refuse a mid-fold layout (the serving probes' guard): a census
+    // over a crashed layout reports wrong list shares — precisely the
+    // numbers that schedule the coarse rebuild
+    FoldStamp.check(spark, layoutPath,
+      if (listCol == "lcid") "pq" else "sq8")
     val sizes = spark.read.parquet(layoutPath)
       .groupBy(col(listCol).cast("long").as("list_id"))
       .agg(count(lit(1)).as("n_rows"))

@@ -133,6 +133,16 @@ class DeltaShareScanBuilder(
   // Spark re-applies the limit above (limitHint covers offset+limit).
   private var offset: Option[Int] = None
 
+  /** The offset probe's raw `/query` response, kept so the scan can
+    * REUSE it instead of issuing a second POST: the probe runs with
+    * exactly the hints the scan itself would send (offset acceptance
+    * requires no data filters, and no limit is pushed at probe time,
+    * so no `limitHint` either) — one server round-trip per
+    * offset-bearing plan instead of two. A limit pushed after the
+    * offset invalidates the reuse (the scan then wants
+    * `limitHint = limit + offset`) and the scan re-queries. */
+  private var offsetProbe: Option[TableFiles] = None
+
   override def pushOffset(n: Int): Boolean = {
     if (n <= 0) return false
     if (dataFilters.nonEmpty || topN.isDefined || limit.isDefined ||
@@ -142,20 +152,36 @@ class DeltaShareScanBuilder(
       StructType(dataSchema.fields ++ partitionSchema.fields))._1
     val legacy = PredicateHints.legacyHints(partitionFilters.toSeq,
       partitionSchema)
-    val files =
+    val resp =
       try {
         new DeltaSharingClient(addr.profile)
           .queryTable(addr.share, addr.schema, addr.table,
             jsonPredicateHints = hints, predicateHints = legacy,
             version = addr.versionAsOf,
-            timestamp = addr.timestampAsOf).files
-          .filter(f => partitionFilters.forall(
-            PartitionValues.evalFilter(_, f.partitionValues, partitionSchema)))
-      } catch { case _: Exception => return false }
+            timestamp = addr.timestampAsOf)
+      } catch {
+        case e: Exception =>
+          // refusing is CORRECT (Spark keeps the Offset operator) but
+          // must be observable: a flaky server silently degrading
+          // every offset plan is otherwise undiagnosable
+          DeltaShareScanBuilder.log.warn(
+            s"offset pushdown refused for ${addr.share}.${addr.schema}" +
+              s".${addr.table}: plan-time /query probe failed", e)
+          return false
+      }
+    val files = resp.files
+      .filter(f => partitionFilters.forall(
+        PartitionValues.evalFilter(_, f.partitionValues, partitionSchema)))
     if (!files.forall(_.stats.flatMap(FileStats.parse)
-        .exists(_.numRecords.isDefined)))
+        .exists(_.numRecords.isDefined))) {
+      DeltaShareScanBuilder.log.info(
+        s"offset pushdown refused for ${addr.share}.${addr.schema}" +
+          s".${addr.table}: a surviving file carries no numRecords " +
+          "stat, so the prefix skip cannot be proven exact")
       return false
+    }
     offset = Some(n)
+    offsetProbe = Some(resp)
     true
   }
 
@@ -409,8 +435,13 @@ class DeltaShareScanBuilder(
       spark, addr, meta, dataSchema, partitionSchema, requiredSchema,
       partitionFilters, dataFilters, limit, hadoopConf,
       streamStartingVersion, streamIgnoreDeletes,
-      streamMaxVersionsPerTrigger, topN, offset)
+      streamMaxVersionsPerTrigger, topN, offset, offsetProbe)
   }
+}
+
+object DeltaShareScanBuilder {
+  private[v2] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[DeltaShareScanBuilder])
 }
 
 /** A pushed top-N: the first sort key's field, direction, null
@@ -540,7 +571,8 @@ class DeltaShareScan(
     streamIgnoreDeletes: Boolean = false,
     streamMaxVersionsPerTrigger: Option[Long] = None,
     topN: Option[TopNSpec] = None,
-    offset: Option[Int] = None) extends Scan with Batch
+    offset: Option[Int] = None,
+    probedQuery: Option[TableFiles] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val partitionColNames = partitionSchema.fieldNames.toSet
@@ -603,13 +635,20 @@ class DeltaShareScan(
     timestamp = addr.timestampAsOf)
 
   /** One `/query` POST per scan, memoized — statistics estimation and
-    * partition planning share it. */
+    * partition planning share it. An offset-bearing plan does not
+    * even pay that one: the pushOffset probe's response is handed
+    * through ([[DeltaShareScanBuilder.pushOffset]] sends identical
+    * hints) unless a limit was pushed after the offset, in which case
+    * the scan re-queries to get `limitHint = limit + offset` file
+    * trimming. */
   private lazy val queriedFiles: Seq[graft.sources.FileAction] = {
-    val client = new DeltaSharingClient(addr.profile)
-    val resp = client.queryTable(addr.share, addr.schema, addr.table,
-      jsonPredicateHints = jsonHints, predicateHints = legacyHints,
-      limitHint = limitHint, version = addr.versionAsOf,
-      timestamp = addr.timestampAsOf)
+    val resp = probedQuery.filter(_ => limit.isEmpty).getOrElse {
+      val client = new DeltaSharingClient(addr.profile)
+      client.queryTable(addr.share, addr.schema, addr.table,
+        jsonPredicateHints = jsonHints, predicateHints = legacyHints,
+        limitHint = limitHint, version = addr.versionAsOf,
+        timestamp = addr.timestampAsOf)
+    }
     // Time travel: the plan's schema came from head-version metadata;
     // if the requested version's metaData line disagrees, reading its
     // files with the newer schema would silently mis-decode — fail

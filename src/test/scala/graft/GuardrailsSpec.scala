@@ -1660,6 +1660,69 @@ class GuardrailsSpec extends AnyFunSuite {
         .select(col("doc_id"), col("text"),
           lit("delete").as("_change_type")))
     assert(Retrieval.bm25LayoutFsck(spark, out))
+    // resubmit mode (round 19): the healed layout ALREADY holds the
+    // crashed batch (its data writes landed before the injected
+    // kill) — the old guidance's blind re-append would double-count
+    // every artifact; resubmit = true anti-joins already-present doc
+    // ids and must fold as a zero-delta no-op
+    val preResubmit = Retrieval
+      .bm25TopKFromLayout(spark, out, queries, k = 10).collect().toSet
+    val preDocsN = spark.read.parquet(out + "_docs").count()
+    Retrieval.bm25LayoutAppend(spark, out, batch, resubmit = true)
+    val docIds = spark.read.parquet(out + "_docs").select("doc_id")
+    assert(docIds.count() == preDocsN &&
+      docIds.count() == docIds.distinct().count(),
+      "resubmit duplicated already-landed docs")
+    assert(Retrieval.bm25TopKFromLayout(spark, out, queries, k = 10)
+      .collect().toSet == preResubmit,
+      "zero-delta resubmit changed serving")
+    assert(Retrieval.bm25LayoutFsck(spark, out),
+      "resubmit fold must close its own bracket")
+    // ...while a batch of genuinely NEW docs still lands in full
+    // through the same mode (resubmit of a batch that never landed)
+    val lost = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 12000L).as("doc_id"), col("text"))
+    Retrieval.bm25LayoutAppend(spark, out, lost, resubmit = true)
+    assert(spark.read.parquet(out + "_docs").count() ==
+      preDocsN + lost.count(), "lost-batch resubmit dropped docs")
+    assert(Retrieval.bm25LayoutFsck(spark, out))
+  }
+
+  test("bm25MetaRebuild verifies its precondition: a layout whose _df " +
+      "append never landed refuses the narrow recovery loudly") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bm25_metapre_guard_${spark.sparkContext.applicationId}")
+      .getPath
+    Retrieval.bm25IndexWrite(docs, out, buckets = 4)
+    // capture the pre-fold _df and _meta, run a real append, then
+    // restore BOTH — byte-for-byte the state of a fold killed between
+    // its _docs append and its _df append (postings landed, df did
+    // not): the narrow census rebuild would stamp the layout
+    // consistent while every capped probe reads wrong df
+    val preDf = spark.read.parquet(out + "_df")
+      .localCheckpoint(eager = true)
+    val preMeta = spark.read.parquet(out + "_meta").collect().head
+    Retrieval.bm25LayoutAppend(spark, out,
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 7000L).as("doc_id"), col("text")))
+    preDf.write.option("partitionOverwriteMode", "static")
+      .partitionBy("bkt").mode("overwrite").parquet(out + "_df")
+    Seq((preMeta.getLong(0), preMeta.getLong(1), preMeta.getLong(2),
+        preMeta.getLong(3)))
+      .toDF("buckets", "n_docs", "total_len", "fold_seq")
+      .write.mode("overwrite").parquet(out + "_meta")
+    val e = intercept[IllegalStateException] {
+      Retrieval.bm25MetaRebuild(spark, out)
+    }
+    assert(e.getMessage.contains("bm25LayoutFsck"),
+      s"the refusal must name the full recovery: ${e.getMessage}")
+    // the full fsck remains the recovery, after which the narrow
+    // rebuild's precondition holds again
+    assert(!Retrieval.bm25LayoutFsck(spark, out, heal = true))
+    Retrieval.bm25MetaRebuild(spark, out)
+    assert(Retrieval.bm25LayoutFsck(spark, out))
   }
 
   test("vector-layout fold stamp: a crashed fold is refused at probe " +
@@ -1725,6 +1788,53 @@ class GuardrailsSpec extends AnyFunSuite {
     preDone.write.mode("overwrite").parquet(out + "_fold_done")
     Similarity.knnIndexWrite(base, out, numCentroids = 4)
     Similarity.knnTopKFromLayout(spark, out, queries, k = 5).collect()
+  }
+
+  test("fold-stamp marker corruption is refused loudly — including " +
+      "BOTH markers corrupt, which must not pass as a legacy layout") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_foldcorrupt_guard_${spark.sparkContext.applicationId}")
+      .getPath
+    val base = embs.select("vec_id", "embedding")
+      .localCheckpoint(eager = true)
+    Similarity.knnIndexWrite(base, out, numCentroids = 4)
+    val queries = embs.filter(col("vec_id") < 3)
+    Similarity.knnTopKFromLayout(spark, out, queries, k = 5).collect()
+    // present-but-unparsable marker: the path EXISTS (fs.exists true)
+    // but is not parquet — a crash during the marker write itself
+    def corrupt(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      val f = new java.io.File(path)
+      rm(f)
+      java.nio.file.Files.write(f.toPath,
+        "not a parquet footer".getBytes("UTF-8"))
+      ()
+    }
+    // corrupt intent beside a valid done → loud (pre-round-19
+    // behavior, kept)
+    corrupt(out + "_fold_intent")
+    val e1 = intercept[IllegalStateException] {
+      Similarity.knnTopKFromLayout(spark, out, queries, k = 5).collect()
+    }
+    assert(e1.getMessage.contains("corrupt"),
+      s"corrupt intent must be named: ${e1.getMessage}")
+    // corrupt BOTH markers → must STILL refuse: until round 19 this
+    // read as 'no markers → legacy unstamped layout' and the guard
+    // silently failed open
+    corrupt(out + "_fold_done")
+    val e2 = intercept[IllegalStateException] {
+      Similarity.knnTopKFromLayout(spark, out, queries, k = 5).collect()
+    }
+    assert(e2.getMessage.contains("corrupt"),
+      s"corrupt markers must be named: ${e2.getMessage}")
+    // the full index write is the rebuild recovery — it enters over
+    // corrupt markers, regenerates every artifact, re-stamps both
+    Similarity.knnIndexWrite(base, out, numCentroids = 4)
+    Similarity.knnTopKFromLayout(spark, out, queries, k = 5).collect()
+    ()
   }
 
   test("sq8 fold stamp: crashed stats refresh refused at probe time, " +
