@@ -47,14 +47,47 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.queries.ExtendedQueries.prewarm(spark, sfDir)
     catch { case _: Throwable => () }
+    // INTER-QUERY STATE HYGIENE (r18 verdict finding #4): iterative
+    // operators localCheckpoint per round, and standing-model frames
+    // checkpoint per invocation — those persisted blocks outlive their
+    // query, and across 251×2 timed runs the accumulation inflates
+    // later queries' GC/memory pressure (q58 recorded 17.4 s in the
+    // shared bench JVM vs 10.7 s clean-JVM steady in SCALING_r18).
+    // Artifacts built by prewarm (the memoized standing frames) are
+    // snapshotted as PROTECTED; any RDD persisted after that snapshot
+    // is per-query leakage and is unpersisted once the query's timed
+    // window CLOSES — the scrub runs outside the timer, and a repeat
+    // invocation reconstructs its frames from parquet, so measured
+    // work is unchanged.
+    val protectedRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def scrub(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!protectedRdds.contains(id)) rdd.unpersist(blocking = false)
+      }
+    // per-query GC time (finding #4's second ask): lets a cross-round
+    // comparison attribute a slow number to collector pressure without
+    // re-running; recorded to BENCH_FULL only (stdout shape unchanged)
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcNowMs(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val gcByQuery = scala.collection.mutable.Map
+      .empty[String, List[Long]].withDefaultValue(Nil)
     // two timed passes, min per query: first-touch JIT/codegen noise
     // lands on whichever query a hash-map ordering puts early; the min
     // is the reproducible steady-state number
     def pass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
+        val g0 = gcNowMs()
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        gcByQuery(name) = gcByQuery(name) :+ (gcNowMs() - g0)
+        scrub()
+        name -> sec
     }
     // 1-minute system load BEFORE the timed passes: round-over-round
     // comparisons need to know whether the bench window was contended
@@ -127,7 +160,8 @@ object Bench {
     // moved) without re-running — the round-16 adjudication problem
     val qsFull = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
-        f""""$k":{"min":$v%.3f,"runs":[${p1(k)}%.3f,${p2(k)}%.3f]}"""
+        val gc = gcByQuery(k).map(_.toString).mkString("[", ",", "]")
+        f""""$k":{"min":$v%.3f,"runs":[${p1(k)}%.3f,${p2(k)}%.3f],"gc_ms":$gc}"""
       }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(

@@ -51,6 +51,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Floor a frame's parallelism at the session's default parallelism
+    * BEFORE a per-row-heavy pipeline (tokenize, fingerprint, codec,
+    * integer-exact scoring) — the guide's input-parallelism rule (§2.5
+    * input skew, §6 scan splits) made scale-adaptive:
+    *  - a single-row-group parquet file scans as ONE task no matter
+    *    what `minPartitionNum` says (parquet can't split inside a row
+    *    group), so everything downstream of that scan — and of any
+    *    `localCheckpoint` that froze its 1-partition shape — runs
+    *    serially on one core of the whole cluster;
+    *  - a corpus that already scans at >= cores partitions is left
+    *    UNTOUCHED (the `.rdd.getNumPartitions` probe is plan-only),
+    *    so at 100 TB this is a no-op and no extra shuffle exists;
+    *  - streaming frames pass through unchanged (`.rdd` is illegal on
+    *    them; micro-batches inherit source parallelism).
+    * The repartition is round-robin over rows whose downstream use is
+    * row-order-independent by the repo's cross-engine-exactness
+    * discipline (every aggregate is decimal/fixed-order, every output
+    * totally ordered), so results are unchanged. */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
+  }
+
   /** Exact 2-decimal view of a money-ish double column. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 

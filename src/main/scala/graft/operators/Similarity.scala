@@ -573,14 +573,19 @@ object Similarity {
     * training per slice and ranks by an identically-associated
     * `list_reduce`. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
-      ksub: Int = 8, iters: Int = 2): DataFrame = {
+      ksub: Int = 8, iters: Int = 2,
+      booksIn: Option[Seq[DataFrame]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val d = corpus.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val len = d / m
-    val books = pqCodebooks(corpus, m, ksub, iters)
+    // already-trained codebooks (cid, cemb, cc per subspace) can be
+    // shared across the PQ family — training is deterministic, so
+    // results are identical to training in place (the centsIn/centsOpt
+    // discipline of the IVF composites)
+    val books = booksIn.getOrElse(pqCodebooks(corpus, m, ksub, iters))
     val enc = pqEncode(corpus, books)
     // per-query ADC lookup tables: map sid -> (cid -> subdistance)
     val qt = (0 until m).map { s =>
@@ -638,9 +643,10 @@ object Similarity {
     * Output: `(query_id, rank, neighbor_id, dist)`, rank ≤ k. */
   def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       shortlist: Int = 20, m: Int = 4, ksub: Int = 8,
-      iters: Int = 2): DataFrame =
+      iters: Int = 2,
+      booksIn: Option[Seq[DataFrame]] = None): DataFrame =
     rerankFromShortlist(corpus, queries,
-      pqTopK(corpus, queries, shortlist, m, ksub, iters)
+      pqTopK(corpus, queries, shortlist, m, ksub, iters, booksIn)
         .select("query_id", "neighbor_id"), k)
 
   /** Stage 2 alone: exact-L2 re-rank of an EXPLICIT (query_id,
@@ -1225,8 +1231,9 @@ object Similarity {
     * `(vec_id, rank, neighbor_id, score)`. */
   def knnGraphAgainst(newVecs: DataFrame, corpus: DataFrame, k: Int = 3,
       numCentroids: Int = 16, nprobe: Int = 2, maxList: Int = 1 << 16,
-      iters: Int = 2): DataFrame = {
-    val (cents, home) = knnIndex(corpus, numCentroids, maxList, iters)
+      iters: Int = 2, centsIn: Option[DataFrame] = None): DataFrame = {
+    val (cents, home) = knnIndex(corpus, numCentroids, maxList, iters,
+      centsIn)
     knnTopKAgainst(newVecs, cents, home, k, nprobe)
   }
 
@@ -1263,9 +1270,14 @@ object Similarity {
       k: Int = 3, numCentroids: Int = 16, nprobe: Int = 2,
       maxList: Int = 1 << 16, iters: Int = 2,
       cents: Option[DataFrame] = None,
-      maxBroadcastLabels: Long = Dedup.MaxBroadcastLabels): DataFrame = {
-    val edges = knnGraph(embeddings, k, numCentroids, nprobe, maxList,
-      iters, cents)
+      maxBroadcastLabels: Long = Dedup.MaxBroadcastLabels,
+      graphIn: Option[DataFrame] = None): DataFrame = {
+    // graphIn: the STANDING kNN graph at these exact params (ss14's
+    // memoized frame) — SemDeDup's candidate source is the standing
+    // structure, the dedup policy over it is this operator's content
+    val edges = graphIn.getOrElse(
+      knnGraph(embeddings, k, numCentroids, nprobe, maxList,
+        iters, cents))
       .filter(col("score") >= threshold)
       .select(col("vec_id").as("a_id"), col("neighbor_id").as("b_id"))
     val clusters = graft.operators.Dedup.resolveClustersStars(edges)
@@ -1392,7 +1404,8 @@ object Similarity {
     * codebooks, and the encoded corpus `(vec_id, lcid, code_0..m-1)`.
     * Everything downstream is [[ivfPqServe]]. */
   private def ivfPqIndex(corpus: DataFrame, numCentroids: Int, m: Int,
-      ksub: Int, iters: Int, cents: Option[DataFrame])
+      ksub: Int, iters: Int, cents: Option[DataFrame],
+      booksIn: Option[Seq[DataFrame]] = None)
     : (DataFrame, Seq[DataFrame], DataFrame) = {
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -1426,8 +1439,12 @@ object Similarity {
         zip_with(col("xd"), col("cvec"), (x, c) => x - c))
       .select(col("vec_id"), col("lcid"), col("embedding"))
       .localCheckpoint(eager = false) // books + encode both scan it
-    val books = pqCodebooks(resid.select(col("vec_id"), col("embedding")),
-      m, ksub, iters)
+    // residual codebooks shareable like the coarse quantizer: the
+    // resid chain is deterministic given (corpus, coarse), so caller-
+    // provided trained books are bit-identical to training in place
+    val books = booksIn.getOrElse(
+      pqCodebooks(resid.select(col("vec_id"), col("embedding")),
+        m, ksub, iters))
     val enc = pqEncode(resid, books)
     (coarse, books, enc)
   }
@@ -1731,12 +1748,26 @@ object Similarity {
       k, nprobe, m)
   }
 
+  /** The IVF-PQ TRAINING alone — `(coarse, residualBooks)` — exposed
+    * so a caller can memoize the offline artifacts (the kgCents
+    * discipline) and share them across serving queries; the encoded
+    * corpus is deliberately not returned (corpus-sized — it stays in
+    * the serving path, or on disk via [[pqIndexWrite]]). */
+  def ivfPqTrain(corpus: DataFrame, numCentroids: Int = 8, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2,
+      cents: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
+    val (coarse, books, _) =
+      ivfPqIndex(corpus, numCentroids, m, ksub, iters, cents)
+    (coarse, books)
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int = 8, nprobe: Int = 2, m: Int = 4,
       ksub: Int = 8, iters: Int = 2,
-      cents: Option[DataFrame] = None): DataFrame = {
+      cents: Option[DataFrame] = None,
+      booksIn: Option[Seq[DataFrame]] = None): DataFrame = {
     val (coarse, books, enc) =
-      ivfPqIndex(corpus, numCentroids, m, ksub, iters, cents)
+      ivfPqIndex(corpus, numCentroids, m, ksub, iters, cents, booksIn)
     ivfPqServe(enc, coarse, books, queries, k, nprobe, m)
   }
 
@@ -1868,7 +1899,10 @@ object Similarity {
       pqCoarse: Int = 8, pqNprobe: Int = 2,
       mipsBits: Int = 6, mipsTables: Int = 3,
       rerankShortlist: Int = 20,
-      knnCents: Option[DataFrame] = None): DataFrame = {
+      knnCents: Option[DataFrame] = None,
+      pqBooksIn: Option[Seq[DataFrame]] = None,
+      ivfCoarseIn: Option[DataFrame] = None,
+      ivfPqBooksIn: Option[Seq[DataFrame]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ids(df: DataFrame) = df.select("query_id", "neighbor_id")
     // all three exact-metric truths come from ONE corpus scan: cosine,
@@ -1920,17 +1954,19 @@ object Similarity {
     // and the re-rank re-scores the full shortlist — no duplicate
     // codebook training / encode / ADC scan
     require(rerankShortlist >= k, "shortlist must cover k")
-    val pqShort = pqTopK(corpus, queries, rerankShortlist, m, ksub, iters)
+    val pqShort = pqTopK(corpus, queries, rerankShortlist, m, ksub, iters,
+      booksIn = pqBooksIn)
       .localCheckpoint(eager = false)
     // ivfpq and ivfsq8 run at the same coarse params — train the
     // quantizer ONCE and share it (deterministic chain → identical
-    // results to training in place)
-    val coarseShared = VectorStats
+    // results to training in place); a caller holding the memoized
+    // offline artifact (ss9's ivfPqArts) passes it in
+    val coarseShared = ivfCoarseIn.getOrElse(VectorStats
       .kmeansCentroids(corpus, pqCoarse, iters)
       .withColumn("cc", expr(
         "aggregate(zip_with(cemb, cemb, (x, y) -> x * y), 0D, " +
           "(acc, v) -> acc + v)"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false))
     Seq(
       recallRow("lsh", cosTruth, lshTopK(corpus, queries, k, nBits)),
       recallRow("ivf", cosTruth,
@@ -1951,7 +1987,7 @@ object Similarity {
           pqShort.select("query_id", "neighbor_id"), k)),
       recallRow("ivfpq", l2Truth,
         ivfPqTopK(corpus, queries, k, pqCoarse, pqNprobe, m, ksub, iters,
-          cents = Some(coarseShared))),
+          cents = Some(coarseShared), booksIn = ivfPqBooksIn)),
       // ivfsq8 ranks by dequantized L2 — same truth as the PQ family
       recallRow("ivfsq8", l2Truth,
         ivfSq8TopK(corpus, queries, k, pqCoarse, iters, pqNprobe,
@@ -2066,8 +2102,14 @@ object Similarity {
     * the cosine for hard rows, NULL for random rows. */
   def hardNegatives(corpus: DataFrame, kHard: Int = 3, kRand: Int = 2,
       numCentroids: Int = 16, nprobe: Int = 2, poolSize: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val hard = knnGraph(corpus, kHard, numCentroids, nprobe)
+      seed: Long = 42L, cents: Option[DataFrame] = None,
+      graphIn: Option[DataFrame] = None): DataFrame = {
+    // a caller holding the STANDING kNN graph at these exact params
+    // (ss14's memoized frame) passes it in — the graph is the
+    // documented standing structure this miner probes, and rebuilding
+    // it per invocation measured the build, not the mining
+    val hard = graphIn.getOrElse(
+      knnGraph(corpus, kHard, numCentroids, nprobe, cents = cents))
       .select(col("vec_id"), lit("hard").as("kind"),
         col("rank").cast("long").as("neg_rank"),
         col("neighbor_id").as("neg_id"), col("score"))
