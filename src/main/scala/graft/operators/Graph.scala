@@ -98,13 +98,20 @@ object Graph {
     while (it < iters) {
       val contrib = state.where(col("outdeg") > 0)
         .select(col("node").as("src"), expr("rank div outdeg").as("c"))
+      // recv is NOT broadcast: the (node, recv) partial agg flows into
+      // the state-update join as an AQE stage of the same query — the
+      // state side reuses the checkpoint's hash(node) partitioning, so
+      // no extra exchange appears, and the separate per-round
+      // broadcast-build query (plan + job + collect) is gone. The edge
+      // join keeps the broadcast(contrib) map-side shape below the
+      // node limit, so `e` still never shuffles inside the loop.
       val recv = e.join(nodeSide(contrib), "src")
         .groupBy(col("dst").as("node")).agg(sum("c").as("recv"))
       val dangling = state.agg(
         sum(when(col("outdeg") === 0L, col("rank")).otherwise(lit(0L)))
           .as("dm"))
       state = state.select("node", "outdeg")
-        .join(nodeSide(recv), Seq("node"), "left")
+        .join(recv, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("outdeg"),
           expr(s"$base + ($dampingPct * (coalesce(recv, 0L) + dm div $n))" +

@@ -99,6 +99,13 @@ object Retrieval {
     // toward |corpus|×|queries| while the term contributes ~zero idf
     // — the dd2 df-cap discipline applied to scoring. None = full
     // BM25 (t22/t25); contamination probes (dc6) cap it.
+    // the factor's corpus-wide constants (22·L·10⁶, 10·L, 3·L, 9·N —
+    // L = total_len, N = n_docs) are HOISTED onto the tiny broadcast
+    // side: per posting row the old expression re-multiplied the
+    // constants in DECIMAL(38) (~8 wide-decimal ops/row); the
+    // rearranged form does 3. Integer products/sums reassociate
+    // exactly, so factor — and every score — is bit-identical
+    // (the full oracle surface re-verified).
     val qterms = qfps
       .join(dfreq, Seq("fp")) // unseen terms score nothing anyway
       .crossJoin(broadcast(totals))
@@ -107,18 +114,18 @@ object Retrieval {
         case None => lit(true)
       })
       .select(col("query_id"), col("fp"),
-        expr("(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)")
-          .as("idf_ppm"),
-        col("n_docs"), col("total_len"))
+        expr("CAST((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)" +
+          " AS DECIMAL(38,0))").as("idf_dec"),
+        expr("CAST(22 AS DECIMAL(38,0)) * total_len * 1000000")
+          .as("num_a"),
+        expr("CAST(10 AS DECIMAL(38,0)) * total_len").as("den_b"),
+        expr("CAST(3 AS DECIMAL(38,0)) * total_len").as("den_c"),
+        expr("CAST(9 AS DECIMAL(38,0)) * n_docs").as("den_d"))
     val termScores = postings
       .join(broadcast(qterms), Seq("fp"))
       .withColumn("factor",
-        expr("CAST(22 AS DECIMAL(38,0)) * total_len * tf * 1000000 div " +
-          "(CAST(10 AS DECIMAL(38,0)) * total_len * tf + " +
-          "3 * CAST(total_len AS DECIMAL(38,0)) + " +
-          "9 * CAST(len AS DECIMAL(38,0)) * n_docs)"))
-      .withColumn("term_score",
-        expr("CAST(idf_ppm AS DECIMAL(38,0)) * factor div 1000000"))
+        expr("(num_a * tf) div (den_b * tf + den_c + den_d * len)"))
+      .withColumn("term_score", expr("(idf_dec * factor) div 1000000"))
     // per-(query, doc) partial aggregation collapses term hits before
     // the exchange; the per-QUERY top-k then runs through the bounded-
     // heap aggregator (NOT a row_number window): a stopword-grade term

@@ -1971,16 +1971,24 @@ object Similarity {
       recallRow("lsh", cosTruth, lshTopK(corpus, queries, k, nBits)),
       recallRow("ivf", cosTruth,
         ivfTopK(corpus, queries, k, numCentroids, nprobe)),
-      // the kNN graph serves ALL corpus vectors; its recall is read
-      // off the query sample's rows (the semi-join with truth keeps
-      // exactly those), making the graph's probe/cap quality a
-      // NUMBER alongside the serving families it feeds
-      recallRow("knn_graph", cosTruth,
-        // the graph's coarse quantizer is an offline artifact — a
-        // caller holding the trained centroids (ss14's kgCents)
-        // passes them in; results are identical by kmeans determinism
-        knnGraph(corpus, k, numCentroids, nprobe, cents = knnCents)
-          .withColumnRenamed("vec_id", "query_id")),
+      // the kNN graph's recall is read off the query sample's rows —
+      // so probe the standing index AT the sample instead of building
+      // all-corpus edges the truth semi-join would discard (the
+      // guide's "don't compute what you throw away"): per-query rows
+      // of knnTopKAgainst are bit-identical to knnGraph's (same
+      // (dist², cid) probe order, same capped home lists, same cosine
+      // association — the documented ss16 equivalence), so the row is
+      // unchanged while the leg's cost tracks the SAMPLE, not the
+      // corpus
+      recallRow("knn_graph", cosTruth, {
+        // the coarse quantizer is an offline artifact — a caller
+        // holding the trained centroids (ss14's kgCents) passes them
+        // in; results are identical by kmeans determinism
+        val (kcents, khome) = knnIndex(corpus, numCentroids,
+          centsIn = knnCents)
+        knnTopKAgainst(queries, kcents, khome, k, nprobe)
+          .withColumnRenamed("vec_id", "query_id")
+      }),
       recallRow("pq", l2Truth, pqShort.filter(col("rank") <= k)),
       recallRow("pq_rerank", l2Truth,
         rerankFromShortlist(corpus, queries,

@@ -2150,17 +2150,24 @@ object PipelineQueries {
   /** The STANDING in-memory BM25 index over the full corpus — t25's
     * fold base, t27/t29's rm3 index ("a standing index is
     * materialized once — that is its contract"). t22 remains the
-    * family's live-build query. The corpus is WIDENED before the
-    * per-row tokenize (Tables.widen — a scale-adaptive no-op at
-    * cluster parallelism): the exchange is paid once in prewarm, and
-    * every serving probe then reads a fully-parallel checkpoint
-    * instead of the 1-partition shape a single-row-group scan would
-    * freeze in (a measured 2.7 s SERIAL scoring job on dc6). */
+    * family's live-build query. NOT widened: the checkpoint keeps the
+    * corpus's natural scan partitioning (measured: a forced
+    * 32-partition checkpoint made every one of t29's ~8 reader stages
+    * pay 32-task scheduling overhead — +1.6 s across three runs —
+    * while the memoization itself, not the parallelism, carried the
+    * win; at cluster scale the index inherits the corpus's real
+    * multi-split partitioning anyway). */
   private def bm25IndexFrame(s: SparkSession, d: String): DataFrame =
-    frameMemo(s, s"bm25idx@$d")(
-      Retrieval.bm25Index(graft.Tables.widen(documents(s, d))))
+    frameMemo(s, s"bm25idx@$d")(Retrieval.bm25Index(documents(s, d)))
 
-  /** dc6's standing index over the TRAIN split (eval docs held out). */
+  /** dc6's standing index over the TRAIN split (eval docs held out).
+    * WIDENED, unlike [[bm25IndexFrame]]: dc6 is a single-chain
+    * consumer whose cost is one CPU-heavy scoring pass over the whole
+    * postings frame (10 eval queries × full vocabulary, wide-decimal
+    * Okapi math) — measured 2.7 s SERIAL on a 1-partition checkpoint,
+    * 2.6 s total with the widened one vs 4.1 s baseline; the
+    * many-cheap-reader t25/t27/t29 frame stays natural (see
+    * bm25IndexFrame's doc for that measurement). */
   private def dc6IndexFrame(s: SparkSession, d: String): DataFrame =
     frameMemo(s, s"bm25idx_dc6@$d")(Retrieval.bm25Index(graft.Tables
       .widen(documents(s, d).filter(col("doc_id") % 500 =!= 3))))

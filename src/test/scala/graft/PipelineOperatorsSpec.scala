@@ -73,6 +73,28 @@ class PipelineOperatorsSpec extends AnyFunSuite {
     assert(all("lsh") == old("lsh") && all("ivf") == old("ivf"))
   }
 
+  test("standing-index probe at a query sample equals the full kNN " +
+      "graph's rows for those queries (the ss12 knn-leg equivalence)") {
+    // the r19 optimization serves ss12's knn_graph recall row through
+    // knnTopKAgainst at the 3-query sample instead of building
+    // all-corpus edges; this pins the claimed bit-equivalence: same
+    // (dist², cid) probe order, same capped home lists, same cosine
+    // association — per-query rows must be IDENTICAL, scores included
+    val sample = embs.filter(col("vec_id") < 4)
+    val full = Similarity.knnGraph(embs, k = 3, numCentroids = 16,
+        nprobe = 2)
+      .filter(col("vec_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val (cents, home) = Similarity.knnIndex(embs, numCentroids = 16)
+    val probed = Similarity.knnTopKAgainst(sample, cents, home,
+        k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(probed == full,
+      s"probe-vs-graph rows diverge: ${probed.diff(full)} vs ${full.diff(probed)}")
+  }
+
   test("bpe training stops early when the vocabulary is exhausted") {
     import spark.implicits._
     // one 2-letter word: exactly ONE merge exists; rounds 2..8 have
