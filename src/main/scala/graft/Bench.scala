@@ -11,6 +11,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // whole-stage-codegen class cache sized to the query surface
+      // (static conf, default 100): the 253-query surface generates
+      // ~7,000 distinct codegen units, so at the default size every
+      // pass re-Janino-compiles all of them (measured: 6,969
+      // recompiles / ~60-90 s of compile per pass, FloorProf). Sized
+      // to hold the surface, pass 2 recompiles ~none (234) and per-
+      // query minima measure execution, not the compiler. Scale- and
+      // core-count-independent (driver-side cache of compiled plan
+      // code, keyed by generated source; results still computed from
+      // parquet every invocation).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen/JIT startup so per-query numbers reflect

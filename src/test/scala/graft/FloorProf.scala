@@ -1,0 +1,57 @@
+// Per-query FLOOR profiler (guide §1): decompose the bench's fixed
+// per-query overhead — Janino/whole-stage-codegen compilation and
+// driver planning — from real compute, and measure how much of pass-2
+// compile time the default 100-entry codegen cache throws away across
+// a 253-query surface. Usage:
+//   CODEGEN_CACHE=100  sbt "Test/runMain FloorProf"   (default cache)
+//   CODEGEN_CACHE=8192 sbt "Test/runMain FloorProf"   (bench-sized)
+// Prints per-pass wall time + cumulative codegen compile ms +
+// generated-class count, so the cache's effect is a direct number,
+// not a bench-noise inference.
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.metrics.source.CodegenMetrics
+
+object FloorProf {
+  def main(args: Array[String]): Unit = {
+    val cache = sys.env.getOrElse("CODEGEN_CACHE", "100")
+    val dir = sys.env.getOrElse("SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", cache)
+      .config("spark.ui.enabled", false)
+      .appName("floorprof").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // histogram values are milliseconds (CodeGenerator.doCompile);
+    // the reservoir samples, so estimate total as count * mean
+    def compMs: Long =
+      (CodegenMetrics.METRIC_COMPILATION_TIME.getCount *
+        CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getMean).toLong
+    def nComp: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def run(): Unit = {
+      val names = args.toSeq match {
+        case Nil => graft.SparkEntry.queries.keys.toSeq.sorted
+        case xs  => xs
+      }
+      names.foreach { n =>
+        try graft.SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
+    try graft.queries.PipelineQueries.prewarm(spark, dir)
+    catch { case _: Throwable => () }
+    try graft.queries.ExtendedQueries.prewarm(spark, dir)
+    catch { case _: Throwable => () }
+    println(s"cache=$cache  after-prewarm: nComp=$nComp compMs=$compMs")
+    (1 to 2).foreach { p =>
+      val (c0, n0, t0) = (compMs, nComp, System.nanoTime())
+      run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"cache=$cache pass=$p wall=$sec%8.2f s  newClasses=${nComp - n0}%5d  compileMs=${compMs - c0}%6d")
+    }
+    spark.stop()
+  }
+}
