@@ -46,12 +46,32 @@ object FloorProf {
     try graft.queries.ExtendedQueries.prewarm(spark, dir)
     catch { case _: Throwable => () }
     println(s"cache=$cache  after-prewarm: nComp=$nComp compMs=$compMs")
-    (1 to 2).foreach { p =>
+    if (!sys.env.contains("SKIP_EXEC")) (1 to 2).foreach { p =>
       val (c0, n0, t0) = (compMs, nComp, System.nanoTime())
       run()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"cache=$cache pass=$p wall=$sec%8.2f s  newClasses=${nComp - n0}%5d  compileMs=${compMs - c0}%6d")
     }
+    // pass 3+: PLANNING ONLY — analyze + optimize + physical planning
+    // (executedPlan forces the whole driver-side pipeline, runs
+    // nothing), splitting the per-query floor into plan vs execute.
+    // A/B the expensive optimizer rules inside ONE JVM (alternating
+    // so JIT drift can't masquerade as a config effect).
+    def planPass(label: String): Unit = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, f) =>
+        try { f(spark, dir).queryExecution.executedPlan; () }
+        catch { case _: Throwable => () }
+      }
+      println(f"cache=$cache planOnly[$label] wall=${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    planPass("base-warm0")
+    planPass("base-warm1")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    planPass("noCP-0")
+    planPass("noCP-1")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
+    planPass("base-again")
     spark.stop()
   }
 }

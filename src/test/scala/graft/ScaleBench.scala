@@ -40,6 +40,9 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench: sized so steady runs measure execution, not
+      // Janino recompiles of cache-evicted codegen units
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", false).appName("scalebench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,15 +60,24 @@ object ScaleBench {
       val steady = math.min(time1(name, dir), time1(name, dir))
       (cold, steady)
     }
+    // TWO-PHASE: every query measured at sf_a BEFORE any sf_b run.
+    // Interleaved (aA,aB per query), a query's small-dir steadies were
+    // measured with the PREVIOUS queries' 10×-dir memo blocks resident
+    // in the block manager, and the inflation is real: q72's a_steady
+    // read 6.3 s interleaved vs 1.36 s clean-JVM (and 1.4 s in the
+    // prewarmed Bench). Phase-splitting keeps every a-row measured
+    // under a-scale residency only — the same state Bench measures —
+    // while b-rows (compute-dominated) absorb the shared-JVM tax.
+    val aRows = names.map(n => n -> run(n, sfA)).toMap
+    val bRows = names.map(n => n -> run(n, sfB)).toMap
     val rows = names.map { n =>
-      val (ac, as) = run(n, sfA)
-      val (bc, bs) = run(n, sfB)
+      val ((ac, as), (bc, bs)) = (aRows(n), bRows(n))
       println(f"SCALE $n%-28s a_cold=$ac%6.2f a_steady=$as%6.2f " +
         f"b_cold=$bc%6.2f b_steady=$bs%6.2f ratio=${bs / as}%5.2f")
       f""""$n":{"a_cold":$ac%.3f,"a_steady":$as%.3f,"b_cold":$bc%.3f,"b_steady":$bs%.3f,"ratio_steady":${bs / as}%.3f}"""
     }
     val json =
-      s"""{"sf_a":"$sfA","sf_b":"$sfB","protocol":"cold=first run in JVM (builds included), steady=min of next 2 (serving)","queries":${rows.mkString("{", ",", "}")}}"""
+      s"""{"sf_a":"$sfA","sf_b":"$sfB","protocol":"two-phase: all sf_a rows first, then all sf_b rows; cold=first run in JVM at that dir (builds included), steady=min of next 2 (serving)","queries":${rows.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(s"wrote $outPath")
