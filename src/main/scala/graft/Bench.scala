@@ -162,10 +162,20 @@ object Bench {
           .mkString("{", ",", "}")
         s""""$f":$inner"""
       }.mkString("{", ",", "}")
-    // scalar-only total line first (head-clippable without data loss —
-    // the same scalars repeat in the summary line that follows)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib_s":$calibS,"load1m":[$loadBefore,$loadMid,$loadAfter],"sf":"$sfDir"}""")
-    println(s"""{"metric":"queries","query_unit":"cs","queries":$qsByFam}""")
+    // compact family map first (diagnostics: lets a bounded tail
+    // capture still show most per-query numbers if the canonical line
+    // below gets clipped; values are integer CENTIseconds)
+    println(s"""{"metric":"queries_by_family","query_unit":"cs","queries_by_family":$qsByFam}""")
+    // THE CANONICAL CONTRACT LINE (restored this round — r18/r19
+    // emitted only the family-compact map above, and the driver's
+    // per-query comparison came back empty, PERF_r19 per_query: {}):
+    // one JSON line, flat {"name": seconds} map, full query names.
+    // It is ~6.5 KB — larger than the driver's 2 KB tail capture — so
+    // the scalar summary line stays LAST (always parseable from the
+    // tail) and any consumer of the full stdout gets the flat map.
+    val qsFlat = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib_s":$calibS,"load1m":[$loadBefore,$loadMid,$loadAfter],"queries":$qsFlat,"sf":"$sfDir"}""")
     // BENCH_FULL carries BOTH raw passes next to the min: a
     // cross-round comparison can then tell machine noise (passes
     // disagree, min stable) from a real regression (both passes

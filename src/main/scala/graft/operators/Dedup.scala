@@ -1019,9 +1019,16 @@ object Dedup {
     *    On a real cluster substitute a reliable `checkpoint()` (HDFS
     *    checkpoint dir) for executor-loss tolerance — same shape. */
   def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialized HASH-PARTITIONED BY src (guide §2.4): every round
+    // joins on dst with the (usually broadcast) label table and then
+    // groups by src — hash(src) survives the broadcast join, so the
+    // per-round aggregation Exchange disappears; one pair-sized
+    // shuffle before the loop replaces O(rounds) node-keyed ones.
+    // localCheckpoint preserves outputPartitioning.
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     // the vertex-dedup shuffle doubles as the first propagation round:
     // label₀(v) = min(v, min direct neighbour) — one round cheaper

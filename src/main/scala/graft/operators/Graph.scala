@@ -66,7 +66,16 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 8, dampingPct: Int = 85,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    // the edge list is materialized HASH-PARTITIONED BY dst (one
+    // edge-sized shuffle, paid once before the loop): the per-round
+    // received-mass aggregation groups by dst, so the checkpointed
+    // partitioning satisfies its clustering and the round's Exchange
+    // disappears — 8 node-keyed shuffles traded for one up-front edge
+    // shuffle (guide §2.4: operations keyed the same way share one
+    // exchange). localCheckpoint preserves outputPartitioning, so
+    // every round's plan sees hash(dst).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("dst"))
       .localCheckpoint(eager = false) // re-scanned every iteration
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -223,8 +232,16 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint()
+    // directed neighbor list materialized HASH-PARTITIONED BY node
+    // (guide §2.4): each round's vote is groupBy(node, lbl) then
+    // groupBy(node) — hash(node) clusters BOTH (a partitioning on a
+    // subset of the grouping keys satisfies the clustering), so the
+    // rounds run with ZERO exchanges below the broadcast limit; one
+    // edge-sized shuffle before the loop replaces 2·rounds node-keyed
+    // ones. localCheckpoint preserves outputPartitioning.
     val dir = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node"))
       .localCheckpoint()
     // the label-table broadcast decision uses the EXACT node count,
     // not kCore's nodes ≤ 2·edges bound: the node frame is needed for

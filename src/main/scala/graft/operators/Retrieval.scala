@@ -276,11 +276,11 @@ object Retrieval {
 
   private def readBm25MetaRow(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String): Bm25Meta = {
-    val r = spark.read.parquet(layoutPath + "_meta").head()
-    Bm25Meta(r.getLong(r.fieldIndex("buckets")).toInt,
-      r.getLong(r.fieldIndex("n_docs")),
-      r.getLong(r.fieldIndex("total_len")),
-      r.getLong(r.fieldIndex("fold_seq")))
+    // driver-side 1-row read (see DriverParquet — the probe-time
+    // fold guard costs no analyzer resolution and no job)
+    val vs = DriverParquet.headLongs(spark, layoutPath + "_meta",
+      Seq("buckets", "n_docs", "total_len", "fold_seq"))
+    Bm25Meta(vs(0).toInt, vs(1), vs(2), vs(3))
   }
 
   private def readBm25Meta(spark: org.apache.spark.sql.SparkSession,
@@ -317,8 +317,8 @@ object Retrieval {
     * intent write itself) — treated as stale by [[readBm25Meta]]. */
   private def readFoldIntent(spark: org.apache.spark.sql.SparkSession,
       layoutPath: String): Option[Long] =
-    try Some(spark.read.parquet(layoutPath + "_fold_intent")
-      .head().getLong(0))
+    try Some(DriverParquet.headLong(spark, layoutPath + "_fold_intent",
+      "fold_seq"))
     catch { case _: Exception => None }
 
   private def writeFoldIntent(spark: org.apache.spark.sql.SparkSession,
@@ -873,8 +873,16 @@ object Retrieval {
       .toDF("n_docs", "total_len")
     val orig = queries.select(col("query_id"),
       explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
+    // each layout artifact is READ (resolved: schema + file listing)
+    // once per invocation and the relation reused by both passes — the
+    // layout cannot fold mid-probe, and Spark 4 resolves every
+    // spark.read.parquet call in the analyzer at ~50 ms + a listing
+    // job apiece (measured), so the duplicate reads were pure driver
+    // floor. DPP still sees the plain parquet relation in every join.
+    val layout = spark.read.parquet(layoutPath)
+    val dfDict = spark.read.parquet(layoutPath + "_df")
     def prunedFor(terms: DataFrame): DataFrame =
-      spark.read.parquet(layoutPath)
+      layout
         .join(broadcast(terms.select("fp").distinct()
           .withColumn("bkt", bm25Bkt(col("fp"), buckets))),
           Seq("bkt", "fp"), "left_semi")
@@ -883,7 +891,7 @@ object Retrieval {
     // by the fold maintenance invariant) — deriving it from the
     // pruned postings would scan each pass's directories twice
     def dfFor(terms: DataFrame): DataFrame =
-      spark.read.parquet(layoutPath + "_df")
+      dfDict
         .join(broadcast(terms.select("fp").distinct()
           .withColumn("bkt", bm25Bkt(col("fp"), buckets))),
           Seq("bkt", "fp"), "left_semi")

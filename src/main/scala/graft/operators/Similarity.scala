@@ -500,13 +500,18 @@ object Similarity {
     * `(x·x − 2·x·c) + c·c` as training, so the DuckDB oracle replays
     * the full train→assign→probe→rank pipeline bit-for-bit. */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
-      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      centsOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val cents = VectorStats.kmeansCentroids(corpus, numCentroids, iters)
-      .withColumn("cc", dotD(col("cemb"), col("cemb")))
-      .localCheckpoint(eager = false) // corpus assign + query probe
+    // shareable trained coarse quantizer (cc-included shape) — the
+    // ivfSq8TopK centsOpt discipline: deterministic training means a
+    // caller-memoized `(cid, cemb, cc)` frame yields identical results
+    val cents = centsOpt.getOrElse(
+      VectorStats.kmeansCentroids(corpus, numCentroids, iters)
+        .withColumn("cc", dotD(col("cemb"), col("cemb")))
+        .localCheckpoint(eager = false)) // corpus assign + query probe
     val asgn = VectorStats
       .assignToCentroids(corpus, cents.select("cid", "cemb"))
       .select(col("vec_id").as("neighbor_id"), col("cluster_id").as("cid"))

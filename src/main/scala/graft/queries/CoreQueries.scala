@@ -222,18 +222,44 @@ object CoreQueries {
     },
 
     // ---- window functions -------------------------------------------
+    // The window key (l_returnflag) has THREE distinct values, so the
+    // naive single-window form funnels the whole table through 3
+    // reducer tasks (guide §2.5 — skew; fatal at 100 TB). Split:
+    // the rank-like trio keeps its window but the `rn <= 5` filter now
+    // lets Spark's WindowGroupLimit prune each map partition to its
+    // top-5 rows BEFORE the exchange (ntile in the same window blocked
+    // that rule — it needs the full partition count, so its presence
+    // forced every row through the sort). ntile(4) is instead computed
+    // EXACTLY from the per-flag row count n (Spark's NTile: the first
+    // n % 4 buckets hold n div 4 + 1 rows, the rest n div 4), attached
+    // by a 3-row broadcast join. Bit-identical output — pinned by the
+    // unchanged oracle.
     "q13_window_rank" -> { (s, d) =>
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
           col("l_linenumber"))
-      lineitem(s, d)
+      val li = lineitem(s, d)
+      val ranked = li
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"),
           row_number().over(w).as("rn"),
           rank().over(w).as("rk"),
-          dense_rank().over(w).as("drk"),
-          ntile(4).over(w).as("quartile"))
+          dense_rank().over(w).as("drk"))
         .filter(col("rn") <= 5)
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), Seq("l_returnflag"))
+        // NTile(4) closed form over (rn, n); the `otherwise` branch is
+        // reachable only when n >= 4 (cut = n when n < 4), so the
+        // `div bs` there never sees bs = 0
+        .withColumn("quartile",
+          when(col("rn") <= expr("(n % 4) * (n div 4 + 1)"),
+            expr("(rn + n div 4) div (n div 4 + 1)"))
+            .otherwise(expr(
+              "n % 4 + (rn - (n % 4) * (n div 4 + 1) + n div 4 - 1)" +
+                " div (n div 4)"))
+            .cast("int"))
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_extendedprice", "rn", "rk", "drk", "quartile")
         .orderBy("l_returnflag", "rn")
     },
     "q14_window_analytic" -> { (s, d) =>
@@ -260,14 +286,30 @@ object CoreQueries {
             count(col("value")).over(recent)).as("moving_avg"))
         .orderBy("user_id", "event_id")
     },
+    // Same 3-key-window skew fix as q13, for the RANGE frame: the
+    // count-up-to-quantity is a cumulative count over the tiny
+    // (flag, quantity) value grid — partial-agg the table map-side to
+    // the grid (~150 rows), cumsum the grid, broadcast it back onto
+    // the rows (guide §2.5 two-level aggregation). The range frame
+    // includes peers, which is exactly what grouping by the quantity
+    // VALUE gives, so every row's count is bit-identical (unchanged
+    // oracle pins it); the 3-task full-table sort is gone at every
+    // scale.
     "q25_window_range" -> { (s, d) =>
-      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      lineitem(s, d)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"),
-          count(lit(1)).over(w).as("n_upto_qty"))
-        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      val li = lineitem(s, d)
+      val wg = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("c"))
+        .select(col("l_returnflag"), col("l_quantity"),
+          sum("c").over(wg).as("n_upto_qty"))
+      li.select("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_quantity")
+        .join(broadcast(cum), Seq("l_returnflag", "l_quantity"))
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_quantity", "n_upto_qty")
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey",
+          "l_linenumber")
     },
 
     // ---- sort / limit / top-k ---------------------------------------
@@ -333,7 +375,9 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
     "q21_json" -> { (s, d) =>
-      events(s, d)
+      // widened: per-row JSON parsing downstream of the 1-partition
+      // scan (the r19 widen rule's winning shape)
+      graft.Tables.widen(events(s, d))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .filter(col("k") > 50)

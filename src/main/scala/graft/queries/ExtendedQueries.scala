@@ -287,7 +287,7 @@ object ExtendedQueries {
         array(lit("click"), lit("view"), lit("purchase"), lit("signup"),
           lit("error")),
         array(lit(1L), lit(2L), lit(5L), lit(3L), lit(0L)))
-      events(s, d)
+      graft.Tables.widen(events(s, d))
         .select(col("event_id"),
           from_json(col("props"), lit("k LONG")).getField("k").as("k"),
           element_at(weights, col("event_type")).as("weight"))

@@ -336,8 +336,12 @@ object PipelineQueries {
         TextAnalysis.langIdTrigram(col("text")).as("lang_pred3"))
         .orderBy("doc_id")
     },
+    // widened: CPU-heavy per-row n-gram pipeline, single consumer,
+    // downstream of the 1-partition scan — the r19 widen rule's
+    // winning shape (dc6's)
     "t08_repetition" -> { (s, d) =>
-      TextAnalysis.repetitionScores(documents(s, d)).orderBy("doc_id")
+      TextAnalysis.repetitionScores(graft.Tables.widen(documents(s, d)))
+        .orderBy("doc_id")
     },
     "t09_pmi_pairs" -> { (s, d) =>
       CorpusStats.pmiTopPairs(documents(s, d), minPairDocs = 5, topN = 20)
@@ -440,7 +444,8 @@ object PipelineQueries {
     // (the model is the 8-row merge list, folded into the map)
     "t23_bpe_encode" -> { (s, d) =>
       graft.operators.Tokenizer
-        .bpeEncode(documents(s, d), bpeRules(s, d)).orderBy("doc_id")
+        .bpeEncode(graft.Tables.widen(documents(s, d)), bpeRules(s, d))
+        .orderBy("doc_id")
     },
     // unigram-LM (SentencePiece-style) trainer: substring candidates,
     // 2 Viterbi-EM rounds under the log-free integer objective
@@ -536,7 +541,8 @@ object PipelineQueries {
     // MOSS winnowing: distinct window-minima of the word-3-gram hash
     // stream, window w=4 — the partial-overlap fingerprint index
     "t10_winnow" -> { (s, d) =>
-      TextAnalysis.winnowFingerprints(documents(s, d), k = 3, w = 4)
+      TextAnalysis.winnowFingerprints(
+        graft.Tables.widen(documents(s, d)), k = 3, w = 4)
         .orderBy("doc_id")
     },
     // containment over winnowed fingerprints: |A∩B| >= 60% of the
@@ -815,7 +821,8 @@ object PipelineQueries {
         lit("@mail.example.com from 10."), (id % 256).cast("string"),
         lit(".0."), (id % 254 + 1).cast("string"),
         lit(" call 555-"), lpad((id * 7 % 10000).cast("string"), 4, "0"))
-      TextAnalysis.piiReport(documents(s, d), seeded).orderBy("doc_id")
+      TextAnalysis.piiReport(graft.Tables.widen(documents(s, d)), seeded)
+        .orderBy("doc_id")
     },
     // small-edit near-dup: MinHash-banded candidates verified by
     // bounded-prefix Levenshtein (threshold form — the DP abandons a
@@ -947,6 +954,10 @@ object PipelineQueries {
       Similarity.knnGraphCensus(embeddings(s, d), numCentroids = 16,
         maxList = 8, cents = Some(kgCents(s, d))).orderBy("cid")
     },
+    // NOT widened: the nine family probes each add several stages over
+    // the corpus, and a widened source makes every one of them pay
+    // 32-task scheduling (measured r20: steady 6.9 -> 7.5 s with
+    // widen, job wall 8.9 -> 17.5 s) — the wave-1 r19 widen rule again
     "ss12_recall_families" -> { (s, d) =>
       val e = embeddings(s, d)
       // every trained artifact the scoreboard's serving rows probe is
@@ -1049,16 +1060,16 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
     "dd6_dedup_embedding_lsh" -> { (s, d) =>
-      Similarity.lshCosinePairs(embeddings(s, d), threshold = 0.4,
-        nBits = 6, tables = 3).orderBy("a_id", "b_id")
+      Similarity.lshCosinePairs(graft.Tables.widen(embeddings(s, d)),
+        threshold = 0.4, nBits = 6, tables = 3).orderBy("a_id", "b_id")
     },
     // LSH-routed (wide buckets: 4 bits × 4 tables for recall), exact
     // cosine verify — the brute all-pairs cross join
     // (Similarity.cosinePairs) is test-only: a corpus×corpus cartesian
     // must never be a declared, benched operator (see PlanShapeSpec).
     "dd5_dedup_embedding" -> { (s, d) =>
-      Similarity.lshCosinePairs(embeddings(s, d), threshold = 0.4,
-        nBits = 4, tables = 4).orderBy("a_id", "b_id")
+      Similarity.lshCosinePairs(graft.Tables.widen(embeddings(s, d)),
+        threshold = 0.4, nBits = 4, tables = 4).orderBy("a_id", "b_id")
     },
     "dd7_curation_pipeline" -> { (s, d) =>
       graft.operators.CurationPipeline
@@ -1512,7 +1523,7 @@ object PipelineQueries {
           ksub = 8, iters = 2)
       }
       val booksAll = s.read.parquet(out + "_books")
-      val batch = e.select(col("vec_id"),
+      val batch = graft.Tables.widen(e).select(col("vec_id"),
         transform(col("embedding"),
           x => x.cast("double") * lit(1.25) + lit(0.1)).as("embedding"))
       Similarity.pqDriftCensus(s.read.parquet(out + "_coarse"),
@@ -1580,11 +1591,15 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
     // IVF under a TRAINED quantizer: the ve3 k-means centroids serve
-    // as the coarse index; probe metric = training metric (L2)
+    // as the coarse index; probe metric = training metric (L2).
+    // The quantizer is the SAME kmeansCentroids(corpus, 8, 2) chain
+    // ivfPqArts memoizes (the ss18 shared-offline-artifact
+    // discipline) — serving, not training, is the timed content
     "ss6_ivf_trained" -> { (s, d) =>
       val e = embeddings(s, d)
       Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 3), k = 5,
-        numCentroids = 8, iters = 2, nprobe = 2)
+        numCentroids = 8, iters = 2, nprobe = 2,
+        centsOpt = Some(ivfPqArts(s, d)._1))
         .orderBy("query_id", "rank")
     },
     // product-quantized ANN: 4 per-subspace codebooks, m-byte codes,
@@ -1710,13 +1725,13 @@ object PipelineQueries {
     // jumps >= 10 bits mark cuts; the oracle recomputes hashes from
     // the closed form and replays the same lag/cumsum windows
     "m7_scene_cuts" -> { (s, d) =>
-      Multimodal.sceneCuts(s, documents(s, d))
+      Multimodal.sceneCuts(s, graft.Tables.widen(documents(s, d)))
         .orderBy("media_id", "frame_idx")
     },
     // one representative frame per detected scene — the
     // one-embedding-per-shot manifest a video embedding stage consumes
     "m8_keyframes" -> { (s, d) =>
-      Multimodal.keyframes(s, documents(s, d))
+      Multimodal.keyframes(s, graft.Tables.widen(documents(s, d)))
         .orderBy("media_id", "scene_no")
     },
     // per-source Zipf/Heaps vocabulary health: token/type counts,

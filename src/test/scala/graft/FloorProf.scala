@@ -24,33 +24,42 @@ object FloorProf {
       .config("spark.ui.enabled", false)
       .appName("floorprof").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // histogram values are milliseconds (CodeGenerator.doCompile);
-    // the reservoir samples, so estimate total as count * mean
-    def compMs: Long =
+    // histogram values are milliseconds (CodeGenerator.doCompile).
+    // The histogram is a SAMPLING reservoir, so count * snapshot-mean
+    // is an ESTIMATE (the mean drifts with the reservoir window and
+    // per-pass deltas can even go slightly negative); the exact,
+    // primary metric is the compilation COUNT (newClasses below) —
+    // treat compileMsEst deltas as order-of-magnitude only.
+    def compMsEst: Long =
       (CodegenMetrics.METRIC_COMPILATION_TIME.getCount *
         CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getMean).toLong
     def nComp: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    // failure count per pass: a bad SF_DIR or broken query otherwise
+    // yields plausible-looking but meaningless wall numbers (a pass
+    // that executed nothing still prints a "floor")
+    var failed = 0
     def run(): Unit = {
       val names = args.toSeq match {
         case Nil => graft.SparkEntry.queries.keys.toSeq.sorted
         case xs  => xs
       }
+      failed = 0
       names.foreach { n =>
         try graft.SparkEntry.queries(n)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => failed += 1 }
       }
     }
     try graft.queries.PipelineQueries.prewarm(spark, dir)
     catch { case _: Throwable => () }
     try graft.queries.ExtendedQueries.prewarm(spark, dir)
     catch { case _: Throwable => () }
-    println(s"cache=$cache  after-prewarm: nComp=$nComp compMs=$compMs")
+    println(s"cache=$cache  after-prewarm: nComp=$nComp compMsEst=$compMsEst")
     if (!sys.env.contains("SKIP_EXEC")) (1 to 2).foreach { p =>
-      val (c0, n0, t0) = (compMs, nComp, System.nanoTime())
+      val (c0, n0, t0) = (compMsEst, nComp, System.nanoTime())
       run()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"cache=$cache pass=$p wall=$sec%8.2f s  newClasses=${nComp - n0}%5d  compileMs=${compMs - c0}%6d")
+      println(f"cache=$cache pass=$p wall=$sec%8.2f s  newClasses=${nComp - n0}%5d  compileMsEst=${compMsEst - c0}%6d  failed=$failed")
     }
     // pass 3+: PLANNING ONLY — analyze + optimize + physical planning
     // (executedPlan forces the whole driver-side pipeline, runs
@@ -66,7 +75,14 @@ object FloorProf {
       println(f"cache=$cache planOnly[$label] wall=${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     planPass("base-warm0")
+    // rule-level attribution of the planning floor: which analyzer/
+    // optimizer rules the warm pass actually spends its time in
+    // (RuleExecutor keeps global counters; reset → one pass → dump)
+    org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
     planPass("base-warm1")
+    if (sys.env.contains("RULE_DUMP"))
+      println(org.apache.spark.sql.catalyst.rules.RuleExecutor
+        .dumpTimeSpent())
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     planPass("noCP-0")
     planPass("noCP-1")

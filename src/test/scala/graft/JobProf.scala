@@ -11,6 +11,10 @@ object JobProf {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Bench: steady rounds measure execution, not Janino
+      // recompiles of cache-evicted codegen units
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", false)
       .appName("jobprof").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

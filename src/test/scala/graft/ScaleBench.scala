@@ -41,8 +41,10 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // match Bench: sized so steady runs measure execution, not
-      // Janino recompiles of cache-evicted codegen units
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // Janino recompiles of cache-evicted codegen units — read from
+      // the SAME env knob as Bench so the two sessions cannot diverge
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", false).appName("scalebench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
