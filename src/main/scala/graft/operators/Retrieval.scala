@@ -73,12 +73,13 @@ object Retrieval {
     * 1-row corpus census the caller already has or derives. */
   private def bm25Score(postings: DataFrame, totals: DataFrame,
       queries: DataFrame, k: Int,
-      dfCapPpm: Option[Long] = None): DataFrame = {
+      dfCapPpm: Option[Long] = None,
+      dfreqOpt: Option[DataFrame] = None): DataFrame = {
     import graft.functions.hashFunctions.gram_fps
     bm25ScoreFps(postings, totals,
       queries.select(col("query_id"),
         explode(array_distinct(gram_fps(col("text"), 1))).as("fp")),
-      k, dfCapPpm)
+      k, dfCapPpm, dfreqOpt)
   }
 
   /** The term-level entry of the scoring tail: `qfps` is the already-
@@ -233,10 +234,19 @@ object Retrieval {
     * workloads), one vocabulary-sized df aggregation, one
     * doc-distinct totals census, and the tiny broadcast query side. */
   def bm25TopKAgainst(index: DataFrame, queries: DataFrame,
-      k: Int = 10, dfCapPpm: Option[Long] = None): DataFrame = {
-    val totals = index.select("doc_id", "len").distinct()
-      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
-    bm25Score(index, totals, queries, k, dfCapPpm)
+      k: Int = 10, dfCapPpm: Option[Long] = None,
+      statsOpt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // statsOpt = (dfreq `(fp, df)`, totals 1-row `(n_docs,
+    // total_len)`) — for probes of a FROZEN standing index the two
+    // index-wide aggregations are themselves standing artifacts the
+    // caller can memoize (they are pure functions of the index frame,
+    // so results are identical); a MAINTAINED index (CDF folds, t25)
+    // must keep deriving them from the current rows — pass None.
+    val totals = statsOpt.map(_._2).getOrElse(
+      index.select("doc_id", "len").distinct()
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len")))
+    bm25Score(index, totals, queries, k, dfCapPpm,
+      dfreqOpt = statsOpt.map(_._1))
   }
 
   /** The postings' term-hash bucket: a term's rows live wholly inside
@@ -943,14 +953,19 @@ object Retrieval {
     * checkpointed standing index is tokenized zero times and scanned
     * thrice. Output: [[bm25TopK]]'s shape. */
   def rm3Expand(index: DataFrame, queries: DataFrame, k: Int = 10,
-      fbDocs: Int = 5, fbTerms: Int = 3): DataFrame = {
+      fbDocs: Int = 5, fbTerms: Int = 3,
+      statsOpt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.hashFunctions.gram_fps
-    val totals = index.select("doc_id", "len").distinct()
-      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    // statsOpt: caller-memoized (dfreq, totals) of a FROZEN standing
+    // index — see bm25TopKAgainst; None derives both from the rows
+    val totals = statsOpt.map(_._2).getOrElse(
+      index.select("doc_id", "len").distinct()
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len")))
     // the vocabulary-sized df agg feeds BOTH passes — compute once
-    val dfreq = index.groupBy("fp").agg(count(lit(1)).as("df"))
-      .localCheckpoint(eager = false)
+    val dfreq = statsOpt.map(_._1).getOrElse(
+      index.groupBy("fp").agg(count(lit(1)).as("df"))
+        .localCheckpoint(eager = false))
     val orig = queries.select(col("query_id"),
       explode(array_distinct(gram_fps(col("text"), 1))).as("fp"))
     val feedback = bm25ScoreFps(index, totals, orig, fbDocs,

@@ -628,10 +628,12 @@ object PipelineQueries {
       val all = documents(s, d)
       Retrieval.bm25TopKAgainst(
         // a STANDING index is materialized once — that is its
-        // contract; memoized + prewarmed (dc6IndexFrame)
+        // contract; memoized + prewarmed (dc6IndexFrame), and its
+        // frozen df/totals stats are memoized beside it
         dc6IndexFrame(s, d),
         all.filter(col("doc_id") % 500 === 3)
-          .select(col("doc_id").as("query_id"), col("text")), k = 5)
+          .select(col("doc_id").as("query_id"), col("text")), k = 5,
+        statsOpt = Some(dc6IdxStats(s, d)))
         .filter(col("score_ppm") >= 5000000L)
         .orderBy("query_id", "rank")
     },
@@ -1795,7 +1797,8 @@ object PipelineQueries {
       Retrieval.rm3Expand(bm25IndexFrame(s, d),
         all.filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"), col("text")),
-        k = 10, fbDocs = 5, fbTerms = 3)
+        k = 10, fbDocs = 5, fbTerms = 3,
+        statsOpt = Some(bm25IdxStats(s, d)))
         .orderBy("query_id", "rank")
     },
     // the FULL retrieval stack through the written layout: both RM3
@@ -1931,7 +1934,8 @@ object PipelineQueries {
       // equivalence); the timed content is the fusion contract
       val bm = Retrieval.bm25TopKAgainst(bm25IndexFrame(s, d),
         all.filter(col("doc_id") < 3)
-          .select(col("doc_id").as("query_id"), col("text")), k = 10)
+          .select(col("doc_id").as("query_id"), col("text")), k = 10,
+        statsOpt = Some(bm25IdxStats(s, d)))
         .select("query_id", "doc_id", "rank")
       val e = embeddings(s, d)
       val ann = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
@@ -1970,10 +1974,12 @@ object PipelineQueries {
       // postings aggregation the old body paid is gone; the index
       // itself is the memoized standing frame
       val idx = bm25IndexFrame(s, d)
-      val bm = Retrieval.bm25TopKAgainst(idx, qdocs, k = 10)
+      val bm = Retrieval.bm25TopKAgainst(idx, qdocs, k = 10,
+        statsOpt = Some(bm25IdxStats(s, d)))
         .localCheckpoint(eager = false) // scored on its own + inside rrf
       val rm3 = Retrieval.rm3Expand(idx,
-        qdocs, k = 10, fbDocs = 10, fbTerms = 5)
+        qdocs, k = 10, fbDocs = 10, fbTerms = 5,
+        statsOpt = Some(bm25IdxStats(s, d)))
       val ann = truth.filter(col("rank") <= 10)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank"))
@@ -2183,6 +2189,29 @@ object PipelineQueries {
     * multi-split partitioning anyway). */
   private def bm25IndexFrame(s: SparkSession, d: String): DataFrame =
     frameMemo(s, s"bm25idx@$d")(Retrieval.bm25Index(documents(s, d)))
+
+  /** The frozen standing index's collection statistics — the
+    * vocabulary-sized df table and the 1-row corpus census — memoized
+    * BESIDE the index (they are pure functions of the frozen frame,
+    * so probe results are bit-identical): every t24/t27/t29/dc6 probe
+    * was re-aggregating the full postings for the same two artifacts.
+    * t25 keeps deriving both from its CDF-folded rows — a MAINTAINED
+    * index's stats must track its current membership. */
+  private def bm25IdxStats(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    (frameMemo(s, s"bm25df@$d")(bm25IndexFrame(s, d)
+        .groupBy("fp").agg(count(lit(1)).as("df"))),
+      frameMemo(s, s"bm25tot@$d")(bm25IndexFrame(s, d)
+        .select("doc_id", "len").distinct()
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))))
+
+  private def dc6IdxStats(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    (frameMemo(s, s"bm25df_dc6@$d")(dc6IndexFrame(s, d)
+        .groupBy("fp").agg(count(lit(1)).as("df"))),
+      frameMemo(s, s"bm25tot_dc6@$d")(dc6IndexFrame(s, d)
+        .select("doc_id", "len").distinct()
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))))
 
   /** dc6's standing index over the TRAIN split (eval docs held out).
     * WIDENED, unlike [[bm25IndexFrame]]: dc6 is a single-chain
@@ -2395,7 +2424,9 @@ object PipelineQueries {
     ivfPqArts(s, d)
     knnGraphFrame(s, d)
     bm25IndexFrame(s, d)
+    bm25IdxStats(s, d)
     dc6IndexFrame(s, d)
+    dc6IdxStats(s, d)
     tfidfModelFrame(s, d)
     dsirModelFrame(s, d)
     bitextCents(s, d, 1)
